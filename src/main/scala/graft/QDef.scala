@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator: a Spark query plus (optionally) the equivalent
+  * DuckDB oracle SQL the driver hash-compares against (SURVEY.md §2).
+  *
+  * Determinism contract every QDef must satisfy (SURVEY.md §0):
+  *   - total ORDER BY (key tie-breakers) on both sides;
+  *   - ROUND every floating-point output on both sides;
+  *   - identical column names (explicit aliases) and aligned types
+  *     (integer sums CAST to BIGINT in the oracle — DuckDB SUM(INTEGER)
+  *     is HUGEINT);
+  *   - no nondeterministic operators (dropDuplicates row-picks, bare
+  *     first/last, rand, monotonically_increasing_id).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QDef {
+  /** Oracle-checked query. */
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, Some(oracle))
+
+  /** Declared-only query (non-SQL-expressible op: HLL, LSH, streaming). */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, None)
+}

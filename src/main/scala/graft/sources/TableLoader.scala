@@ -1,0 +1,85 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Central table loader for the testdata star schema + extension tables.
+  *
+  * Responsibilities (SURVEY.md §0 "hard-won environment facts", §7 M0):
+  *
+  *   - '''events nanos repair''': `events.parquet` stores `ts` as Parquet
+  *     `TIMESTAMP(NANOS)`, which Spark 4.x refuses to read natively
+  *     (`PARQUET_TYPE_ILLEGAL`). We read it with
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (so `ts` arrives as
+  *     `LongType` nanos) and convert with `timestamp_micros(ts div 1000)`.
+  *     Integer division truncates exactly like the DuckDB oracle's ns→us
+  *     cast, so downstream results hash-match.
+  *   - '''Session defaults''': UTC session timezone, TIMESTAMP_MICROS
+  *     parquet output (so written timestamps round-trip bit-exactly into
+  *     the DuckDB comparator), AQE left on (runtime coalescing + skew
+  *     handling is the first-line answer at 100 TB scale).
+  *   - '''Plan/IO memoization''': per (session, sfDir, table) the loaded
+  *     DataFrame is cached and persisted, so a multi-query run (Verify /
+  *     Bench) parses parquet footers once and serves repeat scans from
+  *     memory. On a real cluster this maps to `spark.catalog.cacheTable`
+  *     of hot dimension tables; fact tables at 100 TB would instead rely
+  *     on partition pruning + pushdown (never fully cached).
+  */
+object TableLoader {
+
+  /** Tables whose parquet schema loads cleanly (timestamp[ms] etc.). */
+  val plainTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents", "embeddings")
+
+  val allTables: Seq[String] = plainTables :+ "events"
+
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+
+  /** Idempotent session configuration every query path goes through. */
+  def configure(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    // Written timestamps become parquet TIMESTAMP(MICROS): the exact
+    // physical type DuckDB reads back loss-lessly (INT96 is legacy).
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Required to read events.parquet (TIMESTAMP(NANOS) -> LongType).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Adaptive execution: partition coalescing + skew-join splitting.
+    c.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Load (and memoize) one table for a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), {
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        val df =
+          if (name == "events")
+            // ts arrives as Long nanos (nanosAsLong): truncate to micros
+            // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+            raw.withColumn(
+              "ts",
+              org.apache.spark.sql.functions.expr(
+                "timestamp_micros(ts div 1000)"))
+          else raw
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
