@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All declared operators, in registration order. */
   val registry: Seq[QDef] =
-    AggQueries.defs
+    ScanFilterQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
+      SortSetQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

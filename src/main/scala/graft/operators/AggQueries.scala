@@ -3,13 +3,19 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.QDef
+import graft.functions.GeoMean
 import graft.sources.TableLoader._
 
 /** Aggregation operators (SURVEY.md §2.4).
   *
   * All groupings compile to `HashAggregateExec` with a map-side partial
-  * phase, so at cluster scale only one shuffle of partially-aggregated
-  * rows crosses the wire per query — the shape that survives 100 TB.
+  * phase, so at cluster scale only partially-aggregated rows cross the
+  * one shuffle per query — the shape that survives 100 TB.
+  *
+  * Determinism: SUMs over double columns go through DECIMAL casts
+  * (exact, order-independent across partitions); AVG/stats stay double
+  * with ROUND (their error is divided by n, far below the rounding
+  * granularity).
   */
 object AggQueries {
 
@@ -20,9 +26,10 @@ object AggQueries {
   val qAggBasic: QDef = QDef(
     "q_agg_basic",
     """SELECT l_returnflag, l_linestatus,
-      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS sum_disc_price,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -35,10 +42,10 @@ object AggQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -46,5 +53,192 @@ object AggQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val defs: Seq[QDef] = Seq(qAggBasic)
+  /** Exact COUNT(DISTINCT) per priority — Catalyst expands to a two-phase
+    * aggregate; stays exact (the approximate twin is
+    * q_agg_approx_distinct). */
+  val qAggDistinct: QDef = QDef(
+    "q_agg_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  val qAggHaving: QDef = QDef(
+    "q_agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 12
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .where(col("n_orders") >= 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  private def rollupCubeOracle(op: String) =
+    s"""SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+       |  n_name, o_orderpriority, COUNT(*) AS n_orders,
+       |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY $op(n_name, o_orderpriority)
+       |ORDER BY g_n, g_p, n_name NULLS FIRST,
+       |  o_orderpriority NULLS FIRST""".stripMargin
+
+  private def rollupCube(
+      kind: String): (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame = { (s, d) =>
+    val joined = orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+    val grouped =
+      if (kind == "rollup") joined.rollup(col("n_name"), col("o_orderpriority"))
+      else joined.cube(col("n_name"), col("o_orderpriority"))
+    grouped
+      .agg(
+        grouping(col("n_name")).cast("bigint").as("g_n"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .select(
+        col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"),
+        col("n_orders"), col("total"))
+      .orderBy(
+        col("g_n"), col("g_p"), asc_nulls_first("n_name"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Hierarchical subtotals (nation → priority). GROUPING() columns pin
+    * subtotal rows; NULLS FIRST aligned on both engines. */
+  val qAggRollup: QDef =
+    QDef("q_agg_rollup", rollupCubeOracle("ROLLUP"))(rollupCube("rollup"))
+
+  /** All grouping combinations. */
+  val qAggCube: QDef =
+    QDef("q_agg_cube", rollupCubeOracle("CUBE"))(rollupCube("cube"))
+
+  /** Explicit grouping sets: (nation), (priority) — no grand total. */
+  val qAggGroupingSets: QDef = QDef(
+    "q_agg_grouping_sets",
+    """SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+      |  n_name, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+      |ORDER BY g_n, g_p, n_name NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg(
+        grouping(col("n_name")).cast("bigint").as("g_n"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"),
+        col("n_orders"))
+      .orderBy(
+        col("g_n"), col("g_p"), asc_nulls_first("n_name"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Statistical aggregates (Access StDev/Var + corr/covar). Computed
+    * over small-magnitude columns so ROUND(,4) sits far above the
+    * accumulated float error. */
+  val qAggStats: QDef = QDef(
+    "q_agg_stats",
+    """SELECT l_returnflag,
+      |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+      |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+      |  ROUND(STDDEV_SAMP(l_discount), 4) AS sd_disc,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_samp(col("l_discount")), 4).as("sd_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Access First/Last made deterministic as arg-max/arg-min with a
+    * composite tie-break (acctbal has 2 decimals, so bal*1e7+custkey is
+    * exact in a double and totally ordered). */
+  val qAggFirstLast: QDef = QDef(
+    "q_agg_first_last",
+    """SELECT c_nationkey,
+      |  ARG_MAX(c_name, c_acctbal * 10000000 + c_custkey) AS richest,
+      |  ARG_MIN(c_name, c_acctbal * 10000000 + c_custkey) AS poorest
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val key = col("c_acctbal") * lit(10000000d) + col("c_custkey")
+    customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** HLL approximate distinct — the 100 TB substitute for exact
+    * COUNT(DISTINCT). Sketches are engine-specific → no oracle; the
+    * scalatest asserts the rsd bound against the exact count. */
+  val qAggApproxDistinct: QDef = QDef.noOracle("q_agg_approx_distinct") {
+    (s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+  }
+
+  /** Custom typed Aggregator (geometric mean) with a portable closed-form
+    * oracle EXP(AVG(LN(x))). */
+  val qAggUdafGeomean: QDef = QDef(
+    "q_agg_udaf_geomean",
+    """SELECT l_returnflag,
+      |  ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(GeoMean(col("l_extendedprice")), 4).as("geo_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
+    qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
+    qAggUdafGeomean)
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale notes baked into each shape:
+  *   - dimension tables (region/nation/customer at dim scale) ride
+  *     `broadcast()` hints → `BroadcastHashJoinExec`, so the fact side
+  *     never shuffles for star joins;
+  *   - fact-fact joins (customer⋈orders at 100 TB) stay shuffle joins on
+  *     their keys and rely on AQE for skew splitting;
+  *   - the as-of join is expressed as a windowed running-max (single
+  *     shuffle on user_id) instead of a per-row correlated lookup, which
+  *     is the only formulation that survives billions of events.
+  */
+object JoinQueries {
+
+  /** 3-way star join + agg: orders⋈customer⋈nation revenue per nation.
+    * customer/nation broadcast; orders (the fact side) never shuffles
+    * before aggregation.
+    */
+  val qJoinInner: QDef = QDef(
+    "q_join_inner",
+    """SELECT n_name,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .join(
+        broadcast(customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left outer join preserving zero-order customers; COUNT(col) skips
+    * nulls identically in both engines. */
+  val qJoinLeftOuter: QDef = QDef(
+    "q_join_left_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer
+      |LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join of per-nation customer vs supplier counts —
+    * exercises the sort-merge path (both sides shuffled on the key). */
+  val qJoinFullOuter: QDef = QDef(
+    "q_join_full_outer",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |           FROM customer GROUP BY c_nationkey),
+      |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |           FROM supplier GROUP BY s_nationkey)
+      |SELECT COALESCE(c.nk, s.nk) AS nk,
+      |  COALESCE(n_cust, 0) AS n_cust,
+      |  COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL JOIN s ON c.nk = s.nk
+      |ORDER BY nk""".stripMargin) { (s, d) =>
+    val c = customer(s, d)
+      .groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = supplier(s, d)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("cnk") === col("snk"), "full_outer")
+      .select(
+        coalesce(col("cnk"), col("snk")).as("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk"))
+  }
+
+  /** EXISTS → left-semi join (the same rewrite Catalyst's
+    * RewritePredicateSubquery applies to SQL text). */
+  val qJoinSemi: QDef = QDef(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS → left-anti join (customers with no pending orders;
+    * status-specific so the result is non-empty at every scale). */
+  val qJoinAnti: QDef = QDef(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Cartesian product, kept tiny by construction (5 regions × order
+    * statuses). */
+  val qJoinCross: QDef = QDef(
+    "q_join_cross",
+    """SELECT r_name, os FROM region
+      |CROSS JOIN (SELECT DISTINCT o_orderstatus AS os FROM orders)
+      |ORDER BY r_name, os""".stripMargin) { (s, d) =>
+    region(s, d)
+      .crossJoin(orders(s, d).select(col("o_orderstatus").as("os")).distinct())
+      .select(col("r_name"), col("os"))
+      .orderBy(col("r_name"), col("os"))
+  }
+
+  /** Band/theta join with an equi prefix: hash join on l_partkey with the
+    * range conjunct as a residual filter (never a nested-loop at scale).
+    */
+  val qJoinRange: QDef = QDef(
+    "q_join_range",
+    """SELECT p_brand, COUNT(*) AS n,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(
+        broadcast(part(s, d)),
+        col("l_partkey") === col("p_partkey")
+          && col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** As-of join: for each purchase event, the latest click by the same
+    * user at-or-before its timestamp (SURVEY §2.3 q_join_asof).
+    *
+    * Spark has no native as-of join; the scalable formulation is a
+    * running MAX over a RANGE window (peers at equal ts included, which
+    * matches the oracle's `c.ts <= e.ts` and is deterministic without
+    * relying on tie order). One shuffle on user_id, O(n) state.
+    */
+  val qJoinAsof: QDef = QDef(
+    "q_join_asof",
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  (SELECT CAST(MAX(c.ts) AS TIMESTAMP) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts <= e.ts) AS last_click_ts
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn(
+        "last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** 4-table join chain (lineitem⋈orders⋈customer⋈nation) — the join
+    * reorder / DPP showcase. Catalyst reorders; dims broadcast. */
+  val qJoinMultiway: QDef = QDef(
+    "q_join_multiway",
+    """SELECT n_name,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
+    qJoinCross, qJoinRange, qJoinAsof, qJoinMultiway)
+}

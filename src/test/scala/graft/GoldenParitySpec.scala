@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-repo mirror of the driver's DuckDB oracle gate (SURVEY.md §5.2).
+  *
+  * For every declared query with an oracle, compares the Spark result on
+  * sf0.001 against a committed golden CSV generated from DuckDB running
+  * the same oracle SQL (dev/make_golden.py). The golden is parsed with
+  * the query result's own schema, so values compare as typed rows, and
+  * row ORDER matters — the §0 determinism contract is asserted
+  * mechanically.
+  */
+class GoldenParitySpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = TestSpark.session
+
+  for (q <- SparkEntry.registry if q.oracle.isDefined) {
+    test(s"${q.name} matches DuckDB golden") {
+      val url = getClass.getResource(s"/golden/${q.name}.csv")
+      assert(url != null, s"missing golden for ${q.name} — run dev/make_golden.py")
+      val result = q.fn(spark, sfDir)
+      val golden = spark.read
+        .schema(result.schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(url.getPath)
+      val got = result.collect().toSeq
+      val want = golden.collect().toSeq
+      assert(got.length == want.length,
+        s"row count: spark=${got.length} golden=${want.length}")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"row $i differs:\n  spark : $g\n  golden: $w")
+      }
+    }
+  }
+}
