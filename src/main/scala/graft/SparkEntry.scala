@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared operators, in registration order. */
   val registry: Seq[QDef] =
     ScanFilterQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
-      SortSetQueries.defs
+      SortSetQueries.defs ++ WindowQueries.defs ++ ReshapeQueries.defs ++
+      ScalarFuncQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

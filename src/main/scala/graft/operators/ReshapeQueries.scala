@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Pivot (the Access crosstab TRANSFORM ... PIVOT) and unpivot/melt
+  * (SURVEY.md §2.8).
+  *
+  * Pivot values are always passed explicitly: one aggregation pass, no
+  * value-discovery job, deterministic column set — mandatory at scale.
+  * The oracle uses portable conditional aggregation (no DuckDB PIVOT
+  * dialect).
+  */
+object ReshapeQueries {
+
+  /** returnflag × linestatus revenue matrix. */
+  val qPivot: QDef = QDef(
+    "q_pivot",
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_linestatus = 'F'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS status_f,
+      |  SUM(CASE WHEN l_linestatus = 'O'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS status_o,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,2)"))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("price_dec")).as("rev"), count(lit(1)).as("cnt"))
+      .select(
+        col("l_returnflag"),
+        col("F_rev").as("status_f"),
+        col("O_rev").as("status_o"),
+        (coalesce(col("F_cnt"), lit(0L)) + coalesce(col("O_cnt"), lit(0L)))
+          .as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Inverse crosstab (melt): wide numeric columns → (key, value) rows
+    * via `Dataset.unpivot`. */
+  val qUnpivot: QDef = QDef(
+    "q_unpivot",
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+      |         l_quantity AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+      |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure",
+        "val")
+      // unpivot emits the source column names; align with the oracle tags
+      .withColumn(
+        "measure",
+        expr("substring(measure, 3)")) // l_quantity -> quantity
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
+  val defs: Seq[QDef] = Seq(qPivot, qUnpivot)
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Scalar function packs: the Jet-SQL built-in surface mapped to
+  * Spark/ANSI (SURVEY.md §2.7) — UCase/LCase/Mid/InStr/Len → upper/
+  * lower/substring/instr/length, DatePart/DateDiff/DateAdd → date_part/
+  * datediff/add_months, Abs/Int/Sqr/Round → abs/floor/sqrt/round — plus
+  * the extension-layer array/map/JSON packs over embeddings and events.
+  *
+  * Everything is `org.apache.spark.sql.functions._` (whole-stage
+  * codegen'd); no UDFs anywhere in these paths.
+  */
+object ScalarFuncQueries {
+
+  /** String pack on customer names (Customer#000000123 shapes). */
+  val qStringFuncs: QDef = QDef(
+    "q_string_funcs",
+    """SELECT c_custkey,
+      |  UPPER(c_mktsegment) AS seg_up,
+      |  LOWER(c_name) AS name_lo,
+      |  SUBSTRING(c_name, 1, 8) AS name_pre,
+      |  CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos,
+      |  LENGTH(c_name) AS name_len,
+      |  REPLACE(c_name, 'Customer#', 'C') AS name_short,
+      |  c_mktsegment || '/' || c_name AS tagged,
+      |  TRIM(CONCAT('  ', c_mktsegment, '  ')) AS seg_trim,
+      |  REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        substring(col("c_name"), 1, 8).as("name_pre"),
+        instr(col("c_name"), "#").cast("bigint").as("hash_pos"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "Customer#", "C").as("name_short"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("tagged"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date/time pack on orders. Arg-order traps are encoded once here:
+    * Spark `datediff(end, start)` ↔ DuckDB `date_diff('day', start,
+    * end)`; both add_months/+INTERVAL clamp to month end. */
+  val qDateFuncs: QDef = QDef(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(date_part('year', o_orderdate) AS INT) AS yr,
+      |  CAST(date_part('month', o_orderdate) AS INT) AS mo,
+      |  CAST(date_part('day', o_orderdate) AS INT) AS dom,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+      |    AS INT) AS days_to_2002,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+      |    AS plus3mo,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  make_date(2020, 6, 15) AS fixed_date
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+          .as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .as("days_to_2002"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        make_date(lit(2020), lit(6), lit(15)).as("fixed_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Math pack. pmod has no DuckDB twin → same ((a%b)+b)%b form both
+    * sides; irrational outputs ROUNDed. */
+  val qMathFuncs: QDef = QDef(
+    "q_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_discount - 0.05) AS abs_d,
+      |  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+      |  CAST(CEIL(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
+      |  ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
+      |  ROUND(LN(l_extendedprice), 4) AS ln_price,
+      |  ROUND(EXP(l_discount), 4) AS exp_disc,
+      |  ROUND(POW(l_quantity, 2), 2) AS qty_sq,
+      |  CAST(SIGN(l_discount - 0.05) AS BIGINT) AS sgn,
+      |  CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod
+      |FROM lineitem
+      |WHERE l_linenumber = 1 AND l_quantity >= 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1 && col("l_quantity") >= 1)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        floor(col("l_quantity") / 7).cast("bigint").as("qty_bucket"),
+        ceil(col("l_extendedprice") / 10000).cast("bigint")
+          .as("price_bucket"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(exp(col("l_discount")), 4).as("exp_disc"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        signum(col("l_discount") - 0.05).cast("bigint").as("sgn"),
+        pmod(col("l_orderkey").cast("bigint"), lit(7L)).cast("bigint")
+          .as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Array pack over the 64-dim embedding column: size / element_at /
+    * slice-sum / L2 norm via higher-order aggregate — all reduced to
+    * scalars (array-typed outputs don't hash-compare portably).
+    * Elements cast FLOAT→DOUBLE before arithmetic on both sides; the
+    * 64-element left-to-right sums are then IEEE-identical. */
+  val qArrayFuncs: QDef = QDef(
+    "q_array_funcs",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+      |  ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
+      |  ROUND(list_sum(list_transform(embedding[1:8],
+      |    x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+      |  ROUND(SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6)
+          .as("first_elem"),
+        round(element_at(col("embedding"), 64).cast("double"), 6)
+          .as("last_elem"),
+        round(
+          aggregate(
+            slice(col("embedding"), 1, 8),
+            lit(0.0),
+            (acc, x) => acc + x.cast("double")),
+          6).as("head_sum"),
+        round(
+          sqrt(
+            aggregate(
+              col("embedding"),
+              lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Map pack: parse props JSON → MapType, explode, aggregate per key.
+    * (props is {"k": int} — the map path still exercises from_json /
+    * explode / key grouping generically.) */
+  val qMapFuncs: QDef = QDef(
+    "q_map_funcs",
+    """SELECT k, COUNT(*) AS n,
+      |  SUM(CAST(v AS BIGINT)) AS total
+      |FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS v,
+      |             'k' AS k FROM events)
+      |GROUP BY k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(
+        explode(
+          from_json(col("props"), MapType(StringType, IntegerType)))
+          .as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("bigint")).as("total"))
+      .orderBy(col("k"))
+  }
+
+  /** JSON extraction: $.k value buckets (Core-ETL semi-structured
+    * column handling). */
+  val qJsonFuncs: QDef = QDef(
+    "q_json_funcs",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10
+      |    AS bucket,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(
+        floor(get_json_object(col("props"), "$.k").cast("int") / 10)
+          .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
+    qJsonFuncs)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * Every window here is PARTITIONED (by customer / user / priority):
+  * `WindowExec` needs each partition's rows sorted in one task, so a
+  * window without PARTITION BY collapses 100 TB onto a single task.
+  * Order-by keys always carry a unique tie-breaker (orderkey/event_id)
+  * so ranks and frames are total — the §0 determinism contract.
+  */
+object WindowQueries {
+
+  /** Top-3 orders per customer: ranking + filter. */
+  val qWindowRank: QDef = QDef(
+    "q_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank / dense_rank / ntile / percent_rank in one pass (same window
+    * spec → single sort). */
+  val qWindowRankingFns: QDef = QDef(
+    "q_window_ranking_fns",
+    """SELECT c_nationkey, c_custkey,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 4) AS prank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("prank"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** lag / lead / first_value / last_value over event time per user.
+    * last_value gets the explicit full frame (default frame stops at
+    * CURRENT ROW in both engines, but explicit is the portable form). */
+  val qWindowAnalytic: QDef = QDef(
+    "q_window_analytic",
+    """SELECT user_id, event_id, ROUND(value, 2) AS value,
+      |  ROUND(LAG(value, 1) OVER w, 2) AS prev_value,
+      |  ROUND(LEAD(value, 1) OVER w, 2) AS next_value,
+      |  ROUND(FIRST_VALUE(value) OVER w, 2) AS first_v,
+      |  ROUND(LAST_VALUE(value) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+      |    AS last_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"),
+        round(first(col("value")).over(w), 2).as("first_v"),
+        round(last(col("value")).over(wFull), 2).as("last_v"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Moving 10-row sum per customer (ROWS frame). DECIMAL sum keeps the
+    * frame arithmetic exact on both engines. */
+  val qWindowFrame: QDef = QDef(
+    "q_window_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-9, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .as("moving_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** RANGE frame over a numeric key: how many orders of the same
+    * priority fall within 1000 below this order's price (peers included
+    * by value, so ties are deterministic without a tie-break). */
+  val qWindowRangeFrame: QDef = QDef(
+    "q_window_range_frame",
+    """SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |  COUNT(*) OVER
+      |    (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_band
+      |FROM orders
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+      orders(s, d)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          count(lit(1)).over(w).as("n_band"))
+        .orderBy(
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Per-user running cumulative sum over time — the batch twin of
+    * streaming per-key state (SURVEY §2.8). value has 2 decimals, so the
+    * DECIMAL cumsum is exact and association-order-independent. */
+  val qWindowCumsum: QDef = QDef(
+    "q_window_cumsum",
+    """SELECT user_id, event_id,
+      |  SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("running"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qWindowRank, qWindowRankingFns, qWindowAnalytic, qWindowFrame,
+    qWindowRangeFrame, qWindowCumsum)
+}
