@@ -16,7 +16,7 @@ object SparkEntry {
   val registry: Seq[QDef] =
     ScanFilterQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
       SortSetQueries.defs ++ WindowQueries.defs ++ ReshapeQueries.defs ++
-      ScalarFuncQueries.defs
+      ScalarFuncQueries.defs ++ StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
