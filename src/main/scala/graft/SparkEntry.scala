@@ -16,7 +16,9 @@ object SparkEntry {
   val registry: Seq[QDef] =
     ScanFilterQueries.defs ++ JoinQueries.defs ++ AggQueries.defs ++
       SortSetQueries.defs ++ WindowQueries.defs ++ ReshapeQueries.defs ++
-      ScalarFuncQueries.defs ++ StreamQueries.defs
+      ScalarFuncQueries.defs ++ StreamQueries.defs ++ TextQueries.defs ++
+      SimilarityQueries.defs ++ DedupQueries.defs ++ UdxQueries.defs ++
+      Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2.9 + driver mandate): exact (hash-groupBy), MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup path is candidate-generation (O(n)
+  * signatures + bucketed self-join) followed by verification on the
+  * candidate pairs only — O(n²) never materializes. md5 is the portable
+  * hash wherever an oracle compares (SURVEY §0 fact 4); xxhash64 (no
+  * cross-engine twin needed) drives SimHash.
+  */
+object DedupQueries {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Word k-shingles (k=3), deduplicated per doc. */
+  private def shingles: Column =
+    array_distinct(
+      transform(
+        sequence(lit(3), size(col("l"))),
+        i =>
+          concat_ws(
+            " ",
+            element_at(col("l"), i - 2),
+            element_at(col("l"), i - 1),
+            element_at(col("l"), i))))
+
+  /** Exact duplicate detection: md5(text) groups with >1 member and the
+    * canonical survivor (min doc_id). Duplicates exist only at sf0.1 in
+    * the fixtures — an empty result still hash-matches; DedupSpec seeds
+    * its own duplicates. */
+  val qDedupExact: QDef = QDef(
+    "q_dedup_exact",
+    """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+      |FROM documents
+      |GROUP BY h
+      |HAVING COUNT(*) > 1
+      |ORDER BY h""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .where(col("n") > 1)
+      .orderBy(col("h"))
+  }
+
+  private val minhashSeeds = 0 until 32
+  private val minhashBands = 8 // 8 bands x 4 rows
+
+  /** Portable 32-bit hash of a shingle under seed j: first 8 hex chars
+    * of md5(shingle ‖ "#j") as a BIGINT. */
+  private def shingleHash(sh: Column, seed: Int): Column =
+    conv(substring(md5(concat(sh, lit(s"#$seed")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+
+  /** MinHash signatures (32 perms) for each doc's shingle set. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn(
+        "sig",
+        array(minhashSeeds.map(j =>
+          array_min(transform(col("sh"), sh => shingleHash(sh, j)))): _*))
+
+  /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
+    *
+    * Pipeline: shingle → 32 md5-minhashes → 8 band keys → explode +
+    * self-join on (band_idx, band_key) for candidates → exact Jaccard on
+    * the candidate pairs only. No oracle (the signature permutations are
+    * engine-internal); DedupSpec property-tests candidate recall on
+    * seeded near-duplicates. */
+  val qDedupMinhash: QDef = QDef.noOracle("q_dedup_minhash") { (s, d) =>
+    val sigs = minhashSignatures(s, d)
+    val rowsPerBand = minhashSeeds.size / minhashBands
+    val banded = sigs.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until minhashBands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          md5(concat_ws(
+            ",",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+            .cast("binary")).as("band_key"))
+      }: _*)).as("band"))
+      .select(
+        col("doc_id"), col("sh"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val a = banded.select(
+      col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(
+      col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    a.join(
+      b,
+      col("band_idx") === col("band_idx_b")
+        && col("band_key") === col("band_key_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(
+        col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document from xxhash64(token) weighted by term
+    * frequency. */
+  def simhashes(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(
+        when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    counts
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 × 16-bit bands for candidates, Hamming
+    * distance ≤ 8 verified with bit_count(xor). No oracle (xxhash64 is
+    * engine-internal); DedupSpec covers behavior on seeded dups. */
+  val qDedupSimhash: QDef = QDef.noOracle("q_dedup_simhash") { (s, d) =>
+    val sh = simhashes(s, d)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("band_key"))
+      }: _*)).as("band"))
+      .select(
+        col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val a = banded.select(
+      col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(
+      col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(
+      b,
+      col("band_idx") === col("band_idx_b")
+        && col("band_key") === col("band_key_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .select(
+        col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** n-gram (word-trigram) Jaccard near-dup, blocked on (source, lang):
+    * the oracle-checkable exact twin of qDedupMinhash. Threshold 0.05
+    * keeps the one genuine near-dup pair in the fixtures visible at
+    * every scale. */
+  val qDedupNgramJaccard: QDef = QDef(
+    "q_dedup_ngram_jaccard",
+    """WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS l
+      |           FROM documents),
+      |s AS (SELECT doc_id, source, lang,
+      |    list_distinct(list_transform(range(3, len(l) + 1),
+      |      i -> l[i-2] || ' ' || l[i-1] || ' ' || l[i])) AS s
+      |  FROM t WHERE len(l) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+      |    AS jaccard
+      |FROM s a JOIN s b
+      |  ON a.source = b.source AND a.lang = b.lang
+      |  AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), tokens.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), col("source"), col("lang"), shingles.as("sh"))
+    val a = docs.select(
+      col("source"), col("lang"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(
+      col("source").as("source_b"), col("lang").as("lang_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    a.join(
+      b,
+      col("source") === col("source_b") && col("lang") === col("lang_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup within label blocks (cos >= 0.3) — the
+    * semantic twin of the text dedup family, sharing the cosine
+    * machinery with SimilarityQueries. */
+  val qDedupEmbedding: QDef = QDef(
+    "q_dedup_embedding",
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_sum(list_transform(range(1, 65),
+      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, 65),
+      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val a = e.select(
+      col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(
+      col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        SimilarityQueries.cosine(col("va"), col("vb")).as("raw_cos"))
+      .filter(col("raw_cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("raw_cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
+    qDedupEmbedding)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Multimodal column support (SURVEY.md §2.9 "multimodal columns" +
+  * §1.2 OLE Object → BinaryType; driver mandate).
+  *
+  * Media payloads are opaque `BinaryType` columns with a typed metadata
+  * struct riding alongside. The Spark-side plumbing — schema,
+  * partition-parallel batch decode shape, feature-vector output — is
+  * real and tested; the actual codec call is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries):
+  * `decodeStub` derives a fixed-size feature vector from the bytes.
+  * Swapping in a real decoder changes ONE function, not the pipeline.
+  */
+object Multimodal {
+
+  /** Typed metadata carried with every media payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))),
+      nullable = false)))
+
+  val featureDim = 16
+
+  /** STUB decode: a real implementation would decode the payload with a
+    * codec and emit pixel/sample features. The deterministic fake folds
+    * the bytes into `featureDim` accumulators (rolling polynomial hash
+    * per lane) so the full pipeline — including partition-parallel
+    * execution and downstream similarity — is exercised end-to-end.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      val lane = i % featureDim
+      acc(lane) = acc(lane) * 31 + (payload(i) & 0xFF)
+      i += 1
+    }
+    acc.map(v => Math.floorMod(v, 1000003L).toFloat / 1000003f)
+  }
+
+  /** Batch feature extraction: mapPartitions over the payload column —
+    * the Scala analog of `mapInPandas` batch decode. Each partition
+    * decodes its rows independently (no shuffle), which is exactly how
+    * a 1000-executor cluster fans out codec work at 100 TB. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          org.apache.spark.sql.Row(
+            r.getLong(0), r.getString(1),
+            decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Build a media table from documents: payload = utf8 bytes of text
+    * (the fixtures ship no binary column — SURVEY §2.9), metadata
+    * populated the way an ingest job would. */
+  def mediaFromDocuments(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        length(encode(col("text"), "UTF-8")).cast("bigint").as("byte_len"),
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("bigint").as("duration_ms")).as("meta"))
+
+  /** Binary-column metadata query: byte length + content hashes over
+    * BinaryType payloads (md5/sha2 on binary are the Access OLE-column
+    * operations). Oracle hashes the same bytes from the text column. */
+  val qMultimodalMeta: QDef = QDef(
+    "q_multimodal_meta",
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS payload_md5,
+      |  sha256(text) AS payload_sha256
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    mediaFromDocuments(s, d)
+      .select(
+        col("media_id"),
+        col("meta.byte_len").as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        sha2(col("payload"), 256).as("payload_sha256"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Feature-extraction query over the stubbed decoder: per-kind count
+    * and mean first-lane feature — exercises the full binary →
+    * mapPartitions-decode → aggregate pipeline. No oracle (the stub is
+    * engine-internal); MultimodalSpec pins exact values. */
+  val qMultimodalFeatures: QDef = QDef.noOracle("q_multimodal_features") {
+    (s, d) =>
+      extractFeatures(mediaFromDocuments(s, d))
+        .select(
+          col("media_id"), col("kind"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))
+            .as("f_sum"))
+        .orderBy(col("media_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(qMultimodalMeta, qMultimodalFeatures)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Similarity search over the embedding column (SURVEY.md §2.9 +
+  * driver mandate): brute-force cosine as the exact baseline, a
+  * broadcast query-vector top-k, and an LSH-bucketed ANN variant as the
+  * scale path.
+  *
+  * Scale design: the pairwise form never materializes O(n²) globally —
+  * it blocks on `label` (at 100 TB: LSH band keys, see AnnLsh), and the
+  * query-vector form broadcasts one row against the fleet. Dot products
+  * ride `zip_with`+`aggregate` higher-order functions: sequential
+  * 64-element folds, bit-identical across engines after FLOAT→DOUBLE.
+  */
+object SimilarityQueries {
+
+  /** Shared DuckDB prelude: embeddings as DOUBLE lists with norms. */
+  private val oracleNorms =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e)""".stripMargin
+
+  /** cosine(a, b) over ArrayType(FloatType) columns, cast to double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(
+      a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(
+      b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Pairwise cosine within label blocks, global top-50 pairs. */
+  val qSimCosine: QDef = QDef(
+    "q_sim_cosine",
+    s"""$oracleNorms
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(list_sum(list_transform(range(1, 65),
+       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+       |FROM n a JOIN n b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cos DESC, vec_a, vec_b
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val a = e.select(
+      col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(
+      col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  /** k-NN: top-20 vectors most similar to the query vector (vec_id 0),
+    * broadcast against the corpus — the exact-search primitive that at
+    * 100 TB gets an LSH/IVF pre-filter (qAnnLsh) + this as re-rank. */
+  val qSimQueryTopk: QDef = QDef(
+    "q_sim_query_topk",
+    s"""$oracleNorms
+       |SELECT a.vec_id,
+       |  ROUND(list_sum(list_transform(range(1, 65),
+       |    i -> a.v[i] * q.v[i])) / (a.nrm * q.nrm), 4) AS cos
+       |FROM n a, (SELECT v, nrm FROM n WHERE vec_id = 0) q
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH: nPlanes × dim
+    * coefficients from a fixed-seed RNG (pure function of the seed —
+    * reproducible across runs and executors). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L):
+      Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-random-projection signature: bit j = (v · plane_j) > 0,
+    * packed into a BIGINT. */
+  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(v, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** ANN via banded sign-LSH: 8 planes → 2 bands of 4 bits; a vector is
+    * a candidate if it shares ANY band with the query (multi-probe
+    * banding), then exact cosine re-ranks the candidate set. At 100 TB
+    * the band join is a shuffle on (band_idx, band_key) — candidates
+    * per bucket ~ n/2^bits, never O(n²). No oracle: the candidate set
+    * depends on the plane RNG; AnnSpec asserts determinism + exactness
+    * of the re-rank against brute force. */
+  val qAnnLsh: QDef = QDef.noOracle("q_ann_lsh") { (s, d) =>
+    annTopK(s, d, queryVecId = 0L, k = 10)
+  }
+
+  /** LSH-bucketed top-k for one query vector (library form). */
+  def annTopK(s: SparkSession, d: String, queryVecId: Long, k: Int)
+      : DataFrame = {
+    val planes = hyperplanes(nPlanes = 8, dim = 64)
+    val nBands = 2
+    val bitsPerBand = 4
+    val e = embeddings(s, d)
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+    val banded = e.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          shiftright(col("sig"), b * bitsPerBand)
+            .bitwiseAND(lit((1 << bitsPerBand) - 1)).as("band_key"))
+      }: _*)).as("band"))
+      .select(
+        col("vec_id"), col("embedding"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val qBands = banded.filter(col("vec_id") === queryVecId)
+      .select(
+        col("band_idx").as("q_band_idx"), col("band_key").as("q_band_key"),
+        col("embedding").as("qv"))
+    banded
+      .join(
+        broadcast(qBands),
+        col("band_idx") === col("q_band_idx")
+          && col("band_key") === col("q_band_key")
+          && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"), col("qv"))
+      .distinct()
+      .select(
+        col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val defs: Seq[QDef] = Seq(qSimCosine, qSimQueryTopk, qAnnLsh)
+}

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2.9 + the driver mandate): tokenization, corpus stats,
+  * TF-IDF, n-grams, language-ID, quality scoring, token counting, and
+  * document fingerprinting — all over the `documents` table.
+  *
+  * Everything is built-in higher-order/codegen functions (no UDFs): the
+  * token explode → group pipeline is one shuffle keyed by term, exactly
+  * the shape that scales to a 100 TB corpus (partial aggregation
+  * collapses per-task term counts before the exchange).
+  */
+object TextQueries {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Tokenize + global top-20 terms. */
+  val qTextTokens: QDef = QDef(
+    "q_text_tokens",
+    """SELECT w, COUNT(*) AS c
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w
+      |ORDER BY c DESC, w
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(explode(tokens).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(20)
+  }
+
+  /** Per-language corpus profile: doc counts, word/char statistics. */
+  val qTextStats: QDef = QDef(
+    "q_text_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_words,
+      |  ROUND(AVG(CAST(len(string_split(text, ' ')) AS BIGINT)), 4)
+      |    AS avg_words,
+      |  ROUND(AVG(length(text)), 4) AS avg_chars,
+      |  ROUND(AVG(length(text) / len(string_split(text, ' '))), 4)
+      |    AS avg_token_len
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val nWords = size(tokens)
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nWords.cast("bigint")).as("total_words"),
+        round(avg(nWords.cast("bigint")), 4).as("avg_words"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(length(col("text")) / nWords), 4).as("avg_token_len"))
+      .orderBy(col("lang"))
+  }
+
+  /** TF-IDF: top-3 scored terms per document (first 100 docs). Pure
+    * relational composition — explode, two aggregations, a broadcast
+    * join of the document-frequency side, and a ranking window. */
+  val qTfidf: QDef = QDef(
+    "q_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (
+      |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, w) AS rk
+      |  FROM scored)
+      |SELECT doc_id, w, score, rk FROM ranked
+      |WHERE rk <= 3 AND doc_id < 100
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("doc_id"), explode(tokens).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"), col("w"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("doc_id") < 100)
+      .select(col("doc_id"), col("w"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Word bigram counts (top-20). 1-indexed element_at mirrors DuckDB's
+    * 1-based list indexing; docs with <2 tokens are filtered (Spark's
+    * sequence(2,1) would run DESCENDING — the classic off-by-one). */
+  val qNgram: QDef = QDef(
+    "q_ngram",
+    """SELECT bg, COUNT(*) AS c
+      |FROM (
+      |  SELECT unnest(list_transform(range(2, len(l) + 1),
+      |    i -> l[i-1] || ' ' || l[i])) AS bg
+      |  FROM (SELECT string_split(text, ' ') AS l FROM documents)
+      |  WHERE len(l) >= 2)
+      |GROUP BY bg
+      |ORDER BY c DESC, bg
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(tokens.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(2), size(col("l"))),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("l"), i - 1),
+                element_at(col("l"), i)))).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .limit(20)
+  }
+
+  /** Stopword dictionaries for the language-ID heuristic (tiny fixed
+    * lists — on real corpora these come from per-language frequency
+    * tables; the operator shape is what matters). */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "zh" -> Seq("de", "le", "he", "shi", "bu"))
+
+  /** Language-ID by stopword-hit scoring: count tokens present in each
+    * language's dictionary, predict the argmax (ties broken by language
+    * code). The SQL twin computes identical hit counts, making this
+    * heuristic fully oracle-checkable. */
+  val qLangId: QDef = QDef(
+    "q_lang_id", {
+      val hitExprs = langStops.map { case (lg, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), $lst)) AS BIGINT) AS hits_$lg"
+      }.mkString(",\n      |  ")
+      val pairs = langStops.map { case (lg, _) =>
+        s"{'lang': '$lg', 'hits': hits_$lg}"
+      }.mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+         |  (SELECT MIN(x.lang) FROM unnest($pairs) AS t(x)
+         |   WHERE x.hits = greatest(hits_en, hits_de, hits_es, hits_fr,
+         |                           hits_zh)) AS predicted
+         |FROM (
+         |  SELECT doc_id, lang,
+         |  $hitExprs
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val toks = array_distinct(tokens)
+    val hits = langStops.map { case (lg, ws) =>
+      size(array_intersect(toks, array(ws.map(lit): _*))).cast("bigint")
+        .as(s"hits_$lg")
+    }
+    val hitCols = langStops.map { case (lg, _) => col(s"hits_$lg") }
+    // argmax with MIN(lang) tie-break: filter the (lang, hits) pairs to
+    // those equal to the max, take the lexicographically first lang
+    val pairs = array(langStops.map { case (lg, _) =>
+      struct(lit(lg).as("lang"), col(s"hits_$lg").as("hits"))
+    }: _*)
+    val best = array_min(
+      filter(pairs, p => p.getField("hits") === greatest(hitCols: _*))
+    ).getField("lang")
+    documents(s, d)
+      .select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("predicted", best)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/stopword/uniqueness ratios composed into a
+    * single score — the standard pre-training corpus filter shape. */
+  val qQualityScore: QDef = QDef(
+    "q_quality_score",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  ROUND(CAST(length(text) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+      |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS uniq_ratio,
+      |  ROUND(CAST(len(list_intersect(list_distinct(string_split(text,
+      |    ' ')), ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE) / 5, 4)
+      |    AS stop_hit,
+      |  ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+      |    * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |       / len(string_split(text, ' '))), 4) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val n = size(tokens)
+    val uniq = size(array_distinct(tokens))
+    val stopHit = size(
+      array_intersect(
+        array_distinct(tokens),
+        array(Seq("the", "a", "of", "and", "to").map(lit): _*)))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        n.cast("bigint").as("n_words"),
+        round(length(col("text")).cast("double") / n, 4).as("avg_word_len"),
+        round(uniq.cast("double") / n, 4).as("uniq_ratio"),
+        round(stopHit.cast("double") / 5, 4).as("stop_hit"),
+        round(
+          least(n.cast("double") / 50, lit(1.0))
+            * (uniq.cast("double") / n),
+          4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace words and a BPE-ish subword
+    * count (≤4-char greedy chunks via regex) — the cheap token-budget
+    * estimator for LLM pipelines. */
+  val qTokenCount: QDef = QDef(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT)
+      |    AS subword_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0)))
+          .cast("bigint").as("subword_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set (a
+    * bag-of-words fingerprint — robust to token order, portable across
+    * engines because md5 is bit-stable; SURVEY §0 fact 4). */
+  val qFingerprint: QDef = QDef(
+    "q_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split(text, ' '))), ' ')) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens))).cast("binary"))
+          .as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
+    qTokenCount, qFingerprint)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded-duplicate tests for the dedup family (SURVEY.md §5.3): the
+  * fixtures contain near-dups only at sf0.1, so these specs write their
+  * own documents.parquet with known exact/near/independent docs into a
+  * temp sfDir and run the declared queries against it.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+  private val vocab = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+
+  private def randomDoc(n: Int): String =
+    Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  /** doc 0/1: exact dups; doc 2: near-dup of 0 (one token edited);
+    * docs 3..22: independent random docs. */
+  private lazy val sfDir: String = {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val base = randomDoc(60)
+    val nearDup = {
+      val t = base.split(" ")
+      t.update(30, "zulu") // single-token edit
+      t.mkString(" ")
+    }
+    val docs = Seq(
+      (0L, base, "en", "src0"),
+      (1L, base, "en", "src0"),
+      (2L, nearDup, "en", "src0")) ++
+      (3L to 22L).map(i => (i, randomDoc(60), "en", "src0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_dedup_exact finds the seeded exact-dup group") {
+    val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("q_dedup_minhash: near-dup pair is a candidate, independents are not") {
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    // exact pair (0,1) and near pair (0,2)/(1,2) must surface
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near-dup pair missing from $pairs")
+    // independent random docs must (overwhelmingly) not pair up
+    val falsePairs = pairs.filter { case (a, b) => a >= 3 && b >= 3 }
+    assert(falsePairs.size <= 2, s"too many false candidates: $falsePairs")
+  }
+
+  test("q_dedup_minhash jaccard values are exact") {
+    val out = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    assert(out((0L, 1L)) == 1.0) // identical docs
+    assert(out((0L, 2L)) > 0.8 && out((0L, 2L)) < 1.0) // one-token edit
+  }
+
+  test("q_dedup_simhash: near-dups within hamming 8, independents far") {
+    val out = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Int]("hamming").toLong).toMap
+    assert(out((0L, 1L)) == 0L) // identical -> identical simhash
+    assert(out.contains((0L, 2L)), s"near-dup not within hamming 8: $out")
+  }
+
+  test("q_dedup_ngram_jaccard agrees with minhash on the seeded pairs") {
+    val out = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.8)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Binary-column plumbing: schema, deterministic stub decode, and the
+  * partition-parallel feature-extraction pipeline (SURVEY.md §2.9
+  * multimodal row — the codec itself is stubbed, the Spark shape is
+  * real). */
+class MultimodalSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.session
+
+  test("decodeStub is deterministic and fixed-dimension") {
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val f1 = Multimodal.decodeStub(bytes)
+    val f2 = Multimodal.decodeStub(bytes)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == Multimodal.featureDim)
+    assert(f1.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("media table carries BinaryType payload + typed metadata") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val schema = media.schema
+    assert(schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val row = media.orderBy(col("media_id")).limit(1).collect()(0)
+    val payload = row.getAs[Array[Byte]]("payload")
+    val meta = row.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("byte_len") == payload.length.toLong)
+  }
+
+  test("extractFeatures runs partition-parallel and matches local stub") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(4)
+    val feats = Multimodal.extractFeatures(media)
+      .orderBy(col("media_id")).limit(3).collect()
+    val texts = graft.sources.TableLoader.documents(spark, sfDir)
+      .orderBy(col("doc_id")).limit(3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes("UTF-8")).toMap
+    feats.foreach { r =>
+      val want = Multimodal.decodeStub(texts(r.getAs[Long]("media_id")))
+      val got = r.getAs[scala.collection.Seq[Float]]("features").toSeq
+      assert(got == want.toSeq)
+    }
+  }
+
+  test("q_multimodal_features covers every document exactly once") {
+    val out = SparkEntry.queries("q_multimodal_features")(spark, sfDir)
+    val n = graft.sources.TableLoader.documents(spark, sfDir).count()
+    assert(out.count() == n)
+    assert(out.where(col("f_sum") < 0 || col("f_sum") > 16).count() == 0)
+  }
+}
