@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Core-ETL operators — the reference's own migration surface
+  * (SURVEY.md §2.1): schema introspection, the normalize transform,
+  * currency-exact decimal aggregation, and text-format ingest
+  * round-trips (CSV was the mdbtools intermediate format).
+  */
+object EtlQueries {
+
+  /** Schema extraction as data (`mdb-schema` analog): ordinal + name. */
+  val qSchemaIntrospect: QDef = QDef(
+    "q_schema_introspect",
+    """SELECT CAST(row_number() OVER () AS INT) AS ordinal, column_name
+      |FROM (DESCRIBE SELECT * FROM lineitem)
+      |ORDER BY ordinal""".stripMargin) { (s, d) =>
+    val fields = lineitem(s, d).schema.fieldNames.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }
+    s.createDataFrame(fields.toSeq).toDF("ordinal", "column_name")
+      .orderBy(col("ordinal"))
+  }
+
+  /** The migration transform in one query: sanitize column names, cast
+    * types, default nulls, derive a Yes/No flag — the DataFrame half of
+    * "JDBC source/sink + DataFrame transformations". */
+  val qEtlNormalize: QDef = QDef(
+    "q_etl_normalize",
+    """SELECT c_custkey AS customer_id,
+      |  CAST(c_nationkey AS BIGINT) AS nation_id,
+      |  COALESCE(NULLIF(TRIM(c_name), ''), 'UNKNOWN') AS customer_name,
+      |  CAST(ROUND(COALESCE(c_acctbal, 0.0), 2) AS DECIMAL(19,4))
+      |    AS balance,
+      |  (c_acctbal > 0) AS is_active,
+      |  LOWER(c_mktsegment) AS segment
+      |FROM customer
+      |ORDER BY customer_id""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_nationkey").cast("bigint").as("nation_id"),
+        coalesce(nullif(trim(col("c_name")), lit("")), lit("UNKNOWN"))
+          .as("customer_name"),
+        round(coalesce(col("c_acctbal"), lit(0.0)), 2)
+          .cast("decimal(19,4)").as("balance"),
+        (col("c_acctbal") > 0).as("is_active"),
+        lower(col("c_mktsegment")).as("segment"))
+      .orderBy(col("customer_id"))
+  }
+
+  /** Currency-exact aggregation: Access Currency → DecimalType(19,4),
+    * final precision pinned on both engines (SURVEY §0 fact 2). */
+  val qCastDecimal: QDef = QDef(
+    "q_cast_decimal",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)))
+      |    AS DECIMAL(18,4)) AS total_currency
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(19,4)"))
+          .cast("decimal(18,4)").as("total_currency"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Export documents metadata once per (sfDir) to a temp dir in the
+    * given format, for the ingest round-trip queries. */
+  private def roundtripDir(
+      s: org.apache.spark.sql.SparkSession, d: String, fmt: String)
+      : String = {
+    val out = s"/tmp/graft_ingest_${fmt}_${d.hashCode.toHexString}"
+    if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+      val src = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val w = src.coalesce(1).write.mode("overwrite")
+      if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out)
+    }
+    out
+  }
+
+  /** CSV ingest with explicit schema (the mdbtools intermediate format):
+    * export → re-read → must equal the source table, so the oracle reads
+    * the original parquet. */
+  val qScanCsv: QDef = QDef(
+    "q_scan_csv",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(docSchema).option("header", "true")
+      .csv(roundtripDir(s, d, "csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON-lines ingest with explicit schema — same round-trip
+    * contract. */
+  val qScanJson: QDef = QDef(
+    "q_scan_json",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(docSchema).json(roundtripDir(s, d, "json"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson)
+}
