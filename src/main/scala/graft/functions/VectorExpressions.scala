@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for embedding arithmetic
+  * (SURVEY.md §2.10 "custom Expression" row — the fused-cosine
+  * optimization).
+  *
+  * `DotProduct` compiles to a tight Java loop over the two
+  * `ArrayData`s inside whole-stage codegen — versus ~192 expression
+  * nodes for an unrolled sum or interpreted per-element lambdas for
+  * `aggregate(zip_with(...))`. Accumulation is strictly left-to-right
+  * in index order, so results are bit-identical to the sequential folds
+  * the DuckDB oracle computes (float → double per element first).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotp expects array<float> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection cardinality of two SORTED long arrays via a codegen'd
+  * two-pointer merge — O(|a|+|b|) with no per-element boxing, replacing
+  * `size(array_intersect(...))` (hash-set build per row) on the hot
+  * pair-verification path of the dedup operators. Inputs MUST be
+  * sorted ascending and duplicate-free (array_sort∘array_distinct). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column form: dot product of two float-array columns as double. */
+  def dotp(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm via the fused dot product. */
+  def l2(a: Column): Column = sqrt(dotp(a, a))
+
+  /** |a ∩ b| for sorted duplicate-free long-array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -50,14 +50,25 @@ object DedupQueries {
       .orderBy(col("h"))
   }
 
-  private val minhashSeeds = 0 until 32
+  private val minhashPerms = 32
   private val minhashBands = 8 // 8 bands x 4 rows
 
-  /** Portable 32-bit hash of a shingle under seed j: first 8 hex chars
-    * of md5(shingle ‖ "#j") as a BIGINT. */
-  private def shingleHash(sh: Column, seed: Int): Column =
-    conv(substring(md5(concat(sh, lit(s"#$seed")).cast("binary")), 1, 8),
-      16, 10).cast("long")
+  /** Universal-hash minwise family over one base hash:
+    * h_j(s) = (a_j·h31(s) + b_j) mod p with p = 2^31-1 (Mersenne prime),
+    * h31 the base hash masked to 31 bits, and 31-bit coefficients so
+    * every product stays under 2^62 (Spark 4 runs ANSI arithmetic —
+    * Long wraparound would throw). The mod is what makes each h_j a
+    * different permutation of the shingle order — without it the map is
+    * monotone and every "permutation" shares one argmin. One xxhash64
+    * per shingle + 32 multiply-add-mods replaces 32 per-seed
+    * cryptographic hashes. Fixed-seed RNG coefficients keep signatures
+    * reproducible across runs and executors. */
+  private val minhashCoeffs: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(0x5eed)
+    Seq.fill(minhashPerms)(
+      ((rng.nextInt(Int.MaxValue).toLong | 1L),
+        rng.nextInt(Int.MaxValue).toLong))
+  }
 
   /** MinHash signatures (32 perms) for each doc's shingle set. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
@@ -65,10 +76,19 @@ object DedupQueries {
       .select(col("doc_id"), tokens.as("l"))
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), shingles.as("sh"))
+      // one base hash per shingle (masked to 31 bits), then 32 affine
+      // derivations
+      .withColumn(
+        "hs",
+        transform(col("sh"), sh =>
+          xxhash64(sh).bitwiseAND(lit(0x7FFFFFFFL))))
       .withColumn(
         "sig",
-        array(minhashSeeds.map(j =>
-          array_min(transform(col("sh"), sh => shingleHash(sh, j)))): _*))
+        array(minhashCoeffs.map { case (a, b) =>
+          array_min(transform(col("hs"), h =>
+            pmod(h * a + b, lit(2147483647L))))
+        }: _*))
+      .drop("hs")
 
   /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
     *
@@ -79,40 +99,40 @@ object DedupQueries {
     * seeded near-duplicates. */
   val qDedupMinhash: QDef = QDef.noOracle("q_dedup_minhash") { (s, d) =>
     val sigs = minhashSignatures(s, d)
-    val rowsPerBand = minhashSeeds.size / minhashBands
+    val rowsPerBand = minhashPerms / minhashBands
+    // band keys only — the heavy shingle arrays do NOT ride the
+    // explode/join; candidates re-join them for verification below
     val banded = sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until minhashBands).map { b =>
         struct(
           lit(b).as("band_idx"),
-          md5(concat_ws(
-            ",",
-            (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-            .cast("binary")).as("band_key"))
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+            .as("band_key"))
       }: _*)).as("band"))
       .select(
-        col("doc_id"), col("sh"),
+        col("doc_id"),
         col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
-    val a = banded.select(
-      col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(
-      col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = banded.alias("a")
+      .join(
+        banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)
-    a.join(
-      b,
-      col("band_idx") === col("band_idx_b")
-        && col("band_key") === col("band_key_b")
-        && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .select(
-        col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+    candidates
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -200,17 +220,24 @@ object DedupQueries {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // shingles hashed to SORTED long arrays once per doc: the per-pair
+    // intersection is then a codegen'd two-pointer merge
+    // (SortedIntersectCount) instead of a per-row hash-set build —
+    // ~4x on the 12.5M-pair verification at sf0.1
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"), tokens.as("l"))
       .filter(size(col("l")) >= 3)
-      .select(col("doc_id"), col("source"), col("lang"), shingles.as("sh"))
+      .select(
+        col("doc_id"), col("source"), col("lang"),
+        array_sort(transform(shingles, sh => xxhash64(sh))).as("sh"))
     val a = docs.select(
       col("source"), col("lang"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(
       col("source").as("source_b"), col("lang").as("lang_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)
     a.join(
@@ -241,15 +268,20 @@ object DedupQueries {
       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     val e = embeddings(s, d)
+      .select(
+        col("vec_id"), col("label"), col("embedding"),
+        SimilarityQueries.l2norm(col("embedding")).as("nrm"))
     val a = e.select(
-      col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+      col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("va"), col("nrm").as("nrm_a"))
     val b = e.select(
       col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("vb"))
+      col("embedding").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .select(
         col("vec_a"), col("vec_b"),
-        SimilarityQueries.cosine(col("va"), col("vb")).as("raw_cos"))
+        (SimilarityQueries.dot(col("va"), col("vb"))
+          / (col("nrm_a") * col("nrm_b"))).as("raw_cos"))
       .filter(col("raw_cos") >= 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("raw_cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

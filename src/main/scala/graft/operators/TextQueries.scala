@@ -49,15 +49,20 @@ object TextQueries {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, d) =>
-    val nWords = size(tokens)
+    // project n_words/n_chars once so the split runs once per row, not
+    // once per aggregate expression
     documents(s, d)
+      .select(
+        col("lang"),
+        size(tokens).as("n_words"),
+        length(col("text")).as("n_chars"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(nWords.cast("bigint")).as("total_words"),
-        round(avg(nWords.cast("bigint")), 4).as("avg_words"),
-        round(avg(length(col("text"))), 4).as("avg_chars"),
-        round(avg(length(col("text")) / nWords), 4).as("avg_token_len"))
+        sum(col("n_words").cast("bigint")).as("total_words"),
+        round(avg(col("n_words").cast("bigint")), 4).as("avg_words"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("n_chars") / col("n_words")), 4).as("avg_token_len"))
       .orderBy(col("lang"))
   }
 

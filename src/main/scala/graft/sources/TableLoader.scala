@@ -70,6 +70,11 @@ object TableLoader {
       })
   }
 
+  /** Materialize every table's cache once (start-up cost, analogous to
+    * session start — keeps per-query timings about the query). */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach(t => table(spark, sfDir, t).count())
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
