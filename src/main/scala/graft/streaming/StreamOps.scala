@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-facing builders (SURVEY.md §2.8, §3.4).
+  *
+  * Each takes ANY events-shaped DataFrame — batch (`spark.read`) or
+  * streaming (`spark.readStream`) — and returns the aggregation; this
+  * is the batch/stream symmetry Structured Streaming guarantees. The
+  * streaming caller adds `.writeStream` + checkpointing; watermarks
+  * bound state (late rows beyond the delay are dropped — asserted in
+  * StreamingSpec) and are a no-op in batch.
+  *
+  * 100 TB notes: shuffle is keyed by (window/session, keys); set the
+  * RocksDB state store provider for large keyspaces
+  * (`spark.sql.streaming.stateStore.providerClass`), and size
+  * watermark delay to the real out-of-orderness — state growth is
+  * delay × key-arrival rate.
+  */
+object StreamOps {
+
+  /** Tumbling event-time windows with optional watermark. */
+  def tumblingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(
+        col("window.start").as("w"), col("event_type"), col("n"),
+        col("total"))
+  }
+
+  /** Sliding windows (each event in window/slide buckets). */
+  def slidingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("w"), col("n"), col("total"))
+  }
+
+  /** Session windows per user (gap-based; close rule diff > gap). */
+  def sessionAggregates(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total"))
+  }
+
+  /** Streaming dedup on explicit keys — in streaming this is the
+    * stateful `dropDuplicates` (state bounded by the watermark). */
+  def dedupByKey(events: DataFrame, keys: Seq[String],
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src.dropDuplicates(keys)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations that
+  * matter at 100 TB must actually appear in the EXECUTED plan — filters
+  * reaching the parquet scan, column pruning, broadcast joins for dims,
+  * true top-k, whole-stage codegen — not just be hoped for. Queries are
+  * executed first so AQE settles on its final plan. */
+class PlanSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.session
+
+  /** The static physical plan (AQE disabled for inspection — adaptive
+    * wraps stages in opaque QueryStageExec leaves; the static plan is
+    * what the pushdown/broadcast/codegen assertions are about). */
+  private def finalPlan(name: String): SparkPlan = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collectWithSubqueries { case f: FileSourceScanExec => f }
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val s = scans(finalPlan("q_filter"))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount"),
+      s"filters not pushed: $pushed")
+  }
+
+  test("q_scan_parquet prunes to the 4 referenced columns") {
+    val cols = scans(finalPlan("q_scan_parquet")).head.output.map(_.name)
+    assert(cols.toSet == Set(
+      "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+      s"scan reads $cols")
+  }
+
+  test("q_join_inner broadcasts the dimension sides, no sort-merge") {
+    val p = finalPlan("q_join_inner")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 2, p)
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "star join must not shuffle the fact side into a sort-merge join")
+  }
+
+  test("q_agg_basic aggregates map-side before its single shuffle") {
+    val p = finalPlan("q_agg_basic")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // one shuffle for the aggregation + one for the final ORDER BY
+    assert(shuffles.size <= 2, s"too many shuffles:\n$p")
+    assert(p.toString.contains("partial_"),
+      "expected map-side partial aggregation")
+  }
+
+  test("q_sort_limit is a true top-k (no global sort)") {
+    assert(finalPlan("q_sort_limit").toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("only q_join_cross may be a cartesian/nested-loop join") {
+    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_cosine")
+      .foreach { q =>
+        val p = finalPlan(q)
+        assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+          s"$q degenerated to a cartesian product")
+      }
+  }
+
+  test("whole-stage codegen covers the hot paths (incl. DotProduct)") {
+    Seq("q_agg_basic", "q_sim_query_topk").foreach { q =>
+      // codegen'd stages print as "*(n)" in the static plan
+      assert(finalPlan(q).toString.contains("*("),
+        s"$q fell out of codegen")
+    }
+  }
+}
