@@ -1,21 +1,31 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one JSON line with per-query seconds at
+  * the target scale factor. Methodology matches BASELINE.md: median of
+  * 3 runs per query, table/footer warm-up outside the timings (the
+  * one-time session cost is not a query property). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one-time cache warm-up: parquet footers + persisted tables
+    // one-time warm-up: file listing, parquet footers, first codegen
     graft.sources.TableLoader.warm(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
