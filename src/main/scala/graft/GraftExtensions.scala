@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, SortedIntersectCount}
+
+/** Session extension registering the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT dotp(a, b)")`
+  * works alongside the Column API (SURVEY.md §3.3 — one engine, two
+  * front ends).
+  *
+  * Wire up either way:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)  // or
+  *   --conf spark.sql.extensions=graft.GraftExtensions           // or
+  *   GraftExtensions.register(spark)   // on a live session
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",
+      "scala_udf")
+
+  private val descriptions: Seq[(
+      FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("dotp"),
+        info("dotp",
+          "dotp(a, b) - dot product of two float arrays as double"),
+        (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (FunctionIdentifier("sorted_intersect_count"),
+        info("sorted_intersect_count",
+          "sorted_intersect_count(a, b) - |a ∩ b| of sorted bigint arrays"),
+        (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, i, builder)
+    }
+}

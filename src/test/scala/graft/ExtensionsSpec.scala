@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.sources.TableLoader
+
+/** SQL-front-end registration of the custom expressions + the salted
+  * skew join utility. */
+class ExtensionsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.session
+
+  test("dotp and sorted_intersect_count are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dotp(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L))
+        |    AS c""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val li = TableLoader.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = TableLoader.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, "l_orderkey")
+    val salted = SkewJoin.saltedInnerJoin(li, orders, Seq("l_orderkey"), 8)
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("l_orderkey", "l_quantity", "o_orderpriority")
+      .collect().toSeq
+    val b = salted
+      .select(plain.columns.map(col): _*)
+      .orderBy("l_orderkey", "l_quantity", "o_orderpriority")
+      .collect().toSeq
+    assert(a == b)
+  }
+}
