@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** SimHash as a [[TypedImperativeAggregate]] (SURVEY.md §2.10 — the
+  * sketch-style custom-aggregate surface, planned into
+  * `ObjectHashAggregateExec`).
+  *
+  * Buffer: 64 signed counters. Each input (tokenHash, weight) adds
+  * +weight to counter i when bit i of the hash is set, else -weight;
+  * `merge` adds counters pairwise (associative + commutative, so the
+  * partial/final split works and only 512 bytes per group cross the
+  * shuffle); `eval` packs sign bits into the BIGINT simhash. One pass
+  * replaces 64 separate conditional-sum aggregate expressions (~3x at
+  * bench on 3M token rows).
+  */
+case class SimHashAgg(
+    hash: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(hash, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val hv = hash.eval(row)
+    val wv = weight.eval(row)
+    if (hv != null && wv != null) {
+      val h = hv.asInstanceOf[Long]
+      val w = wv.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) buf(i) += w else buf(i) -= w
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (buf(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(hash = c(0), weight = c(1))
+}
+
+object SimHashAgg {
+  /** Column form: simhash over (token-hash, weight) input rows. */
+  def apply(hash: Column, weight: Column): Column =
+    ColumnBridge.column(
+      SimHashAgg(
+        ColumnBridge.expression(hash), ColumnBridge.expression(weight))
+        .toAggregateExpression())
+}

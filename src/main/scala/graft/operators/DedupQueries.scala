@@ -138,28 +138,18 @@ object DedupQueries {
   }
 
   /** 64-bit SimHash per document from xxhash64(token) weighted by term
-    * frequency. */
-  def simhashes(s: SparkSession, d: String): DataFrame = {
-    val counts = documents(s, d)
+    * frequency — one pass through the custom SimHashAgg
+    * TypedImperativeAggregate (512-byte buffer per doc, partial/final
+    * split like any built-in sketch). */
+  def simhashes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), explode(tokens).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(
-        when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-          .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    counts
       .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 64)
-          .map(i =>
-            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
+      .agg(
+        graft.functions.SimHashAgg(xxhash64(col("w")), col("cnt"))
+          .as("simhash"))
 
   /** SimHash near-dup pairs: 4 × 16-bit bands for candidates, Hamming
     * distance ≤ 8 verified with bit_count(xor). No oracle (xxhash64 is
