@@ -54,15 +54,25 @@ def main():
             print(f"FAIL {name}: no Spark output dir")
             n_fail += 1
             continue
+        def dtypes(q):
+            return {r[0]: r[1] for r in
+                    con.execute(f"DESCRIBE {q}").fetchall()}
         try:
             exp = con.execute(sql).fetch_df()
+            exp_types = dtypes(sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
-        ).fetch_df()
+        spark_q = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+        got = con.execute(spark_q).fetch_df()
+        got_types = dtypes(spark_q)
+        type_diffs = {
+            c: (got_types.get(c), exp_types.get(c))
+            for c in exp_types
+            if got_types.get(c) != exp_types.get(c)}
+        if type_diffs:
+            print(f"WARN {name}: column type mismatch {type_diffs}")
         exp = exp[sorted(exp.columns)]
         gcols = sorted(got.columns)
         if sorted(exp.columns) != gcols:

@@ -26,10 +26,10 @@ object AggQueries {
   val qAggBasic: QDef = QDef(
     "q_agg_basic",
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |    AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS sum_disc_price,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -42,10 +42,13 @@ object AggQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).as("sum_disc_price"),
+          .cast("decimal(18,4)")).cast("decimal(18,4)")
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -76,7 +79,8 @@ object AggQueries {
   val qAggHaving: QDef = QDef(
     "q_agg_having",
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS total
       |FROM orders
       |GROUP BY o_custkey
       |HAVING COUNT(*) >= 12
@@ -85,7 +89,8 @@ object AggQueries {
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("total"))
       .where(col("n_orders") >= 12)
       .orderBy(col("o_custkey"))
   }
@@ -94,7 +99,8 @@ object AggQueries {
     s"""SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
        |  n_name, o_orderpriority, COUNT(*) AS n_orders,
-       |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |    AS total
        |FROM orders
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
@@ -116,7 +122,8 @@ object AggQueries {
         grouping(col("n_name")).cast("bigint").as("g_n"),
         grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("total"))
       .select(
         col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"),
         col("n_orders"), col("total"))

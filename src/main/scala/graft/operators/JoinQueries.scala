@@ -27,7 +27,8 @@ object JoinQueries {
   val qJoinInner: QDef = QDef(
     "q_join_inner",
     """SELECT n_name,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -41,7 +42,8 @@ object JoinQueries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
   }
@@ -144,7 +146,8 @@ object JoinQueries {
   val qJoinRange: QDef = QDef(
     "q_join_range",
     """SELECT p_brand, COUNT(*) AS n,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS total
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
@@ -158,7 +161,8 @@ object JoinQueries {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("total"))
       .orderBy(col("p_brand"))
   }
 
@@ -200,8 +204,8 @@ object JoinQueries {
   val qJoinMultiway: QDef = QDef(
     "q_join_multiway",
     """SELECT n_name,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |    AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -218,7 +222,7 @@ object JoinQueries {
       .groupBy(col("n_name"))
       .agg(
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"),
+          .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }

@@ -19,10 +19,12 @@ object ReshapeQueries {
   val qPivot: QDef = QDef(
     "q_pivot",
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN l_linestatus = 'F'
-      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS status_f,
-      |  SUM(CASE WHEN l_linestatus = 'O'
-      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS status_o,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+      |    AS DECIMAL(18,2)) AS status_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+      |    AS DECIMAL(18,2)) AS status_o,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -34,8 +36,8 @@ object ReshapeQueries {
       .agg(sum(col("price_dec")).as("rev"), count(lit(1)).as("cnt"))
       .select(
         col("l_returnflag"),
-        col("F_rev").as("status_f"),
-        col("O_rev").as("status_o"),
+        col("F_rev").cast("decimal(18,2)").as("status_f"),
+        col("O_rev").cast("decimal(18,2)").as("status_o"),
         (coalesce(col("F_cnt"), lit(0L)) + coalesce(col("O_cnt"), lit(0L)))
           .as("n_items"))
       .orderBy(col("l_returnflag"))

@@ -25,7 +25,7 @@ object ScalarFuncQueries {
       |  LOWER(c_name) AS name_lo,
       |  SUBSTRING(c_name, 1, 8) AS name_pre,
       |  CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos,
-      |  LENGTH(c_name) AS name_len,
+      |  CAST(LENGTH(c_name) AS INT) AS name_len,
       |  REPLACE(c_name, 'Customer#', 'C') AS name_short,
       |  c_mktsegment || '/' || c_name AS tagged,
       |  TRIM(CONCAT('  ', c_mktsegment, '  ')) AS seg_trim,
@@ -163,7 +163,7 @@ object ScalarFuncQueries {
   val qMapFuncs: QDef = QDef(
     "q_map_funcs",
     """SELECT k, COUNT(*) AS n,
-      |  SUM(CAST(v AS BIGINT)) AS total
+      |  CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS total
       |FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS v,
       |             'k' AS k FROM events)
       |GROUP BY k

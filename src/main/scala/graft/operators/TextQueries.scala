@@ -40,7 +40,8 @@ object TextQueries {
   val qTextStats: QDef = QDef(
     "q_text_stats",
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_words,
+      |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |    AS BIGINT) AS total_words,
       |  ROUND(AVG(CAST(len(string_split(text, ' ')) AS BIGINT)), 4)
       |    AS avg_words,
       |  ROUND(AVG(length(text)), 4) AS avg_chars,
@@ -84,8 +85,8 @@ object TextQueries {
       |    ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
       |  FROM tf JOIN df USING (w) CROSS JOIN n),
       |ranked AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-      |    ORDER BY score DESC, w) AS rk
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, w) AS INT) AS rk
       |  FROM scored)
       |SELECT doc_id, w, score, rk FROM ranked
       |WHERE rk <= 3 AND doc_id < 100

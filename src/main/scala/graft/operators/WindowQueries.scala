@@ -21,8 +21,8 @@ object WindowQueries {
     "q_window_rank",
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
-      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       |  FROM orders)
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
@@ -42,9 +42,9 @@ object WindowQueries {
   val qWindowRankingFns: QDef = QDef(
     "q_window_ranking_fns",
     """SELECT c_nationkey, c_custkey,
-      |  RANK() OVER w AS rnk,
-      |  DENSE_RANK() OVER w AS drnk,
-      |  NTILE(4) OVER w AS quartile,
+      |  CAST(RANK() OVER w AS INT) AS rnk,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
       |  ROUND(PERCENT_RANK() OVER w, 4) AS prank
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey
@@ -96,9 +96,10 @@ object WindowQueries {
   val qWindowFrame: QDef = QDef(
     "q_window_frame",
     """SELECT o_custkey, o_orderkey,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_total
+      |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+      |    AS moving_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("o_custkey"))
@@ -108,7 +109,7 @@ object WindowQueries {
       .select(
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-          .as("moving_total"))
+          .cast("decimal(18,2)").as("moving_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -142,9 +143,10 @@ object WindowQueries {
   val qWindowCumsum: QDef = QDef(
     "q_window_cumsum",
     """SELECT user_id, event_id,
-      |  SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(18,2)) AS running
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("user_id"))
@@ -153,7 +155,8 @@ object WindowQueries {
     events(s, d)
       .select(
         col("user_id"), col("event_id"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("running"))
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").as("running"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
