@@ -18,7 +18,8 @@ object SparkEntry {
       SortSetQueries.defs ++ WindowQueries.defs ++ ReshapeQueries.defs ++
       ScalarFuncQueries.defs ++ StreamQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ DedupQueries.defs ++ UdxQueries.defs ++
-      Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs
+      Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs ++
+      SamplingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

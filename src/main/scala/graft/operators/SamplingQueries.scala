@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Dataset-splitting and sampling operators for training pipelines
+  * (driver mandate, complementing §2.9): a content-hash train/val/test
+  * split (reproducible across engines AND across re-runs with changed
+  * row order — the property random splits lack) and seeded stratified
+  * sampling.
+  */
+object SamplingQueries {
+
+  /** Deterministic train/val/test assignment from a content hash:
+    * bucket = first-16-bits-of-md5(text) mod 100 → 90/5/5. Content
+    * hashing (not row numbering) keeps the split stable under
+    * repartitioning, re-ingestion, and engine changes — md5 is
+    * cross-engine-identical (SURVEY §0 fact 4), so the oracle computes
+    * the very same assignment. */
+  val qSplitHash: QDef = QDef(
+    "q_split_hash",
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 100 AS INT)
+      |    AS bucket,
+      |  CASE
+      |    WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 100 < 90
+      |      THEN 'train'
+      |    WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 100 < 95
+      |      THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket =
+      (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100).cast("int")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train")
+          .when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seeded per-stratum sampling (`sampleBy` on lang): Bernoulli per
+    * row with per-stratum fractions. Deterministic for a fixed seed +
+    * partitioning but engine-internal → no oracle; SamplingSpec
+    * asserts reproducibility and per-stratum proportions. */
+  val qSampleStratified: QDef = QDef.noOracle("q_sample_stratified") {
+    (s, d) =>
+      documents(s, d)
+        .stat.sampleBy(
+          "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25,
+            "zh" -> 0.1),
+          seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(qSplitHash, qSampleStratified)
+}
