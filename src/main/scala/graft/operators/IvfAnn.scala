@@ -52,10 +52,12 @@ object IvfAnn {
       nprobe: Int = 2, nClusters: Int = 16): DataFrame = {
     val idx = build(s, d, nClusters)
     // the query vector is one row — collecting it IS the broadcast
-    val qRow = embeddings(s, d)
+    val qRows = embeddings(s, d)
       .filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head()
-    val q = qRow.getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
+      .select(col("embedding")).head(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=$queryVecId not found in $d/embeddings")
+    val q = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
     val probes = idx.centroids.zipWithIndex
       .map { case (c, i) =>
         val dist = c.toArray.zip(q).map { case (a, b) =>

@@ -57,7 +57,6 @@ object Multimodal {
     * decodes its rows independently (no shuffle), which is exactly how
     * a 1000-executor cluster fans out codec work at 100 TB. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),

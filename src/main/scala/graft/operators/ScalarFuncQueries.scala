@@ -166,8 +166,11 @@ object ScalarFuncQueries {
       |  CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS total
       |FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS v,
       |             'k' AS k FROM events)
+      |WHERE v IS NOT NULL
       |GROUP BY k
       |ORDER BY k""".stripMargin) { (s, d) =>
+    // WHERE v IS NOT NULL mirrors explode-of-map semantics: a row with
+    // null/empty props contributes no map entries on the Spark side
     events(s, d)
       .select(
         explode(

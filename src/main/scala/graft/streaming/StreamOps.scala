@@ -69,11 +69,18 @@ object StreamOps {
         col("n"), col("total"))
   }
 
-  /** Streaming dedup on explicit keys — in streaming this is the
-    * stateful `dropDuplicates` (state bounded by the watermark). */
+  /** Streaming dedup on explicit keys. With a watermark this uses
+    * `dropDuplicatesWithinWatermark`, the variant whose state actually
+    * IS evicted by watermark advance — plain `dropDuplicates` only
+    * bounds state when the event-time column is itself one of the keys,
+    * so on arbitrary keys it grows forever. Without a watermark (batch
+    * or intentionally-unbounded streams) it is a plain dropDuplicates.
+    */
   def dedupByKey(events: DataFrame, keys: Seq[String],
-      watermark: Option[String] = None): DataFrame = {
-    val src = watermark.fold(events)(events.withWatermark("ts", _))
-    src.dropDuplicates(keys)
-  }
+      watermark: Option[String] = None): DataFrame =
+    watermark match {
+      case Some(w) =>
+        events.withWatermark("ts", w).dropDuplicatesWithinWatermark(keys)
+      case None => events.dropDuplicates(keys)
+    }
 }

@@ -18,10 +18,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(frac("train") - 0.90) < 0.03, frac)
     assert(math.abs(frac("val") - 0.05) < 0.02, frac)
     assert(math.abs(frac("test") - 0.05) < 0.02, frac)
-    // content-stable: same assignment regardless of row order
+    // content-stable: recompute the assignment from a shuffled copy of
+    // the table (different row order/partitioning) — per-doc splits
+    // must be identical because they derive from content, not position
     val a = out.collect().toSeq
-    val b = SparkEntry.queries("q_split_hash")(spark, sfDir)
-      .collect().toSeq
+    val shuffled = TableLoader.documents(spark, sfDir)
+      .repartition(7, col("lang"))
+      .sortWithinPartitions(col("n_chars"))
+    val bucket =
+      (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 100).cast("int")
+    val b = shuffled
+      .select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id")).collect().toSeq
     assert(a == b)
   }
 
@@ -35,7 +47,10 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sampled = s1.groupBy(_.getString(1)).view.mapValues(_.size).toMap
-    assert(math.abs(sampled("en").toDouble / total("en") - 0.5) < 0.1)
-    assert(math.abs(sampled("zh").toDouble / total("zh") - 0.1) < 0.06)
+      .withDefaultValue(0)
+    assert(math.abs(sampled("en").toDouble / total("en") - 0.5) < 0.1,
+      s"en: ${sampled("en")} of ${total("en")}")
+    assert(math.abs(sampled("zh").toDouble / total("zh") - 0.1) < 0.06,
+      s"zh: ${sampled("zh")} of ${total("zh")}")
   }
 }
