@@ -47,6 +47,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding window MemoryStream replay matches batch result") {
+    val ev = TableLoader.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect().toSeq
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(ev)
+    val q = graft.streaming.StreamOps
+      .slidingCounts(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sliding_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .withColumn("w", $"w".cast("timestamp_ntz"))
+      .orderBy($"w").collect().toSeq
+    val batch = SparkEntry.queries("q_stream_sliding")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("session window MemoryStream replay matches batch result") {
+    val ev = TableLoader.events(spark, sfDir)
+      .select($"ts", $"user_id", $"value")
+      .as[(Timestamp, Long, Double)].collect().toSeq
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    stream.addData(ev)
+    val q = graft.streaming.StreamOps
+      .sessionAggregates(stream.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("session_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("session_out")
+      .withColumn("session_start", $"session_start".cast("timestamp_ntz"))
+      .withColumn("session_end", $"session_end".cast("timestamp_ntz"))
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val batch = SparkEntry.queries("q_stream_session")(spark, sfDir)
+      .select($"user_id", $"session_start", $"session_end", $"n", $"total")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("watermark drops late rows (append mode)") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long)]
