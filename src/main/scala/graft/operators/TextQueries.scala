@@ -271,7 +271,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition ratio: fraction of duplicated word bigrams per doc —
+    * the compression-style repetition signal used to filter loopy/
+    * boilerplate text from training corpora. Pure integer counts
+    * divided once at the end, so the oracle matches exactly. */
+  val qRepetition: QDef = QDef(
+    "q_repetition",
+    """SELECT doc_id,
+      |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct,
+      |  ROUND(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4)
+      |    AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, list_transform(range(2, len(l) + 1),
+      |    i -> l[i-1] || ' ' || l[i]) AS bgs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |  WHERE len(l) >= 2)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bigrams = transform(
+      sequence(lit(2), size(col("l"))),
+      i =>
+        concat_ws(" ", element_at(col("l"), i - 1), element_at(col("l"), i)))
+    documents(s, d)
+      .select(col("doc_id"), tokens.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), bigrams.as("bgs"))
+      .select(
+        col("doc_id"),
+        size(col("bgs")).cast("bigint").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("bigint").as("n_distinct"),
+        round(
+          lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+            / size(col("bgs")),
+          4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
-    qTokenCount, qFingerprint)
+    qTokenCount, qFingerprint, qRepetition)
 }
