@@ -46,11 +46,13 @@ object MigrationPipeline {
   def normalize(spark: SparkSession, spec: TableSpec): DataFrame =
     JetTypes.applyJetSchema(spec.source(spark), spec.jetSchema)
 
-  /** Run the full migration; returns per-table row counts. */
+  /** Run the full migration; returns per-table row counts.
+    * `sinkProps` passes driver/credential options to a JDBC sink. */
   def migrate(
       spark: SparkSession,
       tables: Seq[TableSpec],
-      sink: Sink): Map[String, Long] =
+      sink: Sink,
+      sinkProps: Map[String, String] = Map.empty): Map[String, Long] =
     tables.map { spec =>
       val df = normalize(spark, spec)
       val n = sink match {
@@ -62,7 +64,8 @@ object MigrationPipeline {
             .count()
         case JdbcSink(url) =>
           JdbcConnector.write(
-            df, url, JetTypes.sanitizeName(spec.name), SaveMode.Overwrite)
+            df, url, JetTypes.sanitizeName(spec.name), SaveMode.Overwrite,
+            props = sinkProps)
           df.count()
       }
       spec.name -> n

@@ -41,6 +41,21 @@ class MigrationPipelineSpec extends AnyFunSuite {
     assert(d.contains("full_name VARCHAR(255)"))
   }
 
+  test("migrate loads into a real JDBC target (embedded Derby)") {
+    val url = "jdbc:derby:/tmp/graft_derby_mig;create=true"
+    val counts = MigrationPipeline.migrate(
+      spark, specs.take(1),
+      MigrationPipeline.JdbcSink(url),
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(counts == Map("Customer List" -> 2L))
+    val back = graft.sources.JdbcConnector.read(
+      spark, url, "customer_list",
+      props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(back.count() == 2L)
+    assert(back.columns.toSeq ==
+      Seq("customer_id", "is_active", "credit_limit", "full_name"))
+  }
+
   test("migrate normalizes and loads every table, verified by count") {
     val out = Files.createTempDirectory("graft_migrate").toString
     val counts =
