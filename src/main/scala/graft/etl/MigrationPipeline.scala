@@ -63,10 +63,12 @@ object MigrationPipeline {
             .parquet(s"$dir/${JetTypes.sanitizeName(spec.name)}.parquet")
             .count()
         case JdbcSink(url) =>
+          val table = JetTypes.sanitizeName(spec.name)
           JdbcConnector.write(
-            df, url, JetTypes.sanitizeName(spec.name), SaveMode.Overwrite,
-            props = sinkProps)
-          df.count()
+            df, url, table, SaveMode.Overwrite, props = sinkProps)
+          // verify the TARGET (like the parquet branch) — counting the
+          // source would mask a write that dropped rows
+          JdbcConnector.read(spark, url, table, props = sinkProps).count()
       }
       spec.name -> n
     }.toMap

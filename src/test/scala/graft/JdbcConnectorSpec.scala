@@ -17,7 +17,11 @@ class JdbcConnectorSpec extends AnyFunSuite {
     // Derby ships with the Spark distribution — a real in-process
     // database exercises the exact jdbc_source/jdbc_sink code paths
     // (dialect mapping, batched insert, partitioned read) offline
-    val url = "jdbc:derby:/tmp/graft_derby_rt;create=true"
+    // unique per-run path: embedded Derby allows one JVM per database,
+    // a fixed path would collide across concurrent checkouts
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_rt").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
     val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     val src = TableLoader.nation(spark, "/root/testdata/sf0.001")
     JdbcConnector.write(

@@ -42,7 +42,8 @@ class MigrationPipelineSpec extends AnyFunSuite {
   }
 
   test("migrate loads into a real JDBC target (embedded Derby)") {
-    val url = "jdbc:derby:/tmp/graft_derby_mig;create=true"
+    val dbDir = Files.createTempDirectory("graft_derby_mig").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
     val counts = MigrationPipeline.migrate(
       spark, specs.take(1),
       MigrationPipeline.JdbcSink(url),
