@@ -244,8 +244,32 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact interpolated percentiles (median / p90) — both engines use
+    * the index = q·(n-1) linear-interpolation definition; at 100 TB the
+    * approx twin (percentile_approx sketches) replaces the exact sort.
+    */
+  val qAggPercentiles: QDef = QDef(
+    "q_agg_percentiles",
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 2)
+          .as("median_price"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2)
+          .as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
-    qAggUdafGeomean)
+    qAggUdafGeomean, qAggPercentiles)
 }
