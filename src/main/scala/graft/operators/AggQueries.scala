@@ -268,8 +268,22 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Sketch-based percentile (the 100 TB path: no global sort, a
+    * KLL/GK-style summary per partition merged at the driver). No
+    * oracle — sketches are engine-specific; ApproxDistinctSpec-style
+    * bound asserted in AggApproxSpec. */
+  val qAggApproxPercentile: QDef = QDef.noOracle("q_agg_approx_percentile") {
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)),
+            2).as("approx_median"))
+        .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
-    qAggUdafGeomean, qAggPercentiles)
+    qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile)
 }
