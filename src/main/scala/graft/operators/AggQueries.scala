@@ -22,14 +22,20 @@ object AggQueries {
   /** Flagship: TPC-H Q1 pricing summary (multi-key group, SUM/AVG/COUNT).
     * Partial aggregation reduces ~6 B lineitem rows (100 TB scale) to
     * |flags|x|status| rows per task before the single shuffle.
+    *
+    * Output SUMs accumulate in DECIMAL (exact, order-independent) but are
+    * cast to DOUBLE on BOTH engines: decimal→double is correctly rounded
+    * in Spark and DuckDB alike, whereas DECIMAL *outputs* render
+    * differently per reader in the driver's hash compare (the round-1
+    * 15-query failure cluster — values identical, hashes not).
     */
   val qAggBasic: QDef = QDef(
     "q_agg_basic",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |    AS DECIMAL(18,4)) AS sum_disc_price,
+      |    AS DOUBLE) AS sum_disc_price,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -43,11 +49,11 @@ object AggQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("sum_base_price"),
+          .cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)")
+          .cast("decimal(18,4)")).cast("double")
           .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
@@ -79,7 +85,7 @@ object AggQueries {
   val qAggHaving: QDef = QDef(
     "q_agg_having",
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total
       |FROM orders
       |GROUP BY o_custkey
@@ -90,7 +96,7 @@ object AggQueries {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .where(col("n_orders") >= 12)
       .orderBy(col("o_custkey"))
   }
@@ -99,7 +105,7 @@ object AggQueries {
     s"""SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
        |  n_name, o_orderpriority, COUNT(*) AS n_orders,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
        |    AS total
        |FROM orders
        |JOIN customer ON o_custkey = c_custkey
@@ -123,7 +129,7 @@ object AggQueries {
         grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .select(
         col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"),
         col("n_orders"), col("total"))
@@ -198,18 +204,28 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Access First/Last made deterministic as arg-max/arg-min with a
-    * composite tie-break (acctbal has 2 decimals, so bal*1e7+custkey is
-    * exact in a double and totally ordered). */
+  /** Access First/Last made deterministic as arg-max/arg-min over an
+    * exact BIGINT composite key: acctbal has exactly 2 decimals, so
+    * ROUND(bal*100) is an integer ≤ 1e6; shifting it by 2^32 leaves the
+    * full custkey range (< 2^32, i.e. up to sf ≈ 28 000) as tie-break
+    * bits, the whole key stays < 2^63, and distinct (bal, custkey) pairs
+    * get distinct keys — lexicographic and collision-free, unlike the
+    * round-1 double encoding bal*1e7+custkey which lost ordering once
+    * custkey exceeded 1e5. (DuckDB 1.0 arg_max has no ROW-key overload,
+    * so a struct key is not portable; ROUND is spelled on both sides
+    * because double→int casts truncate in Spark but round in DuckDB.) */
   val qAggFirstLast: QDef = QDef(
     "q_agg_first_last",
     """SELECT c_nationkey,
-      |  ARG_MAX(c_name, c_acctbal * 10000000 + c_custkey) AS richest,
-      |  ARG_MIN(c_name, c_acctbal * 10000000 + c_custkey) AS poorest
+      |  ARG_MAX(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+      |    * 4294967296 + c_custkey) AS richest,
+      |  ARG_MIN(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+      |    * 4294967296 + c_custkey) AS poorest
       |FROM customer
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
-    val key = col("c_acctbal") * lit(10000000d) + col("c_custkey")
+    val key = round(col("c_acctbal") * lit(100), 0).cast("bigint") *
+      lit(4294967296L) + col("c_custkey")
     customer(s, d)
       .groupBy(col("c_nationkey"))
       .agg(

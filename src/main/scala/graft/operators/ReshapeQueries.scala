@@ -21,10 +21,10 @@ object ReshapeQueries {
     """SELECT l_returnflag,
       |  CAST(SUM(CASE WHEN l_linestatus = 'F'
       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-      |    AS DECIMAL(18,2)) AS status_f,
+      |    AS DOUBLE) AS status_f,
       |  CAST(SUM(CASE WHEN l_linestatus = 'O'
       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-      |    AS DECIMAL(18,2)) AS status_o,
+      |    AS DOUBLE) AS status_o,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -36,8 +36,11 @@ object ReshapeQueries {
       .agg(sum(col("price_dec")).as("rev"), count(lit(1)).as("cnt"))
       .select(
         col("l_returnflag"),
-        col("F_rev").cast("decimal(18,2)").as("status_f"),
-        col("O_rev").cast("decimal(18,2)").as("status_o"),
+        // DOUBLE outputs (not DECIMAL): r1 postmortem — DECIMAL renders
+        // reader-dependently in the driver hash; this query passed r1
+        // only because no sum happened to end in a trailing zero.
+        col("F_rev").cast("double").as("status_f"),
+        col("O_rev").cast("double").as("status_o"),
         (coalesce(col("F_cnt"), lit(0L)) + coalesce(col("O_cnt"), lit(0L)))
           .as("n_items"))
       .orderBy(col("l_returnflag"))

@@ -22,20 +22,24 @@ object ScanFilterQueries {
   val qScanParquet: QDef = QDef(
     "q_scan_parquet",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue
+      |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    AS DOUBLE) AS revenue
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     lineitem(s, d)
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        // DECIMAL(18,4), not ROUND(x,2): the product of two 2-decimal
-        // doubles is exact at scale 4, so both engines recover the same
-        // decimal; at scale 2 the true value can sit exactly on a .xx5
-        // boundary where Spark (decimal-string HALF_UP) and DuckDB
-        // (binary half-away) disagree.
+        // DECIMAL(18,4) inner cast, not ROUND(x,2): the product of two
+        // 2-decimal doubles is exact at scale 4, so both engines recover
+        // the same decimal; at scale 2 the true value can sit exactly on
+        // a .xx5 boundary where Spark (decimal-string HALF_UP) and DuckDB
+        // (binary half-away) disagree. The OUTER cast back to DOUBLE is
+        // the round-2 driver-hash fix: DECIMAL output columns render
+        // reader-dependently in the hash compare; decimal→double is
+        // correctly rounded identically in both engines.
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)").as("revenue"))
+          .cast("decimal(18,4)").cast("double").as("revenue"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 

@@ -22,7 +22,7 @@ object StreamQueries {
     """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
       |    AS w,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events
       |GROUP BY w, event_type
       |ORDER BY w, event_type""".stripMargin) { (s, d) =>
@@ -31,7 +31,7 @@ object StreamQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .select(
         col("window.start").cast("timestamp_ntz").as("w"),
         col("event_type"), col("n"), col("total"))
@@ -48,7 +48,7 @@ object StreamQueries {
     """SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
       |    - k * INTERVAL '15 minutes' AS TIMESTAMP) AS w,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events, (SELECT unnest(range(4)) AS k)
       |GROUP BY w
       |ORDER BY w""".stripMargin) { (s, d) =>
@@ -57,7 +57,7 @@ object StreamQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .select(
         col("window.start").cast("timestamp_ntz").as("w"),
         col("n"), col("total"))
@@ -86,7 +86,7 @@ object StreamQueries {
       |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
       |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM s
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
@@ -95,7 +95,7 @@ object StreamQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("total"))
+          .cast("double").as("total"))
       .select(
         col("user_id"),
         col("session_window.start").cast("timestamp_ntz")

@@ -98,7 +98,7 @@ object WindowQueries {
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+      |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS moving_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
@@ -109,7 +109,7 @@ object WindowQueries {
       .select(
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-          .cast("decimal(18,2)").as("moving_total"))
+          .cast("double").as("moving_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -146,7 +146,7 @@ object WindowQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS DECIMAL(18,2)) AS running
+      |    AS DOUBLE) AS running
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("user_id"))
@@ -156,7 +156,7 @@ object WindowQueries {
       .select(
         col("user_id"), col("event_id"),
         sum(col("value").cast("decimal(18,2)")).over(w)
-          .cast("decimal(18,2)").as("running"))
+          .cast("double").as("running"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

@@ -30,7 +30,7 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(
         col("window.start").as("w"), col("event_type"), col("n"),
         col("total"))
@@ -47,7 +47,7 @@ object StreamOps {
       .groupBy(window(col("ts"), window_, slide))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("w"), col("n"), col("total"))
   }
 
@@ -61,7 +61,7 @@ object StreamOps {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),

@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream.toDF().toDF("ts", "event_type", "value")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).as("total"))
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
       .select($"window.start".cast("timestamp_ntz").as("w"),
         $"event_type", $"n", $"total")
       .writeStream.outputMode(OutputMode.Complete)
