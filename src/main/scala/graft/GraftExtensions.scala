@@ -33,7 +33,8 @@ object GraftExtensions {
     Seq(
       (FunctionIdentifier("dotp"),
         info("dotp",
-          "dotp(a, b) - dot product of two float arrays as double"),
+          "dotp(a, b) - dot product of two float arrays as double; " +
+            "raises on dimension mismatch"),
         (es: Seq[Expression]) => DotProduct(es(0), es(1))),
       (FunctionIdentifier("sorted_intersect_count"),
         info("sorted_intersect_count",

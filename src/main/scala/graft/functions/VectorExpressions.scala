@@ -36,10 +36,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Length mismatch raises instead of silently truncating: a 32-dim
+  // query joined against 64-dim embeddings is a data bug that a
+  // plausible-looking partial dot product would mask (and l2/cosine
+  // inherit the mask). Matches zip_with-style strictness in spirit;
+  // an error beats a null here because a mismatch is never valid data.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dotp: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -56,7 +64,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dotp: dimension mismatch (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

@@ -88,22 +88,18 @@ object EtlQueries {
     * and a stale cache would silently serve outdated rows if the source
     * parquet were regenerated in place. Within one JVM the export is
     * memoized per (session, sfDir, fmt). */
-  private val exported =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
-
   private def roundtripDir(
       s: org.apache.spark.sql.SparkSession, d: String, fmt: String)
       : String =
-    exported.getOrElseUpdate(
-      (System.identityHashCode(s), d, fmt), {
-        val out = s"/tmp/graft_ingest_${fmt}_${d.hashCode.toHexString}"
-        val src = documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        val w = src.coalesce(1).write.mode("overwrite")
-        if (fmt == "csv") w.option("header", "true").csv(out)
-        else w.json(out)
-        out
-      })
+    graft.sources.SessionCache.getOrElseUpdate(s, ("ingest", d, fmt)) {
+      val out = s"/tmp/graft_ingest_${fmt}_${d.hashCode.toHexString}"
+      val src = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val w = src.coalesce(1).write.mode("overwrite")
+      if (fmt == "csv") w.option("header", "true").csv(out)
+      else w.json(out)
+      out
+    }
 
   /** CSV ingest with explicit schema (the mdbtools intermediate format):
     * export → re-read → must equal the source table, so the oracle reads

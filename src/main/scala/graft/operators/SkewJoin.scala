@@ -25,11 +25,18 @@ object SkewJoin {
       keys: Seq[String],
       n: Int): DataFrame = {
     require(n > 0)
-    // per-row salt on the skewed side; spark_partition_id+row position
-    // based salts would also do — the salt only needs to spread rows,
-    // never to be stable across runs (output is salt-independent)
+    // Deterministic content-derived salt, NOT monotonically_increasing_id:
+    // a nondeterministic salt feeding a shuffle join means a partially
+    // recomputed map stage (fetch failure on a big cluster — exactly the
+    // setting this utility targets) can re-salt rows differently than the
+    // original attempt and duplicate or drop join rows (the SPARK-23207
+    // class of bug). Hashing the whole row reproduces identical salts on
+    // recomputation; identical rows sharing a salt is acceptable — the
+    // spread only degrades if a hot key's rows are near-identical, in
+    // which case they are indistinguishable to the join anyway.
     val salted = big.withColumn(
-      "__salt", pmod(monotonically_increasing_id(), lit(n.toLong)))
+      "__salt", pmod(xxhash64(struct(big.columns.map(big(_)): _*)),
+        lit(n.toLong)))
     val replicated = small.withColumn(
       "__salt", explode(array((0 until n).map(i => lit(i.toLong)): _*)))
     val cond: Column = keys

@@ -68,8 +68,15 @@ object TextQueries {
   }
 
   /** TF-IDF: top-3 scored terms per document (first 100 docs). Pure
-    * relational composition — explode, two aggregations, a broadcast
-    * join of the document-frequency side, and a ranking window. */
+    * relational composition — explode, two aggregations, the
+    * document-frequency join, and a ranking window.
+    *
+    * The df side carries NO broadcast hint: its cardinality is the
+    * vocabulary, which grows with the corpus — a static hint would pin a
+    * driver-OOM plan at 100 TB. AQE picks broadcast at fixture scale on
+    * its own (asserted in PlanSpec) and falls back to a shuffle join
+    * when the vocabulary outgrows the threshold. The single-row n_docs
+    * broadcast is size-invariant and stays. */
   val qTfidf: QDef = QDef(
     "q_tfidf",
     """WITH tok AS (
@@ -98,7 +105,7 @@ object TextQueries {
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
-    tf.join(broadcast(df), "w")
+    tf.join(df, "w")
       .crossJoin(broadcast(nDocs))
       .select(
         col("doc_id"), col("w"),

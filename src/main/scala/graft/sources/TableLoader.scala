@@ -1,7 +1,5 @@
 package graft.sources
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -46,7 +44,6 @@ object TableLoader {
   val dimTables: Set[String] =
     Set("region", "nation", "customer", "supplier", "part")
 
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
 
   /** Idempotent session configuration every query path goes through. */
   def configure(spark: SparkSession): Unit = {
@@ -64,21 +61,20 @@ object TableLoader {
   /** Load (and memoize) one table for a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name), {
-        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-        val df =
-          if (name == "events")
-            // ts arrives as Long nanos (nanosAsLong): truncate to micros
-            // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
-            raw.withColumn(
-              "ts",
-              org.apache.spark.sql.functions.expr(
-                "timestamp_micros(ts div 1000)"))
-          else raw
-        if (dimTables(name)) df.persist(StorageLevel.MEMORY_AND_DISK)
-        else df
-      })
+    SessionCache.getOrElseUpdate(spark, ("table", sfDir, name)) {
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df =
+        if (name == "events")
+          // ts arrives as Long nanos (nanosAsLong): truncate to micros
+          // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+          raw.withColumn(
+            "ts",
+            org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
+        else raw
+      if (dimTables(name)) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    }
   }
 
   /** Touch every table once (file listing + footer reads + first

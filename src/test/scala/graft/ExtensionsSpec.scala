@@ -23,6 +23,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("dotp raises on dimension mismatch instead of truncating") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT dotp(array(CAST(1.0 AS FLOAT)),
+          |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+          |  AS d""".stripMargin).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"unexpected failure: $e")
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val li = TableLoader.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"))

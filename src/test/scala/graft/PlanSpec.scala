@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q_tfidf df join broadcasts via AQE, not a static hint") {
+    val df = SparkEntry.queries("q_tfidf")(spark, sfDir)
+    // exactly one broadcast hint in the logical plan: the single-row
+    // n_docs side. The vocabulary-sized df side must NOT be hinted — a
+    // static hint would pin a driver-OOM plan once the vocabulary
+    // outgrows the corpus (the whole point of leaving it to AQE).
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected only the n_docs hint: $hints")
+    df.write.mode("overwrite").format("noop").save() // let AQE settle
+    val finalStr = df.queryExecution.executedPlan.toString
+    assert(finalStr.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the fixture-scale df side:\n$finalStr")
+  }
+
   test("whole-stage codegen covers the hot paths (incl. DotProduct)") {
     Seq("q_agg_basic", "q_sim_query_topk").foreach { q =>
       // codegen'd stages print as "*(n)" in the static plan
