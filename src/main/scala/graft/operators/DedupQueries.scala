@@ -230,6 +230,21 @@ object DedupQueries {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    ngramJaccardPairs(s, d)
+  }
+
+  /** Exact blocked-pairwise Jaccard with a block-size guard.
+    *
+    * This operator is quadratic WITHIN each (source, lang) block — fine
+    * as the oracle-checkable fixture twin of qDedupMinhash, but it must
+    * never run on a block big enough to be a scale path. The guard
+    * refuses (raise_error, evaluated distributedly over the tiny
+    * block-size aggregate — no driver collect) any block whose pair
+    * count exceeds `maxPairsPerBlock`; the error message points at the
+    * minhash path, which IS the 100 TB formulation. */
+  def ngramJaccardPairs(
+      s: SparkSession, d: String,
+      maxPairsPerBlock: Long = 10000000L): DataFrame = {
     // shingles hashed to SORTED long arrays once per doc: the per-pair
     // intersection is then a codegen'd two-pointer merge
     // (SortedIntersectCount) instead of a per-row hash-set build —
@@ -240,10 +255,31 @@ object DedupQueries {
       .select(
         col("doc_id"), col("source"), col("lang"),
         array_sort(transform(shingles, sh => xxhash64(sh))).as("sh"))
-    val a = docs.select(
+    val blockGuard = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(
+        col("source"), col("lang"),
+        when(
+          col("__bn") * (col("__bn") - 1) / 2 > maxPairsPerBlock,
+          raise_error(concat(
+            lit("q_dedup_ngram_jaccard: block ("), col("source"),
+            lit(", "), col("lang"), lit(") has "), col("__bn"),
+            lit(s" docs — more than $maxPairsPerBlock candidate pairs; " +
+              "the quadratic exact twin is fixture-only, use " +
+              "q_dedup_minhash for corpus-scale near-dup")))
+            .cast("long"))
+          .otherwise(col("__bn")).as("__bn"))
+    // the guard join touches every block exactly once (broadcast of a
+    // |sources|x|langs|-row aggregate); evaluating __bn fires the guard
+    val guarded = docs
+      .join(broadcast(blockGuard), Seq("source", "lang"))
+      .filter(col("__bn") > 0)
+      .drop("__bn")
+    val a = guarded.select(
       col("source"), col("lang"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(
+    val b = guarded.select(
       col("source").as("source_b"), col("lang").as("lang_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = graft.functions.VectorExpressions

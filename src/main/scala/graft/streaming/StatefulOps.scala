@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary per-key state machines on the typed Dataset API
   * (SURVEY.md §2.8 "stateful custom" row).
@@ -49,4 +49,51 @@ object StatefulOps {
           out.iterator
         })
   }
+
+  /** `transformWithState` processor computing the same per-user running
+    * total — the Spark 4 successor API to flatMapGroupsWithState.
+    *
+    * Differences that matter at scale: state is named and composable
+    * (multiple ValueState/ListState/MapState per key instead of one
+    * blob), TTL is first-class (`TTLConfig`), and the operator requires
+    * the RocksDB state store provider — the large-keyspace answer
+    * (SURVEY §4.3): state lives off-heap/on-disk per executor instead of
+    * in the JVM heap.
+    */
+  private class RunningTotalProcessor
+      extends StatefulProcessor[Long, Ev, Running] {
+    @transient private var state: ValueState[SumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SumState](
+        "runningTotal", Encoders.product[SumState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[Running] = {
+      var total = if (state.exists()) state.get().total else 0.0
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        .map { e =>
+          total += e.value
+          Running(user, e.event_id, total)
+        }
+      state.update(SumState(total))
+      out.iterator
+    }
+  }
+
+  /** transformWithState twin of [[runningTotals]] (same fixture, same
+    * output — asserted against the legacy API in StatefulTwsSpec).
+    * Caller must have the RocksDB provider configured
+    * ([[StreamOps.configureRocksDBStateStore]]); the operator rejects
+    * the default HDFS-backed provider. */
+  def runningTotalsTws(events: Dataset[Ev]): Dataset[Running] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new RunningTotalProcessor,
+        TimeMode.None(),
+        OutputMode.Append())(Encoders.product[Running])
 }

@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Fully-qualified RocksDB state store provider class. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch the session's streaming state store to RocksDB — the large-
+    * keyspace configuration (SURVEY §4.3): per-key state lives off-heap
+    * and on local disk per executor instead of in the JVM heap, with
+    * changelog checkpointing to the checkpoint location. Required by
+    * `transformWithState`; recommended for any stateful query whose key
+    * cardinality at 100 TB (users, sessions, dedup keys) dwarfs executor
+    * heap. Takes effect for queries STARTED after the change; a restore
+    * function is returned for test hygiene. */
+  def configureRocksDBStateStore(
+      spark: org.apache.spark.sql.SparkSession): () => Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDBProvider)
+    () => prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling event-time windows with optional watermark. */
   def tumblingCounts(
       events: DataFrame,

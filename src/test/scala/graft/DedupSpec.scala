@@ -93,4 +93,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out((0L, 1L)) == 1.0)
     assert(out((0L, 2L)) > 0.8)
   }
+
+  test("ngram jaccard refuses oversized blocks (quadratic guard)") {
+    // with a 1-pair budget every fixture block is oversized — the
+    // guard must raise and point at the scalable minhash path
+    val e = intercept[Exception] {
+      graft.operators.DedupQueries
+        .ngramJaccardPairs(spark, sfDir, maxPairsPerBlock = 1L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("q_dedup_minhash")),
+      s"guard did not fire or lost its message: $e")
+    // and the default budget still returns the fixture pairs
+    assert(graft.operators.DedupQueries
+      .ngramJaccardPairs(spark, sfDir).count() >= 1)
+  }
 }
