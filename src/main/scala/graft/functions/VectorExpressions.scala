@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
@@ -146,6 +146,89 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded sign-random-projection keys in ONE fused loop: for each of
+  * `nBands * bitsPerBand` hyperplanes (flattened row-major into a
+  * constant double[]), compute sign(v · plane) and pack the bits into
+  * per-band BIGINT keys, returned as array<bigint> of length nBands.
+  *
+  * Exists because composing this from per-plane Column expressions
+  * (120 dot products + shifts + ORs as a Catalyst tree) measured ~15×
+  * slower at sf0.1 — the fused loop is the difference between an LSH
+  * signature pass being free and being the bottleneck of the near-dup
+  * pipeline. The plane matrix rides codegen as a reference object, not
+  * 120 array literals.
+  */
+case class BandedSignKeys(
+    child: Expression,
+    planes: Array[Double],
+    dim: Int,
+    nBands: Int,
+    bitsPerBand: Int)
+    extends UnaryExpression {
+
+  require(planes.length == nBands * bitsPerBand * dim,
+    s"plane matrix must be (nBands*bitsPerBand)x$dim row-major")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"banded_sign_keys expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"banded_sign_keys: dimension mismatch (${v.numElements()} vs $dim)")
+    val out = new Array[Long](nBands)
+    var p = 0
+    while (p < nBands * bitsPerBand) {
+      var s = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < dim) { s += v.getFloat(i) * planes(off + i); i += 1 }
+      if (s > 0) out(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("bands")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "banded_sign_keys: dimension mismatch (" + $v.numElements()
+         |      + " vs " + $dim + ")");
+         |}
+         |long[] $out = new long[$nBands];
+         |for (int $p = 0; $p < ${nBands * bitsPerBand}; $p++) {
+         |  double $s = 0.0;
+         |  int $off = $p * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += ((double) $v.getFloat($i)) * $planesRef[$off + $i];
+         |  }
+         |  if ($s > 0) { $out[$p / $bitsPerBand] |= 1L << ($p % $bitsPerBand); }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form: dot product of two float-array columns as double. */
   def dotp(a: Column, b: Column): Column =
@@ -160,4 +243,13 @@ object VectorExpressions {
     ColumnBridge.column(
       SortedIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-band sign-LSH keys (array<bigint>, length nBands) for a
+    * float-array column; `planes` is (nBands*bitsPerBand) x dim
+    * row-major. */
+  def bandedSignKeys(
+      v: Column, planes: Array[Double], dim: Int, nBands: Int,
+      bitsPerBand: Int): Column =
+    ColumnBridge.column(BandedSignKeys(
+      ColumnBridge.expression(v), planes, dim, nBands, bitsPerBand))
 }

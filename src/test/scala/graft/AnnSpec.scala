@@ -40,4 +40,36 @@ class AnnSpec extends AnyFunSuite {
     assert(sigs.toSeq == again.toSeq)
     assert(sigs.forall(s => s >= 0 && s < 256), "8-bit signatures")
   }
+
+  test("embeddingNearDupPairs finds seeded near-dups, verifies exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rng.nextGaussian().toFloat)
+    val base = vec()
+    // a near-identical copy (tiny perturbation => cosine ~ 0.9999)
+    val nearDup = base.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+    val rows = Seq((0L, base), (1L, nearDup)) ++
+      (2L until 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = SimilarityQueries
+      .embeddingNearDupPairs(df, threshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L },
+      s"seeded near-dup (0,1) not found: ${pairs.toSeq}")
+    // precision is exact by construction: every reported cosine is the
+    // true cosine and clears the threshold
+    pairs.foreach { case (_, _, c) => assert(c >= 0.9 && c <= 1.0001) }
+    // independent gaussian vectors in 64-dim are near-orthogonal: no
+    // random pair should clear a 0.9 cosine bar
+    assert(pairs.forall { case (a, b, _) => a == 0L && b == 1L },
+      s"false positives survived exact verification: ${pairs.toSeq}")
+    // deterministic across runs (fixed-seed planes)
+    val again = SimilarityQueries
+      .embeddingNearDupPairs(df, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    assert(pairs.toSeq == again.toSeq)
+  }
 }
