@@ -248,13 +248,19 @@ object DedupQueries {
     // shingles hashed to SORTED long arrays once per doc: the per-pair
     // intersection is then a codegen'd two-pointer merge
     // (SortedIntersectCount) instead of a per-row hash-set build —
-    // ~4x on the 12.5M-pair verification at sf0.1
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("source"), col("lang"), tokens.as("l"))
-      .filter(size(col("l")) >= 3)
+    // ~4x on the pair verification at sf0.1. The shingle arrays come
+    // from the persisted shingleSets cache (shared with minhash): the
+    // interpreted tokenize→shingle→distinct lambdas are the dominant
+    // per-doc cost and would otherwise run TWICE (once per join side).
+    // no broadcast hint: the metadata side has corpus cardinality (the
+    // q_tfidf lesson) — AQE broadcasts at fixture scale on its own
+    val docs = shingleSets(s, d)
+      .join(
+        documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+        "doc_id")
       .select(
         col("doc_id"), col("source"), col("lang"),
-        array_sort(transform(shingles, sh => xxhash64(sh))).as("sh"))
+        array_sort(transform(col("sh"), sh => xxhash64(sh))).as("sh"))
     val blockGuard = docs
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("__bn"))

@@ -66,7 +66,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("only q_join_cross may be a cartesian/nested-loop join") {
-    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_cosine")
+    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_sim_cosine",
+      "q_dedup_embedding_lsh")
       .foreach { q =>
         val p = finalPlan(q)
         assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
