@@ -72,4 +72,34 @@ class AnnSpec extends AnyFunSuite {
         r.getAs[Double]("cos")))
     assert(pairs.toSeq == again.toSeq)
   }
+
+  test("BandedSignKeys interpreted eval matches the codegen path") {
+    val dim = 64; val nBands = 10; val bits = 12
+    val planes = SimilarityQueries.hyperplanes(nBands * bits, dim)
+      .flatten.toArray
+    val e = TableLoader.embeddings(spark, sfDir).limit(50)
+    // codegen path: through a DataFrame projection
+    val viaDf = e.select(
+      col("vec_id"),
+      graft.functions.VectorExpressions
+        .bandedSignKeys(col("embedding"), planes, dim, nBands, bits)
+        .as("keys"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // interpreted path: nullSafeEval on the raw arrays
+    val raw = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    raw.foreach { case (id, v) =>
+      val expr = graft.functions.BandedSignKeys(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        planes, dim, nBands, bits)
+      val keys = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(keys == viaDf(id), s"eval/codegen divergence for vec $id")
+      assert(keys.forall(k => k >= 0 && k < (1L << bits)))
+    }
+  }
 }
