@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q_join_multiway: dims broadcast, only the fact-fact join shuffles") {
+    val p = finalPlan("q_join_multiway")
+    // customer + nation ride broadcast; lineitem⋈orders is the one
+    // legitimate shuffle join (both sides fact-sized at scale)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2, p)
+    val smj = p.collect { case s: SortMergeJoinExec => s }
+    assert(smj.size <= 1, s"more than one sort-merge join:\n$p")
+  }
+
+  test("q_dedup_embedding_lsh scans embeddings without reading labels") {
+    // candidate generation only needs vec_id+embedding; label must be
+    // pruned from every scan (wide-table discipline at 100 TB)
+    val s = scans(finalPlan("q_dedup_embedding_lsh"))
+    assert(s.nonEmpty)
+    s.foreach { sc =>
+      assert(!sc.output.map(_.name).contains("label"),
+        s"label not pruned: ${sc.output.map(_.name)}")
+    }
+  }
+
   test("q_tfidf df join broadcasts via AQE, not a static hint") {
     val df = SparkEntry.queries("q_tfidf")(spark, sfDir)
     // exactly one broadcast hint in the logical plan: the single-row
