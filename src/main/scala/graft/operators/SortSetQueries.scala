@@ -91,6 +91,39 @@ object SortSetQueries {
       .orderBy(col("c_custkey"))
   }
 
-  val defs: Seq[QDef] =
-    Seq(qSortLimit, qUnionAll, qUnionDistinct, qIntersect, qExcept)
+  /** INTERSECT ALL (bag semantics — duplicate rows survive with
+    * min(countA, countB) multiplicity; the PostgreSQL-side surface a
+    * migrated workload can use). Keyed on o_custkey so customers with
+    * several orders in BOTH priority classes yield duplicate rows. */
+  val qIntersectAll: QDef = QDef(
+    "q_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .intersectAll(
+        o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT ALL (bag semantics — each match removes ONE occurrence). */
+  val qExceptAll: QDef = QDef(
+    "q_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qSortLimit, qUnionAll, qUnionDistinct, qIntersect, qExcept,
+    qIntersectAll, qExceptAll)
 }
