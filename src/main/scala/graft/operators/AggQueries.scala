@@ -298,8 +298,30 @@ object AggQueries {
         .orderBy(col("o_orderpriority"))
   }
 
+  /** String aggregation (PostgreSQL string_agg / Access via VBA concat
+    * idioms): deterministic by sorting the collected values — Spark's
+    * collect_list is input-order-nondeterministic, so the sort is the
+    * portability contract, mirrored by the oracle's ORDER BY inside the
+    * aggregate. */
+  val qAggStringAgg: QDef = QDef(
+    "q_agg_string_agg",
+    """SELECT n.n_regionkey AS region_key,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+      |  COUNT(*) AS n
+      |FROM nation n
+      |GROUP BY region_key
+      |ORDER BY region_key""".stripMargin) { (s, d) =>
+    nation(s, d)
+      .groupBy(col("n_regionkey").as("region_key"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("region_key"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
-    qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile)
+    qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg)
 }

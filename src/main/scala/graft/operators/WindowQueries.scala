@@ -160,7 +160,42 @@ object WindowQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Distribution functions: cume_dist (deterministic because the
+    * window ORDER BY carries a unique tie-break) and nth_value with the
+    * mandatory explicit full frame (default frame stops at CURRENT ROW,
+    * which would make nth_value(…, 2) null for the first row on both
+    * engines — spelled out so neither side relies on the default).
+    *
+    * cume_dist is deliberately UNROUNDED: with a unique tie-broken
+    * order it is rn/n — one IEEE division of identical integers on both
+    * engines, bit-stable as-is; ROUND would reintroduce the .5-boundary
+    * trap (k/n can land exactly on a digit boundary). */
+  val qWindowDistribution: QDef = QDef(
+    "q_window_distribution",
+    """SELECT o_orderpriority, o_orderkey,
+      |  CUME_DIST() OVER
+      |    (PARTITION BY o_orderpriority
+      |     ORDER BY o_totalprice, o_orderkey) AS cd,
+      |  NTH_VALUE(o_orderkey, 2) OVER
+      |    (PARTITION BY o_orderpriority
+      |     ORDER BY o_totalprice, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_cheapest
+      |FROM orders
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qWindowRank, qWindowRankingFns, qWindowAnalytic, qWindowFrame,
-    qWindowRangeFrame, qWindowCumsum)
+    qWindowRangeFrame, qWindowCumsum, qWindowDistribution)
 }
