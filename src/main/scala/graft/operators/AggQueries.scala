@@ -320,8 +320,34 @@ object AggQueries {
       .orderBy(col("region_key"))
   }
 
+  /** Boolean and bitwise aggregates (PostgreSQL bool_and/bool_or /
+    * bit_*; Jet has no direct twin — migrated reports gain them on the
+    * target side). All integer/boolean-exact: no rounding needed. */
+  val qAggBoolBitwise: QDef = QDef(
+    "q_agg_bool_bitwise",
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_orderstatus = 'F') AS any_finished,
+      |  bit_and(CAST(o_custkey AS BIGINT)) AS key_and,
+      |  bit_or(CAST(o_custkey AS BIGINT)) AS key_or,
+      |  bit_xor(CAST(o_custkey AS BIGINT)) AS key_xor
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_finished"),
+        bit_and(col("o_custkey").cast("bigint")).as("key_and"),
+        bit_or(col("o_custkey").cast("bigint")).as("key_or"),
+        bit_xor(col("o_custkey").cast("bigint")).as("key_xor"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
-    qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg)
+    qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg,
+    qAggBoolBitwise)
 }

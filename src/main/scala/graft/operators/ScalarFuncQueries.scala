@@ -200,7 +200,35 @@ object ScalarFuncQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Calendar-dimension generator (the classic warehouse ETL move:
+    * build the date spine with a sequence, no source table). Spark
+    * `sequence`+`explode` ↔ DuckDB `generate_series`+`unnest`; day-of-
+    * week via ISO numbering on both sides (Spark's `dayofweek` is
+    * 1=Sunday, `weekday`+1 is ISO 1=Monday = DuckDB `isodow`). */
+  val qDateSeries: QDef = QDef(
+    "q_date_series",
+    """SELECT CAST(d AS TIMESTAMP) AS day,
+      |  CAST(year(d) AS INT) AS yr, CAST(month(d) AS INT) AS mo,
+      |  CAST(isodow(d) AS INT) AS dow,
+      |  (isodow(d) >= 6) AS is_weekend
+      |FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+      |        TIMESTAMP '1995-12-31', INTERVAL 1 DAY)) AS d)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+        lit("1995-12-31 00:00:00").cast("timestamp_ntz"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .select(
+        col("day"),
+        year(col("day")).cast("int").as("yr"),
+        month(col("day")).cast("int").as("mo"),
+        (weekday(col("day")) + 1).cast("int").as("dow"),
+        (weekday(col("day")) + 1 >= 6).as("is_weekend"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
-    qJsonFuncs)
+    qJsonFuncs, qDateSeries)
 }
