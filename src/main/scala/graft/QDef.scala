@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - ROUND every floating-point output on both sides;
   *   - identical column names (explicit aliases) and aligned types
   *     (integer sums CAST to BIGINT in the oracle — DuckDB SUM(INTEGER)
-  *     is HUGEINT);
+  *     is HUGEINT); NEVER a DECIMAL output column — the driver hashes
+  *     renderings, which differ per reader: accumulate in DECIMAL,
+  *     emit DOUBLE on both sides;
   *   - no nondeterministic operators (dropDuplicates row-picks, bare
   *     first/last, rand, monotonically_increasing_id).
   */
