@@ -31,9 +31,13 @@ object Bench {
       // one untimed warm-up execution per query: Janino codegen + AQE
       // settling are session-lifetime one-time costs (the baseline's
       // median-of-3 methodology measures warm steady state; a cold
-      // single run would time the compiler, not the query)
+      // single run would time the compiler, not the query). NonFatal
+      // only — an OOM here must crash, not poison the timed runs.
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
+      }
       // a failed run records -1, never its time-to-failure (a fast
       // crash must not report as a fast query)
       val times = (1 to runs).map { _ =>
@@ -46,7 +50,7 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }

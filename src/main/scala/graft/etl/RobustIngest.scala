@@ -33,7 +33,12 @@ object RobustIngest {
 
   /** PERMISSIVE read: good rows parse, bad rows land whole in
     * [[CorruptCol]]. Returns the full frame; use [[splitQuarantine]] to
-    * separate. */
+    * separate.
+    *
+    * The returned frame is CACHED (see below) and the caller owns its
+    * lifetime: `unpersist()` it after the clean/quarantined splits have
+    * been consumed, or a long session ingesting many files accumulates
+    * cached partitions without bound. */
   def quarantine(
       spark: SparkSession, schema: StructType, fmt: String,
       path: String): DataFrame = {

@@ -206,26 +206,28 @@ object AggQueries {
 
   /** Access First/Last made deterministic as arg-max/arg-min over an
     * exact BIGINT composite key: acctbal has exactly 2 decimals, so
-    * ROUND(bal*100) is an integer ≤ 1e6; shifting it by 2^32 leaves the
-    * full custkey range (< 2^32, i.e. up to sf ≈ 28 000) as tie-break
-    * bits, the whole key stays < 2^63, and distinct (bal, custkey) pairs
-    * get distinct keys — lexicographic and collision-free, unlike the
-    * round-1 double encoding bal*1e7+custkey which lost ordering once
-    * custkey exceeded 1e5. (DuckDB 1.0 arg_max has no ROW-key overload,
-    * so a struct key is not portable; ROUND is spelled on both sides
+    * ROUND(bal*100) is an integer ≤ 1e6 in magnitude; shifting it by
+    * 2^35 leaves custkey < 2^35 (≈ 3.4e10, past TPC-H sf 200 000 —
+    * comfortably beyond the 100 TB design point of sf ≈ 100 000 /
+    * 1.5e10 customers) as tie-break bits, the whole key stays < 2^63
+    * in magnitude, and distinct (bal, custkey) pairs get distinct keys
+    * — lexicographic and collision-free, unlike the round-1 double
+    * encoding bal*1e7+custkey which lost ordering once custkey
+    * exceeded 1e5. (DuckDB 1.0 arg_max has no ROW-key overload, so a
+    * struct key is not portable; ROUND is spelled on both sides
     * because double→int casts truncate in Spark but round in DuckDB.) */
   val qAggFirstLast: QDef = QDef(
     "q_agg_first_last",
     """SELECT c_nationkey,
       |  ARG_MAX(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
-      |    * 4294967296 + c_custkey) AS richest,
+      |    * 34359738368 + c_custkey) AS richest,
       |  ARG_MIN(c_name, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
-      |    * 4294967296 + c_custkey) AS poorest
+      |    * 34359738368 + c_custkey) AS poorest
       |FROM customer
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
     val key = round(col("c_acctbal") * lit(100), 0).cast("bigint") *
-      lit(4294967296L) + col("c_custkey")
+      lit(34359738368L) + col("c_custkey")
     customer(s, d)
       .groupBy(col("c_nationkey"))
       .agg(

@@ -145,17 +145,6 @@ object SimilarityQueries {
       when(dot > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce((x, y) => x.bitwiseOR(y))
 
-  /** Same signature via the codegen'd DotProduct against float-literal
-    * planes — the `aggregate(zip_with(...))` form above runs interpreted
-    * per element, which is fine for 8 planes but not for 64 (the known
-    * higher-order-lambda perf trap). Sign is unaffected by the
-    * float32 rounding of the plane coefficients. */
-  def lshSignatureFast(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val plane = typedLit(p.map(_.toFloat))
-      when(dot(v, plane) > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
-
   /** ANN via banded sign-LSH: 8 planes → 2 bands of 4 bits; a vector is
     * a candidate if it shares ANY band with the query (multi-probe
     * banding), then exact cosine re-ranks the candidate set. At 100 TB

@@ -31,11 +31,19 @@ object SkewJoin {
     // setting this utility targets) can re-salt rows differently than the
     // original attempt and duplicate or drop join rows (the SPARK-23207
     // class of bug). Hashing the whole row reproduces identical salts on
-    // recomputation; identical rows sharing a salt is acceptable — the
-    // spread only degrades if a hot key's rows are near-identical, in
-    // which case they are indistinguishable to the join anyway.
+    // recomputation. Known trade-off: byte-identical duplicate rows share
+    // a salt, so a hot key composed mostly of EXACT duplicate rows still
+    // skews — if that is your data, add a stable discriminator column
+    // upstream (an ingest line number / offset) and it will spread.
+    // MapType columns are excluded from the hash (Spark disallows
+    // hashing maps); they virtually never carry the row's identity.
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => big(f.name))
+    require(hashable.nonEmpty,
+      "saltedInnerJoin: no hashable (non-map) columns to derive a salt from")
     val salted = big.withColumn(
-      "__salt", pmod(xxhash64(struct(big.columns.map(big(_)): _*)),
+      "__salt", pmod(xxhash64(struct(hashable.toIndexedSeq: _*)),
         lit(n.toLong)))
     val replicated = small.withColumn(
       "__salt", explode(array((0 until n).map(i => lit(i.toLong)): _*)))

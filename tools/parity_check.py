@@ -101,9 +101,10 @@ def main():
                     index=False, name=None
                 )
             )
-            for a, b in zip(srows, orows):
-                if a != b:
-                    rec["first_diff"] = {"spark": a, "oracle": b}
+            import itertools
+            for a, b in itertools.zip_longest(srows, orows):
+                if a != b:  # zip_longest: a length mismatch still yields
+                    rec["first_diff"] = {"spark": a, "oracle": b}  # a hint
                     break
             failures.append(name)
         results[name] = rec
