@@ -229,6 +229,86 @@ case class BandedSignKeys(
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** All MinHash signature lanes in ONE fused loop: for a doc's array of
+  * 31-bit shingle hashes, compute min over elements of
+  * `(h*a_j + b_j) mod p` for every lane j, returning array<bigint> of
+  * length `coeffsA.length`. Replaces 32 interpreted
+  * `array_min(transform(...))` lambdas per row (the same
+  * expression-tree overhead BandedSignKeys eliminates for LSH planes).
+  *
+  * Arithmetic contract (matches the Column form it replaces, and the
+  * ANSI-safety analysis in DedupQueries): inputs are masked to 31 bits
+  * and coefficients are < 2^31, so h*a + b < 2^62 + 2^31 — no Long
+  * overflow; p is the Mersenne prime 2^31-1.
+  */
+case class MinHashSignature(
+    child: Expression,
+    coeffsA: Array[Long],
+    coeffsB: Array[Long],
+    prime: Long)
+    extends UnaryExpression {
+
+  require(coeffsA.length == coeffsB.length && coeffsA.nonEmpty)
+  require(coeffsA.forall(a => a > 0 && a < prime + 1) &&
+    coeffsB.forall(b => b >= 0 && b < prime + 1),
+    "coefficients must fit in 31 bits (62-bit product bound)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(coeffsA.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < out.length) {
+        val v = (h * coeffsA(j) + coeffsB(j)) % prime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coeffsA", coeffsA, "long[]")
+    val bRef = ctx.addReferenceObj("coeffsB", coeffsB, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val out = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[${coeffsA.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $hs.numElements(); $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < ${coeffsA.length}; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+         |    if ($v < $out[$j]) { $out[$j] = $v; }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form: dot product of two float-array columns as double. */
   def dotp(a: Column, b: Column): Column =
@@ -243,6 +323,16 @@ object VectorExpressions {
     ColumnBridge.column(
       SortedIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused MinHash lanes: min of (h*a_j+b_j) mod p per lane over a
+    * 31-bit-hash array column (Long.MaxValue lanes for empty arrays —
+    * callers filter empties). */
+  def minhashSignature(
+      hashes: Column, coeffs: Seq[(Long, Long)],
+      prime: Long = 2147483647L): Column =
+    ColumnBridge.column(MinHashSignature(
+      ColumnBridge.expression(hashes),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, prime))
 
   /** Per-band sign-LSH keys (array<bigint>, length nBands) for a
     * float-array column; `planes` is (nBands*bitsPerBand) x dim

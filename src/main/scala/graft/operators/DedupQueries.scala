@@ -85,21 +85,21 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** MinHash signatures (32 perms) for each doc's shingle set. */
+  /** MinHash signatures (32 perms) for each doc's shingle set: one base
+    * hash per shingle (masked to 31 bits), then all 32 affine minima in
+    * the fused MinHashSignature codegen loop — the composed
+    * `array(array_min(transform(...)) * 32)` form ran every derivation
+    * as an interpreted per-element lambda. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     shingleSets(s, d)
-      // one base hash per shingle (masked to 31 bits), then 32 affine
-      // derivations
       .withColumn(
         "hs",
         transform(col("sh"), sh =>
           xxhash64(sh).bitwiseAND(lit(0x7FFFFFFFL))))
       .withColumn(
         "sig",
-        array(minhashCoeffs.map { case (a, b) =>
-          array_min(transform(col("hs"), h =>
-            pmod(h * a + b, lit(2147483647L))))
-        }: _*))
+        graft.functions.VectorExpressions
+          .minhashSignature(col("hs"), minhashCoeffs))
       .drop("hs")
 
   /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
