@@ -227,7 +227,38 @@ object JoinQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics migrated
+    * Access data needs when a "relationship" column is nullable.
+    * EqualNullSafe is hash-joinable in Spark (unlike a coalesce-around-
+    * equality rewrite, which blocks pushdown into the join keys), so
+    * this stays a BroadcastHashJoin/SMJ at scale, never a nested loop.
+    * Keys are NULLIFed on one nation to manufacture NULLs from the
+    * non-null fixtures; output aggregated per key for a compact oracle.
+    */
+  val qJoinNullSafe: QDef = QDef(
+    "q_join_null_safe",
+    """SELECT COALESCE(CAST(NULLIF(c_nationkey, 3) AS BIGINT), -1) AS nk,
+      |  COUNT(*) AS n_pairs
+      |FROM customer JOIN supplier
+      |  ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM
+      |     NULLIF(s_nationkey, 3)
+      |GROUP BY nk
+      |ORDER BY nk""".stripMargin) { (s, d) =>
+    val c = customer(s, d)
+    val sp = supplier(s, d)
+    c.join(
+      broadcast(sp),
+      nullif(col("c_nationkey"), lit(3)) <=>
+        nullif(col("s_nationkey"), lit(3)))
+      .groupBy(
+        coalesce(nullif(col("c_nationkey"), lit(3)).cast("bigint"),
+          lit(-1L)).as("nk"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nk"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
-    qJoinCross, qJoinRange, qJoinAsof, qJoinMultiway)
+    qJoinCross, qJoinRange, qJoinAsof, qJoinMultiway, qJoinNullSafe)
 }
