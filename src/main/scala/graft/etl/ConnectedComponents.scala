@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation
+  * — the step that turns PAIRWISE near-dup candidates (minhash / simhash
+  * / embedding-LSH output) into transitive duplicate GROUPS, so corpus
+  * dedup can keep one canonical document per cluster instead of
+  * resolving pairs greedily.
+  *
+  * Algorithm: every vertex starts labeled with itself; each round every
+  * vertex takes the min of its own label and its neighbors' labels;
+  * stop when no label changes. Each round is one shuffle join + one
+  * aggregation — fully distributed, no driver-side graph. Round count
+  * is bounded by the component diameter, which for near-dup clusters
+  * (docs similar to a shared template) is small; the `maxIter` guard
+  * turns a pathological chain into an explicit error rather than an
+  * endless job. For adversarial long-chain graphs at extreme scale the
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce") drops rounds to O(log n) — same join/agg shapes, more
+  * of them per round; this implementation favors the simple form whose
+  * per-round cost is minimal.
+  */
+object ConnectedComponents {
+
+  /** Compute components of the undirected graph given by `edges`
+    * (columns `src`, `dst`; vertices of any orderable numeric type).
+    * Returns (vertex, component) where component = min vertex id in the
+    * component. Isolated vertices (no edges) are absent — callers union
+    * them back with component = self if needed. */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val src: Column = col("src")
+    val dst: Column = col("dst")
+    // symmetrize once; persist — every round joins against it
+    val sym = edges.select(src.cast("bigint").as("src"),
+        dst.cast("bigint").as("dst"))
+      .union(edges.select(dst.cast("bigint").as("src"),
+        src.cast("bigint").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not just persist) each round: an iterative
+    // DataFrame loop otherwise accumulates an exponentially nested
+    // logical plan — planning/explain alone OOMs after ~20 rounds.
+    // Checkpointing truncates lineage so every round plans against a
+    // flat scan of the previous round's blocks. (On a real cluster
+    // prefer reliable `checkpoint()` with a checkpoint dir — local
+    // blocks die with an executor.)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("cc", col("v"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            "(component diameter too large — use the large-star/" +
+            "small-star variant for chain-shaped graphs)")
+      // min label among neighbors, per vertex
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("v"))
+        .groupBy(sym("src").as("nv"))
+        .agg(min(col("cc")).as("nbr_cc"))
+      val next = labels
+        .join(nbrMin, labels("v") === col("nv"), "left")
+        .select(
+          col("v"),
+          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
+          (col("cc") =!= least(col("cc"),
+            coalesce(col("nbr_cc"), col("cc")))).as("changed"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("changed")).limit(1).count()
+      labels = next.select(col("v"), col("cc"))
+      if (changed == 0) {
+        converged = true
+        sym.unpersist()
+      }
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus dedup grouping: pair candidates → (doc, group) with
+    * group = min doc_id of the transitive cluster; `keep = (doc ==
+    * group)` marks the canonical survivor per cluster. */
+  def dedupGroups(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame =
+    run(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+      .select(
+        col("v").as("doc_id"), col("cc").as("group_id"),
+        (col("v") === col("cc")).as("keep"))
+}

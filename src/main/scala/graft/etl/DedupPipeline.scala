@@ -41,4 +41,23 @@ object DedupPipeline {
     val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Transitive variant: cluster the verified pairs with connected
+    * components and keep ONE canonical doc (min doc_id) per cluster.
+    * Differs from the greedy pairwise policy when similarity chains
+    * A~B~C lack the direct A~C pair: the greedy form can keep both A
+    * and C (each only "loses" against B), the transitive form keeps
+    * exactly one representative of the whole chain — the policy large
+    * corpus dedup pipelines usually want. */
+  def dropNearDuplicatesTransitive(
+      s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val docs = TableLoader.documents(s, d)
+    val pairs = DedupQueries.qDedupMinhash.fn(s, d)
+      .filter(col("jaccard") >= threshold)
+    val losers = ConnectedComponents
+      .dedupGroups(pairs, "doc_a", "doc_b")
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.ConnectedComponents
+
+/** Min-label propagation components: exact grouping on known graphs,
+  * convergence guard, and composition with the minhash candidate
+  * pairs. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  import spark.implicits._
+
+  test("components of a known graph (two clusters + a bridge-free pair)") {
+    // cluster {1,2,3,4} via chain, cluster {10,11}, pair {20,21}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L)).toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("maxIter guard raises instead of looping on long chains") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxIter = 2)
+    }
+    // and with enough rounds the chain is one component rooted at 0
+    val cc = ConnectedComponents.run(chain, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L) && cc.size == 31)
+  }
+
+  test("dedupGroups marks one canonical survivor per transitive cluster") {
+    // pairs as a near-dup detector emits them: (a<b), transitive via 5
+    val pairs = Seq((3L, 5L), (5L, 9L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val g = ConnectedComponents.dedupGroups(pairs, "doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(g.toSeq == Seq(
+      (3L, 3L, true), (5L, 3L, false), (9L, 3L, false),
+      (40L, 40L, true), (41L, 40L, false)))
+  }
+}
