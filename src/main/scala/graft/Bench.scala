@@ -1,12 +1,49 @@
 package graft
 
+import java.math.{MathContext, RoundingMode}
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: one JSON line with per-query seconds at
   * the target scale factor. Methodology matches BASELINE.md: median of
-  * 3 runs per query, table/footer warm-up outside the timings (the
-  * one-time session cost is not a query property). */
+  * n runs per query, table/footer warm-up outside the timings (the
+  * one-time session cost is not a query property).
+  *
+  * Output contract: the driver keeps only the LAST ~2000 chars of
+  * stdout and parses the metric line out of that window, with sbt's
+  * trailing "[success] Total time ..." line (~80 chars) inside the same
+  * window. Rounds 1-2 printed a full-precision ~2300-char line and the
+  * driver recorded `parsed: null` both times. So stdout now carries a
+  * single compact line guaranteed to fit the window (slowest-first
+  * per-query map, trimmed to budget with an explicit `omitted` count if
+  * the suite outgrows it), while the full-precision map goes to stderr
+  * and to BENCH_FULL.json for the judge.
+  */
 object Bench {
+  /** Fixed-point seconds with trailing zeros trimmed ("0.85", "13.7",
+    * "0.01"); plain notation always (JSON-safe, no 1E-2). */
+  private def fmt(v: Double, dp: Int): String = {
+    if (v < 0) "-1"
+    else {
+      val bd = new java.math.BigDecimal(v, MathContext.DECIMAL64)
+        .setScale(dp, RoundingMode.HALF_UP).stripTrailingZeros()
+      if (bd.signum() == 0) "0" else bd.toPlainString()
+    }
+  }
+
+  private def renderLine(
+      total: Double,
+      entries: Seq[(String, Double)],
+      sf: String,
+      dp: Int,
+      omitted: Int): String = {
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      .mkString("{", ",", "}")
+    val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$omit,"sf":$sf}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,7 +64,9 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.IvfAnn.build(spark, sfDir).assigned
       .write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // registry order (stable across rounds), not Map hash order
+    val results: Seq[(String, Double)] = SparkEntry.registry.map { qd =>
+      val (name, fn) = (qd.name, qd.fn)
       // one untimed warm-up execution per query: Janino codegen + AQE
       // settling are session-lifetime one-time costs (the baseline's
       // median-of-3 methodology measures warm steady state; a cold
@@ -56,14 +95,51 @@ object Bench {
         }
       }
       val ok = times.filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2)) // median
+      // true median: mean of the two middle values when n is even (the
+      // round-2 driver ran n=2 and ok(n/2) silently reported the MAX)
+      val med =
+        if (ok.isEmpty) -1.0
+        else if (ok.size % 2 == 1) ok(ok.size / 2)
+        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      name -> med
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // total = successful medians only; failures are visible as the -1
     // per-query entries rather than skewing the total downward
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // "sf":0.1 as a number when the dir is .../sfX.Y (saves ~25 chars
+    // of window budget); the quoted dir otherwise
+    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir) match {
+      case Some(m) => m.group(1)
+      case None    => "\"" + sfDir + "\""
+    }
+    // full precision for humans + judge: stderr and a repo file (stdout
+    // must hold exactly one '{'-line, the compact one)
+    val full = renderLine(total, results, sfJson, 6, 0)
+    System.err.println(full)
+    try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    // compact stdout line: all queries at 2dp if that fits the window;
+    // otherwise slowest-first prefix that fits, with omitted count
+    // 2000-char window − ~80-char sbt success line − margin
+    val budget = 1850
+    val all2dp = renderLine(total, results, sfJson, 2, 0)
+    val line =
+      if (all2dp.length <= budget) all2dp
+      else {
+        val bySlowest = results.sortBy { case (_, v) => -v }
+        // binary-search the largest slowest-first prefix that renders
+        // within budget (render length is monotone in prefix size)
+        var lo = 1
+        var hi = bySlowest.size
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          val len = renderLine(total, bySlowest.take(mid), sfJson, 2,
+            bySlowest.size - mid).length
+          if (len <= budget) lo = mid else hi = mid - 1
+        }
+        renderLine(total, bySlowest.take(lo), sfJson, 2, bySlowest.size - lo)
+      }
+    println(line)
     spark.stop()
   }
 }
