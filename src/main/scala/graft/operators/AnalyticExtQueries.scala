@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Round-3 analytic extensions: the relational surface a workload
+  * migrated off a row-store (the reference's PostgreSQL target) leans
+  * on beyond SURVEY.md §2's core rows — DISTINCT ON, FILTERed
+  * aggregates, interval arithmetic, regex columns, gaps-and-islands,
+  * ratio-to-report, batch sessionization — plus an oracle-checked
+  * parity query for the salted skew join (its output must be
+  * indistinguishable from the plain join).
+  *
+  * Determinism notes (SURVEY.md §0): every query ends in a total ORDER
+  * BY; date outputs are DATE on both sides; timestamp outputs are
+  * `timestamp_ntz` ↔ `CAST(.. AS TIMESTAMP)`; sums accumulate in
+  * DECIMAL and emit DOUBLE; ranking/ordinal outputs are CAST to INT
+  * (DuckDB window functions return BIGINT/HUGEINT).
+  */
+object AnalyticExtQueries {
+
+  /** Latest order per customer — the PostgreSQL `DISTINCT ON` surface.
+    * Spark has no DISTINCT ON; the scale-correct equivalent is a
+    * row_number() arg-max with a total tie-break (orderdate DESC,
+    * orderkey DESC), which plans as one hash partition + in-partition
+    * sort, no global sort. The oracle uses DuckDB's native DISTINCT ON
+    * — two genuinely different implementations must agree exactly. */
+  val qDistinctOn: QDef = QDef(
+    "q_distinct_on",
+    """SELECT * FROM (
+      |  SELECT DISTINCT ON (o_custkey) o_custkey,
+      |    o_orderkey AS last_orderkey,
+      |    CAST(o_orderdate AS DATE) AS last_date
+      |  FROM orders
+      |  ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+        to_date(col("o_orderdate")).as("last_date"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Conditional aggregation: COUNT/SUM/COUNT DISTINCT restricted by a
+    * per-aggregate predicate (SQL FILTER clause). Spark expresses it as
+    * count_if + sum(when(...)) — still one pass, partial-aggregated
+    * map-side; a second scan per predicate would be the wrong shape. */
+  val qConditionalAgg: QDef = QDef(
+    "q_conditional_agg",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+      |  COUNT(DISTINCT o_custkey)
+      |    FILTER (WHERE o_totalprice > 200000) AS n_big_cust
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast("decimal(18,2)")))
+          .cast("double").as("sum_f"),
+        countDistinct(when(col("o_totalprice") > 200000, col("o_custkey")))
+          .as("n_big_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Salted skew join, oracle-checked: SkewJoin.saltedInnerJoin spreads
+    * each hot key over 8 reducers, and this query proves the salting is
+    * output-invisible — the oracle is the PLAIN join. The aggregate on
+    * top keeps the checked surface stable while still covering every
+    * joined row. */
+  val qJoinSkewSalted: QDef = QDef(
+    "q_join_skew_salted",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val small = orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedInnerJoin(lineitem(s, d), small, Seq("l_orderkey"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    * customer via the date − row_number() anchor trick — one window
+    * sort plus one aggregation, no self-join (the O(n²) formulation
+    * this replaces at scale). */
+  val qGapIslands: QDef = QDef(
+    "q_gap_islands",
+    """WITH d AS (
+      |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, d,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d)
+      |      AS INT) AS rn
+      |  FROM d)
+      |SELECT o_custkey, MIN(d) AS island_start, MAX(d) AS island_end,
+      |  COUNT(*) AS island_len
+      |FROM r
+      |GROUP BY o_custkey, d - rn
+      |HAVING COUNT(*) >= 2
+      |ORDER BY o_custkey, island_start""".stripMargin) { (s, d) =>
+    val days = orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("o_custkey"), col("anchor"))
+      .agg(
+        min(col("d")).as("island_start"),
+        max(col("d")).as("island_end"),
+        count(lit(1)).as("island_len"))
+      .filter(col("island_len") >= 2)
+      .select(col("o_custkey"), col("island_start"), col("island_end"),
+        col("island_len"))
+      .orderBy(col("o_custkey"), col("island_start"))
+  }
+
+  /** Regex scalar pack: extract / global replace / match-test. Patterns
+    * stay in the POSIX-class subset both Java regex (Spark) and RE2
+    * (DuckDB) interpret identically, and every extract pattern is total
+    * on the fixture (no empty-match casts). */
+  val qRegexFuncs: QDef = QDef(
+    "q_regex_funcs",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
+      |    AS brand_num,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  regexp_matches(p_name, ' (ring|bolt)$') AS is_fastener
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("long")
+          .as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike(" (ring|bolt)$").as("is_fastener"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ratio-to-report: each customer's share of its nation's total
+    * balance. The denominator accumulates in DECIMAL then casts to
+    * DOUBLE (exact, order-independent → bit-identical across engines),
+    * so the per-row double division is the same IEEE operation on both
+    * sides — no rounding needed or wanted (§0: ROUND on an inexact
+    * double is the .5-boundary trap). nullif guards an all-zero nation
+    * (ANSI-safe on both engines). */
+  val qRatioToReport: QDef = QDef(
+    "q_ratio_to_report",
+    """WITH t AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nat_total
+      |  FROM customer)
+      |SELECT c_nationkey, c_custkey, c_acctbal, nat_total,
+      |  c_acctbal / nullif(nat_total, 0.0) AS share
+      |FROM t
+      |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+    customer(s, d)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).over(w)
+          .cast("double").as("nat_total"))
+      .withColumn("share",
+        col("c_acctbal") / nullif(col("nat_total"), lit(0.0)))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** Calendar/interval arithmetic: day offsets, end-of-month clamping
+    * (add_months), last_day, day-difference — the date surface an
+    * Access/Postgres reporting workload uses constantly. */
+  val qIntervalArith: QDef = QDef(
+    "q_interval_arith",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_30,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+      |    AS next_month,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |    DATE '2001-01-01') AS INT) AS age_days
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val odate = to_date(col("o_orderdate"))
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        odate.as("odate"),
+        date_add(odate, 30).as("due_30"),
+        add_months(odate, 1).as("next_month"),
+        last_day(odate).as("month_end"),
+        datediff(to_date(lit("2001-01-01")), odate).as("age_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Batch sessionization: lag-gap flag + running sum = session ordinal
+    * per user, then one aggregation per session — the window-function
+    * formulation of what q_stream_session does with session_window()
+    * (same `diff > gap` break rule; an event at EXACTLY prev+gap
+    * merges). Two shuffles total (both on user_id — the second reuses
+    * the first's partitioning), which is the 100 TB shape. */
+  val qSessionizeBatch: QDef = QDef(
+    "q_sessionize_batch",
+    """WITH t AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM t)
+      |SELECT user_id, CAST(sid + 1 AS INT) AS session_seq,
+      |  COUNT(*) AS n_events,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+          > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"))
+      .select(
+        col("user_id"), (col("sid") + 1).cast("int").as("session_seq"),
+        col("n_events"), col("session_start"), col("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
+    qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch)
+}
