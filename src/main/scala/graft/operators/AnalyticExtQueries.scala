@@ -79,7 +79,7 @@ object AnalyticExtQueries {
   }
 
   /** Salted skew join, oracle-checked: SkewJoin.saltedInnerJoin spreads
-    * each hot key over 8 reducers, and this query proves the salting is
+    * each hot key over 4 reducers, and this query proves the salting is
     * output-invisible — the oracle is the PLAIN join. The aggregate on
     * top keeps the checked surface stable while still covering every
     * joined row. */
@@ -92,7 +92,14 @@ object AnalyticExtQueries {
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val small = orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    SkewJoin.saltedInnerJoin(lineitem(s, d), small, Seq("l_orderkey"), 8)
+    // project BEFORE salting: the salt hashes every big-side column, so
+    // a full-width fact row pays a 16-column xxhash64 per row and drags
+    // dead columns through the shuffle; (orderkey, linenumber) is the
+    // PK — a perfect salt discriminator — and quantity is the only
+    // payload the aggregate needs
+    val big = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    SkewJoin.saltedInnerJoin(big, small, Seq("l_orderkey"), 4)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),

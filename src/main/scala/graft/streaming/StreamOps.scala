@@ -106,4 +106,39 @@ object StreamOps {
         events.withWatermark("ts", w).dropDuplicatesWithinWatermark(keys)
       case None => events.dropDuplicates(keys)
     }
+
+  /** Stream-stream interval join (the impression→click attribution
+    * shape): rows join when keys match AND the right event lands within
+    * `[left.ts, left.ts + within]`.
+    *
+    * Both sides carry the watermark and the join condition carries the
+    * time bound — together they let Structured Streaming EVICT buffered
+    * rows once the watermark passes `ts + within + maxDelay`, so state
+    * is bounded by (delay + window) × arrival rate, not by stream
+    * length. Without the time bound the engine must buffer both streams
+    * forever — the classic unbounded-state trap. Outer variants emit
+    * the unmatched side only once the watermark proves no match can
+    * still arrive.
+    *
+    * Column names must be disjoint apart from `key`; the right side's
+    * key column is dropped from the output. Works identically on batch
+    * DataFrames (watermarks are a no-op there) — the batch/stream
+    * symmetry the rest of this object follows.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      maxDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, maxDelay)
+    val r = right.withWatermark(rightTs, maxDelay)
+    val cond = l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, cond, joinType).drop(r(key))
+  }
 }
