@@ -19,7 +19,8 @@ object SparkEntry {
       ScalarFuncQueries.defs ++ StreamQueries.defs ++ TextQueries.defs ++
       SimilarityQueries.defs ++ DedupQueries.defs ++ UdxQueries.defs ++
       Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs ++
-      SamplingQueries.defs ++ AnalyticExtQueries.defs
+      SamplingQueries.defs ++ AnalyticExtQueries.defs ++
+      SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
