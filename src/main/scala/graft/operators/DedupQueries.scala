@@ -342,7 +342,19 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Transitive corpus dedup: minhash candidate pairs → connected
+    * components → keep min doc_id per cluster (etl.DedupPipeline).
+    * No oracle — the pair set derives from the engine-specific xxhash64
+    * minhash family; ConnectedComponentsSpec and DedupPipelineSpec
+    * assert the clustering semantics. */
+  val qDedupTransitive: QDef =
+    QDef.noOracle("q_dedup_transitive") { (s, d) =>
+      graft.etl.DedupPipeline.dropNearDuplicatesTransitive(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
-    qDedupEmbedding)
+    qDedupEmbedding, qDedupTransitive)
 }

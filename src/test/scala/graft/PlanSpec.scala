@@ -111,6 +111,45 @@ class PlanSpec extends AnyFunSuite {
       s"AQE did not broadcast the fixture-scale df side:\n$finalStr")
   }
 
+  test("q_sessionize_batch groupBy reuses the window's partitioning") {
+    // lag/cumsum window shuffles on user_id; the session aggregation
+    // clusters on (user_id, sid) — HashPartitioning(user_id) satisfies
+    // that (subset rule), so NO second hash shuffle may appear. Total:
+    // window hash + final ORDER BY range = 2.
+    val shuffles = finalPlan("q_sessionize_batch")
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"session aggregation re-shuffled: ${shuffles.size} exchanges")
+  }
+
+  test("q_gap_islands: partial distinct before shuffle, agg reuses window") {
+    val p = finalPlan("q_gap_islands")
+    // distinct hash + window hash + final ORDER BY range; the island
+    // aggregation must reuse the window's custkey partitioning
+    assert(p.collect { case s: ShuffleExchangeExec => s }.size <= 3, p)
+    // the distinct runs partially map-side (shrinks BEFORE shuffling —
+    // the reason the two-shuffle form beats a single-shuffle rewrite
+    // that would ship every raw row)
+    assert(p.toString.contains("partial_"),
+      "distinct must partially aggregate map-side")
+  }
+
+  test("q_distinct_on is one hash shuffle plus the output sort") {
+    val shuffles = finalPlan("q_distinct_on")
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"${shuffles.size} exchanges")
+  }
+
+  test("q_join_skew_salted never degenerates to a cartesian product") {
+    val p = finalPlan("q_join_skew_salted")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
+  test("q_hll_sketch_merge builds sketches map-side (partial agg)") {
+    assert(finalPlan("q_hll_sketch_merge").toString.contains("partial_"),
+      "HLL sketches must partially aggregate before the shuffle")
+  }
+
   test("whole-stage codegen covers the hot paths (incl. DotProduct)") {
     Seq("q_agg_basic", "q_sim_query_topk").foreach { q =>
       // codegen'd stages print as "*(n)" in the static plan
