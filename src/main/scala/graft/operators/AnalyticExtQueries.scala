@@ -273,7 +273,31 @@ object AnalyticExtQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Fixed-width numeric histogram: floor-division bucketing keeps the
+    * bucket id an exact integer op on both engines (width_bucket's
+    * open/closed edge conventions differ across engines; floor does
+    * not). One partial-aggregated shuffle — histogramming 100 TB is a
+    * groupBy on ~hundreds of buckets. */
+  val qHistogram: QDef = QDef(
+    "q_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+      |  COUNT(*) AS n,
+      |  MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
-    qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch)
+    qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
+    qHistogram)
 }

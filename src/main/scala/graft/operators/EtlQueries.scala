@@ -123,6 +123,63 @@ object EtlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Change-data-capture diff between two table snapshots: one full
+    * outer join on the primary key classifies every key as added /
+    * removed / changed (unchanged keys are filtered out — at 100 TB the
+    * diff output is small even when the snapshots are not). The two
+    * snapshots are derived deterministically from orders so the oracle
+    * can rebuild them: "old" drops keys ≡ 9 (mod 10), "new" drops keys
+    * ≡ 0 (mod 10) and bumps the price of keys ≡ 0 (mod 7). The bumped
+    * price is only COMPARED, never emitted — x * 1.1 is the same IEEE
+    * double on both engines, so the inequality is deterministic even
+    * though the product is inexact. */
+  val qSnapshotDiff: QDef = QDef(
+    "q_snapshot_diff",
+    """WITH old AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 10 <> 9),
+      |new AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 0)
+      |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+      |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |       WHEN new.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM old FULL OUTER JOIN new USING (o_orderkey)
+      |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      |   OR old.o_orderstatus <> new.o_orderstatus
+      |   OR old.o_totalprice <> new.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val old = o.filter(col("o_orderkey") % 10 =!= 9)
+    val neu = o.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+    val lk = old.columns.map(c => old(c).as(s"old_$c"))
+    val rk = neu.columns.map(c => neu(c).as(s"new_$c"))
+    old.select(lk.toIndexedSeq: _*)
+      .join(neu.select(rk.toIndexedSeq: _*),
+        col("old_o_orderkey") === col("new_o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("old_o_orderkey"), col("new_o_orderkey"))
+          .as("o_orderkey"),
+        when(col("old_o_orderkey").isNull, "added")
+          .when(col("new_o_orderkey").isNull, "removed")
+          .otherwise("changed").as("change_type"),
+        (col("old_o_orderkey").isNull || col("new_o_orderkey").isNull ||
+          col("old_o_orderstatus") =!= col("new_o_orderstatus") ||
+          col("old_o_totalprice") =!= col("new_o_totalprice"))
+          .as("differs"))
+      .filter(col("differs"))
+      .drop("differs")
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson)
+    qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
+    qSnapshotDiff)
 }

@@ -314,7 +314,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonicalizing text normalization (the cleanup pass before any
+    * dedup/fingerprint stage): lowercase, collapse runs of whitespace,
+    * trim. Emitted as md5 + length rather than the full text — the
+    * normalized form is what downstream exact-dedup keys on, and md5 is
+    * the one cross-engine-stable hash (SURVEY §0). Pure per-row map:
+    * zero shuffles except the output sort. */
+  val qTextNormalize: QDef = QDef(
+    "q_text_normalize",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |    AS norm_md5,
+      |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |    AS norm_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("norm_md5"),
+        length(norm).cast("bigint").as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
-    qTokenCount, qFingerprint, qRepetition)
+    qTokenCount, qFingerprint, qRepetition, qTextNormalize)
 }

@@ -70,4 +70,56 @@ object JdbcConnector {
       url: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     tables.foreach { case (name, df) => write(df, url, name, mode) }
+
+  /** Key-based upsert — the INCREMENTAL load the one-shot `migrate`
+    * lacks (re-running a full overwrite per delta is the anti-pattern
+    * at warehouse scale).
+    *
+    * Shape: bulk-load the delta into a staging table with the normal
+    * distributed batched write (all executors participate — the rows
+    * never pass through the driver), then one server-side ANSI MERGE
+    * folds staging into the target. The MERGE is a single driver-issued
+    * statement; the heavy lifting (row transfer) stays distributed, the
+    * set operation runs where the data already is. Works on any MERGE-
+    * capable target (Derby 10.11+, PostgreSQL 15+, SQL Server, Oracle);
+    * for PostgreSQL < 15 pass a custom `mergeSql` builder producing
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE`.
+    */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      props: Map[String, String] = Map.empty,
+      mergeSql: Option[(String, String) => String] = None): Unit = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val nonKey = df.columns.filterNot(keyCols.contains)
+    require(nonKey.nonEmpty, "upsert requires at least one non-key column")
+    val staging = s"${table}__stage"
+    write(df, url, staging, SaveMode.Overwrite, props = props)
+    val sql = mergeSql.map(_(table, staging)).getOrElse {
+      // Spark's JDBC writer passes the dbtable string through VERBATIM
+      // (so callers can schema-qualify) but CREATEs columns with quoted
+      // case-exact identifiers — the MERGE must match: table names raw,
+      // column names quoted, or the server's case folding (Derby upper,
+      // Postgres lower) misses the quoted lowercase columns.
+      def q(id: String): String = "\"" + id + "\""
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val set = nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val cols = df.columns.map(q).mkString(", ")
+      val vals = df.columns.map(c => s"s.${q(c)}").mkString(", ")
+      s"""MERGE INTO $table t USING $staging s ON $on
+         |WHEN MATCHED THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
+    }
+    props.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute(sql)
+        st.execute(s"DROP TABLE $staging")
+      } finally st.close()
+    } finally conn.close()
+  }
 }
