@@ -124,5 +124,53 @@ object Multimodal {
         .orderBy(col("media_id"))
   }
 
-  val defs: Seq[QDef] = Seq(qMultimodalMeta, qMultimodalFeatures)
+  /** Fake frame geometry for the video path: payloads are treated as a
+    * concatenation of fixed-size frames (a real decoder would use the
+    * container's index instead — same row shape out). */
+  val frameBytes = 256
+
+  /** Frame sampling: every `stride`-th frame of each video payload
+    * becomes its OWN output row (frame_idx + per-frame features) — the
+    * 1→N flatMap batch shape a real video pipeline needs, still
+    * partition-parallel with no shuffle. Sampling happens BEFORE
+    * decoding (only sampled frames are decoded) — at 100 TB the decode
+    * is the cost, so stride-k cuts codec work k×, not just output. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(
+              payload, f * frameBytes, (f + 1) * frameBytes)
+            org.apache.spark.sql.Row(id, f, decodeStub(frame).toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame-sample query (stride 4): one row per sampled frame with the
+    * first feature lane. No oracle (stub decoder); MultimodalSpec pins
+    * the sampling arithmetic and per-frame determinism. */
+  val qMultimodalFrames: QDef = QDef.noOracle("q_multimodal_frames") {
+    (s, d) =>
+      sampleFrames(mediaFromDocuments(s, d), stride = 4)
+        .select(
+          col("media_id"), col("frame_idx"),
+          element_at(col("features"), 1).cast("double").as("f0"))
+        .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }

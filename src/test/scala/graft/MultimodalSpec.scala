@@ -54,4 +54,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == n)
     assert(out.where(col("f_sum") < 0 || col("f_sum") > 16).count() == 0)
   }
+
+  test("sampleFrames emits every stride-th frame with local-stub parity") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(4)
+    val stride = 4
+    val frames = Multimodal.sampleFrames(media, stride)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[scala.collection.Seq[Float]]("features").toSeq)
+      .toMap
+    val texts = graft.sources.TableLoader.documents(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes("UTF-8")).toMap
+    // exact expected count: sum over docs of ceil(nFrames/stride)
+    val expectedCount = texts.values.map { b =>
+      val nFrames = b.length / Multimodal.frameBytes
+      (nFrames + stride - 1) / stride
+    }.sum
+    assert(frames.size == expectedCount)
+    // spot-check one sampled frame against the local stub
+    val (id, bytes) = texts.maxBy(_._2.length)
+    val fb = Multimodal.frameBytes
+    if (bytes.length >= fb) {
+      val want = Multimodal.decodeStub(
+        java.util.Arrays.copyOfRange(bytes, 0, fb)).toSeq
+      assert(frames((id, 0)) == want)
+    }
+  }
 }
