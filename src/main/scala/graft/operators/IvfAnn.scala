@@ -31,8 +31,17 @@ object IvfAnn {
     * warm-up builds it before any timed run. */
   def build(s: SparkSession, d: String, k: Int = 16): Index =
     graft.sources.SessionCache.getOrElseUpdate(s, ("ivf", d, k)) {
+      // cluster on L2-NORMALIZED vectors: the index serves COSINE
+      // queries, and on the unit sphere euclidean² = 2 − 2·cos, so
+      // euclidean k-means becomes cosine-consistent (spherical k-means
+      // up to centroid renormalization). Clustering raw vectors would
+      // partition by magnitude — a metric the re-rank never uses.
       val vecs = embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
+        .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
+        .withColumn("features", array_to_vector(
+          when(col("nrm") > 0,
+            transform(col("embedding"), x => x.cast("double") / col("nrm")))
+            .otherwise(transform(col("embedding"), x => x.cast("double")))))
       val model = new KMeans()
         .setK(k).setSeed(42L).setMaxIter(20)
         .setFeaturesCol("features").setPredictionCol("cluster")
@@ -59,7 +68,11 @@ object IvfAnn {
       .select(col("embedding")).head(1)
     require(qRows.nonEmpty,
       s"query vector vec_id=$queryVecId not found in $d/embeddings")
-    val q = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
+    val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
+    // centroids live in the normalized space (see build) — the probe
+    // distance must compare against the normalized query
+    val qn = math.sqrt(raw.map(x => x * x).sum)
+    val q = if (qn > 0) raw.map(_ / qn) else raw
     val probes = idx.centroids.zipWithIndex
       .map { case (c, i) =>
         val dist = c.toArray.zip(q).map { case (a, b) =>

@@ -156,13 +156,26 @@ object SimilarityQueries {
     annTopK(s, d, queryVecId = 0L, k = 10)
   }
 
-  /** LSH-bucketed top-k for one query vector (library form). */
+  /** LSH-bucketed top-k for one query vector (library form).
+    *
+    * Recall regime (honestly): sign-LSH banding retrieves neighbors
+    * whose cosine is HIGH (bit-agreement p = 1 − θ/π per plane, so a
+    * cos 0.9 neighbor survives a 4-bit band with p ≈ 0.66 and either
+    * of 2 bands with p ≈ 0.88). On near-random corpora whose top-k
+    * sits at cos ≈ 0.3 (the synthetic fixture), NO sub-linear index
+    * can prune and keep recall — use brute-force qSimQueryTopk there;
+    * the spec asserts the high-cos guarantee with a planted neighbor. */
   def annTopK(s: SparkSession, d: String, queryVecId: Long, k: Int)
+      : DataFrame =
+    annTopKFrom(embeddings(s, d), queryVecId, k)
+
+  /** As [[annTopK]] but over any (vec_id, embedding) corpus. */
+  def annTopKFrom(corpus: DataFrame, queryVecId: Long, k: Int)
       : DataFrame = {
     val planes = hyperplanes(nPlanes = 8, dim = 64)
     val nBands = 2
     val bitsPerBand = 4
-    val e = embeddings(s, d)
+    val e = corpus
       .withColumn("sig", lshSignature(col("embedding"), planes))
     val banded = e.select(
       col("vec_id"), col("embedding"),

@@ -102,4 +102,23 @@ class AnnSpec extends AnyFunSuite {
       assert(keys.forall(k => k >= 0 && k < (1L << bits)))
     }
   }
+
+  test("annTopK retrieves a planted high-cosine neighbor at rank 1") {
+    // the honest sign-LSH guarantee: HIGH-cosine neighbors survive the
+    // banding (cos ~1 agrees on every plane). The fixture's organic
+    // top-k sits at cos ~0.3 where no sub-linear index can prune and
+    // keep recall - that regime belongs to brute-force qSimQueryTopk.
+    import spark.implicits._
+    val base = TableLoader.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+    // same direction + a small constant shift: cos > 0.99 but not 1.0
+    val planted = q.map(x => x + 0.02f).toArray
+    val corpus = base.unionByName(
+      Seq((99999L, planted)).toDF("vec_id", "embedding"))
+    val top = SimilarityQueries.annTopKFrom(corpus, 0L, 5).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 99999L,
+      s"planted cos~1 neighbor not first: ${top.map(_.getLong(0)).toSeq}")
+  }
 }

@@ -36,4 +36,26 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(narrow.size <= 1)
     assert(narrow.subsetOf(wide) || wide.size >= narrow.size)
   }
+
+  test("IVF recall@10 >= 0.8 at nprobe=4 on the structured corpus") {
+    val d = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, d)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val ivf = IvfAnn.topK(spark, d, 0L, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute & ivf).size >= 8,
+      s"recall ${(brute & ivf).size}/10 with 4/16 lists probed")
+  }
+
+  test("IVF recall is non-decreasing in nprobe") {
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 2, 4, 6).map { np =>
+      val got = IvfAnn.topK(spark, sfDir, 0L, 10, nprobe = np)
+        .collect().map(_.getLong(0)).toSet
+      (brute & got).size
+    }
+    assert(recalls == recalls.sorted,
+      s"probing more lists must never lose neighbors: $recalls")
+  }
 }
