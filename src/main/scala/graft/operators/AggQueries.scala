@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QDef
@@ -347,9 +348,38 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Deterministic MODE: most frequent status per priority, ties broken
+    * toward the smaller value. Built-in mode()'s tie-pick is engine-
+    * arbitrary on BOTH engines, so the cross-engine-safe form is the
+    * two-level count → rank formulation — which is also the scalable
+    * one (first aggregation collapses to |groups×values| rows before
+    * the window touches anything). */
+  val qAggMode: QDef = QDef(
+    "q_agg_mode",
+    """SELECT o_orderpriority, o_orderstatus AS mode_status, n FROM (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY COUNT(*) DESC, o_orderstatus) AS INT) AS rn
+      |  FROM orders
+      |  GROUP BY o_orderpriority, o_orderstatus)
+      |WHERE rn = 1
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val counts = orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("n").desc, col("o_orderstatus"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"),
+        col("o_orderstatus").as("mode_status"), col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
     qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg,
-    qAggBoolBitwise)
+    qAggBoolBitwise, qAggMode)
 }

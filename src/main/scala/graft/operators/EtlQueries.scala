@@ -97,6 +97,7 @@ object EtlQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val w = src.coalesce(1).write.mode("overwrite")
       if (fmt == "csv") w.option("header", "true").csv(out)
+      else if (fmt == "orc") w.orc(out)
       else w.json(out)
       out
     }
@@ -121,6 +122,49 @@ object EtlQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     s.read.schema(docSchema).json(roundtripDir(s, d, "json"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ORC ingest (the second columnar lake format Spark ships a native
+    * vectorized reader for) — same export → re-read → must-equal-source
+    * contract; the oracle reads the original parquet since DuckDB has
+    * no ORC reader. */
+  val qScanOrc: QDef = QDef(
+    "q_scan_orc",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(docSchema).orc(roundtripDir(s, d, "orc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number
+    * return NULL where the strict form would raise — the policy layer a
+    * migration needs when source data is dirty but the job must not
+    * die. Deliberately fed malformed AND well-formed values derived
+    * deterministically from orders. */
+  val qTryFuncs: QDef = QDef(
+    "q_try_funcs",
+    """SELECT o_orderkey,
+      |  TRY_CAST(o_orderpriority AS INT) AS pri_num,
+      |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+      |  o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0)
+      |    AS safe_div,
+      |  TRY_CAST(o_orderstatus AS DATE) IS NULL AS date_rejected
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS int)").as("pri_num"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS int)")
+          .as("pri_digit"),
+        try_divide(col("o_totalprice"),
+          (col("o_orderkey") % 3).cast("double")).as("safe_div"),
+        // boolean, not the (all-null) DATE itself: an all-null date
+        // column renders reader-dependently in the driver's hash
+        // (None vs NaT — the DECIMAL-class trap, SURVEY §0)
+        expr("try_cast(o_orderstatus AS date)").isNull
+          .as("date_rejected"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Change-data-capture diff between two table snapshots: one full
@@ -181,5 +225,5 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qSnapshotDiff)
+    qScanOrc, qTryFuncs, qSnapshotDiff)
 }

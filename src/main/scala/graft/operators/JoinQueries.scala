@@ -199,6 +199,39 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a TOLERANCE: the last click within 1 hour before
+    * each purchase, NULL when the nearest click is older (the pandas
+    * merge_asof `tolerance=` / kdb wj surface). Same running-max RANGE
+    * window as q_join_asof — the max IS the latest click, so one
+    * per-row comparison applies the tolerance; no extra join or
+    * re-scan. */
+  val qJoinAsofTolerance: QDef = QDef(
+    "q_join_asof_tolerance",
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  (SELECT CAST(MAX(c.ts) AS TIMESTAMP) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts <= e.ts
+      |     AND c.ts >= e.ts - INTERVAL 1 HOUR) AS click_1h_ts
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn(
+        "last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        when(col("last_click_ts") >= expr("ts - INTERVAL 1 HOUR"),
+          col("last_click_ts")).cast("timestamp_ntz").as("click_1h_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** 4-table join chain (lineitem⋈orders⋈customer⋈nation) — the join
     * reorder / DPP showcase. Catalyst reorders; dims broadcast. */
   val qJoinMultiway: QDef = QDef(
@@ -260,5 +293,6 @@ object JoinQueries {
 
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
-    qJoinCross, qJoinRange, qJoinAsof, qJoinMultiway, qJoinNullSafe)
+    qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance,
+    qJoinMultiway, qJoinNullSafe)
 }
