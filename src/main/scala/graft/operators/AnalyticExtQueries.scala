@@ -296,8 +296,53 @@ object AnalyticExtQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Ordered funnel (view → click-after-view → purchase-after-click):
+    * per-user step timestamps via CHAINED min-windows over ONE
+    * partitioning — t2's predicate references t1 from the previous
+    * projection, so all three steps ride a single user_id shuffle (the
+    * formulation that replaces three self-joins; at 100 TB the events
+    * table shuffles once, not thrice). Strict `>` sequencing; one
+    * summary row out. */
+  val qFunnel: QDef = QDef(
+    "q_funnel",
+    """WITH w1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+      |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+      |    THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+      |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_view,
+      |  COUNT(t2) AS n_click_after_view,
+      |  COUNT(t3) AS n_purchase_after_click
+      |FROM u""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
-    qHistogram)
+    qHistogram, qFunnel)
 }

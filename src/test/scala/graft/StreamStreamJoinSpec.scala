@@ -80,4 +80,30 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(got.contains((1L, false)), s"matched row missing: $got")
     assert(got.contains((2L, true)), s"outer row for imp#2 missing: $got")
   }
+
+  test("stream-static join enriches events with a broadcast dimension") {
+    // the third streaming-join shape: per-microbatch hash join against
+    // a static dim — no watermark, no state (the dim is re-planned
+    // each batch; at scale it rides a broadcast, fact never shuffles)
+    implicit val ctx = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp)]
+    events.addData(Seq(
+      (0L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-01 10:01:00")),
+      (7L, ts("2026-01-01 10:02:00")))) // nationkey 7 exists too
+    val dim = graft.sources.TableLoader
+      .nation(spark, "/root/testdata/sf0.001")
+      .select($"n_nationkey".cast("long").as("key"), $"n_name")
+    val joined = events.toDF().toDF("key", "ts")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("key"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_static").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val names = spark.table("ss_static")
+      .select($"key", $"n_name").as[(Long, String)].collect().toMap
+    assert(names.keySet == Set(0L, 1L, 7L))
+    val want = dim.as[(Long, String)].collect().toMap
+    assert(names == want.view.filterKeys(names.keySet).toMap)
+  }
 }
