@@ -195,7 +195,33 @@ object WindowQueries {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Forward fill / LOCF (last observation carried forward): every
+    * event carries the most recent click's value for its user — the
+    * canonical gap-filling operator for sparse timeseries. `last(...,
+    * ignoreNulls)` over a ROWS running frame ↔ `LAST_VALUE(x IGNORE
+    * NULLS)`; the (ts, event_id) tie-break keeps the carried value
+    * total-ordered. One shuffle on user_id, O(1) state per row. */
+  val qFillForward: QDef = QDef(
+    "q_fill_forward",
+    """SELECT event_id, user_id,
+      |  LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS last_click_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        last(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true).over(w).as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qWindowRank, qWindowRankingFns, qWindowAnalytic, qWindowFrame,
-    qWindowRangeFrame, qWindowCumsum, qWindowDistribution)
+    qWindowRangeFrame, qWindowCumsum, qWindowDistribution, qFillForward)
 }
