@@ -277,6 +277,66 @@ object SimilarityQueries {
     (s, d) => embeddingNearDupPairs(embeddings(s, d))
   }
 
+  /** kNN label vote — the weak-supervision / label-propagation
+    * primitive: predict each UNLABELED-pretend query vector's label
+    * from the majority label of its 20 exact nearest neighbours (ties
+    * toward the smaller label). Composes the top-k primitive with the
+    * deterministic count→rank mode; one row per query vector from the
+    * sampled query set (vec_id < 5). At 100 TB the neighbour search is
+    * the ANN path (qAnnLsh/IvfAnn); the vote is a per-query-small
+    * aggregation either way. */
+  val qKnnClassify: QDef = QDef(
+    "q_knn_classify",
+    s"""$oracleNorms,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, a.label,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> a.v[i] * q.v[i])) / (a.nrm * q.nrm) AS cos,
+       |    a.vec_id
+       |  FROM n a JOIN n q ON q.vec_id < 5 AND a.vec_id >= 5),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= 20),
+       |votes AS (
+       |  SELECT query_id, label, COUNT(*) AS n_votes,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY COUNT(*) DESC, label) AS INT) AS vr
+       |  FROM topk GROUP BY query_id, label)
+       |SELECT query_id, label AS predicted, n_votes
+       |FROM votes WHERE vr = 1
+       |ORDER BY query_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        (dot(col("embedding"), col("qv"))
+          / (col("nrm") * col("qnrm"))).as("cos"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val topk = scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 20)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    topk.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("predicted"),
+        col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
   val defs: Seq[QDef] =
-    Seq(qSimCosine, qSimQueryTopk, qAnnLsh, qDedupEmbeddingLsh)
+    Seq(qSimCosine, qSimQueryTopk, qAnnLsh, qDedupEmbeddingLsh,
+      qKnnClassify)
 }
