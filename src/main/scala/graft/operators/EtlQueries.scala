@@ -144,8 +144,8 @@ object EtlQueries {
   val qTryFuncs: QDef = QDef(
     "q_try_funcs",
     """SELECT o_orderkey,
-      |  TRY_CAST(o_orderpriority AS INT) AS pri_num,
-      |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+      |  TRY_CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+      |    ELSE substr(o_orderpriority, 1, 1) END AS INT) AS pri_num,
       |  o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0)
       |    AS safe_div,
       |  TRY_CAST(o_orderstatus AS DATE) IS NULL AS date_rejected
@@ -154,9 +154,15 @@ object EtlQueries {
     orders(s, d)
       .select(
         col("o_orderkey"),
-        expr("try_cast(o_orderpriority AS int)").as("pri_num"),
-        expr("try_cast(substring(o_orderpriority, 1, 1) AS int)")
-          .as("pri_digit"),
+        // 10% dirty, 90% parseable — try_cast's intended regime. The
+        // NULL-on-error path throws-and-catches PER FAILING ROW inside
+        // codegen, so an all-fail column costs ~10 µs/row (measured
+        // 1.4 s over 150 k); a mostly-invalid column should get an
+        // rlike guard instead of try_cast.
+        expr("""try_cast(CASE WHEN o_orderkey % 10 = 0
+          THEN o_orderpriority
+          ELSE substring(o_orderpriority, 1, 1) END AS int)""")
+          .as("pri_num"),
         try_divide(col("o_totalprice"),
           (col("o_orderkey") % 3).cast("double")).as("safe_div"),
         // boolean, not the (all-null) DATE itself: an all-null date
