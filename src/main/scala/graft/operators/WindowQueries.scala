@@ -221,7 +221,37 @@ object WindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Trailing time-window aggregate: events and spend in the PRECEDING
+    * HOUR per user, as a RANGE frame over epoch microseconds (the
+    * sliding-window metric computed per-row, not per-bucket — what
+    * q_stream_sliding's fixed buckets can't give you). Ordering by the
+    * BIGINT epoch keeps the frame arithmetic identical on both engines
+    * (interval-typed frames have engine-specific peer rules). */
+  val qWindowTimeRange: QDef = QDef(
+    "q_window_time_range",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS spend_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qWindowRank, qWindowRankingFns, qWindowAnalytic, qWindowFrame,
-    qWindowRangeFrame, qWindowCumsum, qWindowDistribution, qFillForward)
+    qWindowRangeFrame, qWindowCumsum, qWindowDistribution, qFillForward,
+    qWindowTimeRange)
 }
