@@ -124,6 +124,46 @@ object Multimodal {
         .orderBy(col("media_id"))
   }
 
+  /** STUB resize: a real implementation would decode, scale with a
+    * resampling kernel, and re-encode; the deterministic fake
+    * stride-samples the payload down to `targetBytes` so the pipeline
+    * shape — per-row binary in, smaller binary out, metadata updated,
+    * partition-parallel, no shuffle — is exercised end-to-end. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        // evenly-spaced sample positions (nearest-neighbor downsample)
+        out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batch resize over the media table: payload replaced by its
+    * downsampled form, `meta.byte_len` updated, all other metadata
+    * preserved — the write-back shape a thumbnailing pass needs. */
+  def resizeMedia(media: DataFrame, targetBytes: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    media
+      .select(col("media_id"), col("kind"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val resized = resizeStub(r.getAs[Array[Byte]](2), targetBytes)
+          val meta = r.getAs[org.apache.spark.sql.Row](3)
+          org.apache.spark.sql.Row(
+            r.getLong(0), r.getString(1), resized,
+            org.apache.spark.sql.Row(
+              resized.length.toLong, meta.getString(1),
+              meta.get(2), meta.get(3), meta.get(4)))
+        }
+      }(enc)
+  }
+
   /** Fake frame geometry for the video path: payloads are treated as a
     * concatenation of fixed-size frames (a real decoder would use the
     * container's index instead — same row shape out). */

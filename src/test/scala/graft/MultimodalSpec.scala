@@ -55,6 +55,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.where(col("f_sum") < 0 || col("f_sum") > 16).count() == 0)
   }
 
+  test("resizeMedia shrinks payloads, updates byte_len, keeps schema") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(4)
+    val target = 64
+    val out = Multimodal.resizeMedia(media, target)
+    // same names + types (nullability flags differ: the declared
+    // mediaSchema is strict, derived projections are relaxed)
+    assert(out.schema.map(f => (f.name, f.dataType))
+      == media.schema.map(f => (f.name, f.dataType)))
+    val rows = out.collect()
+    assert(rows.length == media.count())
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(p.length <= target)
+      assert(meta.getLong(0) == p.length.toLong)
+    }
+    // deterministic: same input → same bytes
+    val a = out.orderBy(col("media_id")).limit(1)
+      .collect()(0).getAs[Array[Byte]]("payload").toSeq
+    val b = Multimodal.resizeMedia(media, target)
+      .orderBy(col("media_id")).limit(1)
+      .collect()(0).getAs[Array[Byte]]("payload").toSeq
+    assert(a == b)
+  }
+
   test("sampleFrames emits every stride-th frame with local-stub parity") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(4)
     val stride = 4
