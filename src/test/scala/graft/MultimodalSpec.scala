@@ -59,10 +59,11 @@ class MultimodalSpec extends AnyFunSuite {
     val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(4)
     val target = 64
     val out = Multimodal.resizeMedia(media, target)
-    // same names + types (nullability flags differ: the declared
-    // mediaSchema is strict, derived projections are relaxed)
-    assert(out.schema.map(f => (f.name, f.dataType))
-      == media.schema.map(f => (f.name, f.dataType)))
+    // same names + types via the SQL rendering (nullability-free at
+    // every nesting level: the declared mediaSchema is strict, derived
+    // projections are relaxed)
+    assert(out.schema.map(f => (f.name, f.dataType.sql))
+      == media.schema.map(f => (f.name, f.dataType.sql)))
     val rows = out.collect()
     assert(rows.length == media.count())
     rows.foreach { r =>
