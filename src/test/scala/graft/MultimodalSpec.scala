@@ -62,8 +62,9 @@ class MultimodalSpec extends AnyFunSuite {
     // same names + types via the SQL rendering (nullability-free at
     // every nesting level: the declared mediaSchema is strict, derived
     // projections are relaxed)
-    assert(out.schema.map(f => (f.name, f.dataType.sql))
-      == media.schema.map(f => (f.name, f.dataType.sql)))
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", "")))
+    assert(shape(out.schema) == shape(media.schema))
     val rows = out.collect()
     assert(rows.length == media.count())
     rows.foreach { r =>
