@@ -36,11 +36,27 @@ object DedupPipeline {
   def dropNearDuplicates(
       s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val docs = TableLoader.documents(s, d)
-    val pairs = DedupQueries.qDedupMinhash.fn(s, d)
-      .filter(col("jaccard") >= threshold)
-    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val losers = verifiedPairs(s, d, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Verified near-dup candidate pairs at `threshold`, memoized and
+    * persisted per (session, sfDir, threshold): both dedup policies
+    * (greedy + transitive) and repeated invocations consume the same
+    * pair set, so the banded self-join + Jaccard verify runs once per
+    * session — the pair set is an INDEX, like the shingle cache it is
+    * derived from. */
+  def verifiedPairs(
+      s: SparkSession, d: String, threshold: Double): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(
+      s, ("neardup_pairs", d, threshold)) {
+      val p = DedupQueries.qDedupMinhash.fn(s, d)
+        .filter(col("jaccard") >= threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize once, at cache-fill time
+      p
+    }
 
   /** Transitive variant: cluster the verified pairs with connected
     * components and keep ONE canonical doc (min doc_id) per cluster.
@@ -52,8 +68,7 @@ object DedupPipeline {
   def dropNearDuplicatesTransitive(
       s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val docs = TableLoader.documents(s, d)
-    val pairs = DedupQueries.qDedupMinhash.fn(s, d)
-      .filter(col("jaccard") >= threshold)
+    val pairs = verifiedPairs(s, d, threshold)
     val losers = ConnectedComponents
       .dedupGroups(pairs, "doc_a", "doc_b")
       .filter(!col("keep"))

@@ -150,6 +150,20 @@ class PlanSpec extends AnyFunSuite {
       "HLL sketches must partially aggregate before the shuffle")
   }
 
+  test("suite-wide sweep: no query degenerates to a cartesian product") {
+    // the one declared exception: q_join_cross IS the cartesian row.
+    // Broadcast nested-loop joins (tiny broadcast side) are fine — the
+    // killer at 100 TB is CartesianProductExec, which shuffles
+    // |A|×|B| pairs.
+    val allowed = Set("q_join_cross")
+    SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
+      val p = finalPlan(q.name)
+      assert(p.collectWithSubqueries {
+        case c: CartesianProductExec => c
+      }.isEmpty, s"${q.name} plans a CartesianProduct")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths (incl. DotProduct)") {
     Seq("q_agg_basic", "q_sim_query_topk").foreach { q =>
       // codegen'd stages print as "*(n)" in the static plan
