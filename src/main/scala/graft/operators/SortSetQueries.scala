@@ -123,7 +123,34 @@ object SortSetQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Schema-evolution union: an old snapshot written before
+    * `o_orderpriority` existed, unioned BY NAME with current data —
+    * `unionByName(allowMissingColumns = true)` null-fills the missing
+    * column (positional `union` would silently mis-align). The lake
+    * reality this models: historical partitions never get rewritten
+    * when a column is added. */
+  val qUnionByNameEvolved: QDef = QDef(
+    "q_union_by_name_evolved",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, 'old' AS snapshot, o_orderstatus,
+      |    CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'new', o_orderstatus, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val oldSnap = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("old").as("snapshot"),
+        col("o_orderstatus")) // pre-evolution schema: no priority
+    val newSnap = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), lit("new").as("snapshot"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    oldSnap.unionByName(newSnap, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSortLimit, qUnionAll, qUnionDistinct, qIntersect, qExcept,
-    qIntersectAll, qExceptAll)
+    qIntersectAll, qExceptAll, qUnionByNameEvolved)
 }
