@@ -377,9 +377,39 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Top-3 per group via the bounded-heap aggregate
+    * (functions.TopKAgg) instead of `row_number() ≤ 3`: the window
+    * form sorts every partition in full, the heap keeps 3 rows per
+    * group per mapper (partial aggregation → ≤ 3 rows/group cross the
+    * shuffle). The oracle IS the window formulation — two different
+    * algorithms must agree exactly, including the total (price DESC,
+    * orderkey ASC) tie order at the cut. */
+  val qAggTopK: QDef = QDef(
+    "q_agg_topk",
+    """SELECT o_orderpriority, o_totalprice AS price, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin) {
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(
+          col("o_orderpriority"),
+          col("t.score").as("price"),
+          col("t.id").as("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("price").desc,
+          col("o_orderkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
     qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg,
-    qAggBoolBitwise, qAggMode)
+    qAggBoolBitwise, qAggMode, qAggTopK)
 }
