@@ -39,7 +39,22 @@ object GraftExtensions {
       (FunctionIdentifier("sorted_intersect_count"),
         info("sorted_intersect_count",
           "sorted_intersect_count(a, b) - |a ∩ b| of sorted bigint arrays"),
-        (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+        (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+      (FunctionIdentifier("topk"),
+        info("topk",
+          "topk(score, id, k) - aggregate: top-k (score, id) pairs per " +
+            "group as array<struct<score, id>>, strongest first, total " +
+            "(score DESC, id ASC) tie order; bounded-heap partial " +
+            "aggregation (<= k rows per group per mapper)"),
+        (es: Seq[Expression]) => {
+          val k = es(2) match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"topk: k must be an integer literal, got $other")
+          }
+          graft.functions.TopKAgg(es(0), es(1), k)
+        }))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

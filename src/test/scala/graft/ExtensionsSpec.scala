@@ -23,6 +23,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("topk aggregate is callable from SQL") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT g, topk(s, id, 2) AS top FROM VALUES
+        |  ('a', 3.0D, 1L), ('a', 5.0D, 2L), ('a', 5.0D, 3L),
+        |  ('b', 1.0D, 9L)
+        |AS t(g, s, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // ties at score 5.0 prefer the smaller id; strongest first
+    assert(a == Seq((5.0, 2L), (5.0, 3L)))
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(b == Seq((1.0, 9L)))
+  }
+
   test("dotp raises on dimension mismatch instead of truncating") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
