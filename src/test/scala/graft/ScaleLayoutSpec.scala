@@ -91,4 +91,39 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .filter(year(col("o_orderdate")) === 1997).count()
     assert(joined.collect()(0).getAs[Long]("n") == want)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the third runtime-pruning lever next to DPP and AQE: a selective
+    // filter on the build side injects a bloom_filter_agg subquery that
+    // pre-filters the fact scan BEFORE the join shuffle. The two size
+    // thresholds exist so tiny builds/scans skip it - at fixture scale
+    // we zero the application-side threshold; at 100 TB the 10 GB
+    // default triggers on every real fact table.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = TableLoader.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = TableLoader.lineitem(spark, sfDir)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      assert(j.queryExecution.optimizedPlan.toString
+        .contains("bloom_filter_agg"),
+        "no runtime bloom filter injected")
+      // and the plan still computes the right answer
+      val got = j.collect()(0).getLong(1)
+      val want = TableLoader.lineitem(spark, sfDir)
+        .join(TableLoader.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(got == want)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
