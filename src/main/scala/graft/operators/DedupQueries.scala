@@ -354,7 +354,34 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }
 
+  /** Fuzzy name matching: part-name pairs within levenshtein ≤ 3,
+    * BLOCKED by brand — the entity-resolution primitive (typo'd
+    * product/customer names). The block join is the scale discipline:
+    * pairwise edit distance runs only within each brand's bucket,
+    * never across the corpus; for unblocked fuzzy matching at 100 TB
+    * the pre-filter is the minhash/ngram candidate path above. */
+  val qFuzzyNameMatch: QDef = QDef(
+    "q_fuzzy_name_match",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_partkey").as("key_a"),
+      col("p_brand").as("brand_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"),
+      col("p_brand").as("brand_b"), col("p_name").as("name_b"))
+    a.join(b, col("brand_a") === col("brand_b")
+        && col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
-    qDedupEmbedding, qDedupTransitive)
+    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch)
 }
