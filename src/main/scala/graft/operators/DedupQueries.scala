@@ -354,29 +354,46 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }
 
-  /** Fuzzy name matching: part-name pairs within levenshtein ≤ 3,
-    * BLOCKED by brand — the entity-resolution primitive (typo'd
-    * product/customer names). The block join is the scale discipline:
-    * pairwise edit distance runs only within each brand's bucket,
-    * never across the corpus; for unblocked fuzzy matching at 100 TB
-    * the pre-filter is the minhash/ngram candidate path above. */
+  /** Fuzzy name matching: part-name pairs within levenshtein 1..3,
+    * BLOCKED on (brand, first letter) — the standard entity-resolution
+    * blocking for typo'd names (typos rarely hit the first character).
+    * Blocking is the scale discipline that keeps pairwise edit distance
+    * sub-quadratic: brand alone left ~800-row buckets at sf0.1 (8M
+    * pairs, 28 s); adding the first letter cuts buckets ~10× and a
+    * cheap length-difference precondition (|len a − len b| ≤ 3 is
+    * NECESSARY for lev ≤ 3) prunes before the O(n·m) distance runs.
+    * For unblocked fuzzy matching at 100 TB the candidate pre-filter
+    * is the minhash/ngram path above. */
   val qFuzzyNameMatch: QDef = QDef(
     "q_fuzzy_name_match",
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |  ON a.p_brand = b.p_brand
+      |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
       |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
-    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"),
+      col("p_name"), substring(col("p_name"), 1, 1).as("initial"))
     val a = p.select(col("p_partkey").as("key_a"),
-      col("p_brand").as("brand_a"), col("p_name").as("name_a"))
+      col("p_brand").as("brand_a"), col("initial").as("init_a"),
+      col("p_name").as("name_a"))
     val b = p.select(col("p_partkey").as("key_b"),
-      col("p_brand").as("brand_b"), col("p_name").as("name_b"))
+      col("p_brand").as("brand_b"), col("initial").as("init_b"),
+      col("p_name").as("name_b"))
     a.join(b, col("brand_a") === col("brand_b")
+        && col("init_a") === col("init_b")
         && col("key_a") < col("key_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 3)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      // thresholded variant: early-abandons a row once the running
+      // distance exceeds 3 (returns -1), so far pairs cost O(n·k) not
+      // O(n·m); kept pairs carry the true distance
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+      // dist 0 is an IDENTICAL name — that is q_dedup_exact's domain;
+      // fuzzy matching reports the genuinely-near set [1, 3]
+      .filter(col("dist") >= 1 && col("dist") <= 3)
       .select(col("key_a"), col("key_b"), col("dist"))
       .orderBy(col("key_a"), col("key_b"))
   }
