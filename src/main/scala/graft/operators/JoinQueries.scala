@@ -232,6 +232,32 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Correlated scalar subquery surface: customers whose LARGEST order
+    * exceeds 450k, with that largest order's value. The oracle keeps
+    * the correlated form; the engine side is the de-correlated
+    * aggregate-then-join — the rewrite Catalyst itself applies to the
+    * SQL form, written out because it is the shape that scales (one
+    * aggregation over orders, one join; a per-row subquery re-scan is
+    * the row-store idiom that dies at 100 TB). */
+  val qCorrelatedScalar: QDef = QDef(
+    "q_correlated_scalar",
+    """SELECT c_custkey, c_name,
+      |  (SELECT MAX(o_totalprice) FROM orders
+      |   WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer
+      |WHERE (SELECT MAX(o_totalprice) FROM orders
+      |       WHERE o_custkey = c_custkey) > 450000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val maxes = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).as("max_order"))
+      .filter(col("max_order") > 450000)
+    customer(s, d)
+      .join(maxes, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("max_order"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** 4-table join chain (lineitem⋈orders⋈customer⋈nation) — the join
     * reorder / DPP showcase. Catalyst reorders; dims broadcast. */
   val qJoinMultiway: QDef = QDef(
@@ -294,5 +320,5 @@ object JoinQueries {
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance,
-    qJoinMultiway, qJoinNullSafe)
+    qJoinMultiway, qJoinNullSafe, qCorrelatedScalar)
 }

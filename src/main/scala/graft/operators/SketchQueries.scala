@@ -40,5 +40,39 @@ object SketchQueries {
     typed.unionByName(global).orderBy(col("event_type"))
   }
 
-  val defs: Seq[QDef] = Seq(qHllSketchMerge)
+  /** Count-Min-Sketch frequency estimation: one pass builds a fixed-
+    * size CMS over user_id, then hot-key frequencies are read from the
+    * sketch. The heavy-hitters pattern at 100 TB: the sketch is a few
+    * KB per partition and merges associatively, so frequency queries
+    * on a shuffling-prohibitive stream cost one partial aggregation.
+    * CMS overestimates only (collisions add) with error ≤ eps·N at
+    * confidence 1−delta. No oracle — the sketch binary is engine-
+    * specific; SketchSpec bounds the estimates against exact counts. */
+  val qCmsFreq: QDef = QDef.noOracle("q_cms_freq") { (s, d) =>
+    val ev = events(s, d)
+    val sk = ev.agg(
+      count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42))
+        .as("cms"))
+    // probe the sketch for the 5 hottest users (exact top-5 computed
+    // the ordinary way — the point is the sketch answers WITHOUT
+    // re-scanning events)
+    val hot = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).limit(5)
+      .select(col("user_id"))
+    // Spark ships the CMS aggregate but no SQL-side estimator — the
+    // blob is read with the util class. A UDF is acceptable here: it
+    // probes 5 rows, not the scan path (the SURVEY §0 no-UDF rule is
+    // about hot paths).
+    val estimate = udf { (bytes: Array[Byte], v: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(v)
+    }
+    hot.crossJoin(sk)
+      .select(col("user_id"),
+        estimate(col("cms"), col("user_id")).as("est_n"))
+      .orderBy(col("user_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(qHllSketchMerge, qCmsFreq)
 }

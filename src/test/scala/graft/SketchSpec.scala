@@ -23,6 +23,22 @@ class SketchSpec extends AnyFunSuite {
       s"register-wise max must be lossless: merged=$merged direct=$direct")
   }
 
+  test("CMS estimates are exact-or-over within the eps*N bound") {
+    val ev = TableLoader.events(spark, sfDir)
+    val n = ev.count()
+    val exact = ev.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q_cms_freq")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (u, e) =>
+      val x = exact(u)
+      assert(e >= x, s"CMS must never underestimate: user $u $e < $x")
+      assert(e <= x + (0.001 * n).toLong + 1,
+        s"user $u: estimate $e beyond eps*N of exact $x")
+    }
+  }
+
   test("estimates within 5% of exact distinct counts") {
     val ev = TableLoader.events(spark, sfDir)
     val exact = ev.groupBy(col("event_type"))
