@@ -229,7 +229,76 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Column profiling — the ANALYZE surface a migration tool runs
+    * before and after a load: per-column null and distinct counts in
+    * one pass (every aggregate partial-merges, so profiling 100 TB is
+    * one scan + one tiny shuffle). Min/max are deliberately absent
+    * from the contract here: their cross-engine VARCHAR renderings
+    * differ per type; the count surface is the load-validation core. */
+  val qProfileTable: QDef = QDef(
+    "q_profile_table",
+    """SELECT col_name, n_nulls, n_distinct FROM (
+      |  SELECT 'o_custkey' AS col_name,
+      |    COUNT(*) - COUNT(o_custkey) AS n_nulls,
+      |    COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+      |    COUNT(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+      |    COUNT(DISTINCT o_orderpriority) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+      |    COUNT(DISTINCT o_totalprice) FROM orders)
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_totalprice")
+    // ONE aggregation computes every column's stats (a UNION of
+    // per-column scans — the oracle's readable form — would scan the
+    // table once per column)
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))): _*)
+    val stacked = cols.map { c =>
+      agg.select(
+        lit(c).as("col_name"),
+        (col("n") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"))
+    }.reduce(_.unionByName(_))
+    stacked.orderBy(col("col_name"))
+  }
+
+  /** Order-insensitive table checksum — "did the loaded table equal
+    * the source": md5 each row's canonical rendering, fold a 56-bit
+    * slice of it with SUM (commutative, so partitioning and row order
+    * cannot change the result), alongside the row count. Cheap to
+    * compute on both ends of a migration and to compare. The per-row
+    * slice is 56 bits; the fold accumulates exactly in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) — a BIGINT fold overflows ANSI
+    * arithmetic within thousands of rows — and the checksum is emitted
+    * as its decimal STRING, which renders identically on both engines
+    * at scale 0. */
+  val qTableChecksum: QDef = QDef(
+    "q_table_checksum",
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(('0x' || substr(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |      o_orderpriority), 1, 14)) AS BIGINT)) AS VARCHAR) AS checksum
+      |FROM orders""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select(
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_orderstatus"),
+          col("o_orderpriority")).cast("binary")), 1, 14), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast("string").as("checksum"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qTryFuncs, qSnapshotDiff)
+    qScanOrc, qTryFuncs, qSnapshotDiff, qProfileTable, qTableChecksum)
 }
