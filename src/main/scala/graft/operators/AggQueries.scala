@@ -407,9 +407,42 @@ object AggQueries {
           col("o_orderkey"))
   }
 
+  /** GROUPING() markers on a rollup: the standard way consumers tell a
+    * subtotal row's NULL from a data NULL (coalesce-sentinel tricks
+    * break the moment the data contains the sentinel). */
+  val qAggGroupingId: QDef = QDef(
+    "q_agg_grouping_id",
+    """SELECT
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+      |       ELSE o_orderpriority END AS pri,
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+      |       ELSE o_orderstatus END AS status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY g_pri, g_status, pri, status""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      // grouping() is only resolvable INSIDE the rollup's aggregate
+      // list — a downstream select cannot reference it
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"))
+      .select(
+        when(col("g_pri") === 1, "(all)")
+          .otherwise(col("o_orderpriority")).as("pri"),
+        when(col("g_status") === 1, "(all)")
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("g_pri"), col("g_status"), col("n"))
+      .orderBy(col("g_pri"), col("g_status"), col("pri"), col("status"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
     qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg,
-    qAggBoolBitwise, qAggMode, qAggTopK)
+    qAggBoolBitwise, qAggMode, qAggTopK, qAggGroupingId)
 }
