@@ -17,6 +17,29 @@ import graft.sources.TableLoader._
   */
 object ScalarFuncQueries {
 
+  /** Calendar-bucket reporting: revenue by month via date_trunc — the
+    * reporting rollup every migrated Access workload has somewhere.
+    * Exact decimal accumulation, DOUBLE out; month emitted as DATE
+    * (identical truncation on both engines). */
+  val qMonthlyRollup: QDef = QDef(
+    "q_monthly_rollup",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+
   /** String pack on customer names (Customer#000000123 shapes). */
   val qStringFuncs: QDef = QDef(
     "q_string_funcs",
@@ -230,5 +253,5 @@ object ScalarFuncQueries {
 
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
-    qJsonFuncs, qDateSeries)
+    qJsonFuncs, qDateSeries, qMonthlyRollup)
 }
