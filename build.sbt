@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output: pass the program's stdout straight through instead
+// of re-logging it with an "[info] " prefix (LoggedOutput default). The
+// per-round driver tails stdout and json-parses graft.Bench's metric
+// line — a prefixed line is not valid JSON and rounds 1-3 all recorded
+// `parsed: null`. Applies to `run` and `runMain` alike.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

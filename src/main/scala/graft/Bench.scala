@@ -112,10 +112,13 @@ object Bench {
       case Some(m) => m.group(1)
       case None    => "\"" + sfDir + "\""
     }
-    // full precision for humans + judge: stderr and a repo file (stdout
-    // must hold exactly one '{'-line, the compact one)
+    // full precision for humans + judge: a repo file only. Round 3
+    // printed this line to stderr too, but sbt's logger merges forked
+    // stderr into the same stdout the driver tails — the 2000-char tail
+    // window then held the full line's tail ahead of the compact line
+    // and the driver recorded `parsed: null`. stdout (and anything sbt
+    // merges into it) must hold exactly one '{'-line: the compact one.
     val full = renderLine(total, results, sfJson, 6, 0)
-    System.err.println(full)
     try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     // compact stdout line: all queries at 2dp if that fits the window;

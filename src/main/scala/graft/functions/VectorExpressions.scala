@@ -229,17 +229,143 @@ case class BandedSignKeys(
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Distinct hashed word k-shingles in ONE fused loop: from a doc's
+  * token array, hash each token once (xxhash64 of its bytes), derive
+  * every k-gram hash by chaining `XXH64.hashLong` over the window's
+  * token hashes (exactly how Spark's multi-argument `xxhash64(a,b,c)`
+  * chains its children), then sort + deduplicate in place. Output is a
+  * SORTED DISTINCT array<bigint> — directly consumable by
+  * SortedIntersectCount (pair verification) and MinHashSignature
+  * (signature derivation).
+  *
+  * Replaces the composed
+  * `array_distinct(transform(sequence(...), concat_ws(...)))` +
+  * `transform(sh, xxhash64)` pipeline: higher-order-function lambdas
+  * evaluate interpreted (per-element expression eval, no codegen), and
+  * the composed form also materialized every shingle STRING (~20 bytes
+  * each; ~1M per sf0.1 pass) just to hash it — the dominant cost AND
+  * the dominant allocation of the whole dedup family whenever the
+  * shingle cache is cold. Distinctness of hashed k-grams equals
+  * distinctness of the string k-grams w.h.p. (64-bit hash, space-joined
+  * tokens are injective for space-split input), so Jaccard values are
+  * unchanged.
+  */
+case class HashedShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out =
+      if (n < k) Array.emptyLongArray
+      else {
+        val th = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+          th(i) =
+            if (t == null) 0L
+            else org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUTF8String(t, 42L)
+          i += 1
+        }
+        val m = n - k + 1
+        val sh = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          var h = 42L
+          var j = 0
+          while (j < k) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(th(i + j), h)
+            j += 1
+          }
+          sh(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(sh)
+        var w = 0
+        i = 0
+        while (i < m) {
+          if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+          i += 1
+        }
+        if (w == m) sh else java.util.Arrays.copyOf(sh, w)
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val th = ctx.freshName("tokHashes")
+      val sh = ctx.freshName("shingles")
+      val t = ctx.freshName("tok")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val h = ctx.freshName("h")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = $toks.numElements();
+         |long[] $sh;
+         |if ($n < $k) {
+         |  $sh = new long[0];
+         |} else {
+         |  long[] $th = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $t =
+         |      $toks.isNullAt($i) ? null : $toks.getUTF8String($i);
+         |    $th[$i] = $t == null ? 0L : $xxh.hashUTF8String($t, 42L);
+         |  }
+         |  int $m = $n - $k + 1;
+         |  $sh = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 42L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      $h = $xxh.hashLong($th[$i + $j], $h);
+         |    }
+         |    $sh[$i] = $h;
+         |  }
+         |  java.util.Arrays.sort($sh);
+         |  int $w = 0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($w == 0 || $sh[$i] != $sh[$w - 1]) { $sh[$w++] = $sh[$i]; }
+         |  }
+         |  if ($w != $m) { $sh = java.util.Arrays.copyOf($sh, $w); }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sh);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** All MinHash signature lanes in ONE fused loop: for a doc's array of
-  * 31-bit shingle hashes, compute min over elements of
-  * `(h*a_j + b_j) mod p` for every lane j, returning array<bigint> of
-  * length `coeffsA.length`. Replaces 32 interpreted
+  * shingle hashes (masked to 31 bits internally), compute min over
+  * elements of `(h*a_j + b_j) mod p` for every lane j, returning
+  * array<bigint> of length `coeffsA.length`. Replaces 32 interpreted
   * `array_min(transform(...))` lambdas per row (the same
   * expression-tree overhead BandedSignKeys eliminates for LSH planes).
   *
   * Arithmetic contract (matches the Column form it replaces, and the
   * ANSI-safety analysis in DedupQueries): inputs are masked to 31 bits
-  * and coefficients are < 2^31, so h*a + b < 2^62 + 2^31 — no Long
-  * overflow; p is the Mersenne prime 2^31-1.
+  * in the loop and coefficients are < 2^31, so h*a + b < 2^62 + 2^31 —
+  * no Long overflow; p is the Mersenne prime 2^31-1.
   */
 case class MinHashSignature(
     child: Expression,
@@ -267,7 +393,7 @@ case class MinHashSignature(
     val out = Array.fill(coeffsA.length)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val h = hs.getLong(i) & 0x7FFFFFFFL
       var j = 0
       while (j < out.length) {
         val v = (h * coeffsA(j) + coeffsB(j)) % prime
@@ -293,7 +419,7 @@ case class MinHashSignature(
          |long[] $out = new long[${coeffsA.length}];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
          |for (int $i = 0; $i < $hs.numElements(); $i++) {
-         |  long $h = $hs.getLong($i);
+         |  long $h = $hs.getLong($i) & 0x7FFFFFFFL;
          |  for (int $j = 0; $j < ${coeffsA.length}; $j++) {
          |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
          |    if ($v < $out[$j]) { $out[$j] = $v; }
@@ -324,9 +450,14 @@ object VectorExpressions {
       SortedIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Sorted distinct hashed word k-shingles (array<bigint>) from a
+    * token array column. */
+  def hashedShingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), k))
+
   /** Fused MinHash lanes: min of (h*a_j+b_j) mod p per lane over a
-    * 31-bit-hash array column (Long.MaxValue lanes for empty arrays —
-    * callers filter empties). */
+    * hash array column, each hash masked to 31 bits in the loop
+    * (Long.MaxValue lanes for empty arrays — callers filter empties). */
   def minhashSignature(
       hashes: Column, coeffs: Seq[(Long, Long)],
       prime: Long = 2147483647L): Column =

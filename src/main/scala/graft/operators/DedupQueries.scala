@@ -20,18 +20,6 @@ object DedupQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Word k-shingles (k=3), deduplicated per doc. */
-  private def shingles: Column =
-    array_distinct(
-      transform(
-        sequence(lit(3), size(col("l"))),
-        i =>
-          concat_ws(
-            " ",
-            element_at(col("l"), i - 2),
-            element_at(col("l"), i - 1),
-            element_at(col("l"), i))))
-
   /** Exact duplicate detection: md5(text) groups with >1 member and the
     * canonical survivor (min doc_id). Duplicates exist only at sf0.1 in
     * the fixtures — an empty result still hash-matches; DedupSpec seeds
@@ -70,37 +58,39 @@ object DedupQueries {
         rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-doc distinct shingle sets, persisted per (session, sfDir):
-    * shingle construction is the dominant per-row cost and is needed by
-    * both the signature pass and (twice) the pair-verification join —
-    * caching it means the tokenize/shingle pipeline runs once, not
-    * three times per query. Materialized by `Bench`'s warm-up so the
-    * one-time build cost never lands inside a timed query. */
+  /** Per-doc distinct HASHED shingle sets (sorted array<bigint> from
+    * the fused HashedShingles codegen loop), persisted per
+    * (session, sfDir): the set is consumed by the signature pass and
+    * (twice) by every pair-verification join. The cache is an
+    * optimization, not a crutch — the fused loop makes even a fully
+    * cold recompute a sub-second pass at sf0.1, where the round-1..3
+    * composed form (interpreted HOF lambdas materializing ~1M shingle
+    * strings) cost ~13 s whenever the cache missed mid-bench.
+    * Materialized by `Bench`'s warm-up so the one-time build cost never
+    * lands inside a timed query. */
   def shingleSets(s: SparkSession, d: String): DataFrame =
     graft.sources.SessionCache.getOrElseUpdate(s, ("shingles", d)) {
       documents(s, d)
         .select(col("doc_id"), tokens.as("l"))
         .filter(size(col("l")) >= 3)
-        .select(col("doc_id"), shingles.as("sh"))
+        .select(
+          col("doc_id"),
+          graft.functions.VectorExpressions
+            .hashedShingles(col("l"), 3).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** MinHash signatures (32 perms) for each doc's shingle set: one base
-    * hash per shingle (masked to 31 bits), then all 32 affine minima in
-    * the fused MinHashSignature codegen loop — the composed
+  /** MinHash signatures (32 perms) for each doc's hashed shingle set:
+    * all 32 affine minima in the fused MinHashSignature codegen loop
+    * (31-bit masking happens inside the loop) — the composed
     * `array(array_min(transform(...)) * 32)` form ran every derivation
     * as an interpreted per-element lambda. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     shingleSets(s, d)
       .withColumn(
-        "hs",
-        transform(col("sh"), sh =>
-          xxhash64(sh).bitwiseAND(lit(0x7FFFFFFFL))))
-      .withColumn(
         "sig",
         graft.functions.VectorExpressions
-          .minhashSignature(col("hs"), minhashCoeffs))
-      .drop("hs")
+          .minhashSignature(col("sh"), minhashCoeffs))
 
   /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
     *
@@ -137,11 +127,14 @@ object DedupQueries {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verification re-joins the cached shingle sets directly (NOT the
-    // signature plan — that would re-run the 32-perm derivation)
+    // signature plan — that would re-run the 32-perm derivation); the
+    // sets are sorted distinct hashes, so |a ∩ b| is the codegen'd
+    // two-pointer merge, not a per-row hash-set build
     val sh = shingleSets(s, d)
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)
     candidates
@@ -245,22 +238,18 @@ object DedupQueries {
   def ngramJaccardPairs(
       s: SparkSession, d: String,
       maxPairsPerBlock: Long = 10000000L): DataFrame = {
-    // shingles hashed to SORTED long arrays once per doc: the per-pair
-    // intersection is then a codegen'd two-pointer merge
-    // (SortedIntersectCount) instead of a per-row hash-set build —
-    // ~4x on the pair verification at sf0.1. The shingle arrays come
-    // from the persisted shingleSets cache (shared with minhash): the
-    // interpreted tokenize→shingle→distinct lambdas are the dominant
-    // per-doc cost and would otherwise run TWICE (once per join side).
+    // the persisted shingleSets cache (shared with minhash) already
+    // holds SORTED distinct hash arrays, so the per-pair intersection
+    // is a codegen'd two-pointer merge (SortedIntersectCount) instead
+    // of a per-row hash-set build — ~4x on the pair verification at
+    // sf0.1, and no per-side re-derivation of the shingles.
     // no broadcast hint: the metadata side has corpus cardinality (the
     // q_tfidf lesson) — AQE broadcasts at fixture scale on its own
     val docs = shingleSets(s, d)
       .join(
         documents(s, d).select(col("doc_id"), col("source"), col("lang")),
         "doc_id")
-      .select(
-        col("doc_id"), col("source"), col("lang"),
-        array_sort(transform(col("sh"), sh => xxhash64(sh))).as("sh"))
+      .select(col("doc_id"), col("source"), col("lang"), col("sh"))
     val blockGuard = docs
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("__bn"))
