@@ -122,9 +122,11 @@ object Bench {
     try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     // compact stdout line: all queries at 2dp if that fits the window;
-    // otherwise slowest-first prefix that fits, with omitted count
-    // 2000-char window − ~80-char sbt success line − margin
-    val budget = 1850
+    // otherwise slowest-first prefix that fits, with omitted count.
+    // 2000-char window − ~80-char sbt success line − generous margin
+    // for any stderr the driver may merge after the line (shutdown
+    // warnings): a cut-off line HEAD is unparseable, slack is cheap
+    val budget = 1500
     val all2dp = renderLine(total, results, sfJson, 2, 0)
     val line =
       if (all2dp.length <= budget) all2dp
@@ -142,6 +144,10 @@ object Bench {
         }
         renderLine(total, bySlowest.take(lo), sfJson, 2, bySlowest.size - lo)
       }
+    // ERROR level for the shutdown: if the driver merges stderr into
+    // the tail it reads, a stray WARN after the metric line must not
+    // push the line's head out of the parse window
+    spark.sparkContext.setLogLevel("ERROR")
     println(line)
     spark.stop()
   }
