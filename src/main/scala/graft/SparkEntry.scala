@@ -20,7 +20,7 @@ object SparkEntry {
       SimilarityQueries.defs ++ DedupQueries.defs ++ UdxQueries.defs ++
       Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs ++
       SamplingQueries.defs ++ AnalyticExtQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++ PipelineExtQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Round-4 extensions: the analytics a training-data/product pipeline
+  * runs on top of the relational core — cohort retention, Markov
+  * transition counts, per-entity distribution entropy, z-score outlier
+  * flagging, weighted means, entity-consistent holdout sampling, BM25
+  * term scoring, and embedding distance-to-centroid curation.
+  *
+  * Scale shapes (the reason each query is written the way it is):
+  * per-entity statistics are computed by AGGREGATING TO THE ENTITY and
+  * joining back (never a window over a low-cardinality partition — a
+  * 5-partition window serializes 100 TB into 5 tasks); corpus-level
+  * scalars (N, avgdl, per-type moments) are tiny aggregates that
+  * broadcast; everything else is hash-partitioned by the natural key.
+  */
+object PipelineExtQueries {
+
+  /** Cohort retention: users bucketed by first-seen week, activity
+    * counted per (cohort week, activity week) — the product-analytics
+    * staple (weekly, because the fixture spans one month; both engines
+    * truncate weeks to ISO Monday). Both the first-seen aggregate and
+    * the join back to events hash-partition on user_id, so the second
+    * shuffle reuses the first's exchange; the final (week, week)
+    * aggregate is a few-hundred-group rollup. */
+  val qCohortRetention: QDef = QDef(
+    "q_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    date_trunc('week', CAST(MIN(ts) AS TIMESTAMP)) AS cohort
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+      |  CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+      |    AS activity_week,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, activity_week""".stripMargin) { (s, d) =>
+    val e = events(s, d).select(col("user_id"), col("ts"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    e.join(first, "user_id")
+      .groupBy(
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+        to_date(date_trunc("week", col("ts"))).as("activity_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("activity_week"))
+  }
+
+  /** Event-type transition counts (first-order Markov matrix): per-user
+    * time-ordered LEAD, then a global (from, to) rollup. One shuffle on
+    * user_id for the window, then an integer-count aggregate —
+    * hash-safe (no floats). Order ties broken by event_id on BOTH
+    * sides, over the µs-truncated timestamp the engine sees. */
+  val qTransitionMatrix: QDef = QDef(
+    "q_transition_matrix",
+    """WITH s AS (
+      |  SELECT event_type, LEAD(event_type) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events)
+      |SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |FROM s WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(
+        col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity / bot-detection feature. Two-level aggregate
+    * (per (user, type) counts, then per-user H = ln N − Σ c·ln c / N);
+    * both levels partial-aggregate map-side. ROUND(,4) absorbs the
+    * ≤ 5-term double-summation order difference across engines. */
+  val qEntropy: QDef = QDef(
+    "q_entropy",
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |n AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n AS n_events,
+      |  ROUND(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 4) AS entropy
+      |FROM n ORDER BY user_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(
+        col("user_id"), col("n").as("n_events"),
+        round(
+          log(col("n").cast("double")) - col("s") / col("n").cast("double"),
+          4).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Z-score outlier flagging per event type: the per-type moments are
+    * a 5-row aggregate joined back to the stream (broadcast — NEVER a
+    * window partitioned by the 5-value type column, which would
+    * serialize the table into 5 tasks at any scale). |z| > 3 keeps the
+    * genuine tail; value is continuous so the cross-engine ulp on
+    * mu/sigma cannot sit on the cut w.h.p. */
+  val qAnomalyZscore: QDef = QDef(
+    "q_anomaly_zscore",
+    """WITH s AS (
+      |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  ROUND((e.value - s.mu) / s.sigma, 4) AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE ABS((e.value - s.mu) / s.sigma) > 3
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = events(s, d)
+    val stats = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), round(z, 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Quantity-weighted average price per return flag: Σ(p·q)/Σ(q) with
+    * BOTH sums accumulated in DECIMAL (exact, order-independent), cast
+    * to DOUBLE for the single final division — one rounding on one
+    * deterministic quotient (SURVEY §0 decimal rule). */
+  val qWeightedAvg: QDef = QDef(
+    "q_weighted_avg",
+    """SELECT l_returnflag,
+      |  ROUND(
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+      |    4) AS wavg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_quantity").cast("decimal(18,2)")).cast("double").as("num"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("den"))
+      .select(
+        col("l_returnflag"),
+        round(col("num") / col("den"), 4).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Entity-consistent holdout: hold out ~10% of USERS (not rows) by
+    * md5 of the user key, keeping every event of a held-out user
+    * together — the leakage-free evaluation split (row-level sampling
+    * puts the same user in train and test). The assignment is a pure
+    * function of the key: stable under repartitioning and engine
+    * changes, no shuffle beyond the scan (same discipline as
+    * q_split_hash, one level up: entity, not record). */
+  val qUserHoldout: QDef = QDef(
+    "q_user_holdout",
+    """SELECT event_id, user_id, event_type
+      |FROM events
+      |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+      |        AS INT) % 10 = 0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val bucket = conv(
+      substring(md5(col("user_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("int") % 10
+    events(s, d)
+      .filter(bucket === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** BM25 (k1=1.2, b=0.75): the standard retrieval/quality scorer —
+    * tf-idf with saturation and doc-length normalization. Emits each
+    * doc's top-scoring term (row_number arg-max, term tie-break).
+    * Corpus scalars (N, avgdl) are a one-row aggregate (broadcast);
+    * the df side carries NO hint — vocabulary cardinality grows with
+    * the corpus (the q_tfidf lesson), AQE broadcasts it at fixture
+    * scale on its own. Exact score ties (same tf, df, dl) resolve by
+    * term on both sides; distinct score gaps are macroscopic relative
+    * to the 1-ulp libm ln() divergence. */
+  val qBm25TopTerm: QDef = QDef(
+    "q_bm25_top_term",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+      |       FROM dl),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS score
+      |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+      |r AS (
+      |  SELECT doc_id, w, score, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+      |  FROM sc)
+      |SELECT doc_id, w AS top_term, ROUND(score, 4) AS bm25
+      |FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val tok = docs.select(col("doc_id"), explode(col("l")).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(col("l")).cast("double").as("dl"))
+    val st = dl.agg(
+      count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val score =
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+        (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("w"), score.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("w").as("top_term"),
+        round(col("score"), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Embedding distance-to-centroid: cosine of every vector against its
+    * label's mean vector — the curation signal for mislabeled/outlier
+    * examples. The centroid is a posexplode + (label, pos) average
+    * (scales as one shuffle of n·dim scalar rows, never a per-label
+    * array fold), rebuilt into an array and BROADCAST back (|labels|
+    * rows). HOF arithmetic on the 500-row probe side is fine — the
+    * centroid build is the scale path. */
+  val qCentroidDist: QDef = QDef(
+    "q_centroid_dist",
+    """WITH p AS (
+      |  SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) AS s(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT label, list(c ORDER BY i) AS cv FROM p GROUP BY label),
+      |e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT e.vec_id,
+      |  ROUND(
+      |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))
+      |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+      |    4) AS cos_centroid
+      |FROM e JOIN cent USING (label)
+      |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(
+        col("label"),
+        transform(col("pc"), p => p.getField("c")).as("cv"))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    e.join(broadcast(cent), "label")
+      .select(
+        col("vec_id"),
+        round(
+          dotD(v, col("cv")) / (normD(v) * normD(col("cv"))),
+          4).as("cos_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
+    qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist)
+}

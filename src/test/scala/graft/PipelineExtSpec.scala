@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TableLoader
+
+/** Round-4 pipeline extensions, cross-checked against independent
+  * driver-side recomputations on sf0.001 (the SketchSpec discipline:
+  * same data, different algorithm/engine path, equal answers). */
+class PipelineExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val ev: Seq[(Long, Long, String, java.sql.Timestamp, Double)] =
+    TableLoader.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getDouble(4))).toSeq
+
+  test("q_entropy matches a direct per-user Shannon computation") {
+    val out = SparkEntry.queries("q_entropy")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val byUser = ev.groupBy(_._2)
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val n = rows.size.toDouble
+      val h = math.log(n) -
+        rows.groupBy(_._3).values.map(_.size.toDouble)
+          .map(c => c * math.log(c)).sum / n
+      assert(math.abs(out(u) - h) < 5e-4, s"user $u: ${out(u)} vs $h")
+      // uniform over k types bounds H by ln k; 5 types in the fixture
+      assert(out(u) >= 0 && out(u) <= math.log(5.0) + 5e-4)
+    }
+  }
+
+  test("q_transition_matrix matches direct per-user LEAD counts") {
+    val out = SparkEntry.queries("q_transition_matrix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val direct = ev.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(r => (r._4.getTime, r._1)).map(_._3)
+        .sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == direct)
+    // every event except each user's last contributes one transition
+    assert(out.values.sum == ev.size - ev.map(_._2).distinct.size)
+  }
+
+  test("q_user_holdout is entity-consistent (whole users in or out)") {
+    val held = SparkEntry.queries("q_user_holdout")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val heldUsers = held.map(_._2).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(u: Long): Int = {
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      Integer.parseInt(hex, 16) % 10
+    }
+    val expectUsers = ev.map(_._2).distinct.filter(bucket(_) == 0).toSet
+    assert(heldUsers == expectUsers, "held-out user set != md5 rule")
+    // consistency: EVERY event of a held-out user is present
+    val expectEvents = ev.filter(e => expectUsers(e._2)).map(_._1).toSet
+    assert(held.map(_._1).toSet == expectEvents,
+      "row-level leakage: held-out users must bring all their events")
+  }
+
+  test("q_anomaly_zscore flags exactly the 3-sigma tail") {
+    val out = SparkEntry.queries("q_anomaly_zscore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val byType = ev.groupBy(_._3)
+    val expected = byType.values.flatMap { rows =>
+      val n = rows.size
+      val mu = rows.map(_._5).sum / n
+      val sigma = math.sqrt(
+        rows.map(r => (r._5 - mu) * (r._5 - mu)).sum / (n - 1))
+      rows.map(r => r._1 -> (r._5 - mu) / sigma)
+        .filter { case (_, z) => math.abs(z) > 3 }
+    }.toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (id, z) =>
+      assert(math.abs(z - expected(id)) < 5e-4, s"event $id: $z")
+    }
+  }
+
+  test("q_weighted_avg equals the BigDecimal-exact quotient") {
+    val out = SparkEntry.queries("q_weighted_avg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = TableLoader.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val num = rows.map(r => d2(r._2) * d2(r._3)).sum
+      val den = rows.map(r => d2(r._3)).sum
+      val w = (num.toDouble / den.toDouble)
+      assert(math.abs(out(flag) - w) < 5e-4, s"$flag: ${out(flag)} vs $w")
+    }
+  }
+
+  test("q_bm25_top_term picks the per-doc argmax of a direct BM25") {
+    val docs = TableLoader.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, v) => w -> v.length.toDouble }
+    def score(tf: Int, w: String, dl: Int): Double =
+      math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expected = docs.map { case (id, toks) =>
+      val best = toks.groupBy(identity)
+        .map { case (w, v) => (w, score(v.size, w, toks.size)) }
+        .toSeq.minBy { case (w, sc) => (-sc, w) }
+      id -> best
+    }.toMap
+    val out = SparkEntry.queries("q_bm25_top_term")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (id, (term, sc)) =>
+      assert(term == expected(id)._1, s"doc $id: $term vs ${expected(id)._1}")
+      assert(math.abs(sc - expected(id)._2) < 5e-4, s"doc $id score")
+    }
+  }
+
+  test("q_centroid_dist matches a direct centroid cosine") {
+    val vecs = TableLoader.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.get(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cent = vecs.groupBy(_._2).map { case (l, vs) =>
+      val c = new Array[Double](64)
+      vs.foreach(v => (0 until 64).foreach(i => c(i) += v._3(i)))
+      l -> c.map(_ / vs.length)
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val out = SparkEntry.queries("q_centroid_dist")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, l, v) =>
+      val c = cent(l)
+      val cos = dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c)))
+      assert(math.abs(out(id) - cos) < 5e-4, s"vec $id: ${out(id)} vs $cos")
+      assert(out(id) >= -1.0001 && out(id) <= 1.0001)
+    }
+  }
+
+  test("q_cohort_retention: diagonal equals cohort size, no activity " +
+    "before the cohort week") {
+    val out = SparkEntry.queries("q_cohort_retention")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0), r.getDate(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (cw, aw, _) =>
+      assert(!aw.before(cw), s"activity $aw before cohort $cw")
+    }
+    // diagonal cell (c, c): every cohort user is active in their first
+    // week by construction, so it is the cohort's max retention cell
+    val diag = out.filter { case (cw, aw, _) => cw == aw }
+    val cohortSizes = out.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    diag.foreach { case (cw, _, n) =>
+      assert(n == cohortSizes(cw),
+        s"diagonal of $cw must be the cohort's max retention cell")
+    }
+  }
+}
