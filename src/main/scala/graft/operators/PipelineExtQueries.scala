@@ -301,7 +301,154 @@ object PipelineExtQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** DAU + trailing-7-day WAU per active day. Distinct (day, user)
+    * pairs first (the only big shuffle), then the WAU range join pairs
+    * a BROADCAST day grid (|days| rows, bounded by the calendar) with
+    * the day-level pairs — never with raw events. DAU reuses the same
+    * pair set. */
+  val qActiveUsers: QDef = QDef(
+    "q_active_users",
+    """WITH p AS (
+      |  SELECT DISTINCT
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM p)
+      |SELECT d.day,
+      |  (SELECT COUNT(DISTINCT user_id) FROM p WHERE p.day = d.day)
+      |    AS dau,
+      |  (SELECT COUNT(DISTINCT user_id) FROM p
+      |   WHERE p.day BETWEEN d.day - 6 AND d.day) AS wau
+      |FROM days d
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val p = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = p.select(col("day")).distinct()
+    val dau = p.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days.withColumnRenamed("day", "d"))
+      .join(p, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .withColumnRenamed("d", "day")
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** Global equi-depth decile bucketing: exact interpolated decile
+    * boundaries (one tiny aggregate, broadcast back) and a per-row
+    * comparison count — the scale shape for "which quantile is this
+    * row in" (a single-partition ntile window would serialize the
+    * table; the boundary join keeps it embarrassingly parallel). At
+    * 100 TB the boundary aggregate swaps to approx_percentile, same
+    * join. */
+  val qQuantileBucket: QDef = QDef(
+    "q_quantile_bucket",
+    """WITH q AS (
+      |  SELECT quantile_cont(value,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM events)
+      |SELECT e.event_id, e.value,
+      |  CAST(1 + len(list_filter(q.qs, x -> e.value > x)) AS INT)
+      |    AS decile
+      |FROM events e CROSS JOIN q
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val qs = events(s, d).agg(
+      percentile(
+        col("value"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+    val decile = (lit(1) +
+      aggregate(
+        col("qs"), lit(0),
+        (acc, x) => acc + when(col("value") > x, 1).otherwise(0)))
+      .cast("int")
+    events(s, d)
+      .crossJoin(broadcast(qs))
+      .select(col("event_id"), col("value"), decile.as("decile"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Containment near-dup (quote/boilerplate detection): |A∩B| over
+    * min(|A|,|B|) ≥ 0.3 on the hashed shingle sets, blocked on
+    * (source, lang) like the exact Jaccard twin — containment catches
+    * the subset pairs Jaccard under-scores (a short doc quoted inside
+    * a long one has high containment, low Jaccard). Quadratic within
+    * blocks: fixture-scale oracle twin; the corpus path stays
+    * candidate-based (minhash). */
+  val qDedupContainment: QDef = QDef(
+    "q_dedup_containment",
+    """WITH t AS (SELECT doc_id, source, lang,
+      |    string_split(text, ' ') AS l FROM documents),
+      |s AS (SELECT doc_id, source, lang,
+      |    list_distinct(list_transform(range(3, len(l) + 1),
+      |      i -> l[i-2] || ' ' || l[i-1] || ' ' || l[i])) AS s
+      |  FROM t WHERE len(l) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / least(len(a.s), len(b.s)), 4) AS containment
+      |FROM s a JOIN s b
+      |  ON a.source = b.source AND a.lang = b.lang
+      |  AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / least(len(a.s), len(b.s)) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = DedupQueries.shingleSets(s, d)
+      .join(
+        documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+        "doc_id")
+    val a = docs.select(
+      col("source"), col("lang"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(
+      col("source").as("source_b"), col("lang").as("lang_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val cont = inter.cast("double") /
+      least(size(col("sh_a")), size(col("sh_b")))
+    a.join(
+      b,
+      col("source") === col("source_b") && col("lang") === col("lang_b")
+        && col("doc_a") < col("doc_b"))
+      .filter(cont >= 0.3)
+      .select(col("doc_a"), col("doc_b"), round(cont, 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-event model-feature assembly: lagged values, trailing 5-event
+    * mean, and µs gap since the previous event, per user — one window
+    * spec, one shuffle on user_id, every feature from the same sorted
+    * pass (N window columns over one spec cost one sort, not N). */
+  val qLagFeatures: QDef = QDef(
+    "q_lag_features",
+    """SELECT event_id,
+      |  ROUND(LAG(value, 1) OVER w, 4) AS lag1,
+      |  ROUND(LAG(value, 2) OVER w, 4) AS lag2,
+      |  ROUND(AVG(value) OVER (w ROWS BETWEEN 4 PRECEDING
+      |    AND CURRENT ROW), 4) AS mean5,
+      |  epoch_us(CAST(ts AS TIMESTAMP))
+      |    - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(
+        col("event_id"),
+        round(lag(col("value"), 1).over(w), 4).as("lag1"),
+        round(lag(col("value"), 2).over(w), 4).as("lag2"),
+        round(avg(col("value")).over(w.rowsBetween(-4, 0)), 4).as("mean5"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
-    qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist)
+    qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
+    qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures)
 }

@@ -94,6 +94,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out((0L, 2L)) > 0.8)
   }
 
+  test("q_dedup_containment dominates jaccard and finds the seeded pairs") {
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("containment")).toMap
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    assert(cont((0L, 1L)) == 1.0) // identical docs
+    assert(cont((0L, 2L)) > 0.8)  // one-token edit
+    // |A∩B|/min ≥ |A∩B|/union on every pair both surfaced
+    jac.keys.filter(cont.contains).foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-4, s"containment < jaccard for $k")
+    }
+  }
+
   test("ngram jaccard refuses oversized blocks (quadratic guard)") {
     // with a 1-pair budget every fixture block is oversized — the
     // guard must raise and point at the scalable minhash path

@@ -12,6 +12,13 @@ class PipelineExtSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Epoch µs of a Timestamp (getTime is ms-truncated; the fixture is
+    * µs-grained, matching the engine's unix_micros). */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   private lazy val ev: Seq[(Long, Long, String, java.sql.Timestamp, Double)] =
     TableLoader.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -41,7 +48,7 @@ class PipelineExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val direct = ev.groupBy(_._2).values.flatMap { rows =>
-      rows.sortBy(r => (r._4.getTime, r._1)).map(_._3)
+      rows.sortBy(r => (micros(r._4), r._1)).map(_._3)
         .sliding(2).collect { case Seq(a, b) => (a, b) }
     }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(out == direct)
@@ -166,6 +173,66 @@ class PipelineExtSpec extends AnyFunSuite {
     diag.foreach { case (cw, _, n) =>
       assert(n == cohortSizes(cw),
         s"diagonal of $cw must be the cohort's max retention cell")
+    }
+  }
+
+  test("q_active_users: WAU dominates DAU and matches a direct count") {
+    val out = SparkEntry.queries("q_active_users")(spark, sfDir)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // UTC calendar date of each event (matches the session timezone
+    // Spark truncates in; java.sql.Date#toLocalDate round-trips the
+    // engine's date value through the default zone losslessly)
+    val pairs = ev.map(e => (
+      e._4.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDate,
+      e._2)).distinct
+    out.foreach { case (day, dau, wau) =>
+      val d = day.toLocalDate
+      val expectDau = pairs.count(_._1 == d)
+      val expectWau = pairs.filter { case (pd, _) =>
+        !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.size
+      assert(dau == expectDau, s"$day dau $dau vs $expectDau")
+      assert(wau == expectWau, s"$day wau $wau vs $expectWau")
+      assert(wau >= dau)
+    }
+  }
+
+  test("q_quantile_bucket: buckets are monotone in value and balanced") {
+    val out = SparkEntry.queries("q_quantile_bucket")(spark, sfDir)
+      .collect().map(r => (r.getDouble(1), r.getInt(2)))
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "bucket must be nondecreasing in value")
+    val hist = out.groupBy(_._2).view.mapValues(_.size)
+    assert(hist.keySet == (1 to 10).toSet)
+    val n = out.size.toDouble
+    hist.foreach { case (b, c) =>
+      assert(math.abs(c - n / 10) <= n / 100 + 2,
+        s"decile $b has $c of ${out.size} rows — not equi-depth")
+    }
+  }
+
+  test("q_lag_features matches a direct per-user sliding computation") {
+    val out = SparkEntry.queries("q_lag_features")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    ev.groupBy(_._2).values.foreach { rows =>
+      val s = rows.sortBy(r => (micros(r._4), r._1)).toIndexedSeq
+      s.indices.foreach { i =>
+        val (lag1, mean5, gap) = out(s(i)._1)
+        assert(lag1 == (if (i >= 1) Some(BigDecimal(s(i - 1)._5)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) else None))
+        val win = s.slice(math.max(0, i - 4), i + 1).map(_._5)
+        assert(math.abs(mean5 - win.sum / win.size) < 5e-4)
+        // µs gap via toInstant (getTime is ms-truncated)
+        assert(gap == (if (i >= 1)
+          Some(micros(s(i)._4) - micros(s(i - 1)._4)) else None))
+      }
     }
   }
 }
