@@ -447,8 +447,90 @@ object PipelineExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Robust per-type statistics: median, MAD (median absolute
+    * deviation), IQR, and the Tukey-fence outlier count — the outlier
+    * toolkit that survives heavy tails where mean/stddev (q_anomaly_
+    * zscore) break. Two exact-percentile passes with the tiny per-type
+    * summaries broadcast between them; at 100 TB both swap to
+    * approx_percentile, same dataflow. */
+  val qRobustStats: QDef = QDef(
+    "q_robust_stats",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.5) AS med,
+      |    quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type,
+      |    quantile_cont(ABS(e.value - m.med), 0.5) AS mad,
+      |    COUNT(*) FILTER (WHERE
+      |      e.value < m.p25 - 1.5 * (m.p75 - m.p25)
+      |      OR e.value > m.p75 + 1.5 * (m.p75 - m.p25)) AS n_outliers
+      |  FROM events e JOIN m USING (event_type)
+      |  GROUP BY e.event_type)
+      |SELECT m.event_type, ROUND(m.med, 4) AS med,
+      |  ROUND(mad.mad, 4) AS mad,
+      |  ROUND(m.p75 - m.p25, 4) AS iqr, mad.n_outliers
+      |FROM m JOIN mad USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = events(s, d)
+    val m = e.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).as("med"),
+      percentile(col("value"), lit(0.25)).as("p25"),
+      percentile(col("value"), lit(0.75)).as("p75"))
+    val iqr = col("p75") - col("p25")
+    val mad = e.join(broadcast(m), "event_type")
+      .groupBy(col("event_type"), col("med"), col("p25"), col("p75"))
+      .agg(
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"),
+        count_if(col("value") < col("p25") - lit(1.5) * iqr
+          || col("value") > col("p75") + lit(1.5) * iqr).as("n_outliers"))
+      .select(
+        col("event_type"), round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"), round(iqr, 4).as("iqr"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+    mad
+  }
+
+  /** Class-balanced deterministic downsample: top-100 events per type
+    * by md5 rank — balancing skewed classes without a seed or a
+    * shuffle-order dependency. Uses the bounded-heap TopKAgg, so each
+    * mapper ships ≤ 100 rows per class across the shuffle (a
+    * row_number window would hold and SORT every class in full — the
+    * oracle keeps that form: two algorithms, one answer). */
+  val qSampleBalanced: QDef = QDef(
+    "q_sample_balanced",
+    """WITH h AS (
+      |  SELECT event_type, event_id,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) AS hk
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, event_id, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY hk, event_id) AS rn
+      |  FROM h)
+      |SELECT event_type, event_id FROM r WHERE rn <= 100
+      |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+    // md5-derived 32-bit key, negated: TopKAgg keeps the k strongest
+    // (score DESC, id ASC at ties) so -hash ranks smallest-hash first;
+    // 32-bit magnitudes are exact in double
+    val hk = conv(
+      substring(md5(col("event_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg(
+        -hk.cast("double"), col("event_id"), 100).as("picked"))
+      .select(col("event_type"), explode(col("picked")).as("p"))
+      .select(col("event_type"), col("p.id").as("event_id"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
-    qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures)
+    qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
+    qRobustStats, qSampleBalanced)
 }

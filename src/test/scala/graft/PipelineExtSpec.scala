@@ -213,6 +213,56 @@ class PipelineExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q_robust_stats matches direct median/MAD/IQR/fence counts") {
+    def quantile(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val idx = q * (s.size - 1)
+      val lo = idx.toInt
+      if (lo + 1 >= s.size) s(lo)
+      else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    val out = SparkEntry.queries("q_robust_stats")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    ev.groupBy(_._3).foreach { case (t, rows) =>
+      val vs = rows.map(_._5)
+      val med = quantile(vs, 0.5)
+      val p25 = quantile(vs, 0.25)
+      val p75 = quantile(vs, 0.75)
+      val mad = quantile(vs.map(v => math.abs(v - med)), 0.5)
+      val nOut = vs.count(v =>
+        v < p25 - 1.5 * (p75 - p25) || v > p75 + 1.5 * (p75 - p25))
+      val (oMed, oMad, oIqr, oN) = out(t)
+      assert(math.abs(oMed - med) < 5e-4, s"$t med")
+      assert(math.abs(oMad - mad) < 5e-4, s"$t mad")
+      assert(math.abs(oIqr - (p75 - p25)) < 5e-4, s"$t iqr")
+      assert(oN == nOut, s"$t outliers: $oN vs $nOut")
+    }
+  }
+
+  test("q_sample_balanced: exactly min(100, class size) per class, " +
+    "hash-deterministic") {
+    val out = SparkEntry.queries("q_sample_balanced")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    // .toSeq first: Map.flatMap over pair-producing functions would
+    // rebuild a Map and collapse to one entry per class
+    val expected = ev.groupBy(_._3).toSeq.flatMap { case (t, rows) =>
+      rows.map(_._1).distinct.sortBy(id => (hk(id), id)).take(100)
+        .map(t -> _)
+    }.toSet
+    assert(out.toSet == expected, "picked set != md5-rank rule")
+    out.groupBy(_._1).foreach { case (t, picked) =>
+      val classSize = ev.count(_._3 == t)
+      assert(picked.size == math.min(100, classSize), s"$t size")
+    }
+  }
+
   test("q_lag_features matches a direct per-user sliding computation") {
     val out = SparkEntry.queries("q_lag_features")(spark, sfDir)
       .collect()
