@@ -368,32 +368,24 @@ object TextQueries {
       |    AS fp_digest
       |FROM w
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // explode + window-min, NOT transform() lambdas: higher-order
-    // functions evaluate interpreted per element, and 2.5M interpreted
-    // md5 chains cost ~22 s at sf0.1; exploded rows keep the md5 in
-    // whole-stage codegen and the 4-window minimum is one running
-    // window over (doc_id, position) — 22 s → ~1 s, same values.
+    // Third form of this query. Round 1 composed transform() lambdas
+    // (interpreted per element: ~22 s at sf0.1); round 3 exploded grams
+    // through a window-min + collect_set groupBy (codegen'd md5, but
+    // ~120 rows/doc shuffled twice and window-sorted: ~1.6 s). The work
+    // is strictly per-document over a BOUNDED 128-char prefix, so the
+    // fused WinnowFingerprint expression does the whole pipeline in one
+    // per-row pass — no explode, no shuffle, no sort (~0.3 s), values
+    // bit-identical to both earlier forms and the unchanged oracle.
     val txt = substring(lower(col("text")), 1, 128)
-    val docs = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), txt.as("s"))
-      .filter(length(col("s")) >= 8)
-      .filter(length(col("s")) - 7 >= 4) // ≥ 4 grams → ≥ 1 window
-    val grams = docs
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - 7)).as("i"))
-      .select(col("doc_id"), col("i"),
-        conv(substring(md5(col("s").substr(col("i"), lit(8))
-          .cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(-3, Window.currentRow)
-    grams
-      .withColumn("fp", min(col("h")).over(w))
-      .filter(col("i") >= 4) // full 4-hash windows only
-      .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("fp")).as("n_fp"),
-        md5(concat_ws(",", array_sort(collect_set(col("fp"))))
-          .cast("binary")).as("fp_digest"))
+      .filter(length(col("s")) >= 11) // ≥ 4 grams of 8 → ≥ 1 window
+      .select(
+        col("doc_id"),
+        graft.functions.WinnowFingerprint(col("s"), 8, 4).as("fp"))
+      .select(
+        col("doc_id"), col("fp.n_fp").as("n_fp"),
+        col("fp.fp_digest").as("fp_digest"))
       .orderBy(col("doc_id"))
   }
 

@@ -171,4 +171,46 @@ class PlanSpec extends AnyFunSuite {
         s"$q fell out of codegen")
     }
   }
+
+  test("q_anomaly_zscore / q_robust_stats broadcast the per-type " +
+    "moments, never window the 5-value type column") {
+    Seq("q_anomaly_zscore", "q_robust_stats").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$q: per-type summary must broadcast back, got\n$p")
+      assert(!p.toString.contains("Window"),
+        s"$q must not plan a low-cardinality window")
+    }
+  }
+
+  test("q_sample_balanced ships <= k rows per class per mapper " +
+    "(partial TopKAgg, no window sort)") {
+    val p = finalPlan("q_sample_balanced")
+    assert(p.toString.contains("partial_topk"),
+      s"expected map-side partial topk aggregation:\n$p")
+    assert(!p.toString.contains("Window"),
+      "the bounded-heap form must not fall back to a row_number window")
+  }
+
+  test("q_quantile_bucket / q_bm25_top_term join their one-row corpus " +
+    "scalars by broadcast, not cartesian") {
+    Seq("q_quantile_bucket", "q_bm25_top_term").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.collectWithSubqueries {
+        case c: CartesianProductExec => c
+      }.isEmpty, s"$q plans a CartesianProduct")
+      assert(p.toString.contains("BroadcastNestedLoopJoin")
+        || p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$q: scalar side must broadcast:\n$p")
+    }
+  }
+
+  test("q_winnow_fingerprint is shuffle-free up to its final sort " +
+    "(fused expression: no explode, no window, no re-aggregation)") {
+    val p = finalPlan("q_winnow_fingerprint")
+    assert(!p.toString.contains("Window"), s"window survived fusion:\n$p")
+    assert(!p.toString.contains("Generate"), s"explode survived fusion:\n$p")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"only the ORDER BY may shuffle:\n$p")
+  }
 }
