@@ -528,9 +528,104 @@ object PipelineExtQueries {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Dense daily spine with zero-filled gaps: reporting over sparse
+    * activity needs every calendar day present (downstream charting /
+    * joins break on missing rows). The spine generates from the min/max
+    * bounds (one tiny aggregate) and LEFT-joins the per-day rollup —
+    * the complement of q_fill_forward (which fills null VALUES, not
+    * missing ROWS). Spine size is calendar-bounded: broadcast. */
+  val qTimeGapfill: QDef = QDef(
+    "q_time_gapfill",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', CAST(MIN(ts) AS TIMESTAMP)) AS DATE)
+      |      AS lo,
+      |    CAST(date_trunc('day', CAST(MAX(ts) AS TIMESTAMP)) AS DATE) AS hi
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+      |    AS DATE) AS day FROM b),
+      |a AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |      AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT s.day, COALESCE(a.n, 0) AS n,
+      |  ROUND(COALESCE(a.sum_value, 0), 4) AS sum_value
+      |FROM spine s LEFT JOIN a USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val e = events(s, d)
+    val bounds = e.agg(
+      to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    val agg = e.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+    broadcast(spine).join(agg, Seq("day"), "left")
+      .select(
+        col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("sum_value"), lit(0.0)), 4).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** Int8 scalar quantization of embeddings (the 4× storage lever for
+    * a 100 TB vector store) with per-vector min/max scales and the
+    * max absolute reconstruction error — the quality gate before
+    * swapping the full-precision column out. Pure per-row arithmetic:
+    * scales with the scan. */
+  val qVectorQuantize: QDef = QDef(
+    "q_vector_quantize",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, list_min(v) AS lo,
+      |    (list_max(v) - list_min(v)) / 255.0 AS step
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, v, lo, step,
+      |    list_transform(v, x -> CASE WHEN step = 0 THEN 0
+      |      ELSE round((x - lo) / step) END) AS code
+      |  FROM s)
+      |SELECT vec_id,
+      |  ROUND(lo, 4) AS lo, ROUND(step, 6) AS step,
+      |  ROUND(list_max(list_transform(range(1, 65),
+      |    i -> ABS(v[i] - (lo + code[i] * step)))), 6) AS max_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val lo = array_min(v)
+    val step = (array_max(v) - array_min(v)) / lit(255.0)
+    val code = transform(
+      col("v"),
+      x => when(col("step") === 0, lit(0.0))
+        .otherwise(round((x - col("lo")) / col("step"), 0)))
+    val err = array_max(zip_with(
+      col("v"), col("code"),
+      (x, c) => abs(x - (col("lo") + c * col("step")))))
+    embeddings(s, d)
+      .select(col("vec_id"), v.as("v"), lo.as("lo"), step.as("step"))
+      .withColumn("code", code)
+      // max_err BEFORE the projection that aliases rounded lo/step:
+      // Spark 4 lateral column alias resolution binds a same-select
+      // col("lo") to the `round(lo,4) AS lo` alias earlier in the
+      // list, not the child column — the error silently computed
+      // against the ROUNDED scales (caught by the DuckDB parity gate)
+      .withColumn("max_err", round(err, 6))
+      .select(
+        col("vec_id"), round(col("lo"), 4).as("lo"),
+        round(col("step"), 6).as("step"), col("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
     qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
-    qRobustStats, qSampleBalanced)
+    qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize)
 }

@@ -263,6 +263,39 @@ class PipelineExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q_time_gapfill: contiguous daily spine, zeros on silent days, " +
+    "totals preserved") {
+    val out = SparkEntry.queries("q_time_gapfill")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        r.getDouble(2)))
+    assert(out.nonEmpty)
+    // spine is gap-free: every consecutive day present exactly once
+    out.zip(out.tail).foreach { case ((a, _, _), (b, _, _)) =>
+      assert(b == a.plusDays(1), s"spine gap between $a and $b")
+    }
+    // row-count total equals the purchase-event count
+    assert(out.map(_._2).sum == ev.count(_._3 == "purchase"))
+    // a zero-count day must carry a 0.0 sum
+    out.filter(_._2 == 0L).foreach { case (d, _, sv) =>
+      assert(sv == 0.0, s"silent day $d has sum $sv")
+    }
+  }
+
+  test("q_vector_quantize: int8 codes reconstruct within step/2 + " +
+    "rounding slack") {
+    val out = SparkEntry.queries("q_vector_quantize")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, _, step, maxErr) =>
+      // nearest-code reconstruction error is bounded by step/2; the
+      // emitted lo/step are display-rounded, so allow their slack
+      assert(maxErr <= step / 2 + 1e-4, s"vec $id err $maxErr step $step")
+      assert(maxErr >= 0)
+    }
+  }
+
   test("q_lag_features matches a direct per-user sliding computation") {
     val out = SparkEntry.queries("q_lag_features")(spark, sfDir)
       .collect()
