@@ -623,9 +623,134 @@ object PipelineExtQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Concurrent-session counting by DELTA DECOMPOSITION: each session
+    * becomes a +1 event at the first hour boundary it covers and a −1
+    * after its last; the running sum over the per-hour delta aggregate
+    * is the number of sessions active at each boundary. This is THE
+    * scale pattern for interval concurrency — a range join of
+    * boundaries × intervals is O(hours·sessions), deltas are one pass
+    * + a window over a CALENDAR-BOUNDED aggregate (~9 k rows/year, so
+    * the single-partition running sum is over the tiny rollup, never
+    * the raw sessions). Sessions are the 30-min-gap sessionization. */
+  val qConcurrency: QDef = QDef(
+    "q_concurrency",
+    """WITH t AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      |  FROM s GROUP BY user_id, sid),
+      |deltas AS (
+      |  SELECT CASE WHEN date_trunc('hour', st) = st
+      |              THEN date_trunc('hour', st)
+      |              ELSE date_trunc('hour', st) + INTERVAL 1 HOUR END AS h,
+      |    1 AS d
+      |  FROM sess
+      |  UNION ALL
+      |  SELECT date_trunc('hour', en) + INTERVAL 1 HOUR AS h, -1 AS d
+      |  FROM sess),
+      |ph AS (SELECT h, CAST(SUM(d) AS BIGINT) AS delta
+      |       FROM deltas GROUP BY h)
+      |SELECT CAST(h AS TIMESTAMP) AS hour, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS n_active
+      |FROM ph
+      |ORDER BY hour""".stripMargin) { (s, d) =>
+    val uw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(uw)
+          > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk"))
+        .over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val hourUp = expr("date_trunc('hour', st) + INTERVAL 1 HOUR")
+    val startBoundary = when(
+      date_trunc("hour", col("st")) === col("st"),
+      date_trunc("hour", col("st"))).otherwise(hourUp)
+    val deltas = sess.select(startBoundary.as("h"), lit(1).as("d"))
+      .union(sess.select(
+        expr("date_trunc('hour', en) + INTERVAL 1 HOUR").as("h"),
+        lit(-1).as("d")))
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.groupBy(col("h")).agg(sum(col("d")).as("delta"))
+      .withColumn("n_active", sum(col("delta")).over(w))
+      .select(
+        col("h").cast("timestamp_ntz").as("hour"),
+        col("delta"), col("n_active"))
+      .orderBy(col("hour"))
+  }
+
+  /** Token collocations by PMI over the top-30 document-frequency
+    * vocabulary: pairs that co-occur in documents far more than their
+    * independent rates predict. The vocabulary cut is a 30-row
+    * TakeOrdered (broadcast everywhere after), so the per-doc pair
+    * explosion is bounded at C(30,2) regardless of corpus size; doc
+    * frequencies, not raw counts, keep every statistic a distinct-doc
+    * aggregate. */
+  val qPmiCooccur: QDef = QDef(
+    "q_pmi_cooccur",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+      |top AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 30),
+      |tt AS (SELECT tok.doc_id, tok.w, top.df FROM tok JOIN top USING (w)),
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+      |      FROM documents),
+      |pairs AS (
+      |  SELECT a.w AS w1, b.w AS w2,
+      |    CAST(COUNT(*) AS BIGINT) AS c_ab,
+      |    CAST(MIN(a.df) AS BIGINT) AS c_a, CAST(MIN(b.df) AS BIGINT) AS c_b
+      |  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY a.w, b.w)
+      |SELECT w1, w2, c_ab,
+      |  ROUND(ln((c_ab * n.n_docs) / (c_a * c_b)), 4) AS pmi
+      |FROM pairs CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(30)
+    val tt = tok.join(broadcast(top), "w")
+    val n = documents(s, d)
+      .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val a = tt.select(col("doc_id"), col("w").as("w1"), col("df").as("df1"))
+    val b = tt.select(
+      col("doc_id").as("doc_b"), col("w").as("w2"), col("df").as("df2"))
+    a.join(b, col("doc_id") === col("doc_b") && col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(
+        count(lit(1)).as("c_ab"),
+        min(col("df1")).as("c_a"), min(col("df2")).as("c_b"))
+      .filter(col("c_ab") >= 5)
+      .crossJoin(broadcast(n))
+      .select(
+        col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") * col("n_docs")) / (col("c_a") * col("c_b"))),
+          4).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
     qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
-    qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize)
+    qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize,
+    qConcurrency, qPmiCooccur)
 }

@@ -296,6 +296,78 @@ class PipelineExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q_concurrency matches a direct delta-decomposition replay") {
+    val out = SparkEntry.queries("q_concurrency")(spark, sfDir)
+      .collect()
+      .map { r =>
+        // ntz columns collect as LocalDateTime; UTC-anchor to epoch µs
+        val ldt = r.getAs[java.time.LocalDateTime](0)
+        val us = ldt.toInstant(java.time.ZoneOffset.UTC)
+        (us.getEpochSecond * 1000000L + us.getNano / 1000L,
+          r.getLong(1), r.getLong(2))
+      }
+    assert(out.nonEmpty)
+    // every session opens and closes: deltas cancel, running sum ends 0
+    assert(out.map(_._2).sum == 0L)
+    assert(out.last._3 == 0L)
+    out.foreach { case (_, _, n) => assert(n >= 0) }
+    // direct replay: sessionize (30-min gap), hour-boundary deltas
+    val hourUs = 3600000000L
+    val deltas = scala.collection.mutable.Map[Long, Long]()
+    ev.groupBy(_._2).values.foreach { rows =>
+      val ts = rows.map(r => micros(r._4)).sorted
+      var start = ts.head
+      var prev = ts.head
+      def close(st: Long, en: Long): Unit = {
+        val h0 = if (st % hourUs == 0) st else (st / hourUs + 1) * hourUs
+        val h1 = (en / hourUs + 1) * hourUs
+        deltas(h0) = deltas.getOrElse(h0, 0L) + 1
+        deltas(h1) = deltas.getOrElse(h1, 0L) - 1
+      }
+      ts.tail.foreach { t =>
+        if (t - prev > 1800000000L) { close(start, prev); start = t }
+        prev = t
+      }
+      close(start, prev)
+    }
+    val expected = deltas.filter(_._2 != 0L)
+    val got = out.map(t => t._1 -> t._2).toMap
+      .filter(_._2 != 0L)
+    assert(got == expected.toMap, "delta map mismatch")
+    // running sum consistency inside the output itself
+    var acc = 0L
+    out.foreach { case (_, dlt, n) => acc += dlt; assert(acc == n) }
+  }
+
+  test("q_pmi_cooccur: doc-frequency bounds hold and PMI matches a " +
+    "direct computation") {
+    val docs = TableLoader.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val nDocs = docs.length.toDouble
+    val df = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, v) => w -> v.length.toLong }
+    val top = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(30).toMap
+    val out = SparkEntry.queries("q_pmi_cooccur")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val expected = (for {
+      (w1, c1) <- top.toSeq
+      (w2, c2) <- top.toSeq if w1 < w2
+      cab = docs.count { case (_, ws) => ws(w1) && ws(w2) }.toLong
+      if cab >= 5
+    } yield (w1, w2) -> ((cab, math.log(cab * nDocs / (c1 * c2)))))
+      .toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, (cab, pmi)) =>
+      assert(cab == expected(k)._1, s"$k c_ab")
+      assert(math.abs(pmi - expected(k)._2) < 5e-4, s"$k pmi")
+      assert(cab <= math.min(top(k._1), top(k._2)), s"$k bound")
+    }
+  }
+
   test("q_lag_features matches a direct per-user sliding computation") {
     val out = SparkEntry.queries("q_lag_features")(spark, sfDir)
       .collect()
