@@ -78,11 +78,15 @@ object AnalyticExtQueries {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Salted skew join, oracle-checked: SkewJoin.saltedInnerJoin spreads
-    * each hot key over 4 reducers, and this query proves the salting is
-    * output-invisible — the oracle is the PLAIN join. The aggregate on
-    * top keeps the checked surface stable while still covering every
-    * joined row. */
+  /** Salted skew join, oracle-checked: SkewJoin.saltedInnerJoinHot
+    * salts ONLY keys past the heavy-hitter threshold (4-way) and
+    * plain-joins the cold mass — this query proves the whole adaptive
+    * split is output-invisible, because the oracle is the PLAIN join.
+    * Threshold 5 makes the fixture's 6–7-item orders take the salted
+    * branch and the rest the cold branch, so the oracle covers BOTH
+    * paths and the union seam; a real deployment sets the threshold
+    * from the rows-per-reducer budget. The aggregate on top keeps the
+    * checked surface stable while still covering every joined row. */
   val qJoinSkewSalted: QDef = QDef(
     "q_join_skew_salted",
     """SELECT o_orderpriority, COUNT(*) AS n_items,
@@ -99,7 +103,7 @@ object AnalyticExtQueries {
     // payload the aggregate needs
     val big = lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    SkewJoin.saltedInnerJoin(big, small, Seq("l_orderkey"), 4)
+    SkewJoin.saltedInnerJoinHot(big, small, Seq("l_orderkey"), 4, 5L)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -54,4 +54,39 @@ object SkewJoin {
     (keys.map(replicated(_)) ++ Seq(replicated("__salt"), salted("__salt")))
       .foldLeft(joined)((df, c) => df.drop(c))
   }
+
+  /** Adaptive variant: salt ONLY the keys whose big-side row count
+    * exceeds `hotThreshold`; the cold mass takes the plain join.
+    *
+    * Always-on salting (above) taxes every row with the replication
+    * factor to protect against the few keys that need it. Splitting on
+    * an exact heavy-hitter census costs one partial-aggregated pass
+    * over the big side (map-side combine → the census shuffles one row
+    * per distinct key, and only keys past the threshold survive), and
+    * the hot-key set is tiny BY CONSTRUCTION — at most |big| /
+    * hotThreshold keys can exceed the threshold — so it broadcasts to
+    * both semi/anti splits and the small-side filter. The union of the
+    * two joins is row-identical to the plain join: every (key, row)
+    * lands in exactly one branch. */
+  def saltedInnerJoinHot(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      hotThreshold: Long): DataFrame = {
+    require(hotThreshold > 0)
+    val keyCols = keys.map(big(_))
+    val hotKeys = big.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotThreshold)
+      .drop("__cnt")
+    val bigHot = big.join(broadcast(hotKeys), keys, "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), keys, "left_anti")
+    val smallHot = small.join(broadcast(hotKeys), keys, "left_semi")
+    val cold = bigCold.join(small, keys)
+    val hot = saltedInnerJoin(bigHot, smallHot, keys, n)
+    // align column order: join output is keys ++ big-rest ++ small-rest
+    // in both branches
+    cold.union(hot.select(cold.columns.map(col).toIndexedSeq: _*))
+  }
 }

@@ -42,6 +42,17 @@ class SkewJoinPropertySpec extends AnyFunSuite {
           .toSet
         assert(salted == plain, s"trial $trial, n=$n")
       }
+      // adaptive hot-key split: thresholds that make (a) everything
+      // cold, (b) only the dominant key hot, (c) everything hot — the
+      // union of branches must be the plain bag in all three regimes
+      for (threshold <- Seq(1L, 20L, 1000L)) {
+        val adaptive = SkewJoin
+          .saltedInnerJoinHot(big, small, Seq("k"), 4, threshold)
+          .groupBy("k", "payload", "name").count()
+          .collect().map(r => (r.get(0), r.get(1), r.get(2), r.getLong(3)))
+          .toSet
+        assert(adaptive == plain, s"trial $trial, threshold=$threshold")
+      }
     }
   }
 }
