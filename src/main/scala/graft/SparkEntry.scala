@@ -20,7 +20,8 @@ object SparkEntry {
       SimilarityQueries.defs ++ DedupQueries.defs ++ UdxQueries.defs ++
       Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs ++
       SamplingQueries.defs ++ AnalyticExtQueries.defs ++
-      SketchQueries.defs ++ PipelineExtQueries.defs
+      SketchQueries.defs ++ PipelineExtQueries.defs ++
+      StatExtQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

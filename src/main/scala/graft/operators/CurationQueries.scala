@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Corpus-curation and reporting operators: prefix-hash dedup,
+  * percentile length-band filtering, Zipf head inspection, SCD-2 run
+  * history, Pareto concentration, RFM segmentation, and
+  * month-over-month deltas.
+  *
+  * Scale shapes: dedup and filtering stay at document grain with one
+  * hash-partitioned aggregate each; rank-bearing reports (Zipf,
+  * Pareto) TOP-K FIRST and only then apply the unpartitioned window,
+  * so the serial stage sees k rows regardless of corpus size; SCD-2
+  * runs one window per entity partition; RFM's global NTILE is
+  * cardinality-bounded by the customer dimension (the 100 TB fact side
+  * never enters a global sort — at extreme dimension sizes the
+  * quartile cut would come from approx percentiles + width_bucket
+  * instead).
+  */
+object CurationQueries {
+
+  /** Prefix-hash near-dup pass: documents sharing the md5 of their
+    * first 120 chars form one group; the smallest doc_id is the
+    * keeper. The Common-Crawl-style cheap first pass before MinHash —
+    * one hash, one groupBy, one join back; no pairwise work. */
+  val qDedupPrefix: QDef = QDef(
+    "q_dedup_prefix",
+    """WITH p AS (
+      |  SELECT doc_id, md5(substr(text, 1, 120)) AS ph
+      |  FROM documents),
+      |g AS (
+      |  SELECT ph, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+      |  FROM p GROUP BY ph)
+      |SELECT p.doc_id, g.group_size, p.doc_id = g.keeper AS is_kept
+      |FROM p JOIN g USING (ph)
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val p = documents(s, d)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 120)).as("ph"))
+    val g = p.groupBy(col("ph"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+    p.join(g, "ph")
+      .select(col("doc_id"), col("group_size"),
+        (col("doc_id") === col("keeper")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Percentile length-band quality filter: global p05/p95 of n_chars
+    * (a 1-row aggregate that broadcast-joins onto the corpus), then
+    * per-language kept/dropped counts — the "drop the too-short and
+    * too-long tails" curation staple, with the cutoffs in the output
+    * so the report is self-describing. */
+  val qLengthBand: QDef = QDef(
+    "q_length_band",
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, 0.05) AS lo,
+      |    quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents)
+      |SELECT lang,
+      |  COUNT(*) FILTER (WHERE n_chars >= lo AND n_chars <= hi)
+      |    AS n_kept,
+      |  COUNT(*) FILTER (WHERE n_chars < lo OR n_chars > hi)
+      |    AS n_dropped,
+      |  ROUND(lo, 4) AS p05_chars, ROUND(hi, 4) AS p95_chars
+      |FROM documents CROSS JOIN b
+      |GROUP BY lang, lo, hi
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).select(col("lang"), col("n_chars"))
+    val bands = docs.agg(
+      percentile(col("n_chars"), lit(0.05)).as("lo"),
+      percentile(col("n_chars"), lit(0.95)).as("hi"))
+    val inBand = col("n_chars") >= col("lo") && col("n_chars") <= col("hi")
+    docs.crossJoin(bands)
+      .groupBy(col("lang"), col("lo"), col("hi"))
+      .agg(
+        count_if(inBand).as("n_kept"),
+        count_if(!inBand).as("n_dropped"))
+      .select(col("lang"), col("n_kept"), col("n_dropped"),
+        round(col("lo"), 4).as("p05_chars"),
+        round(col("hi"), 4).as("p95_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Zipf head: top-50 tokens with rank and cumulative token-mass
+    * share. Top-k FIRST (a distributed sort-limit), THEN the rank and
+    * running-share window over exactly 50 rows — the serial window
+    * never sees vocabulary cardinality. The running numerator is an
+    * exact integer sum; the share divides two exact integers. */
+  val qZipfTop: QDef = QDef(
+    "q_zipf_top",
+    """WITH f AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |tot AS (SELECT SUM(c) AS total_tokens FROM f),
+      |top AS (SELECT w, c FROM f ORDER BY c DESC, w LIMIT 50)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT)
+      |    AS rank,
+      |  w, c,
+      |  CAST(SUM(c) OVER (ORDER BY c DESC, w
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / total_tokens AS cum_share
+      |FROM top CROSS JOIN tot
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val f = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = f.agg(sum(col("c")).as("total_tokens"))
+    val top = f.orderBy(col("c").desc, col("w")).limit(50)
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val run = Window.orderBy(col("c").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(tot)
+      .select(
+        row_number().over(ord).cast("long").as("rank"),
+        col("w"), col("c"),
+        (sum(col("c")).over(run).cast("double") / col("total_tokens"))
+          .as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  /** SCD-2-style run history: per customer, maximal runs of identical
+    * order status in (date, orderkey) order, each with its validity
+    * interval — the change-tracking shape a warehouse derives from
+    * ordered facts. Run ids come from a running integer sum over a
+    * change flag (exact, hash-safe); one window + one aggregate, both
+    * partitioned by the entity key. */
+  val qScd2Status: QDef = QDef(
+    "q_scd2_status",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) AS d, o_orderstatus,
+      |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey, d, o_orderstatus,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS run_id
+      |  FROM o)
+      |SELECT o_custkey, run_id, o_orderstatus AS status,
+      |  MIN(d) AS valid_from, MAX(d) AS valid_to,
+      |  COUNT(*) AS n_orders
+      |FROM g
+      |GROUP BY o_custkey, run_id, o_orderstatus
+      |ORDER BY o_custkey, run_id""".stripMargin) { (s, d) =>
+    val wLag = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderstatus"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(wLag))
+      .withColumn("run_id",
+        sum(when(col("prev").isNull
+          || col("prev") =!= col("o_orderstatus"), 1).otherwise(0))
+          .over(wRun).cast("long"))
+      .groupBy(col("o_custkey"), col("run_id"), col("o_orderstatus"))
+      .agg(
+        min(col("d")).as("valid_from"),
+        max(col("d")).as("valid_to"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("run_id"),
+        col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("run_id"))
+  }
+
+  /** Pareto concentration report: top-200 parts by revenue with
+    * cumulative revenue share against the WHOLE corpus total. Like
+    * Zipf: top-k first, window over 200 rows only; the global total
+    * comes from a separate 1-row decimal-exact aggregate. The
+    * cumulative sum re-accumulates in DECIMAL (part revenue is exact
+    * at scale 4) so the running values are association-free. */
+  val qParetoRevenue: QDef = QDef(
+    "q_pareto_revenue",
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS total_rev FROM pr),
+      |top AS (SELECT l_partkey, rev FROM pr
+      |        ORDER BY rev DESC, l_partkey LIMIT 200)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey)
+      |    AS BIGINT) AS rank,
+      |  l_partkey, rev,
+      |  CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER
+      |    (ORDER BY rev DESC, l_partkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) / total_rev AS cum_share
+      |FROM top CROSS JOIN t
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val pr = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("rev"))
+    val t = pr.agg(sum(col("rev").cast("decimal(18,4)")).cast("double")
+      .as("total_rev"))
+    val top = pr.orderBy(col("rev").desc, col("l_partkey")).limit(200)
+    val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(t)
+      .select(
+        row_number().over(ord).cast("long").as("rank"),
+        col("l_partkey"), col("rev"),
+        (sum(col("rev").cast("decimal(18,4)")).over(run).cast("double")
+          / col("total_rev")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  /** RFM segmentation: per-customer recency (days from last order to
+    * the corpus max date), frequency, monetary, each cut into NTILE(4)
+    * quartiles with custkey tie-breaks (deterministic total orders).
+    * The facts aggregate to customer grain FIRST, so the global NTILE
+    * sorts dimension cardinality, never fact rows; at extreme
+    * dimension sizes the cut would switch to approx-percentile
+    * boundaries + width_bucket (same output contract). */
+  val qRfmSegments: QDef = QDef(
+    "q_rfm_segments",
+    """WITH a AS (
+      |  SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), anchor)
+      |      AS INT) AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS monetary
+      |  FROM orders CROSS JOIN a
+      |  GROUP BY o_custkey, anchor)
+      |SELECT o_custkey, recency_days, frequency, monetary,
+      |  CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT)
+      |    AS r_quartile,
+      |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+      |    AS f_quartile,
+      |  CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+      |    AS m_quartile
+      |FROM c
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val anchor = orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("anchor"))
+    val c = orders(s, d).crossJoin(anchor)
+      .groupBy(col("o_custkey"), col("anchor"))
+      .agg(
+        datediff(col("anchor"), max(to_date(col("o_orderdate"))))
+          .cast("int").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    c.select(
+        col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+          .cast("int").as("r_quartile"),
+        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+          .cast("int").as("f_quartile"),
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+          .cast("int").as("m_quartile"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Month-over-month revenue deltas: calendar-bounded monthly rollup
+    * (decimal-exact sums), then LAG and an exact-IEEE relative change —
+    * no rounding needed because both operands are identical
+    * decimal-derived doubles on both engines. */
+  val qMomChange: QDef = QDef(
+    "q_mom_change",
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS rev,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT month, rev, n_orders,
+      |  LAG(rev) OVER (ORDER BY month) AS prev_rev,
+      |  (rev - LAG(rev) OVER (ORDER BY month))
+      |    / LAG(rev) OVER (ORDER BY month) AS mom_pct
+      |FROM m
+      |ORDER BY month""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("month"))
+    orders(s, d)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+        .as("month"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("month"), col("rev"), col("n_orders"),
+        lag(col("rev"), 1).over(w).as("prev_rev"),
+        ((col("rev") - lag(col("rev"), 1).over(w))
+          / lag(col("rev"), 1).over(w)).as("mom_pct"))
+      .orderBy(col("month"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qDedupPrefix, qLengthBand, qZipfTop, qScd2Status, qParetoRevenue,
+    qRfmSegments, qMomChange)
+}

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Statistical-modeling operators over the relational core: per-group
+  * OLS regression, rolling autocorrelation, exponentially-weighted
+  * means, Gini concentration, Benford first-digit screening, and a
+  * chi-square contingency table — the profiling/diagnostics layer a
+  * data-curation pipeline runs before training.
+  *
+  * Scale shapes: every query aggregates to a bounded output (groups,
+  * calendar days, digits, contingency cells) with partial aggregation
+  * before the shuffle. The two unpartitioned windows (rolling
+  * autocorrelation, Zipf-style ranks in CurationQueries) run over
+  * CALENDAR-BOUNDED or top-k-bounded inputs — a deliberate contract:
+  * the serial window sees ≤ days-in-range (resp. k) rows no matter how
+  * many petabytes feed the upstream aggregate.
+  *
+  * Float determinism follows the repo contract (QDef scaladoc): money
+  * accumulates in DECIMAL and emits DOUBLE; moment-based statistics
+  * (variance/covariance/correlation families) ROUND(4-6) on both sides
+  * because their double accumulation is association-order-dependent;
+  * pure integer-derived ratios divide identically in IEEE on both
+  * sides and need no rounding.
+  */
+object StatExtQueries {
+
+  /** Per-group OLS fit of extendedprice on quantity via the regr_*
+    * aggregate family (one pass, partial-aggregable moment sums — the
+    * same merge shape as AVG, so the 1000-executor plan is a plain
+    * partial+final hash aggregate; no per-group sort, no data motion
+    * beyond one shuffle on the 3 group keys). r2 rounds at 6 (it is a
+    * [0,1] ratio of order-dependent double moments); slope/intercept
+    * at 4 (price-scale values, ~1e-9 cross-engine wobble). */
+  val qRegrOls: QDef = QDef(
+    "q_regr_ols",
+    """SELECT l_returnflag,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+      |    AS intercept,
+      |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** 7-day rolling autocorrelation of daily revenue (lag-1): the
+    * time-series stationarity diagnostic. The day-grain pre-aggregate
+    * bounds the window input by the calendar (a century is ~36 500
+    * rows) regardless of fact-table size, so the single-partition
+    * window is a contract, not an accident. Both correlated columns
+    * are continuous revenue sums — degenerate zero-variance frames
+    * (the NULL-vs-NaN seam between engines) cannot arise the way they
+    * would for integer counts. */
+  val qRollingCorr: QDef = QDef(
+    "q_rolling_corr",
+    """WITH m AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev_rev
+      |  FROM m)
+      |SELECT day, rev,
+      |  CASE WHEN COUNT(prev_rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) >= 2
+      |    THEN ROUND(CORR(rev, prev_rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+      |  END AS autocorr7
+      |FROM l
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val byDay = Window.orderBy(col("day"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(byDay))
+      .select(
+        col("day"), col("rev"),
+        // single-pair frames: Spark CORR yields NaN, DuckDB NULL — the
+        // one cross-engine seam in this query; gate on ≥2 valid pairs
+        // (continuous revenue sums make zero-variance frames beyond
+        // that unreachable)
+        when(count(col("prev_rev")).over(w7) >= 2,
+          round(corr(col("rev"), col("prev_rev")).over(w7), 4))
+          .as("autocorr7"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-user exponentially-weighted mean of event value (decay 0.9
+    * per step, newest weight 1): the classic "recent behavior" feature.
+    * Weights come from the suffix count (rows after this one in ts
+    * order), so the whole thing is one window pass plus one grouped
+    * ratio-of-weighted-sums — no recursion, no per-user loop. The
+    * weighted sums are order-dependent doubles → ROUND(4). pow(0.9,k)
+    * underflows smoothly (k>300 contributes 0), so arbitrarily long
+    * histories stay finite. */
+  val qEwmaUser: QDef = QDef(
+    "q_ewma_user",
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS INT) - 1 AS n_after
+      |  FROM events)
+      |SELECT user_id,
+      |  ROUND(SUM(value * power(0.9, n_after))
+      |    / SUM(power(0.9, n_after)), 4) AS ewma,
+      |  COUNT(*) AS n_events
+      |FROM r
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val wAfter = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("n_after",
+        (count(lit(1)).over(wAfter).cast("int") - lit(1)))
+      .withColumn("wgt", pow(lit(0.9), col("n_after")))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(col("value") * col("wgt")) / sum(col("wgt")), 4)
+          .as("ewma"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-nation Gini coefficient of customer spend — the corpus/revenue
+    * concentration measure (same formula a data pipeline uses for
+    * source-domain concentration). Rank-weighted form
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over spend ranked ascending
+    * with custkey tie-break: one groupBy to customer grain, one
+    * per-nation window rank, one final aggregate. The double sums are
+    * order-dependent → ROUND(6); the relative wobble is ~1e-13. */
+  val qGiniSpend: QDef = QDef(
+    "q_gini_spend",
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT c_nationkey, spend,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY spend, o_custkey) AS BIGINT) AS rk
+      |  FROM m JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_spend,
+      |  ROUND((2.0 * SUM(rk * spend) - (COUNT(*) + 1) * SUM(spend))
+      |    / (COUNT(*) * SUM(spend)), 6) AS gini
+      |FROM r
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("spend"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend"), col("o_custkey"))
+    spend
+      .join(customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("spend").cast("decimal(18,2)")).cast("double")
+          .as("total_spend"),
+        round(
+          (lit(2.0) * sum(col("rk") * col("spend"))
+            - (count(lit(1)) + lit(1)) * sum(col("spend")))
+            / (count(lit(1)) * sum(col("spend"))), 6).as("gini"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Benford first-digit screen over order amounts — the fraud/data-
+    * quality smoke test. The digit comes from integer/string ops (no
+    * log10 on the data path, so no float boundary); the observed share
+    * is an exact-integer division and the Benford expectation is a
+    * 9-value closed form — both identical IEEE on both engines. */
+  val qBenfordDigits: QDef = QDef(
+    "q_benford_digits",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit
+      |  FROM orders),
+      |t AS (SELECT COUNT(*) AS total FROM d)
+      |SELECT digit, COUNT(*) AS n,
+      |  ROUND(COUNT(*) * 1.0 / total, 6) AS observed_share,
+      |  ROUND(log10(1.0 + 1.0 / CAST(digit AS INT)), 6)
+      |    AS benford_share
+      |FROM d CROSS JOIN t
+      |GROUP BY digit, total
+      |ORDER BY digit""".stripMargin) { (s, d) =>
+    val digits = orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    digits.crossJoin(total)
+      .groupBy(col("digit"), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("digit"), col("n"),
+        round(col("n") * lit(1.0) / col("total"), 6)
+          .as("observed_share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("int")), 6)
+          .as("benford_share"))
+      .orderBy(col("digit"))
+  }
+
+  /** Chi-square contingency cells for (lang × source) independence:
+    * observed count, expected under independence, and the per-cell
+    * χ² contribution. Emitting PER-CELL terms (with a total ORDER BY)
+    * instead of the summed statistic keeps the output free of a
+    * global order-dependent double sum — every value is derived from
+    * exact integer counts by identical IEEE arithmetic. Row/column
+    * marginals are tiny aggregates that broadcast-join back. */
+  val qChi2Contingency: QDef = QDef(
+    "q_chi2_contingency",
+    """WITH obs AS (
+      |  SELECT lang, source, COUNT(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, COUNT(*) AS row_tot
+      |  FROM documents GROUP BY lang),
+      |ct AS (SELECT source, COUNT(*) AS col_tot
+      |  FROM documents GROUP BY source),
+      |n AS (SELECT COUNT(*) AS n_tot FROM documents)
+      |SELECT lang, source, o,
+      |  ROUND(row_tot * 1.0 * col_tot / n_tot, 6) AS expected,
+      |  ROUND((o - row_tot * 1.0 * col_tot / n_tot)
+      |    * (o - row_tot * 1.0 * col_tot / n_tot)
+      |    / (row_tot * 1.0 * col_tot / n_tot), 6) AS chi2_term
+      |FROM obs JOIN rt USING (lang) JOIN ct USING (source)
+      |CROSS JOIN n
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val docs = documents(s, d).select(col("lang"), col("source"))
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("row_tot"))
+    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("col_tot"))
+    val n = docs.agg(count(lit(1)).as("n_tot"))
+    val expected = col("row_tot") * lit(1.0) * col("col_tot") / col("n_tot")
+    obs.join(rt, "lang").join(ct, "source").crossJoin(n)
+      .select(
+        col("lang"), col("source"), col("o"),
+        round(expected, 6).as("expected"),
+        round((col("o") - expected) * (col("o") - expected) / expected, 6)
+          .as("chi2_term"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
+    qChi2Contingency)
+}
