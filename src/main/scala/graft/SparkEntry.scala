@@ -21,7 +21,8 @@ object SparkEntry {
       Multimodal.defs ++ EtlQueries.defs ++ IvfAnn.defs ++
       SamplingQueries.defs ++ AnalyticExtQueries.defs ++
       SketchQueries.defs ++ PipelineExtQueries.defs ++
-      StatExtQueries.defs ++ CurationQueries.defs
+      StatExtQueries.defs ++ CurationQueries.defs ++
+      WarehouseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

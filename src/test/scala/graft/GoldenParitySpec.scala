@@ -26,6 +26,9 @@ class GoldenParitySpec extends AnyFunSuite {
       val golden = spark.read
         .schema(result.schema)
         .option("header", "true")
+        // DuckDB COPY writes RFC4180 CSV (embedded quotes doubled);
+        // Spark's default escape is backslash — align to RFC4180
+        .option("escape", "\"")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(url.getPath)

@@ -213,4 +213,36 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 1, s"only the ORDER BY may shuffle:\n$p")
   }
+
+  test("q_scan_partitioned prunes to the one priority partition " +
+    "(directory-level pruning on the hive layout)") {
+    val scan = scans(finalPlan("q_scan_partitioned")).head
+    assert(scan.partitionFilters.exists(_.references.exists(
+      _.name == "o_orderpriority")),
+      s"no partition filter on o_orderpriority: ${scan.partitionFilters}")
+    // the pruned scan must touch 1 of the 5 priority directories; the
+    // data filter list must NOT carry the partition predicate (it is
+    // resolved at listing time, before any row is read)
+    assert(scan.relation.partitionSchema.fieldNames
+      .contains("o_orderpriority"))
+    assert(scan.metadata.getOrElse("PushedFilters", "")
+      .contains("[]") || !scan.metadata.getOrElse("PushedFilters", "")
+      .contains("o_orderpriority"),
+      s"partition predicate leaked into data filters: ${scan.metadata}")
+  }
+
+  test("q_zipf_top / q_pareto_revenue window over top-k rows only " +
+    "(global sort-limit BEFORE the serial rank window)") {
+    for (q <- Seq("q_zipf_top", "q_pareto_revenue")) {
+      val p = finalPlan(q)
+      val s = p.toString
+      // the limit must sit below the window in the plan tree: collect
+      // the window's child subtree and require a limit in it
+      val winIdx = s.indexOf("Window")
+      val limIdx = s.lastIndexOf("TakeOrderedAndProject")
+      assert(winIdx >= 0, s"$q lost its rank window:\n$s")
+      assert(limIdx > winIdx || s.indexOf("GlobalLimit") > winIdx,
+        s"$q: top-k does not precede the serial window:\n$s")
+    }
+  }
 }
