@@ -22,7 +22,7 @@ object SparkEntry {
       SamplingQueries.defs ++ AnalyticExtQueries.defs ++
       SketchQueries.defs ++ PipelineExtQueries.defs ++
       StatExtQueries.defs ++ CurationQueries.defs ++
-      WarehouseQueries.defs
+      WarehouseQueries.defs ++ TrainPrepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -317,8 +317,32 @@ object JoinQueries {
       .orderBy(col("nk"))
   }
 
+  /** Correlated LATERAL top-n: each nation's top-2 customers by
+    * balance through a LATERAL subquery with ORDER BY + LIMIT — the
+    * SQL-text surface (SURVEY §3.3) for per-group top-k. Spark
+    * decorrelates the limited subquery into a ranked window join, so
+    * the physical plan is the same scalable shape as q_distinct_on,
+    * not a per-nation re-scan. */
+  val qJoinLateral: QDef = QDef(
+    "q_join_lateral",
+    """SELECT n_name, c_custkey, c_acctbal
+      |FROM nation,
+      |  LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |           WHERE c_nationkey = n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
+    nation(s, d).createOrReplaceTempView("nation_v")
+    customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql("""SELECT n_name, c_custkey, c_acctbal
+      |FROM nation_v,
+      |  LATERAL (SELECT c_custkey, c_acctbal FROM customer_v
+      |           WHERE c_nationkey = n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance,
-    qJoinMultiway, qJoinNullSafe, qCorrelatedScalar)
+    qJoinMultiway, qJoinNullSafe, qCorrelatedScalar, qJoinLateral)
 }

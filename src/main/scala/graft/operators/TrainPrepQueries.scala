@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Training-batch preparation operators: concat-then-chunk sequence
+  * packing, context-window truncation, and the staged curation-yield
+  * funnel — the last mile between a curated corpus and model input.
+  *
+  * Scale shapes: packing runs per-source (each source packs its own
+  * token stream — embarrassingly parallel across the partition key,
+  * one window sort within it); truncation is pure map-side;
+  * the funnel is one scan with cumulative count_if conditions plus a
+  * dedup-keeper window on the text hash.
+  */
+object TrainPrepQueries {
+
+  /** Concat-then-chunk sequence packing (block size 512 tokens): lay
+    * every source's documents end-to-end in doc_id order and cut
+    * fixed 512-token blocks — the standard LLM pretraining batch
+    * layout (documents straddle block boundaries by design). All
+    * integer arithmetic: a running token sum gives each document its
+    * start offset, floor-division gives its first/last block. */
+  val qPackSequences: QDef = QDef(
+    "q_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, source, n_tok, start_tok,
+      |  start_tok // 512 AS chunk_first,
+      |  (start_tok + n_tok - 1) // 512 AS chunk_last,
+      |  start_tok // 512 <> (start_tok + n_tok - 1) // 512
+      |    AS straddles
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).cast("long"))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"), col("start_tok"),
+        expr("start_tok div 512").as("chunk_first"),
+        expr("(start_tok + n_tok - 1) div 512").as("chunk_last"),
+        (expr("start_tok div 512")
+          =!= expr("(start_tok + n_tok - 1) div 512")).as("straddles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window truncation (keep the first 64 tokens): the
+    * map-side clip every prompt/feature pipeline applies before
+    * batching, with a truncation report. Token slicing is 1-based,
+    * inclusive, identical on both engines. */
+  val qTokenTruncate: QDef = QDef(
+    "q_token_truncate",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  len(string_split(text, ' ')) > 64 AS was_truncated,
+      |  CAST(length(array_to_string(
+      |    list_slice(string_split(text, ' '), 1, 64), ' '))
+      |    AS INT) AS n_kept_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) > 64).as("was_truncated"),
+        length(concat_ws(" ", slice(toks, 1, 64))).as("n_kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Staged curation-yield funnel per source: total → token-length
+    * band → supported language → lexical diversity → exact-dedup
+    * keeper. Cumulative conditions (each stage implies all previous)
+    * so the report reads as survivor counts; the dedup keeper is a
+    * min-doc_id window over the text hash, not a join. The numbers a
+    * curation run publishes after every sweep. */
+  val qCurationFunnel: QDef = QDef(
+    "q_curation_funnel",
+    """WITH f AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) BETWEEN 30 AND 80 AS len_ok,
+      |    lang IN ('en', 'de', 'fr', 'es') AS lang_ok,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0
+      |      / len(string_split(text, ' ')) >= 0.5 AS diverse,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+      |      AS is_keeper
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE len_ok) AS n_len_ok,
+      |  COUNT(*) FILTER (WHERE len_ok AND lang_ok) AS n_lang_ok,
+      |  COUNT(*) FILTER (WHERE len_ok AND lang_ok AND diverse)
+      |    AS n_diverse,
+      |  COUNT(*) FILTER (WHERE len_ok AND lang_ok AND diverse
+      |    AND is_keeper) AS n_final
+      |FROM f
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val wDup = Window.partitionBy(md5(col("text").cast("binary")))
+    val f = documents(s, d)
+      .select(
+        col("source"),
+        size(toks).between(30, 80).as("len_ok"),
+        col("lang").isin("en", "de", "fr", "es").as("lang_ok"),
+        (size(array_distinct(toks)) * lit(1.0) / size(toks) >= 0.5)
+          .as("diverse"),
+        (col("doc_id") === min(col("doc_id")).over(wDup)).as("is_keeper"))
+    f.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(col("len_ok")).as("n_len_ok"),
+        count_if(col("len_ok") && col("lang_ok")).as("n_lang_ok"),
+        count_if(col("len_ok") && col("lang_ok") && col("diverse"))
+          .as("n_diverse"),
+        count_if(col("len_ok") && col("lang_ok") && col("diverse")
+          && col("is_keeper")).as("n_final"))
+      .orderBy(col("source"))
+  }
+
+  val defs: Seq[QDef] = Seq(qPackSequences, qTokenTruncate, qCurationFunnel)
+}
