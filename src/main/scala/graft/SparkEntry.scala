@@ -22,7 +22,8 @@ object SparkEntry {
       SamplingQueries.defs ++ AnalyticExtQueries.defs ++
       SketchQueries.defs ++ PipelineExtQueries.defs ++
       StatExtQueries.defs ++ CurationQueries.defs ++
-      WarehouseQueries.defs ++ TrainPrepQueries.defs
+      WarehouseQueries.defs ++ TrainPrepQueries.defs ++
+      FeatureQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Feature-engineering operators: bitmap-exact distinct counting,
+  * min-max scaling, and hashing-trick vectorization.
+  *
+  * Scale shapes: the bitmap distinct shards each key's id space into
+  * 32k-bit buckets so the partial aggregates are fixed-size byte
+  * arrays (the same reason warehouses use roaring bitmaps — exact
+  * distinct counts that merge associatively, no sort, no huge hash
+  * sets); scaling aggregates per-type extrema and broadcast-joins
+  * them back (never a 5-partition window over the fact table); the
+  * vectorizer is explode → hash → count with the doc filter pushed
+  * into the scan.
+  */
+object FeatureQueries {
+
+  /** Exact distinct users per event type via bitmap aggregation:
+    * ids map to (bucket, bit) positions, each group×bucket folds into
+    * a fixed-size bitmap map-side, and the final count sums per-bucket
+    * cardinalities. Semantically COUNT(DISTINCT) — the oracle says
+    * exactly that — but the physical aggregate carries bitmaps, not id
+    * sets: the 100 TB shape for exact (not HLL-approximate) distinct
+    * counts. */
+  val qDistinctBitmap: QDef = QDef(
+    "q_distinct_bitmap",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), bitmap_bucket_number(col("user_id"))
+        .as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id")))
+        .as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Min-max scaling of event values to [0,1] per event type: the
+    * extrema aggregate to a 5-row summary that broadcast-joins back
+    * onto the stream (scale rule: per-group statistics never become a
+    * low-cardinality window over the fact table). min/max are exact
+    * order-statistics and the per-row division is identical IEEE on
+    * both engines — no rounding. nullif guards a degenerate
+    * constant-valued group. */
+  val qMinmaxScale: QDef = QDef(
+    "q_minmax_scale",
+    """WITH b AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  (value - lo) / nullif(hi - lo, 0.0) AS scaled
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val b = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events(s, d)
+      .join(b, "event_type")
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("lo"))
+          / nullif(col("hi") - col("lo"), lit(0.0))).as("scaled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Hashing-trick vectorizer: tokens hash into 1024 feature buckets
+    * (md5-prefix mod, the engine-portable hash) and each of the first
+    * 20 documents becomes a sparse (bucket, count) vector. The doc_id
+    * predicate pushes into the scan — the explode only ever sees the
+    * selected documents. */
+  val qFeatureHash: QDef = QDef(
+    "q_feature_hash",
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(w), 1, 4)) AS INT) % 1024
+      |    AS INT) AS bucket,
+      |  COUNT(*) AS cnt
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |      FROM documents WHERE doc_id < 20)
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(
+        col("doc_id"),
+        (conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+          .cast("int") % 1024).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  val defs: Seq[QDef] = Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash)
+}
