@@ -214,6 +214,33 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 1, s"only the ORDER BY may shuffle:\n$p")
   }
 
+  test("q_minmax_scale broadcasts the per-type extrema back onto the " +
+    "fact stream, never a low-cardinality window") {
+    val p = finalPlan("q_minmax_scale")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"extrema must broadcast:\n$p")
+    assert(!p.toString.contains("Window"),
+      "scaling must not plan a 5-partition window")
+  }
+
+  test("q_distinct_bitmap aggregates bitmaps map-side (partial " +
+    "bitmap_construct_agg before the shuffle)") {
+    val s = finalPlan("q_distinct_bitmap").toString
+    assert(s.contains("partial_bitmap_construct_agg")
+      || s.contains("partial_bitmapconstructagg")
+      || s.toLowerCase.contains("partial") && s.toLowerCase
+        .contains("bitmap"),
+      s"bitmap partial aggregation missing:\n$s")
+  }
+
+  test("q_feature_hash pushes the doc_id predicate into the scan " +
+    "(the explode only sees selected documents)") {
+    val sc = scans(finalPlan("q_feature_hash"))
+      .find(_.output.exists(_.name == "doc_id")).get
+    val pushed = sc.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("doc_id"), s"doc filter not pushed: $pushed")
+  }
+
   test("q_scan_partitioned prunes to the one priority partition " +
     "(directory-level pruning on the hive layout)") {
     val scan = scans(finalPlan("q_scan_partitioned")).head
