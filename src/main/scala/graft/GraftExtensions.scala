@@ -19,8 +19,12 @@ import graft.functions.{DotProduct, SortedIntersectCount}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(e.injectFunction)
+    // conf-gated (spark.graft.rangeJoin.binWidth): a no-op until the
+    // user opts in, so injection is always safe
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
 }
 
 object GraftExtensions {

@@ -14,7 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     renderings, which differ per reader: accumulate in DECIMAL,
   *     emit DOUBLE on both sides;
   *   - no nondeterministic operators (dropDuplicates row-picks, bare
-  *     first/last, rand, monotonically_increasing_id).
+  *     first/last, rand, monotonically_increasing_id);
+  *   - any ROUNDed column whose value can be a tiny NEGATIVE number
+  *     must fold negative zero with `+ 0.0` on BOTH sides: ROUND of
+  *     (-ε) yields -0.0 in DuckDB but +0.0 in Spark's HALF_UP, and
+  *     the driver hashes the rendering ("-0.0" ≠ "0.0").
   */
 final case class QDef(
     name: String,

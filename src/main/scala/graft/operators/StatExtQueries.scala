@@ -82,7 +82,7 @@ object StatExtQueries {
       |  CASE WHEN COUNT(prev_rev) OVER (ORDER BY day
       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) >= 2
       |    THEN ROUND(CORR(rev, prev_rev) OVER (ORDER BY day
-      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) + 0.0
       |  END AS autocorr7
       |FROM l
       |ORDER BY day""".stripMargin) { (s, d) =>
@@ -98,9 +98,12 @@ object StatExtQueries {
         // single-pair frames: Spark CORR yields NaN, DuckDB NULL — the
         // one cross-engine seam in this query; gate on ≥2 valid pairs
         // (continuous revenue sums make zero-variance frames beyond
-        // that unreachable)
+        // that unreachable). `+ 0.0` folds IEEE negative zero: a tiny
+        // negative correlation rounds to -0.0 in DuckDB but +0.0 in
+        // Spark's HALF_UP round, and the driver hashes the RENDERING
+        // ("-0.0" vs "0.0") — first seen at sf0.1 day 1998-06-22.
         when(count(col("prev_rev")).over(w7) >= 2,
-          round(corr(col("rev"), col("prev_rev")).over(w7), 4))
+          round(corr(col("rev"), col("prev_rev")).over(w7), 4) + lit(0.0))
           .as("autocorr7"))
       .orderBy(col("day"))
   }
