@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated (spark.graft.rangeJoin.binWidth): a no-op until the
     // user opts in, so injection is always safe
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // fires only on the AsOfJoin logical node graft.plans.AsOfJoinOps
+    // builds — inert for every other plan
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

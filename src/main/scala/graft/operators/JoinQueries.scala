@@ -341,8 +341,39 @@ object JoinQueries {
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
   }
 
+  /** The SAME as-of semantics as q_join_asof, but through the native
+    * custom-operator stack (graft.plans.AsOfJoin logical node →
+    * AsOfJoinStrategy → AsOfJoinExec merge pass) instead of the
+    * running-max window — and checked against the same correlated-
+    * subquery oracle, so the custom physical operator itself is
+    * oracle-verified. Each side shuffles once on user_id; the merge
+    * holds one buffered row of state (AsOfJoinNativeSpec pins the
+    * plan: 2 exchanges, no nested loop). */
+  val qJoinAsofNative: QDef = QDef(
+    "q_join_asof_native",
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  (SELECT CAST(MAX(c.ts) AS TIMESTAMP) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts <= e.ts) AS last_click_ts
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    graft.plans.AsOfJoinOps.asof(
+        purchases, "ts", clicks, "ts", Seq("user_id"), Seq("user_id"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("ts_r").cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
-    qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance,
+    qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinAsofNative,
     qJoinMultiway, qJoinNullSafe, qCorrelatedScalar, qJoinLateral)
 }
