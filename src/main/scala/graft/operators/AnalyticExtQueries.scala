@@ -345,8 +345,58 @@ object AnalyticExtQueries {
         count(col("t3")).as("n_purchase_after_click"))
   }
 
+  /** Skyline (Pareto frontier) of orders over (earlier date, higher
+    * price): points no other point dominates (`d' <= d AND p' >= p`,
+    * strictly better somewhere). Distinct value pairs first, so
+    * "previous max price >= p in (date ASC, price DESC) order" is
+    * EXACTLY strict dominance.
+    *
+    * Scale shape — the skyline is distributive, so the engine side is
+    * a two-level prune: a local skyline per hash bucket (parallel
+    * windows over 32 buckets; anything dominated within its bucket is
+    * dominated globally) feeds a global pass that only ever sees the
+    * few per-bucket survivors. The oracle runs the single-pass window
+    * form — same math, independent plan. No NOT-EXISTS quadratic
+    * anywhere (150 k distinct pairs at sf0.1 would be 2e10
+    * comparisons).
+    */
+  val qSkyline: QDef = QDef(
+    "q_skyline",
+    """WITH pts AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+      |    o_totalprice AS p
+      |  FROM orders),
+      |m AS (
+      |  SELECT d, p, MAX(p) OVER (ORDER BY d ASC, p DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM pts)
+      |SELECT d, ROUND(p, 2) AS p
+      |FROM m WHERE pm IS NULL OR pm < p
+      |ORDER BY d, p""".stripMargin) { (s, d) =>
+    val pts = orders(s, d)
+      .select(to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").as("p"))
+      .distinct()
+    def skyline(df: org.apache.spark.sql.DataFrame,
+        parts: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val w = (if (parts.isEmpty) Window.orderBy(col("d").asc, col("p").desc)
+        else Window.partitionBy(parts.map(col): _*)
+          .orderBy(col("d").asc, col("p").desc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pm", max(col("p")).over(w))
+        .filter(col("pm").isNull || col("pm") < col("p"))
+        .drop("pm")
+    }
+    val local = skyline(
+      pts.withColumn("b", pmod(hash(col("d"), col("p")), lit(32))),
+      Seq("b")).drop("b")
+    skyline(local, Nil)
+      .select(col("d"), round(col("p"), 2).as("p"))
+      .orderBy(col("d"), col("p"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
-    qHistogram, qFunnel)
+    qHistogram, qFunnel, qSkyline)
 }

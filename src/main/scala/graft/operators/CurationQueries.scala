@@ -304,7 +304,46 @@ object CurationQueries {
       .orderBy(col("month"))
   }
 
+  /** Winsorized per-nation account-balance mean: global p05/p95
+    * cutoffs (exact interpolated percentiles, same cross-engine family
+    * q_robust_stats relies on) broadcast back, every balance CLIPPED
+    * into [lo, hi], then a plain grouped mean + clip-rate report — the
+    * outlier-robust complement of q_length_band's drop-the-tails
+    * filter (clipping keeps the row, capping its influence). Two
+    * passes, summaries broadcast between; never a global sort.
+    */
+  val qWinsorize: QDef = QDef(
+    "q_winsorize",
+    """WITH c AS (
+      |  SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+      |         quantile_cont(c_acctbal, 0.95) AS hi
+      |  FROM customer)
+      |SELECT c_nationkey,
+      |  ROUND(AVG(LEAST(GREATEST(c_acctbal, lo), hi)), 2) AS wmean,
+      |  COUNT(*) AS n_cust,
+      |  ROUND(AVG(CASE WHEN c_acctbal < lo OR c_acctbal > hi
+      |    THEN 1.0 ELSE 0.0 END), 4) AS clip_rate
+      |FROM customer, c
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val cust = customer(s, d)
+    val cuts = cust.agg(
+      expr("percentile(c_acctbal, 0.05)").as("lo"),
+      expr("percentile(c_acctbal, 0.95)").as("hi"))
+    val clipped =
+      least(greatest(col("c_acctbal"), col("lo")), col("hi"))
+    cust.crossJoin(broadcast(cuts))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        round(avg(clipped), 2).as("wmean"),
+        count(lit(1)).as("n_cust"),
+        round(avg(when(col("c_acctbal") < col("lo")
+          || col("c_acctbal") > col("hi"), 1.0).otherwise(0.0)), 4)
+          .as("clip_rate"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupPrefix, qLengthBand, qZipfTop, qScd2Status, qParetoRevenue,
-    qRfmSegments, qMomChange)
+    qRfmSegments, qMomChange, qWinsorize)
 }

@@ -136,6 +136,33 @@ object EtlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Ingest through the jetcsv DataSource V2 (the custom Access-export
+    * source: schema.jet sidecar + CSV part files, column pruning +
+    * reader-side filter skipping — JetCsvSourceSpec pins those): export
+    * → re-read through `format("jetcsv")` → must equal the source
+    * table. doc_id/n_chars ride Jet LongInteger (int32 — Jet has no
+    * 64-bit integer), so the oracle casts to INT too. */
+  val qScanJetCsv: QDef = QDef(
+    "q_scan_jetcsv",
+    """SELECT CAST(doc_id AS INT) AS doc_id, lang, source,
+      |  CAST(n_chars AS INT) AS n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "jetcsv")) {
+        val out = s"/tmp/graft_ingest_jetcsv_${d.hashCode.toHexString}"
+        documents(s, d)
+          .select(col("doc_id").cast("int"), col("lang"),
+            col("source"), col("n_chars").cast("int"))
+          .coalesce(1).write.mode("overwrite")
+          .option("header", "false").csv(out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "schema.jet"),
+          "doc_id:long\nlang:text\nsource:text\nn_chars:long\n")
+        out
+      }
+    s.read.format("jetcsv").load(dir).orderBy("doc_id")
+  }
+
   /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number
     * return NULL where the strict form would raise — the policy layer a
     * migration needs when source data is dirty but the job must not
@@ -300,5 +327,6 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qTryFuncs, qSnapshotDiff, qProfileTable, qTableChecksum)
+    qScanOrc, qScanJetCsv, qTryFuncs, qSnapshotDiff, qProfileTable,
+    qTableChecksum)
 }
