@@ -61,7 +61,23 @@ object GraftExtensions {
               s"topk: k must be an integer literal, got $other")
           }
           graft.functions.TopKAgg(es(0), es(1), k)
-        }))
+        }),
+      (FunctionIdentifier("kll_sketch"),
+        info("kll_sketch",
+          "kll_sketch(x) - aggregate: mergeable KLL quantile sketch " +
+            "blob over double x (k=200)"),
+        (es: Seq[Expression]) => graft.functions.KllSketchAgg(es(0))),
+      (FunctionIdentifier("kll_merge"),
+        info("kll_merge",
+          "kll_merge(blob) - aggregate: lossless union of KLL sketch " +
+            "blobs"),
+        (es: Seq[Expression]) => graft.functions.KllMergeAgg(es(0))),
+      (FunctionIdentifier("kll_quantiles"),
+        info("kll_quantiles",
+          "kll_quantiles(blob, ps) - quantile values at ranks ps from " +
+            "a KLL sketch blob"),
+        (es: Seq[Expression]) =>
+          graft.functions.KllQuantiles(es(0), es(1))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -74,5 +74,32 @@ object SketchQueries {
       .orderBy(col("user_id"))
   }
 
-  val defs: Seq[QDef] = Seq(qHllSketchMerge, qCmsFreq)
+  /** KLL quantile sketches per event type + the re-merged global
+    * distribution as a `_all_` row (p50/p90/p99 of event value) — the
+    * per-shard → global incremental QUANTILE path completing the
+    * sketch family (HLL cardinality, CMS frequency, KLL quantiles).
+    * No oracle: KLL compaction flips random coins, so the blob (and
+    * low-order quantile digits) vary per run; SketchSpec bounds the
+    * rank error against exact percentiles and exercises the
+    * materialize → re-merge path. */
+  val qKllQuantiles: QDef = QDef.noOracle("q_kll_quantiles") { (s, d) =>
+    import graft.functions.KllSketch
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
+    val perType = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(KllSketch.sketch(col("value")).as("sk"))
+    val typed = perType.select(col("event_type"),
+      KllSketch.quantiles(col("sk"), ps).as("qs"))
+    val global = perType
+      .agg(KllSketch.quantiles(KllSketch.merge(col("sk")), ps).as("qs"))
+      .select(lit("_all_").as("event_type"), col("qs"))
+    typed.unionByName(global)
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 2).as("p50"),
+        round(element_at(col("qs"), 2), 2).as("p90"),
+        round(element_at(col("qs"), 3), 2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[QDef] = Seq(qHllSketchMerge, qCmsFreq, qKllQuantiles)
 }

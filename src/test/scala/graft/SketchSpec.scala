@@ -23,6 +23,53 @@ class SketchSpec extends AnyFunSuite {
       s"register-wise max must be lossless: merged=$merged direct=$direct")
   }
 
+  test("KLL quantiles within normalized rank error of exact, " +
+    "through the per-type and re-merged global paths") {
+    val ev = TableLoader.events(spark, sfDir)
+    val n = ev.count()
+    val rows = SparkEntry.queries("q_kll_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.contains("_all_") && rows.size >= 2)
+    // k=200 one-sided normalized rank error ~1.65%; allow 2% of rank,
+    // converted to a VALUE tolerance via exact quantiles at p ± 2%
+    val (p50, p90, p99) = rows("_all_")
+    val exact = ev.agg(expr(
+      """percentile(value,
+        |  array(0.48,0.52, 0.88,0.92, 0.97,1.0))""".stripMargin))
+      .head().getSeq[Double](0)
+    assert(p50 >= exact(0) && p50 <= exact(1),
+      s"p50 $p50 outside [${exact(0)}, ${exact(1)}]")
+    assert(p90 >= exact(2) && p90 <= exact(3),
+      s"p90 $p90 outside [${exact(2)}, ${exact(3)}]")
+    assert(p99 >= exact(4) && p99 <= exact(5),
+      s"p99 $p99 outside [${exact(4)}, ${exact(5)}]")
+    assert(n >= 10000, "fixture must be big enough for the bound")
+  }
+
+  test("KLL blobs materialize, persist, and re-merge via SQL functions") {
+    GraftExtensions.register(spark)
+    TableLoader.events(spark, sfDir)
+      .createOrReplaceTempView("ev_kll")
+    // build per-type blobs, round-trip through a parquet 'snapshot',
+    // then union them with kll_merge — the incremental re-merge path
+    val dir = java.nio.file.Files
+      .createTempDirectory("kll_snap").toString
+    spark.sql(
+      """SELECT event_type, kll_sketch(value) AS sk
+        |FROM ev_kll GROUP BY event_type""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .selectExpr(
+        "kll_quantiles(kll_merge(sk), array(0.5D)) AS qs")
+      .head().getSeq[Double](0).head
+    val exact = TableLoader.events(spark, sfDir)
+      .agg(expr("percentile(value, array(0.48, 0.52))"))
+      .head().getSeq[Double](0)
+    assert(merged >= exact(0) && merged <= exact(1),
+      s"re-merged p50 $merged outside [${exact(0)}, ${exact(1)}]")
+  }
+
   test("CMS estimates are exact-or-over within the eps*N bound") {
     val ev = TableLoader.events(spark, sfDir)
     val n = ev.count()
