@@ -45,6 +45,37 @@ object SamplingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws a content-keyed uniform u ∈ (0,1) from its md5
+    * (the +1 / 2^32+1 shift keeps u strictly inside the interval),
+    * gets key = ln(u)/w for weight w = n_chars, and the k LARGEST keys
+    * are the sample — inclusion probability ∝ weight, exactly the
+    * length-weighted doc selection a training-mix builder needs, yet
+    * fully deterministic and re-runnable (no rand()). Top-k by key is
+    * a TakeOrdered, never a global sort. */
+  val qSampleWeighted: QDef = QDef(
+    "q_sample_weighted",
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    LN((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) + 1.0)
+      |       / 4294967297.0) / n_chars AS key
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, n_chars, ROUND(key, 8) AS key
+      |FROM k
+      |ORDER BY key DESC, doc_id
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val u = (conv(substring(md5(col("text").cast("binary")), 1, 8),
+      16, 10).cast("bigint") + lit(1.0)) / lit(4294967297.0)
+    documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("key"), 8).as("key"))
+  }
+
   /** Seeded per-stratum sampling (`sampleBy` on lang): Bernoulli per
     * row with per-stratum fractions. Deterministic for a fixed seed +
     * partitioning but engine-internal → no oracle; SamplingSpec
@@ -61,5 +92,5 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
   }
 
-  val defs: Seq[QDef] = Seq(qSplitHash, qSampleStratified)
+  val defs: Seq[QDef] = Seq(qSplitHash, qSampleWeighted, qSampleStratified)
 }

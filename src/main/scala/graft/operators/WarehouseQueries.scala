@@ -205,6 +205,44 @@ object WarehouseQueries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental aggregate maintenance: a materialized per-customer
+    * order summary (rows before 1997) is brought current by COMBINING
+    * it with the delta's partial aggregate — full-outer join on the
+    * key, counts add, DECIMAL sums add — instead of rescanning
+    * history. The oracle recomputes from scratch over the whole table,
+    * so the merge law (partial ⊕ partial = total) is itself what gets
+    * hash-verified. At 100 TB this is the nightly-snapshot pattern:
+    * the delta is a day, the snapshot never re-reads. */
+  val qIncrementalAgg: QDef = QDef(
+    "q_incremental_agg",
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    val snapshot = partial(o.filter(col("o_orderdate") < cut))
+    val delta = partial(o.filter(col("o_orderdate") >= cut))
+    snapshot.as("s")
+      .join(delta.as("d"),
+        col("s.o_custkey") === col("d.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("s.o_custkey"), col("d.o_custkey")).as("o_custkey"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s.rev"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("d.rev"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_custkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qMergeUpsert, qFkIntegrity, qScanPartitioned, qPiiMask, qTrainMix)
+    qMergeUpsert, qFkIntegrity, qScanPartitioned, qPiiMask, qTrainMix,
+    qIncrementalAgg)
 }

@@ -138,6 +138,38 @@ class StreamingSpec extends AnyFunSuite {
       s"expected sessions of 3 and 1 events, got $sessions")
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the horizon and " +
+    "re-admits a key once the watermark passed it") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = stream.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ddww_out").start()
+    try {
+      // batch 1: k=1 twice within the delay -> ONE row survives
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L)))
+      q.processAllAvailable()
+      // batch 2: watermark moves to ~11:50, far past k=1's state
+      stream.addData(Seq((ts("2024-01-01 12:00:00"), 3L)))
+      q.processAllAvailable()
+      // batch 3: k=1 returns AFTER its state was evicted -> re-admitted
+      stream.addData(Seq((ts("2024-01-01 12:01:00"), 1L)))
+      q.processAllAvailable()
+      val got = spark.table("ddww_out").collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0).toString)).toSeq
+      assert(got.count(_._1 == 1L) == 2,
+        s"k=1 must appear once per watermark era, got $got")
+      assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+      // the dedup'd duplicate (10:05) never surfaced
+      assert(!got.contains((1L, "2024-01-01 10:05:00.0")), got.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch window cumsum") {
     val ev = TableLoader.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"value")
