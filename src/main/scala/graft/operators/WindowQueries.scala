@@ -250,8 +250,31 @@ object WindowQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling MEDIAN (7-row trailing, per user) — the outlier-robust
+    * twin of q_window_frame's moving sum: one spike cannot drag the
+    * smoothed series. An exact order statistic inside a window frame
+    * (Spark's `percentile` aggregate as a window function ↔ DuckDB's
+    * windowed `quantile_cont`) — bounded 7-row frames, so the per-row
+    * re-rank is O(frame), not O(partition). */
+  val qRollingMedian: QDef = QDef(
+    "q_rolling_median",
+    """SELECT event_id,
+      |  ROUND(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"),
+        round(expr("percentile(value, 0.5)").over(w), 4).as("med7"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qWindowRank, qWindowRankingFns, qWindowAnalytic, qWindowFrame,
     qWindowRangeFrame, qWindowCumsum, qWindowDistribution, qFillForward,
-    qWindowTimeRange)
+    qWindowTimeRange, qRollingMedian)
 }
