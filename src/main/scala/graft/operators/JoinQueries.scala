@@ -372,8 +372,38 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of through the native operator: the EARLIEST click
+    * at-or-after each purchase (time-to-next-action attribution — the
+    * pandas merge_asof direction="forward" surface). Same merge pass,
+    * mirrored rule; the first qualifying right row is matched without
+    * being consumed, so equal-time later purchases still see it. */
+  val qJoinAsofForward: QDef = QDef(
+    "q_join_asof_forward",
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  (SELECT CAST(MIN(c.ts) AS TIMESTAMP) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |     AND c.ts >= e.ts) AS next_click_ts
+      |FROM events e
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    graft.plans.AsOfJoinOps.asof(
+        purchases, "ts", clicks, "ts", Seq("user_id"), Seq("user_id"),
+        toleranceMicros = None, direction = "forward")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("ts_r").cast("timestamp_ntz").as("next_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinAsofNative,
-    qJoinMultiway, qJoinNullSafe, qCorrelatedScalar, qJoinLateral)
+    qJoinAsofForward, qJoinMultiway, qJoinNullSafe, qCorrelatedScalar,
+    qJoinLateral)
 }

@@ -336,7 +336,70 @@ object SimilarityQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Label-noise audit (confident-learning lite): for a deterministic
+    * probe sample (vec_id % 50 = 0), vote the 10 nearest neighbors'
+    * labels (cosine, self excluded) and report probes whose OWN label
+    * loses the vote — the mislabel/outlier curation queue. Probe set
+    * broadcast against the corpus, so the pair count is
+    * |probes| × n, never n²; at 100 TB the ANN index (qAnnLsh/IVF)
+    * supplies the candidate set instead of the full scan. */
+  val qMislabelKnn: QDef = QDef(
+    "q_mislabel_knn",
+    s"""$oracleNorms,
+       |scored AS (
+       |  SELECT q.vec_id AS probe_id, q.label AS own_label,
+       |    a.label, a.vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> a.v[i] * q.v[i])) / (a.nrm * q.nrm) AS cos
+       |  FROM n a JOIN n q
+       |    ON q.vec_id % 50 = 0 AND a.vec_id <> q.vec_id),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT probe_id, own_label, label,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= 10),
+       |votes AS (
+       |  SELECT probe_id, own_label, label, COUNT(*) AS n_votes,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY COUNT(*) DESC, label) AS vr
+       |  FROM topk GROUP BY probe_id, own_label, label)
+       |SELECT probe_id, own_label, label AS voted_label,
+       |  CAST(n_votes AS BIGINT) AS n_votes
+       |FROM votes
+       |WHERE vr = 1 AND label <> own_label
+       |ORDER BY probe_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("own_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("own_label"), col("label"),
+        col("vec_id"),
+        (dot(col("embedding"), col("qv"))
+          / (col("nrm") * col("qnrm"))).as("cos"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .groupBy(col("probe_id"), col("own_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1 && col("label") =!= col("own_label"))
+      .select(col("probe_id"), col("own_label"),
+        col("label").as("voted_label"), col("n_votes"))
+      .orderBy(col("probe_id"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qSimCosine, qSimQueryTopk, qAnnLsh, qDedupEmbeddingLsh,
-      qKnnClassify)
+      qKnnClassify, qMislabelKnn)
 }

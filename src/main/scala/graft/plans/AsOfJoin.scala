@@ -32,9 +32,13 @@ import org.apache.spark.sql.types._
   * Semantics:
   *   - at most one output row per left row (left-outer: unmatched left
   *     rows emit NULL right columns);
-  *   - tie at equal right time: the last row in (key, time) order wins
-  *     (callers needing determinism should project the matched time,
-  *     which is unique, not an arbitrary payload column);
+  *   - direction "backward" (default): the LATEST right row with
+  *     rightTime <= leftTime; "forward": the EARLIEST right row with
+  *     rightTime >= leftTime (the pandas merge_asof direction pair);
+  *   - tie at equal right time: backward keeps the last row in
+  *     (key, time) order, forward the first (callers needing
+  *     determinism should project the matched time, which is unique,
+  *     not an arbitrary payload column);
   *   - NULL left time or NULL right time never matches; NULL keys group
   *     together (GROUP BY semantics, same as the window formulation).
   */
@@ -45,7 +49,8 @@ final case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long])
+    toleranceMicros: Option[Long],
+    forward: Boolean)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,
@@ -70,8 +75,9 @@ final case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -89,6 +95,7 @@ final case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
@@ -123,6 +130,7 @@ final case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val tol = toleranceMicros
+    val fwd = forward
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -158,6 +166,7 @@ final case class AsOfJoinExec(
         val lKey = lKeyProj(lRow)
         val lTimeV = lTimeB.eval(lRow)
         var matched = false
+        var fwdMatch: InternalRow = null
         if (lTimeV != null) {
           val lT = micros(lTimeV)
           var scan = true
@@ -171,7 +180,20 @@ final case class AsOfJoinExec(
               if (rTimeV == null) rBuf.next() // unmatchable, skip
               else {
                 val rT = micros(rTimeV)
-                if (rT <= lT) {
+                if (fwd) {
+                  // forward: discard rights strictly before lT (no
+                  // later left can need them — lefts are ascending);
+                  // the first right at/after lT is THE match, left
+                  // unconsumed for equal-time later lefts
+                  if (rT < lT) rBuf.next()
+                  else {
+                    if (tol.forall(t => rT - lT <= t)) {
+                      matched = true
+                      fwdMatch = head
+                    }
+                    scan = false
+                  }
+                } else if (rT <= lT) {
                   lastMatch = head.copy()
                   lastKey = lKey.copy()
                   lastTime = rT
@@ -180,11 +202,15 @@ final case class AsOfJoinExec(
               }
             }
           }
-          matched = lastMatch != null &&
-            keyOrd.compare(lastKey, lKey) == 0 &&
-            tol.forall(t => lT - lastTime <= t)
+          if (!fwd) {
+            matched = lastMatch != null &&
+              keyOrd.compare(lastKey, lKey) == 0 &&
+              tol.forall(t => lT - lastTime <= t)
+          }
         }
-        joined(lRow, if (matched) lastMatch else nullRight)
+        val rightRow =
+          if (!matched) nullRight else if (fwd) fwdMatch else lastMatch
+        joined(lRow, rightRow)
         resultProj(joined)
       }
     }
@@ -207,9 +233,12 @@ object AsOfJoinOps {
       rightTimeCol: String,
       leftOn: Seq[String],
       rightOn: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(leftOn.length == rightOn.length,
       "asof: leftOn/rightOn must have equal length")
+    require(direction == "backward" || direction == "forward",
+      s"asof: direction must be backward or forward, got $direction")
     val spark = left.sparkSession
     DatasetBridge.addStrategy(spark, AsOfJoinStrategy)
 
@@ -240,6 +269,6 @@ object AsOfJoinOps {
       lPlan, rPlan,
       leftOn.map(attr(lPlan, _, "left")),
       rightOn.map(n => attr(rPlan, renames.getOrElse(n, n), "right")),
-      lt, rt, toleranceMicros))
+      lt, rt, toleranceMicros, direction == "forward"))
   }
 }

@@ -131,6 +131,37 @@ class AsOfJoinNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"expected exactly one shuffle per side, got ${exchanges.size}\n$s")
   }
 
+  test("forward direction equals the min-over-following window form, " +
+    "with and without tolerance") {
+    val ev = TableLoader.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = ev.withColumn("next_click_ts",
+        min(when(col("event_type") === "click", col("ts"))).over(wFwd))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "next_click_ts")
+    for (tol <- Seq(None, Some(3600L * 1000000L))) {
+      val native = AsOfJoinOps.asof(
+          purchases, "ts", clicks, "ts", Seq("user_id"), Seq("user_id"),
+          toleranceMicros = tol, direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts_r").as("next_click_ts"))
+      val want = tol match {
+        case Some(t) => base.withColumn("next_click_ts",
+          when(unix_micros(col("next_click_ts")) - unix_micros(col("ts"))
+            <= t, col("next_click_ts")))
+        case None => base
+      }
+      assert(rows(native) == rows(want), s"tolerance=$tol")
+      assert(rows(want).exists(_._4.isDefined), "must have matches")
+      assert(rows(want).exists(_._4.isEmpty), "must have non-matches")
+    }
+  }
+
   test("strategy self-registration is idempotent") {
     nativeForm(None).collect()
     nativeForm(None).collect()
