@@ -401,9 +401,56 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Point-in-time dimension join (the warehouse temporal-lookup /
+    * feature-store pattern): for every line-item SHIPMENT, the
+    * priority of its customer's latest order placed on-or-before the
+    * ship date. The versioned dimension is first reduced to ONE row
+    * per (customer, date) — max_by over the unique orderkey, so ties
+    * at equal time are deterministic — then the native as-of operator
+    * does the interval lookup: both sides shuffle once on custkey, no
+    * BETWEEN nested-loop, no per-row correlated re-scan (the oracle
+    * keeps the correlated-argmax form). */
+  val qJoinPit: QDef = QDef(
+    "q_join_pit",
+    """WITH dim AS (
+      |  SELECT o_custkey AS ck, o_orderdate AS d,
+      |    arg_max(o_orderpriority, o_orderkey) AS prio
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS ck,
+      |    l.l_shipdate AS sd
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT f.l_orderkey, f.l_linenumber,
+      |  CAST(f.sd AS TIMESTAMP) AS sd,
+      |  (SELECT arg_max(prio, d) FROM dim
+      |   WHERE dim.ck = f.ck AND dim.d <= f.sd) AS pit_priority
+      |FROM f
+      |ORDER BY l_orderkey, l_linenumber, sd, pit_priority""".stripMargin) {
+    (s, d) =>
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // testdata — sd + pit_priority complete the total order
+    val facts = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("sd"))
+      .join(orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("ck")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "ck", "sd")
+    val dim = orders(s, d)
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("d"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    graft.plans.AsOfJoinOps.asof(
+        facts, "sd", dim, "d", Seq("ck"), Seq("ck"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("sd").cast("timestamp_ntz").as("sd"),
+        col("prio").as("pit_priority"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("sd"),
+        col("pit_priority"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinAsofNative,
     qJoinAsofForward, qJoinMultiway, qJoinNullSafe, qCorrelatedScalar,
-    qJoinLateral)
+    qJoinLateral, qJoinPit)
 }

@@ -150,6 +150,27 @@ class PlanSpec extends AnyFunSuite {
       "HLL sketches must partially aggregate before the shuffle")
   }
 
+  test("q_join_pit runs on the native as-of exec — an interval lookup " +
+    "with no nested loop and no correlated re-scan") {
+    val p = finalPlan("q_join_pit")
+    val asofs = p.collectWithSubqueries {
+      case e: graft.plans.AsOfJoinExec => e
+    }
+    assert(asofs.size == 1, s"expected AsOfJoinExec:\n$p")
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s)
+  }
+
+  test("q_skyline's local-prune stage runs bucket-parallel windows " +
+    "(only the survivor pass is a single partition)") {
+    val s = finalPlan("q_skyline").toString
+    // local stage: window partitioned by the bucket column; global
+    // stage: empty partition spec over the pruned survivors only
+    assert(s.contains("windowspecdefinition(b#"),
+      s"missing bucket-partitioned local window:\n$s")
+  }
+
   test("suite-wide sweep: no query degenerates to a cartesian product") {
     // the one declared exception: q_join_cross IS the cartesian row.
     // Broadcast nested-loop joins (tiny broadcast side) are fine — the
