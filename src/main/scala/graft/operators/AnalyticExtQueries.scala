@@ -395,8 +395,46 @@ object AnalyticExtQueries {
       .orderBy(col("d"), col("p"))
   }
 
+  /** Time-to-convert distribution: for every purchase with a prior
+    * click by the same user, the click→purchase gap — reported as
+    * count + median + p90 seconds. The matching step is the SAME
+    * running-max as-of shape as q_join_asof (one user_id shuffle);
+    * quantiles interpolate over exact integer microsecond gaps. The
+    * latency-percentile report every funnel owner asks for next. */
+  val qFunnelTime: QDef = QDef(
+    "q_funnel_time",
+    """WITH g AS (
+      |  SELECT epoch_us(e.ts) - (
+      |      SELECT MAX(epoch_us(c.ts)) FROM events c
+      |      WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |        AND c.ts <= e.ts) AS gap_us
+      |  FROM events e WHERE e.event_type = 'purchase')
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 3) AS p50_s,
+      |  ROUND(quantile_cont(gap_us, 0.9) / 1000000.0, 3) AS p90_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |ORDER BY n_converted""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(w))
+      .filter(col("event_type") === "purchase"
+        && col("last_click_us").isNotNull)
+      .select((unix_micros(col("ts")) - col("last_click_us"))
+        .as("gap_us"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 3)
+          .as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 3)
+          .as("p90_s"))
+      .orderBy(col("n_converted"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
-    qHistogram, qFunnel, qSkyline)
+    qHistogram, qFunnel, qSkyline, qFunnelTime)
 }

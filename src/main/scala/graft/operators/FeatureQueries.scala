@@ -96,5 +96,30 @@ object FeatureQueries {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
-  val defs: Seq[QDef] = Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash)
+  /** The BUILT-IN bitmap-function twin of q_distinct_bitmap: exact
+    * distinct customers per priority via Spark's native
+    * bitmap_bucket_number / bitmap_bit_position /
+    * bitmap_construct_agg / bitmap_count family — one fixed-size
+    * bitmap per (group, 32k-bucket) crosses the shuffle, counts add
+    * exactly. Same partial-aggregation scale shape as the custom
+    * aggregate, zero custom code; oracle is plain COUNT(DISTINCT). */
+  val qBitmapFuncs: QDef = QDef(
+    "q_bitmap_funcs",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bmp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(expr("bitmap_count(bmp)")).cast("bigint").as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val defs: Seq[QDef] =
+    Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash, qBitmapFuncs)
 }

@@ -51,5 +51,35 @@ object UdxQueries {
       .orderBy(col("o_orderkey"), col("pos"))
   }
 
-  val defs: Seq[QDef] = Seq(qUdfScalar, qUdtfExplode)
+  /** OUTER generator semantics: posexplode_outer keeps rows whose
+    * array is NULL (here: negative-balance customers) with NULL
+    * pos/seg, where plain explode would drop them — the generator
+    * twin of LEFT JOIN vs JOIN. Oracle rebuilds both branches with a
+    * UNION ALL (DuckDB unnest drops NULLs like the inner form). */
+  val qExplodeOuter: QDef = QDef(
+    "q_explode_outer",
+    """WITH a AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_acctbal < 0 THEN NULL
+      |      ELSE string_split(c_name, '#') END AS segs
+      |  FROM customer)
+      |SELECT c_custkey, CAST(NULL AS INT) AS pos,
+      |  CAST(NULL AS VARCHAR) AS seg
+      |FROM a WHERE segs IS NULL
+      |UNION ALL
+      |SELECT c_custkey,
+      |  CAST(generate_subscripts(segs, 1) - 1 AS INT) AS pos,
+      |  unnest(segs) AS seg
+      |FROM a WHERE segs IS NOT NULL
+      |ORDER BY c_custkey, pos""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null))
+          .otherwise(split(col("c_name"), "#")).as("segs"))
+      .select(col("c_custkey"),
+        posexplode_outer(col("segs")).as(Seq("pos", "seg")))
+      .orderBy(col("c_custkey"), col("pos"))
+  }
+
+  val defs: Seq[QDef] = Seq(qUdfScalar, qUdtfExplode, qExplodeOuter)
 }
