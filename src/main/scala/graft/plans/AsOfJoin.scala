@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.DatasetBridge
 import org.apache.spark.sql.types._
 
@@ -100,6 +101,12 @@ final case class AsOfJoinExec(
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched left rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -132,6 +139,8 @@ final case class AsOfJoinExec(
     val tol = toleranceMicros
     val fwd = forward
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -210,6 +219,8 @@ final case class AsOfJoinExec(
         }
         val rightRow =
           if (!matched) nullRight else if (fwd) fwdMatch else lastMatch
+        numOutputRows += 1
+        if (matched) numMatched += 1
         joined(lRow, rightRow)
         resultProj(joined)
       }

@@ -11,7 +11,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -50,6 +51,10 @@ import graft.sources.JetTypes._
 class JetCsvSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "jetcsv"
+
+  // writes pass the DataFrame's schema straight through (a brand-new
+  // table directory has no sidecar to infer from yet)
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JetCsv.readSidecar(JetCsv.dir(options))._2
@@ -180,17 +185,21 @@ private[jetcsv] object JetCsv {
 
 private[jetcsv] final case class JetCsvTable(
     dir: String, tableSchema: StructType)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"jetcsv:$dir"
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new JetCsvScanBuilder(dir, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JetCsvWriteBuilder(dir, info)
 }
 
 private[jetcsv] final class JetCsvScanBuilder(

@@ -96,4 +96,58 @@ class JetCsvSourceSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(3))
     assert(read().filter("name IS NOT NULL").count() == 2)
   }
+
+  test("write path round-trips: df -> jetcsv table -> df, sidecar " +
+    "regenerated, values identical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("jetcsv_w").toString
+    val src = Seq(
+      (1, "plain", true, 12.5, "2024-05-01 08:00:00"),
+      (2, "comma, quoted \"x\"", false, -0.25, "2024-05-02 23:59:59"),
+      (3, null.asInstanceOf[String], true, 0.0, null)
+    ).toDF("id", "name", "flag", "score", "t")
+      .withColumn("t",
+        org.apache.spark.sql.functions.col("t").cast("timestamp"))
+      .withColumn("bal", org.apache.spark.sql.functions
+        .col("score").cast("decimal(19,4)"))
+    src.write.format("jetcsv").mode("append").save(out)
+    val back = spark.read.format("jetcsv").load(out)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = src.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("overwrite replaces the table atomically at commit; append adds") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("jetcsv_ow").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.format("jetcsv").mode("append").save(out)
+    Seq((3, "c")).toDF("id", "v")
+      .write.format("jetcsv").mode("append").save(out)
+    assert(spark.read.format("jetcsv").load(out).count() == 3)
+    Seq((9, "z")).toDF("id", "v")
+      .write.format("jetcsv").mode("overwrite").save(out)
+    val rows = spark.read.format("jetcsv").load(out).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(9))
+    // no staging residue
+    val residue = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith(".staging"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
+
+  test("BIGINT is rejected at plan time with a cast hint " +
+    "(Jet has no 64-bit integer)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("jetcsv_rej").toString
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("jetcsv").mode("append").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no Jet rendering")), e.toString)
+  }
 }
