@@ -251,7 +251,69 @@ object ScalarFuncQueries {
       .orderBy(col("day"))
   }
 
+  /** IANA timezone conversion (the migration question every UTC lake
+    * eventually answers: "what was the user's LOCAL time?"):
+    * `convert_timezone` over NTZ timestamps, winter + summer rows so
+    * DST offsets are exercised on both sides (Spark and DuckDB both
+    * carry the IANA tzdb). */
+  val qTzConvert: QDef = QDef(
+    "q_tz_convert",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS utc,
+      |  CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+      |    AS TIMESTAMP) AS ny,
+      |  CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+      |    AS TIMESTAMP) AS tokyo
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        col("ts").cast("timestamp_ntz").as("utc"))
+      .select(col("event_id"), col("utc"),
+        convert_timezone(lit("UTC"), lit("America/New_York"),
+          col("utc")).as("ny"),
+        convert_timezone(lit("UTC"), lit("Asia/Tokyo"), col("utc"))
+          .as("tokyo"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Array pack #2 — the set/ordering half of the list toolkit:
+    * array_distinct / array_sort / reverse / flatten over token
+    * arrays, element containment, and a zip_with pairing — DuckDB's
+    * list_* family mirrors each one. */
+  val qArrayFuncs2: QDef = QDef(
+    "q_array_funcs2",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ')[1:12] AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+      |  list_sort(list_distinct(w))[1] AS first_tok,
+      |  list_reverse(list_sort(list_distinct(w)))[1] AS last_tok,
+      |  CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
+      |  CAST(len(flatten([w[1:3], w[4:6]])) AS INT) AS n_flat,
+      |  list_transform(list_zip(w[1:3], w[2:4]),
+      |    p -> concat(p[1], '_', p[2]))[1] AS bigram1
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 12).as("w"))
+      .select(col("doc_id"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        element_at(array_sort(array_distinct(col("w"))), 1)
+          .as("first_tok"),
+        element_at(reverse(array_sort(array_distinct(col("w")))), 1)
+          .as("last_tok"),
+        array_contains(col("w"), "the").as("has_the"),
+        size(flatten(array(slice(col("w"), 1, 3),
+          slice(col("w"), 4, 3)))).as("n_flat"),
+        element_at(zip_with(slice(col("w"), 1, 3),
+          slice(col("w"), 2, 3),
+          (a, b) => concat(a, lit("_"), b)), 1).as("bigram1"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
-    qJsonFuncs, qDateSeries, qMonthlyRollup)
+    qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2)
 }
