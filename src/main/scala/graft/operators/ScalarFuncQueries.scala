@@ -313,7 +313,37 @@ object ScalarFuncQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** String pack #2 — padding/translation/slicing (the rest of the
+    * Access String$/Space$/StrReverse idiom set): lpad/rpad, translate,
+    * repeat, reverse, left/right slices, split_part. */
+  val qStringFuncs2: QDef = QDef(
+    "q_string_funcs2",
+    """SELECT c_custkey,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS devoweled,
+      |  repeat('-', CAST(c_custkey % 5 AS INT) + 1) AS dashes,
+      |  reverse(c_mktsegment) AS rev,
+      |  left(c_name, 8) AS l8,
+      |  right(c_name, 3) AS r3,
+      |  split_part(c_name, '#', 2) AS after_hash
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou")
+          .as("devoweled"),
+        repeat(lit("-"), (col("c_custkey") % 5).cast("int") + 1)
+          .as("dashes"),
+        reverse(col("c_mktsegment")).as("rev"),
+        substring(col("c_name"), 1, 8).as("l8"),
+        expr("right(c_name, 3)").as("r3"),
+        element_at(split(col("c_name"), "#"), 2).as("after_hash"))
+      .orderBy(col("c_custkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
-    qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2)
+    qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2,
+    qStringFuncs2)
 }

@@ -126,7 +126,10 @@ private[jetcsv] final case class JetCsvBatchWrite(
         .foreach(s => fs.delete(s.getPath, false))
     }
     messages.collect { case m: JetCsvCommit if m.file != null =>
-      fs.rename(new Path(staging, m.file), new Path(dir, m.file))
+      if (!fs.rename(new Path(staging, m.file), new Path(dir, m.file)))
+        throw new java.io.IOException(
+          s"jetcsv commit: failed to move ${m.file} into $dir " +
+            "(staging left in place for inspection)")
     }
     val out = fs.create(new Path(dir, "schema.jet"), true)
     try out.write(
