@@ -747,10 +747,104 @@ object PipelineExtQueries {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Second-order behavior motifs: the top-20 event-type TRIGRAMS over
+    * per-user time order (two chained LEADs on ONE user_id window
+    * sort), with each motif's share of all trigrams — the n-gram
+    * extension of q_transition_matrix's first-order Markov counts
+    * (bot loops like view→view→view surface here, not there). */
+  val qTransitionTrigram: QDef = QDef(
+    "q_transition_trigram",
+    """WITH s AS (
+      |  SELECT event_type AS a,
+      |    LEAD(event_type, 1) OVER w AS b,
+      |    LEAD(event_type, 2) OVER w AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |g AS (
+      |  SELECT a, b, c, COUNT(*) AS n FROM s
+      |  WHERE b IS NOT NULL AND c IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |t AS (SELECT SUM(n) AS total FROM g)
+      |SELECT a, b, c, CAST(n AS BIGINT) AS n,
+      |  ROUND(n / total, 6) AS share
+      |FROM g, t
+      |ORDER BY n DESC, a, b, c
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = events(s, d)
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val t = g.agg(sum(col("n")).cast("double").as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("a"), col("b"), col("c"), col("n"),
+        round(col("n") / col("total"), 6).as("share"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
+  /** Decile lift table (the gains chart behind every targeting
+    * decision): customers deciled by account balance — exact
+    * interpolated boundaries broadcast back, comparison-count bin
+    * assignment, never a global-sort ntile — each decile's order rate
+    * vs the global rate as LIFT. */
+  val qDecileLift: QDef = QDef(
+    "q_decile_lift",
+    """WITH b AS (
+      |  SELECT [quantile_cont(c_acctbal, 0.1), quantile_cont(c_acctbal, 0.2),
+      |    quantile_cont(c_acctbal, 0.3), quantile_cont(c_acctbal, 0.4),
+      |    quantile_cont(c_acctbal, 0.5), quantile_cont(c_acctbal, 0.6),
+      |    quantile_cont(c_acctbal, 0.7), quantile_cont(c_acctbal, 0.8),
+      |    quantile_cont(c_acctbal, 0.9)] AS qs FROM customer),
+      |r AS (
+      |  SELECT c_custkey, len(list_filter(qs, x -> x <= c_acctbal)) AS decile,
+      |    CASE WHEN EXISTS (SELECT 1 FROM orders
+      |      WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END AS responded
+      |  FROM customer, b),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n_cust,
+      |    CAST(SUM(responded) AS DOUBLE) AS n_resp
+      |  FROM r GROUP BY decile),
+      |t AS (SELECT SUM(n_resp) / SUM(n_cust) AS global_rate FROM g)
+      |SELECT decile, CAST(n_cust AS BIGINT) AS n_cust,
+      |  ROUND(n_resp / n_cust, 6) AS resp_rate,
+      |  ROUND((n_resp / n_cust) / global_rate, 4) AS lift
+      |FROM g, t
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val cust = customer(s, d)
+    val qs = cust.agg(expr(
+      "percentile(c_acctbal, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("qs"))
+    val responded = cust
+      .join(orders(s, d).select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("o_custkey").isNotNull, 1).otherwise(0).as("responded"))
+    val g = responded.crossJoin(broadcast(qs))
+      .withColumn("decile", expr(
+        "aggregate(qs, 0, (acc, x) -> acc + CASE WHEN x <= c_acctbal THEN 1 ELSE 0 END)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("responded")).cast("double").as("n_resp"))
+    val t = g.agg((sum(col("n_resp")) / sum(col("n_cust")))
+      .as("global_rate"))
+    g.crossJoin(broadcast(t))
+      .select(col("decile"), col("n_cust"),
+        round(col("n_resp") / col("n_cust"), 6).as("resp_rate"),
+        round((col("n_resp") / col("n_cust")) / col("global_rate"), 4)
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
     qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
     qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize,
-    qConcurrency, qPmiCooccur)
+    qConcurrency, qPmiCooccur, qTransitionTrigram, qDecileLift)
 }
