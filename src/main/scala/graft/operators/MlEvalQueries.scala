@@ -185,5 +185,78 @@ object MlEvalQueries {
       .drop("raw")
   }
 
-  val defs: Seq[QDef] = Seq(qAuc, qPsi, qKsTest)
+  /** Kaplan–Meier survival curve for time-to-first-purchase with
+    * right-censoring (users who never purchase exit at the study end
+    * as censored, NOT as failures — dropping them would bias the curve
+    * down). S(t) = Π(1 − dᵢ/nᵢ) computed as EXP of a running LN sum
+    * over the day-grouped endpoint table (bounded rows: one per
+    * distinct endpoint day), with the terminal day — everyone
+    * remaining exits — pinned to 0 explicitly (LN(0) is an error in
+    * DuckDB and −Inf in Spark). The churn/conversion-curve operator. */
+  val qSurvivalKm: QDef = QDef(
+    "q_survival_km",
+    """WITH u AS (
+      |  SELECT user_id, MIN(ts) AS first_seen,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      |  FROM events GROUP BY user_id),
+      |study AS (SELECT MAX(ts) AS study_end FROM events),
+      |d AS (
+      |  SELECT CASE WHEN fp IS NOT NULL
+      |      THEN date_diff('day', first_seen, fp)
+      |      ELSE date_diff('day', first_seen, study_end) END AS day,
+      |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u, study),
+      |g AS (
+      |  SELECT day, CAST(SUM(ev) AS DOUBLE) AS d_n,
+      |    CAST(COUNT(*) AS DOUBLE) AS out_n
+      |  FROM d GROUP BY day),
+      |k AS (
+      |  SELECT day, d_n,
+      |    (SELECT SUM(out_n) FROM g) -
+      |      COALESCE(SUM(out_n) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM g)
+      |SELECT day, CAST(d_n AS BIGINT) AS d,
+      |  CAST(n_risk AS BIGINT) AS n_risk,
+      |  CASE WHEN d_n >= n_risk THEN 0.0 ELSE
+      |    ROUND(EXP(SUM(CASE WHEN d_n < n_risk
+      |      THEN LN(1 - d_n / n_risk) END) OVER (ORDER BY day)), 6)
+      |  END AS surv
+      |FROM k
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val u = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+    val study = events(s, d).agg(max(col("ts")).as("study_end"))
+    val endpoints = u.crossJoin(broadcast(study))
+      .select(
+        when(col("fp").isNotNull,
+          datediff(col("fp"), col("first_seen")))
+          .otherwise(datediff(col("study_end"), col("first_seen")))
+          .as("day"),
+        when(col("fp").isNotNull, 1).otherwise(0).as("ev"))
+    val g = endpoints.groupBy(col("day"))
+      .agg(sum(col("ev")).cast("double").as("d_n"),
+        count(lit(1)).cast("double").as("out_n"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("day")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n_risk",
+        sum(col("out_n")).over(wAll)
+          - coalesce(sum(col("out_n")).over(wPrev), lit(0.0)))
+      .select(col("day"), col("d_n").cast("bigint").as("d"),
+        col("n_risk").cast("bigint").as("n_risk"),
+        when(col("d_n") >= col("n_risk"), 0.0)
+          .otherwise(round(exp(sum(when(col("d_n") < col("n_risk"),
+            log(lit(1.0) - col("d_n") / col("n_risk")))).over(wCum)), 6))
+          .as("surv"))
+      .orderBy(col("day"))
+  }
+
+  val defs: Seq[QDef] = Seq(qAuc, qPsi, qKsTest, qSurvivalKm)
 }
