@@ -272,7 +272,63 @@ object StatExtQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Level-shift changepoint over the daily revenue series: the split
+    * day maximizing |mean(before) − mean(after)|, found with exact
+    * DECIMAL prefix sums over the bounded day-grouped table (one
+    * window pass, O(days), never O(days²) split re-scans). Divisions
+    * happen on identical exact decimals on both engines, so the argmax
+    * is deterministic; ties break to the earliest day. The
+    * regime-shift monitor for any KPI series. */
+  val qChangepoint: QDef = QDef(
+    "q_changepoint",
+    """WITH g AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT day,
+      |    CAST(SUM(rev) OVER (ORDER BY day) AS DOUBLE) AS s,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS n,
+      |    CAST(SUM(rev) OVER () AS DOUBLE) AS st,
+      |    CAST(COUNT(*) OVER () AS DOUBLE) AS nt
+      |  FROM g)
+      |SELECT day AS split_day,
+      |  ROUND(s / n, 2) AS mean_before,
+      |  ROUND((st - s) / (nt - n), 2) AS mean_after,
+      |  ROUND(ABS(s / n - (st - s) / (nt - n)), 2) AS shift
+      |FROM p
+      |WHERE n < nt
+      |ORDER BY ABS(s / n - (st - s) / (nt - n)) DESC, day
+      |LIMIT 1""".stripMargin) { (s, d) =>
+    val g = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("day")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = g.select(col("day"),
+      sum(col("rev")).over(wCum).cast("double").as("s"),
+      row_number().over(Window.orderBy(col("day"))).cast("double")
+        .as("n"),
+      sum(col("rev")).over(wAll).cast("double").as("st"),
+      count(lit(1)).over(wAll).cast("double").as("nt"))
+    p.filter(col("n") < col("nt"))
+      .select(col("day").as("split_day"),
+        round(col("s") / col("n"), 2).as("mean_before"),
+        round((col("st") - col("s")) / (col("nt") - col("n")), 2)
+          .as("mean_after"),
+        round(abs(col("s") / col("n")
+          - (col("st") - col("s")) / (col("nt") - col("n"))), 2)
+          .as("shift"),
+        abs(col("s") / col("n")
+          - (col("st") - col("s")) / (col("nt") - col("n"))).as("raw"))
+      .orderBy(col("raw").desc, col("split_day"))
+      .limit(1)
+      .drop("raw")
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
-    qChi2Contingency)
+    qChi2Contingency, qChangepoint)
 }
