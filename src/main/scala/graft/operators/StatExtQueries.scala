@@ -328,7 +328,79 @@ object StatExtQueries {
       .drop("raw")
   }
 
+  /** Per-nation CUSUM control chart over monthly revenue (drift
+    * accumulates as C_t = max(0, C_{t−1} + x_t − target) — the
+    * change-detection statistic that flags slow drifts a threshold on
+    * raw values misses). The recursion is inherently SEQUENTIAL per
+    * key, so this is the one legitimate home for the typed
+    * `KeyValueGroupedDataset.flatMapGroups` surface: groups partition
+    * across executors, each group's bounded month series (≈80 rows)
+    * folds in memory. Cross-engine determinism: the monthly revenue is
+    * an exact DECIMAL, the target is (exact sum → double)/n, and the
+    * serial double fold performs the identical operation sequence on
+    * both sides — the oracle replays it with a recursive CTE. The
+    * whole statistic runs in EXACT INTEGER CENTS (revenue is a 2-dp
+    * decimal, the target is a floor division), so no rounding seam
+    * exists anywhere. */
+  val qCusum: QDef = QDef(
+    "q_cusum",
+    """WITH RECURSIVE g AS (
+      |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS mon,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT n_name, SUM(rev_c) // COUNT(*) AS target_c
+      |  FROM g GROUP BY 1),
+      |r AS (SELECT g.n_name, mon, rev_c,
+      |    ROW_NUMBER() OVER (PARTITION BY g.n_name ORDER BY mon) AS rn,
+      |    t.target_c
+      |  FROM g JOIN t ON g.n_name = t.n_name),
+      |c AS (
+      |  SELECT n_name, mon, rn, target_c,
+      |    GREATEST(0, rev_c - target_c) AS cusum_c FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.n_name, r.mon, r.rn, r.target_c,
+      |    GREATEST(0, c.cusum_c + r.rev_c - r.target_c)
+      |  FROM c JOIN r ON r.n_name = c.n_name AND r.rn = c.rn + 1)
+      |SELECT n_name, mon, CAST(cusum_c AS BIGINT) AS cusum_cents,
+      |  CAST(cusum_c AS DOUBLE) / 100.0 AS cusum
+      |FROM c
+      |ORDER BY n_name, mon""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val g = orders(s, d)
+      .join(broadcast(customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    // EXACT INTEGER CENTS throughout: double CUSUM values are not
+    // exact at any rounding scale, and a .5-boundary hit is a
+    // guaranteed eventual hash mismatch (one surfaced at sf0.001)
+    g.select(col("n_name"), col("mon"),
+        (col("rev") * 100).cast("bigint").as("rev_c"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (nation, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._2.getTime)
+        val targetC = rows.iterator.map(_._3).sum / rows.size // floor
+        var c = 0L
+        rows.iterator.map { r =>
+          c = math.max(0L, c + (r._3 - targetC))
+          (nation, r._2, c)
+        }
+      }
+      .toDF("n_name", "mon", "cusum_cents")
+      .select(col("n_name"), col("mon"), col("cusum_cents"),
+        (col("cusum_cents").cast("double") / 100.0).as("cusum"))
+      .orderBy(col("n_name"), col("mon"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
-    qChi2Contingency, qChangepoint)
+    qChi2Contingency, qChangepoint, qCusum)
 }
