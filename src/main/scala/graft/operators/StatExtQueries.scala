@@ -400,7 +400,68 @@ object StatExtQueries {
       .orderBy(col("n_name"), col("mon"))
   }
 
+  /** Rolling volatility bands (Bollinger): 14-day trailing mean ± 2σ
+    * of daily revenue with a breakout flag — the alerting complement
+    * of q_cusum (CUSUM catches slow drifts, bands catch single-day
+    * spikes). Same calendar-bounded serial window contract as
+    * q_rolling_corr. The window sums Σx and Σx² stay in EXACT
+    * DECIMAL (DuckDB's segment-tree windowed AVG associates doubles
+    * differently than Spark's frame recompute — a 1-ulp seam that
+    * crossed a rounding boundary on day one of testing); both engines
+    * then run the identical double formula, so mean/σ/flag are
+    * deterministic. Windows need ≥ 2 rows for σ. */
+  val qBollinger: QDef = QDef(
+    "q_bollinger",
+    """WITH m AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT day, rev,
+      |    CAST(SUM(rev) OVER w AS DOUBLE) AS s1,
+      |    CAST(SUM(rev * rev) OVER w AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      |  FROM m
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |v AS (
+      |  SELECT day, CAST(rev AS DOUBLE) AS rev, n, s1 / n AS mu,
+      |    SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0)) AS sigma
+      |  FROM b WHERE n >= 2)
+      |SELECT day, ROUND(rev, 2) AS rev,
+      |  ROUND(mu, 4) AS mu,
+      |  ROUND(sigma, 4) AS sigma,
+      |  CAST(CASE WHEN ABS(rev - mu) > 2 * sigma
+      |    THEN 1 ELSE 0 END AS INT) AS breakout
+      |FROM v
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("day"), col("rev"),
+        sum(col("rev")).over(w).cast("double").as("s1"),
+        sum(col("rev") * col("rev")).over(w).cast("double").as("s2"),
+        count(lit(1)).over(w).cast("double").as("n"))
+      .filter(col("n") >= 2)
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1), lit(0.0))).as("sigma"))
+      .select(col("day"), round(col("rev"), 2).as("rev"),
+        // mu rounds at 4dp, NOT 2: window means are cent-sums / n and
+        // land EXACTLY on half-cents whenever n does not divide the
+        // sum — a systematic ROUND(2) boundary; the non-terminating
+        // /n expansions can never hit an exact .5 digit at 4dp
+        round(col("mu"), 4).as("mu"),
+        round(col("sigma"), 4).as("sigma"),
+        when(abs(col("rev") - col("mu")) > lit(2) * col("sigma"), 1)
+          .otherwise(0).cast("int").as("breakout"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
-    qChi2Contingency, qChangepoint, qCusum)
+    qChi2Contingency, qChangepoint, qCusum, qBollinger)
 }
