@@ -448,9 +448,47 @@ object JoinQueries {
         col("pit_priority"))
   }
 
+  /** Interval-overlap self-join: pairs of the SAME customer's orders
+    * whose 14-day fulfillment windows overlap (concurrent open
+    * orders), with the overlap length. The equi key (custkey) carries
+    * the hash join; the overlap predicate `a.lo <= b.hi AND b.lo <=
+    * a.hi` rides as a residual filter — so the pair space is bounded
+    * per key, never a global interval cross-product (the keyless
+    * variant is what BinnedRangeJoinRule exists for). `a < b` on the
+    * unique orderkey halves the pairs and makes the output total. */
+  val qJoinIntervalOverlap: QDef = QDef(
+    "q_join_interval_overlap",
+    """WITH o AS (
+      |  SELECT o_custkey AS ck, o_orderkey AS ok,
+      |    CAST(o_orderdate AS DATE) AS lo,
+      |    CAST(o_orderdate AS DATE) + 14 AS hi
+      |  FROM orders)
+      |SELECT a.ck, a.ok AS ok_a, b.ok AS ok_b,
+      |  CAST(date_diff('day', GREATEST(a.lo, b.lo),
+      |    LEAST(a.hi, b.hi)) AS INT) AS overlap_days
+      |FROM o a JOIN o b
+      |  ON a.ck = b.ck AND a.ok < b.ok
+      |  AND a.lo <= b.hi AND b.lo <= a.hi
+      |ORDER BY a.ck, ok_a, ok_b""".stripMargin) { (s, d) =>
+    val o = orders(s, d).select(
+      col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+      to_date(col("o_orderdate")).as("lo"),
+      date_add(to_date(col("o_orderdate")), 14).as("hi"))
+    val a = o.select(col("ck"), col("ok").as("ok_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = o.select(col("ck").as("ck_b"), col("ok").as("ok_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, col("ck") === col("ck_b") && col("ok_a") < col("ok_b")
+        && col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select(col("ck"), col("ok_a"), col("ok_b"),
+        datediff(least(col("hi_a"), col("hi_b")),
+          greatest(col("lo_a"), col("lo_b"))).as("overlap_days"))
+      .orderBy(col("ck"), col("ok_a"), col("ok_b"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinAsofNative,
     qJoinAsofForward, qJoinMultiway, qJoinNullSafe, qCorrelatedScalar,
-    qJoinLateral, qJoinPit)
+    qJoinLateral, qJoinPit, qJoinIntervalOverlap)
 }
