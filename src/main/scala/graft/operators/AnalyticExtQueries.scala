@@ -433,8 +433,32 @@ object AnalyticExtQueries {
       .orderBy(col("n_converted"))
   }
 
+  /** 2-D histogram (the quantity × discount heatmap behind a joint-
+    * distribution profile): exact fixed-width floor-division buckets
+    * on BOTH axes in one grouped pass — same cross-engine-exact edge
+    * rule as q_histogram, squared. */
+  val qHistogram2d: QDef = QDef(
+    "q_histogram_2d",
+    """SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS qty_bucket,
+      |  CAST(FLOOR(l_discount / 0.02) AS INT) AS disc_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY qty_bucket, disc_bucket""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy(
+        floor(col("l_quantity") / 10).cast("int").as("qty_bucket"),
+        floor(col("l_discount") / 0.02).cast("int").as("disc_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("qty_bucket"), col("disc_bucket"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
-    qHistogram, qFunnel, qSkyline, qFunnelTime)
+    qHistogram, qFunnel, qSkyline, qFunnelTime, qHistogram2d)
 }
