@@ -57,10 +57,10 @@ object SamplingQueries {
     "q_sample_weighted",
     """WITH k AS (
       |  SELECT doc_id, n_chars,
-      |    LN((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) + 1.0)
-      |       / 4294967297.0) / n_chars AS key
+      |    ROUND(LN((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+      |        + 1.0) / 4294967297.0) / n_chars, 8) + 0.0 AS key
       |  FROM documents WHERE n_chars > 0)
-      |SELECT doc_id, n_chars, ROUND(key, 8) AS key
+      |SELECT doc_id, n_chars, key
       |FROM k
       |ORDER BY key DESC, doc_id
       |LIMIT 50""".stripMargin) { (s, d) =>
@@ -68,12 +68,15 @@ object SamplingQueries {
       16, 10).cast("bigint") + lit(1.0)) / lit(4294967297.0)
     documents(s, d)
       .filter(col("n_chars") > 0)
+      // round BEFORE the top-k sort: the unrounded keys are tie-free
+      // but the 8dp output is not (long docs land on -0.00000000), so
+      // sorting the unrounded key lets the two engines break rounded
+      // ties differently at the LIMIT boundary — first seen at sf0.1.
+      // `+ 0.0` folds IEEE -0.0 to +0.0 in the rendered output.
       .select(col("doc_id"), col("n_chars"),
-        (log(u) / col("n_chars")).as("key"))
+        (round(log(u) / col("n_chars"), 8) + lit(0.0)).as("key"))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(50)
-      .select(col("doc_id"), col("n_chars"),
-        round(col("key"), 8).as("key"))
   }
 
   /** Seeded per-stratum sampling (`sampleBy` on lang): Bernoulli per

@@ -461,7 +461,224 @@ object StatExtQueries {
       .orderBy(col("day"))
   }
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the market-concentration diagnostic (is one supplier
+    * dominating a region's volume?). Shape: one partial+final agg to
+    * (nation, supplier) grain, one nation-partitioned window for the
+    * total, one re-agg to 25 rows — two shuffles on bounded keys, no
+    * data motion proportional to fact rows after the first agg.
+    * Revenue accumulates in exact DECIMAL; shares divide as doubles
+    * identically in IEEE on both engines; the Σ share² is an
+    * order-dependent double sum over ≤ suppliers-per-nation terms →
+    * ROUND(6). */
+  val qHerfindahl: QDef = QDef(
+    "q_herfindahl",
+    """WITH r AS (
+      |  SELECT n.n_name, s.s_suppkey,
+      |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT n_name, CAST(rev AS DOUBLE) AS rev,
+      |    CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS tot
+      |  FROM r)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |  ROUND(SUM((rev / tot) * (rev / tot)), 6) AS hhi
+      |FROM t GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val byNation = Window.partitionBy(col("n_name"))
+    lineitem(s, d)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("n_name"), col("rev").cast("double").as("rev"),
+        sum(col("rev")).over(byNation).cast("double").as("tot"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum((col("rev") / col("tot")) * (col("rev") / col("tot"))), 6)
+          .as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Pointwise mutual information between event type and ISO weekday —
+    * "are errors a Monday thing?". One pass to a 5×7 joint table plus
+    * two marginal aggs and a single-row total joined back in (the
+    * single-row side is the one legitimate broadcast). All
+    * probabilities are ratios of BIGINT counts (products ≤ 1e10 — exact
+    * in double); LN carries the one cross-engine 1-ulp seam → ROUND(6)
+    * on pmi and on the per-cell MI contribution. ISO weekday derives
+    * from dayofweek arithmetic, not engine-specific dow numbering. */
+  val qMutualInfo: QDef = QDef(
+    "q_mutual_info",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(EXTRACT(isodow FROM ts) AS INT) AS dow
+      |  FROM events),
+      |j AS (SELECT event_type, dow, COUNT(*) AS c
+      |      FROM b GROUP BY 1, 2),
+      |mx AS (SELECT event_type, COUNT(*) AS cx FROM b GROUP BY 1),
+      |my AS (SELECT dow, COUNT(*) AS cy FROM b GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM b)
+      |SELECT j.event_type, j.dow, CAST(j.c AS BIGINT) AS c,
+      |  ROUND(LN(CAST(j.c * n.n AS DOUBLE)
+      |    / CAST(mx.cx * my.cy AS DOUBLE)), 6) AS pmi,
+      |  ROUND(CAST(j.c AS DOUBLE) / n.n
+      |    * LN(CAST(j.c * n.n AS DOUBLE)
+      |      / CAST(mx.cx * my.cy AS DOUBLE)), 6) AS mi_part
+      |FROM j JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN n
+      |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+    val base = events(s, d).select(col("event_type"),
+      (((dayofweek(col("ts")) + 5) % 7) + 1).cast("int").as("dow"))
+    val joint = base.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+    val margX = base.groupBy(col("event_type")).agg(count(lit(1)).as("cx"))
+    val margY = base.groupBy(col("dow")).agg(count(lit(1)).as("cy"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val ratio = (col("c") * col("n")).cast("double") /
+      (col("cx") * col("cy")).cast("double")
+    joint.join(margX, "event_type").join(margY, "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("c"),
+        round(log(ratio), 6).as("pmi"),
+        round(col("c").cast("double") / col("n") * log(ratio), 6)
+          .as("mi_part"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Two-proportion z-test between a deterministic 50/50 content-hash
+    * split of users, conversion = "purchase share above 20% of the
+    * user's events" — the A/B readout every experimentation pipeline
+    * ends with (the share form stays a non-degenerate binary at any
+    * scale, unlike "has any purchase" which saturates at ~70 events
+    * per user). Per-user conversion is one grouped count-compare; the
+    * arm rollup is 2 rows; the z statistic is pure integer-ratio +
+    * sqrt arithmetic (IEEE-identical both engines) → rates ROUND(6),
+    * z ROUND(4). The user-grain md5 split is the same
+    * cross-engine-stable idiom as q_split_hash. */
+  val qAbtestZtest: QDef = QDef(
+    "q_abtest_ztest",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 4)) AS INT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+      |        THEN 1 ELSE 0 END) * 5 > COUNT(*)
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT arm, COUNT(*) AS n, SUM(conv) AS k
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+      |    MAX(CASE WHEN arm = 'A' THEN k END) AS ka,
+      |    MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+      |    MAX(CASE WHEN arm = 'B' THEN k END) AS kb
+      |  FROM g)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,
+      |  CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,
+      |  ROUND(CAST(ka AS DOUBLE) / na, 6) AS rate_a,
+      |  ROUND(CAST(kb AS DOUBLE) / nb, 6) AS rate_b,
+      |  ROUND((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+      |    / SQRT(CAST(ka + kb AS DOUBLE) / (na + nb)
+      |      * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+      |      * (1.0 / na + 1.0 / nb)), 4) AS z
+      |FROM w""".stripMargin) { (s, d) =>
+    val arm = when(
+      conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("int") % 100 < 50, "A").otherwise("B")
+    val g = events(s, d)
+      .groupBy(col("user_id"), arm.as("arm"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1)
+          .otherwise(0)) * 5 > count(lit(1)), 1).otherwise(0)
+        .as("conv"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val pooled = (col("ka") + col("kb")).cast("double") /
+      (col("na") + col("nb"))
+    g.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "A", col("k"))).as("ka"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "B", col("k"))).as("kb"))
+      .select(
+        col("na").as("n_a"), col("ka").as("conv_a"),
+        col("nb").as("n_b"), col("kb").as("conv_b"),
+        round(col("ka").cast("double") / col("na"), 6).as("rate_a"),
+        round(col("kb").cast("double") / col("nb"), 6).as("rate_b"),
+        round((col("ka").cast("double") / col("na")
+            - col("kb").cast("double") / col("nb"))
+          / sqrt(pooled * (lit(1) - pooled)
+            * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4)
+          .as("z"))
+  }
+
+  /** Market-basket association rules over order baskets at brand
+    * grain: support / confidence / lift for every co-purchased brand
+    * pair. Shape: distinct (order, brand) baskets, a self-join on
+    * orderkey (pairs are quadratic ONLY in basket size, ~7 items — the
+    * shuffle key is the order, so a 1000-executor plan co-locates each
+    * basket), then an agg to ≤ brands² rows joined against two
+    * brand-marginal aggs and the single-row order total. All three
+    * metrics are ratios of BIGINT counts (products ≤ ~1e12, exact in
+    * double) → ROUND(6)/ROUND(4) for the rendering seam only. */
+  val qMarketBasket: QDef = QDef(
+    "q_market_basket",
+    """WITH b AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |pr AS (
+      |  SELECT a.brand AS brand_a, c.brand AS brand_b,
+      |    COUNT(*) AS pair_n
+      |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+      |  GROUP BY 1, 2),
+      |m AS (SELECT brand, COUNT(*) AS cnt FROM b GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT okey) AS orders FROM b)
+      |SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
+      |  ROUND(CAST(pair_n AS DOUBLE) / n.orders, 6) AS support,
+      |  ROUND(CAST(pair_n AS DOUBLE) / ma.cnt, 6) AS confidence,
+      |  ROUND(CAST(pair_n * n.orders AS DOUBLE)
+      |    / CAST(ma.cnt * mb.cnt AS DOUBLE), 4) AS lift
+      |FROM pr
+      |JOIN m ma ON pr.brand_a = ma.brand
+      |JOIN m mb ON pr.brand_b = mb.brand
+      |CROSS JOIN n
+      |WHERE pair_n >= 5
+      |ORDER BY brand_a, brand_b""".stripMargin) { (s, d) =>
+    val baskets = lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val pairs = baskets.as("a")
+      .join(baskets.as("c"),
+        col("a.okey") === col("c.okey") &&
+          col("a.brand") < col("c.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("c.brand").as("brand_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 5)
+    val marg = baskets.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+    val tot = baskets.agg(countDistinct(col("okey")).as("orders"))
+    pairs
+      .join(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a")),
+        "brand_a")
+      .join(marg.select(col("brand").as("brand_b"), col("cnt").as("cnt_b")),
+        "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("pair_n"),
+        round(col("pair_n").cast("double") / col("orders"), 6)
+          .as("support"),
+        round(col("pair_n").cast("double") / col("cnt_a"), 6)
+          .as("confidence"),
+        round((col("pair_n") * col("orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
-    qChi2Contingency, qChangepoint, qCusum, qBollinger)
+    qChi2Contingency, qChangepoint, qCusum, qBollinger, qHerfindahl,
+    qMutualInfo, qAbtestZtest, qMarketBasket)
 }

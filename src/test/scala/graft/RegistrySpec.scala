@@ -25,7 +25,8 @@ class RegistrySpec extends AnyFunSuite {
     // outputs need a total ORDER BY for the row-order-sensitive golden
     val exempt = Set(
       "q_map_funcs", "q_agg_stats", "q_cast_decimal", "q_pivot",
-      "q_text_stats", "q_funnel", "q_table_checksum") // ≤ handful of rows
+      "q_text_stats", "q_funnel", "q_table_checksum",
+      "q_abtest_ztest") // ≤ handful of rows (ztest: single-row agg)
     SparkEntry.registry
       .filter(q => q.oracle.isDefined && !exempt(q.name))
       .foreach { q =>
