@@ -23,7 +23,8 @@ object SparkEntry {
       SketchQueries.defs ++ PipelineExtQueries.defs ++
       StatExtQueries.defs ++ CurationQueries.defs ++
       WarehouseQueries.defs ++ TrainPrepQueries.defs ++
-      FeatureQueries.defs ++ RangeJoin.defs ++ MlEvalQueries.defs
+      FeatureQueries.defs ++ RangeJoin.defs ++ MlEvalQueries.defs ++
+      BenchmarkQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Recognizable end-to-end benchmark shapes: the TPC-H Q3/Q5/Q10
+  * multi-join aggregates (adapted to this dataset's columns — no
+  * o_shippriority / c_address, so Q3 carries o_orderpriority and Q10
+  * is trimmed to the available customer attributes), a day-of-week
+  * seasonality index, and last-touch marketing attribution.
+  *
+  * Scale shapes: the TPC-H trio is the canonical star-join pattern —
+  * date/segment/flag filters push into every scan, nation/region are
+  * broadcast-sized dims, the fact-side joins shuffle on their keys and
+  * AQE picks broadcast vs shuffle per side; aggregation is
+  * partial+final with bounded group counts (orders, nations,
+  * customers). Attribution is two frames over ONE per-user
+  * sort+shuffle (same window partitioning reused); seasonality is
+  * calendar-bounded like q_rolling_corr.
+  *
+  * Float determinism: revenue terms are per-row double products cast
+  * to DECIMAL(18,4) before SUM (exact, order-independent) and emitted
+  * as DOUBLE — the repo's standard money contract (QDef scaladoc).
+  */
+object BenchmarkQueries {
+
+  private val revenue =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q3 (shipping-priority): top unshipped BUILDING-segment
+    * orders by revenue at the cutoff date. Deterministic top-10: the
+    * revenue sort key is an exact decimal-derived double, with
+    * l_orderkey as the total tiebreak. */
+  val qTpchQ3: QDef = QDef(
+    "q_tpch_q3",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(revenue.as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local-supplier volume): revenue per ASIA nation where
+    * the supplier and customer share the nation — the classic 6-table
+    * star join with a cross-fact equality (c_nationkey = s_nationkey)
+    * riding the supplier join as a residual predicate. */
+  val qTpchQ5: QDef = QDef(
+    "q_tpch_q5",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top customers by revenue
+    * lost to returns in one quarter, trimmed to this schema's customer
+    * attributes. c_acctbal is a stored per-row double (no
+    * accumulation) → ROUND(2) for the rendering seam only. */
+  val qTpchQ10: QDef = QDef(
+    "q_tpch_q10",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  ROUND(c_acctbal, 2) AS c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, ROUND(c_acctbal, 2), n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(
+          col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+      .agg(revenue.as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Day-of-week seasonality index of order revenue: each ISO
+    * weekday's average daily revenue over the global average — the
+    * first chart on any demand-planning dashboard. Day-grain decimal
+    * pre-aggregate (calendar-bounded) → 7-row rollup joined to the
+    * single-row global average (legitimate broadcast). Averages are
+    * exact-decimal sums divided by BIGINT counts as doubles →
+    * IEEE-identical; ROUND for the rendering seam. */
+  val qSeasonalityDow: QDef = QDef(
+    "q_seasonality_dow",
+    """WITH drev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |byd AS (
+      |  SELECT CAST(EXTRACT(isodow FROM day) AS INT) AS dow,
+      |    COUNT(*) AS n_days,
+      |    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+      |  FROM drev GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS tot_avg
+      |  FROM drev)
+      |SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(avg_rev, 2) AS avg_rev,
+      |  ROUND(avg_rev / tot_avg, 6) AS seasonal_index
+      |FROM byd CROSS JOIN tot
+      |ORDER BY dow""".stripMargin) { (s, d) =>
+    val drev = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val byd = drev
+      .groupBy((((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("rev")).cast("double") / count(lit(1))).as("avg_rev"))
+    val tot = drev.agg(
+      (sum(col("rev")).cast("double") / count(lit(1))).as("tot_avg"))
+    byd.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        round(col("avg_rev"), 2).as("avg_rev"),
+        round(col("avg_rev") / col("tot_avg"), 6).as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent PRECEDING click or view (click wins exact-timestamp
+    * ties by rule; no touch → organic). Two MAX frames share one
+    * per-user sort — one shuffle, one sort, both windows ride it. The
+    * frame orders by (ts, event_id): a total order, because ROWS
+    * frames over engine-dependent peer order within ts ties would be
+    * nondeterministic. Purchase values accumulate in DECIMAL. */
+  val qAttribution: QDef = QDef(
+    "q_attribution_last_touch",
+    """WITH w AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM events),
+      |p AS (
+      |  SELECT CASE
+      |      WHEN lc IS NULL AND lv IS NULL THEN 'organic'
+      |      WHEN lv IS NULL OR (lc IS NOT NULL AND lc >= lv)
+      |        THEN 'click'
+      |      ELSE 'view' END AS channel,
+      |    value
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS attributed_value
+      |FROM p GROUP BY channel
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        max(when(col("event_type") === "click", col("ts"))).over(byUser)
+          .as("lc"),
+        max(when(col("event_type") === "view", col("ts"))).over(byUser)
+          .as("lv"))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lc").isNull && col("lv").isNull, "organic")
+          .when(col("lv").isNull ||
+            (col("lc").isNotNull && col("lc") >= col("lv")), "click")
+          .otherwise("view").as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qTpchQ3, qTpchQ5, qTpchQ10, qSeasonalityDow, qAttribution)
+}

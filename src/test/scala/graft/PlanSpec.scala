@@ -279,6 +279,41 @@ class PlanSpec extends AnyFunSuite {
       s"partition predicate leaked into data filters: ${scan.metadata}")
   }
 
+  test("q_tpch_q5 star join: dims broadcast, date filter pushed, " +
+    "no cartesian") {
+    val p = finalPlan("q_tpch_q5")
+    assert(p.collectWithSubqueries {
+      case b: BroadcastHashJoinExec => b }.size >= 2,
+      s"nation/region dims not broadcast:\n$p")
+    assert(p.collectWithSubqueries {
+      case c: CartesianProductExec => c }.isEmpty, s"cartesian in Q5:\n$p")
+    val orderScans = scans(p).filter(_.output.exists(_.name == "o_orderdate"))
+    assert(orderScans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("o_orderdate")),
+      s"date filter not pushed into orders scan")
+  }
+
+  test("q_tpch_q3 pushes segment + shipdate filters and is a true top-k") {
+    val p = finalPlan("q_tpch_q3")
+    // customer rides TableLoader's dim cache: the segment filter must
+    // sit on the InMemoryTableScan (cached-columnar pushdown), not
+    // above the join; an uncached run pushes it to the file scan
+    val planStr = p.toString
+    val memScanIdx = planStr.indexOf("InMemoryTableScan [c_custkey")
+    val filePushed = scans(p).exists(_.metadata
+      .getOrElse("PushedFilters", "").contains("c_mktsegment"))
+    assert(filePushed ||
+      (memScanIdx >= 0 && planStr
+        .substring(memScanIdx, planStr.indexOf('\n', memScanIdx) max memScanIdx)
+        .contains("c_mktsegment")),
+      s"segment filter not pushed to the customer scan:\n$planStr")
+    val byShip = scans(p).filter(_.output.exists(_.name == "l_shipdate"))
+    assert(byShip.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("l_shipdate")), "shipdate filter not pushed")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 is not a top-k:\n$p")
+  }
+
   test("q_zipf_top / q_pareto_revenue window over top-k rows only " +
     "(global sort-limit BEFORE the serial rank window)") {
     for (q <- Seq("q_zipf_top", "q_pareto_revenue")) {
