@@ -457,8 +457,143 @@ object AnalyticExtQueries {
       .orderBy(col("qty_bucket"), col("disc_bucket"))
   }
 
+  /** Cross-nation trade-flow matrix: customer-nation × supplier-nation
+    * revenue — TPC-H Q7's matrix generalization and the canonical
+    * "who buys from whom" rollup. The nation dim joins twice under
+    * different roles (broadcast both times); output is bounded at
+    * nations² regardless of fact size. Revenue follows the DECIMAL
+    * money contract. */
+  val qTradeMatrix: QDef = QDef(
+    "q_trade_matrix",
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY cn.n_name, sn.n_name
+      |ORDER BY cust_nation, supp_nation""".stripMargin) { (s, d) =>
+    val custNation = nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val suppNation = nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  /** Inter-order gap statistics per market segment: LAG over a
+    * per-customer (date, orderkey) total order — the orderkey tiebreak
+    * matters because same-day orders would otherwise make the gap
+    * sequence engine-dependent — then a 5-row percentile rollup.
+    * Gaps are exact integer day differences; AVG is an exact
+    * BIGINT-sum ÷ count; quantile_cont interpolates between two
+    * integers identically in IEEE on both engines → ROUND for the
+    * rendering seam only. */
+  val qOrderGapStats: QDef = QDef(
+    "q_order_gap_stats",
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(o_orderdate AS DATE) - LAG(CAST(o_orderdate AS DATE))
+      |      OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate, o_orderkey) AS gap
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT seg, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+      |  ROUND(AVG(gap), 4) AS avg_gap,
+      |  ROUND(quantile_cont(gap, 0.5), 2) AS median_gap,
+      |  ROUND(quantile_cont(gap, 0.9), 2) AS p90_gap,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap
+      |FROM g GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (s, d) =>
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        datediff(to_date(col("o_orderdate")),
+          lag(to_date(col("o_orderdate")), 1).over(byCust)).as("gap"))
+      .groupBy(col("seg"))
+      .agg(count(col("gap")).as("n_gaps"),
+        round(avg(col("gap")), 4).as("avg_gap"),
+        round(percentile(col("gap"), lit(0.5)), 2).as("median_gap"),
+        round(percentile(col("gap"), lit(0.9)), 2).as("p90_gap"),
+        max(col("gap")).cast("bigint").as("max_gap"))
+      .orderBy(col("seg"))
+  }
+
+  /** Cheapest supplier per part (TPC-H Q2's argmin flavor): unit cost
+    * aggregates per (part, supplier) with BOTH numerator and
+    * denominator in exact DECIMAL cents, then ROW_NUMBER over (cost,
+    * suppkey) — a total order, where bare min_by would tie-break
+    * engine-dependently. The displayed 4dp cost is computed by exact
+    * integer half-up rounding (floor((2p+q)/(2q)) micro-units): a
+    * cents÷cents ratio TERMINATES whenever the denominator is 2^i·5^j,
+    * so ROUND(double, 4) sits exactly on .5 boundaries where Spark
+    * (shortest-string HALF_UP) and DuckDB (binary value) disagree —
+    * found at sf0.01 row 93 (562.33625 → .3363 vs .3362). The rank
+    * orders by the correctly-rounded double of the exact rational
+    * (identical cross-engine) with suppkey tiebreak. Top-100 priciest
+    * parts keep the output bounded; the rank window partitions by
+    * part, so it shuffles on partkey and never serializes. */
+  val qArgminSupplier: QDef = QDef(
+    "q_argmin_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS pc,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS qc
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_partkey, l_suppkey, pc, qc,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |      ORDER BY CAST(pc AS DOUBLE) / qc, l_suppkey) AS rn
+      |  FROM cost)
+      |SELECT r.l_partkey AS p_partkey, p.p_name, s.s_name,
+      |  ((20000 * pc + qc) // (2 * qc)) / 1000000.0 AS unit_cost
+      |FROM r
+      |JOIN part p ON r.l_partkey = p.p_partkey
+      |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.rn = 1
+      |ORDER BY unit_cost DESC, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val byPart = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("pc").cast("double") / col("qc"), col("l_suppkey"))
+    lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("pc"),
+        (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("qc"))
+      .withColumn("rn", row_number().over(byPart))
+      .filter(col("rn") === 1)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"),
+        (expr("(20000 * pc + qc) div (2 * qc)") / lit(1000000.0))
+          .as("unit_cost"))
+      .orderBy(col("unit_cost").desc, col("p_partkey"))
+      .limit(100)
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
-    qHistogram, qFunnel, qSkyline, qFunnelTime, qHistogram2d)
+    qHistogram, qFunnel, qSkyline, qFunnelTime, qHistogram2d,
+    qTradeMatrix, qOrderGapStats, qArgminSupplier)
 }
