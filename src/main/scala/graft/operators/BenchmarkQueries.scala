@@ -237,6 +237,70 @@ object BenchmarkQueries {
       .orderBy(col("channel"))
   }
 
+  /** Monthly revenue split between first-time and repeat customers —
+    * the growth-vs-retention decomposition. The per-customer first
+    * order date is a whole-partition MIN window (one shuffle on
+    * custkey, no sort needed beyond the window's own), compared at
+    * row grain; all of a customer's first-DAY orders count as 'new'
+    * (deterministic — no within-day ordering dependence). Output is
+    * months × 2. */
+  val qNewVsRepeat: QDef = QDef(
+    "q_new_vs_repeat",
+    """WITH f AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |    o_totalprice,
+      |    MIN(CAST(o_orderdate AS DATE))
+      |      OVER (PARTITION BY o_custkey) AS first_od
+      |  FROM orders)
+      |SELECT CAST(date_trunc('month', od) AS DATE) AS month,
+      |  CASE WHEN od = first_od THEN 'new' ELSE 'repeat' END
+      |    AS cust_type,
+      |  CAST(COUNT(*) AS BIGINT) AS orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM f GROUP BY 1, 2
+      |ORDER BY month, cust_type""".stripMargin) { (s, d) =>
+    val byCust = Window.partitionBy(col("o_custkey"))
+    orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+      .withColumn("first_od", min(col("od")).over(byCust))
+      .groupBy(date_trunc("month", col("od")).cast("date").as("month"),
+        when(col("od") === col("first_od"), "new").otherwise("repeat")
+          .as("cust_type"))
+      .agg(count(lit(1)).as("orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("month"), col("cust_type"))
+  }
+
+  /** Order-size (basket) distribution with percentage share: the
+    * first sanity chart on any commerce dataset. One partial+final
+    * count to order grain, a re-agg to ≤ max-basket-size rows, and an
+    * unpartitioned share window over that bounded output. Pure
+    * integer ratios → exact cross-engine division. */
+  val qBasketSizeDist: QDef = QDef(
+    "q_basket_size_dist",
+    """WITH s AS (
+      |  SELECT l_orderkey, COUNT(*) AS items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(items AS INT) AS basket_size,
+      |  CAST(COUNT(*) AS BIGINT) AS orders,
+      |  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+      |FROM s GROUP BY items
+      |ORDER BY basket_size""".stripMargin) { (s, d) =>
+    val all = Window.partitionBy()
+    lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("items"))
+      .groupBy(col("items").cast("int").as("basket_size"))
+      .agg(count(lit(1)).as("orders"))
+      .select(col("basket_size"), col("orders"),
+        round(col("orders") * lit(100.0) / sum(col("orders")).over(all), 4)
+          .as("pct"))
+      .orderBy(col("basket_size"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qTpchQ3, qTpchQ5, qTpchQ10, qSeasonalityDow, qAttribution)
+    qTpchQ3, qTpchQ5, qTpchQ10, qSeasonalityDow, qAttribution,
+    qNewVsRepeat, qBasketSizeDist)
 }
