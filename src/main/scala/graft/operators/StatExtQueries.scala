@@ -677,8 +677,57 @@ object StatExtQueries {
       .orderBy(col("brand_a"), col("brand_b"))
   }
 
+  /** One-way ANOVA F-test: does order value differ across market
+    * segments? Per-group Σx and Σx² accumulate in EXACT DECIMAL
+    * (x·x of DECIMAL(18,2) is an exact DECIMAL(37,4) product), the
+    * group sums merge exactly, and only the final 5-term Σ S_g²/n_g
+    * and the F/η² formulas run in double — their association-order
+    * wobble is ~1 ulp on a ratio → ROUND(4)/ROUND(6) for the
+    * rendering seam. The whole thing is one partial+final agg to 5
+    * rows plus a single-row reduction. */
+  val qAnovaF: QDef = QDef(
+    "q_anova_f",
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))
+      |      * CAST(o_totalprice AS DECIMAL(18,2))) AS qd
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT COUNT(*) AS k, SUM(n) AS nn,
+      |    CAST(SUM(sd) AS DOUBLE) AS ss,
+      |    CAST(SUM(qd) AS DOUBLE) AS qq,
+      |    SUM(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) AS sgn
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+      |  ROUND((sgn - ss * ss / nn) / (k - 1)
+      |    / ((qq - sgn) / (nn - k)), 4) AS f_stat,
+      |  ROUND((sgn - ss * ss / nn) / (qq - ss * ss / nn), 6) AS eta_sq
+      |FROM t""".stripMargin) { (s, d) =>
+    val x = col("o_totalprice").cast("decimal(18,2)")
+    val g = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sd"), sum(x * x).as("qd"))
+    g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("sd")).cast("double").as("ss"),
+        sum(col("qd")).cast("double").as("qq"),
+        sum(col("sd").cast("double") * col("sd").cast("double") / col("n"))
+          .as("sgn"))
+      .select(col("k"), col("nn").as("n"),
+        round((col("sgn") - col("ss") * col("ss") / col("nn"))
+          / (col("k") - 1)
+          / ((col("qq") - col("sgn")) / (col("nn") - col("k"))), 4)
+          .as("f_stat"),
+        round((col("sgn") - col("ss") * col("ss") / col("nn"))
+          / (col("qq") - col("ss") * col("ss") / col("nn")), 6)
+          .as("eta_sq"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
     qChi2Contingency, qChangepoint, qCusum, qBollinger, qHerfindahl,
-    qMutualInfo, qAbtestZtest, qMarketBasket)
+    qMutualInfo, qAbtestZtest, qMarketBasket, qAnovaF)
 }

@@ -389,8 +389,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level Flesch-style readability per language: words per
+    * sentence and vowel-group (syllable proxy) per word computed from
+    * CORPUS-AGGREGATED integer counts — not an AVG of per-doc doubles,
+    * so the ratios are exact BIGINT divisions (order-independent) and
+    * only the final linear formula is float. Sentences are guarded
+    * with GREATEST(1,·) (the synthetic corpus has no terminal
+    * punctuation; real corpora do). One grouped pass; the regex
+    * counters are per-row scalar work that scales linearly. */
+  val qReadability: QDef = QDef(
+    "q_readability",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  ROUND(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      AS DOUBLE)
+      |    / SUM(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))),
+      |    4) AS words_per_sentence,
+      |  ROUND(CAST(SUM(CAST(len(regexp_extract_all(lower(text),
+      |        '[aeiouy]+')) AS BIGINT)) AS DOUBLE)
+      |    / SUM(len(string_split(text, ' '))), 4) AS syll_per_word,
+      |  ROUND(206.835
+      |    - 1.015 * (CAST(SUM(CAST(len(string_split(text, ' '))
+      |        AS BIGINT)) AS DOUBLE)
+      |      / SUM(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))))
+      |    - 84.6 * (CAST(SUM(CAST(len(regexp_extract_all(lower(text),
+      |        '[aeiouy]+')) AS BIGINT)) AS DOUBLE)
+      |      / SUM(len(string_split(text, ' ')))), 4) AS flesch
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val words = size(split(col("text"), " "))
+    val sentences = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(words.cast("bigint")).as("w"),
+        sum(sentences.cast("bigint")).as("st"),
+        sum(sylls.cast("bigint")).as("sy"))
+      .select(col("lang"), col("docs"),
+        round(col("w").cast("double") / col("st"), 4)
+          .as("words_per_sentence"),
+        round(col("sy").cast("double") / col("w"), 4).as("syll_per_word"),
+        round(lit(206.835)
+          - lit(1.015) * (col("w").cast("double") / col("st"))
+          - lit(84.6) * (col("sy").cast("double") / col("w")), 4)
+          .as("flesch"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRepetition, qTextNormalize,
-    qWinnowFingerprint)
+    qWinnowFingerprint, qReadability)
 }
