@@ -591,9 +591,52 @@ object AnalyticExtQueries {
       .limit(100)
   }
 
+  /** Hierarchical share-of-parent: supplier revenue per nation with
+    * its share of the region AND of the world — ratio_to_report's
+    * two-level form. The revenue agg collapses to 25 rows before
+    * either window runs, so both share windows (and the region
+    * partition) are free at any fact scale. Shares divide
+    * exact-decimal-derived doubles → ROUND(6) rendering only. */
+  val qRegionShare: QDef = QDef(
+    "q_region_share",
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev AS DOUBLE)
+      |    / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+      |    AS share_of_region,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+      |    AS share_of_total
+      |FROM rev
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    val byRegion = Window.partitionBy(col("r_name"))
+    val all = Window.partitionBy()
+    lineitem(s, d)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double")
+          / sum(col("rev")).over(byRegion).cast("double"), 6)
+          .as("share_of_region"),
+        round(col("rev").cast("double")
+          / sum(col("rev")).over(all).cast("double"), 6)
+          .as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
     qHistogram, qFunnel, qSkyline, qFunnelTime, qHistogram2d,
-    qTradeMatrix, qOrderGapStats, qArgminSupplier)
+    qTradeMatrix, qOrderGapStats, qArgminSupplier, qRegionShare)
 }

@@ -841,10 +841,72 @@ object PipelineExtQueries {
       .orderBy(col("decile"))
   }
 
+  /** Cohort LTV curve: cumulative revenue per customer for each
+    * first-order-month cohort at ages 0..12 months — the retention
+    * economics complement of q_cohort_retention's count matrix. The
+    * per-customer first month is a whole-partition MIN window (one
+    * custkey shuffle), the (cohort, age) rollup is calendar-bounded
+    * (months × 13), and the running LTV is an EXACT DECIMAL window
+    * sum over that bounded grid divided by the cohort's BIGINT user
+    * count. */
+  val qCohortLtv: QDef = QDef(
+    "q_cohort_ltv",
+    """WITH f AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+      |    MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+      |      OVER (PARTITION BY o_custkey) AS cm
+      |  FROM orders),
+      |g AS (
+      |  SELECT cm AS cohort, date_diff('month', cm, om) AS age,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    COUNT(DISTINCT o_custkey) AS buyers
+      |  FROM f WHERE date_diff('month', cm, om) <= 12
+      |  GROUP BY 1, 2),
+      |sz AS (
+      |  SELECT cm AS cohort, COUNT(DISTINCT o_custkey) AS cohort_size
+      |  FROM f GROUP BY 1)
+      |SELECT g.cohort AS cohort, CAST(g.age AS INT) AS age,
+      |  CAST(g.buyers AS BIGINT) AS buyers,
+      |  CAST(SUM(g.rev) OVER (PARTITION BY g.cohort ORDER BY g.age)
+      |    AS DOUBLE) AS cum_revenue,
+      |  ((2 * CAST(SUM(g.rev) OVER (PARTITION BY g.cohort
+      |        ORDER BY g.age) * 100 AS BIGINT) * 100 + sz.cohort_size)
+      |    // (2 * sz.cohort_size)) / 10000.0 AS ltv_per_customer
+      |FROM g JOIN sz ON g.cohort = sz.cohort
+      |ORDER BY cohort, age""".stripMargin) { (s, d) =>
+    val byCust = Window.partitionBy(col("o_custkey"))
+    val f = orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("om"))
+      .withColumn("cm", min(col("om")).over(byCust))
+      .withColumn("age", months_between(col("om"), col("cm")).cast("int"))
+    val g = f.filter(col("age") <= 12)
+      .groupBy(col("cm").as("cohort"), col("age"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        countDistinct(col("o_custkey")).as("buyers"))
+    val sz = f.groupBy(col("cm").as("cohort"))
+      .agg(countDistinct(col("o_custkey")).as("cohort_size"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+    g.join(sz, "cohort")
+      // the 4dp per-customer LTV rounds via exact integer micro-unit
+      // floor division (cents ÷ count terminates → ROUND(double,4)
+      // sits on engine-divergent .5 boundaries; same seam as
+      // q_argmin_supplier)
+      .select(col("cohort"), col("age"), col("buyers"),
+        sum(col("rev")).over(cum).cast("double").as("cum_revenue"),
+        (expr("(2 * cast(sum(rev) over " +
+          "(partition by cohort order by age) * 100 as bigint) * 100" +
+          " + cohort_size) div (2 * cohort_size)") / lit(10000.0))
+          .as("ltv_per_customer"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
     qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
     qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize,
-    qConcurrency, qPmiCooccur, qTransitionTrigram, qDecileLift)
+    qConcurrency, qPmiCooccur, qTransitionTrigram, qDecileLift,
+    qCohortLtv)
 }

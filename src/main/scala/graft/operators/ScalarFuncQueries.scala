@@ -342,8 +342,47 @@ object ScalarFuncQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** WITH RECURSIVE month spine (Spark 4's recursive CTE) LEFT-joined
+    * to monthly revenue with zero-fill — the recursion is literal-
+    * bounded (~80 iterations, one row each) so it runs entirely on
+    * the driver side of the plan and the fact-side join still
+    * shuffles/aggregates distributed; the spine bound is fixed, so
+    * output months beyond the data zero-fill identically in both
+    * engines. This is the engine's generate_series-free spine for
+    * engines (and SQL dialects) without it. */
+  val qRecursiveSpine: QDef = QDef(
+    "q_recursive_spine",
+    """WITH RECURSIVE spine(mon) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+      |  WHERE mon < DATE '2001-08-01')
+      |SELECT spine.mon,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+      |    AS DOUBLE) AS revenue,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = spine.mon
+      |GROUP BY spine.mon
+      |ORDER BY mon""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders_rec_v")
+    s.sql("""WITH RECURSIVE spine(mon) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM spine
+      |  WHERE mon < DATE '2001-08-01')
+      |SELECT spine.mon,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+      |    AS DOUBLE) AS revenue,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN orders_rec_v
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = spine.mon
+      |GROUP BY spine.mon
+      |ORDER BY mon""".stripMargin)
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
     qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2,
-    qStringFuncs2)
+    qStringFuncs2, qRecursiveSpine)
 }
