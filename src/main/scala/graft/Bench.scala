@@ -64,8 +64,16 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.IvfAnn.build(spark, sfDir).assigned
       .write.mode("overwrite").format("noop").save()
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so the recorded bench always covers the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None        => SparkEntry.registry
+    }
     // registry order (stable across rounds), not Map hash order
-    val results: Seq[(String, Double)] = SparkEntry.registry.map { qd =>
+    val results: Seq[(String, Double)] = selected.map { qd =>
       val (name, fn) = (qd.name, qd.fn)
       // one untimed warm-up execution per query: Janino codegen + AQE
       // settling are session-lifetime one-time costs (the baseline's
@@ -119,8 +127,10 @@ object Bench {
     // and the driver recorded `parsed: null`. stdout (and anything sbt
     // merges into it) must hold exactly one '{'-line: the compact one.
     val full = renderLine(total, results, sfJson, 6, 0)
-    try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+    // subset runs are dev-only probes — never clobber the full record
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
     // compact stdout line: all queries at 2dp if that fits the window;
     // otherwise slowest-first prefix that fits, with omitted count.
     // 2000-char window − ~80-char sbt success line − generous margin

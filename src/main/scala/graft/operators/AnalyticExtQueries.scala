@@ -543,11 +543,13 @@ object AnalyticExtQueries {
     * cents÷cents ratio TERMINATES whenever the denominator is 2^i·5^j,
     * so ROUND(double, 4) sits exactly on .5 boundaries where Spark
     * (shortest-string HALF_UP) and DuckDB (binary value) disagree —
-    * found at sf0.01 row 93 (562.33625 → .3363 vs .3362). The rank
-    * orders by the correctly-rounded double of the exact rational
-    * (identical cross-engine) with suppkey tiebreak. Top-100 priciest
-    * parts keep the output bounded; the rank window partitions by
-    * part, so it shuffles on partkey and never serializes. */
+    * found at sf0.01 row 93 (562.33625 → .3363 vs .3362). The oracle
+    * keeps ROW_NUMBER()=1 over (cost, suppkey) — a total order; the
+    * Spark side computes the same row as min(struct(cost, suppkey,
+    * …)), whose lexicographic ordering is that exact total order, via
+    * a partial+final hash aggregate (map-side min ⇒ the second
+    * shuffle moves one row per part, and nothing sorts). Top-100
+    * priciest parts keep the output bounded. */
   val qArgminSupplier: QDef = QDef(
     "q_argmin_supplier",
     """WITH cost AS (
@@ -570,8 +572,12 @@ object AnalyticExtQueries {
       |WHERE r.rn = 1
       |ORDER BY unit_cost DESC, p_partkey
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val byPart = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("pc").cast("double") / col("qc"), col("l_suppkey"))
+    // argmin as min(struct(cost, suppkey, …)) — struct ordering is
+    // lexicographic, so the min carries exactly the ROW_NUMBER()=1
+    // row (cost asc, suppkey tiebreak) out of a partial+final HASH
+    // aggregate instead of a per-part window SORT; the min merges
+    // map-side, so the second shuffle moves one row per part, not
+    // one per (part, supplier).
     lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
@@ -579,8 +585,13 @@ object AnalyticExtQueries {
           .cast("bigint").as("pc"),
         (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
           .cast("bigint").as("qc"))
-      .withColumn("rn", row_number().over(byPart))
-      .filter(col("rn") === 1)
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(
+        (col("pc").cast("double") / col("qc")).as("cost"),
+        col("l_suppkey").as("sk"),
+        col("pc").as("pc"), col("qc").as("qc"))).as("m"))
+      .select(col("l_partkey"), col("m.sk").as("l_suppkey"),
+        col("m.pc").as("pc"), col("m.qc").as("qc"))
       .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("p_name"),

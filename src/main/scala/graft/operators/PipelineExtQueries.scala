@@ -722,22 +722,31 @@ object PipelineExtQueries {
       |FROM pairs CROSS JOIN n
       |WHERE c_ab >= 5
       |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    // Per-doc token dedup via array_distinct BEFORE the explode: the
+    // (doc_id, w) DISTINCT is doc-local, so doing it inside the row
+    // costs zero data motion (the previous formulation shuffled the
+    // whole exploded token stream twice to DISTINCT it). Pairs then
+    // explode within each doc's ≤30-term sorted set — basket-style,
+    // no self-join — so the only exchanges left are the small
+    // df-marginal agg and the doc-grain set build.
     val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
     val top = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(30)
-    val tt = tok.join(broadcast(top), "w")
     val n = documents(s, d)
       .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
-    val a = tt.select(col("doc_id"), col("w").as("w1"), col("df").as("df1"))
-    val b = tt.select(
-      col("doc_id").as("doc_b"), col("w").as("w2"), col("df").as("df2"))
-    a.join(b, col("doc_id") === col("doc_b") && col("w1") < col("w2"))
-      .groupBy(col("w1"), col("w2"))
+    val sets = tok.join(broadcast(top), "w")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(struct(col("w"), col("df")))).as("ws"))
+    sets
+      .select(explode(col("ws")).as("a"), col("ws"))
+      .select(col("a"), explode(col("ws")).as("b"))
+      .filter(col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
       .agg(
         count(lit(1)).as("c_ab"),
-        min(col("df1")).as("c_a"), min(col("df2")).as("c_b"))
+        min(col("a.df")).as("c_a"), min(col("b.df")).as("c_b"))
       .filter(col("c_ab") >= 5)
       .crossJoin(broadcast(n))
       .select(

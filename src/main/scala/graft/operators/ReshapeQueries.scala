@@ -59,6 +59,11 @@ object ReshapeQueries {
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
       |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    // NOTE: sorting the 1×-wide base before the 3× expansion (one
+    // third the sort volume) is NOT valid here — the synthetic
+    // lineitem carries duplicate (l_orderkey, l_linenumber) pairs, so
+    // the oracle's ORDER BY interleaves measures ACROSS the duplicate
+    // rows; the total order only exists after the expansion.
     lineitem(s, d)
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),

@@ -618,13 +618,18 @@ object StatExtQueries {
 
   /** Market-basket association rules over order baskets at brand
     * grain: support / confidence / lift for every co-purchased brand
-    * pair. Shape: distinct (order, brand) baskets, a self-join on
-    * orderkey (pairs are quadratic ONLY in basket size, ~7 items — the
-    * shuffle key is the order, so a 1000-executor plan co-locates each
-    * basket), then an agg to ≤ brands² rows joined against two
-    * brand-marginal aggs and the single-row order total. All three
-    * metrics are ratios of BIGINT counts (products ≤ ~1e12, exact in
-    * double) → ROUND(6)/ROUND(4) for the rendering seam only. */
+    * pair. Shape: ONE shuffle of (order, brand) pairs into per-order
+    * brand SETS (collect_set dedups — no separate DISTINCT exchange),
+    * then pairs explode WITHIN each basket row (quadratic only in
+    * basket size, ~7 items, zero data motion) and aggregate to
+    * ≤ brands² rows; the brand marginals and the order total re-derive
+    * from the same basket sets, so Catalyst reuses the single okey
+    * exchange instead of recomputing the lineitem⨝part pipeline four
+    * times (the previous self-join formulation did exactly that and
+    * was the slowest query in the suite). The ≤25-brand marginals
+    * broadcast. All three metrics are ratios of BIGINT counts
+    * (products ≤ ~1e12, exact in double) → ROUND(6)/ROUND(4) for the
+    * rendering seam only. */
   val qMarketBasket: QDef = QDef(
     "q_market_basket",
     """WITH b AS (
@@ -648,19 +653,26 @@ object StatExtQueries {
       |CROSS JOIN n
       |WHERE pair_n >= 5
       |ORDER BY brand_a, brand_b""".stripMargin) { (s, d) =>
-    val baskets = lineitem(s, d)
+    val joined = lineitem(s, d)
       .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val pairs = baskets.as("a")
-      .join(baskets.as("c"),
-        col("a.okey") === col("c.okey") &&
-          col("a.brand") < col("c.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("c.brand").as("brand_b"))
+    val basketSets = joined
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("brand"))).as("brands"))
+    // diagonal trick: explode a ≤ b once — the a = b rows ARE the
+    // brand marginals, so the expensive basket aggregate feeds ONE
+    // downstream pass instead of one per statistic
+    val cells = basketSets
+      .select(explode(col("brands")).as("brand_a"), col("brands"))
+      .select(col("brand_a"), explode(col("brands")).as("brand_b"))
+      .filter(col("brand_a") <= col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= 5)
-    val marg = baskets.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
-    val tot = baskets.agg(countDistinct(col("okey")).as("orders"))
+    val pairs = cells.filter(
+      col("brand_a") < col("brand_b") && col("pair_n") >= 5)
+    val marg = cells.filter(col("brand_a") === col("brand_b"))
+      .select(col("brand_a").as("brand"), col("pair_n").as("cnt"))
+    val tot = joined.agg(countDistinct(col("okey")).as("orders"))
     pairs
       .join(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a")),
         "brand_a")
