@@ -300,7 +300,225 @@ object BenchmarkQueries {
       .orderBy(col("basket_size"))
   }
 
+  /** TPC-H Q4 (order-priority checking), adapted: the dataset has no
+    * l_commitdate/l_receiptdate, so "late" is ship-lag > 30 days past
+    * the order date. The EXISTS is a LEFT SEMI join — the fact side
+    * never duplicates orders however many lines are late — and the
+    * date filter pushes into the orders scan before the join. */
+  val qTpchQ4: QDef = QDef(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 (customer distribution): orders-per-customer histogram
+    * INCLUDING zero-order customers — the left outer join is the
+    * point of the query (an inner join silently drops the zero
+    * bucket). Two bounded aggregations; COUNT(o_orderkey) not
+    * COUNT(*) so the null-extended row counts 0. */
+  val qTpchQ13: QDef = QDef(
+    "q_tpch_q13",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS INT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).cast("int").as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 (promo effect): PROMO-type share of one month's
+    * revenue. Both the conditional and total revenue accumulate in
+    * exact DECIMAL inside ONE aggregate pass (no second scan for the
+    * denominator); the final ratio of two exact-derived doubles
+    * ROUNDs for the rendering seam only. */
+  val qTpchQ14: QDef = QDef(
+    "q_tpch_q14",
+    """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(disc).cast("double"), 4).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): revenue lost if orders
+    * below 20% of a part's average quantity were not taken. The
+    * correlated scalar subquery decorrelates into a per-part
+    * aggregate joined back to the fact — two passes over the brand's
+    * lines, both partial+final aggregated. l_quantity is
+    * integer-valued, so AVG is an exact-integer sum ÷ count:
+    * bit-identical cross-engine, and the 0.2× threshold compare is
+    * deterministic. */
+  val qTpchQ17: QDef = QDef(
+    "q_tpch_q17",
+    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    AS DOUBLE) / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin) { (s, d) =>
+    val brandParts = part(s, d).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val avgQty = lineitem(s, d)
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    lineitem(s, d)
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(avgQty, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double") / lit(7.0), 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 200. The HAVING applies to the orderkey-grain aggregate
+    * BEFORE the customer join, so only qualifying orders (≈0.1% of
+    * them) reach the join — at 100 TB that ordering is the difference
+    * between joining 600 k rows and joining 600. */
+  val qTpchQ18: QDef = QDef(
+    "q_tpch_q18",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"))
+      .filter(col("qsum") > 200)
+      .select(col("l_orderkey"), col("qsum").cast("double").as("total_qty"))
+    big
+      .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 (discounted revenue): three disjunctive brand/size/
+    * quantity branches. The OR of brand predicates cannot push as a
+    * single filter, but the part side reduces to the three brands
+    * before the join (Catalyst extracts `p_brand IN (…)` from the
+    * disjunction), so the join probe side stays small. */
+  val qTpchQ19: QDef = QDef(
+    "q_tpch_q19",
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+      |    AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+      |    AND l_quantity BETWEEN 20 AND 35)""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 35)))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q22 (global-sales opportunity), adapted: every synthetic
+    * customer has orders, so "never ordered" becomes "dormant since
+    * 2000" — an ANTI join against the recent-orders scan (date filter
+    * pushed down). The above-average-balance threshold is an exact
+    * DECIMAL sum ÷ BIGINT count, so the boundary compare is
+    * bit-identical cross-engine (a bare AVG(double) would not be). */
+  val qTpchQ22: QDef = QDef(
+    "q_tpch_q22",
+    """WITH t AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      / COUNT(*) AS ab
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT CAST(c_custkey % 10 AS INT) AS cohort,
+      |  CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer, t
+      |WHERE c_acctbal > t.ab
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val thr = customer(s, d).filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("ab"))
+    customer(s, d)
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 10).cast("int").as("cohort"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("cohort"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTpchQ3, qTpchQ5, qTpchQ10, qSeasonalityDow, qAttribution,
-    qNewVsRepeat, qBasketSizeDist)
+    qNewVsRepeat, qBasketSizeDist, qTpchQ4, qTpchQ13, qTpchQ14,
+    qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ22)
 }

@@ -26,7 +26,8 @@ class RegistrySpec extends AnyFunSuite {
     val exempt = Set(
       "q_map_funcs", "q_agg_stats", "q_cast_decimal", "q_pivot",
       "q_text_stats", "q_funnel", "q_table_checksum",
-      "q_abtest_ztest", "q_anova_f") // ≤ handful of rows (single-row aggs)
+      "q_abtest_ztest", "q_anova_f", "q_tpch_q14", "q_tpch_q17",
+      "q_tpch_q19", "q_tpch_q6") // ≤ handful of rows (single-row aggs)
     SparkEntry.registry
       .filter(q => q.oracle.isDefined && !exempt(q.name))
       .foreach { q =>
