@@ -314,6 +314,58 @@ class PlanSpec extends AnyFunSuite {
       s"LIMIT 10 is not a top-k:\n$p")
   }
 
+  test("q_tpch_q4 runs the EXISTS as a LEFT SEMI join with the date " +
+    "window pushed into the orders scan") {
+    val p = finalPlan("q_tpch_q4")
+    assert(p.toString.contains("LeftSemi"),
+      s"EXISTS did not plan as a semi join:\n$p")
+    val orderScans = scans(p).filter(_.output.exists(_.name == "o_orderdate"))
+    assert(orderScans.isEmpty || orderScans.exists(_.metadata
+      .getOrElse("PushedFilters", "").contains("o_orderdate")),
+      "date window not pushed into the orders scan")
+  }
+
+  test("q_tpch_q8 eight-table star: no cartesian, dims broadcast, " +
+    "type filter prunes part before its join") {
+    val p = finalPlan("q_tpch_q8")
+    assert(p.collectWithSubqueries {
+      case c: CartesianProductExec => c }.isEmpty, s"cartesian in Q8:\n$p")
+    assert(p.collectWithSubqueries {
+      case b: BroadcastHashJoinExec => b }.size >= 4,
+      s"dims not broadcast in Q8:\n$p")
+  }
+
+  test("q_tpch_q18 keeps the quantity HAVING below the joins and ends " +
+    "in a true top-100") {
+    val p = finalPlan("q_tpch_q18")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"LIMIT 100 is not a top-k:\n$s")
+    // the qsum > 200 filter must sit on the aggregate BELOW the joins
+    // (join input ≈ 0.1% of orders), not above them
+    val joinIdx = s.indexOf("BroadcastHashJoin")
+    val qsumFilter = s.lastIndexOf("qsum")
+    assert(joinIdx >= 0 && qsumFilter > joinIdx,
+      s"quantity HAVING did not stay below the joins:\n$s")
+  }
+
+  test("q_tpch_q21 sole-late-supplier: aggregate formulation keeps the " +
+    "plan to bounded hash shuffles (no fact-fact self-joins)") {
+    val p = finalPlan("q_tpch_q21")
+    assert(p.collectWithSubqueries {
+      case c: CartesianProductExec => c }.isEmpty, s"cartesian in Q21:\n$p")
+    // lineitem appears ONCE — the EXISTS/NOT-EXISTS textbook form would
+    // scan and shuffle it three times
+    val lineitemScans = scans(p).count(_.output.exists(_.name == "l_suppkey"))
+    assert(lineitemScans <= 1,
+      s"lineitem scanned $lineitemScans times — self-join formulation crept in")
+    val shuffles = p.collectWithSubqueries {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4,
+      s"${shuffles.size} shuffles — expected (order,supp) agg + order agg " +
+        s"+ name agg + output sort at most:\n$p")
+  }
+
   test("q_zipf_top / q_pareto_revenue window over top-k rows only " +
     "(global sort-limit BEFORE the serial rank window)") {
     for (q <- Seq("q_zipf_top", "q_pareto_revenue")) {
