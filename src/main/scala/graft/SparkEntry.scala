@@ -24,7 +24,8 @@ object SparkEntry {
       StatExtQueries.defs ++ CurationQueries.defs ++
       WarehouseQueries.defs ++ TrainPrepQueries.defs ++
       FeatureQueries.defs ++ RangeJoin.defs ++ MlEvalQueries.defs ++
-      BenchmarkQueries.defs ++ BenchmarkQueries2.defs
+      BenchmarkQueries.defs ++ BenchmarkQueries2.defs ++
+      GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -242,7 +242,72 @@ object WarehouseQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Largest-remainder proration: allocate 10% of each order's value
+    * (in integer cents) across its lines proportional to line price, so
+    * the per-line integer allocations sum EXACTLY to the order pool —
+    * the classic finance/warehouse allocator where naive per-line
+    * rounding drifts by a cent per order. floor-share first, then the
+    * leftover cents go to the largest fractional remainders
+    * (l_linenumber breaks remainder ties totally).
+    *
+    * Scale shape: three window functions over ONE l_orderkey
+    * partitioning — one shuffle, bounded per-order groups (≤ 7 lines).
+    * Exactness: the share denominator is an exact DECIMAL window sum
+    * (a double window sum would be accumulation-order-dependent); all
+    * remaining arithmetic is integer or identical-input double ops,
+    * so both engines allocate the same cent to the same line. */
+  val qProrateCents: QDef = QDef(
+    "q_prorate_cents",
+    """WITH l AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(FLOOR(o_totalprice * 10) AS BIGINT) AS pool_cents,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) /
+      |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |        OVER (PARTITION BY l_orderkey) AS DOUBLE) AS share
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-02-01'),
+      |b AS (
+      |  SELECT l_orderkey, l_linenumber, pool_cents,
+      |    CAST(FLOOR(pool_cents * share) AS BIGINT) AS base,
+      |    pool_cents * share - FLOOR(pool_cents * share) AS rem
+      |  FROM l),
+      |c AS (
+      |  SELECT l_orderkey, l_linenumber, base,
+      |    pool_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+      |      AS leftover,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS rk
+      |  FROM b)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc_cents
+      |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val wp = Window.partitionBy(col("l_orderkey"))
+    val wr = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("rem").desc, col("l_linenumber"))
+    lineitem(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-02-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("o_totalprice") * 10).cast("bigint").as("pool_cents"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price2"))
+      .withColumn("share", col("price2").cast("double") /
+        sum(col("price2")).over(wp).cast("double"))
+      .withColumn("ideal", col("pool_cents") * col("share"))
+      .withColumn("base", floor(col("ideal")).cast("bigint"))
+      .withColumn("rem", col("ideal") - floor(col("ideal")))
+      .withColumn("leftover", col("pool_cents") - sum(col("base")).over(wp))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .cast("bigint").as("alloc_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qMergeUpsert, qFkIntegrity, qScanPartitioned, qPiiMask, qTrainMix,
-    qIncrementalAgg)
+    qIncrementalAgg, qProrateCents)
 }
