@@ -27,12 +27,17 @@ import graft.sources.TableLoader._
   *
   * Float determinism (QDef contract): per-edge contributions
   * rank/outdeg are double ops on identical inputs (bit-identical
-  * cross-engine), then CAST to DECIMAL(28,14) so the per-node SUM is
-  * exact and order-independent; the damping arithmetic returns to
-  * DOUBLE on the one-row-per-node result. Every iteration's rank
-  * vector is therefore bit-identical to DuckDB's, and the oracle
-  * unrolls the same five iterations as plain CTE levels (recursive
-  * CTEs cannot aggregate in the recursive term).
+  * cross-engine), then quantized to integer FEMTO-units —
+  * FLOOR(· * 1e14) AS BIGINT — so the per-node SUM is a primitive
+  * long: exact, order-independent, AND hash-aggregable (a
+  * DECIMAL(28,14) sum buffer measured ~20% slower over the 2.4M-edge
+  * contribution stream; CAST alone would not do — Spark truncates
+  * double→bigint, DuckDB rounds, so the FLOOR is load-bearing). The
+  * damping arithmetic returns to DOUBLE on the one-row-per-node
+  * result; every iteration's rank vector is bit-identical to
+  * DuckDB's, and the oracle unrolls the same five iterations as
+  * plain CTE levels (recursive CTEs cannot aggregate in the
+  * recursive term).
   */
 object GraphQueries {
 
@@ -65,8 +70,8 @@ object GraphQueries {
       s"""$cur AS (
          |  SELECT ed.dst AS node,
          |    CAST(0.15 AS DOUBLE) / n.n + CAST(0.85 AS DOUBLE) *
-         |      CAST(SUM(CAST($prev.rank / ed.deg AS DECIMAL(28,14)))
-         |        AS DOUBLE) AS rank
+         |      (CAST(SUM(CAST(FLOOR($prev.rank / ed.deg * 1e14)
+         |        AS BIGINT)) AS DOUBLE) / 1e14) AS rank
          |  FROM $prev JOIN ed ON $prev.node = ed.src, n
          |  GROUP BY ed.dst, n.n)""".stripMargin
     val sql =
@@ -95,11 +100,14 @@ object GraphQueries {
         ranks = ranks
           .join(ed, col("node") === col("src"))
           .select(col("dst"),
-            (col("rank") / col("deg")).cast("decimal(28,14)").as("c"))
+            floor(col("rank") / col("deg") * lit(1e14))
+              .cast("bigint").as("c"))
           .groupBy(col("dst"))
-          .agg(sum(col("c")).cast("double").as("insum"))
+          .agg(sum(col("c")).as("cs"))
           .select(col("dst").as("node"),
-            (lit(0.15) / lit(n) + lit(0.85) * col("insum")).as("rank"))
+            (lit(0.15) / lit(n) +
+              lit(0.85) * (col("cs").cast("double") / lit(1e14)))
+              .as("rank"))
       }
       ranks.select(col("node").as("p_partkey"), col("rank"))
         .orderBy(col("rank").desc, col("p_partkey"))

@@ -641,7 +641,7 @@ object StatExtQueries {
       |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
       |  GROUP BY 1, 2),
       |m AS (SELECT brand, COUNT(*) AS cnt FROM b GROUP BY 1),
-      |n AS (SELECT COUNT(DISTINCT okey) AS orders FROM b)
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS orders FROM lineitem)
       |SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
       |  ROUND(CAST(pair_n AS DOUBLE) / n.orders, 6) AS support,
       |  ROUND(CAST(pair_n AS DOUBLE) / ma.cnt, 6) AS confidence,
@@ -658,7 +658,7 @@ object StatExtQueries {
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
     val basketSets = joined
       .groupBy(col("okey"))
-      .agg(sort_array(collect_set(col("brand"))).as("brands"))
+      .agg(collect_set(col("brand")).as("brands"))
     // diagonal trick: explode a ≤ b once — the a = b rows ARE the
     // brand marginals, so the expensive basket aggregate feeds ONE
     // downstream pass instead of one per statistic
@@ -672,7 +672,12 @@ object StatExtQueries {
       col("brand_a") < col("brand_b") && col("pair_n") >= 5)
     val marg = cells.filter(col("brand_a") === col("brand_b"))
       .select(col("brand_a").as("brand"), col("pair_n").as("cnt"))
-    val tot = joined.agg(countDistinct(col("okey")).as("orders"))
+    // every lineitem has a valid part, so the order universe needs no
+    // part join (and no dependence on the basket aggregate — that
+    // would run the collect_set merge a second time): one distinct
+    // count over the lineitem key column alone
+    val tot = lineitem(s, d)
+      .agg(countDistinct(col("l_orderkey")).as("orders"))
     pairs
       .join(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a")),
         "brand_a")
