@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QDef
@@ -120,6 +121,67 @@ object FeatureQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Quantile normalization across groups (the genomics/feature-prep
+    * standard): rank each segment's order values, bucket ranks into
+    * integer percentiles, and replace each (segment, percentile)
+    * cell's mean with the cross-segment percentile mean — after it,
+    * every segment has the same marginal distribution at percentile
+    * grain.
+    *
+    * Scale shape: ONE per-segment window pass (row_number + count
+    * share the partition sort), then two bounded aggregations
+    * (segments × 100, then 100) and a 100-row broadcast join back.
+    * The window partition count equals the group-key cardinality — 5
+    * here, so at fact scale this exact-rank form wants a
+    * higher-cardinality key or an approx-percentile pre-bucketing;
+    * that trade-off is the operator's documented scale seam, same as
+    * q_rolling_median's exact order statistic.
+    *
+    * Determinism: rank order is (value, orderkey) — total; bucket is
+    * integer floor-division of BIGINTs; cell sums are exact DECIMAL;
+    * the two final divisions are identical-input double ops. */
+  val qQuantileNormalize: QDef = QDef(
+    "q_quantile_normalize",
+    """WITH r AS (
+      |  SELECT c_mktsegment AS seg, o_totalprice AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |b AS (
+      |  SELECT seg, CAST(((rn - 1) * 100) // n AS INT) AS pct,
+      |    SUM(CAST(v AS DECIMAL(18,2))) AS sv, COUNT(*) AS cnt
+      |  FROM r GROUP BY 1, 2),
+      |ref AS (
+      |  SELECT pct, CAST(SUM(sv) AS DOUBLE) / SUM(cnt) AS norm_v
+      |  FROM b GROUP BY 1)
+      |SELECT b.seg, b.pct, CAST(b.sv AS DOUBLE) / b.cnt AS seg_mean,
+      |  ref.norm_v
+      |FROM b JOIN ref ON b.pct = ref.pct
+      |ORDER BY b.seg, b.pct""".stripMargin) { (s, d) =>
+    val wp = Window.partitionBy(col("seg"))
+    val r = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"),
+        col("o_orderkey"))
+      .withColumn("rn",
+        row_number().over(wp.orderBy(col("v"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(wp))
+    val b = r
+      .groupBy(col("seg"),
+        expr("((rn - 1) * 100) div n").cast("int").as("pct"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("cnt"))
+    val ref = b.groupBy(col("pct"))
+      .agg((sum(col("sv")).cast("double") / sum(col("cnt"))).as("norm_v"))
+    b.join(ref, "pct")
+      .select(col("seg"), col("pct"),
+        (col("sv").cast("double") / col("cnt")).as("seg_mean"),
+        col("norm_v"))
+      .orderBy(col("seg"), col("pct"))
+  }
+
   val defs: Seq[QDef] =
-    Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash, qBitmapFuncs)
+    Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash, qBitmapFuncs,
+      qQuantileNormalize)
 }

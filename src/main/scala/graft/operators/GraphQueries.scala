@@ -115,5 +115,55 @@ object GraphQueries {
     }
   }
 
-  val defs: Seq[QDef] = Seq(qPagerankParts)
+  /** Support-thresholded oriented edges (a < b, co-purchased in ≥ 2
+    * orders) for triangle counting — the threshold is what keeps the
+    * wedge join bounded: the raw co-purchase graph's Σdeg² explodes
+    * with scale, the ≥2-support backbone stays ~3.5k edges at every
+    * tested SF. Cached like the PageRank edge list. */
+  def triangleEdges(s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("tri_edges", d)) {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("s"), col("b.pk").as("d"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("s"), col("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Triangle count on the support-≥2 co-purchase backbone: wedge
+    * join (e1.d = e2.s, orientation a<b<c gives each triangle exactly
+    * one wedge) closed by a SEMI join against the edge set — the semi
+    * cannot fan out, and equals the oracle's inner-join count because
+    * (s,d) is unique in e. Single-row (edges, triangles) output. */
+  val qTriangleCopurchase: QDef = QDef(
+    "q_triangle_copurchase",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS s, b.pk AS d FROM li a JOIN li b
+      |  ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS edges,
+      |  CAST((SELECT COUNT(*) FROM e e1
+      |    JOIN e e2 ON e1.d = e2.s
+      |    JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d) AS BIGINT)
+      |    AS triangles""".stripMargin) { (s, d) =>
+    val e = triangleEdges(s, d)
+    val edges = e.agg(count(lit(1)).as("edges"))
+    val triangles = e.as("e1")
+      .join(e.as("e2"), col("e1.d") === col("e2.s"))
+      .select(col("e1.s").as("ws"), col("e2.d").as("wd"))
+      .join(e.as("e3"),
+        col("ws") === col("e3.s") && col("wd") === col("e3.d"),
+        "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    edges.crossJoin(broadcast(triangles))
+  }
+
+  val defs: Seq[QDef] = Seq(qPagerankParts, qTriangleCopurchase)
 }

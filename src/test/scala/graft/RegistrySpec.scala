@@ -27,7 +27,8 @@ class RegistrySpec extends AnyFunSuite {
       "q_map_funcs", "q_agg_stats", "q_cast_decimal", "q_pivot",
       "q_text_stats", "q_funnel", "q_table_checksum",
       "q_abtest_ztest", "q_anova_f", "q_tpch_q14", "q_tpch_q17",
-      "q_tpch_q19", "q_tpch_q6") // ≤ handful of rows (single-row aggs)
+      "q_tpch_q19", "q_tpch_q6",
+      "q_triangle_copurchase") // ≤ handful of rows (single-row aggs)
     SparkEntry.registry
       .filter(q => q.oracle.isDefined && !exempt(q.name))
       .foreach { q =>
