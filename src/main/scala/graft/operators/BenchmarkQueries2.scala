@@ -311,7 +311,164 @@ object BenchmarkQueries2 {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so
+    * supply cost is the shipped unit cost per (part, supplier) —
+    * integer micro-dollars via the exact half-up division
+    * (20000·pc + qc) // (2·qc), the same integer-ordering rule as
+    * q_argmin_supplier. Eligibility (EUROPE region) restricts the
+    * min BEFORE it is taken, exactly like the spec's correlated
+    * subquery over region-filtered suppliers; cost ties keep ALL
+    * minimal suppliers (the spec's semantics — q_argmin_supplier's
+    * packed form deliberately keeps one). */
+  val qTpchQ2: QDef = QDef(
+    "q_tpch_q2",
+    """WITH cost AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    (20000 * SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * 100 AS BIGINT))
+      |      + SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |        * 100 AS BIGINT)))
+      |    // (2 * SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |        * 100 AS BIGINT))) AS uc
+      |  FROM lineitem GROUP BY 1, 2),
+      |eligible AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |mc AS (
+      |  SELECT pk, MIN(uc) AS m FROM cost
+      |  JOIN eligible ON sk = s_suppkey GROUP BY pk)
+      |SELECT s.s_name, n.n_name, c.pk AS p_partkey, p.p_name,
+      |  c.uc / 1000000.0 AS unit_cost
+      |FROM cost c
+      |JOIN mc ON c.pk = mc.pk AND c.uc = mc.m
+      |JOIN eligible e ON c.sk = e.s_suppkey
+      |JOIN supplier s ON c.sk = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN part p ON c.pk = p.p_partkey
+      |WHERE p.p_size <= 25
+      |ORDER BY unit_cost DESC, p_partkey, s.s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val cost = lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("p100"),
+        (col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("q100"))
+      .groupBy(col("pk"), col("sk"))
+      .agg(expr(
+        "(20000 * sum(p100) + sum(q100)) div (2 * sum(q100))").as("uc"))
+    val eligible = supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").as("esk"))
+    val eCost = cost.join(eligible, col("sk") === col("esk"), "left_semi")
+    val mc = eCost.groupBy(col("pk").as("mpk")).agg(min(col("uc")).as("m"))
+    eCost
+      .join(mc, col("pk") === col("mpk") && col("uc") === col("m"))
+      .join(supplier(s, d), col("sk") === col("s_suppkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(part(s, d).filter(col("p_size") <= 25),
+        col("pk") === col("p_partkey"))
+      .select(col("s_name"), col("n_name"), col("pk").as("p_partkey"),
+        col("p_name"), (col("uc") / lit(1000000.0)).as("unit_cost"))
+      .orderBy(col("unit_cost").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q7 (bilateral volume shipping): revenue between one pair
+    * of nations in either direction, by ship year — the disjunctive
+    * cross-dimension predicate (supplier nation, customer nation)
+    * cannot push into either dim alone, but Catalyst derives
+    * n_name IN (…) on both nation dims before the join. */
+  val qTpchQ7: QDef = QDef(
+    "q_tpch_q7",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+      |    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val sn = nation(s, d).select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val cn = nation(s, d).select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(sn, col("sn_key") === col("s_nationkey"))
+      .join(cn, col("cn_key") === col("c_nationkey"))
+      .filter(
+        (col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum(volume).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q20 (excess-stock suppliers), adapted: suppliers holding
+    * more than HALF a widget part's 1997 shipped volume — the spec's
+    * nested-IN chain becomes agg → per-part rollup → integer-exact
+    * share threshold (2·q > tq, no division) → SEMI join into the
+    * supplier dim. */
+  val qTpchQ20: QDef = QDef(
+    "q_tpch_q20",
+    """WITH ps AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS q
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey AS pk2, SUM(q) AS tq FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN pt ON l_partkey = pk2
+      |  WHERE 2 * q > tq)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val ps = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(part(s, d).filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("q100"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("q100")).as("q"))
+    val pt = ps.groupBy(col("l_partkey").as("pk2")).agg(sum(col("q")).as("tq"))
+    val hoarders = ps.join(pt, col("l_partkey") === col("pk2"))
+      .filter(lit(2) * col("q") > col("tq"))
+      .select(col("l_suppkey"))
+    supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(hoarders, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTpchQ6, qTpchQ8, qTpchQ9, qTpchQ11, qTpchQ12, qTpchQ15,
-    qTpchQ16, qTpchQ21)
+    qTpchQ16, qTpchQ21, qTpchQ2, qTpchQ7, qTpchQ20)
 }
