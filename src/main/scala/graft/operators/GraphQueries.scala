@@ -44,7 +44,16 @@ object GraphQueries {
   private val iterations = 5
 
   /** Co-purchase edges with the source's out-degree attached, cached
-    * per (session, dir) — the iteration loop re-reads this 5×. */
+    * per (session, dir) — the iteration loop re-reads this 5×.
+    *
+    * Persisted pre-partitioned on `dst`: the per-iteration probe is a
+    * BROADCAST join (the rank vector is |V| rows — tiny next to |E|),
+    * which preserves this streamed side's partitioning, so the
+    * groupBy(dst) that follows needs NO exchange. Net per iteration:
+    * zero edge-side shuffles; only the |V|-row rank vector moves
+    * (driver-collected into the broadcast). At 1000 executors the
+    * alternative — hash-repartitioning the edge stream twice per
+    * iteration — is the dominant cost of the whole query. */
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     graft.sources.SessionCache.getOrElseUpdate(s, ("copurchase", d)) {
       val li = lineitem(s, d)
@@ -57,7 +66,16 @@ object GraphQueries {
         .distinct()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       edges.join(deg, "src")
+        .repartition(col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Node count |V|, computed once per (session, dir) — a scalar, so
+    * memoized directly (recomputing it per plan-build would re-shuffle
+    * the cached edge list on every run). */
+  def copurchaseNodeCount(s: SparkSession, d: String): Double =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("copurchase_n", d)) {
+      copurchaseEdges(s, d).select(col("src")).distinct().count().toDouble
     }
 
   /** 5-iteration PageRank (damping 0.85) over part co-purchase, top 20
@@ -93,11 +111,11 @@ object GraphQueries {
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     QDef("q_pagerank_parts", sql) { (s, d) =>
       val ed = copurchaseEdges(s, d)
-      val n = ed.select(col("src")).distinct().count().toDouble
+      val n = copurchaseNodeCount(s, d)
       var ranks = ed.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1.0) / lit(n))
       for (_ <- 0 until iterations) {
-        ranks = ranks
+        ranks = broadcast(ranks)
           .join(ed, col("node") === col("src"))
           .select(col("dst"),
             floor(col("rank") / col("deg") * lit(1e14))

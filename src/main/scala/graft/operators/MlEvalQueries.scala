@@ -258,5 +258,205 @@ object MlEvalQueries {
       .orderBy(col("day"))
   }
 
-  val defs: Seq[QDef] = Seq(qAuc, qPsi, qKsTest, qSurvivalKm)
+  /** Per-class confusion-matrix metrics (precision / recall / F1) for
+    * a threshold classifier of event_type from the event value. ONE
+    * pass builds the ≤ classes² confusion matrix; each cm cell then
+    * fans out into its TWO class contributions (actual-side tp/fn,
+    * predicted-side fp) so the per-class rollup reads the tiny cm once
+    * — the naive per-class branches would rescan the fact table three
+    * times. All metrics are ratios of BIGINT counts → ROUND(6) is a
+    * rendering seam only. */
+  val qConfusionMetrics: QDef = {
+    val predCase =
+      """CASE WHEN value >= 80 THEN 'purchase'
+        |      WHEN value >= 60 THEN 'click'
+        |      WHEN value >= 40 THEN 'view'
+        |      WHEN value >= 20 THEN 'signup'
+        |      ELSE 'error' END""".stripMargin
+    QDef(
+      "q_confusion_metrics",
+      s"""WITH cm AS (
+         |  SELECT event_type AS a, $predCase AS p, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT a AS cls,
+         |    SUM(CASE WHEN a = p THEN n ELSE 0 END) AS tp,
+         |    0 AS fp,
+         |    SUM(CASE WHEN a <> p THEN n ELSE 0 END) AS fn
+         |  FROM cm GROUP BY 1
+         |  UNION ALL
+         |  SELECT p, 0, SUM(CASE WHEN a <> p THEN n ELSE 0 END), 0
+         |  FROM cm GROUP BY 1),
+         |g AS (
+         |  SELECT cls, CAST(SUM(tp) AS BIGINT) AS tp,
+         |    CAST(SUM(fp) AS BIGINT) AS fp,
+         |    CAST(SUM(fn) AS BIGINT) AS fn
+         |  FROM c GROUP BY 1)
+         |SELECT cls, tp, fp, fn,
+         |  ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+         |  ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
+         |  ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+         |FROM g ORDER BY cls""".stripMargin) { (s, d) =>
+      val cm = events(s, d)
+        .groupBy(col("event_type").as("a"), expr(predCase).as("p"))
+        .agg(count(lit(1)).as("n"))
+      cm.select(explode(array(
+          struct(col("a").as("cls"),
+            when(col("a") === col("p"), col("n")).otherwise(0L).as("tp"),
+            lit(0L).as("fp"),
+            when(col("a") =!= col("p"), col("n")).otherwise(0L).as("fn")),
+          struct(col("p").as("cls"), lit(0L).as("tp"),
+            when(col("a") =!= col("p"), col("n")).otherwise(0L).as("fp"),
+            lit(0L).as("fn")))).as("x"))
+        .groupBy(col("x.cls").as("cls"))
+        .agg(sum(col("x.tp")).as("tp"), sum(col("x.fp")).as("fp"),
+          sum(col("x.fn")).as("fn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("rec"),
+          round((col("tp") * 2).cast("double")
+            / (col("tp") * 2 + col("fp") + col("fn")), 6).as("f1"))
+        .orderBy(col("cls"))
+    }
+  }
+
+  /** Mean reciprocal rank of the first purchase in each user's
+    * value-ranked event list. Per-user reciprocal ranks are quantized
+    * to integer femto-units (FLOOR(1e15/k) — k is a small integer, the
+    * double divide is bit-identical cross-engine) so the cross-user
+    * mean is a primitive-long sum: exact and order-independent where a
+    * double Σ(1/k) over 100k users would wobble with aggregation
+    * order. One window pass + one agg; no shuffle beyond the user
+    * partitioning. */
+  val qMrr: QDef = QDef(
+    "q_mrr",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rn
+      |  FROM events),
+      |k AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS k
+      |  FROM r GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  ROUND(CAST(SUM(CAST(FLOOR(1e15 / k) AS BIGINT)) AS DOUBLE)
+      |    / 1e15 / COUNT(*), 6) AS mrr
+      |FROM k WHERE k IS NOT NULL
+      |ORDER BY n_users""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(byUser).as("rn"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("rn"))).as("k"))
+      .filter(col("k").isNotNull)
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(floor(lit(1e15) / col("k")).cast("bigint"))
+          .cast("double") / lit(1e15) / count(lit(1)), 6).as("mrr"))
+      .orderBy(col("n_users"))
+  }
+
+  /** NDCG@10 of the value-ranked event list against purchase
+    * relevance, averaged over users with ≥ 1 purchase in their top
+    * 10. The 1/log2(pos+1) discounts are INTEGER micro-unit literals
+    * (identical on both engines — no transcendental evaluated at query
+    * time), so per-user DCG and ideal DCG are exact BIGINTs; only the
+    * final dcg/idcg ratio is a double, quantized to pico-units before
+    * the cross-user mean for order-independence. */
+  val qNdcg: QDef = {
+    val w = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to 10).map(i => s"WHEN ${i} THEN ${w(i - 1)}")
+      .mkString("CASE rn ", " ", " ELSE 0 END")
+    val idcgCase = (1 to 10).map(i => s"WHEN ${i} THEN ${cum(i - 1)}")
+      .mkString("CASE npos ", " ", " ELSE 0 END")
+    QDef(
+      "q_ndcg",
+      s"""WITH r AS (
+         |  SELECT user_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY value DESC, event_id) AS rn
+         |  FROM events),
+         |u AS (
+         |  SELECT user_id,
+         |    SUM(rel * ($wCase)) AS dcg,
+         |    SUM(rel) AS npos
+         |  FROM r WHERE rn <= 10 GROUP BY 1),
+         |q AS (
+         |  SELECT CAST(FLOOR(CAST(dcg AS DOUBLE) / ($idcgCase) * 1e12)
+         |    AS BIGINT) AS nq
+         |  FROM u WHERE npos >= 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ROUND(CAST(SUM(nq) AS DOUBLE) / 1e12 / COUNT(*), 6)
+         |    AS mean_ndcg10,
+         |  ROUND(CAST(SUM(CASE WHEN nq = 1000000000000 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS perfect_share
+         |FROM q ORDER BY n_users""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("rel"),
+          row_number().over(byUser).as("rn"))
+        .filter(col("rn") <= 10)
+        .groupBy(col("user_id"))
+        .agg(sum(col("rel") * expr(wCase)).as("dcg"),
+          sum(col("rel")).as("npos"))
+        .filter(col("npos") >= 1)
+        .select(floor(col("dcg").cast("double") / expr(idcgCase)
+          * lit(1e12)).cast("bigint").as("nq"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("nq")).cast("double") / lit(1e12)
+            / count(lit(1)), 6).as("mean_ndcg10"),
+          round(sum(when(col("nq") === 1000000000000L, 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("perfect_share"))
+        .orderBy(col("n_users"))
+    }
+  }
+
+  /** Calibration / reliability bins for a [0,1] score (the capped
+    * normalized event value) against purchase outcome: per decile bin,
+    * support, mean predicted score, and observed positive rate. Mean
+    * score is an integer micro-unit sum (FLOOR-quantized per row) so
+    * the per-bin aggregate is exact under any accumulation order; the
+    * positive rate is a BIGINT ratio. Single partial+final agg to 10
+    * rows. */
+  val qCalibrationBins: QDef = QDef(
+    "q_calibration_bins",
+    """WITH s AS (
+      |  SELECT LEAST(value / 600, CAST(1.0 AS DOUBLE)) AS p,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |b AS (
+      |  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+      |    CAST(FLOOR(p * 1e6) AS BIGINT) AS pq, y
+      |  FROM s)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(pq) AS DOUBLE) / 1e6 / COUNT(*), 6)
+      |    AS mean_score,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      |FROM b GROUP BY bin
+      |ORDER BY bin""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(least(col("value") / 600, lit(1.0)).as("p"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      .select(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"),
+        floor(col("p") * lit(1e6)).cast("bigint").as("pq"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("pq")).cast("double") / lit(1e6)
+          / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val defs: Seq[QDef] = Seq(qAuc, qPsi, qKsTest, qSurvivalKm,
+    qConfusionMetrics, qMrr, qNdcg, qCalibrationBins)
 }

@@ -59,12 +59,18 @@ object ReshapeQueries {
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
       |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
-    // NOTE: sorting the 1×-wide base before the 3× expansion (one
-    // third the sort volume) is NOT valid here — the synthetic
-    // lineitem carries duplicate (l_orderkey, l_linenumber) pairs, so
-    // the oracle's ORDER BY interleaves measures ACROSS the duplicate
-    // rows; the total order only exists after the expansion.
+    // Range-partition the 1×-wide BASE table, expand, then sort within
+    // partitions: the range sample pass and the shuffle move one third
+    // of the rows a global post-expansion orderBy would, and the
+    // expansion itself runs once instead of twice (orderBy's sampling
+    // re-executes its child). Globally correct because range partitions
+    // are ordered and non-overlapping with equal keys co-located, and
+    // unpivot is narrow (rows stay in their partition) — so the
+    // within-partition (key, measure) sort composes to the oracle's
+    // total order, including the measure interleaving ACROSS duplicate
+    // (l_orderkey, l_linenumber) rows (duplicates share a partition).
     lineitem(s, d)
+      .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
@@ -74,7 +80,8 @@ object ReshapeQueries {
       .withColumn(
         "measure",
         expr("substring(measure, 3)")) // l_quantity -> quantity
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      .sortWithinPartitions(
+        col("l_orderkey"), col("l_linenumber"), col("measure"))
   }
 
   val defs: Seq[QDef] = Seq(qPivot, qUnpivot)

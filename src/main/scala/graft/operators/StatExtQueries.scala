@@ -668,21 +668,31 @@ object StatExtQueries {
       .filter(col("brand_a") <= col("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("pair_n"))
-    val pairs = cells.filter(
-      col("brand_a") < col("brand_b") && col("pair_n") >= 5)
-    val marg = cells.filter(col("brand_a") === col("brand_b"))
-      .select(col("brand_a").as("brand"), col("pair_n").as("cnt"))
+    // marginal lookup via WINDOWS over the one cells pipeline, not
+    // joins back to filtered copies of it: a branch-and-rejoin plan
+    // recomputes the basket aggregate once per branch (the pushed-down
+    // a=b / a<b filters make the three exchanges non-identical, so
+    // ReuseExchange cannot dedupe them — measured 3× the collect_set
+    // shuffle). The diagonal (x,x) row sits in BOTH the
+    // partition-by-brand_a and partition-by-brand_b windows of its
+    // brand, so each side's marginal is one windowed MAX over ≤
+    // brands² rows — zero recomputation, two trivial exchanges.
+    import org.apache.spark.sql.expressions.Window
+    val withMarg = cells
+      .withColumn("cnt_a",
+        max(when(col("brand_a") === col("brand_b"), col("pair_n")))
+          .over(Window.partitionBy(col("brand_a"))))
+      .withColumn("cnt_b",
+        max(when(col("brand_a") === col("brand_b"), col("pair_n")))
+          .over(Window.partitionBy(col("brand_b"))))
+      .filter(col("brand_a") < col("brand_b") && col("pair_n") >= 5)
     // every lineitem has a valid part, so the order universe needs no
     // part join (and no dependence on the basket aggregate — that
     // would run the collect_set merge a second time): one distinct
     // count over the lineitem key column alone
     val tot = lineitem(s, d)
       .agg(countDistinct(col("l_orderkey")).as("orders"))
-    pairs
-      .join(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a")),
-        "brand_a")
-      .join(marg.select(col("brand").as("brand_b"), col("cnt").as("cnt_b")),
-        "brand_b")
+    withMarg
       .crossJoin(broadcast(tot))
       .select(col("brand_a"), col("brand_b"), col("pair_n"),
         round(col("pair_n").cast("double") / col("orders"), 6)
