@@ -343,7 +343,74 @@ object CurationQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Train→test contamination check: share of each TEST document's
+    * distinct word 5-grams that appear anywhere in the TRAIN split
+    * (the q_split_hash content-hash assignment, so the split is
+    * reproducible cross-engine). The canonical eval-integrity gate
+    * before training on a scraped corpus.
+    *
+    * Shape: tokenize → positional 5-gram md5s (one explode, grams
+    * hashed to fixed-width strings so the join key is narrow) →
+    * per-side DISTINCT → LEFT join test-grams against the
+    * dedup-reduced train set → per-doc counts. At 100 TB the train
+    * side is the big one: it reduces to DISTINCT hashes (shuffle on
+    * the hash — uniform by construction, no skew), and the probe is a
+    * plain hash join a bloom pre-filter could thin further; nothing
+    * here is quadratic in corpus size. */
+  val qContamination: QDef = {
+    val bucketSql = "CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 100"
+    QDef(
+      "q_contamination",
+      s"""WITH s AS (
+         |  SELECT doc_id, $bucketSql AS b,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, b,
+         |    md5(array_to_string(toks[i:i+4], ' ')) AS h
+         |  FROM s, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+         |  WHERE len(toks) >= 5),
+         |tr AS (SELECT DISTINCT h FROM g WHERE b < 90),
+         |te AS (SELECT doc_id, h FROM g WHERE b >= 95)
+         |SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS contamination
+         |FROM te LEFT JOIN tr ON te.h = tr.h
+         |GROUP BY te.doc_id
+         |ORDER BY contamination DESC, te.doc_id
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val bucket =
+        (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+          .cast("int") % 100).cast("int")
+      val g = documents(s, d)
+        .select(col("doc_id"), bucket.as("b"),
+          expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+            .as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("b"),
+          explode(expr(
+            """transform(sequence(1, size(toks) - 4),
+              |  i -> md5(concat_ws(' ', slice(toks, i, 5))))"""
+              .stripMargin)).as("h"))
+        .distinct()
+      val tr = g.filter(col("b") < 90).select(col("h")).distinct()
+      val te = g.filter(col("b") >= 95)
+        .select(col("doc_id"), col("h").as("th"))
+      te.join(tr, col("th") === col("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("h").isNotNull, 1).otherwise(0)).as("n_hit"),
+          round(sum(when(col("h").isNotNull, 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("contamination"))
+        .orderBy(col("contamination").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupPrefix, qLengthBand, qZipfTop, qScd2Status, qParetoRevenue,
-    qRfmSegments, qMomChange, qWinsorize)
+    qRfmSegments, qMomChange, qWinsorize, qContamination)
 }

@@ -181,7 +181,52 @@ object FeatureQueries {
       .orderBy(col("seg"), col("pct"))
   }
 
+  /** Smoothed target encoding of customer market segment against
+    * order value (the classic high-cardinality-categorical feature):
+    * enc(seg) = (Σ_seg target + m·μ) / (n_seg + m), m = 100. Per-seg
+    * sums accumulate in EXACT integer cents (primitive-long hash agg),
+    * the global mean derives from the per-seg sums (5 rows — no second
+    * fact scan), and the outputs are FLOOR-truncated at 4dp rather
+    * than ROUNDed: both engines floor the SAME double (identical
+    * arithmetic on identical exact inputs), where ROUND(double)
+    * half-up is algorithm-dependent at .5 renderings (r1 postmortem).
+    * One broadcast dim join + one partial+final agg, scale-invariant
+    * output. */
+  val qTargetEncode: QDef = QDef(
+    "q_target_encode",
+    """WITH j AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS n, SUM(cents) AS sc
+      |  FROM j GROUP BY 1),
+      |t AS (SELECT SUM(n) AS tn, SUM(sc) AS tsc FROM g)
+      |SELECT seg, CAST(n AS BIGINT) AS n,
+      |  FLOOR(CAST(sc AS DOUBLE) / n / 100 * 1e4) / 1e4 AS raw_mean,
+      |  FLOOR((CAST(sc AS DOUBLE) / 100
+      |      + 100 * (CAST(tsc AS DOUBLE) / 100 / tn))
+      |    / (n + 100) * 1e4) / 1e4 AS enc
+      |FROM g, t ORDER BY seg""".stripMargin) { (s, d) =>
+    val cents =
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    val g = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+    val t = g.agg(sum(col("n")).as("tn"), sum(col("sc")).as("tsc"))
+    g.crossJoin(broadcast(t))
+      .select(col("seg"), col("n"),
+        floor(col("sc").cast("double") / col("n") / 100 * lit(1e4))
+          / lit(1e4) as "raw_mean",
+        floor((col("sc").cast("double") / 100
+            + lit(100) * (col("tsc").cast("double") / 100 / col("tn")))
+          / (col("n") + 100) * lit(1e4)) / lit(1e4) as "enc")
+      .orderBy(col("seg"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qDistinctBitmap, qMinmaxScale, qFeatureHash, qBitmapFuncs,
-      qQuantileNormalize)
+      qQuantileNormalize, qTargetEncode)
 }

@@ -437,7 +437,7 @@ object MlEvalQueries {
       |  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
       |    CAST(FLOOR(p * 1e6) AS BIGINT) AS pq, y
       |  FROM s)
-      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
       |  ROUND(CAST(SUM(pq) AS DOUBLE) / 1e6 / COUNT(*), 6)
       |    AS mean_score,
       |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate

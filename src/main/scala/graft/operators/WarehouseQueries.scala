@@ -307,7 +307,52 @@ object WarehouseQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Z-order (Morton) clustering key over (l_partkey, l_suppkey) and
+    * the per-bucket locality profile the layout buys: interleave the
+    * low 8 bits of each dimension (bit arithmetic — identical on both
+    * engines), bucket by the top 6 of the 16 z-bits, and report each
+    * bucket's row count and per-dimension key spread. This is the
+    * multi-dimensional file-clustering primitive (Delta/Iceberg
+    * OPTIMIZE ZORDER BY): rows in one z-bucket sit in a compact
+    * rectangle of (part, supp) space, so min/max file stats prune BOTH
+    * predicates — the distinct-count columns make the locality
+    * measurable. One projection + one partial+final agg to 64 rows;
+    * at scale the same z expression feeds repartitionByRange(z) before
+    * the write, which is exactly how the layout is applied. */
+  val qZorderKey: QDef = {
+    // z = interleave(bits of pk, bits of sk), pk/sk = key & 255;
+    // DuckDB spells shifts with operators, Spark SQL with functions
+    val duck = (0 until 8).flatMap { b =>
+      Seq(s"((((l_partkey & 255) >> $b) & 1) << ${2 * b})",
+        s"((((l_suppkey & 255) >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+    val spk = (0 until 8).flatMap { b =>
+      Seq(s"shiftleft(shiftright(l_partkey & 255, $b) & 1, ${2 * b})",
+        s"shiftleft(shiftright(l_suppkey & 255, $b) & 1, ${2 * b + 1})")
+    }.mkString(" + ")
+    QDef(
+      "q_zorder_key",
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, ($duck) AS zval
+         |  FROM lineitem)
+         |SELECT CAST(zval >> 10 AS INT) AS z_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT l_partkey & 255) AS BIGINT) AS parts_lo,
+         |  CAST(COUNT(DISTINCT l_suppkey & 255) AS BIGINT) AS supps_lo
+         |FROM z GROUP BY 1
+         |ORDER BY z_bucket""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr(spk).as("zval"))
+        .groupBy(shiftright(col("zval"), 10).cast("int").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey").bitwiseAND(255)).as("parts_lo"),
+          countDistinct(col("l_suppkey").bitwiseAND(255)).as("supps_lo"))
+        .orderBy(col("z_bucket"))
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     qMergeUpsert, qFkIntegrity, qScanPartitioned, qPiiMask, qTrainMix,
-    qIncrementalAgg, qProrateCents)
+    qIncrementalAgg, qProrateCents, qZorderKey)
 }
