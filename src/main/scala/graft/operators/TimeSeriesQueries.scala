@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Time-series diagnostics over the daily order-revenue series — the
+  * KPI-series toolkit that sits between the point statistics
+  * (StatExtQueries' changepoint/CUSUM/Bollinger) and forecasting:
+  * autocorrelation structure, robust trend, and a forecast backtest.
+  *
+  * Scale shape shared by all three: the fact table collapses to the
+  * DAY grain first (one partial+final hash aggregate over orders —
+  * the only pass that touches fact rows), and everything after runs
+  * on a calendar-bounded series (~2.4k rows for the 6.6-year fixture;
+  * ~37k rows even for a century of days). Single-partition windows
+  * and the Theil–Sen pair join are therefore bounded by the CALENDAR,
+  * not the data volume — the 100 TB cost center is the day-grain
+  * aggregate, which partial-aggregates map-side before one shuffle.
+  *
+  * Float determinism (QDef contract): daily revenue is an exact
+  * DECIMAL(18,2); all moment sums (Σx, Σy, Σxy, Σx², Σy²) stay exact
+  * DECIMAL (a (18,2)×(18,2) product is an exact (37,4)); only the
+  * final correlation/slope formulas run in DOUBLE on bit-identical
+  * inputs. Medians are ORDER-STATISTIC SELECTIONS (row_number =
+  * (n+1) DIV 2 — the low median), never interpolated: interpolation
+  * would average two doubles whose evaluation order `a+(b-a)*g` vs
+  * `(a+b)*g` is engine-private, while selection is exact on both
+  * engines. The MAPE sum quantizes each per-day ratio to integer
+  * PICO-units (FLOOR(ape·1e12) AS BIGINT) so the cross-day sum is a
+  * primitive long — exact, order-independent, hash-aggregable (the
+  * GraphQueries femto-unit trick).
+  */
+object TimeSeriesQueries {
+
+  private val maxLag = 7
+
+  /** Day-grain revenue series (exact DECIMAL) — the shared input. */
+  private def dailyRev(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+
+  private val dailyRevSql =
+    """drev AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** Autocorrelation function of daily revenue at lags 1..7: one
+    * window pass computes all seven leads, an explode fans each day
+    * into its (lag, x, y) pairs, and one grouped aggregate per lag
+    * computes the exact-decimal moment sums — never seven self-joins.
+    * The ACF is THE diagnostic that decides whether a KPI series is
+    * forecastable and at what seasonality (lag-7 high → weekly
+    * pattern; all lags ≈ 0 → noise). */
+  val qAutocorr: QDef = {
+    val leadsSql = (1 to maxLag)
+      .map(k => s"LEAD(rev, $k) OVER (ORDER BY day) AS l$k")
+      .mkString(",\n    ")
+    val armsSql = (1 to maxLag)
+      .map(k => s"SELECT $k AS lag, rev AS x, l$k AS y FROM ld " +
+        s"WHERE l$k IS NOT NULL")
+      .mkString("\n  UNION ALL\n  ")
+    QDef(
+      "q_autocorr",
+      s"""WITH $dailyRevSql,
+         |ld AS (
+         |  SELECT rev,
+         |    $leadsSql
+         |  FROM drev),
+         |pairs AS (
+         |  $armsSql),
+         |m AS (
+         |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM pairs GROUP BY lag)
+         |SELECT lag, CAST(n AS BIGINT) AS n,
+         |  ROUND((n * sxy - sx * sy) /
+         |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+         |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("day"))
+      val ld = dailyRev(s, d).select(
+        col("rev") +: (1 to maxLag).map(k =>
+          lead(col("rev"), k).over(w).as(s"l$k")): _*)
+      val pairs = ld
+        .select(explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col("rev").as("x"),
+            col(s"l$k").as("y"))): _*)).as("p"))
+        .select(col("p.lag").as("lag"), col("p.x").as("x"),
+          col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      val m = pairs.groupBy(col("lag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      m.select(col("lag"), col("n").cast("bigint").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("acf"))
+        .orderBy(col("lag"))
+    }
+  }
+
+  /** Theil–Sen robust trend of daily revenue: the LOW MEDIAN of all
+    * pairwise slopes (rev_j − rev_i)/(j − i), plus the matching
+    * median-residual intercept — the outlier-proof answer to "is this
+    * KPI actually growing?" (OLS — q_regr_ols — lets one promo day
+    * drag the whole line). The pair join is quadratic IN DAYS ONLY
+    * (~2.9M pairs for 6.6 years): a broadcast nested-loop over the
+    * day-grain series, never over fact rows. Slope numerators are
+    * exact decimal diffs; each division is one double op on identical
+    * inputs; the median is an exact selection (header note). */
+  val qTheilSen: QDef = QDef(
+    "q_theil_sen",
+    s"""WITH $dailyRevSql,
+       |g AS (
+       |  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS i FROM drev),
+       |pairs AS (
+       |  SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.i - a.i) AS slope
+       |  FROM g a JOIN g b ON b.i > a.i),
+       |ms AS (
+       |  SELECT slope FROM (
+       |    SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rnk,
+       |      COUNT(*) OVER () AS cnt
+       |    FROM pairs)
+       |  WHERE rnk = (cnt + 1) // 2),
+       |res AS (
+       |  SELECT CAST(g.rev AS DOUBLE) - ms.slope * g.i AS r
+       |  FROM g CROSS JOIN ms),
+       |mi AS (
+       |  SELECT r FROM (
+       |    SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rnk,
+       |      COUNT(*) OVER () AS cnt
+       |    FROM res)
+       |  WHERE rnk = (cnt + 1) // 2)
+       |SELECT nd.n AS n_days, np.n AS n_pairs,
+       |  ROUND(ms.slope, 6) AS slope, ROUND(mi.r, 2) AS intercept
+       |FROM ms CROSS JOIN mi
+       |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g) nd
+       |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs) np
+       |""".stripMargin) { (s, d) =>
+    val g = dailyRev(s, d).select(col("rev"),
+      row_number().over(Window.orderBy(col("day"))).as("i"))
+    val pairs = g.as("a")
+      .join(g.as("b"), col("b.i") > col("a.i"))
+      .select(((col("b.rev") - col("a.rev")).cast("double") /
+        (col("b.i") - col("a.i"))).as("slope"))
+    def lowMedian(df: DataFrame, c: String): DataFrame =
+      df.select(col(c),
+          row_number().over(Window.orderBy(col(c))).as("rnk"),
+          count(lit(1)).over(Window.partitionBy()).as("cnt"))
+        .filter(col("rnk") === expr("(cnt + 1) DIV 2"))
+        .select(col(c))
+    val ms = lowMedian(pairs, "slope")
+    val res = g.crossJoin(broadcast(ms))
+      .select((col("rev").cast("double") - col("slope") * col("i"))
+        .as("r"))
+    val mi = lowMedian(res, "r")
+    val nd = g.agg(count(lit(1)).as("n_days"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    ms.crossJoin(mi).crossJoin(broadcast(nd)).crossJoin(broadcast(np))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("r"), 2).as("intercept"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's revenue
+    * with the value seven CALENDAR days earlier (a real date join,
+    * not a row shift — gaps don't misalign weeks), then score per ISO
+    * weekday: bias (exact-decimal mean error) and MAPE (pico-unit
+    * quantized — header note). The zero-parameter baseline every real
+    * forecast must beat; scoring it per weekday shows WHICH days
+    * carry the seasonal signal. */
+  val qSeasonalNaive: QDef = QDef(
+    "q_seasonal_naive",
+    s"""WITH $dailyRevSql,
+       |f AS (
+       |  SELECT c.day, c.rev, p.rev AS hat
+       |  FROM drev c JOIN drev p ON p.day = c.day - 7),
+       |e AS (
+       |  SELECT CAST(EXTRACT(isodow FROM day) AS INT) AS dow,
+       |    rev - hat AS err,
+       |    CAST(FLOOR(CAST(ABS(rev - hat) AS DOUBLE)
+       |      / CAST(rev AS DOUBLE) * 1e12) AS BIGINT) AS ape_pico
+       |  FROM f)
+       |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 2) AS bias,
+       |  ROUND(CAST(SUM(ape_pico) AS DOUBLE) / 1e12 / COUNT(*), 6)
+       |    AS mape
+       |FROM e GROUP BY dow ORDER BY dow""".stripMargin) { (s, d) =>
+    val drev = dailyRev(s, d)
+    val f = drev.as("c")
+      .join(drev.as("p"), col("p.day") === date_sub(col("c.day"), 7))
+      .select(col("c.day").as("day"), col("c.rev").as("rev"),
+        col("p.rev").as("hat"))
+    val e = f.select(
+      (((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("dow"),
+      (col("rev") - col("hat")).as("err"),
+      floor(abs(col("rev") - col("hat")).cast("double") /
+        col("rev").cast("double") * lit(1e12)).cast("bigint")
+        .as("ape_pico"))
+    e.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 2)
+          .as("bias"),
+        round(sum(col("ape_pico")).cast("double") / lit(1e12) /
+          count(lit(1)), 6).as("mape"))
+      .orderBy(col("dow"))
+  }
+
+  val defs: Seq[QDef] = Seq(qAutocorr, qTheilSen, qSeasonalNaive)
+}
