@@ -25,7 +25,8 @@ object SparkEntry {
       WarehouseQueries.defs ++ TrainPrepQueries.defs ++
       FeatureQueries.defs ++ RangeJoin.defs ++ MlEvalQueries.defs ++
       BenchmarkQueries.defs ++ BenchmarkQueries2.defs ++
-      GraphQueries.defs ++ TimeSeriesQueries.defs
+      GraphQueries.defs ++ TimeSeriesQueries.defs ++
+      SequenceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
