@@ -183,5 +183,97 @@ object GraphQueries {
     edges.crossJoin(broadcast(triangles))
   }
 
-  val defs: Seq[QDef] = Seq(qPagerankParts, qTriangleCopurchase)
+  /** Degree distribution of the raw co-purchase graph in log2 bins —
+    * the first diagnostic on any graph (is it power-law? where does
+    * the skew live?) and the input to every salting/threshold
+    * decision the other graph queries make. The bin index is computed
+    * as LENGTH(BIN(deg)) − 1: exact INTEGER arithmetic on both
+    * engines, where FLOOR(LOG2(deg)) would hinge on whether the
+    * platform's log2 is correctly rounded at exact powers of two
+    * (std::log2(8) = 3.0 but log(8)/log(2) = 2.999…96 — a real
+    * cross-engine floor seam). Reuses the cached PageRank edge list;
+    * the aggregate is node-grain. */
+  val qDegreeDist: QDef = QDef(
+    "q_degree_dist",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+      |SELECT CAST(LENGTH(BIN(deg)) - 1 AS INT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+      |  CAST(MAX(deg) AS BIGINT) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    copurchaseEdges(s, d)
+      .select(col("src"), col("deg")).distinct()
+      .groupBy((length(bin(col("deg"))) - 1).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("bin"))
+  }
+
+  /** Link prediction by neighbor-Jaccard on the support-≥2 backbone:
+    * for part pairs NOT already co-purchased together, score
+    * |N(a)∩N(b)| / |N(a)∪N(b)| and keep the top 20 — the
+    * "customers who bought these also bought those" candidate set.
+    * Common-neighbor counts come from ONE wedge join on the
+    * symmetric backbone (bounded by the thresholded graph's Σdeg²,
+    * the same bound that makes the triangle count tractable), the
+    * existing-edge exclusion is an ANTI join, and the Jaccard is a
+    * BIGINT ratio evaluated in one double division. */
+  val qJaccardNeighbors: QDef = QDef(
+    "q_jaccard_neighbors",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS s, b.pk AS d FROM li a JOIN li b
+      |  ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+      |deg AS (SELECT s AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |com AS (
+      |  SELECT x.s AS a, y.s AS b, COUNT(*) AS common
+      |  FROM sym x JOIN sym y ON x.d = y.d AND x.s < y.s
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT c.a, c.b, c.common FROM com c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e WHERE e.s = c.a AND e.d = c.b))
+      |SELECT a AS part_a, b AS part_b,
+      |  CAST(common AS BIGINT) AS common_neighbors,
+      |  ROUND(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 6)
+      |    AS jaccard
+      |FROM cand
+      |JOIN deg da ON da.v = a
+      |JOIN deg db ON db.v = b
+      |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val e = triangleEdges(s, d)
+    val sym = e.select(col("s"), col("d"))
+      .unionAll(e.select(col("d").as("s"), col("s").as("d")))
+    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val com = sym.as("x")
+      .join(sym.as("y"),
+        col("x.d") === col("y.d") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val cand = com.join(e,
+      com("a") === e("s") && com("b") === e("d"), "left_anti")
+    cand
+      .join(deg.withColumnRenamed("v", "a")
+        .withColumnRenamed("deg", "dega"), "a")
+      .join(deg.withColumnRenamed("v", "b")
+        .withColumnRenamed("deg", "degb"), "b")
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("common").as("common_neighbors"),
+        round(col("common").cast("double") /
+          (col("dega") + col("degb") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val defs: Seq[QDef] = Seq(qPagerankParts, qTriangleCopurchase,
+    qDegreeDist, qJaccardNeighbors)
 }
