@@ -26,7 +26,8 @@ object SparkEntry {
       FeatureQueries.defs ++ RangeJoin.defs ++ MlEvalQueries.defs ++
       BenchmarkQueries.defs ++ BenchmarkQueries2.defs ++
       GraphQueries.defs ++ TimeSeriesQueries.defs ++
-      SequenceQueries.defs
+      SequenceQueries.defs ++ NonparamQueries.defs ++
+      MlEvalQueries2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -169,7 +169,11 @@ object TimeSeriesQueries {
     val mi = lowMedian(res, "r")
     val nd = g.agg(count(lit(1)).as("n_days"))
     val np = pairs.agg(count(lit(1)).as("n_pairs"))
-    ms.crossJoin(mi).crossJoin(broadcast(nd)).crossJoin(broadcast(np))
+    // every joined side is a single-row aggregate — broadcast them all
+    // explicitly; the bare crossJoin planned a CartesianProductExec
+    // (caught by PlanSpec's suite-wide sweep)
+    ms.crossJoin(broadcast(mi)).crossJoin(broadcast(nd))
+      .crossJoin(broadcast(np))
       .select(col("n_days"), col("n_pairs"),
         round(col("slope"), 6).as("slope"),
         round(col("r"), 2).as("intercept"))
