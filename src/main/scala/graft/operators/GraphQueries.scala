@@ -274,6 +274,60 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** Local clustering coefficient on the support-≥2 backbone: for
+    * each part, how interconnected are its co-purchase neighbors
+    * (2·triangles_v / deg_v·(deg_v−1))? High coefficient = cohesive
+    * product communities; low = hub parts bridging unrelated baskets.
+    * Per-node triangles come from the SAME bounded wedge join as the
+    * global triangle count (center = wedge apex, closed by the
+    * oriented edge set — (s,d) unique in e, so the inner join cannot
+    * fan out), and the coefficient is an exact integer ratio →
+    * identical IEEE division both engines, ROUND(6) is rendering
+    * only. Top 20 by coefficient with part tie-break. */
+  val qClusteringCoeff: QDef = QDef(
+    "q_clustering_coeff",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS s, b.pk AS d FROM li a JOIN li b
+      |  ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+      |deg AS (SELECT s AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |tri AS (
+      |  SELECT p.s AS v, COUNT(*) AS tri
+      |  FROM sym p JOIN sym q ON p.s = q.s AND p.d < q.d
+      |  JOIN e ON e.s = p.d AND e.d = q.d
+      |  GROUP BY 1)
+      |SELECT deg.v AS part, CAST(deg.deg AS BIGINT) AS deg,
+      |  CAST(COALESCE(tri.tri, 0) AS BIGINT) AS triangles,
+      |  ROUND(2.0 * COALESCE(tri.tri, 0)
+      |    / (deg.deg * (deg.deg - 1)), 6) AS coeff
+      |FROM deg LEFT JOIN tri ON deg.v = tri.v
+      |WHERE deg.deg >= 2
+      |ORDER BY coeff DESC, part LIMIT 20""".stripMargin) { (s, d) =>
+    val e = triangleEdges(s, d)
+    val sym = e.select(col("s"), col("d"))
+      .unionAll(e.select(col("d").as("s"), col("s").as("d")))
+    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val tri = sym.as("p")
+      .join(sym.as("q"),
+        col("p.s") === col("q.s") && col("p.d") < col("q.d"))
+      .join(e.as("c"),
+        col("p.d") === col("c.s") && col("q.d") === col("c.d"))
+      .groupBy(col("p.s").as("v"))
+      .agg(count(lit(1)).as("tri"))
+    deg.join(tri.withColumnRenamed("v", "tv"),
+        col("v") === col("tv"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("v").as("part"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L))
+          / (col("deg") * (col("deg") - 1)), 6).as("coeff"))
+      .orderBy(col("coeff").desc, col("part"))
+      .limit(20)
+  }
+
   val defs: Seq[QDef] = Seq(qPagerankParts, qTriangleCopurchase,
-    qDegreeDist, qJaccardNeighbors)
+    qDegreeDist, qJaccardNeighbors, qClusteringCoeff)
 }

@@ -223,5 +223,159 @@ object TimeSeriesQueries {
       .orderBy(col("dow"))
   }
 
-  val defs: Seq[QDef] = Seq(qAutocorr, qTheilSen, qSeasonalNaive)
+  /** Additive STL-style decomposition of daily revenue:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = per-ISO-weekday mean of the detrended series,
+    * residual = the rest. The classic "is the spike weather or
+    * weekday?" decomposition, all in three bounded passes over the
+    * calendar-grain series (one centered window, one 7-row aggregate
+    * broadcast back, zero self-joins).
+    *
+    * Determinism without rounding: the trend divides an exact-decimal
+    * window sum ONCE in double; the detrended values quantize to
+    * integer micro-units (FLOOR — exact on identical doubles) so the
+    * per-weekday mean is a ratio of exact integers; every output
+    * column is then an identical IEEE sequence on both engines and is
+    * emitted UNROUNDED — there is no decimal boundary to disagree on
+    * (a ROUND here would CREATE the seam it usually closes: micro-unit
+    * means can land exactly on .XXXX5). */
+  val qStlDecompose: QDef = QDef(
+    "q_stl_decompose",
+    s"""WITH $dailyRevSql,
+       |w AS (
+       |  SELECT day, rev,
+       |    SUM(rev) OVER (ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+       |    COUNT(*) OVER (ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+       |  FROM drev),
+       |b AS (
+       |  SELECT day, CAST(rev AS DOUBLE) AS rev,
+       |    CAST(s7 AS DOUBLE) / 7 AS trend,
+       |    CAST(EXTRACT(isodow FROM day) AS INT) AS dow,
+       |    CAST(rev AS DOUBLE) - CAST(s7 AS DOUBLE) / 7 AS detr,
+       |    CAST(FLOOR((CAST(rev AS DOUBLE) - CAST(s7 AS DOUBLE) / 7)
+       |      * 1e6) AS BIGINT) AS dmicro
+       |  FROM w WHERE n7 = 7),
+       |se AS (
+       |  SELECT dow,
+       |    CAST(SUM(dmicro) AS DOUBLE) / COUNT(*) / 1e6 AS seasonal
+       |  FROM b GROUP BY dow)
+       |SELECT b.day, b.rev, b.trend, se.seasonal,
+       |  b.detr - se.seasonal AS residual
+       |FROM b JOIN se USING (dow)
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val b = dailyRev(s, d)
+      .select(col("day"), col("rev"),
+        sum(col("rev")).over(w7).as("s7"),
+        count(lit(1)).over(w7).as("n7"))
+      .filter(col("n7") === 7)
+      .select(col("day"),
+        col("rev").cast("double").as("rev"),
+        (col("s7").cast("double") / 7).as("trend"),
+        (((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("dow"))
+      .withColumn("detr", col("rev") - col("trend"))
+      .withColumn("dmicro",
+        floor(col("detr") * lit(1e6)).cast("bigint"))
+    val se = b.groupBy(col("dow"))
+      .agg((sum(col("dmicro")).cast("double") / count(lit(1)) / lit(1e6))
+        .as("seasonal"))
+    b.join(broadcast(se), "dow")
+      .select(col("day"), col("rev"), col("trend"), col("seasonal"),
+        (col("detr") - col("seasonal")).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  /** Cross-correlation between the BUILDING and AUTOMOBILE segments'
+    * daily revenue at positional lags −7..+7 — does one segment lead
+    * the other? Both series come out of ONE conditional aggregate
+    * (no two filtered scans), all 15 lags out of one window pass
+    * (LEAD/LAG over the day-aligned pair series — qAutocorr's
+    * explode-the-lags shape, never 15 self-joins), and each lag's
+    * correlation derives from exact-decimal moment sums, so only the
+    * final one-row-per-lag formula is float → ROUND(6). */
+  val qCrossCorr: QDef = {
+    val lags = (-7 to 7).filter(_ != 0)
+    def leadSql(k: Int): String =
+      if (k >= 0) s"LEAD(y, $k) OVER (ORDER BY day) AS yl_$k"
+      else s"LAG(y, ${-k}) OVER (ORDER BY day) AS yl_m${-k}"
+    def colName(k: Int): String = if (k >= 0) s"yl_$k" else s"yl_m${-k}"
+    val armsSql = lags
+      .map(k => s"SELECT $k AS lag, x, ${colName(k)} AS y FROM ld " +
+        s"WHERE ${colName(k)} IS NOT NULL")
+      .mkString("\n  UNION ALL\n  ")
+    QDef(
+      "q_cross_corr",
+      s"""WITH m AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    SUM(CASE WHEN c_mktsegment = 'BUILDING'
+         |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS x,
+         |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+         |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         |  GROUP BY 1),
+         |p AS (SELECT day, x, y FROM m
+         |      WHERE x IS NOT NULL AND y IS NOT NULL),
+         |ld AS (
+         |  SELECT day, x,
+         |    ${lags.map(leadSql).mkString(",\n    ")}
+         |  FROM p),
+         |pairs AS (
+         |  $armsSql),
+         |g AS (
+         |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM pairs GROUP BY lag)
+         |SELECT lag, CAST(n AS BIGINT) AS n,
+         |  ROUND((n * sxy - sx * sy) /
+         |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ccf
+         |FROM g ORDER BY lag""".stripMargin) { (s, d) =>
+      val m = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(
+          sum(when(col("c_mktsegment") === "BUILDING",
+            col("o_totalprice").cast("decimal(18,2)"))).as("x"),
+          sum(when(col("c_mktsegment") === "AUTOMOBILE",
+            col("o_totalprice").cast("decimal(18,2)"))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val w = Window.orderBy(col("day"))
+      val ld = m.select(
+        col("day") +: col("x") +:
+          lags.map(k =>
+            (if (k >= 0) lead(col("y"), k) else lag(col("y"), -k))
+              .over(w).as(colName(k))): _*)
+      val pairs = ld
+        .select(explode(array(lags.map(k =>
+          struct(lit(k).as("lag"), col("x"),
+            col(colName(k)).as("y"))): _*)).as("p"))
+        .select(col("p.lag").as("lag"), col("p.x").as("x"),
+          col("p.y").as("y"))
+        .filter(col("y").isNotNull)
+      pairs.groupBy(col("lag")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(col("lag"), col("n").cast("bigint").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("ccf"))
+        .orderBy(col("lag"))
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(qAutocorr, qTheilSen, qSeasonalNaive,
+    qStlDecompose, qCrossCorr)
 }
