@@ -328,6 +328,70 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** Community detection by 3 rounds of min-label propagation on the
+    * support-≥2 backbone: every node starts labeled with its own id,
+    * each round takes the MIN label over {self} ∪ neighbors, and
+    * after the fixed rounds labels group into (partially converged)
+    * communities — the deterministic, oracle-checkable cousin of
+    * q_dedup_transitive's convergence-driven connected components
+    * (pure integer MINs: no float anywhere, so the unrolled-CTE
+    * oracle replays it exactly).
+    *
+    * Scale shape is the PageRank contract: the cached edge list never
+    * moves; each round is one join(labels, adj) + groupBy(node) MIN —
+    * partial-aggregated map-side, shuffling only the |V|-row label
+    * vector. Fixed rounds (not convergence) keep it one declarative
+    * plan. Output: the 20 largest communities. */
+  val qLabelProp: QDef = {
+    val rounds = 3
+    def iterSql(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT adj.v AS v, MIN($prev.lbl) AS lbl
+         |  FROM adj JOIN $prev ON $prev.v = adj.nb
+         |  GROUP BY 1)""".stripMargin
+    val iters = (1 to rounds)
+      .map(k => iterSql(s"l${k - 1}", s"l$k")).mkString(",\n")
+    QDef(
+      "q_label_prop",
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (
+         |  SELECT a.pk AS s, b.pk AS d FROM li a JOIN li b
+         |  ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+         |nodes AS (SELECT DISTINCT s AS v FROM sym),
+         |adj AS (
+         |  SELECT v, v AS nb FROM nodes
+         |  UNION ALL SELECT s AS v, d AS nb FROM sym),
+         |l0 AS (SELECT v, v AS lbl FROM nodes),
+         |$iters
+         |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM l$rounds
+         |GROUP BY 1
+         |ORDER BY n_members DESC, community
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = triangleEdges(s, d)
+      val sym = e.select(col("s"), col("d"))
+        .unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      val nodes = sym.select(col("s").as("v")).distinct()
+      val adj = nodes.select(col("v"), col("v").as("nb"))
+        .unionAll(sym.select(col("s").as("v"), col("d").as("nb")))
+      var labels = nodes.select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to rounds)
+        labels = adj
+          .join(labels.withColumnRenamed("v", "lv"),
+            col("nb") === col("lv"))
+          .groupBy(col("v"))
+          .agg(min(col("lbl")).as("lbl"))
+      labels
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(20)
+    }
+  }
+
   val defs: Seq[QDef] = Seq(qPagerankParts, qTriangleCopurchase,
-    qDegreeDist, qJaccardNeighbors, qClusteringCoeff)
+    qDegreeDist, qJaccardNeighbors, qClusteringCoeff, qLabelProp)
 }

@@ -437,8 +437,81 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-document bigram-LM perplexity — the model-based quality
+    * filter real curation pipelines run after the heuristic ones
+    * (q_quality_score): train a maximum-likelihood bigram model on
+    * the corpus itself, score every document by
+    * exp(−mean log p(wᵢ₊₁|wᵢ)), and the gibberish floats to the top.
+    * Self-scoring means no OOV smoothing is needed (every document
+    * bigram is in the model by construction).
+    *
+    * Scale shape: bigram types aggregate with partial map-side
+    * combine (vocab²-bounded, not corpus-bounded); the model is one
+    * (bigram → log-prob) table the document stream joins on its
+    * bigram key — an equi-join Spark shuffles on both sides, no
+    * broadcast of a vocabulary-sized table (the q_tfidf lesson).
+    *
+    * Determinism: c12/c1 is a ratio of exact BIGINTs (identical IEEE
+    * divide), LN of it is quantized to integer MICRO-units per bigram
+    * TYPE — micro, not nano: the coarser grid keeps the probability
+    * that a 1-ulp cross-engine LN wobble crosses a FLOOR boundary
+    * below ~1e-9 per type while costing only 1e-6 log-space
+    * precision — so the per-doc sum is an exact long. The score is
+    * emitted as the mean negative log-likelihood (avg_nll, nats per
+    * bigram; perplexity = exp(avg_nll)) rather than exponentiated:
+    * EXP is NOT correctly rounded in either libm or java.lang.Math,
+    * and measured 1-ulp divergence on 35/500 docs — whereas the two
+    * IEEE divides on exact integers, applied in the same order, are
+    * bit-identical by the standard. */
+  val qBigramPerplexity: QDef = QDef(
+    "q_bigram_perplexity",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |b AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg
+      |  FROM t WHERE len(l) >= 2),
+      |cb AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY 1),
+      |cw AS (
+      |  SELECT string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1
+      |  FROM cb GROUP BY 1),
+      |lm AS (
+      |  SELECT bg, CAST(FLOOR(LN(CAST(c12 AS DOUBLE) / c1) * 1e6)
+      |    AS BIGINT) AS lp_micro
+      |  FROM cb JOIN cw ON string_split(cb.bg, ' ')[1] = cw.w1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-SUM(lp_micro) AS DOUBLE) / 1e6 / COUNT(*) AS avg_nll
+      |FROM b JOIN lm USING (bg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = documents(s, d)
+      .select(col("doc_id"), tokens.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("bg"))
+    val cb = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val cw = cb
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val lm = cb
+      .join(cw, split(cb("bg"), " ").getItem(0) === cw("w1"))
+      .select(col("bg"),
+        floor(log(col("c12").cast("double") / col("c1")) * lit(1e6))
+          .cast("bigint").as("lp_micro"))
+    b.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((-col("slp")).cast("double") / lit(1e6) / col("n_bigrams"))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRepetition, qTextNormalize,
-    qWinnowFingerprint, qReadability)
+    qWinnowFingerprint, qReadability, qBigramPerplexity)
 }
