@@ -64,14 +64,25 @@ object TableLoader {
     SessionCache.getOrElseUpdate(spark, ("table", sfDir, name)) {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       val df =
-        if (name == "events")
-          // ts arrives as Long nanos (nanosAsLong): truncate to micros
-          // exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
-          raw.withColumn(
-            "ts",
-            org.apache.spark.sql.functions.expr(
-              "timestamp_micros(ts div 1000)"))
-        else raw
+        if (name == "events") {
+          // The driver has shipped events.ts as TIMESTAMP(NANOS) (reads
+          // as Long under nanosAsLong) in some rounds and TIMESTAMP(
+          // MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ) in
+          // others. Normalize every shape to TimestampType micros; with
+          // the UTC session timezone the NTZ->LTZ cast is value-exact,
+          // matching DuckDB's naive TIMESTAMP read of the same file.
+          import org.apache.spark.sql.functions.{col, expr}
+          import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+          raw.schema("ts").dataType match {
+            case LongType =>
+              // Long nanos: truncate to micros exactly like DuckDB's
+              // TIMESTAMP_NS -> TIMESTAMP cast.
+              raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            case TimestampNTZType =>
+              raw.withColumn("ts", col("ts").cast("timestamp"))
+            case _ => raw
+          }
+        } else raw
       if (dimTables(name)) df.persist(StorageLevel.MEMORY_AND_DISK)
       else df
     }
