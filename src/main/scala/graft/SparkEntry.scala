@@ -27,7 +27,8 @@ object SparkEntry {
       BenchmarkQueries.defs ++ BenchmarkQueries2.defs ++
       GraphQueries.defs ++ TimeSeriesQueries.defs ++
       SequenceQueries.defs ++ NonparamQueries.defs ++
-      MlEvalQueries2.defs ++ DataOpsQueries.defs
+      MlEvalQueries2.defs ++ DataOpsQueries.defs ++
+      ExperimentQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

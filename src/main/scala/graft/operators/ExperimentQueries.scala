@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Round-5 experimentation & growth analytics: the measurement layer a
+  * product/data team runs on the engine — DAU growth accounting
+  * (new / retained / resurrected / churned), difference-in-differences
+  * treatment estimation, and a deterministic Poisson-bootstrap
+  * confidence interval.
+  *
+  * Scale shapes: growth accounting does ONE per-user window pass (high
+  * cardinality — millions of partitions is exactly what WindowExec
+  * wants) and collapses to the bounded day grid before anything else;
+  * DiD is one conditional-aggregate scan; the bootstrap is the
+  * single-pass Poisson formulation — per-row replicate weights from a
+  * hash, map-side partial aggregation into B tiny groups — not the
+  * textbook B-fold resample, which at 100 TB would be B full shuffles
+  * of the fact table.
+  */
+object ExperimentQueries {
+
+  /** DAU growth accounting: every active (user, day) classified as
+    * new (first day), retained (active yesterday too), or resurrected
+    * (gap > 1 day), plus churned (active yesterday, gone today) —
+    * the standard decomposition of DAU change. One distinct pass to
+    * (user, day) grain, one per-user LAG/LEAD window (both functions
+    * share one window spec → one sort), then bounded day-grid rollups.
+    * Churn is only counted through the last observed day (beyond it,
+    * absence is end-of-data, not churn). */
+  val qGrowthAccounting: QDef = QDef(
+    "q_growth_accounting",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |s AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM a),
+      |stat AS (
+      |  SELECT day,
+      |    COUNT(*) FILTER (WHERE prev IS NULL) AS n_new,
+      |    COUNT(*) FILTER (WHERE day - prev = 1) AS n_retained,
+      |    COUNT(*) FILTER (WHERE prev IS NOT NULL AND day - prev > 1)
+      |      AS n_resurrected
+      |  FROM s GROUP BY day),
+      |mx AS (SELECT MAX(day) AS maxd FROM a),
+      |churn AS (
+      |  SELECT day + 1 AS day, COUNT(*) AS n_churned
+      |  FROM s CROSS JOIN mx
+      |  WHERE (next IS NULL OR next - day > 1) AND day < maxd
+      |  GROUP BY 1)
+      |SELECT COALESCE(stat.day, churn.day) AS day,
+      |  COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM stat FULL OUTER JOIN churn USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val a = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val t = a.select(
+      col("day"),
+      lag(col("day"), 1).over(wU).as("prev"),
+      lead(col("day"), 1).over(wU).as("next"))
+    val stat = t.groupBy(col("day"))
+      .agg(
+        count_if(col("prev").isNull).as("n_new"),
+        count_if(datediff(col("day"), col("prev")) === 1)
+          .as("n_retained"),
+        count_if(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) > 1).as("n_resurrected"))
+    val mx = a.agg(max(col("day")).as("maxd"))
+    val churn = t.crossJoin(broadcast(mx))
+      .where((col("next").isNull ||
+        datediff(col("next"), col("day")) > 1) &&
+        col("day") < col("maxd"))
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    stat.withColumnRenamed("day", "sday")
+      .join(churn.withColumnRenamed("day", "cday"),
+        col("sday") === col("cday"), "full_outer")
+      .select(
+        coalesce(col("sday"), col("cday")).as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Difference-in-differences estimate of the month-half "treatment"
+    * on purchase value for the hash-assigned treatment group (even
+    * user_id): the four cell means and DiD = (T₂−T₁) − (C₂−C₁), all
+    * in ONE conditional-aggregate scan. Values accumulate as exact
+    * integer micro-units so every mean is a ratio of exact integers —
+    * double-sum order nondeterminism never reaches the output. */
+  val qDidEffect: QDef = QDef(
+    "q_did_effect",
+    """WITH p AS (
+      |  SELECT user_id % 2 = 0 AS treated,
+      |    date_part('day', ts) > 15 AS post,
+      |    CAST(ROUND(value * 1e6) AS BIGINT) AS micro
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(micro) FILTER (WHERE treated AND NOT post)
+      |      AS DOUBLE) / COUNT(*) FILTER (WHERE treated AND NOT post)
+      |      / 1e6 AS t_pre,
+      |    CAST(SUM(micro) FILTER (WHERE treated AND post)
+      |      AS DOUBLE) / COUNT(*) FILTER (WHERE treated AND post)
+      |      / 1e6 AS t_post,
+      |    CAST(SUM(micro) FILTER (WHERE NOT treated AND NOT post)
+      |      AS DOUBLE) / COUNT(*) FILTER (WHERE NOT treated AND NOT post)
+      |      / 1e6 AS c_pre,
+      |    CAST(SUM(micro) FILTER (WHERE NOT treated AND post)
+      |      AS DOUBLE) / COUNT(*) FILTER (WHERE NOT treated AND post)
+      |      / 1e6 AS c_post
+      |  FROM p)
+      |SELECT ROUND(t_pre, 6) AS treated_pre,
+      |  ROUND(t_post, 6) AS treated_post,
+      |  ROUND(c_pre, 6) AS control_pre,
+      |  ROUND(c_post, 6) AS control_post,
+      |  ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did
+      |FROM c""".stripMargin) { (s, d) =>
+    val p = events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(
+        (col("user_id") % 2 === 0).as("treated"),
+        (dayofmonth(col("ts")) > 15).as("post"),
+        round(col("value") * 1e6).cast("bigint").as("micro"))
+    def cellMean(t: Boolean, po: Boolean) = {
+      val cond = col("treated") === t && col("post") === po
+      sum(when(cond, col("micro"))).cast("double") /
+        count_if(cond) / 1e6
+    }
+    p.agg(
+        cellMean(t = true, po = false).as("t_pre"),
+        cellMean(t = true, po = true).as("t_post"),
+        cellMean(t = false, po = false).as("c_pre"),
+        cellMean(t = false, po = true).as("c_post"))
+      .select(
+        round(col("t_pre"), 6).as("treated_pre"),
+        round(col("t_post"), 6).as("treated_post"),
+        round(col("c_pre"), 6).as("control_pre"),
+        round(col("c_post"), 6).as("control_post"),
+        round((col("t_post") - col("t_pre")) -
+          (col("c_post") - col("c_pre")), 6).as("did"))
+  }
+
+  /** Exact Poisson-CDF(λ=1) thresholds on the 24-bit hash scale:
+    * u < th(k) ⇒ weight k (integer constants, identical both
+    * engines). */
+  private val poissonTh =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L)
+
+  private val bootReps = 64
+
+  /** 95% bootstrap CI for mean order value via the single-pass POISSON
+    * bootstrap: replicate b resamples each order with weight
+    * w ~ Poisson(1), derived deterministically from 24 bits of
+    * md5(orderkey, b) through the exact inverse CDF — no RNG, no
+    * per-replicate shuffle of the fact table. The 64 replicate means
+    * partial-aggregate map-side into 64 groups; the CI is an order
+    * statistic over those 64 rows (rank 2 / rank 63 ≈ 2.5th/97.5th
+    * percentile). Money moves as exact integer cents; each replicate
+    * mean is one double division of exact integers. */
+  val qBootstrapCi: QDef = QDef(
+    "q_bootstrap_ci",
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT b, cents,
+      |    CAST(('0x' || substr(md5(k || '-' || b), 1, 6)) AS BIGINT)
+      |      AS u
+      |  FROM base CROSS JOIN range($bootReps) t(b)),
+      |w AS (
+      |  SELECT b, cents,
+      |    CASE ${poissonTh.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }
+          .mkString(" ")} ELSE 7 END AS w
+      |  FROM r),
+      |m AS (
+      |  SELECT b, CAST(SUM(w * cents) AS DOUBLE) /
+      |    CAST(SUM(w) AS DOUBLE) AS mb
+      |  FROM w GROUP BY b),
+      |rk AS (SELECT mb, ROW_NUMBER() OVER (ORDER BY mb) AS rn FROM m),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean FROM base)
+      |SELECT s.n AS n_orders,
+      |  ROUND(s.mean / 100, 4) AS mean_value,
+      |  ROUND(MIN(CASE WHEN rn = 2 THEN mb END) / 100, 4) AS ci_lo,
+      |  ROUND(MIN(CASE WHEN rn = ${bootReps - 1} THEN mb END) / 100, 4)
+      |    AS ci_hi
+      |FROM rk CROSS JOIN s
+      |GROUP BY s.n, s.mean""".stripMargin) { (s, d) =>
+    val base = orders(s, d)
+      .select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val r = base
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(0), lit(bootReps - 1))).as("b"))
+      .withColumn("u",
+        conv(substring(
+          md5(concat(col("k").cast("string"), lit("-"),
+            col("b").cast("string")).cast("binary")), 1, 6),
+          16, 10).cast("bigint"))
+    val w = poissonTh.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (t, k)) =>
+        acc.when(col("u") < t, k)
+      }
+      .otherwise(7)
+    val m = r.withColumn("w", w)
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("cents")).cast("double") /
+        sum(col("w")).cast("double")).as("mb"))
+    val rk = m.select(col("mb"),
+      row_number().over(Window.orderBy(col("mb"))).as("rn"))
+    val st = base.agg(
+      count(lit(1)).as("n"),
+      (sum(col("cents")).cast("double") / count(lit(1))).as("mean"))
+    rk.crossJoin(broadcast(st))
+      .groupBy(col("n"), col("mean"))
+      .agg(
+        round(min(when(col("rn") === 2, col("mb"))) / 100, 4)
+          .as("ci_lo"),
+        round(min(when(col("rn") === bootReps - 1, col("mb"))) / 100, 4)
+          .as("ci_hi"))
+      .select(
+        col("n").as("n_orders"),
+        round(col("mean") / 100, 4).as("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val defs: Seq[QDef] = Seq(qGrowthAccounting, qDidEffect, qBootstrapCi)
+}
