@@ -348,8 +348,16 @@ object DataOpsQueries {
     * format for ANN at corpus scale): per-vector scale = max|x|/127,
     * q_i = round(x_i/scale) ∈ [−127, 127]. Emitted as per-vector
     * audit stats (scale + quantized L1/sum + saturation count) rather
-    * than 64 columns; both engines derive them with list lambdas over
-    * identical IEEE doubles, so the rounded ints match exactly. */
+    * than 64 columns; both engines derive them over identical IEEE
+    * doubles, so the rounded ints match exactly.
+    *
+    * The oracle states it with list lambdas; the engine POSEXPLODEs to
+    * element grain and aggregates — array HOFs are interpreted (no
+    * codegen) and Catalyst re-evaluates the shared quantized-array
+    * subexpression once per consuming aggregate (4×), measured 3.0 s
+    * vs 0.4 s at sf0.1. Element grain keeps every op inside
+    * whole-stage codegen; the scale join and the stats aggregate hash
+    * on vec_id, and AQE reuses the exchange. */
   val qEmbedQuantize: QDef = QDef(
     "q_embed_quantize",
     """SELECT vec_id,
@@ -372,19 +380,21 @@ object DataOpsQueries {
       |    v -> v >= 127)) AS BIGINT) AS n_sat
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val dbl = transform(col("embedding"), x => abs(x.cast("double")))
-    val scale = array_max(dbl) / 127.0
-    val qv = transform(col("embedding"),
-      x => round(x.cast("double") / scale))
-    embeddings(s, d)
-      .select(
-        col("vec_id"),
-        round(scale, 9).as("scale"),
-        aggregate(qv, lit(0.0), (acc, v) => acc + v)
-          .cast("bigint").as("q_sum"),
-        aggregate(qv, lit(0.0), (acc, v) => acc + abs(v))
-          .cast("bigint").as("q_l1"),
-        size(filter(qv, v => abs(v) >= 127)).cast("bigint").as("n_sat"))
+    val elems = embeddings(s, d)
+      .select(col("vec_id"),
+        explode(col("embedding")).as("x"))
+      .select(col("vec_id"), col("x").cast("double").as("xd"))
+    val scales = elems.groupBy(col("vec_id"))
+      .agg((max(abs(col("xd"))) / 127.0).as("sc"))
+    elems.join(scales, "vec_id")
+      .select(col("vec_id"), col("sc"),
+        round(col("xd") / col("sc")).as("qe"))
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("sc")), 9).as("scale"),
+        sum(col("qe")).cast("bigint").as("q_sum"),
+        sum(abs(col("qe"))).cast("bigint").as("q_l1"),
+        count_if(abs(col("qe")) >= 127).as("n_sat"))
       .orderBy(col("vec_id"))
   }
 

@@ -112,8 +112,13 @@ object GraphQueries {
     QDef("q_pagerank_parts", sql) { (s, d) =>
       val ed = copurchaseEdges(s, d)
       val n = copurchaseNodeCount(s, d)
+      // per-iteration localCheckpoint (same discipline as
+      // q_label_prop): the rank vector is |V| rows, and without it
+      // each of the 5 levels re-plans and re-executes every prior
+      // level inside one nested tree
       var ranks = ed.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1.0) / lit(n))
+        .localCheckpoint()
       for (_ <- 0 until iterations) {
         ranks = broadcast(ranks)
           .join(ed, col("node") === col("src"))
@@ -126,6 +131,7 @@ object GraphQueries {
             (lit(0.15) / lit(n) +
               lit(0.85) * (col("cs").cast("double") / lit(1e14)))
               .as("rank"))
+          .localCheckpoint()
       }
       ranks.select(col("node").as("p_partkey"), col("rank"))
         .orderBy(col("rank").desc, col("p_partkey"))
