@@ -58,6 +58,97 @@ object DedupPipeline {
       p
     }
 
+  /** Incremental dedup: clean a NEW batch of documents against an
+    * already-ingested corpus WITHOUT ever re-comparing the corpus to
+    * itself — the shape every continuously-fed training pipeline
+    * needs (the batch is small; the corpus is the 100 TB side).
+    *
+    *   - exact: batch md5s anti-joined against the corpus md5 set,
+    *     then in-batch keep-lowest-id;
+    *   - near: batch band keys joined against the CORPUS band-key
+    *     index (built once per session from the cached shingle sets),
+    *     candidates verified with exact Jaccard against corpus
+    *     shingles; plus the batch's in-batch pairs. A batch doc loses
+    *     against ANY corpus match (the corpus is canonical) and
+    *     against lower-id batch docs.
+    *
+    * Cost: O(|batch|) signatures + two band-key joins whose corpus
+    * side is the pre-built index — never O(|corpus|²), never a corpus
+    * rescan beyond the one-time index build. */
+  def dedupIncremental(
+      s: SparkSession, batch: DataFrame, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    val corpus = TableLoader.documents(s, d)
+    // exact vs corpus + in-batch (one md5 derivation, reused)
+    val bh = batch.withColumn("h", md5(col("text").cast("binary")))
+    val corpusH = corpus
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val exactClean = bh
+      .join(corpusH, Seq("h"), "left_anti")
+    val keepIds = exactClean
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val afterExact = exactClean.join(keepIds, "doc_id")
+      .select(batch.columns.map(batch(_)): _*)
+    // near: batch signatures vs the session-cached corpus index
+    val bShingles = DedupQueries.shingleSetsOf(afterExact)
+      .localCheckpoint()
+    val bBands = DedupQueries.bandKeysOf(
+      DedupQueries.signaturesOf(bShingles))
+    val cBands = corpusBandIndex(s, d)
+    val cShingles = DedupQueries.shingleSets(s, d)
+    def verified(cands: DataFrame, rightShingles: DataFrame)
+        : DataFrame = {
+      val shA = bShingles
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val shB = rightShingles
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = graft.functions.VectorExpressions
+        .sortedIntersectCount(col("sh_a"), col("sh_b"))
+      val jac = inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter)
+      cands.join(shA, "doc_a").join(shB, "doc_b")
+        .filter(jac >= threshold)
+        .select(col("doc_a"))
+    }
+    // vs corpus: any corpus match kills the batch doc
+    val vsCorpus = verified(
+      bBands.alias("a")
+        .join(cBands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .distinct(),
+      cShingles)
+    // in-batch: higher id loses (greedy, same as dropNearDuplicates)
+    val inBatch = verified(
+      bBands.alias("a")
+        .join(bBands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .distinct(),
+      bShingles)
+    val losers = vsCorpus.unionAll(inBatch)
+      .select(col("doc_a").as("doc_id")).distinct()
+    afterExact.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus band-key index, built once per (session, sfDir) from the
+    * cached shingle sets and persisted — the probe side of every
+    * incremental batch. */
+  def corpusBandIndex(s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("corpus_bands", d)) {
+      val b = DedupQueries.bandKeysOf(
+        DedupQueries.signaturesOf(DedupQueries.shingleSets(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count() // materialize at cache-fill time
+      b
+    }
+
   /** Transitive variant: cluster the verified pairs with connected
     * components and keep ONE canonical doc (min doc_id) per cluster.
     * Differs from the greedy pairwise policy when similarity chains

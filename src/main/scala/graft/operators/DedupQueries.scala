@@ -58,53 +58,32 @@ object DedupQueries {
         rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-doc distinct HASHED shingle sets (sorted array<bigint> from
-    * the fused HashedShingles codegen loop), persisted per
-    * (session, sfDir): the set is consumed by the signature pass and
-    * (twice) by every pair-verification join. The cache is an
-    * optimization, not a crutch — the fused loop makes even a fully
-    * cold recompute a sub-second pass at sf0.1, where the round-1..3
-    * composed form (interpreted HOF lambdas materializing ~1M shingle
-    * strings) cost ~13 s whenever the cache missed mid-bench.
-    * Materialized by `Bench`'s warm-up so the one-time build cost never
-    * lands inside a timed query. */
-  def shingleSets(s: SparkSession, d: String): DataFrame =
-    graft.sources.SessionCache.getOrElseUpdate(s, ("shingles", d)) {
-      documents(s, d)
-        .select(col("doc_id"), tokens.as("l"))
-        .filter(size(col("l")) >= 3)
-        .select(
-          col("doc_id"),
-          graft.functions.VectorExpressions
-            .hashedShingles(col("l"), 3).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** MinHash signatures (32 perms) for each doc's hashed shingle set:
-    * all 32 affine minima in the fused MinHashSignature codegen loop
-    * (31-bit masking happens inside the loop) — the composed
-    * `array(array_min(transform(...)) * 32)` form ran every derivation
-    * as an interpreted per-element lambda. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    shingleSets(s, d)
-      .withColumn(
-        "sig",
+  /** Per-doc distinct HASHED shingle sets for an ARBITRARY
+    * (doc_id, text) frame — the reusable building block behind both
+    * the corpus-bound cache below and the incremental batch path
+    * (DedupPipeline.dedupIncremental). */
+  def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(
+        col("doc_id"),
         graft.functions.VectorExpressions
-          .minhashSignature(col("sh"), minhashCoeffs))
+          .hashedShingles(col("l"), 3).as("sh"))
 
-  /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
-    *
-    * Pipeline: shingle → 32 minwise hashes → 8 band keys → explode +
-    * self-join on (band_idx, band_key) for candidates → exact Jaccard on
-    * the candidate pairs only. No oracle (the signature permutations are
-    * engine-internal); DedupSpec property-tests candidate recall on
-    * seeded near-duplicates. */
-  val qDedupMinhash: QDef = QDef.noOracle("q_dedup_minhash") { (s, d) =>
-    val sigs = minhashSignatures(s, d)
+  /** MinHash signatures (32 perms) over any shingle-set frame: all 32
+    * affine minima in the fused MinHashSignature codegen loop. */
+  def signaturesOf(shingles: DataFrame): DataFrame =
+    shingles.withColumn(
+      "sig",
+      graft.functions.VectorExpressions
+        .minhashSignature(col("sh"), minhashCoeffs))
+
+  /** Banded LSH keys (band_idx, band_key) per doc over any signature
+    * frame — the join key of every candidate-generation path. */
+  def bandKeysOf(sigs: DataFrame): DataFrame = {
     val rowsPerBand = minhashPerms / minhashBands
-    // band keys only — the heavy shingle arrays do NOT ride the
-    // explode/join; candidates re-join them for verification below
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until minhashBands).map { b =>
         struct(
@@ -117,6 +96,38 @@ object DedupQueries {
         col("doc_id"),
         col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
+  }
+
+  /** Corpus shingle sets, persisted per (session, sfDir): the set is
+    * consumed by the signature pass and (twice) by every
+    * pair-verification join. The cache is an optimization, not a
+    * crutch — the fused loop makes even a fully cold recompute a
+    * sub-second pass at sf0.1, where the round-1..3 composed form
+    * (interpreted HOF lambdas materializing ~1M shingle strings) cost
+    * ~13 s whenever the cache missed mid-bench. Materialized by
+    * `Bench`'s warm-up so the one-time build cost never lands inside a
+    * timed query. */
+  def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("shingles", d)) {
+      shingleSetsOf(documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Corpus MinHash signatures (32 perms, from the cached shingles). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(shingleSets(s, d))
+
+  /** MinHash + banded LSH near-dup pairs, Jaccard-verified (>= 0.5).
+    *
+    * Pipeline: shingle → 32 minwise hashes → 8 band keys → explode +
+    * self-join on (band_idx, band_key) for candidates → exact Jaccard on
+    * the candidate pairs only. No oracle (the signature permutations are
+    * engine-internal); DedupSpec property-tests candidate recall on
+    * seeded near-duplicates. */
+  val qDedupMinhash: QDef = QDef.noOracle("q_dedup_minhash") { (s, d) =>
+    // band keys only — the heavy shingle arrays do NOT ride the
+    // explode/join; candidates re-join them for verification below
+    val banded = bandKeysOf(minhashSignatures(s, d))
     val candidates = banded.alias("a")
       .join(
         banded.alias("b"),

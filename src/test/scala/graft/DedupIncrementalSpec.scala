@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.DedupPipeline
+import graft.sources.TableLoader
+
+/** Incremental batch-vs-corpus dedup: seeded batch with known exact
+  * dups, near dups (vs corpus and in-batch), and novel docs. */
+class DedupIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpusDocs(n: Int): Seq[(Long, String)] =
+    TableLoader.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(n).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("incremental dedup drops corpus dups, keeps novel docs") {
+    import spark.implicits._
+    val base = corpusDocs(3)
+    // mutate ~1 token in 40 → jaccard stays >> 0.5
+    def nearOf(t: String): String = {
+      val w = t.split(" ")
+      w.zipWithIndex
+        .map { case (x, i) => if (i % 40 == 39) "zzz" else x }
+        .mkString(" ")
+    }
+    val novel = (1 to 60)
+      .map(i => s"novelword$i unique${i * 7} token${i * 13}")
+      .mkString(" ")
+    val batch = Seq(
+      (10001L, base(0)._2), // exact dup of corpus
+      (10002L, nearOf(base(1)._2)), // near dup of corpus
+      (10003L, novel), // novel — must survive
+      (10004L, novel), // exact in-batch dup of 10003 — dropped
+      (10005L, nearOf(novel)) // near in-batch dup of 10003 — dropped
+    ).toDF("doc_id", "text")
+    val out = DedupPipeline.dedupIncremental(spark, batch, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(10003L), s"survivors: $out")
+  }
+
+  test("a clean batch passes through untouched") {
+    import spark.implicits._
+    val batch = Seq(
+      (20001L, (1 to 50).map(i => s"alpha$i beta${i * 3}").mkString(" ")),
+      (20002L, (1 to 50).map(i => s"gamma$i delta${i * 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupPipeline.dedupIncremental(spark, batch, sfDir)
+    assert(out.count() == 2)
+    // schema preserved (same columns as the input batch)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("incremental agrees with full-corpus dedup on the union") {
+    import spark.implicits._
+    // a batch made ONLY of novel docs + one corpus near-dup: the docs
+    // the incremental path keeps must be exactly the batch docs that a
+    // full dedup of (corpus ∪ batch) would keep (batch ids are higher,
+    // so the corpus always wins ties in both policies)
+    val base = corpusDocs(2)
+    def nearOf(t: String): String = {
+      val w = t.split(" ")
+      w.zipWithIndex
+        .map { case (x, i) => if (i % 35 == 34) "qqq" else x }
+        .mkString(" ")
+    }
+    val batch = Seq(
+      (30001L, nearOf(base(0)._2)),
+      (30002L, (1 to 55).map(i => s"eps$i zeta${i * 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = DedupPipeline.dedupIncremental(spark, batch, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(30002L), s"survivors: $kept")
+  }
+}
