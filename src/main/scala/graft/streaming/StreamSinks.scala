@@ -29,4 +29,31 @@ object StreamSinks {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .start()
+
+  /** Streaming ingest with inline dedup: each micro-batch of
+    * (doc_id, text, …) rows is cleaned against the CORPUS at
+    * `corpusDir` (exact md5 + near-dup probe of the session-cached
+    * band-key index — [[graft.etl.DedupPipeline.dedupIncremental]])
+    * before landing in `outDir/batch=<id>/`. The corpus index builds
+    * once on the first batch and is reused by every subsequent one;
+    * per-batch cost stays O(|batch|). Batch-addressed overwrite keeps
+    * the exactly-once story of [[foreachBatchParquet]].
+    *
+    * In-batch near-dup policy applies WITHIN each micro-batch;
+    * cross-batch dups are only caught against the corpus as it stood
+    * at index-build time — the deliberate trade of the streaming
+    * setting (re-index per batch would rescan the corpus). */
+  def foreachBatchDedupParquet(
+      df: DataFrame, corpusDir: String, outDir: String,
+      checkpoint: String, threshold: Double = 0.5): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val cleaned = graft.etl.DedupPipeline
+          .dedupIncremental(batch.sparkSession, batch.toDF(),
+            corpusDir, threshold)
+        cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
 }

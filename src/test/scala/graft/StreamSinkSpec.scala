@@ -42,4 +42,27 @@ class StreamSinkSpec extends AnyFunSuite {
     // the second drain landed in a LATER batch dir than the first
     assert(got.last._3 > got.head._3)
   }
+
+  test("streaming ingest dedups each micro-batch against the corpus") {
+    implicit val ctx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("dsink_out").toString
+    val ckpt = Files.createTempDirectory("dsink_ckpt").toString
+    val corpusDoc = graft.sources.TableLoader.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(1)
+      .collect()(0).getString(1)
+    val novel = (1 to 60)
+      .map(i => s"streamword$i fresh${i * 3} tok${i * 17}").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (50001L, corpusDoc), // exact corpus dup — dropped
+      (50002L, novel), // novel — kept
+      (50003L, novel)) // in-batch exact dup — dropped
+    val q = StreamSinks.foreachBatchDedupParquet(
+      stream.toDF().toDF("doc_id", "text"), sfDir, out, ckpt)
+    q.awaitTermination()
+    val kept = spark.read.option("basePath", out).parquet(out)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(50002L), s"survivors: $kept")
+  }
 }
