@@ -325,8 +325,64 @@ object EtlQueries {
         sum(col("h")).cast("string").as("checksum"))
   }
 
+  /** CDC log application — the change-stream → snapshot materializer
+    * every warehouse replication path needs (and the batch core of a
+    * streaming CDC consumer). A deterministic 1-3 version change log
+    * is derived from orders (insert for all; update for key%3=0;
+    * delete for key%21=0), then applied: latest sequence number wins
+    * per key, deletes drop the key. The engine's argmax is ONE
+    * partial-aggregated max(struct(seq, …)) per key — no window, no
+    * sort, the shuffle moves one row per key; the oracle states the
+    * same with ROW_NUMBER. Output is the bounded per-status rollup of
+    * the applied snapshot. */
+  val qCdcApply: QDef = QDef(
+    "q_cdc_apply",
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_orderstatus
+      |      AS st, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |    FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_orderstatus,
+      |      CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500
+      |    FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', o_orderstatus, 0
+      |    FROM orders WHERE o_orderkey % 21 = 0),
+      |latest AS (
+      |  SELECT k, op, st, cents FROM (
+      |    SELECT k, op, st, cents,
+      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM log) WHERE rn = 1)
+      |SELECT st AS status, COUNT(*) AS n_live,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM latest WHERE op <> 'D'
+      |GROUP BY st
+      |ORDER BY st""".stripMargin) { (s, d) =>
+    val o = orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val log = o.select(col("k"), lit(1).as("seq"), lit("I").as("op"),
+        col("st"), col("cents"))
+      .unionAll(o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2).as("seq"), lit("U").as("op"),
+          col("st"), (col("cents") + 500).as("cents")))
+      .unionAll(o.filter(col("k") % 21 === 0)
+        .select(col("k"), lit(3).as("seq"), lit("D").as("op"),
+          col("st"), lit(0L).as("cents")))
+    log
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("st"), col("cents")))
+        .as("v"))
+      .where(col("v.op") =!= "D")
+      .groupBy(col("v.st").as("status"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("v.cents")).as("sum_cents"))
+      .orderBy(col("status"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanJetCsv, qTryFuncs, qSnapshotDiff, qProfileTable,
-    qTableChecksum)
+    qTableChecksum, qCdcApply)
 }
