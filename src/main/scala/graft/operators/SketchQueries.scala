@@ -101,5 +101,33 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
-  val defs: Seq[QDef] = Seq(qHllSketchMerge, qCmsFreq, qKllQuantiles)
+  /** Audience overlap via theta sketches: per-event-type user sketches
+    * (one partial-aggregated pass over events), then pairwise
+    * |A|, |B|, |A∩B|, |A∪B| estimates composed from the 5 few-KB
+    * blobs — set algebra HLL cannot do. The pair join is 5×5 rows;
+    * the fact table is scanned exactly once. No oracle (sketch blobs
+    * are engine-internal); SketchSpec bounds the estimates against
+    * exact distinct intersections. */
+  val qThetaOverlap: QDef = QDef.noOracle("q_theta_overlap") { (s, d) =>
+    import graft.functions.ThetaOps
+    val sk = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(ThetaOps.thetaSketch(col("user_id")).as("sk"))
+    val est = udf((a: Array[Byte]) => ThetaOps.estimate(a))
+    val inter = udf((a: Array[Byte], b: Array[Byte]) =>
+      ThetaOps.intersectEstimate(a, b))
+    sk.alias("a")
+      .join(sk.alias("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        round(est(col("a.sk")), 1).as("users_a"),
+        round(est(col("b.sk")), 1).as("users_b"),
+        round(inter(col("a.sk"), col("b.sk")), 1).as("users_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val defs: Seq[QDef] =
+    Seq(qHllSketchMerge, qCmsFreq, qKllQuantiles, qThetaOverlap)
 }

@@ -102,4 +102,44 @@ class SketchSpec extends AnyFunSuite {
         s"$k: estimate $e vs exact $x")
     }
   }
+
+  test("theta overlap estimates match exact distinct intersections") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_theta_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 10) // C(5,2) event-type pairs
+    val sets = TableLoader.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    out.foreach { case ((a, b), (ea, eb, eab)) =>
+      val (xa, xb) = (sets(a), sets(b))
+      def close(est: Double, exact: Int) =
+        math.abs(est - exact) <= math.max(2.0, 0.05 * exact)
+      assert(close(ea, xa.size), s"$a: $ea vs ${xa.size}")
+      assert(close(eb, xb.size), s"$b: $eb vs ${xb.size}")
+      assert(close(eab, (xa & xb).size),
+        s"$a ∩ $b: $eab vs ${(xa & xb).size}")
+    }
+  }
+
+  test("theta union of per-day sketch blobs equals the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaOps
+    val ev = TableLoader.events(spark, sfDir)
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(ThetaOps.thetaSketch(col("user_id")).as("sk"))
+      .agg(ThetaOps.thetaUnion(col("sk")).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val once = ev.agg(ThetaOps.thetaSketch(col("user_id")).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(ThetaOps.estimate(daily) -
+      ThetaOps.estimate(once)) < 1e-6)
+    assert(math.abs(ThetaOps.estimate(once) - exact) <=
+      math.max(2.0, 0.05 * exact))
+  }
 }
