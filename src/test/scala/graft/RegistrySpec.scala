@@ -29,7 +29,8 @@ class RegistrySpec extends AnyFunSuite {
       "q_abtest_ztest", "q_anova_f", "q_tpch_q14", "q_tpch_q17",
       "q_tpch_q19", "q_tpch_q6",
       "q_triangle_copurchase",
-      "q_cohen_kappa", "q_logloss_brier") // ≤ handful of rows (single-row aggs)
+      "q_cohen_kappa", "q_logloss_brier",
+      "q_did_effect") // ≤ handful of rows (single-row aggs)
     SparkEntry.registry
       .filter(q => q.oracle.isDefined && !exempt(q.name))
       .foreach { q =>
