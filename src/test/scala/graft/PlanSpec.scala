@@ -380,4 +380,55 @@ class PlanSpec extends AnyFunSuite {
         s"$q: top-k does not precede the serial window:\n$s")
     }
   }
+
+  test("q_fk_orphans: every FK audit edge is a broadcast anti join") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = finalPlan("q_fk_orphans")
+    val anti = p.collectWithSubqueries {
+      case j: BroadcastHashJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+    }
+    // 7 edges, each a broadcast build of the parent key set — the
+    // fact side streams, nothing sort-merges
+    assert(anti.size == 7, s"${anti.size} broadcast anti joins:\n$p")
+    assert(p.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "FK audit must not sort-merge")
+  }
+
+  test("q_growth_accounting: the user window is partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan("q_growth_accounting")
+    val ws = p.collectWithSubqueries { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    // per-user LAG/LEAD: every window partitions by user_id — a
+    // whole-partition window here would serialize the fact table
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window:\n$w"))
+    // lag and lead carry different frames so Catalyst may split them
+    // into two Window nodes, but they share the (user_id, day) sort —
+    // assert no exchange between the window nodes (one shuffle total
+    // for the whole window stage)
+    assert(ws.size <= 2, s"${ws.size} window nodes")
+    if (ws.size == 2) {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val inner = ws.head.child.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // exactly the single user_id hash exchange below both windows
+      assert(inner.size <= 2, s"extra exchanges between windows:\n$p")
+    }
+  }
+
+  test("q_shard_pack: the doc-grain cumsum window is partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan("q_shard_pack")
+    val ws = p.collectWithSubqueries { case w: WindowExec => w }
+    // two prefix-sum windows: the bounded 33-row offset window may be
+    // global, but the per-doc window MUST be partitioned (by bucket)
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      s"no partitioned window in:\n$p")
+    assert(ws.count(_.partitionSpec.isEmpty) <= 1,
+      "more than one whole-partition window")
+  }
 }
