@@ -292,28 +292,11 @@ object DataOpsQueries {
     * and the heavy per-doc cumsum window runs PARTITIONED BY bucket.
     * At 100 TB the textbook form serializes the corpus through one
     * task; this form's only global step is 33 rows. */
-  val qShardPack: QDef = QDef(
-    "q_shard_pack",
-    s"""WITH tok AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, toks,
-      |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |      AS start_off
-      |  FROM tok)
-      |SELECT CAST(FLOOR(start_off / $shardBudget) AS BIGINT) AS shard,
-      |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS shard_tokens,
-      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-      |FROM c
-      |GROUP BY 1
-      |ORDER BY shard""".stripMargin) { (s, d) =>
-    val tok = documents(s, d)
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("toks"))
+  /** The parameterized core of q_shard_pack: pack (doc_id, toks) rows
+    * into start-offset shards of `budget` tokens via the two-level
+    * prefix sum (exposed for reuse and property testing — the QDef
+    * below binds it to the documents table with the ws tokenizer). */
+  def shardPack(tok: DataFrame, budget: Long): DataFrame = {
     val width = tok.agg(
       (floor(max(col("doc_id")) / 32) + 1).cast("bigint").as("w"))
     val bucketed = tok.crossJoin(broadcast(width))
@@ -335,13 +318,38 @@ object DataOpsQueries {
       .withColumn(
         "start_off",
         col("boff") + coalesce(sum(col("toks")).over(inner), lit(0L)))
-      .groupBy((col("start_off") / shardBudget).cast("bigint").as("shard"))
+      .groupBy((col("start_off") / budget).cast("bigint").as("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard"))
+  }
+
+  val qShardPack: QDef = QDef(
+    "q_shard_pack",
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS start_off
+      |  FROM tok)
+      |SELECT CAST(FLOOR(start_off / $shardBudget) AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    shardPack(
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("toks")),
+      shardBudget)
   }
 
   /** Symmetric int8 quantization of embeddings (the storage/serving
