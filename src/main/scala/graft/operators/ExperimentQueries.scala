@@ -154,6 +154,44 @@ object ExperimentQueries {
           (col("c_post") - col("c_pre")), 6).as("did"))
   }
 
+  /** Sample-ratio-mismatch check for the hash-assigned experiment
+    * split — the sanity gate run BEFORE reading any experiment
+    * result: if the observed treated/control user counts are
+    * incompatible with the designed 50/50 assignment (one-cell χ² =
+    * z²), the assignment itself is broken and q_did_effect's estimate
+    * is void. Distinct users first (assignment is per-user, events
+    * per user vary), then a two-cell rollup; χ² and the SRM verdict
+    * at α = 0.001 (χ²₁ > 10.828) are exact-integer-derived. */
+  val qSrmCheck: QDef = QDef(
+    "q_srm_check",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |c AS (
+      |  SELECT
+      |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_t,
+      |    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_c
+      |  FROM u)
+      |SELECT n_t AS n_treated, n_c AS n_control,
+      |  ROUND(CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c),
+      |    6) AS chi2,
+      |  CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c)
+      |    > 10.828 AS srm_detected
+      |FROM c""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(col("user_id")).distinct()
+      .agg(
+        count_if(col("user_id") % 2 === 0).as("n_t"),
+        count_if(col("user_id") % 2 =!= 0).as("n_c"))
+      .select(
+        col("n_t").as("n_treated"),
+        col("n_c").as("n_control"),
+        round((col("n_t") - col("n_c")) * (col("n_t") - col("n_c"))
+          .cast("double") / (col("n_t") + col("n_c")), 6).as("chi2"),
+        (((col("n_t") - col("n_c")) * (col("n_t") - col("n_c")))
+          .cast("double") / (col("n_t") + col("n_c")) > 10.828)
+          .as("srm_detected"))
+  }
+
   /** Exact Poisson-CDF(λ=1) thresholds on the 24-bit hash scale:
     * u < th(k) ⇒ weight k (integer constants, identical both
     * engines). */
@@ -292,5 +330,6 @@ object ExperimentQueries {
         col("ci_lo"), col("ci_hi"))
   }
 
-  val defs: Seq[QDef] = Seq(qGrowthAccounting, qDidEffect, qBootstrapCi)
+  val defs: Seq[QDef] =
+    Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck)
 }

@@ -95,4 +95,17 @@ class ExperimentSpec extends AnyFunSuite {
     val mean = u.select(w.as("w")).agg(avg(col("w"))).head().getDouble(0)
     assert(math.abs(mean - 1.0) < 0.03, s"E[w] = $mean")
   }
+
+  test("q_srm_check: chi2 consistent with counts, no SRM on hash split") {
+    val r = SparkEntry.queries("q_srm_check")(spark, sfDir).collect()(0)
+    val (nt, nc, chi2, srm) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    assert(nt + nc > 0)
+    val expect = math.pow((nt - nc).toDouble, 2) / (nt + nc)
+    assert(math.abs(chi2 - expect) < 1e-6)
+    // user_id % 2 is a clean 50/50 assignment on the fixture: the
+    // designed split must not flag SRM
+    assert(!srm, s"SRM flagged: $nt vs $nc")
+    assert(srm == (chi2 > 10.828))
+  }
 }
