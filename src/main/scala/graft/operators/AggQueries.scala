@@ -440,9 +440,56 @@ object AggQueries {
       .orderBy(col("g_pri"), col("g_status"), col("pri"), col("status"))
   }
 
+  /** PERCENTILE_DISC semantics (ANSI: first value whose cumulative
+    * count reaches ⌈p·n⌉ — an ACTUAL data value, no interpolation),
+    * complementing q_agg_percentiles' PERCENTILE_CONT. Stated on both
+    * engines as the same cumulative-count rank filter (DuckDB's
+    * quantile_disc builtin uses its own rounding, so the oracle spells
+    * the ANSI rule out). Pre-aggregated to (flag, qty) grain first:
+    * l_quantity's bounded value domain makes the per-flag cumulative
+    * window a ≤|domain|-row operation regardless of fact size. */
+  val qPercentileDisc: QDef = QDef(
+    "q_percentile_disc",
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag, l_quantity AS q, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT g.flag, q,
+      |    CAST(SUM(c) OVER (PARTITION BY g.flag ORDER BY q) AS BIGINT)
+      |      AS cum,
+      |    t.n
+      |  FROM g JOIN t USING (flag))
+      |SELECT flag,
+      |  MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN q END)
+      |    AS p50_disc,
+      |  MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT) THEN q END)
+      |    AS p90_disc,
+      |  MAX(n) AS n
+      |FROM cum GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val g = lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val t = g.groupBy(col("flag")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("q"))
+    g.select(col("flag"), col("q"), sum(col("c")).over(w).as("cum"))
+      .join(broadcast(t), "flag")
+      .groupBy(col("flag"))
+      .agg(
+        min(when(col("cum") >=
+          ceil(lit(0.5) * col("n")).cast("bigint"), col("q")))
+          .as("p50_disc"),
+        min(when(col("cum") >=
+          ceil(lit(0.9) * col("n")).cast("bigint"), col("q")))
+          .as("p90_disc"),
+        max(col("n")).as("n"))
+      .orderBy(col("flag"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggFirstLast, qAggApproxDistinct,
     qAggUdafGeomean, qAggPercentiles, qAggApproxPercentile, qAggStringAgg,
-    qAggBoolBitwise, qAggMode, qAggTopK, qAggGroupingId)
+    qAggBoolBitwise, qAggMode, qAggTopK, qAggGroupingId, qPercentileDisc)
 }
