@@ -192,6 +192,91 @@ object ExperimentQueries {
           .as("srm_detected"))
   }
 
+  /** CUPED variance-reduced treatment effect: each user's pre-period
+    * mean event value (days 1-15) is the control covariate for their
+    * post-period mean (days 16+); θ = cov(pre, post)/var(pre) is fit
+    * on ALL users (assignment-independent, so it introduces no bias),
+    * and the effect is the treated-vs-control difference of
+    * Y_adj = post − θ·(pre − mean(pre)) — the industry-standard
+    * experiment-sensitivity lever. Shape: one groupBy(user) builds
+    * both period means (exact integer micro-sums), the θ and mean(pre)
+    * scalars broadcast back, and the final contrast is a 2-row
+    * conditional aggregate. Output also reports the UNadjusted effect
+    * and the variance-reduction ratio so the lever's value is
+    * visible. */
+  val qCupedEffect: QDef = QDef(
+    "q_cuped_effect",
+    """WITH per_user AS (
+      |  SELECT user_id, user_id % 2 = 0 AS treated,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+      |      FILTER (WHERE date_part('day', ts) <= 15) AS DOUBLE) /
+      |      COUNT(*) FILTER (WHERE date_part('day', ts) <= 15) / 1e6
+      |      AS pre,
+      |    CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT))
+      |      FILTER (WHERE date_part('day', ts) > 15) AS DOUBLE) /
+      |      COUNT(*) FILTER (WHERE date_part('day', ts) > 15) / 1e6
+      |      AS post
+      |  FROM events GROUP BY user_id
+      |  HAVING COUNT(*) FILTER (WHERE date_part('day', ts) <= 15) > 0
+      |     AND COUNT(*) FILTER (WHERE date_part('day', ts) > 15) > 0),
+      |th AS (
+      |  SELECT COVAR_POP(pre, post) / VAR_POP(pre) AS theta,
+      |    AVG(pre) AS mpre
+      |  FROM per_user),
+      |adj AS (
+      |  SELECT treated, post,
+      |    post - th.theta * (pre - th.mpre) AS y_adj
+      |  FROM per_user CROSS JOIN th),
+      |c AS (
+      |  SELECT
+      |    AVG(CASE WHEN treated THEN y_adj END) -
+      |      AVG(CASE WHEN NOT treated THEN y_adj END) AS eff_cuped,
+      |    AVG(CASE WHEN treated THEN post END) -
+      |      AVG(CASE WHEN NOT treated THEN post END) AS eff_raw,
+      |    VAR_POP(y_adj) / VAR_POP(post) AS var_ratio,
+      |    COUNT(*) AS n_users
+      |  FROM adj)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |  ROUND(eff_raw, 6) AS effect_raw,
+      |  ROUND(eff_cuped, 6) AS effect_cuped,
+      |  ROUND(var_ratio, 6) AS var_ratio
+      |FROM c""".stripMargin) { (s, d) =>
+    val micro = round(col("value") * 1e6).cast("bigint")
+    val isPre = dayofmonth(col("ts")) <= 15
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(isPre, micro)).cast("double") /
+          count_if(isPre) / 1e6).as("pre"),
+        (sum(when(!isPre, micro)).cast("double") /
+          count_if(!isPre) / 1e6).as("post"),
+        count_if(isPre).as("npre"),
+        count_if(!isPre).as("npost"))
+      .where(col("npre") > 0 && col("npost") > 0)
+      .select((col("user_id") % 2 === 0).as("treated"),
+        col("pre"), col("post"))
+    val th = perUser.agg(
+      (covar_pop(col("pre"), col("post")) / var_pop(col("pre")))
+        .as("theta"),
+      avg(col("pre")).as("mpre"))
+    val adj = perUser.crossJoin(broadcast(th))
+      .select(col("treated"), col("post"),
+        (col("post") - col("theta") * (col("pre") - col("mpre")))
+          .as("y_adj"))
+    adj.agg(
+        (avg(when(col("treated"), col("y_adj"))) -
+          avg(when(!col("treated"), col("y_adj")))).as("eff_cuped"),
+        (avg(when(col("treated"), col("post"))) -
+          avg(when(!col("treated"), col("post")))).as("eff_raw"),
+        (var_pop(col("y_adj")) / var_pop(col("post"))).as("var_ratio"),
+        count(lit(1)).as("n_users"))
+      .select(
+        col("n_users"),
+        round(col("eff_raw"), 6).as("effect_raw"),
+        round(col("eff_cuped"), 6).as("effect_cuped"),
+        round(col("var_ratio"), 6).as("var_ratio"))
+  }
+
   /** Exact Poisson-CDF(λ=1) thresholds on the 24-bit hash scale:
     * u < th(k) ⇒ weight k (integer constants, identical both
     * engines). */
@@ -331,5 +416,6 @@ object ExperimentQueries {
   }
 
   val defs: Seq[QDef] =
-    Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck)
+    Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck,
+      qCupedEffect)
 }

@@ -108,4 +108,18 @@ class ExperimentSpec extends AnyFunSuite {
     assert(!srm, s"SRM flagged: $nt vs $nc")
     assert(srm == (chi2 > 10.828))
   }
+
+  test("q_cuped_effect: variance reduced, adjustment unbiased-shaped") {
+    val r = SparkEntry.queries("q_cuped_effect")(spark, sfDir).collect()(0)
+    val (n, raw, cuped, vr) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0)
+    // theta is the OLS minimizer: adjusted variance can never exceed
+    // the raw outcome variance (up to rounding)
+    assert(vr <= 1.0 + 1e-6, s"var_ratio $vr")
+    assert(vr > 0)
+    // no real treatment exists in the fixture: both estimates are
+    // near-zero noise around the user-mean spread
+    assert(math.abs(raw) < 50 && math.abs(cuped) < 50)
+  }
 }
