@@ -77,7 +77,18 @@ object GraftExtensions {
           "kll_quantiles(blob, ps) - quantile values at ranks ps from " +
             "a KLL sketch blob"),
         (es: Seq[Expression]) =>
-          graft.functions.KllQuantiles(es(0), es(1))))
+          graft.functions.KllQuantiles(es(0), es(1))),
+      (FunctionIdentifier("theta_sketch"),
+        info("theta_sketch",
+          "theta_sketch(x) - aggregate: mergeable theta sketch blob " +
+            "over bigint x (distinct-set sample; supports " +
+            "union/intersect/difference algebra)"),
+        (es: Seq[Expression]) => graft.functions.ThetaSketchAgg(es(0))),
+      (FunctionIdentifier("theta_union"),
+        info("theta_union",
+          "theta_union(blob) - aggregate: lossless union of theta " +
+            "sketch blobs"),
+        (es: Seq[Expression]) => graft.functions.ThetaUnionAgg(es(0))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -72,4 +72,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("theta_sketch and theta_union are callable from SQL") {
+    GraftExtensions.register(spark)
+    val est = spark.sql(
+      """WITH days AS (
+        |  SELECT id % 7 AS day, id % 100 AS u
+        |  FROM range(10000)),
+        |per_day AS (
+        |  SELECT day, theta_sketch(u) AS sk FROM days GROUP BY day)
+        |SELECT theta_union(sk) AS sk FROM per_day""".stripMargin)
+      .collect()(0).getAs[Array[Byte]](0)
+    // 100 distinct users, below the sketch's exact threshold
+    assert(math.abs(
+      graft.functions.ThetaOps.estimate(est) - 100.0) < 1e-6)
+  }
 }
