@@ -159,6 +159,23 @@ object GraphQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Symmetric view of the support-≥2 backbone plus per-node degrees,
+    * cached per (session, sfDir): q_jaccard_neighbors,
+    * q_clustering_coeff and q_label_prop all start from this pair, and
+    * re-deriving it per run re-plans two stages over the edge cache
+    * each time. Both frames are bounded by the thresholded graph. */
+  def symBackbone(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("sym_backbone", d)) {
+      val e = triangleEdges(s, d)
+      val sym = e.select(col("s"), col("d"))
+        .unionAll(e.select(col("d").as("s"), col("s").as("d")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = sym.groupBy(col("s").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (sym, deg)
+    }
+
   /** Triangle count on the support-≥2 co-purchase backbone: wedge
     * join (e1.d = e2.s, orientation a<b<c gives each triangle exactly
     * one wedge) closed by a SEMI join against the edge set — the semi
@@ -257,9 +274,7 @@ object GraphQueries {
       |JOIN deg db ON db.v = b
       |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
     val e = triangleEdges(s, d)
-    val sym = e.select(col("s"), col("d"))
-      .unionAll(e.select(col("d").as("s"), col("s").as("d")))
-    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val (sym, deg) = symBackbone(s, d)
     val com = sym.as("x")
       .join(sym.as("y"),
         col("x.d") === col("y.d") && col("x.s") < col("y.s"))
@@ -313,9 +328,7 @@ object GraphQueries {
       |WHERE deg.deg >= 2
       |ORDER BY coeff DESC, part LIMIT 20""".stripMargin) { (s, d) =>
     val e = triangleEdges(s, d)
-    val sym = e.select(col("s"), col("d"))
-      .unionAll(e.select(col("d").as("s"), col("s").as("d")))
-    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    val (sym, deg) = symBackbone(s, d)
     val tri = sym.as("p")
       .join(sym.as("q"),
         col("p.s") === col("q.s") && col("p.d") < col("q.d"))
@@ -381,9 +394,7 @@ object GraphQueries {
          |GROUP BY 1
          |ORDER BY n_members DESC, community
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val e = triangleEdges(s, d)
-      val sym = e.select(col("s"), col("d"))
-        .unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      val (sym, _) = symBackbone(s, d)
       val nodes = sym.select(col("s").as("v")).distinct()
       val adj = nodes.select(col("v"), col("v").as("nb"))
         .unionAll(sym.select(col("s").as("v"), col("d").as("nb")))
