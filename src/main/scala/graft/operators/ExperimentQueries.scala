@@ -61,9 +61,15 @@ object ExperimentQueries {
       |  COALESCE(n_churned, 0) AS n_churned
       |FROM stat FULL OUTER JOIN churn USING (day)
       |ORDER BY day""".stripMargin) { (s, d) =>
-    val a = events(s, d)
+    growthAccounting(events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
+      .distinct())
+  }
+
+  /** The parameterized core of q_growth_accounting over any DISTINCT
+    * (user_id, day) actives frame (exposed for reuse and property
+    * testing). */
+  def growthAccounting(a: DataFrame): DataFrame = {
     val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val t = a.select(
       col("day"),
