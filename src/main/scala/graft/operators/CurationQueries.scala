@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,11 +16,11 @@ import graft.sources.TableLoader._
   * hash-partitioned aggregate each; rank-bearing reports (Zipf,
   * Pareto) TOP-K FIRST and only then apply the unpartitioned window,
   * so the serial stage sees k rows regardless of corpus size; SCD-2
-  * runs one window per entity partition; RFM's global NTILE is
-  * cardinality-bounded by the customer dimension (the 100 TB fact side
-  * never enters a global sort — at extreme dimension sizes the
-  * quartile cut would come from approx percentiles + width_bucket
-  * instead).
+  * runs one window per entity partition; RFM computes its quartiles
+  * with a banded two-level prefix sum (exact NTILE semantics, no
+  * unpartitioned window over the customer grain — customers scale
+  * with the data, so a global NTILE sort would serialize the whole
+  * dimension through one task).
   */
 object CurationQueries {
 
@@ -219,13 +220,65 @@ object CurationQueries {
       .orderBy(col("rank"))
   }
 
+  /** Adds an exact NTILE(4)-equivalent quartile column WITHOUT a
+    * global single-partition window (the q_weighted_median /
+    * q_shard_pack two-level prefix-sum shape): rows band by a monotone
+    * function of the metric (ties always share a band, so banding never
+    * splits a tie group), per-band counts get exclusive prefix offsets
+    * via a window over the BOUNDED band table (≤ a few dozen rows), and
+    * the within-band row_number runs PARTITIONED BY band. rank =
+    * band offset + within-band row number reproduces the NTILE total
+    * order (metric direction, custkey tiebreak) exactly; the quartile
+    * then falls out of NTILE's closed-form bucket sizes: with n rows
+    * the first n%4 buckets hold floor(n/4)+1 rows, the rest floor(n/4).
+    */
+  private def addNtile4(
+      df: DataFrame,
+      metric: Column,
+      descending: Boolean,
+      band: Column,
+      out: String): DataFrame = {
+    val b = df.withColumn("__band", band)
+    val bandOrd = if (descending) col("__band").desc else col("__band").asc
+    val offs = b.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(
+        col("__band"),
+        coalesce(
+          sum(col("__bn")).over(Window.orderBy(bandOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__boff"),
+        sum(col("__bn")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__n"))
+    val innerOrd =
+      if (descending) Seq(metric.desc, col("o_custkey").asc)
+      else Seq(metric.asc, col("o_custkey").asc)
+    val rk = col("__boff") +
+      row_number().over(
+        Window.partitionBy(col("__band")).orderBy(innerOrd: _*))
+    // closed-form NTILE(4) from (rank, n); when n < 4 the first branch
+    // always applies (cut = n ≥ rank), so the base-0 division in the
+    // otherwise-branch is never evaluated (CaseWhen is lazy)
+    val base = floor(col("__n") / 4)
+    val rem = col("__n") % 4
+    val cut = rem * (base + lit(1))
+    val quartile = when(rk <= cut, floor((rk - lit(1)) / (base + lit(1))) + lit(1))
+      .otherwise(rem + floor((rk - cut - lit(1)) / base) + lit(1))
+    b.join(broadcast(offs), "__band")
+      .withColumn(out, quartile.cast("int"))
+      .drop("__band", "__boff", "__n")
+  }
+
   /** RFM segmentation: per-customer recency (days from last order to
     * the corpus max date), frequency, monetary, each cut into NTILE(4)
     * quartiles with custkey tie-breaks (deterministic total orders).
-    * The facts aggregate to customer grain FIRST, so the global NTILE
-    * sorts dimension cardinality, never fact rows; at extreme
-    * dimension sizes the cut would switch to approx-percentile
-    * boundaries + width_bucket (same output contract). */
+    * The facts aggregate to customer grain FIRST; each quartile cut is
+    * the banded exact-rank formulation above — identical output to the
+    * oracle's NTILE, but every customer-grain window is partitioned
+    * (band widths are fixed-domain constants here; at extreme
+    * dimension sizes they would come from approx-percentile sampling,
+    * same contract). */
   val qRfmSegments: QDef = QDef(
     "q_rfm_segments",
     """WITH a AS (
@@ -258,15 +311,16 @@ object CurationQueries {
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("monetary"))
-    c.select(
+    val withR = addNtile4(c, col("recency_days"), descending = false,
+      floor(col("recency_days") / 64).cast("int"), "r_quartile")
+    val withF = addNtile4(withR, col("frequency"), descending = true,
+      col("frequency").cast("int"), "f_quartile")
+    val withM = addNtile4(withF, col("monetary"), descending = true,
+      floor(col("monetary") / 100000).cast("int"), "m_quartile")
+    withM.select(
         col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-          .cast("int").as("r_quartile"),
-        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-          .cast("int").as("f_quartile"),
-        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-          .cast("int").as("m_quartile"))
+        col("monetary"), col("r_quartile"), col("f_quartile"),
+        col("m_quartile"))
       .orderBy(col("o_custkey"))
   }
 

@@ -420,6 +420,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rfm_segments: customer-grain windows are partitioned by band") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan("q_rfm_segments")
+    val ws = p.collectWithSubqueries { case w: WindowExec => w }
+    // three banded quartile cuts → three partitioned row_number windows
+    // over the customer grain (was: three UNPARTITIONED NTILE windows —
+    // a one-task global sort of the whole customer dimension)
+    assert(ws.count(_.partitionSpec.nonEmpty) == 3,
+      s"expected 3 band-partitioned windows:\n$p")
+    // the only unpartitioned windows are the band-offset prefix sums,
+    // which run over the bounded band-count table (output = band key +
+    // count columns), never the customer grain
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.exists(_.name.contains("__b")) &&
+        w.child.output.size <= 3,
+        s"unpartitioned window over a non-band-grain input:\n$w")
+    }
+  }
+
   test("q_shard_pack: the doc-grain cumsum window is partitioned") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = finalPlan("q_shard_pack")
