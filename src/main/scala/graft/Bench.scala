@@ -52,8 +52,13 @@ object Bench {
     // registered queries an uncapped n=5 is ~1600 executions (~15+
     // min), which is how a whole round loses its bench artifact to a
     // timeout. 3 runs × 270 queries measured ≈ 8 min at sf0.1.
-    val runs =
-      math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt, 3)
+    val requestedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.min(requestedRuns, 3)
+    // make the clamp visible in the artifact's stderr: a requested n=5
+    // silently running as n=3 would otherwise mislabel the methodology
+    if (runs != requestedRuns)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_RUNS=$requestedRuns clamped to $runs")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,6 +75,21 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.IvfAnn.build(spark, sfDir).assigned
       .write.mode("overwrite").format("noop").save()
+    // graph session caches: the co-purchase edge list, the support-≥2
+    // backbone and its symmetric/degree views are session-lifetime
+    // builds shared by the pagerank/triangle/jaccard/clustering/
+    // label-prop family — left cold, whichever graph query the
+    // registry order hits first absorbs the whole build (the round-5
+    // driver artifact recorded q_jaccard_neighbors at 5.45 s vs 0.53 s
+    // committed, purely from this attribution flap)
+    graft.operators.GraphQueries.copurchaseEdges(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    graft.operators.GraphQueries.copurchaseNodeCount(spark, sfDir)
+    graft.operators.GraphQueries.triangleEdges(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    val (sym, deg) = graft.operators.GraphQueries.symBackbone(spark, sfDir)
+    sym.write.mode("overwrite").format("noop").save()
+    deg.write.mode("overwrite").format("noop").save()
     // dev-only subset filter (comma-separated names); the driver never
     // sets it, so the recorded bench always covers the full registry
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -311,13 +311,22 @@ object CurationQueries {
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("monetary"))
-    val withR = addNtile4(c, col("recency_days"), descending = false,
-      floor(col("recency_days") / 64).cast("int"), "r_quartile")
-    val withF = addNtile4(withR, col("frequency"), descending = true,
-      col("frequency").cast("int"), "f_quartile")
-    val withM = addNtile4(withF, col("monetary"), descending = true,
-      floor(col("monetary") / 100000).cast("int"), "m_quartile")
-    withM.select(
+    // materialize the customer-grain aggregate ONCE (the pagerank /
+    // label_prop multi-consumer discipline): six downstream branches
+    // (3 band-offset tables + 3 rank joins) would otherwise each
+    // re-aggregate the fact table, and each cut joins its slim
+    // (custkey, quartile) result back rather than chaining so no
+    // branch re-derives another's windows
+    val cm = c.localCheckpoint()
+    val slim = (q: DataFrame, n: String) => q.select(col("o_custkey"), col(n))
+    val r = slim(addNtile4(cm, col("recency_days"), descending = false,
+      floor(col("recency_days") / 64).cast("int"), "r_quartile"), "r_quartile")
+    val f = slim(addNtile4(cm, col("frequency"), descending = true,
+      col("frequency").cast("int"), "f_quartile"), "f_quartile")
+    val m = slim(addNtile4(cm, col("monetary"), descending = true,
+      floor(col("monetary") / 100000).cast("int"), "m_quartile"), "m_quartile")
+    cm.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+      .select(
         col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_quartile"), col("f_quartile"),
         col("m_quartile"))
