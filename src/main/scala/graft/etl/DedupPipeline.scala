@@ -78,11 +78,9 @@ object DedupPipeline {
   def dedupIncremental(
       s: SparkSession, batch: DataFrame, d: String,
       threshold: Double = 0.5): DataFrame = {
-    val corpus = TableLoader.documents(s, d)
     // exact vs corpus + in-batch (one md5 derivation, reused)
     val bh = batch.withColumn("h", md5(col("text").cast("binary")))
-    val corpusH = corpus
-      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val corpusH = corpusExactIndex(s, d)
     val exactClean = bh
       .join(corpusH, Seq("h"), "left_anti")
     val keepIds = exactClean
@@ -136,6 +134,20 @@ object DedupPipeline {
       .select(col("doc_a").as("doc_id")).distinct()
     afterExact.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Corpus exact-hash set, built and persisted once per (session,
+    * sfDir), mirroring [[corpusBandIndex]]: without it every
+    * incremental batch (and so every foreachBatch micro-batch) pays a
+    * full corpus rescan + md5 + distinct for the exact pass, breaking
+    * the O(|batch|) per-batch contract. */
+  def corpusExactIndex(s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("corpus_md5", d)) {
+      val h = TableLoader.documents(s, d)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      h.count() // materialize at cache-fill time
+      h
+    }
 
   /** Corpus band-key index, built once per (session, sfDir) from the
     * cached shingle sets and persisted — the probe side of every

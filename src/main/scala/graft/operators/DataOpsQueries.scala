@@ -124,7 +124,12 @@ object DataOpsQueries {
     * second half of the month — the standard drift monitor between a
     * reference and a live window. Fixed-width value buckets (50-wide,
     * clamped to 10) so edges are data-independent and exact on both
-    * engines; 0.5 Laplace smoothing keeps empty buckets finite. Shape:
+    * engines; 0.5 Laplace smoothing keeps a bucket observed on only
+    * ONE side finite (the +5.0 denominator is calibrated to the 10
+    * bucket slots, but the sum runs over buckets observed in at least
+    * one half — a bucket empty on BOTH sides contributes no term, so
+    * this is smoothed-PSI over the observed support, not the full
+    * fixed grid). Shape:
     * one (type, bucket) count pass, a 5-row per-type total join, and a
     * ≤50-row final fold — nothing after the first aggregate sees the
     * fact table. */
@@ -365,7 +370,15 @@ object DataOpsQueries {
     * subexpression once per consuming aggregate (4×), measured 3.0 s
     * vs 0.4 s at sf0.1. Element grain keeps every op inside
     * whole-stage codegen; the scale join and the stats aggregate hash
-    * on vec_id, and AQE reuses the exchange. */
+    * on vec_id, and AQE reuses the exchange.
+    *
+    * Degenerate vectors are excluded EXPLICITLY on both engines
+    * (scale > 0): an all-zero embedding would quantize 0/0 (NaN→null
+    * bigint in Spark but an error-free 0 path in DuckDB), and an
+    * empty embedding has no elements to quantize (the engine's explode
+    * drops it; DuckDB's list_max yields NULL, which the guard also
+    * removes) — without the shared guard the two engines disagree on
+    * exactly these rows. */
   val qEmbedQuantize: QDef = QDef(
     "q_embed_quantize",
     """SELECT vec_id,
@@ -387,6 +400,8 @@ object DataOpsQueries {
       |         y -> ABS(CAST(y AS DOUBLE)))) / 127.0)))),
       |    v -> v >= 127)) AS BIGINT) AS n_sat
       |FROM embeddings
+      |WHERE list_max(list_transform(embedding,
+      |  x -> ABS(CAST(x AS DOUBLE)))) > 0
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val elems = embeddings(s, d)
       .select(col("vec_id"),
@@ -394,6 +409,7 @@ object DataOpsQueries {
       .select(col("vec_id"), col("x").cast("double").as("xd"))
     val scales = elems.groupBy(col("vec_id"))
       .agg((max(abs(col("xd"))) / 127.0).as("sc"))
+      .filter(col("sc") > 0)
     elems.join(scales, "vec_id")
       .select(col("vec_id"), col("sc"),
         round(col("xd") / col("sc")).as("qe"))
