@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide physical-plan sweeps (every DECLARED query, including
+  * the no-oracle ones GoldenParitySpec never builds):
+  *
+  *   1. Plan-resolve smoke: each query must ANALYZE and physically
+  *      plan. A round-4 bench artifact died on a single
+  *      AnalysisException and took the whole round's numbers with it —
+  *      this makes an analysis regression fail `sbt test` before it
+  *      can reach the driver.
+  *   2. Unpartitioned-window budget: a `Window.orderBy` with no
+  *      PARTITION BY serializes its whole input through ONE task, so
+  *      it is only acceptable over inputs whose size is bounded by
+  *      something other than the data volume (calendar grids, band/
+  *      decile tables, top-k prefixes). Every query whose plan carries
+  *      an unpartitioned WindowExec must be on the audited whitelist
+  *      below — a new query with a global window over an unbounded
+  *      grain fails here until it is either re-shaped (see
+  *      q_rfm_segments' banded exact-rank pattern) or consciously
+  *      whitelisted with its boundedness argument.
+  */
+class RegistryPlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.session
+
+  /** Static physical plan, AQE disabled for inspection (adaptive wraps
+    * stages in opaque QueryStageExec leaves). */
+  private def staticPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Queries audited to run their unpartitioned window over a BOUNDED
+    * grain. Grouped by what bounds the serial stage's input. */
+  private val boundedWindowWhitelist: Set[String] = Set.empty ++
+    // calendar-grid series: pre-aggregated to day/hour grain before
+    // the window — input is bounded by the calendar span, not volume
+    Set("q_mom_change", "q_runs_test", "q_autocorr", "q_cross_corr",
+      "q_bollinger", "q_changepoint", "q_stl_decompose",
+      "q_rolling_corr", "q_cum_users", "q_theil_sen", "q_spearman_corr",
+      "q_mannwhitney_u", "q_ks_test", "q_survival_km", "q_concurrency") ++
+    // fixed small domains: region/source/bucket/threshold/replicate
+    // tables — pre-aggregated to a domain that does not grow with data
+    Set("q_region_share", "q_train_mix", "q_basket_size_dist",
+      "q_auc", "q_pr_curve", "q_shard_pack", "q_bootstrap_ci",
+      "q_pareto_revenue") ++
+    // top-k-first: the LIMIT/TakeOrdered runs BEFORE the serial
+    // window, so the window sees k rows regardless of corpus size
+    Set("q_zipf_top", "q_skyline")
+
+  test("every declared query resolves and physically plans") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { staticPlan(q.name); None }
+      catch {
+        case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries failing to plan:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("unpartitioned windows only appear in audited bounded-grain queries") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val unpart =
+        try staticPlan(q.name).collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        catch { case _: Throwable => Nil } // planning failures: test 1
+      // q_rfm_segments-style band-offset windows over a __-prefixed
+      // bounded intermediate don't count against the budget
+      val unaudited = unpart.filterNot(w =>
+        w.child.output.exists(_.name.startsWith("__")) &&
+          w.child.output.size <= 4)
+      if (unaudited.nonEmpty && !boundedWindowWhitelist(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned WindowExec outside the audited whitelist " +
+        s"(re-shape or whitelist with a boundedness argument): " +
+        offenders.mkString(", "))
+  }
+}
