@@ -64,23 +64,44 @@ object SimilarityQueries {
     dot / (na * nb)
   }
 
-  /** Pairwise cosine within label blocks, global top-50 pairs. */
-  val qSimCosine: QDef = QDef(
-    "q_sim_cosine",
-    s"""$oracleNorms
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND(list_sum(list_transform(range(1, 65),
-       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
-       |FROM n a JOIN n b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |ORDER BY cos DESC, vec_a, vec_b
-       |LIMIT 50""".stripMargin) { (s, d) =>
+  /** Pair budget for the exact pairwise form: quadratic-within-block
+    * operators refuse to run past this many candidate pairs per block
+    * (the q_dedup_ngram_jaccard guard discipline) — the corpus-scale
+    * formulations are qAnnLsh / qDedupEmbeddingLsh / IVF, never the
+    * exact self-join. */
+  val maxPairsPerLabel = 10000000L
+
+  /** Label-blocked exact cosine pairs with the quadratic guard
+    * (exposed with a settable budget for the guard spec). */
+  def cosinePairs(
+      s: SparkSession, d: String,
+      maxPairs: Long = maxPairsPerLabel): DataFrame = {
     // norms are computed ONCE per vector before the join (norm work is
     // O(n), not O(pairs)); only the dot product runs per pair
-    val e = embeddings(s, d)
+    val e0 = embeddings(s, d)
       .select(
         col("vec_id"), col("label"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
+    // block-size guard: evaluated distributedly over the tiny
+    // per-label aggregate (no driver collect); joining it back touches
+    // every label once and fires the error before any pair is built
+    val labelGuard = e0.groupBy(col("label"))
+      .agg(count(lit(1)).as("__ln"))
+      .select(
+        col("label"),
+        when(
+          col("__ln") * (col("__ln") - 1) / 2 > maxPairs,
+          raise_error(concat(
+            lit("q_sim_cosine: label block "), col("label"),
+            lit(" has "), col("__ln"),
+            lit(s" vectors — more than $maxPairs candidate " +
+              "pairs; the exact pairwise form is a re-rank primitive, " +
+              "use q_dedup_embedding_lsh / q_ann_lsh for corpus scale")))
+            .cast("long"))
+          .otherwise(col("__ln")).as("__ln"))
+    val e = e0.join(broadcast(labelGuard), "label")
+      .filter(col("__ln") > 0)
+      .drop("__ln")
     val a = e.select(
       col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("va"), col("nrm").as("nrm_a"))
@@ -92,6 +113,26 @@ object SimilarityQueries {
         col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("cos"))
+  }
+
+  /** Pairwise cosine within label blocks, global top-50 pairs.
+    *
+    * Quadratic WITHIN each label block, so guarded like the n-gram
+    * twin: a distributed raise_error over the per-label count
+    * aggregate refuses any block whose pair count exceeds
+    * [[maxPairsPerLabel]], pointing at the banded-LSH twin — the exact
+    * form is the re-rank primitive, not the scale path. */
+  val qSimCosine: QDef = QDef(
+    "q_sim_cosine",
+    s"""$oracleNorms
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(list_sum(list_transform(range(1, 65),
+       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+       |FROM n a JOIN n b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cos DESC, vec_a, vec_b
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    cosinePairs(s, d)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }

@@ -121,4 +121,19 @@ class AnnSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head.getLong(0) == 99999L,
       s"planted cos~1 neighbor not first: ${top.map(_.getLong(0)).toSeq}")
   }
+
+  test("exact cosine refuses oversized label blocks (quadratic guard)") {
+    // with a 1-pair budget every fixture label block is oversized —
+    // the guard must raise and point at the scalable LSH path
+    val e = intercept[Exception] {
+      SimilarityQueries.cosinePairs(spark, sfDir, maxPairs = 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("q_dedup_embedding_lsh")),
+      s"guard did not fire or lost its message: $e")
+    // and the default budget still returns the fixture pairs
+    assert(SimilarityQueries.cosinePairs(spark, sfDir).count() >= 1)
+  }
 }
