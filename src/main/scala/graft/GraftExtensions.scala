@@ -88,7 +88,20 @@ object GraftExtensions {
         info("theta_union",
           "theta_union(blob) - aggregate: lossless union of theta " +
             "sketch blobs"),
-        (es: Seq[Expression]) => graft.functions.ThetaUnionAgg(es(0))))
+        (es: Seq[Expression]) => graft.functions.ThetaUnionAgg(es(0))),
+      (FunctionIdentifier("tokenize_bpe"),
+        info("tokenize_bpe",
+          "tokenize_bpe(text) - byte-level BPE token ids (array<int>) " +
+            "under the embedded default vocab; corpus pipelines pass " +
+            "their trained BpeVocab via the Column API instead"),
+        (es: Seq[Expression]) =>
+          graft.functions.TokenizeBpe(es(0), graft.functions.Bpe.default)),
+      (FunctionIdentifier("bpe_decode"),
+        info("bpe_decode",
+          "bpe_decode(ids) - decode byte-level BPE token ids back to " +
+            "text (default vocab); lossless within words"),
+        (es: Seq[Expression]) =>
+          graft.functions.BpeDecode(es(0), graft.functions.Bpe.default)))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =
