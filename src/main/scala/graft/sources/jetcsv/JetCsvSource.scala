@@ -331,8 +331,9 @@ private[jetcsv] final class JetCsvPartitionReader(
   override def close(): Unit = in.close()
 }
 
-/** Reader-side evaluation of V1 filters over the PRUNED row. */
-private[jetcsv] object JetCsvFilters {
+/** Reader-side evaluation of V1 filters over the PRUNED row (shared
+  * with the jetmdb binary source — same residual-filter contract). */
+private[sources] object JetCsvFilters {
 
   def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |

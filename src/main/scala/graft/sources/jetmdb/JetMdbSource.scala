@@ -1,0 +1,288 @@
+package graft.sources.jetmdb
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.JetTypes
+import graft.sources.jetcsv.JetCsvFilters
+import graft.sources.jetmdb.JetMdbFormat._
+
+/** DataSource V2 reader over a Jet4 `.mdb` file — the binary sibling
+  * of the `jetcsv` export-directory source:
+  * {{{
+  *   spark.read.format("jetmdb")
+  *     .option("table", "customer").load("/data/crm.mdb")
+  * }}}
+  *
+  * Same engineering contract as jetcsv: typed schema straight from
+  * the TDEF (via [[JetTypes.toSpark]]), column pruning (only
+  * requested columns are DECODED; the page walk is the fixed cost),
+  * reader-side filter skipping with all filters returned as residual,
+  * and page-range [[InputPartition]]s so a large file splits across
+  * executors (pages are self-contained: Jet rows never span data
+  * pages, so any page range decodes independently).
+  *
+  * Scale note: one `.mdb` caps at 2 GB by format, so at 100 TB the
+  * unit of parallelism is FILES (thousands of them, one task each via
+  * a parallelized file list + union or a streaming ingest), with
+  * page-range splits only smoothing skew within unusually large
+  * files. The per-file catalog read costs two pages.
+  */
+class JetMdbSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "jetmdb"
+
+  // writes pass the DataFrame's schema through (the file does not
+  // exist yet, so there is nothing to infer from)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JetMdbSource.tableDef(
+      options.get("path"), JetMdbSource.tableName(options))._2
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "jetmdb: a path must be supplied")
+    val table = properties.getOrDefault("table", null)
+    require(table != null, "jetmdb: .option(\"table\", <name>) is required")
+    JetMdbTable(path, table, schema)
+  }
+}
+
+object JetMdbSource {
+
+  def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.get("table")
+    require(t != null, "jetmdb: .option(\"table\", <name>) is required")
+    t
+  }
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Read page `n` of `path` through the Hadoop FS (works for local
+    * and distributed stores alike). */
+  def readPage(
+      f: org.apache.hadoop.fs.FSDataInputStream, n: Int): Array[Byte] = {
+    val page = new Array[Byte](PageSize)
+    f.readFully(n.toLong * PageSize, page)
+    page
+  }
+
+  /** List the user tables of a database: (name, tdefPage). */
+  def listTables(path: String): Seq[(String, Int)] = {
+    val h = fs(path)
+    val in = h.open(new Path(path))
+    try {
+      val count = (h.getFileStatus(new Path(path)).getLen / PageSize).toInt
+      checkHeader(readPage(in, 0))
+      readCatalog(count, readPage(in, _))
+        .filter(!_.isSystem).map(e => e.name -> e.tdefPage)
+    } finally in.close()
+  }
+
+  /** Resolve `table` → (tdef, Spark schema, pageCount). */
+  def tableDef(path: String, table: String): (JetTableDef, StructType, Int) = {
+    require(path != null, "jetmdb: a path must be supplied")
+    val h = fs(path)
+    val in = h.open(new Path(path))
+    try {
+      val count = (h.getFileStatus(new Path(path)).getLen / PageSize).toInt
+      checkHeader(readPage(in, 0))
+      val cat = readCatalog(count, readPage(in, _))
+      val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
+        .getOrElse(throw new IllegalArgumentException(
+          s"jetmdb: no user table '$table' in $path " +
+            s"(have: ${cat.filter(!_.isSystem).map(_.name).mkString(", ")})"))
+      val tdef = parseTdef(readPage(in, entry.tdefPage), entry.tdefPage)
+      val schema = StructType(tdef.jetTypes.map { case (n, t) =>
+        StructField(n, JetTypes.toSpark(t), nullable = true)
+      })
+      (tdef, schema, count)
+    } finally in.close()
+  }
+}
+
+private[jetmdb] final case class JetMdbTable(
+    path: String, table: String, tableSchema: StructType)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"jetmdb:$path#$table"
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new JetMdbScanBuilder(path, table, tableSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new JetMdbWriteBuilder(path, info)
+}
+
+private[jetmdb] final class JetMdbScanBuilder(
+    path: String, table: String, fullSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(fullSchema.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(JetCsvFilters.supported)
+    filters // all residual: reader evaluation is an optimization only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    JetMdbScan(path, table, fullSchema, required, pushed)
+}
+
+private[jetmdb] final case class JetMdbScan(
+    path: String,
+    table: String,
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter]) extends Scan with Batch {
+
+  /** Pages per input partition: 1024 pages = 4 MiB of Jet file — big
+    * enough to amortize the open, small enough to split a full-size
+    * (2 GB = 512k page) file across ~512 tasks. */
+  private val PagesPerSplit = 1024
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"jetmdb $path#$table, PushedFilters: " +
+      filters.mkString("[", ", ", "]")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (tdef, _, pageCount) = JetMdbSource.tableDef(path, table)
+    // partition 0 starts at page 1 (page 0 is the header)
+    (1 until pageCount by PagesPerSplit).map { start =>
+      JetMdbInputPartition(
+        start, math.min(start + PagesPerSplit, pageCount),
+        tdef.tdefPage): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    JetMdbReaderFactory(path, table, required, filters,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+private[jetmdb] final case class JetMdbInputPartition(
+    fromPage: Int, untilPage: Int, tdefPage: Int) extends InputPartition
+
+private[jetmdb] final case class JetMdbReaderFactory(
+    path: String,
+    table: String,
+    required: StructType,
+    filters: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JetMdbInputPartition]
+    new JetMdbPartitionReader(path, p, required, filters, conf.value)
+  }
+}
+
+private[jetmdb] final class JetMdbPartitionReader(
+    path: String,
+    part: JetMdbInputPartition,
+    required: StructType,
+    filters: Array[Filter],
+    hconf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val in = new Path(path)
+    .getFileSystem(hconf).open(new Path(path))
+
+  // TDEF re-read on the executor (one page) — keeps the partition
+  // descriptor serializable-trivial, mirroring jetcsv's sidecar
+  private val tdef =
+    parseTdef(JetMdbSource.readPage(in, part.tdefPage), part.tdefPage)
+  private val jetTypes = tdef.jetTypes.toMap
+  private val colIdx: Array[Int] =
+    required.fieldNames.map(n => tdef.columns.indexWhere(_.name == n))
+  private val colType: Array[JetTypes.JetType] =
+    required.fieldNames.map(jetTypes)
+  private val evals = filters.map(JetCsvFilters.compile(_, required))
+
+  private var pageNum = part.fromPage
+  private var rows: Iterator[(Int, Int)] = Iterator.empty
+  private var page: Array[Byte] = _
+  private var current: GenericInternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null) {
+      if (!rows.hasNext) {
+        if (pageNum >= part.untilPage) return false
+        page = JetMdbSource.readPage(in, pageNum)
+        rows = dataRowExtents(page, part.tdefPage).iterator
+        pageNum += 1
+      } else {
+        val (s, e) = rows.next()
+        val decoded = decodeRow(page, s, e, tdef)
+        val values = new Array[Any](colIdx.length)
+        var i = 0
+        while (i < colIdx.length) {
+          values(i) = toCatalyst(decoded(colIdx(i)), colType(i))
+          i += 1
+        }
+        if (evals.forall(_(values)))
+          current = new GenericInternalRow(values)
+      }
+    }
+    true
+  }
+
+  /** Raw decode value → Catalyst internal value. */
+  private def toCatalyst(v: Any, t: JetTypes.JetType): Any =
+    if (v == null) null
+    else t match {
+      case JetTypes.ShortText | JetTypes.Memo | JetTypes.Hyperlink |
+          JetTypes.ReplicationId =>
+        UTF8String.fromString(String.valueOf(v))
+      case JetTypes.Currency =>
+        org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal], 19, 4)
+      case _ => v // primitives already land as their Catalyst repr
+    }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = in.close()
+}

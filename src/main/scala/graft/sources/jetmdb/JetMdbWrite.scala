@@ -1,0 +1,406 @@
+package graft.sources.jetmdb
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.jetmdb.JetMdbFormat._
+
+/** Write side of the jetmdb source: `df.write.format("jetmdb")
+  * .option("table", "t").save("/out/db.mdb")` produces a valid Jet4
+  * database holding one user table.
+  *
+  * Topology: a `.mdb` is a SINGLE file with an internal catalog, so
+  * the two-phase commit stages per-task ROW BLOBS (a trivial
+  * `[u16 len][encoded row]*` stream — encoding is the parallel part),
+  * and the driver's commit streams the staged blobs into pages and
+  * writes `<file>.staging-<uuid>` before an atomic rename. Driver
+  * memory stays O(page); driver I/O is O(data), which is the format's
+  * own constraint — Jet caps a database at 2 GB, so this sink is for
+  * interchange/export of bounded tables (the Access side of a
+  * migration), never the 100 TB path (that's parquet/JDBC).
+  *
+  * Pages follow the same public layout notes as [[JetMdbFormat]]:
+  * header, usage placeholder, MSysObjects TDEF + data, table TDEF,
+  * data pages. Rows must fit one page (Jet's own rule) — oversize
+  * rows fail with the column to shorten; BIGINT fails at plan time
+  * (Jet has no 64-bit integer), exactly like the jetcsv sink.
+  */
+object JetMdbWrite {
+
+  /** Spark type → Jet column code (plan-time total-or-throw). */
+  def jetCode(f: StructField): Int = f.dataType match {
+    case BooleanType => T_BOOL
+    case ShortType => T_INT
+    case IntegerType => T_LONG
+    case FloatType => T_FLOAT
+    case DoubleType => T_DOUBLE
+    case d: DecimalType if d.precision == 19 && d.scale == 4 => T_MONEY
+    case TimestampType | TimestampNTZType => T_DATETIME
+    case StringType => T_TEXT
+    case other => throw new IllegalArgumentException(
+      s"jetmdb: column ${f.name}: $other has no Jet rendering " +
+        "(Jet has no 64-bit integer — cast BIGINT to INT or DOUBLE; " +
+        "binary/array/struct need the parquet sink)")
+  }
+
+  def fixedLen(code: Int): Int = code match {
+    case T_BOOL => 0
+    case T_INT => 2
+    case T_LONG => 4
+    case T_MONEY => 8
+    case T_FLOAT => 4
+    case T_DOUBLE => 8
+    case T_DATETIME => 8
+    case _ => 0
+  }
+
+  /** Encode one InternalRow per the Jet4 row layout (the inverse of
+    * [[JetMdbFormat.decodeRow]]). */
+  def encodeRow(
+      row: InternalRow, schema: StructType, codes: Array[Int]): Array[Byte] = {
+    val nCols = codes.length
+    val bitmaskSz = (nCols + 7) / 8
+    val fixedTotal = codes.map(fixedLen).sum
+    val varIdxs = codes.indices.filter(i => codes(i) == T_TEXT)
+    val varBytes: Seq[Array[Byte]] = varIdxs.map { i =>
+      if (row.isNullAt(i)) Array.emptyByteArray
+      else row.getUTF8String(i).toString
+        .getBytes(StandardCharsets.UTF_16LE)
+    }
+    val varTotal = varBytes.map(_.length).sum
+    val hasVar = varIdxs.nonEmpty
+    val total = 2 + fixedTotal + varTotal +
+      (if (hasVar) 2 * (varIdxs.length + 1) + 2 else 0) + bitmaskSz
+    if (total > PageSize - 16)
+      throw new java.io.IOException(
+        s"jetmdb: row of $total bytes exceeds the Jet4 page capacity " +
+          s"(${PageSize - 16}); shorten text columns " +
+          varIdxs.map(schema(_).name).mkString("(", ", ", ")"))
+    val r = new Array[Byte](total)
+    val b = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(0, nCols.toShort)
+    val mask = new Array[Byte](bitmaskSz)
+    def setBit(i: Int): Unit =
+      mask(i / 8) = (mask(i / 8) | (1 << (i % 8))).toByte
+    var off = 2
+    var i = 0
+    while (i < nCols) {
+      val code = codes(i)
+      if (code == T_BOOL) {
+        // bool can't be null in Jet: null writes as false
+        if (!row.isNullAt(i) && row.getBoolean(i)) setBit(i)
+      } else if (code != T_TEXT) {
+        if (!row.isNullAt(i)) {
+          setBit(i)
+          code match {
+            case T_INT => b.putShort(off, row.getShort(i))
+            case T_LONG => b.putInt(off, row.getInt(i))
+            case T_MONEY => b.putLong(off,
+              row.getDecimal(i, 19, 4).toJavaBigDecimal
+                .movePointRight(4).longValueExact())
+            case T_FLOAT => b.putFloat(off, row.getFloat(i))
+            case T_DOUBLE => b.putDouble(off, row.getDouble(i))
+            case T_DATETIME =>
+              b.putDouble(off, microsToOleDate(row.getLong(i)))
+          }
+        }
+        off += fixedLen(code)
+      }
+      i += 1
+    }
+    // var data + ascending offset table + count
+    var vOff = 2 + fixedTotal
+    val varOffsets = new Array[Int](varIdxs.length + 1)
+    varIdxs.zipWithIndex.foreach { case (ci, vi) =>
+      varOffsets(vi) = vOff
+      val bytes = varBytes(vi)
+      System.arraycopy(bytes, 0, r, vOff, bytes.length)
+      vOff += bytes.length
+      if (!row.isNullAt(ci)) setBit(ci)
+    }
+    val tail = total - bitmaskSz
+    if (hasVar) {
+      varOffsets(varIdxs.length) = vOff
+      b.putShort(tail - 2, varIdxs.length.toShort)
+      val tabOff = tail - 2 - 2 * (varIdxs.length + 1)
+      varOffsets.zipWithIndex.foreach { case (o, k) =>
+        b.putShort(tabOff + 2 * k, o.toShort)
+      }
+    }
+    System.arraycopy(mask, 0, r, tail, bitmaskSz)
+    r
+  }
+
+  /** TDEF page for `schema` at `tdefPage` (same layout the reader
+    * parses; colNum = declaration index, offset_F by declaration
+    * order over fixed columns, offset_V over var columns). */
+  def tdefPage(
+      schema: StructType, codes: Array[Int], numRows: Int,
+      system: Boolean): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    p(0) = 0x02; p(1) = 0x01
+    b.putInt(16, numRows)
+    p(40) = if (system) 0x53.toByte else 0x4e.toByte
+    val nVar = codes.count(_ == T_TEXT)
+    b.putShort(41, codes.length.toShort)
+    b.putShort(43, nVar.toShort)
+    b.putShort(45, codes.length.toShort)
+    var off = 63
+    var fOff = 0
+    var vIdx = 0
+    codes.zipWithIndex.foreach { case (code, i) =>
+      p(off) = code.toByte
+      b.putShort(off + 5, i.toShort)
+      if (code == T_TEXT) { b.putShort(off + 7, vIdx.toShort); vIdx += 1 }
+      b.putShort(off + 9, i.toShort)
+      val fixed = code != T_TEXT
+      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
+      if (fixed && code != T_BOOL) {
+        b.putShort(off + 19, fOff.toShort)
+        fOff += fixedLen(code)
+      }
+      b.putShort(off + 21, fixedLen(code).toShort)
+      off += 25
+    }
+    schema.fields.foreach { f =>
+      val nb = f.name.getBytes(StandardCharsets.UTF_16LE)
+      b.putShort(off, nb.length.toShort)
+      System.arraycopy(nb, 0, p, off + 2, nb.length)
+      off += 2 + nb.length
+    }
+    require(off <= PageSize,
+      s"jetmdb: schema too wide for a single TDEF page")
+    p
+  }
+
+  /** The Jet 2 GB file cap, in pages. */
+  val MaxPages: Int = (2L * 1024 * 1024 * 1024 / PageSize).toInt
+}
+
+private[jetmdb] final class JetMdbWriteBuilder(
+    path: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  // a jetmdb write always (re)creates the whole single-file database,
+  // so truncate-for-overwrite is inherently satisfied
+  override def truncate(): WriteBuilder = this
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      schema.fields.foreach(JetMdbWrite.jetCode) // plan-time validation
+      val table = info.options.getOrDefault("table", null)
+      require(table != null,
+        "jetmdb: .option(\"table\", <name>) is required to write")
+      JetMdbBatchWrite(path, table, schema,
+        new SerializableConfiguration(SparkSession.active
+          .sparkContext.hadoopConfiguration))
+    }
+  }
+}
+
+private[jetmdb] final case class JetMdbBatchWrite(
+    path: String,
+    table: String,
+    schema: StructType,
+    conf: SerializableConfiguration) extends BatchWrite {
+
+  private val stagingName = s".staging-${UUID.randomUUID().toString}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    JetMdbWriterFactory(path, stagingName, schema, conf)
+
+  /** Stream staged row blobs into Jet pages; O(page) memory. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val parent = new Path(path).getParent
+    val staging = new Path(parent, stagingName)
+    val codes = schema.fields.map(JetMdbWrite.jetCode)
+    val parts = messages.collect {
+      case m: JetMdbCommit if m.file != null => m
+    }
+    val numRows = parts.map(_.rows).sum
+    val tmpOut = new Path(parent, s"$stagingName.mdb")
+    val out = fs.create(tmpOut, true)
+    var pageCount = 0
+    def writePage(p: Array[Byte]): Unit = {
+      if (pageCount >= JetMdbWrite.MaxPages)
+        throw new java.io.IOException(
+          "jetmdb: output exceeds Jet's 2 GB database cap — this sink " +
+            "is for bounded interchange tables (use parquet/JDBC)")
+      out.write(p); pageCount += 1
+    }
+    try {
+      // pages 0-1: header + usage placeholder
+      val hdr = new Array[Byte](PageSize)
+      hdr(0) = 0x00; hdr(1) = 0x01
+      val magic = Magic.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(magic, 0, hdr, 4, magic.length)
+      hdr(0x14) = 0x01
+      writePage(hdr)
+      val usage = new Array[Byte](PageSize)
+      usage(0) = 0x05; usage(1) = 0x01
+      writePage(usage)
+      // pages 2-3: catalog (MSysObjects at page 2; user TDEF at 4)
+      val sysSchema = StructType(Seq(
+        StructField("Id", IntegerType), StructField("Type", ShortType),
+        StructField("Name", StringType)))
+      val sysCodes = Array(T_LONG, T_INT, T_TEXT)
+      writePage(JetMdbWrite.tdefPage(sysSchema, sysCodes, 2, system = true))
+      val catRows = Seq(
+        org.apache.spark.sql.catalyst.InternalRow(
+          2, 3.toShort,
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString("MSysObjects")),
+        org.apache.spark.sql.catalyst.InternalRow(
+          4, 1.toShort,
+          org.apache.spark.unsafe.types.UTF8String.fromString(table)))
+        .map(JetMdbWrite.encodeRow(_, sysSchema, sysCodes))
+      val catPages = JetMdbPagePacker.pack(catRows.iterator, 2).toSeq
+      require(catPages.size == 1, "jetmdb: catalog must fit one page")
+      catPages.foreach(writePage)
+      // page 4: user TDEF, then its data pages (owner = 4)
+      writePage(JetMdbWrite.tdefPage(schema, codes,
+        math.min(numRows, Int.MaxValue.toLong).toInt, system = false))
+      val blobIter = parts.iterator.flatMap { m =>
+        JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
+      }
+      JetMdbPagePacker.pack(blobIter, 4).foreach(writePage)
+    } finally out.close()
+    if (fs.exists(new Path(path)) && !fs.delete(new Path(path), false))
+      throw new java.io.IOException(s"jetmdb: cannot replace $path")
+    if (!fs.rename(tmpOut, new Path(path)))
+      throw new java.io.IOException(
+        s"jetmdb commit: failed to move $tmpOut to $path")
+    fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val parent = new Path(path).getParent
+    fs.delete(new Path(parent, stagingName), true)
+    fs.delete(new Path(parent, s"$stagingName.mdb"), false)
+  }
+}
+
+/** Greedy packer: encoded rows → data pages owned by `tdefPage`
+  * (same fit rule the reader's extent walk implies). */
+private[jetmdb] object JetMdbPagePacker {
+  def pack(
+      rows: Iterator[Array[Byte]], tdefPage: Int): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val it = rows.buffered
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Array[Byte] = {
+        val p = new Array[Byte](PageSize)
+        val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+        p(0) = 0x01; p(1) = 0x01
+        b.putInt(4, tdefPage)
+        var dataTop = PageSize
+        var n = 0
+        var fits = true
+        while (it.hasNext && fits) {
+          val r = it.head
+          if (14 + 2 * (n + 1) <= dataTop - r.length) {
+            it.next()
+            dataTop -= r.length
+            System.arraycopy(r, 0, p, dataTop, r.length)
+            b.putShort(14 + 2 * n, dataTop.toShort)
+            n += 1
+          } else fits = false
+        }
+        b.putShort(12, n.toShort)
+        b.putShort(2, (dataTop - (14 + 2 * n)).toShort)
+        p
+      }
+    }
+}
+
+/** Staged row-blob stream: `[u16 len][bytes]*` per part file. */
+private[jetmdb] object JetMdbBlobIO {
+  def readBlobs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Iterator[Array[Byte]] = {
+    val in = fs.open(p)
+    new Iterator[Array[Byte]] {
+      private var nextLen = readLen()
+      private def readLen(): Int =
+        try {
+          val hi = in.read(); val lo = in.read()
+          if (hi < 0 || lo < 0) { in.close(); -1 }
+          else (hi << 8) | lo
+        } catch { case e: java.io.IOException => in.close(); throw e }
+      override def hasNext: Boolean = nextLen >= 0
+      override def next(): Array[Byte] = {
+        val buf = new Array[Byte](nextLen)
+        in.readFully(buf)
+        nextLen = readLen()
+        buf
+      }
+    }
+  }
+}
+
+private[jetmdb] final case class JetMdbCommit(file: String, rows: Long)
+  extends WriterCommitMessage
+
+private[jetmdb] final case class JetMdbWriterFactory(
+    path: String,
+    stagingName: String,
+    schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JetMdbDataWriter(path, stagingName, schema, conf.value,
+      partitionId, taskId)
+}
+
+private[jetmdb] final class JetMdbDataWriter(
+    path: String,
+    stagingName: String,
+    schema: StructType,
+    hconf: Configuration,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val fileName = f"rows-$partitionId%05d-$taskId.bin"
+  private val parent = new Path(path).getParent
+  private val part = new Path(new Path(parent, stagingName), fileName)
+  private val fs = part.getFileSystem(hconf)
+  private val out = fs.create(part, true)
+  private val codes = schema.fields.map(JetMdbWrite.jetCode)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val bytes = JetMdbWrite.encodeRow(row, schema, codes)
+    out.write((bytes.length >> 8) & 0xFF)
+    out.write(bytes.length & 0xFF)
+    out.write(bytes)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows > 0) JetMdbCommit(fileName, rows)
+    else { fs.delete(part, false); JetMdbCommit(null, 0) }
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(part, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,279 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Test-side Jet4 `.mdb` fixture writer: emits the page structures the
+  * public format notes describe (header page, MSysObjects catalog at
+  * page 2, per-table TDEF + data pages) so JetMdbSourceSpec can
+  * validate the production reader against files it did not produce
+  * with the same code paths. The writer is deliberately independent:
+  * it lays out bytes directly from the documented offsets rather than
+  * calling any reader-side helper, so a shared misunderstanding of an
+  * offset shows up as a spec failure, not silent agreement.
+  *
+  * Value encodings accepted per column code (see JetMdbFormat):
+  * Boolean, Short (BYTE/INT), Int (LONG), java.math.BigDecimal
+  * (MONEY), Float, Double, Long epoch-micros (DATETIME), String
+  * (TEXT), String canonical GUID (GUID), or null.
+  */
+object JetMdbFixture {
+
+  val PageSize = 4096
+
+  final case class Col(name: String, code: Int, fixedLen: Int = 0)
+
+  final case class Table(
+      name: String,
+      cols: Seq[Col],
+      rows: Seq[Seq[Any]],
+      deleted: Set[Int] = Set.empty,
+      compressText: Boolean = false)
+
+  private def le(bytes: Array[Byte]) =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def fixedLenOf(c: Col): Int = c.code match {
+    case 0x01 => 0 // BOOL lives in the null mask
+    case 0x02 => 1
+    case 0x03 => 2
+    case 0x04 => 4
+    case 0x05 => 8
+    case 0x06 => 4
+    case 0x07 => 8
+    case 0x08 => 8
+    case 0x0F => 16
+    case 0x0A => c.fixedLen // fixed text only when fixedLen > 0
+    case other => sys.error(f"fixture: no fixed length for 0x$other%02x")
+  }
+
+  private def isVar(c: Col): Boolean = c.code == 0x0A && c.fixedLen == 0
+  private def isBool(c: Col): Boolean = c.code == 0x01
+
+  /** TDEF page bytes for a table at `tdefPage`. */
+  private def tdefPageBytes(
+      t: Table, numRows: Int, system: Boolean): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val b = le(p)
+    p(0) = 0x02; p(1) = 0x01
+    b.putInt(4, 0) // single-page TDEF
+    b.putInt(16, numRows)
+    p(40) = if (system) 0x53 else 0x4e
+    val varCols = t.cols.count(isVar)
+    b.putShort(41, t.cols.length.toShort) // max_cols
+    b.putShort(43, varCols.toShort)
+    b.putShort(45, t.cols.length.toShort)
+    b.putInt(47, 0); b.putInt(51, 0) // no indexes
+    var off = 63
+    var fixedOff = 0
+    var varIdx = 0
+    t.cols.zipWithIndex.foreach { case (c, i) =>
+      p(off) = c.code.toByte
+      b.putShort(off + 5, i.toShort) // col_num
+      if (isVar(c)) { b.putShort(off + 7, varIdx.toShort); varIdx += 1 }
+      b.putShort(off + 9, i.toShort)
+      // flags: 0x01 fixed, 0x02 nullable
+      val fixed = !isVar(c)
+      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
+      if (fixed && !isBool(c)) {
+        b.putShort(off + 19, fixedOff.toShort)
+        fixedOff += fixedLenOf(c)
+      }
+      b.putShort(off + 21,
+        (if (isVar(c)) 0 else fixedLenOf(c)).toShort)
+      off += 25
+    }
+    t.cols.foreach { c =>
+      val nb = c.name.getBytes(StandardCharsets.UTF_16LE)
+      b.putShort(off, nb.length.toShort)
+      System.arraycopy(nb, 0, p, off + 2, nb.length)
+      off += 2 + nb.length
+    }
+    require(off <= PageSize, s"fixture: TDEF overflow for ${t.name}")
+    p
+  }
+
+  private def encodeText(s: String, compress: Boolean): Array[Byte] =
+    if (compress && s.forall(ch => ch < 256 && ch != 0)) {
+      // Unicode-compressed: FF FE marker then single bytes
+      val out = new Array[Byte](2 + s.length)
+      out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
+      var i = 0
+      while (i < s.length) { out(2 + i) = s.charAt(i).toByte; i += 1 }
+      out
+    } else s.getBytes(StandardCharsets.UTF_16LE)
+
+  /** Encode one row per the documented Jet4 layout. */
+  private def encodeRow(t: Table, row: Seq[Any]): Array[Byte] = {
+    val nCols = t.cols.length
+    val bitmaskSz = (nCols + 7) / 8
+    val fixedLen = t.cols.filter(c => !isVar(c) && !isBool(c))
+      .map(fixedLenOf).sum
+    val varCols = t.cols.count(isVar)
+    val hasVarTable = varCols > 0
+    val varData = ArrayBuffer.empty[Array[Byte]]
+    t.cols.zip(row).foreach { case (c, v) =>
+      if (isVar(c))
+        varData += (if (v == null) Array.emptyByteArray
+          else encodeText(v.asInstanceOf[String], t.compressText))
+    }
+    val varLen = varData.map(_.length).sum
+    val total = 2 + fixedLen + varLen +
+      (if (hasVarTable) 2 * (varCols + 1) + 2 else 0) + bitmaskSz
+    val r = new Array[Byte](total)
+    val b = le(r)
+    b.putShort(0, nCols.toShort)
+    // fixed region
+    var fOff = 2
+    val mask = new Array[Byte](bitmaskSz)
+    def setBit(i: Int): Unit =
+      mask(i / 8) = (mask(i / 8) | (1 << (i % 8))).toByte
+    t.cols.zip(row).zipWithIndex.foreach { case ((c, v), i) =>
+      if (isBool(c)) {
+        if (v.asInstanceOf[Boolean]) setBit(i)
+      } else if (!isVar(c)) {
+        if (v != null) {
+          setBit(i)
+          c.code match {
+            case 0x02 => r(fOff) = (v.asInstanceOf[Short] & 0xFF).toByte
+            case 0x03 => b.putShort(fOff, v.asInstanceOf[Short])
+            case 0x04 => b.putInt(fOff, v.asInstanceOf[Int])
+            case 0x05 =>
+              val d = v.asInstanceOf[java.math.BigDecimal]
+              b.putLong(fOff, d.movePointRight(4).longValueExact())
+            case 0x06 => b.putFloat(fOff, v.asInstanceOf[Float])
+            case 0x07 => b.putDouble(fOff, v.asInstanceOf[Double])
+            case 0x08 => b.putDouble(fOff,
+              v.asInstanceOf[Long] / 86400.0 / 1e6 + 25569.0)
+            case 0x0F => putGuid(r, fOff, v.asInstanceOf[String])
+            case 0x0A =>
+              val tb = v.asInstanceOf[String]
+                .getBytes(StandardCharsets.UTF_16LE)
+              System.arraycopy(tb, 0, r, fOff,
+                math.min(tb.length, fixedLenOf(c)))
+            case other => sys.error(f"fixture: fixed 0x$other%02x")
+          }
+        }
+        fOff += fixedLenOf(c)
+      }
+    }
+    // var data after the fixed region
+    var vOff = 2 + fixedLen
+    val varOffsets = new Array[Int](varCols + 1)
+    var vi = 0
+    varData.foreach { bytes =>
+      varOffsets(vi) = vOff
+      System.arraycopy(bytes, 0, r, vOff, bytes.length)
+      vOff += bytes.length
+      vi += 1
+    }
+    if (hasVarTable) varOffsets(varCols) = vOff // end of data
+    // var-col null bits (null = empty extent AND clear bit)
+    var mi = 0
+    t.cols.zip(row).zipWithIndex.foreach { case ((c, v), i) =>
+      if (isVar(c)) { if (v != null) setBit(i); mi += 1 }
+    }
+    // tail: [var table asc][u16 var count][null mask]
+    var tail = total - bitmaskSz
+    System.arraycopy(mask, 0, r, tail, bitmaskSz)
+    if (hasVarTable) {
+      b.putShort(tail - 2, varCols.toShort)
+      val tabOff = tail - 2 - 2 * (varCols + 1)
+      varOffsets.zipWithIndex.foreach { case (o, i) =>
+        b.putShort(tabOff + 2 * i, o.toShort)
+      }
+    }
+    r
+  }
+
+  private def putGuid(r: Array[Byte], off: Int, guid: String): Unit = {
+    val parts = guid.split("-")
+    val b = le(r)
+    b.putInt(off, java.lang.Long.parseLong(parts(0), 16).toInt)
+    b.putShort(off + 4, Integer.parseInt(parts(1), 16).toShort)
+    b.putShort(off + 6, Integer.parseInt(parts(2), 16).toShort)
+    val tail = parts(3) + parts(4)
+    (0 until 8).foreach { i =>
+      r(off + 8 + i) =
+        Integer.parseInt(tail.substring(i * 2, i * 2 + 2), 16).toByte
+    }
+  }
+
+  /** Pack encoded rows into data pages owned by `tdefPage`. */
+  private def dataPages(
+      tdefPage: Int, rows: Seq[Array[Byte]],
+      deleted: Set[Int]): Seq[Array[Byte]] = {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    var idx = 0
+    while (idx < rows.length) {
+      val p = new Array[Byte](PageSize)
+      val b = le(p)
+      p(0) = 0x01; p(1) = 0x01
+      b.putInt(4, tdefPage)
+      var dataTop = PageSize
+      var n = 0
+      var fits = true
+      while (idx < rows.length && fits) {
+        val r = rows(idx)
+        if (14 + 2 * (n + 1) <= dataTop - r.length) {
+          dataTop -= r.length
+          System.arraycopy(r, 0, p, dataTop, r.length)
+          val flag = if (deleted.contains(idx)) 0x8000 else 0
+          b.putShort(14 + 2 * n, (dataTop | flag).toShort)
+          n += 1
+          idx += 1
+        } else fits = false
+      }
+      b.putShort(12, n.toShort)
+      b.putShort(2, (dataTop - (14 + 2 * n)).toShort) // free space
+      pages += p
+    }
+    pages.toSeq
+  }
+
+  /** Write a Jet4 database file holding `tables`. */
+  def write(path: String, tables: Seq[Table]): Unit = {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    // page 0: header
+    val hdr = new Array[Byte](PageSize)
+    hdr(0) = 0x00; hdr(1) = 0x01
+    val magic = "Standard Jet DB".getBytes(StandardCharsets.US_ASCII)
+    System.arraycopy(magic, 0, hdr, 4, magic.length)
+    hdr(0x14) = 0x01 // Jet4
+    pages += hdr
+    // page 1: global usage bitmap (placeholder; reader never parses it)
+    val usage = new Array[Byte](PageSize)
+    usage(0) = 0x05; usage(1) = 0x01
+    pages += usage
+    // pages 2..3 reserved for the catalog; user tables follow
+    pages += null; pages += null
+    val catalogRows = ArrayBuffer[Seq[Any]](
+      Seq(Integer.valueOf(2), java.lang.Short.valueOf(3.toShort),
+        "MSysObjects"))
+    tables.foreach { t =>
+      val tdefPage = pages.length
+      val encoded = t.rows.map(encodeRow(t, _))
+      val dps = dataPages(tdefPage, encoded, t.deleted)
+      pages += tdefPageBytes(t, t.rows.length, system = false)
+      dps.foreach(pages += _)
+      catalogRows += Seq(Integer.valueOf(tdefPage),
+        java.lang.Short.valueOf(1.toShort), t.name)
+    }
+    // catalog: MSysObjects at page 2 (Id LONG, Type INT, Name TEXT)
+    val sysTable = Table(
+      "MSysObjects",
+      Seq(Col("Id", 0x04), Col("Type", 0x03), Col("Name", 0x0A)),
+      catalogRows.toSeq)
+    pages(2) = tdefPageBytes(sysTable, catalogRows.length, system = true)
+    val catData = dataPages(2, catalogRows.toSeq.map(encodeRow(sysTable, _)),
+      Set.empty)
+    require(catData.length == 1, "fixture: catalog must fit one page")
+    pages(3) = catData.head
+    val out = new java.io.ByteArrayOutputStream(pages.length * PageSize)
+    pages.foreach(out.write)
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+}

@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.JetMdbFixture.{Col, Table}
+import graft.sources.jetmdb.JetMdbSource
+
+/** The jetmdb binary source against independently written Jet4
+  * fixtures: catalog listing, full-type round-trip, nulls, deleted
+  * rows, Unicode-compressed text, multi-page tables, column pruning,
+  * and reader-side filter behavior. */
+class JetMdbSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  import spark.implicits._
+
+  private def tmpMdb(): String =
+    Files.createTempDirectory("jetmdb").resolve("test.mdb").toString
+
+  private val allTypes = Seq(
+    Col("flag", 0x01), Col("b", 0x02), Col("i", 0x03), Col("l", 0x04),
+    Col("price", 0x05), Col("f", 0x06), Col("d", 0x07), Col("ts", 0x08),
+    Col("uid", 0x0F), Col("name", 0x0A), Col("note", 0x0A))
+
+  // 2001-02-03 04:05:06 UTC in epoch micros
+  private val ts1 = 981173106000000L
+
+  private def row(
+      flag: Boolean, b: Int, i: Int, l: Int, price: String, f: Float,
+      d: Double, ts: Long, uid: String, name: String,
+      note: String): Seq[Any] =
+    Seq(java.lang.Boolean.valueOf(flag),
+      java.lang.Short.valueOf(b.toShort), java.lang.Short.valueOf(i.toShort),
+      Integer.valueOf(l),
+      if (price == null) null else new java.math.BigDecimal(price),
+      java.lang.Float.valueOf(f), java.lang.Double.valueOf(d),
+      java.lang.Long.valueOf(ts),
+      uid, name, note)
+
+  test("reads every supported Jet type with exact values") {
+    val path = tmpMdb()
+    JetMdbFixture.write(path, Seq(Table("typed", allTypes, Seq(
+      row(flag = true, 200, -12345, 7654321, "19.9900", 1.5f, 2.25,
+        ts1, "0102aabb-ccdd-eeff-0011-223344556677", "alice",
+        "first row"),
+      row(flag = false, 0, 42, -1, "-0.0001", -3.5f, 1e10,
+        0L, "00000000-0000-0000-0000-000000000001", "bob", "b")))))
+    val df = spark.read.format("jetmdb").option("table", "typed").load(path)
+    assert(df.schema.map(f => f.name -> f.dataType.simpleString) == Seq(
+      "flag" -> "boolean", "b" -> "smallint", "i" -> "smallint",
+      "l" -> "int", "price" -> "decimal(19,4)", "f" -> "float",
+      "d" -> "double", "ts" -> "timestamp", "uid" -> "string",
+      "name" -> "string", "note" -> "string"))
+    val rows = df.orderBy(desc("flag")).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getBoolean(0) && r0.getShort(1) == 200 &&
+      r0.getShort(2) == -12345 && r0.getInt(3) == 7654321)
+    assert(r0.getDecimal(4) == new java.math.BigDecimal("19.9900"))
+    assert(r0.getFloat(5) == 1.5f && r0.getDouble(6) == 2.25)
+    assert(r0.getTimestamp(7).toInstant.toEpochMilli == ts1 / 1000)
+    assert(r0.getString(8) == "0102aabb-ccdd-eeff-0011-223344556677")
+    assert(r0.getString(9) == "alice" && r0.getString(10) == "first row")
+    val r1 = rows(1)
+    assert(!r1.getBoolean(0) && r1.getInt(3) == -1 &&
+      r1.getDecimal(4) == new java.math.BigDecimal("-0.0001"))
+  }
+
+  test("null mask: nulls round-trip per column; bools are never null") {
+    val path = tmpMdb()
+    JetMdbFixture.write(path, Seq(Table("nully", allTypes, Seq(
+      Seq(java.lang.Boolean.FALSE, null, null, null, null, null, null,
+        null, null, null, null),
+      row(flag = true, 1, 2, 3, "1.0000", 1f, 1d, ts1,
+        "00000000-0000-0000-0000-000000000002", "x", "")))))
+    val df = spark.read.format("jetmdb").option("table", "nully").load(path)
+    val nulls = df.filter(col("l").isNull).collect()
+    assert(nulls.length == 1)
+    val n = nulls.head
+    (1 until 11).foreach(i => assert(n.isNullAt(i), s"col $i"))
+    assert(!n.isNullAt(0) && !n.getBoolean(0))
+    // empty string is NOT null (mask bit set, empty extent)
+    val full = df.filter(col("l") === 3).collect().head
+    assert(!full.isNullAt(10) && full.getString(10) == "")
+  }
+
+  test("deleted rows are skipped; compressed text decodes") {
+    val path = tmpMdb()
+    val t = Table("com", Seq(Col("k", 0x04), Col("v", 0x0A)),
+      rows = (0 until 5).map(i =>
+        Seq(Integer.valueOf(i), s"value-$i"): Seq[Any]),
+      deleted = Set(2), compressText = true)
+    JetMdbFixture.write(path, Seq(t))
+    val got = spark.read.format("jetmdb").option("table", "com").load(path)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq ==
+      Seq((0, "value-0"), (1, "value-1"), (3, "value-3"), (4, "value-4")))
+  }
+
+  test("multi-page tables split into page-range partitions and read " +
+    "completely") {
+    val path = tmpMdb()
+    val rows = (0 until 3000).map(i =>
+      Seq(Integer.valueOf(i), "x" * (i % 40 + 1)): Seq[Any])
+    JetMdbFixture.write(path,
+      Seq(Table("big", Seq(Col("k", 0x04), Col("pad", 0x0A)), rows)))
+    val df = spark.read.format("jetmdb").option("table", "big").load(path)
+    assert(df.count() == 3000)
+    assert(df.agg(sum(col("k"))).as[Long].head() == 3000L * 2999 / 2)
+    // catalog sees exactly the one user table
+    assert(JetMdbSource.listTables(path).map(_._1) == Seq("big"))
+  }
+
+  test("column pruning reaches the scan and filters are reader-visible") {
+    val path = tmpMdb()
+    val rows = (0 until 100).map(i =>
+      Seq(Integer.valueOf(i), s"n$i", java.lang.Double.valueOf(i * 1.5))
+        : Seq[Any])
+    JetMdbFixture.write(path, Seq(Table("prune",
+      Seq(Col("k", 0x04), Col("name", 0x0A), Col("score", 0x07)), rows)))
+    val df = spark.read.format("jetmdb").option("table", "prune").load(path)
+      .filter(col("k") >= 90).select("name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("jetmdb"), plan)
+    // pruned ReadSchema: only columns needed (name + filter column)
+    assert(!plan.contains("score"), s"score not pruned:\n$plan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (90 until 100).map(i => s"n$i").sorted)
+  }
+
+  test("two tables in one database resolve independently by name") {
+    val path = tmpMdb()
+    JetMdbFixture.write(path, Seq(
+      Table("t1", Seq(Col("a", 0x04)), Seq(Seq(Integer.valueOf(1)))),
+      Table("t2", Seq(Col("b", 0x0A)), Seq(Seq("two"): Seq[Any]))))
+    assert(JetMdbSource.listTables(path).map(_._1).sorted == Seq("t1", "t2"))
+    assert(spark.read.format("jetmdb").option("table", "t1").load(path)
+      .as[Int].head() == 1)
+    assert(spark.read.format("jetmdb").option("table", "t2").load(path)
+      .as[String].head() == "two")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("jetmdb").option("table", "nope").load(path)
+    }
+    assert(err.getMessage.contains("no user table"))
+  }
+
+  test("write path round-trips all types and cross-checks against the " +
+    "independent fixture writer") {
+    val dir = Files.createTempDirectory("jetmdb-w")
+    val written = dir.resolve("out.mdb").toString
+    val viaFixture = tmpMdb()
+    val data = Seq(
+      (true, 3.toShort, 12, new java.math.BigDecimal("1.5000"),
+        2.5f, 3.5, new java.sql.Timestamp(ts1 / 1000), "hello"),
+      (false, -7.toShort, -99, new java.math.BigDecimal("-0.0001"),
+        0f, -1e-3, new java.sql.Timestamp(0L), "wörld ünïcode"))
+    val df = data.toDF("flag", "i", "l", "price", "f", "d", "ts", "name")
+      .withColumn("price", col("price").cast("decimal(19,4)"))
+    df.write.mode("overwrite").format("jetmdb")
+      .option("table", "t").save(written)
+    val back = spark.read.format("jetmdb").option("table", "t")
+      .load(written)
+    assert(back.schema == df.schema.copy(fields =
+      df.schema.fields.map(_.copy(nullable = true))))
+    val a = back.orderBy("l").collect().map(_.toSeq)
+    val e = df.orderBy("l").collect().map(_.toSeq)
+    assert(a.toSeq.map(_.toList) == e.toSeq.map(_.toList))
+    // the SAME logical rows written by the independent fixture writer
+    // must read back identically (two implementations of the public
+    // layout agreeing end-to-end)
+    JetMdbFixture.write(viaFixture, Seq(Table("t",
+      Seq(Col("flag", 0x01), Col("i", 0x03), Col("l", 0x04),
+        Col("price", 0x05), Col("f", 0x06), Col("d", 0x07),
+        Col("ts", 0x08), Col("name", 0x0A)),
+      data.map { case (fl, i, l, p, f, d, ts, n) =>
+        Seq(java.lang.Boolean.valueOf(fl), java.lang.Short.valueOf(i),
+          Integer.valueOf(l), p, java.lang.Float.valueOf(f),
+          java.lang.Double.valueOf(d),
+          java.lang.Long.valueOf(ts.getTime * 1000L), n): Seq[Any]
+      })))
+    val viaFix = spark.read.format("jetmdb").option("table", "t")
+      .load(viaFixture).orderBy("l").collect().map(_.toSeq)
+    assert(viaFix.toSeq.map(_.toList) == e.toSeq.map(_.toList))
+    // overwrite replaces the database atomically
+    df.limit(1).write.mode("overwrite").format("jetmdb")
+      .option("table", "t").save(written)
+    assert(spark.read.format("jetmdb").option("table", "t")
+      .load(written).count() == 1)
+    // no staging residue next to the output
+    val residue = Files.list(dir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (residue.hasNext) names += residue.next().getFileName.toString
+    // RawLocalFileSystem leaves .crc checksum twins; only staging
+    // residue would be a bug
+    assert(names.filterNot(_.endsWith(".crc")).toSeq == Seq("out.mdb"),
+      names.mkString(","))
+  }
+
+  test("write rejects BIGINT at plan time and nulls round-trip") {
+    val dir = Files.createTempDirectory("jetmdb-w2")
+    val e = intercept[Exception] {
+      Seq(1L).toDF("big").write.mode("overwrite").format("jetmdb")
+        .option("table", "t").save(dir.resolve("x.mdb").toString)
+    }
+    assert(e.getMessage.contains("no Jet rendering") ||
+      Option(e.getCause).exists(_.getMessage.contains("no Jet rendering")))
+    val p = dir.resolve("n.mdb").toString
+    Seq((1, Some("a")), (2, None), (3, Some("")))
+      .toDF("k", "v")
+      .write.mode("overwrite").format("jetmdb")
+      .option("table", "t").save(p)
+    val got = spark.read.format("jetmdb").option("table", "t").load(p)
+      .orderBy("k").collect()
+    assert(got(0).getString(1) == "a")
+    assert(got(1).isNullAt(1))
+    assert(got(2).getString(1) == "") // empty != null through the mask
+  }
+
+  test("non-Jet and Jet3 files are rejected with precise errors") {
+    val dir = Files.createTempDirectory("jetmdb-bad")
+    val junk = dir.resolve("junk.mdb")
+    Files.write(junk, Array.fill[Byte](4096)(7))
+    val e1 = intercept[IllegalArgumentException] {
+      JetMdbSource.listTables(junk.toString)
+    }
+    assert(e1.getMessage.contains("signature"))
+    // valid signature, Jet3 version byte
+    val j3 = new Array[Byte](4096)
+    j3(0) = 0x00; j3(1) = 0x01
+    System.arraycopy("Standard Jet DB".getBytes("US-ASCII"), 0, j3, 4, 15)
+    j3(0x14) = 0x00
+    val f3 = dir.resolve("jet3.mdb")
+    Files.write(f3, j3)
+    val e2 = intercept[IllegalArgumentException] {
+      JetMdbSource.listTables(f3.toString)
+    }
+    assert(e2.getMessage.contains("Jet4"))
+  }
+}
