@@ -15,12 +15,13 @@ import graft.sources.JetTypes._
   * Scope (documented, honest): Jet4 only (4096-byte pages, version
   * byte 0x01), unencrypted databases, single-page TDEFs, inline
   * column types (BOOL/BYTE/INT/LONG/MONEY/SINGLE/DOUBLE/DATETIME/
-  * TEXT/GUID). MEMO and OLE columns carry LVAL page indirection and
-  * are rejected with a clear error; Jet3 files are rejected by
-  * version. Validated against generated fixtures (no real `.mdb`
-  * exists in this offline environment — JetMdbSourceSpec writes
-  * fixtures through an independent test-side writer that follows the
-  * same public layout notes).
+  * TEXT/GUID) plus MEMO/OLE long values stored inline or on a single
+  * "LVAL"-owned page (chained multi-page LVALs are rejected with a
+  * clear error); Jet3 files are rejected by version. Validated
+  * against generated fixtures (no real `.mdb` exists in this offline
+  * environment — JetMdbSourceSpec writes fixtures through an
+  * independent test-side writer that follows the same public layout
+  * notes).
   *
   * Layout facts used (all from the public format description):
   *   - file = array of 4096-byte pages; all integers little-endian;
@@ -105,14 +106,24 @@ object JetMdbFormat {
     case T_DATETIME => DateTime
     case T_TEXT => ShortText
     case T_GUID => ReplicationId
-    case T_MEMO | T_OLE | T_BINARY | T_NUMERIC =>
+    case T_MEMO => Memo
+    case T_OLE => OleObject
+    case T_BINARY | T_NUMERIC =>
       throw new UnsupportedOperationException(
-        f"jetmdb: column type 0x$code%02x (memo/ole/binary/numeric) " +
-          "requires LVAL page indirection or is out of the minimal " +
-          "reader's scope")
+        f"jetmdb: column type 0x$code%02x (raw binary / scaled numeric) " +
+          "is out of the minimal reader's scope")
     case other =>
       throw new IllegalArgumentException(f"jetmdb: unknown type 0x$other%02x")
   }
+
+  /** ASCII "LVAL" in a data page's owner field marks a long-value
+    * page (memo/OLE payload rows) instead of a TDEF pointer. */
+  val LvalOwner: Int = 'L' | ('V' << 8) | ('A' << 16) | ('L' << 24)
+
+  // memo/OLE in-row header flags (byte 3 of the first u32; the low
+  // 24 bits are the payload length)
+  val MemoInline = 0x80
+  val MemoSingleLval = 0x40
 
   private def buf(page: Array[Byte]) =
     ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
@@ -216,11 +227,58 @@ object JetMdbFormat {
     out.result()
   }
 
+  /** Extent [start, end) of row `rowIdx` on `page` regardless of
+    * owner — the LVAL lookup path (a memo pointer addresses a
+    * specific row on a long-value page). */
+  def rowExtent(page: Array[Byte], rowIdx: Int): (Int, Int) = {
+    val nRows = u16(page, 12)
+    require(rowIdx < nRows,
+      s"jetmdb: LVAL row $rowIdx out of range ($nRows rows)")
+    val start = u16(page, 14 + 2 * rowIdx) & 0x1FFF
+    val end =
+      if (rowIdx == 0) PageSize
+      else u16(page, 14 + 2 * (rowIdx - 1)) & 0x1FFF
+    (start, end)
+  }
+
+  /** Resolve a memo/OLE 12-byte in-row value to its payload bytes.
+    * Layout: u32 (low 24 bits = length, byte 3 = flags), u32 row
+    * pointer (low 24 bits = page, byte 3 = row index), u32 reserved.
+    * Inline payloads follow the header inside the row; single-LVAL
+    * payloads live in one row of an "LVAL"-owned page; chained
+    * multi-page payloads (flag 0x00) are out of the minimal scope. */
+  def resolveMemo(
+      page: Array[Byte], s: Int, e: Int,
+      lval: Int => Array[Byte]): Array[Byte] = {
+    require(e - s >= 12, s"jetmdb: memo header truncated (${e - s} bytes)")
+    val hdr = i32(page, s)
+    val len = hdr & 0xFFFFFF
+    val flags = (hdr >>> 24) & 0xFF
+    if ((flags & MemoInline) != 0) {
+      require(s + 12 + len <= e, "jetmdb: inline memo overruns its row")
+      java.util.Arrays.copyOfRange(page, s + 12, s + 12 + len)
+    } else if ((flags & MemoSingleLval) != 0) {
+      require(lval != null,
+        "jetmdb: LVAL memo encountered but no page fetcher supplied")
+      val ptr = i32(page, s + 4)
+      val lvalPage = lval(ptr & 0xFFFFFF)
+      require(i32(lvalPage, 4) == LvalOwner,
+        s"jetmdb: memo pointer targets a non-LVAL page ${ptr & 0xFFFFFF}")
+      val (ls, le) = rowExtent(lvalPage, (ptr >>> 24) & 0xFF)
+      require(le - ls >= len, "jetmdb: LVAL row shorter than memo length")
+      java.util.Arrays.copyOfRange(lvalPage, ls, ls + len)
+    } else
+      throw new UnsupportedOperationException(
+        "jetmdb: chained multi-page (type-2) LVAL memos are out of the " +
+          "minimal reader's scope")
+  }
+
   /** Decode one row into an Any array aligned with tdef.columns.
-    * `rowBytes` is the page slice [start, end). */
+    * `rowBytes` is the page slice [start, end); `lval` fetches a page
+    * by number for memo/OLE indirection (null → inline-only). */
   def decodeRow(
       page: Array[Byte], start: Int, end: Int,
-      tdef: JetTableDef): Array[Any] = {
+      tdef: JetTableDef, lval: Int => Array[Byte] = null): Array[Any] = {
     val nCols = u16(page, start)
     val bitmaskSz = (nCols + 7) / 8
     val maskOff = end - bitmaskSz
@@ -250,7 +308,7 @@ object JetMdbFormat {
         else if (c.fixed) decodeFixed(page, fixedBase + c.offsetF, c)
         else {
           val (s, e) = varExtent(c.offsetV)
-          decodeVar(page, s, e, c)
+          decodeVar(page, s, e, c, lval)
         }
       i += 1
     }
@@ -275,9 +333,15 @@ object JetMdbFormat {
           f"jetmdb: fixed type 0x$other%02x unsupported")
     }
 
-  private def decodeVar(p: Array[Byte], s: Int, e: Int, c: JetColumn): Any =
+  private def decodeVar(
+      p: Array[Byte], s: Int, e: Int, c: JetColumn,
+      lval: Int => Array[Byte]): Any =
     c.typeCode match {
       case T_TEXT => decodeText(p, s, e)
+      case T_MEMO =>
+        val bytes = resolveMemo(p, s, e, lval)
+        decodeText(bytes, 0, bytes.length)
+      case T_OLE => resolveMemo(p, s, e, lval)
       case other =>
         throw new UnsupportedOperationException(
           f"jetmdb: var type 0x$other%02x unsupported")

@@ -245,6 +245,19 @@ private[jetmdb] final class JetMdbPartitionReader(
   private var page: Array[Byte] = _
   private var current: GenericInternalRow = _
 
+  // memo/OLE LVAL indirection: payload pages cluster near the rows
+  // that point at them, so a tiny most-recent cache absorbs the
+  // repeated fetches without holding the file in memory
+  private var lvalCachedNum = -1
+  private var lvalCachedPage: Array[Byte] = _
+  private val lvalFetch: Int => Array[Byte] = { n =>
+    if (n != lvalCachedNum) {
+      lvalCachedPage = JetMdbSource.readPage(in, n)
+      lvalCachedNum = n
+    }
+    lvalCachedPage
+  }
+
   override def next(): Boolean = {
     current = null
     while (current == null) {
@@ -255,7 +268,7 @@ private[jetmdb] final class JetMdbPartitionReader(
         pageNum += 1
       } else {
         val (s, e) = rows.next()
-        val decoded = decodeRow(page, s, e, tdef)
+        val decoded = decodeRow(page, s, e, tdef, lvalFetch)
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {

@@ -36,20 +36,40 @@ import graft.sources.jetmdb.JetMdbFormat._
   */
 object JetMdbWrite {
 
-  /** Spark type → Jet column code (plan-time total-or-throw). */
-  def jetCode(f: StructField): Int = f.dataType match {
-    case BooleanType => T_BOOL
-    case ShortType => T_INT
-    case IntegerType => T_LONG
-    case FloatType => T_FLOAT
-    case DoubleType => T_DOUBLE
-    case d: DecimalType if d.precision == 19 && d.scale == 4 => T_MONEY
-    case TimestampType | TimestampNTZType => T_DATETIME
-    case StringType => T_TEXT
-    case other => throw new IllegalArgumentException(
-      s"jetmdb: column ${f.name}: $other has no Jet rendering " +
-        "(Jet has no 64-bit integer — cast BIGINT to INT or DOUBLE; " +
-        "binary/array/struct need the parquet sink)")
+  /** Spark type → Jet column code (plan-time total-or-throw).
+    * `memoCols` routes named string columns to MEMO instead of TEXT
+    * (the write is inline-only: payloads share the row's page, so a
+    * value caps at ~4000 bytes — the READER additionally understands
+    * single-page LVAL indirection produced by real Jet writers). */
+  def jetCode(f: StructField, memoCols: Set[String] = Set.empty): Int =
+    f.dataType match {
+      case BooleanType => T_BOOL
+      case ShortType => T_INT
+      case IntegerType => T_LONG
+      case FloatType => T_FLOAT
+      case DoubleType => T_DOUBLE
+      case d: DecimalType if d.precision == 19 && d.scale == 4 => T_MONEY
+      case TimestampType | TimestampNTZType => T_DATETIME
+      case StringType =>
+        if (memoCols.contains(f.name)) T_MEMO else T_TEXT
+      case BinaryType => T_OLE
+      case other => throw new IllegalArgumentException(
+        s"jetmdb: column ${f.name}: $other has no Jet rendering " +
+          "(Jet has no 64-bit integer — cast BIGINT to INT or DOUBLE; " +
+          "array/struct need the parquet sink)")
+    }
+
+  private def isVarCode(c: Int): Boolean =
+    c == T_TEXT || c == T_MEMO || c == T_OLE
+
+  /** Inline memo/OLE rendering: 12-byte header (low 24 bits length,
+    * byte 3 = inline flag) followed by the payload. */
+  private def inlineMemo(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + payload.length)
+    val b = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0, payload.length | (JetMdbFormat.MemoInline << 24))
+    System.arraycopy(payload, 0, out, 12, payload.length)
+    out
   }
 
   def fixedLen(code: Int): Int = code match {
@@ -70,11 +90,16 @@ object JetMdbWrite {
     val nCols = codes.length
     val bitmaskSz = (nCols + 7) / 8
     val fixedTotal = codes.map(fixedLen).sum
-    val varIdxs = codes.indices.filter(i => codes(i) == T_TEXT)
+    val varIdxs = codes.indices.filter(i => isVarCode(codes(i)))
     val varBytes: Seq[Array[Byte]] = varIdxs.map { i =>
       if (row.isNullAt(i)) Array.emptyByteArray
-      else row.getUTF8String(i).toString
-        .getBytes(StandardCharsets.UTF_16LE)
+      else codes(i) match {
+        case T_TEXT => row.getUTF8String(i).toString
+          .getBytes(StandardCharsets.UTF_16LE)
+        case T_MEMO => inlineMemo(row.getUTF8String(i).toString
+          .getBytes(StandardCharsets.UTF_16LE))
+        case T_OLE => inlineMemo(row.getBinary(i))
+      }
     }
     val varTotal = varBytes.map(_.length).sum
     val hasVar = varIdxs.nonEmpty
@@ -98,7 +123,7 @@ object JetMdbWrite {
       if (code == T_BOOL) {
         // bool can't be null in Jet: null writes as false
         if (!row.isNullAt(i) && row.getBoolean(i)) setBit(i)
-      } else if (code != T_TEXT) {
+      } else if (!isVarCode(code)) {
         if (!row.isNullAt(i)) {
           setBit(i)
           code match {
@@ -151,7 +176,7 @@ object JetMdbWrite {
     p(0) = 0x02; p(1) = 0x01
     b.putInt(16, numRows)
     p(40) = if (system) 0x53.toByte else 0x4e.toByte
-    val nVar = codes.count(_ == T_TEXT)
+    val nVar = codes.count(isVarCode)
     b.putShort(41, codes.length.toShort)
     b.putShort(43, nVar.toShort)
     b.putShort(45, codes.length.toShort)
@@ -161,9 +186,9 @@ object JetMdbWrite {
     codes.zipWithIndex.foreach { case (code, i) =>
       p(off) = code.toByte
       b.putShort(off + 5, i.toShort)
-      if (code == T_TEXT) { b.putShort(off + 7, vIdx.toShort); vIdx += 1 }
+      if (isVarCode(code)) { b.putShort(off + 7, vIdx.toShort); vIdx += 1 }
       b.putShort(off + 9, i.toShort)
-      val fixed = code != T_TEXT
+      val fixed = !isVarCode(code)
       p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
       if (fixed && code != T_BOOL) {
         b.putShort(off + 19, fOff.toShort)
@@ -198,11 +223,17 @@ private[jetmdb] final class JetMdbWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schema = info.schema()
-      schema.fields.foreach(JetMdbWrite.jetCode) // plan-time validation
+      val memoCols = Option(info.options.get("memocolumns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      memoCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"jetmdb: memoColumns names unknown column '$c'"))
+      // plan-time validation
+      schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols))
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
-      JetMdbBatchWrite(path, table, schema,
+      JetMdbBatchWrite(path, table, schema, memoCols,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -213,20 +244,21 @@ private[jetmdb] final case class JetMdbBatchWrite(
     path: String,
     table: String,
     schema: StructType,
+    memoCols: Set[String],
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    JetMdbWriterFactory(path, stagingName, schema, conf)
+    JetMdbWriterFactory(path, stagingName, schema, memoCols, conf)
 
   /** Stream staged row blobs into Jet pages; O(page) memory. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val parent = new Path(path).getParent
     val staging = new Path(parent, stagingName)
-    val codes = schema.fields.map(JetMdbWrite.jetCode)
+    val codes = schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
     val parts = messages.collect {
       case m: JetMdbCommit if m.file != null => m
     }
@@ -359,11 +391,12 @@ private[jetmdb] final case class JetMdbWriterFactory(
     path: String,
     stagingName: String,
     schema: StructType,
+    memoCols: Set[String],
     conf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JetMdbDataWriter(path, stagingName, schema, conf.value,
+    new JetMdbDataWriter(path, stagingName, schema, memoCols, conf.value,
       partitionId, taskId)
 }
 
@@ -371,6 +404,7 @@ private[jetmdb] final class JetMdbDataWriter(
     path: String,
     stagingName: String,
     schema: StructType,
+    memoCols: Set[String],
     hconf: Configuration,
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
@@ -380,7 +414,7 @@ private[jetmdb] final class JetMdbDataWriter(
   private val part = new Path(new Path(parent, stagingName), fileName)
   private val fs = part.getFileSystem(hconf)
   private val out = fs.create(part, true)
-  private val codes = schema.fields.map(JetMdbWrite.jetCode)
+  private val codes = schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {

@@ -31,7 +31,10 @@ object JetMdbFixture {
       cols: Seq[Col],
       rows: Seq[Seq[Any]],
       deleted: Set[Int] = Set.empty,
-      compressText: Boolean = false)
+      compressText: Boolean = false,
+      // memo/OLE columns named here store their payload on shared
+      // LVAL pages (single-page type); others store inline
+      lvalCols: Set[String] = Set.empty)
 
   private def le(bytes: Array[Byte]) =
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -50,8 +53,26 @@ object JetMdbFixture {
     case other => sys.error(f"fixture: no fixed length for 0x$other%02x")
   }
 
-  private def isVar(c: Col): Boolean = c.code == 0x0A && c.fixedLen == 0
+  private def isVar(c: Col): Boolean =
+    (c.code == 0x0A && c.fixedLen == 0) || c.code == 0x0C || c.code == 0x0B
   private def isBool(c: Col): Boolean = c.code == 0x01
+
+  private val LvalOwner: Int = 'L' | ('V' << 8) | ('A' << 16) | ('L' << 24)
+
+  private def memoHeader(len: Int, flags: Int, ptr: Int): Array[Byte] = {
+    val h = new Array[Byte](12)
+    val b = le(h)
+    b.putInt(0, (len & 0xFFFFFF) | (flags << 24))
+    b.putInt(4, ptr)
+    h
+  }
+
+  private def payloadOf(c: Col, v: Any, compress: Boolean): Array[Byte] =
+    c.code match {
+      case 0x0C => encodeText(v.asInstanceOf[String], compress)
+      case 0x0B => v.asInstanceOf[Array[Byte]]
+      case _ => sys.error("payloadOf: not a memo/ole column")
+    }
 
   /** TDEF page bytes for a table at `tdefPage`. */
   private def tdefPageBytes(
@@ -106,8 +127,12 @@ object JetMdbFixture {
       out
     } else s.getBytes(StandardCharsets.UTF_16LE)
 
-  /** Encode one row per the documented Jet4 layout. */
-  private def encodeRow(t: Table, row: Seq[Any]): Array[Byte] = {
+  /** Encode one row per the documented Jet4 layout. `ptrs` maps a
+    * var-memo column index to its (lvalPage, lvalRow) location for
+    * LVAL-stored payloads. */
+  private def encodeRow(
+      t: Table, row: Seq[Any],
+      ptrs: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     val nCols = t.cols.length
     val bitmaskSz = (nCols + 7) / 8
     val fixedLen = t.cols.filter(c => !isVar(c) && !isBool(c))
@@ -115,10 +140,19 @@ object JetMdbFixture {
     val varCols = t.cols.count(isVar)
     val hasVarTable = varCols > 0
     val varData = ArrayBuffer.empty[Array[Byte]]
-    t.cols.zip(row).foreach { case (c, v) =>
+    t.cols.zip(row).zipWithIndex.foreach { case ((c, v), ci) =>
       if (isVar(c))
-        varData += (if (v == null) Array.emptyByteArray
-          else encodeText(v.asInstanceOf[String], t.compressText))
+        varData += (
+          if (v == null) Array.emptyByteArray
+          else if (c.code == 0x0C || c.code == 0x0B) {
+            val payload = payloadOf(c, v, t.compressText)
+            ptrs.get(ci) match {
+              case Some((pg, rw)) => // single-page LVAL pointer
+                memoHeader(payload.length, 0x40, (rw << 24) | pg)
+              case None => // inline: header + payload in the row
+                memoHeader(payload.length, 0x80, 0) ++ payload
+            }
+          } else encodeText(v.asInstanceOf[String], t.compressText))
     }
     val varLen = varData.map(_.length).sum
     val total = 2 + fixedLen + varLen +
@@ -234,6 +268,39 @@ object JetMdbFixture {
     pages.toSeq
   }
 
+  /** Like dataPages but returns each blob's (pageIdx, rowIdx). */
+  private def dataPagesWithLocs(
+      owner: Int, blobs: Seq[Array[Byte]])
+      : (Seq[Array[Byte]], Seq[(Int, Int)]) = {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    val locs = ArrayBuffer.empty[(Int, Int)]
+    var idx = 0
+    while (idx < blobs.length) {
+      val p = new Array[Byte](PageSize)
+      val b = le(p)
+      p(0) = 0x01; p(1) = 0x01
+      b.putInt(4, owner)
+      var dataTop = PageSize
+      var n = 0
+      var fits = true
+      while (idx < blobs.length && fits) {
+        val r = blobs(idx)
+        if (14 + 2 * (n + 1) <= dataTop - r.length) {
+          dataTop -= r.length
+          System.arraycopy(r, 0, p, dataTop, r.length)
+          b.putShort(14 + 2 * n, dataTop.toShort)
+          locs += ((pages.length, n))
+          n += 1
+          idx += 1
+        } else fits = false
+      }
+      b.putShort(12, n.toShort)
+      b.putShort(2, (dataTop - (14 + 2 * n)).toShort)
+      pages += p
+    }
+    (pages.toSeq, locs.toSeq)
+  }
+
   /** Write a Jet4 database file holding `tables`. */
   def write(path: String, tables: Seq[Table]): Unit = {
     val pages = ArrayBuffer.empty[Array[Byte]]
@@ -254,8 +321,31 @@ object JetMdbFixture {
       Seq(Integer.valueOf(2), java.lang.Short.valueOf(3.toShort),
         "MSysObjects"))
     tables.foreach { t =>
+      // LVAL payload pages first (several payloads per page, so the
+      // reader's row-index lookup is exercised), then TDEF + data
+      val lvalIdx = t.cols.zipWithIndex.collect {
+        case (c, ci)
+          if (c.code == 0x0C || c.code == 0x0B) &&
+            t.lvalCols.contains(c.name) => ci
+      }
+      val entries = for {
+        (row, ri) <- t.rows.zipWithIndex
+        ci <- lvalIdx if row(ci) != null
+      } yield ((ri, ci),
+        payloadOf(t.cols(ci), row(ci), t.compressText))
+      val lvalBase = pages.length
+      val (lvalPages, locs) =
+        dataPagesWithLocs(LvalOwner, entries.map(_._2))
+      lvalPages.foreach(pages += _)
+      val ptrByKey: Map[(Int, Int), (Int, Int)] =
+        entries.map(_._1).zip(locs.map { case (pi, rw) =>
+          (lvalBase + pi, rw)
+        }).toMap
       val tdefPage = pages.length
-      val encoded = t.rows.map(encodeRow(t, _))
+      val encoded = t.rows.zipWithIndex.map { case (row, ri) =>
+        encodeRow(t, row,
+          ptrByKey.collect { case ((r, c), loc) if r == ri => c -> loc })
+      }
       val dps = dataPages(tdefPage, encoded, t.deleted)
       pages += tdefPageBytes(t, t.rows.length, system = false)
       dps.foreach(pages += _)

@@ -219,6 +219,74 @@ class JetMdbSourceSpec extends AnyFunSuite {
     assert(got(2).getString(1) == "") // empty != null through the mask
   }
 
+  test("memo and OLE columns: inline and single-page LVAL payloads " +
+    "decode; chained LVAL rejects") {
+    val path = tmpMdb()
+    val longText = "memo payload " * 150 // ~2 KB, too big to inline twice
+    val blob = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    JetMdbFixture.write(path, Seq(JetMdbFixture.Table("docs",
+      Seq(Col("k", 0x04), Col("note", 0x0C), Col("body", 0x0C),
+        Col("payload", 0x0B)),
+      rows = (0 until 20).map(i => Seq(
+        Integer.valueOf(i),
+        s"inline-note-$i", // inline memo
+        longText + i, // LVAL memo
+        blob.map(b => (b + i).toByte)): Seq[Any]) :+
+        (Seq(Integer.valueOf(99), null, null, null): Seq[Any]),
+      lvalCols = Set("body", "payload"))))
+    val df = spark.read.format("jetmdb").option("table", "docs").load(path)
+    assert(df.schema("note").dataType.simpleString == "string")
+    assert(df.schema("payload").dataType.simpleString == "binary")
+    val rows = df.orderBy("k").collect()
+    assert(rows.length == 21)
+    (0 until 20).foreach { i =>
+      assert(rows(i).getString(1) == s"inline-note-$i")
+      assert(rows(i).getString(2) == longText + i, s"LVAL memo row $i")
+      assert(rows(i).getAs[Array[Byte]](3).toSeq ==
+        blob.map(b => (b + i).toByte).toSeq, s"OLE row $i")
+    }
+    assert(rows(20).isNullAt(1) && rows(20).isNullAt(2) &&
+      rows(20).isNullAt(3))
+    // chained (type-2) flag (header flags byte 0x00) → precise
+    // rejection at the format level
+    val page = new Array[Byte](graft.sources.jetmdb.JetMdbFormat.PageSize)
+    val e = intercept[UnsupportedOperationException] {
+      graft.sources.jetmdb.JetMdbFormat.resolveMemo(page, 0, 12, null)
+    }
+    assert(e.getMessage.contains("chained"))
+  }
+
+  test("write path: memoColumns option and binary columns round-trip") {
+    val dir = Files.createTempDirectory("jetmdb-w3")
+    val p = dir.resolve("m.mdb").toString
+    val longNote = "n" * 1500
+    val df = Seq(
+      (1, "short", longNote, Array[Byte](1, 2, 3)),
+      (2, "also short", "tiny", Array.empty[Byte]))
+      .toDF("k", "name", "note", "blob")
+    df.write.mode("overwrite").format("jetmdb")
+      .option("table", "t").option("memoColumns", "note").save(p)
+    // note resolves to MEMO in the TDEF, name stays TEXT
+    val (tdef, _, _) = JetMdbSource.tableDef(p, "t")
+    val byName = tdef.columns.map(c => c.name -> c.typeCode).toMap
+    assert(byName("note") == 0x0C && byName("name") == 0x0A &&
+      byName("blob") == 0x0B)
+    val got = spark.read.format("jetmdb").option("table", "t").load(p)
+      .orderBy("k").collect()
+    assert(got(0).getString(2) == longNote)
+    assert(got(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
+    assert(got(1).getString(2) == "tiny")
+    assert(got(1).getAs[Array[Byte]](3).isEmpty)
+    // unknown memo column name fails at plan time
+    val err = intercept[Exception] {
+      df.write.mode("overwrite").format("jetmdb")
+        .option("table", "t").option("memoColumns", "nope").save(p)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("unknown column")))
+  }
+
   test("non-Jet and Jet3 files are rejected with precise errors") {
     val dir = Files.createTempDirectory("jetmdb-bad")
     val junk = dir.resolve("junk.mdb")
