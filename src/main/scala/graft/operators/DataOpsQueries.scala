@@ -461,7 +461,106 @@ object DataOpsQueries {
       .orderBy(col("pair"))
   }
 
+  /** k-anonymity audit over the quasi-identifier tuple (nation, market
+    * segment, account-balance kilo-bucket): per nation, the number of
+    * distinct QI groups, the worst-case group size (the k of
+    * k-anonymity), and how many rows sit in groups under the k=5
+    * re-identification threshold. Two hash aggregates — group sizes,
+    * then the per-nation fold — nothing else touches the table; the QI
+    * bucket edges are data-independent constants, so the audit is
+    * partition-parallel at any scale. */
+  val qKAnonymity: QDef = QDef(
+    "q_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    COUNT(*) AS grp_n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(grp_n) AS BIGINT) AS k_anon,
+      |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1.0
+      |    / SUM(grp_n), 4) AS risk_share
+      |FROM g GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val g = customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("bal_bucket"))
+      .agg(count(lit(1)).as("grp_n"))
+    val atRisk = sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L))
+    g.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("grp_n")).as("k_anon"),
+        atRisk.as("rows_at_risk"),
+        round(atRisk * lit(1.0) / sum(col("grp_n")), 4).as("risk_share"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Key-skew diagnostics for the shuffle planner: the per-key count
+    * distribution of lineitem's supplier key — key cardinality, max and
+    * interpolated p50/p99 per-key counts, coefficient of variation from
+    * EXACT integer moment sums (never a streaming stddev, whose
+    * accumulation order is engine-private), the heaviest key's
+    * oversampling factor vs uniform, and the top-10 keys' share. This
+    * is the report that decides salting/AQE-skew settings BEFORE a
+    * 100 TB join: one hash aggregate over the fact table, then
+    * everything runs on the bounded key-count table (top-10 is a
+    * TakeOrdered, not a sort). */
+  val qSkewMetrics: QDef = QDef(
+    "q_skew_metrics",
+    """WITH k AS (
+      |  SELECT l_suppkey, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_suppkey),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    quantile_cont(cnt, 0.50) AS p50,
+      |    quantile_cont(cnt, 0.99) AS p99,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+      |  FROM k),
+      |t AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS top10
+      |  FROM (SELECT cnt FROM k ORDER BY cnt DESC, l_suppkey LIMIT 10))
+      |SELECT n_keys, total_rows, max_cnt,
+      |  ROUND(p50, 2) AS p50_cnt, ROUND(p99, 2) AS p99_cnt,
+      |  ROUND(SQRT((n_keys * sxx - total_rows * total_rows) * 1.0
+      |      / (n_keys * (n_keys - 1.0)))
+      |    / (total_rows * 1.0 / n_keys), 4) AS cv,
+      |  ROUND(max_cnt * 1.0 * n_keys / total_rows, 4) AS max_skew,
+      |  ROUND(top10 * 1.0 / total_rows, 4) AS top10_share
+      |FROM s CROSS JOIN t""".stripMargin) { (s, d) =>
+    val k = lineitem(s, d).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = k.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      percentile(col("cnt"), lit(0.50)).as("p50"),
+      percentile(col("cnt"), lit(0.99)).as("p99"),
+      sum(col("cnt") * col("cnt")).as("sxx"))
+    val top10 = k.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    stats.crossJoin(broadcast(top10))
+      .select(
+        col("n_keys"), col("total_rows"), col("max_cnt"),
+        round(col("p50"), 2).as("p50_cnt"),
+        round(col("p99"), 2).as("p99_cnt"),
+        round(sqrt((col("n_keys") * col("sxx") -
+            col("total_rows") * col("total_rows")) * lit(1.0) /
+            (col("n_keys") * (col("n_keys") - lit(1.0)))) /
+          (col("total_rows") * lit(1.0) / col("n_keys")), 4).as("cv"),
+        round(col("max_cnt") * lit(1.0) * col("n_keys") /
+          col("total_rows"), 4).as("max_skew"),
+        round(col("top10") * lit(1.0) / col("total_rows"), 4)
+          .as("top10_share"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qFkOrphans, qDqRules, qPsiDrift, qKlDrift, qLinregGroup,
-    qMadOutlier, qShardPack, qEmbedQuantize, qCorrMatrix)
+    qMadOutlier, qShardPack, qEmbedQuantize, qCorrMatrix,
+    qKAnonymity, qSkewMetrics)
 }

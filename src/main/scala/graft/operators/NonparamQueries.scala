@@ -291,6 +291,63 @@ object NonparamQueries {
           .as("z"))
   }
 
+  /** Kendall tau-b rank correlation between per-nation mean account
+    * balance and customer count: the concordant/discordant pair count
+    * with the tie-corrected denominator. The pair join is quadratic IN
+    * NATIONS ONLY (25 rows → 300 pairs — a broadcast self-join over a
+    * pre-aggregated table that never grows with the data); the mean
+    * balance derives from an EXACT decimal sum divided by the count, so
+    * both engines compare bit-identical doubles and the
+    * concordant/discordant signs can never flip cross-engine. */
+  val qKendallTau: QDef = QDef(
+    "q_kendall_tau",
+    """WITH a AS (
+      |  SELECT c_nationkey AS k,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      / COUNT(*) AS x,
+      |    COUNT(*) AS y
+      |  FROM customer GROUP BY 1),
+      |p AS (
+      |  SELECT s.x AS x1, s.y AS y1, t.x AS x2, t.y AS y2
+      |  FROM a s JOIN a t ON s.k < t.k),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) > 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN (x1 - x2) * (y1 - y2) < 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tx,
+      |    CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ty,
+      |    CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM p)
+      |SELECT nc AS concordant, nd AS discordant,
+      |  ROUND((nc - nd) * 1.0
+      |    / SQRT((n0 - tx) * 1.0 * (n0 - ty)), 6) + 0.0 AS tau_b
+      |FROM c""".stripMargin) { (s, d) =>
+    val a = customer(s, d).groupBy(col("c_nationkey").as("k"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("x"), count(lit(1)).as("y"))
+    val b = a.select(col("k").as("k2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val p = a.join(broadcast(b), col("k") < col("k2"))
+      .select(col("x").as("x1"), col("y").as("y1"), col("x2"),
+        col("y2"))
+    val prod = (col("x1") - col("x2")) * (col("y1") - col("y2"))
+    val c = p.agg(
+      sum(when(prod > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(prod < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ty"),
+      count(lit(1)).as("n0"))
+    c.select(col("nc").as("concordant"), col("nd").as("discordant"),
+      (round((col("nc") - col("nd")) * lit(1.0) /
+        sqrt((col("n0") - col("tx")) * lit(1.0) *
+          (col("n0") - col("ty"))), 6) + lit(0.0)).as("tau_b"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qMannwhitneyU, qSpearmanCorr, qWeightedMedian, qRunsTest)
+    qMannwhitneyU, qSpearmanCorr, qWeightedMedian, qRunsTest,
+    qKendallTau)
 }

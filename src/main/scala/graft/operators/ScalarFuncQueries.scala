@@ -381,8 +381,44 @@ object ScalarFuncQueries {
       |ORDER BY mon""".stripMargin)
   }
 
+  /** VARIANT semi-structured navigation (Spark 4's open JSON type —
+    * parse once into a binary-encoded variant, then typed path
+    * extraction without re-parsing per field): `parse_json` →
+    * `variant_get` with target types, `try_variant_get` returning NULL
+    * for an absent path instead of erroring, and extraction from a
+    * column-assembled nested document. The oracle navigates the same
+    * JSON with DuckDB's json_extract family — Variant is the engine's
+    * representation choice, the SEMANTICS are plain JSON-path typing.
+    * Pure map-side expression work: the variant never leaves the
+    * projection, so at scale this is a single codegen'd scan. */
+  val qVariantFuncs: QDef = QDef(
+    "q_variant_funcs",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract(props, '$.absent') AS INT) AS absent_int,
+      |  CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT)
+      |    AS k_mod,
+      |  CAST(json_extract('{"u":{"id":' || CAST(user_id AS VARCHAR)
+      |    || '}}', '$.u.id') AS BIGINT) AS nested_id
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = parse_json(col("props"))
+    val nested = parse_json(concat(lit("{\"u\":{\"id\":"),
+      col("user_id").cast("string"), lit("}}")))
+    events(s, d)
+      .select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.absent", "int").as("absent_int"),
+        (variant_get(v, "$.k", "int") % 10).as("k_mod"),
+        variant_get(nested, "$.u.id", "bigint").as("nested_id"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
     qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2,
-    qStringFuncs2, qRecursiveSpine)
+    qStringFuncs2, qRecursiveSpine, qVariantFuncs)
 }

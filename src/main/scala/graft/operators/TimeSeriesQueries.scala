@@ -422,6 +422,90 @@ object TimeSeriesQueries {
     }
   }
 
+  /** Linear gap interpolation on the daily revenue series: days whose
+    * day-of-month ≡ 2 or 5 (mod 7) are masked to NULL (a deterministic
+    * synthetic outage covering ~2/7 of the series, including multi-day
+    * runs), then each gap is filled by time-weighted linear
+    * interpolation between its nearest known neighbours (IGNORE NULLS
+    * running frames give prev/next value AND date, so unequal gap
+    * spacing interpolates correctly); series edges fall back to the one
+    * known side. The abs_err column scores the fill against the true
+    * masked value. Calendar-bounded single-partition windows (the
+    * qAutocorr shape); doubles enter via exact-decimal casts and every
+    * engine computes the identical expression tree. */
+  val qInterpolateLinear: QDef = QDef(
+    "q_interpolate_linear",
+    s"""WITH $dailyRevSql,
+       |m AS (
+       |  SELECT day, CAST(rev * 100 AS BIGINT) AS ac,
+       |    CASE WHEN date_part('day', day) % 7 IN (2, 5) THEN NULL
+       |      ELSE CAST(rev * 100 AS BIGINT) END AS vc
+       |  FROM drev),
+       |f AS (
+       |  SELECT day, vc, ac,
+       |    LAST_VALUE(vc IGNORE NULLS) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pvc,
+       |    LAST_VALUE(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+       |    FIRST_VALUE(vc IGNORE NULLS) OVER (ORDER BY day
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nvc,
+       |    FIRST_VALUE(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day
+       |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM m),
+       |g AS (
+       |  SELECT day, vc, ac,
+       |    CASE WHEN vc IS NOT NULL THEN vc
+       |      WHEN pvc IS NULL THEN nvc
+       |      WHEN nvc IS NULL THEN pvc
+       |      ELSE pvc + CAST(FLOOR(
+       |        (2.0 * (nvc - pvc) * date_diff('day', pd, day)
+       |          + date_diff('day', pd, nd))
+       |        / (2 * date_diff('day', pd, nd))) AS BIGINT) END AS fc
+       |  FROM f)
+       |SELECT day,
+       |  CAST(CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap,
+       |  fc / 100.0 AS filled,
+       |  ABS(fc - ac) / 100.0 AS abs_err
+       |FROM g ORDER BY day""".stripMargin) { (s, d) =>
+    val cents = (col("rev") * 100).cast("bigint")
+    val m = dailyRev(s, d).select(
+      col("day"), cents.as("ac"),
+      when(dayofmonth(col("day")) % 7 isin (2, 5), lit(null))
+        .otherwise(cents).as("vc"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val knownDay = when(col("vc").isNotNull, col("day"))
+    val f = m.select(col("day"), col("vc"), col("ac"),
+      last(col("vc"), ignoreNulls = true).over(wPrev).as("pvc"),
+      last(knownDay, ignoreNulls = true).over(wPrev).as("pd"),
+      first(col("vc"), ignoreNulls = true).over(wNext).as("nvc"),
+      first(knownDay, ignoreNulls = true).over(wNext).as("nd"))
+    // half-up rounded integer division FLOOR((2n+d)/(2d)) keeps the
+    // whole interpolation in exact cents: a double ROUND at 2dp hits
+    // .xx5 midpoints constantly here (2-day gaps average two 2dp
+    // values), and Spark HALF_UP vs DuckDB's banker-ish double round
+    // diverge by a cent on every such tie
+    val d1 = datediff(col("day"), col("pd"))
+    val d2 = datediff(col("nd"), col("pd"))
+    val fc = when(col("vc").isNotNull, col("vc"))
+      .when(col("pvc").isNull, col("nvc"))
+      .when(col("nvc").isNull, col("pvc"))
+      .otherwise(col("pvc") + floor(
+        (lit(2.0) * (col("nvc") - col("pvc")) * d1 + d2) /
+          (lit(2) * d2)).cast("bigint"))
+    f.select(col("day"), col("vc"), col("ac"), fc.as("fc"))
+      .select(
+        col("day"),
+        when(col("vc").isNull, 1).otherwise(0).as("was_gap"),
+        (col("fc") / lit(100.0)).as("filled"),
+        (abs(col("fc") - col("ac")) / lit(100.0)).as("abs_err"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QDef] = Seq(qAutocorr, qTheilSen, qSeasonalNaive,
-    qStlDecompose, qCrossCorr)
+    qStlDecompose, qCrossCorr, qInterpolateLinear)
 }

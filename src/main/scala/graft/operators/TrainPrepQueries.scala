@@ -133,5 +133,94 @@ object TrainPrepQueries {
       .orderBy(col("source"))
   }
 
-  val defs: Seq[QDef] = Seq(qPackSequences, qTokenTruncate, qCurationFunnel)
+  /** RAG-style document chunking: fixed 64-token windows with stride 48
+    * (16-token overlap so no retrieval-relevant span is cut at a hard
+    * boundary). Chunk count per doc is closed-form from the token count
+    * (1 for short docs, else ceil((n-W)/S)+1), so the fan-out is a
+    * per-row sequence+explode — embarrassingly parallel, no shuffle at
+    * all until the output sort; at 100 TB this runs entirely map-side.
+    * Each chunk carries its token offsets and the md5 of its
+    * re-assembled text (the chunk-grain content key downstream
+    * chunk-level dedup and embedding jobs join on). */
+  val qChunkOverlap: QDef = QDef(
+    "q_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(CASE WHEN n <= 64 THEN 1
+      |      ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END))
+      |      AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(chunk_idx * 48 AS INT) AS start_tok,
+      |  CAST(LEAST(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS INT)
+      |    AS n_tok,
+      |  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+      |    LEAST(chunk_idx * 48 + 64, n)), ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val t = documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+    val nchunks = when(col("n") <= 64, lit(1))
+      .otherwise(ceil((col("n") - lit(64)).cast("double") / 48.0)
+        .cast("int") + 1)
+    val start = col("chunk_idx") * 48
+    t.withColumn("chunk_idx", explode(sequence(lit(0), nchunks - 1)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        start.as("start_tok"),
+        (least(start + 64, col("n")) - start).as("n_tok"),
+        md5(array_join(slice(col("toks"), start + 1, lit(64)), " ")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Temperature-based source rebalancing (the multilingual/multi-source
+    * alpha-sampling rule: sample source i with probability ∝ p_i^α,
+    * α = 0.7, so rare sources are boosted and head sources damped).
+    * Per-source weights quantize pow(n,0.7) to exact integer
+    * micro-units BEFORE summing (a 20-term double sum would be
+    * partial-order-dependent across engines; integer sums are not).
+    * The totals row broadcasts back — only |sources| rows exist after
+    * the first aggregate, at any corpus size. */
+  val qTemperatureMix: QDef = QDef(
+    "q_temperature_mix",
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(POW(COUNT(*), 0.7) * 1000000) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+      |    CAST(SUM(w) AS BIGINT) AS z
+      |  FROM s)
+      |SELECT source, n_docs,
+      |  ROUND(n_docs * 1.0 / total, 6) AS p_raw,
+      |  ROUND(w * 1.0 / z, 6) AS p_temp,
+      |  ROUND((w * 1.0 / z) / (n_docs * 1.0 / total), 4) AS boost
+      |FROM s CROSS JOIN t
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val s0 = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        floor(pow(count(lit(1)), lit(0.7)) * 1000000).cast("bigint")
+          .as("w"))
+    val t = s0.agg(sum(col("n_docs")).cast("bigint").as("total"),
+      sum(col("w")).cast("bigint").as("z"))
+    s0.crossJoin(broadcast(t))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("n_docs") * lit(1.0) / col("total"), 6).as("p_raw"),
+        round(col("w") * lit(1.0) / col("z"), 6).as("p_temp"),
+        round((col("w") * lit(1.0) / col("z")) /
+          (col("n_docs") * lit(1.0) / col("total")), 4).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+    qPackSequences, qTokenTruncate, qCurationFunnel, qChunkOverlap,
+    qTemperatureMix)
 }
