@@ -1,0 +1,46 @@
+package graft.media
+
+/** Deterministic media fixture generator: the testdata ships no binary
+  * column (SURVEY §2.9), so image/audio payloads are synthesized from
+  * `doc_id` alone via CLOSED-FORM integer formulas. That choice is what
+  * makes the decode queries ORACLE-CHECKABLE end-to-end: DuckDB
+  * recomputes the expected pixel/sample statistics from the same
+  * formulas over `range()`, while the engine path actually ENCODES the
+  * bytes and then PARSES them back through the real codecs — any bug in
+  * either direction of the byte layout (row padding, bottom-up flip,
+  * chunk walk, endianness) breaks the hash match.
+  *
+  * Formulas (mirrored verbatim in the oracle SQL of q_image_decode /
+  * q_image_resize / q_audio_stats):
+  *   width  = 8 + doc_id % 9          (8..16 — exercises row padding)
+  *   height = 8 + (doc_id / 3) % 7    (8..14)
+  *   rgb[j] = (doc_id * 31 + j) % 256, j in [0, 3·w·h)
+  *   rate   = 8000 + (doc_id % 5) * 2000
+  *   n      = 200 + doc_id % 300
+  *   s[j]   = (doc_id * 7 + j * 13) % 65536 − 32768
+  */
+object MediaGen {
+
+  def imageDims(docId: Long): (Int, Int) =
+    ((8 + docId % 9).toInt, (8 + (docId / 3) % 7).toInt)
+
+  def imagePixels(docId: Long): Array[Int] = {
+    val (w, h) = imageDims(docId)
+    Array.tabulate(3 * w * h)(j => ((docId * 31 + j) % 256).toInt)
+  }
+
+  def imageBytes(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    BmpCodec.encode(w, h, imagePixels(docId))
+  }
+
+  def wavRate(docId: Long): Int = (8000 + (docId % 5) * 2000).toInt
+
+  def wavSamples(docId: Long): Array[Short] = {
+    val n = (200 + docId % 300).toInt
+    Array.tabulate(n)(j => ((docId * 7 + j * 13) % 65536 - 32768).toShort)
+  }
+
+  def wavBytes(docId: Long): Array[Byte] =
+    WavCodec.encode(wavRate(docId), wavSamples(docId))
+}

@@ -11,12 +11,21 @@ import graft.sources.TableLoader._
   * §1.2 OLE Object → BinaryType; driver mandate).
   *
   * Media payloads are opaque `BinaryType` columns with a typed metadata
-  * struct riding alongside. The Spark-side plumbing — schema,
-  * partition-parallel batch decode shape, feature-vector output — is
-  * real and tested; the actual codec call is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries):
-  * `decodeStub` derives a fixed-size feature vector from the bytes.
-  * Swapping in a real decoder changes ONE function, not the pipeline.
+  * struct riding alongside. Two tiers:
+  *
+  *   - REAL codecs for public trivially-parseable formats — 24bpp BMP
+  *     and PCM16 WAV ([[graft.media.BmpCodec]]/[[graft.media.WavCodec]],
+  *     pure JVM, no native libs): q_image_decode / q_image_resize /
+  *     q_audio_stats encode deterministic fixtures, parse the BYTES
+  *     back, and are ORACLE-CHECKED against DuckDB recomputing the
+  *     expected statistics from the generative formulas
+  *     ([[graft.media.MediaGen]]) — the byte layout itself is under
+  *     hash test.
+  *   - A STUB decoder for container formats that genuinely need codec
+  *     libraries (video frames): `decodeStub` derives a deterministic
+  *     feature vector from the bytes so the 1→N frame-sampling batch
+  *     shape is exercised; swapping in a real codec changes ONE
+  *     function, not the pipeline.
   */
 object Multimodal {
 
@@ -211,6 +220,220 @@ object Multimodal {
         .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // ---------------------------------------------------------------
+  // Real-codec tier (BMP / WAV, oracle-checked end-to-end)
+  // ---------------------------------------------------------------
+
+  /** doc_id → real encoded BMP payload (deterministic MediaGen pixels).
+    * Pure map-side: encode work fans out per partition exactly like a
+    * production thumbnail/ingest job. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, graft.media.MediaGen.imageBytes(id))
+      }
+    }(enc)
+  }
+
+  private val imageStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  private def channelSums(rgb: Array[Int]): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < rgb.length) {
+      sr += rgb(p); sg += rgb(p + 1); sb += rgb(p + 2)
+      p += 3
+    }
+    (sr, sg, sb)
+  }
+
+  /** Real image decode: parse the BMP bytes (header geometry, bottom-up
+    * row flip, row padding) and aggregate per-channel means. The oracle
+    * recomputes the SAME statistics from MediaGen's closed-form pixel
+    * formula over `range()` — so a mistake anywhere in encode OR decode
+    * byte handling breaks the hash, not just a unit test. */
+  val qImageDecode: QDef = QDef(
+    "q_image_decode",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + (doc_id // 3) % 7 AS INT) AS height
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, width, height,
+      |    unnest(range(3 * width * height)) AS j
+      |  FROM g),
+      |p AS (
+      |  SELECT doc_id, width, height, j,
+      |    (doc_id * 31 + j) % 256 AS val
+      |  FROM v)
+      |SELECT doc_id, width, height,
+      |  CAST(54 + height * ((3 * width + 3) // 4 * 4) AS BIGINT)
+      |    AS byte_len,
+      |  ROUND(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_r,
+      |  ROUND(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_g,
+      |  ROUND(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_b
+      |FROM p
+      |GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageStatsSchema)
+    imageTable(s, d).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, rgb) = graft.media.BmpCodec.decode(bytes)
+        val (sr, sg, sb) = channelSums(rgb)
+        org.apache.spark.sql.Row(
+          r.getLong(0), w, h, bytes.length.toLong, sr, sg, sb)
+      }
+    }(enc)
+      .select(
+        col("doc_id"), col("width"), col("height"), col("byte_len"),
+        round(col("sum_r") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_r"),
+        round(col("sum_g") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_g"),
+        round(col("sum_b") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real thumbnail pass: decode → nearest-neighbor resize to 8×8 →
+    * RE-ENCODE → decode the thumbnail again → per-channel means. The
+    * oracle maps each output pixel to its integer-floor source position
+    * and evaluates the pixel formula there, so the resample geometry
+    * (⌊x2·w/8⌋, ⌊y2·h/8⌋) is hash-pinned too. */
+  val qImageResize: QDef = QDef(
+    "q_image_resize",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 9 AS w,
+      |    8 + (doc_id // 3) % 7 AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, w, h, unnest(range(64)) AS p
+      |  FROM g),
+      |m AS (
+      |  SELECT doc_id,
+      |    ((p // 8) * h // 8) * w + ((p % 8) * w // 8) AS src_pix
+      |  FROM o)
+      |SELECT doc_id,
+      |  ROUND(SUM((doc_id * 31 + 3 * src_pix) % 256) * 1.0 / 64, 4)
+      |    AS mean_r,
+      |  ROUND(SUM((doc_id * 31 + 3 * src_pix + 1) % 256) * 1.0 / 64, 4)
+      |    AS mean_g,
+      |  ROUND(SUM((doc_id * 31 + 3 * src_pix + 2) % 256) * 1.0 / 64, 4)
+      |    AS mean_b
+      |FROM m
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    imageTable(s, d).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = graft.media.BmpCodec.decode(r.getAs[Array[Byte]](1))
+        val thumb = graft.media.BmpCodec.encode(8, 8,
+          graft.media.BmpCodec.resizeNearest(w, h, rgb, 8, 8))
+        val (_, _, rgb2) = graft.media.BmpCodec.decode(thumb)
+        val (sr, sg, sb) = channelSums(rgb2)
+        org.apache.spark.sql.Row(r.getLong(0), sr, sg, sb)
+      }
+    }(enc)
+      .select(
+        col("doc_id"),
+        round(col("sum_r") * lit(1.0) / 64, 4).as("mean_r"),
+        round(col("sum_g") * lit(1.0) / 64, 4).as("mean_g"),
+        round(col("sum_b") * lit(1.0) / 64, 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real audio decode: encode deterministic PCM16 WAVs, walk the RIFF
+    * chunk list back off the bytes, and report rate / duration / RMS /
+    * peak — oracle-checked against the closed-form sample formula. */
+  val qAudioStats: QDef = QDef(
+    "q_audio_stats",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+      |    CAST(200 + doc_id % 300 AS INT) AS n_samples
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, sample_rate, n_samples,
+      |    unnest(range(n_samples)) AS j
+      |  FROM g),
+      |p AS (
+      |  SELECT doc_id, sample_rate, n_samples,
+      |    (doc_id * 7 + j * 13) % 65536 - 32768 AS s
+      |  FROM v)
+      |SELECT doc_id, sample_rate, n_samples,
+      |  CAST(44 + 2 * n_samples AS BIGINT) AS byte_len,
+      |  CAST(FLOOR(n_samples * 1000.0 / sample_rate) AS BIGINT)
+      |    AS duration_ms,
+      |  ROUND(SQRT(SUM(s * s) * 1.0 / n_samples), 4) AS rms,
+      |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+      |FROM p
+      |GROUP BY doc_id, sample_rate, n_samples
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = graft.media.MediaGen.wavBytes(id)
+        val wav = graft.media.WavCodec.decode(bytes)
+        var sq = 0L; var peak = 0L
+        var i = 0
+        while (i < wav.samples.length) {
+          val v = wav.samples(i).toLong
+          sq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, wav.sampleRate, wav.samples.length,
+          bytes.length.toLong, sq, peak)
+      }
+    }(enc)
+      .select(
+        col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("byte_len"),
+        floor(col("n_samples") * lit(1000.0) / col("sample_rate"))
+          .cast("bigint").as("duration_ms"),
+        round(sqrt(col("sum_sq") * lit(1.0) / col("n_samples")), 4)
+          .as("rms"),
+        col("peak"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
+    qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames,
+    qImageDecode, qImageResize, qAudioStats)
 }
