@@ -650,9 +650,60 @@ object AnalyticExtQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Haversine great-circle distances over the nation pair matrix:
+    * each nation gets a deterministic synthetic coordinate (integer
+    * formula + 0.5 — exact in double), then all 625 ordered pairs get
+    * the canonical haversine (2·R·asin(√(sin²(Δφ/2) +
+    * cosφ₁·cosφ₂·sin²(Δλ/2)))). The pair join is quadratic in the
+    * 25-row nation dimension only; at 2dp-km the libm sin/cos ulp
+    * differences are far below the rounding grain (q_trig_funcs pins
+    * the raw functions at 4dp). */
+  val qGeoDistance: QDef = QDef(
+    "q_geo_distance",
+    """WITH g AS (
+      |  SELECT n_nationkey AS k,
+      |    (n_nationkey * 37) % 140 - 70 + 0.5 AS lat,
+      |    (n_nationkey * 73) % 340 - 170 + 0.5 AS lon
+      |  FROM nation),
+      |p AS (
+      |  SELECT a.k AS k1, b.k AS k2,
+      |    RADIANS(a.lat) AS la1, RADIANS(b.lat) AS la2,
+      |    RADIANS(b.lat - a.lat) AS dla,
+      |    RADIANS(b.lon - a.lon) AS dlo
+      |  FROM g a CROSS JOIN g b)
+      |SELECT k1, k2,
+      |  ROUND(2 * 6371.0 * ASIN(SQRT(
+      |    SIN(dla / 2) * SIN(dla / 2) +
+      |    COS(la1) * COS(la2) * SIN(dlo / 2) * SIN(dlo / 2))), 2)
+      |    AS dist_km
+      |FROM p
+      |ORDER BY k1, k2""".stripMargin) { (s, d) =>
+    val g = nation(s, d).select(
+      col("n_nationkey").as("k"),
+      ((col("n_nationkey") * 37) % 140 - 70 + 0.5).as("lat"),
+      ((col("n_nationkey") * 73) % 340 - 170 + 0.5).as("lon"))
+    val b = g.select(col("k").as("k2"), col("lat").as("lat2"),
+      col("lon").as("lon2"))
+    g.crossJoin(broadcast(b))
+      .select(
+        col("k").as("k1"), col("k2"),
+        radians(col("lat")).as("la1"), radians(col("lat2")).as("la2"),
+        radians(col("lat2") - col("lat")).as("dla"),
+        radians(col("lon2") - col("lon")).as("dlo"))
+      .select(
+        col("k1"), col("k2"),
+        round(lit(2) * lit(6371.0) * asin(sqrt(
+          sin(col("dla") / 2) * sin(col("dla") / 2) +
+            cos(col("la1")) * cos(col("la2")) *
+              sin(col("dlo") / 2) * sin(col("dlo") / 2))), 2)
+          .as("dist_km"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDistinctOn, qConditionalAgg, qJoinSkewSalted, qGapIslands,
     qRegexFuncs, qRatioToReport, qIntervalArith, qSessionizeBatch,
     qHistogram, qFunnel, qSkyline, qFunnelTime, qHistogram2d,
-    qTradeMatrix, qOrderGapStats, qArgminSupplier, qRegionShare)
+    qTradeMatrix, qOrderGapStats, qArgminSupplier, qRegionShare,
+    qGeoDistance)
 }

@@ -417,8 +417,84 @@ object ScalarFuncQueries {
       .orderBy(col("event_id"))
   }
 
+  /** URL parsing pack (the web-corpus curation staple — canonical URL
+    * keys drive whole dedup stages): documents get deterministic
+    * synthetic URLs assembled from their own columns, then host / path /
+    * a single query parameter are extracted with Spark's native
+    * `parse_url` (codegen'd) while the oracle does the equivalent
+    * regex extraction — same strings out, two independent parsers. */
+  val qUrlFuncs: QDef = QDef(
+    "q_url_funcs",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/docs/' ||
+      |      CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&n=' ||
+      |      CAST(n_chars AS VARCHAR) AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^[^.]*//([^.]+)', 1) AS subdomain,
+      |  regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+      |  CAST(regexp_extract(url, '[?&]n=([^&]*)', 1) AS BIGINT)
+      |    AS n_param
+      |FROM u
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("doc_id").cast("string"),
+      lit("?lang="), col("lang"), lit("&n="),
+      col("n_chars").cast("string"))
+    documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        substring_index(parse_url(col("url"), lit("HOST")), ".", 1)
+          .as("subdomain"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang"))
+          .as("lang_param"),
+        parse_url(col("url"), lit("QUERY"), lit("n")).cast("bigint")
+          .as("n_param"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trigonometric pack at 4dp (the one libm-sensitive family the
+    * scalar surface hadn't pinned cross-engine): sin/cos/tan on small
+    * integer quantities, atan2 on (quantity, linenumber), asin on a
+    * bounded ratio, degrees/radians round-trips. */
+  val qTrigFuncs: QDef = QDef(
+    "q_trig_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(SIN(l_quantity), 4) AS sin_q,
+      |  ROUND(COS(l_quantity), 4) AS cos_q,
+      |  ROUND(TAN(l_quantity), 4) AS tan_q,
+      |  ROUND(ATAN2(l_quantity, l_linenumber), 4) AS at2,
+      |  ROUND(ASIN(l_discount * 2), 4) AS asin_d,
+      |  ROUND(DEGREES(ATAN(l_quantity / 50.0)), 4) AS deg_atan,
+      |  ROUND(RADIANS(l_quantity), 4) AS rad_q
+      |FROM lineitem
+      |WHERE l_linenumber = 1 AND l_quantity <= 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1 && col("l_quantity") <= 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sin(col("l_quantity")), 4).as("sin_q"),
+        round(cos(col("l_quantity")), 4).as("cos_q"),
+        round(tan(col("l_quantity")), 4).as("tan_q"),
+        round(atan2(col("l_quantity"), col("l_linenumber")), 4)
+          .as("at2"),
+        round(asin(col("l_discount") * 2), 4).as("asin_d"),
+        round(degrees(atan(col("l_quantity") / 50.0)), 4)
+          .as("deg_atan"),
+        round(radians(col("l_quantity")), 4).as("rad_q"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qStringFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qMapFuncs,
     qJsonFuncs, qDateSeries, qMonthlyRollup, qTzConvert, qArrayFuncs2,
-    qStringFuncs2, qRecursiveSpine, qVariantFuncs)
+    qStringFuncs2, qRecursiveSpine, qVariantFuncs, qUrlFuncs,
+    qTrigFuncs)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,42 +143,91 @@ object TrainPrepQueries {
     * Each chunk carries its token offsets and the md5 of its
     * re-assembled text (the chunk-grain content key downstream
     * chunk-level dedup and embedding jobs join on). */
-  val qChunkOverlap: QDef = QDef(
-    "q_chunk_overlap",
-    """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks,
-      |    len(string_split(text, ' ')) AS n
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, toks, n,
-      |    unnest(range(CASE WHEN n <= 64 THEN 1
-      |      ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END))
-      |      AS chunk_idx
-      |  FROM t)
-      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-      |  CAST(chunk_idx * 48 AS INT) AS start_tok,
-      |  CAST(LEAST(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS INT)
-      |    AS n_tok,
-      |  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
-      |    LEAST(chunk_idx * 48 + 64, n)), ' ')) AS chunk_md5
-      |FROM c
-      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+  /** Shared chunker: one row per (doc, 64-token window at stride 48)
+    * with offsets + chunk-text md5 — map-side only (see qChunkOverlap
+    * doc). The SQL twin below mirrors it for every consumer's oracle. */
+  private def chunked(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val t = documents(s, d)
-      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("source"), toks.as("toks"),
+        size(toks).as("n"))
     val nchunks = when(col("n") <= 64, lit(1))
       .otherwise(ceil((col("n") - lit(64)).cast("double") / 48.0)
         .cast("int") + 1)
     val start = col("chunk_idx") * 48
     t.withColumn("chunk_idx", explode(sequence(lit(0), nchunks - 1)))
       .select(
-        col("doc_id"),
-        col("chunk_idx"),
+        col("doc_id"), col("source"), col("chunk_idx"),
         start.as("start_tok"),
         (least(start + 64, col("n")) - start).as("n_tok"),
         md5(array_join(slice(col("toks"), start + 1, lit(64)), " ")
           .cast("binary")).as("chunk_md5"))
+  }
+
+  private val chunkedSql =
+    """t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, toks, n,
+      |    unnest(range(CASE WHEN n <= 64 THEN 1
+      |      ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END))
+      |      AS chunk_idx
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+      |    CAST(chunk_idx * 48 AS INT) AS start_tok,
+      |    CAST(LEAST(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS INT)
+      |      AS n_tok,
+      |    md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+      |      LEAST(chunk_idx * 48 + 64, n)), ' ')) AS chunk_md5
+      |  FROM c)""".stripMargin
+
+  val qChunkOverlap: QDef = QDef(
+    "q_chunk_overlap",
+    s"""WITH $chunkedSql
+      |SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_md5
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    chunked(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), col("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Chunk-grain exact dedup audit per source: total vs distinct chunk
+    * hashes, the duplicated share, and the heaviest duplicate's count —
+    * the chunk-level complement of doc-level q_dedup_exact (RAG indexes
+    * dedup at CHUNK grain: a boilerplate header repeated across docs
+    * dedups here even when no two whole docs match). Two hash
+    * aggregates over the map-side chunker output. */
+  val qDedupChunk: QDef = QDef(
+    "q_dedup_chunk",
+    s"""WITH $chunkedSql,
+      |g AS (
+      |  SELECT source, chunk_md5, COUNT(*) AS cnt
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_uniq,
+      |  ROUND(1 - COUNT(*) * 1.0 / SUM(cnt), 4) + 0.0 AS dup_ratio,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_dup
+      |FROM g GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    chunked(s, d)
+      .groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_uniq"),
+        (round(lit(1) - count(lit(1)) * lit(1.0) / sum(col("cnt")), 4)
+          + lit(0.0)).as("dup_ratio"),
+        max(col("cnt")).as("max_dup"))
+      .select(col("source"), col("n_chunks"), col("n_uniq"),
+        col("dup_ratio"), col("max_dup"))
+      .orderBy(col("source"))
   }
 
   /** Temperature-based source rebalancing (the multilingual/multi-source
@@ -222,5 +272,5 @@ object TrainPrepQueries {
 
   val defs: Seq[QDef] = Seq(
     qPackSequences, qTokenTruncate, qCurationFunnel, qChunkOverlap,
-    qTemperatureMix)
+    qTemperatureMix, qDedupChunk)
 }
