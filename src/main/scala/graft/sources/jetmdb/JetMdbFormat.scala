@@ -15,9 +15,9 @@ import graft.sources.JetTypes._
   * Scope (documented, honest): Jet4 only (4096-byte pages, version
   * byte 0x01), unencrypted databases, single-page TDEFs, inline
   * column types (BOOL/BYTE/INT/LONG/MONEY/SINGLE/DOUBLE/DATETIME/
-  * TEXT/GUID) plus MEMO/OLE long values stored inline or on a single
-  * "LVAL"-owned page (chained multi-page LVALs are rejected with a
-  * clear error); Jet3 files are rejected by version. Validated
+  * TEXT/GUID) plus MEMO/OLE long values in all three storage forms —
+  * inline, single "LVAL"-row, and chained multi-page (type-2) LVAL
+  * chains; Jet3 files are rejected by version. Validated
   * against generated fixtures (no real `.mdb` exists in this offline
   * environment — JetMdbSourceSpec writes fixtures through an
   * independent test-side writer that follows the same public layout
@@ -246,7 +246,8 @@ object JetMdbFormat {
     * pointer (low 24 bits = page, byte 3 = row index), u32 reserved.
     * Inline payloads follow the header inside the row; single-LVAL
     * payloads live in one row of an "LVAL"-owned page; chained
-    * multi-page payloads (flag 0x00) are out of the minimal scope. */
+    * (flag 0x00) payloads walk [next-pointer][chunk] rows until the
+    * declared length is collected. */
   def resolveMemo(
       page: Array[Byte], s: Int, e: Int,
       lval: Int => Array[Byte]): Array[Byte] = {
@@ -267,10 +268,37 @@ object JetMdbFormat {
       val (ls, le) = rowExtent(lvalPage, (ptr >>> 24) & 0xFF)
       require(le - ls >= len, "jetmdb: LVAL row shorter than memo length")
       java.util.Arrays.copyOfRange(lvalPage, ls, ls + len)
-    } else
-      throw new UnsupportedOperationException(
-        "jetmdb: chained multi-page (type-2) LVAL memos are out of the " +
-          "minimal reader's scope")
+    } else {
+      // chained (type-2) LVAL: each pointed-at row is [4-byte next
+      // pointer][payload chunk]; follow the chain until `len` bytes
+      // are collected. Chunk sizes are whatever the writer chose (the
+      // row extent bounds each chunk), so this also reads files whose
+      // chains hop rows within one page.
+      require(lval != null,
+        "jetmdb: LVAL memo encountered but no page fetcher supplied")
+      val out = new java.io.ByteArrayOutputStream(len)
+      var ptr = i32(page, s + 4)
+      var remaining = len
+      var hops = 0
+      while (remaining > 0) {
+        require(ptr != 0,
+          s"jetmdb: chained LVAL ended $remaining bytes short")
+        // a chain can't be longer than one chunk byte per hop; this
+        // bound rejects pointer cycles without tracking a visited set
+        hops += 1
+        require(hops <= len + 1, "jetmdb: chained LVAL pointer cycle")
+        val lvalPage = lval(ptr & 0xFFFFFF)
+        require(i32(lvalPage, 4) == LvalOwner,
+          s"jetmdb: chain pointer targets a non-LVAL page ${ptr & 0xFFFFFF}")
+        val (ls, le) = rowExtent(lvalPage, (ptr >>> 24) & 0xFF)
+        require(le - ls >= 4, "jetmdb: chained LVAL row too short")
+        val chunk = math.min(le - ls - 4, remaining)
+        out.write(lvalPage, ls + 4, chunk)
+        remaining -= chunk
+        ptr = i32(lvalPage, ls)
+      }
+      out.toByteArray
+    }
   }
 
   /** Decode one row into an Any array aligned with tdef.columns.

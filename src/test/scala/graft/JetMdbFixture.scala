@@ -34,7 +34,12 @@ object JetMdbFixture {
       compressText: Boolean = false,
       // memo/OLE columns named here store their payload on shared
       // LVAL pages (single-page type); others store inline
-      lvalCols: Set[String] = Set.empty)
+      lvalCols: Set[String] = Set.empty,
+      // columns stored as CHAINED (type-2) LVALs: payload split into
+      // chainChunk-byte rows, each prefixed with a 4-byte pointer to
+      // the next chunk's (row << 24 | page) location
+      chainedCols: Set[String] = Set.empty,
+      chainChunk: Int = 1000)
 
   private def le(bytes: Array[Byte]) =
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -129,10 +134,12 @@ object JetMdbFixture {
 
   /** Encode one row per the documented Jet4 layout. `ptrs` maps a
     * var-memo column index to its (lvalPage, lvalRow) location for
-    * LVAL-stored payloads. */
+    * single-LVAL payloads; `chainPtrs` to the FIRST chunk of a
+    * chained (type-2) payload. */
   private def encodeRow(
       t: Table, row: Seq[Any],
-      ptrs: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+      ptrs: Map[Int, (Int, Int)] = Map.empty,
+      chainPtrs: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     val nCols = t.cols.length
     val bitmaskSz = (nCols + 7) / 8
     val fixedLen = t.cols.filter(c => !isVar(c) && !isBool(c))
@@ -149,8 +156,12 @@ object JetMdbFixture {
             ptrs.get(ci) match {
               case Some((pg, rw)) => // single-page LVAL pointer
                 memoHeader(payload.length, 0x40, (rw << 24) | pg)
-              case None => // inline: header + payload in the row
-                memoHeader(payload.length, 0x80, 0) ++ payload
+              case None => chainPtrs.get(ci) match {
+                case Some((pg, rw)) => // chained (type-2) first chunk
+                  memoHeader(payload.length, 0x00, (rw << 24) | pg)
+                case None => // inline: header + payload in the row
+                  memoHeader(payload.length, 0x80, 0) ++ payload
+              }
             }
           } else encodeText(v.asInstanceOf[String], t.compressText))
     }
@@ -341,10 +352,46 @@ object JetMdbFixture {
         entries.map(_._1).zip(locs.map { case (pi, rw) =>
           (lvalBase + pi, rw)
         }).toMap
+      // chained (type-2) payloads: split into chainChunk-byte rows
+      // of [4-byte next pointer][chunk] on LVAL pages, then patch the
+      // pointers once every chunk's (page, row) is known
+      val chainIdx = t.cols.zipWithIndex.collect {
+        case (c, ci)
+          if (c.code == 0x0C || c.code == 0x0B) &&
+            t.chainedCols.contains(c.name) => ci
+      }
+      val chainEntries = for {
+        (row, ri) <- t.rows.zipWithIndex
+        ci <- chainIdx if row(ci) != null
+      } yield ((ri, ci),
+        payloadOf(t.cols(ci), row(ci), t.compressText)
+          .grouped(t.chainChunk).toSeq)
+      val chainBase = pages.length
+      val (chainPages, chainLocs) = dataPagesWithLocs(LvalOwner,
+        chainEntries.flatMap(_._2).map(c => new Array[Byte](4) ++ c))
+      chainPages.foreach(pages += _)
+      var li = 0
+      val chainPtrByKey = chainEntries.map { case (k, chunks) =>
+        val entryLocs = chainLocs.slice(li, li + chunks.length)
+          .map { case (pi, rw) => (chainBase + pi, rw) }
+        li += chunks.length
+        for (i <- 0 until entryLocs.length - 1) {
+          val (pgAbs, rw) = entryLocs(i)
+          val p = pages(pgAbs)
+          val start = ((p(14 + 2 * rw) & 0xFF) |
+            ((p(15 + 2 * rw) & 0xFF) << 8)) & 0x1FFF
+          val (npg, nrw) = entryLocs(i + 1)
+          le(p).putInt(start, (nrw << 24) | npg)
+        }
+        k -> entryLocs.headOption.getOrElse((0, 0))
+      }.toMap
       val tdefPage = pages.length
       val encoded = t.rows.zipWithIndex.map { case (row, ri) =>
         encodeRow(t, row,
-          ptrByKey.collect { case ((r, c), loc) if r == ri => c -> loc })
+          ptrByKey.collect { case ((r, c), loc) if r == ri => c -> loc },
+          chainPtrByKey.collect {
+            case ((r, c), loc) if r == ri => c -> loc
+          })
       }
       val dps = dataPages(tdefPage, encoded, t.deleted)
       pages += tdefPageBytes(t, t.rows.length, system = false)

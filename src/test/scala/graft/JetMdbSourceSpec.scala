@@ -220,7 +220,7 @@ class JetMdbSourceSpec extends AnyFunSuite {
   }
 
   test("memo and OLE columns: inline and single-page LVAL payloads " +
-    "decode; chained LVAL rejects") {
+    "decode; LVAL without a fetcher rejects") {
     val path = tmpMdb()
     val longText = "memo payload " * 150 // ~2 KB, too big to inline twice
     val blob = Array.tabulate[Byte](300)(i => (i % 251).toByte)
@@ -247,13 +247,51 @@ class JetMdbSourceSpec extends AnyFunSuite {
     }
     assert(rows(20).isNullAt(1) && rows(20).isNullAt(2) &&
       rows(20).isNullAt(3))
-    // chained (type-2) flag (header flags byte 0x00) → precise
-    // rejection at the format level
+    // a long-value flag with no page fetcher → precise require, not a
+    // garbage read (flags 0x00 with nonzero length forces the chain path)
     val page = new Array[Byte](graft.sources.jetmdb.JetMdbFormat.PageSize)
-    val e = intercept[UnsupportedOperationException] {
+    page(0) = 1 // length 1, flags byte 0x00
+    val e = intercept[IllegalArgumentException] {
       graft.sources.jetmdb.JetMdbFormat.resolveMemo(page, 0, 12, null)
     }
-    assert(e.getMessage.contains("chained"))
+    assert(e.getMessage.contains("no page fetcher"))
+  }
+
+  test("chained (type-2) LVAL memos: multi-page and multi-hop chains " +
+    "decode exactly") {
+    val path = tmpMdb()
+    // ~12.2 KB per memo (UTF-16 in the file) → 1000-byte chunks span
+    // multiple LVAL pages; the OLE blob chains too
+    val longText = ("chained-" + ("x" * 55) + "|") * 95
+    val blob = Array.tabulate[Byte](5000)(i => ((i * 7) % 251).toByte)
+    JetMdbFixture.write(path, Seq(JetMdbFixture.Table("docs",
+      Seq(Col("k", 0x04), Col("body", 0x0C), Col("payload", 0x0B)),
+      rows = (0 until 6).map(i => Seq(
+        Integer.valueOf(i), longText + i,
+        blob.map(b => (b + i).toByte)): Seq[Any]) :+
+        (Seq(Integer.valueOf(99), null, null): Seq[Any]),
+      chainedCols = Set("body", "payload"))))
+    val rows = spark.read.format("jetmdb").option("table", "docs")
+      .load(path).orderBy("k").collect()
+    assert(rows.length == 7)
+    (0 until 6).foreach { i =>
+      assert(rows(i).getString(1) == longText + i, s"chained memo row $i")
+      assert(rows(i).getAs[Array[Byte]](2).toSeq ==
+        blob.map(b => (b + i).toByte).toSeq, s"chained OLE row $i")
+    }
+    assert(rows(6).isNullAt(1) && rows(6).isNullAt(2))
+    // tiny chunks: many hops, chains that turn around inside one page
+    val path2 = tmpMdb()
+    JetMdbFixture.write(path2, Seq(JetMdbFixture.Table("t2",
+      Seq(Col("k", 0x04), Col("body", 0x0C)),
+      rows = (0 until 4).map(i =>
+        Seq(Integer.valueOf(i), s"hop-$i-" + ("ab" * 120)): Seq[Any]),
+      chainedCols = Set("body"), chainChunk = 48)))
+    val rows2 = spark.read.format("jetmdb").option("table", "t2")
+      .load(path2).orderBy("k").collect()
+    (0 until 4).foreach { i =>
+      assert(rows2(i).getString(1) == s"hop-$i-" + ("ab" * 120))
+    }
   }
 
   test("write path: memoColumns option and binary columns round-trip") {
