@@ -421,7 +421,47 @@ object DedupQueries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Canonical-URL dedup with a keep-best policy (the first stage of
+    * every web-corpus pipeline: many crawls of one URL → keep the
+    * longest capture, oldest id on ties). The engine side is a single
+    * partial-aggregated `max(struct(n_chars, -doc_id))` ARGMAX — one
+    * row per URL crosses the shuffle, no window, no secondary sort —
+    * while the oracle states the same policy as the conventional
+    * ROW_NUMBER window; identical survivors prove the argmax
+    * encoding. URLs are synthesized deterministically (the fixtures
+    * ship none), colliding at (source, lang) grain. */
+  val qDedupUrl: QDef = QDef(
+    "q_dedup_url",
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://' || source || '.example.com/' || lang AS url
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars, url,
+      |    ROW_NUMBER() OVER (PARTITION BY url
+      |      ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY url) AS n_docs
+      |  FROM u)
+      |SELECT url, CAST(n_docs AS BIGINT) AS n_docs,
+      |  doc_id AS kept_doc, n_chars AS kept_chars
+      |FROM r WHERE rn = 1
+      |ORDER BY url""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/"), col("lang"))
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("url"), col("n_docs"),
+        (-col("best.neg_id")).as("kept_doc"),
+        col("best.n_chars").as("kept_chars"))
+      .orderBy(col("url"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
-    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch)
+    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl)
 }
