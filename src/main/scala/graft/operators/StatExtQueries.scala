@@ -753,8 +753,44 @@ object StatExtQueries {
           .as("eta_sq"))
   }
 
+  /** Wilson-score lower-bound rates (z = 1.96): the ranking statistic
+    * for proportions under small-n uncertainty — a 3/3 "100%" rate
+    * must NOT outrank 95/100. Per nation: the high-balance customer
+    * rate with its Wilson lower bound. One hash aggregate produces the
+    * exact (k, n) integer pairs; the bound is a closed-form double
+    * expression evaluated identically by both engines. */
+  val qWilsonRank: QDef = QDef(
+    "q_wilson_rank",
+    """WITH a AS (
+      |  SELECT c_nationkey,
+      |    CAST(COUNT(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey, k, n,
+      |  ROUND(k * 1.0 / n, 4) AS p_hat,
+      |  ROUND((k * 1.0 / n + 1.9208 / n
+      |      - 1.96 * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+      |        + 0.9604 / (n * 1.0 * n)))
+      |    / (1 + 3.8416 / n), 4) AS wilson_lb
+      |FROM a
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val a = customer(s, d).groupBy(col("c_nationkey"))
+      .agg(
+        count_if(col("c_acctbal") > 5000).as("k"),
+        count(lit(1)).as("n"))
+    val p = col("k") * lit(1.0) / col("n")
+    a.select(
+      col("c_nationkey"), col("k"), col("n"),
+      round(p, 4).as("p_hat"),
+      round((p + lit(1.9208) / col("n") -
+        lit(1.96) * sqrt(p * (lit(1) - p) / col("n") +
+          lit(0.9604) / (col("n") * lit(1.0) * col("n")))) /
+        (lit(1) + lit(3.8416) / col("n")), 4).as("wilson_lb"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qRegrOls, qRollingCorr, qEwmaUser, qGiniSpend, qBenfordDigits,
     qChi2Contingency, qChangepoint, qCusum, qBollinger, qHerfindahl,
-    qMutualInfo, qAbtestZtest, qMarketBasket, qAnovaF)
+    qMutualInfo, qAbtestZtest, qMarketBasket, qAnovaF, qWilsonRank)
 }

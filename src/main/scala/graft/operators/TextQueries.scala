@@ -510,8 +510,63 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf exponent of the corpus word distribution: OLS fit of
+    * ln(freq) on ln(rank) over the TOP-100 frequency head (natural
+    * language sits near α ≈ 1 — a corpus that doesn't is synthetic,
+    * templated, or spam-heavy, which makes α a cheap corpus-health
+    * gate). Top-k-FIRST: the vocabulary aggregate takes a 100-row
+    * TakeOrdered before any serial work, so the rank window and the
+    * regression see 100 rows at any corpus size. Both ln() inputs are
+    * quantized to exact integer micro-units before the moment sums
+    * (the bigram-perplexity trick) — double sums would be
+    * partial-order-dependent. */
+  val qZipfAlpha: QDef = QDef(
+    "q_zipf_alpha",
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+      |t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100),
+      |r AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk, cnt
+      |  FROM t),
+      |q AS (
+      |  SELECT CAST(FLOOR(LN(rnk) * 1000000) AS BIGINT) AS qx,
+      |    CAST(FLOOR(LN(cnt) * 1000000) AS BIGINT) AS qy
+      |  FROM r),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+      |    CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+      |    CAST(SUM(qx * qx) AS BIGINT) AS sxx
+      |  FROM q)
+      |SELECT n AS n_terms,
+      |  ROUND(-((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)), 4)
+      |    AS zipf_alpha
+      |FROM s""".stripMargin) { (s, d) =>
+    val c = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val t = c.orderBy(col("cnt").desc, col("word")).limit(100)
+    val r = t.select(
+      row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+        .as("rnk"), col("cnt"))
+    val q = r.select(
+      floor(log(col("rnk")) * 1000000).cast("bigint").as("qx"),
+      floor(log(col("cnt")) * 1000000).cast("bigint").as("qy"))
+    q.agg(
+      count(lit(1)).as("n"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx") * col("qy")).as("sxy"),
+      sum(col("qx") * col("qx")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round(-((col("n") * col("sxy") - col("sx") * col("sy")) *
+          lit(1.0) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 4)
+          .as("zipf_alpha"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRepetition, qTextNormalize,
-    qWinnowFingerprint, qReadability, qBigramPerplexity)
+    qWinnowFingerprint, qReadability, qBigramPerplexity, qZipfAlpha)
 }

@@ -54,7 +54,7 @@ class RegistryPlanSpec extends AnyFunSuite {
       "q_pareto_revenue") ++
     // top-k-first: the LIMIT/TakeOrdered runs BEFORE the serial
     // window, so the window sees k rows regardless of corpus size
-    Set("q_zipf_top", "q_skyline")
+    Set("q_zipf_top", "q_skyline", "q_zipf_alpha")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>

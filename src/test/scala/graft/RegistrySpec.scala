@@ -30,7 +30,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_tpch_q19", "q_tpch_q6",
       "q_triangle_copurchase",
       "q_cohen_kappa", "q_logloss_brier",
-      "q_did_effect", "q_srm_check", "q_cuped_effect") // ≤ handful of rows (single-row aggs)
+      "q_did_effect", "q_srm_check", "q_cuped_effect",
+      "q_kendall_tau", "q_skew_metrics", "q_zipf_alpha",
+      "q_bootstrap_ci") // ≤ handful of rows (single-row aggs)
     SparkEntry.registry
       .filter(q => q.oracle.isDefined && !exempt(q.name))
       .foreach { q =>
