@@ -63,7 +63,9 @@ object JetMdbFormat {
       fixed: Boolean,
       offsetF: Int, // fixed-region offset
       offsetV: Int, // var-column index
-      length: Int)
+      length: Int,
+      prec: Int = 0, // NUMERIC precision (descriptor byte 11)
+      scale: Int = 0) // NUMERIC scale (descriptor byte 12)
 
   final case class JetTableDef(
       tdefPage: Int,
@@ -71,7 +73,8 @@ object JetMdbFormat {
       tableType: Int, // 0x4e user, 0x53 system
       columns: Seq[JetColumn]) {
     def jetTypes: Seq[(String, JetType)] =
-      columns.map(c => c.name -> JetMdbFormat.toJetType(c.typeCode, c.length))
+      columns.map(c => c.name ->
+        JetMdbFormat.toJetType(c.typeCode, c.length, c.prec, c.scale))
   }
 
   final case class CatalogEntry(name: String, tdefPage: Int, objType: Int) {
@@ -95,7 +98,8 @@ object JetMdbFormat {
   val T_GUID = 0x0F
   val T_NUMERIC = 0x10
 
-  def toJetType(code: Int, len: Int): JetType = code match {
+  def toJetType(code: Int, len: Int, prec: Int = 0, scale: Int = 0)
+      : JetType = code match {
     case T_BOOL => YesNo
     case T_BYTE => JetByte
     case T_INT => JetInteger
@@ -108,9 +112,13 @@ object JetMdbFormat {
     case T_GUID => ReplicationId
     case T_MEMO => Memo
     case T_OLE => OleObject
-    case T_BINARY | T_NUMERIC =>
+    case T_NUMERIC =>
+      require(prec >= 1 && prec <= 28 && scale >= 0 && scale <= prec,
+        s"jetmdb: NUMERIC($prec,$scale) outside Jet's 1..28 range")
+      Numeric(prec, scale)
+    case T_BINARY =>
       throw new UnsupportedOperationException(
-        f"jetmdb: column type 0x$code%02x (raw binary / scaled numeric) " +
+        f"jetmdb: column type 0x$code%02x (raw fixed binary) " +
           "is out of the minimal reader's scope")
     case other =>
       throw new IllegalArgumentException(f"jetmdb: unknown type 0x$other%02x")
@@ -184,7 +192,13 @@ object JetMdbFormat {
       val flags = u8(page, off + 17)
       val offF = u16(page, off + 19)
       val len = u16(page, off + 21)
-      cols(i) = JetColumn("", t, colNum, (flags & 0x01) != 0, offF, offV, len)
+      // bytes 11/12 carry precision/scale for NUMERIC (sort order for
+      // text — only read where they mean something)
+      val (prec, scale) =
+        if (t == T_NUMERIC) (u8(page, off + 11), u8(page, off + 12))
+        else (0, 0)
+      cols(i) = JetColumn("", t, colNum, (flags & 0x01) != 0, offF, offV,
+        len, prec, scale)
       off += 25
       i += 1
     }
@@ -354,6 +368,18 @@ object JetMdbFormat {
       case T_DOUBLE => java.lang.Double.valueOf(f64(p, off))
       case T_DATETIME => oleDateToMicros(f64(p, off))
       case T_GUID => guidString(p, off)
+      case T_NUMERIC =>
+        // 17-byte scaled decimal. Profile (documented because public
+        // sources disagree on details and no real fixture exists
+        // offline; the write path emits the SAME profile so round
+        // trips are byte-exact): byte 0 sign flag (0x80 = negative),
+        // bytes 1..16 big-endian unsigned unscaled mantissa, value =
+        // ±mantissa · 10^-scale with scale from the TDEF descriptor.
+        val neg = (u8(p, off) & 0x80) != 0
+        val mant = new java.math.BigInteger(1,
+          java.util.Arrays.copyOfRange(p, off + 1, off + 17))
+        new java.math.BigDecimal(
+          if (neg) mant.negate else mant, c.scale)
       case T_TEXT => // fixed-width text: full UCS-2 field
         decodeText(p, off, off + c.length)
       case other =>

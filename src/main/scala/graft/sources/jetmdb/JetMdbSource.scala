@@ -292,6 +292,9 @@ private[jetmdb] final class JetMdbPartitionReader(
       case JetTypes.Currency =>
         org.apache.spark.sql.types.Decimal(
           v.asInstanceOf[java.math.BigDecimal], 19, 4)
+      case JetTypes.Numeric(p, sc) =>
+        org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal], p, sc)
       case _ => v // primitives already land as their Catalyst repr
     }
 

@@ -49,6 +49,10 @@ object JetMdbWrite {
       case FloatType => T_FLOAT
       case DoubleType => T_DOUBLE
       case d: DecimalType if d.precision == 19 && d.scale == 4 => T_MONEY
+      case d: DecimalType if d.precision <= 28 => T_NUMERIC
+      case d: DecimalType => throw new IllegalArgumentException(
+        s"jetmdb: column ${f.name}: DECIMAL(${d.precision},${d.scale}) " +
+          "exceeds Jet NUMERIC's 28-digit precision")
       case TimestampType | TimestampNTZType => T_DATETIME
       case StringType =>
         if (memoCols.contains(f.name)) T_MEMO else T_TEXT
@@ -80,6 +84,7 @@ object JetMdbWrite {
     case T_FLOAT => 4
     case T_DOUBLE => 8
     case T_DATETIME => 8
+    case T_NUMERIC => 17
     case _ => 0
   }
 
@@ -132,6 +137,23 @@ object JetMdbWrite {
             case T_MONEY => b.putLong(off,
               row.getDecimal(i, 19, 4).toJavaBigDecimal
                 .movePointRight(4).longValueExact())
+            case T_NUMERIC =>
+              // the read profile's inverse: sign 0x80 = negative,
+              // 16-byte big-endian mantissa right-aligned
+              val dt = schema(i).dataType.asInstanceOf[DecimalType]
+              val bd = row.getDecimal(i, dt.precision, dt.scale)
+                .toJavaBigDecimal.setScale(dt.scale)
+              val unscaled = bd.unscaledValue
+              val mag = unscaled.abs.toByteArray
+              val magOff = if (mag.length > 0 && mag(0) == 0) 1 else 0
+              val magLen = mag.length - magOff
+              if (magLen > 16)
+                throw new java.io.IOException(
+                  s"jetmdb: NUMERIC value $bd exceeds the 16-byte " +
+                    "mantissa")
+              r(off) = if (unscaled.signum < 0) 0x80.toByte else 0x00
+              System.arraycopy(mag, magOff, r,
+                off + 1 + (16 - magLen), magLen)
             case T_FLOAT => b.putFloat(off, row.getFloat(i))
             case T_DOUBLE => b.putDouble(off, row.getDouble(i))
             case T_DATETIME =>
@@ -188,6 +210,11 @@ object JetMdbWrite {
       b.putShort(off + 5, i.toShort)
       if (isVarCode(code)) { b.putShort(off + 7, vIdx.toShort); vIdx += 1 }
       b.putShort(off + 9, i.toShort)
+      if (code == T_NUMERIC) {
+        val dt = schema(i).dataType.asInstanceOf[DecimalType]
+        p(off + 11) = dt.precision.toByte
+        p(off + 12) = dt.scale.toByte
+      }
       val fixed = !isVarCode(code)
       p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
       if (fixed && code != T_BOOL) {

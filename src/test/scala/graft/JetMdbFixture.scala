@@ -24,7 +24,8 @@ object JetMdbFixture {
 
   val PageSize = 4096
 
-  final case class Col(name: String, code: Int, fixedLen: Int = 0)
+  final case class Col(name: String, code: Int, fixedLen: Int = 0,
+      prec: Int = 0, scale: Int = 0)
 
   final case class Table(
       name: String,
@@ -54,6 +55,7 @@ object JetMdbFixture {
     case 0x07 => 8
     case 0x08 => 8
     case 0x0F => 16
+    case 0x10 => 17 // NUMERIC: sign byte + 16-byte mantissa
     case 0x0A => c.fixedLen // fixed text only when fixedLen > 0
     case other => sys.error(f"fixture: no fixed length for 0x$other%02x")
   }
@@ -101,6 +103,10 @@ object JetMdbFixture {
       b.putShort(off + 5, i.toShort) // col_num
       if (isVar(c)) { b.putShort(off + 7, varIdx.toShort); varIdx += 1 }
       b.putShort(off + 9, i.toShort)
+      if (c.code == 0x10) { // NUMERIC precision/scale
+        p(off + 11) = c.prec.toByte
+        p(off + 12) = c.scale.toByte
+      }
       // flags: 0x01 fixed, 0x02 nullable
       val fixed = !isVar(c)
       p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
@@ -194,6 +200,17 @@ object JetMdbFixture {
             case 0x08 => b.putDouble(fOff,
               v.asInstanceOf[Long] / 86400.0 / 1e6 + 25569.0)
             case 0x0F => putGuid(r, fOff, v.asInstanceOf[String])
+            case 0x10 =>
+              // sign 0x80 = negative, 16-byte BE mantissa right-aligned
+              val bd = v.asInstanceOf[java.math.BigDecimal]
+                .setScale(c.scale)
+              val mag = bd.unscaledValue.abs.toByteArray
+              val mOff = if (mag.length > 0 && mag(0) == 0) 1 else 0
+              val mLen = mag.length - mOff
+              require(mLen <= 16, "fixture: NUMERIC mantissa too wide")
+              r(fOff) =
+                if (bd.unscaledValue.signum < 0) 0x80.toByte else 0x00
+              System.arraycopy(mag, mOff, r, fOff + 1 + (16 - mLen), mLen)
             case 0x0A =>
               val tb = v.asInstanceOf[String]
                 .getBytes(StandardCharsets.UTF_16LE)

@@ -199,6 +199,63 @@ class JetMdbSourceSpec extends AnyFunSuite {
       names.mkString(","))
   }
 
+  test("NUMERIC: fixture read, write round-trip, writer-vs-fixture " +
+    "cross-check, precision guard") {
+    // fixture-read: exact decimals incl. negative, zero, 28-digit max
+    val path = tmpMdb()
+    val vals = Seq("123.456", "-987.654", "0.000",
+      "9999999999999999999999999.999", // 28 digits at scale 3
+      "-0.001")
+      .map(new java.math.BigDecimal(_))
+    JetMdbFixture.write(path, Seq(Table("n",
+      Seq(Col("k", 0x04), Col("v", 0x10, prec = 28, scale = 3)),
+      vals.zipWithIndex.map { case (v, i) =>
+        Seq(Integer.valueOf(i), v): Seq[Any]
+      } :+ (Seq(Integer.valueOf(99), null): Seq[Any]))))
+    val df = spark.read.format("jetmdb").option("table", "n").load(path)
+    assert(df.schema("v").dataType.simpleString == "decimal(28,3)")
+    val rows = df.orderBy("k").collect()
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(rows(i).getDecimal(1) == v.setScale(3), s"row $i")
+    }
+    assert(rows(5).isNullAt(1))
+    // write → read round trip through the DSv2 writer
+    val dir = Files.createTempDirectory("jetmdb-num")
+    val written = dir.resolve("n.mdb").toString
+    // explicit schema: the tuple encoder's default Decimal(38,18)
+    // can't hold a 28-digit unscaled value
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DecimalType(28, 3), nullable = true)))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(vals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i, v.setScale(3))
+      }: _*), srcSchema)
+    src.write.mode("overwrite").format("jetmdb")
+      .option("table", "n").save(written)
+    val back = spark.read.format("jetmdb").option("table", "n")
+      .load(written).orderBy("k").collect()
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(back(i).getDecimal(1) == v.setScale(3), s"written row $i")
+    }
+    // writer bytes and fixture bytes agree on the same logical rows
+    val viaW = spark.read.format("jetmdb").option("table", "n")
+      .load(written).orderBy("k").collect().map(_.toSeq).toSeq
+    val viaF = spark.read.format("jetmdb").option("table", "n")
+      .load(path).orderBy("k").limit(5).collect().map(_.toSeq).toSeq
+    assert(viaW.map(_.toList) == viaF.map(_.toList))
+    // precision beyond Jet's 28 digits rejects at plan time
+    val e = intercept[Exception] {
+      Seq((1, new java.math.BigDecimal("1"))).toDF("k", "v")
+        .withColumn("v", col("v").cast("decimal(38,2)"))
+        .write.mode("overwrite").format("jetmdb")
+        .option("table", "n").save(dir.resolve("x.mdb").toString)
+    }
+    assert(e.getMessage.contains("28-digit"))
+  }
+
   test("write rejects BIGINT at plan time and nulls round-trip") {
     val dir = Files.createTempDirectory("jetmdb-w2")
     val e = intercept[Exception] {
