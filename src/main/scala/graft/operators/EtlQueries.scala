@@ -173,19 +173,26 @@ object EtlQueries {
   val qScanJetMdb: QDef = QDef(
     "q_scan_jetmdb",
     """SELECT CAST(doc_id AS INT) AS doc_id, lang, source,
-      |  CAST(n_chars AS INT) AS n_chars FROM documents
+      |  CAST(n_chars AS INT) AS n_chars,
+      |  CAST(CAST(n_chars * 1.25 AS DECIMAL(15,2)) AS DOUBLE) AS amount
+      |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val file = graft.sources.SessionCache
       .getOrElseUpdate(s, ("ingest", d, "jetmdb")) {
         val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}.mdb"
         documents(s, d)
           .select(col("doc_id").cast("int"), col("lang"),
-            col("source"), col("n_chars").cast("int"))
+            col("source"), col("n_chars").cast("int"),
+            // NUMERIC column: rides the 17-byte scaled-decimal path
+            // through the binary write+read, hash-checked vs the oracle
+            (col("n_chars") * lit(1.25)).cast("decimal(15,2)")
+              .as("amount"))
           .write.mode("overwrite").format("jetmdb")
           .option("table", "documents").save(out)
         out
       }
     s.read.format("jetmdb").option("table", "documents").load(file)
+      .withColumn("amount", col("amount").cast("double"))
       .orderBy("doc_id")
   }
 
