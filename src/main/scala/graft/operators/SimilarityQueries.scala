@@ -440,7 +440,85 @@ object SimilarityQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** MAP@10 retrieval evaluation: vectors 0..4 are the query set, the
+    * rest the candidate corpus, relevance = same label. Per query:
+    * rank candidates by (4dp cosine DESC, vec_id) — the rounded key,
+    * so the rank order is cross-engine exact — and compute average
+    * precision over the top 10 with the standard min(R, k)
+    * denominator. Each AP term quantizes precision@i to integer
+    * 1e-8 units before the per-query sum (10-term double sums are
+    * partial-order-dependent). Scale shape: queries broadcast, cost
+    * |queries|·n, rank windows PARTITIONED by query. */
+  val qMapAtK: QDef = QDef(
+    "q_map_at_k",
+    s"""$oracleNorms,
+       |q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+       |  FROM n WHERE vec_id < 5),
+       |c AS (
+       |  SELECT q.qid, a.vec_id,
+       |    CASE WHEN a.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm), 4) AS cos
+       |  FROM n a CROSS JOIN q WHERE a.vec_id >= 5),
+       |r AS (
+       |  SELECT qid, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM c),
+       |t AS (
+       |  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel
+       |  FROM r GROUP BY qid),
+       |h AS (
+       |  SELECT qid, rel, rnk,
+       |    SUM(rel) OVER (PARTITION BY qid ORDER BY rnk) AS cum_rel
+       |  FROM r WHERE rnk <= 10),
+       |ap AS (
+       |  SELECT qid,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN
+       |      CAST(FLOOR(cum_rel * 100000000.0 / rnk) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS s_micro
+       |  FROM h GROUP BY qid)
+       |SELECT t.qid, t.n_rel,
+       |  ROUND(ap.s_micro / 100000000.0 / LEAST(t.n_rel, 10), 4)
+       |    AS ap_at_10
+       |FROM ap JOIN t ON ap.qid = t.qid
+       |ORDER BY t.qid""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(
+        col("qid"), col("vec_id"),
+        when(col("label") === col("qlabel"), 1).otherwise(0).as("rel"),
+        round(dot(col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4).as("cos"))
+    val r = c.select(col("qid"), col("rel"),
+      row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))).as("rnk"))
+    val t = r.groupBy(col("qid"))
+      .agg(sum(col("rel")).cast("bigint").as("n_rel"))
+    val h = r.filter(col("rnk") <= 10)
+      .select(col("qid"), col("rel"), col("rnk"),
+        sum(col("rel")).over(Window.partitionBy(col("qid"))
+          .orderBy(col("rnk"))).as("cum_rel"))
+    val ap = h.groupBy(col("qid"))
+      .agg(sum(when(col("rel") === 1,
+        floor(col("cum_rel") * lit(100000000.0) / col("rnk"))
+          .cast("bigint")).otherwise(0L)).cast("bigint").as("s_micro"))
+    ap.join(t, "qid")
+      .select(col("qid"), col("n_rel"),
+        round(col("s_micro") / lit(100000000.0) /
+          least(col("n_rel"), lit(10)), 4).as("ap_at_10"))
+      .orderBy(col("qid"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qSimCosine, qSimQueryTopk, qAnnLsh, qDedupEmbeddingLsh,
-      qKnnClassify, qMislabelKnn)
+      qKnnClassify, qMislabelKnn, qMapAtK)
 }
