@@ -75,6 +75,8 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.IvfAnn.build(spark, sfDir).assigned
       .write.mode("overwrite").format("noop").save()
+    graft.operators.PqAnn.build(spark, sfDir).encoded
+      .write.mode("overwrite").format("noop").save()
     // graph session caches: the co-purchase edge list, the support-≥2
     // backbone and its symmetric/degree views are session-lifetime
     // builds shared by the pagerank/triangle/jaccard/clustering/

@@ -28,7 +28,7 @@ object SparkEntry {
       GraphQueries.defs ++ TimeSeriesQueries.defs ++
       SequenceQueries.defs ++ NonparamQueries.defs ++
       MlEvalQueries2.defs ++ DataOpsQueries.defs ++
-      ExperimentQueries.defs ++ BpeQueries.defs
+      ExperimentQueries.defs ++ BpeQueries.defs ++ PqAnn.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

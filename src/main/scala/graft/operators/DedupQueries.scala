@@ -461,7 +461,96 @@ object DedupQueries {
       .orderBy(col("url"))
   }
 
+  // Exact substring-span dedup (the gram-join formulation of
+  // suffix-array exact-substring dedup from the public training-data
+  // dedup literature): width-40 character grams, stride-20 grid on the
+  // probe side, stride-1 on the index side.
+  private val subW = 40 // gram width (chars)
+  private val subS = 20 // probe-side stride
+  private val subMaxDocs = 50 // boilerplate guard: drop grams in >50 docs
+
+  /** Exact substring-span duplicate pairs: documents sharing a verbatim
+    * character span. Probe side A samples width-`subW` grams on a
+    * stride-`subS` grid; index side B enumerates every position
+    * (stride 1), so ANY shared span of length ≥ subW + subS - 1 = 59
+    * chars is guaranteed to contain a grid-aligned A-gram that B holds
+    * — no alignment assumption between the two copies. Pairs join on
+    * the raw gram text (no hash, so no collision can fabricate a pair);
+    * `n_shared` counts matching grid positions, a proxy for duplicated
+    * span length (≈ n_shared·subS chars).
+    *
+    * Scale design: the stride-1 side is O(total chars) rows — the
+    * inherent cost of exact-substring detection without a global suffix
+    * array; it shuffles once keyed by gram. Grams present in more than
+    * `subMaxDocs` documents (boilerplate headers, licence text) are
+    * dropped BEFORE the pair join — the guard that keeps a hot gram
+    * from exploding into a quadratic pair block, mirroring the n-gram
+    * Jaccard twin's pair budget. Count-then-filter (never a
+    * collect_set of doc lists) keeps the guard itself skew-safe. */
+  val qDedupSubstring: QDef = QDef(
+    "q_dedup_substring",
+    s"""WITH docs AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE length(text) >= $subW),
+      |ap AS (
+      |  SELECT doc_id AS a_doc, text,
+      |    unnest(generate_series(1, len - ${subW - 1}, $subS)) AS p
+      |  FROM docs),
+      |a AS (
+      |  SELECT a_doc, p AS a_pos,
+      |    substr(text, CAST(p AS INTEGER), $subW) AS g
+      |  FROM ap),
+      |bp AS (
+      |  SELECT doc_id AS b_doc, text,
+      |    unnest(generate_series(1, len - ${subW - 1}, 1)) AS p
+      |  FROM docs),
+      |b AS (
+      |  SELECT DISTINCT b_doc,
+      |    substr(text, CAST(p AS INTEGER), $subW) AS g
+      |  FROM bp),
+      |keep AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= $subMaxDocs),
+      |hits AS (
+      |  SELECT a.a_doc, a.a_pos, b.b_doc
+      |  FROM a JOIN keep ON a.g = keep.g
+      |  JOIN b ON a.g = b.g AND a.a_doc < b.b_doc)
+      |SELECT a_doc, b_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM hits GROUP BY a_doc, b_doc
+      |ORDER BY a_doc, b_doc""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= subW)
+    val aSide = docs
+      .select(col("doc_id").as("a_doc"), col("text"),
+        explode(sequence(lit(1), col("len") - (subW - 1), lit(subS)))
+          .as("a_pos"))
+      .select(col("a_doc"), col("a_pos"),
+        expr(s"substring(text, a_pos, $subW)").as("g"))
+    // distinct (doc, gram): a doc repeating a gram internally indexes
+    // it once — keeps the frequency guard a true document count
+    val bDist = docs
+      .select(col("doc_id").as("b_doc"), col("text"),
+        explode(sequence(lit(1), col("len") - (subW - 1), lit(1)))
+          .as("p"))
+      .select(col("b_doc"), expr(s"substring(text, p, $subW)").as("g"))
+      .dropDuplicates("b_doc", "g")
+    val keep = bDist.groupBy(col("g"))
+      .agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") <= subMaxDocs)
+      .select(col("g"))
+    // (a_doc, a_pos) has exactly one gram and (g, b_doc) is distinct,
+    // so the join already yields unique (a_doc, a_pos, b_doc) — no
+    // post-join dedup needed before the pair count
+    aSide
+      .join(keep, "g")
+      .join(bDist, "g")
+      .where(col("a_doc") < col("b_doc"))
+      .groupBy(col("a_doc"), col("b_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("a_doc"), col("b_doc"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
-    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl)
+    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl,
+    qDedupSubstring)
 }

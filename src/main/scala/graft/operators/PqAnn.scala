@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Product-quantization (PQ) approximate nearest neighbour — the third
+  * scale path for similarity search next to sign-LSH
+  * (SimilarityQueries.qAnnLsh) and IVF (IvfAnn), implementing the
+  * public PQ/ADC scheme (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Build: the 64-dim embedding space is split into `m` = 8 subspaces of
+  * 8 dims; each subspace gets its own `ksub` = 16-centroid k-means
+  * codebook (Spark ML, fixed seeds). Every corpus vector is encoded as
+  * 8 4-bit codes — a 64× compression of the 64-float vector, which is
+  * the whole point at 100 TB: the encoded corpus (vec_id + 8 bytes)
+  * fits where the raw vectors never could, and the scan side of a query
+  * reads codes, not floats.
+  *
+  * Query: asymmetric distance computation (ADC). The query vector is
+  * NOT quantized; a per-query 8×16 lookup table of exact
+  * query-slice-to-centroid squared distances is built driver-side
+  * (m·ksub = 128 doubles — broadcast as literals into codegen) and the
+  * approximate distance of every corpus vector is 8 table lookups + 7
+  * adds — no float math per dimension. The ADC top-`rerank` candidates
+  * are then re-ranked by exact cosine, so reported scores are exact and
+  * recall is governed by the candidate budget, mirroring the IVF/LSH
+  * twins.
+  *
+  * Codebooks are trained on L2-normalized vectors (cosine-consistent,
+  * same argument as IvfAnn.build: on the unit sphere euclidean² =
+  * 2 − 2·cos, and PQ's subspace-sum of squared distances approximates
+  * full euclidean²).
+  */
+object PqAnn {
+
+  val m = 8 // subspaces
+  val dsub = 8 // dims per subspace (m * dsub = 64)
+  val ksub = 16 // centroids per subspace (4-bit codes)
+
+  final case class Index(
+      encoded: DataFrame, // vec_id, embedding, codes: array<int>[m]
+      codebooks: Array[Array[Array[Double]]]) // m × ksub × dsub
+
+  private def normalized: Column = {
+    val nrm = SimilarityQueries.l2norm(col("embedding"))
+    when(nrm > 0,
+      transform(col("embedding"), x => x.cast("double") / nrm))
+      .otherwise(transform(col("embedding"), x => x.cast("double")))
+  }
+
+  /** Fit (and memoize) the PQ index: m per-subspace codebooks + the
+    * encoded corpus. Setup cost, not query cost — `Bench`'s warm-up
+    * builds it before any timed run. */
+  def build(s: SparkSession, d: String): Index =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("pq", d)) {
+      val vecs = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normalized.as("nv"))
+      // one k-means per subspace over that subspace's 8-dim slice;
+      // each fit is a distributed ML job, the model (16×8 doubles) is
+      // the only driver-side state — the IVF-centroid pattern
+      val models = (0 until m).map { j =>
+        new KMeans()
+          .setK(ksub).setSeed(42L + j).setMaxIter(10)
+          .setFeaturesCol(s"f$j").setPredictionCol(s"code$j")
+          .fit(vecs.select(
+            array_to_vector(slice(col("nv"), j * dsub + 1, dsub))
+              .as(s"f$j")))
+      }
+      // encode: chained model.transform calls — each adds one 4-bit
+      // code column; all stay inside one job over the corpus
+      val withSlices = (0 until m).foldLeft(vecs) { (df, j) =>
+        df.withColumn(s"f$j",
+          array_to_vector(slice(col("nv"), j * dsub + 1, dsub)))
+      }
+      val enc = models.foldLeft(withSlices)((df, mod) => mod.transform(df))
+        .select(col("vec_id"), col("embedding"),
+          array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Index(enc, models.map(_.clusterCenters.map(_.toArray)).toArray)
+    }
+
+  /** Top-k neighbours of `queryVecId`: ADC scan over the encoded
+    * corpus, exact-cosine re-rank of the top-`rerank` candidates. */
+  def topK(
+      s: SparkSession, d: String, queryVecId: Long, k: Int,
+      rerank: Int = 64): DataFrame = {
+    val idx = build(s, d)
+    val qRows = embeddings(s, d)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=$queryVecId not found in $d/embeddings")
+    val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
+    val qn = math.sqrt(raw.map(x => x * x).sum)
+    val q = if (qn > 0) raw.map(_ / qn).toArray else raw.toArray
+    // ADC lookup table: exact squared distance from each query slice to
+    // each centroid — m×ksub = 128 doubles, computed driver-side and
+    // inlined as literal arrays (codegen folds them into constants)
+    val dtab: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val qs = q.slice(j * dsub, (j + 1) * dsub)
+      idx.codebooks(j).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { val t = qs(i) - c(i); acc += t * t; i += 1 }
+        acc
+      }
+    }
+    val adc: Column = (0 until m).map { j =>
+      element_at(array(dtab(j).map(lit).toIndexedSeq: _*),
+        col("codes")(j) + 1)
+    }.reduce(_ + _)
+    val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
+      .select(
+        col("embedding").as("qv"),
+        SimilarityQueries.l2norm(col("embedding")).as("qnrm"))
+    idx.encoded
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id")) // TakeOrderedAndProject, not a sort
+      .limit(rerank)
+      .crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(
+          SimilarityQueries.dot(col("embedding"), col("qv"))
+            / (SimilarityQueries.l2norm(col("embedding")) * col("qnrm")),
+          4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Declared query: PQ/ADC top-10 for the query vector (no oracle —
+    * the codebooks are engine-internal k-means state; PqAnnSpec asserts
+    * code validity, recall vs brute force, monotonicity in the rerank
+    * budget, and score exactness of the re-rank). */
+  val qAnnPq: QDef = QDef.noOracle("q_ann_pq") { (s, d) =>
+    topK(s, d, queryVecId = 0L, k = 10)
+  }
+
+  val defs: Seq[QDef] = Seq(qAnnPq)
+}

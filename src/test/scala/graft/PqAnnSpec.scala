@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PqAnn
+
+/** PQ/ADC ANN: code validity, determinism, recall vs brute force,
+  * monotonicity in the re-rank budget, and score exactness of the
+  * re-rank (same contract shape as IvfAnnSpec). */
+class PqAnnSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.session
+
+  test("q_ann_pq is deterministic and non-empty") {
+    val r1 = SparkEntry.queries("q_ann_pq")(spark, sfDir).collect().toSeq
+    val r2 = SparkEntry.queries("q_ann_pq")(spark, sfDir).collect().toSeq
+    assert(r1 == r2)
+    assert(r1.nonEmpty)
+  }
+
+  test("codes are m 4-bit values per vector, corpus fully encoded") {
+    val idx = PqAnn.build(spark, sfDir)
+    val n = spark.read
+      .parquet(s"$sfDir/embeddings.parquet").count()
+    assert(idx.encoded.count() == n)
+    val bad = idx.encoded
+      .selectExpr(
+        s"size(codes) = ${PqAnn.m} AND " +
+          s"forall(codes, c -> c >= 0 AND c < ${PqAnn.ksub}) AS ok")
+      .filter("NOT ok").count()
+    assert(bad == 0L)
+    assert(idx.codebooks.length == PqAnn.m)
+    assert(idx.codebooks.forall(_.length == PqAnn.ksub))
+    assert(idx.codebooks.forall(_.forall(_.length == PqAnn.dsub)))
+  }
+
+  test("re-rank scores equal brute force for the same vectors") {
+    val exact = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    SparkEntry.queries("q_ann_pq")(spark, sfDir).collect().foreach { r =>
+      exact.get(r.getAs[Long]("vec_id")).foreach { e =>
+        assert(math.abs(e - r.getAs[Double]("cos")) < 1e-9)
+      }
+    }
+  }
+
+  test("PQ recall@10 >= 0.6 at rerank=64 on the structured corpus") {
+    // sf0.001's 500 vectors are near-random — PQ (like LSH/IVF, see
+    // IvfAnnSpec) earns its recall on corpora with neighbor structure,
+    // so the bound is pinned on sf0.01 just as IVF's is
+    val d = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, d)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val pq = PqAnn.topK(spark, d, 0L, 10, rerank = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute & pq).size >= 6,
+      s"recall ${(brute & pq).size}/10 with a 64-candidate budget")
+  }
+
+  test("PQ recall is non-decreasing in the rerank budget") {
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recalls = Seq(16, 32, 64, 128).map { rr =>
+      val got = PqAnn.topK(spark, sfDir, 0L, 10, rerank = rr)
+        .collect().map(_.getLong(0)).toSet
+      (brute & got).size
+    }
+    assert(recalls == recalls.sorted,
+      s"a larger candidate budget must never lose neighbors: $recalls")
+  }
+}
