@@ -77,6 +77,10 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.PqAnn.build(spark, sfDir).encoded
       .write.mode("overwrite").format("noop").save()
+    // substring-dedup inverted gram index: the localCheckpoint build is
+    // eager; the hot-gram set still needs one materializing pass
+    graft.operators.DedupQueries.substringGramIndex(spark, sfDir)
+      ._2.write.mode("overwrite").format("noop").save()
     // graph session caches: the co-purchase edge list, the support-≥2
     // backbone and its symmetric/degree views are session-lifetime
     // builds shared by the pagerank/triangle/jaccard/clustering/

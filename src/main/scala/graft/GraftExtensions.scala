@@ -62,6 +62,22 @@ object GraftExtensions {
           }
           graft.functions.TopKAgg(es(0), es(1), k)
         }),
+      (FunctionIdentifier("distinct_upto"),
+        info("distinct_upto",
+          "distinct_upto(x, cap) - aggregate: sorted distinct bigint " +
+            "array when the group has <= cap distinct values, else " +
+            "NULL; bounded state (<= cap+1 longs per group at every " +
+            "stage) - the scale-safe fused form of the " +
+            "dedup -> count -> filter(<= cap) guard pattern"),
+        (es: Seq[Expression]) => {
+          val cap = es(1) match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"distinct_upto: cap must be an integer literal, got $other")
+          }
+          graft.functions.BoundedDistinctAgg(es(0), cap)
+        }),
       (FunctionIdentifier("kll_sketch"),
         info("kll_sketch",
           "kll_sketch(x) - aggregate: mergeable KLL quantile sketch " +

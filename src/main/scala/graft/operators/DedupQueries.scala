@@ -481,14 +481,24 @@ object DedupQueries {
     *
     * Scale design: the stride-1 side is O(total chars) rows — the
     * inherent cost of exact-substring detection without a global suffix
-    * array; it shuffles once keyed by gram. Grams present in more than
-    * `subMaxDocs` documents (boilerplate headers, licence text) are
-    * dropped BEFORE the pair join — the guard that keeps a hot gram
-    * from exploding into a quadratic pair block, mirroring the n-gram
-    * Jaccard twin's pair budget. Count-then-filter (never a
-    * collect_set of doc lists) keeps the guard itself skew-safe. */
-  val qDedupSubstring: QDef = QDef(
-    "q_dedup_substring",
+    * array. Two plan decisions keep it cheap: (1) grams travel as
+    * 16-byte md5 digests, not 40-char strings — md5 is the portable
+    * hash (SURVEY §0), so the ORACLE keys on the identical digest and
+    * even a (2^-128-improbable) collision cannot cause a cross-engine
+    * mismatch; (2) the heavy side crosses exactly ONE exchange
+    * (hash(g)), is deduped to (gram, doc) grain shuffle-free on top of
+    * it, and is then materialized (localCheckpoint, partitioning
+    * preserved) so its two consumers read cached blocks instead of
+    * re-deriving 10M rows. The boilerplate guard (drop grams in >
+    * `subMaxDocs` documents — licence text, headers — BEFORE the pair
+    * join; it is what keeps a hot gram from exploding into a quadratic
+    * pair block) is an anti-join against the TINY hot-gram set, and
+    * the candidate join hash-builds on the small grid side so the
+    * index only ever streams — no sort of it, no broadcast of it. */
+  /** Shared oracle CTE prefix for the substring-dedup family: grid
+    * probe grams (a), distinct (gram, doc) index (b), and the
+    * boilerplate keep-set. */
+  private val subOracleCtes: String =
     s"""WITH docs AS (
       |  SELECT doc_id, text, length(text) AS len FROM documents
       |  WHERE length(text) >= $subW),
@@ -498,7 +508,7 @@ object DedupQueries {
       |  FROM docs),
       |a AS (
       |  SELECT a_doc, p AS a_pos,
-      |    substr(text, CAST(p AS INTEGER), $subW) AS g
+      |    unhex(md5(substr(text, CAST(p AS INTEGER), $subW))) AS g
       |  FROM ap),
       |bp AS (
       |  SELECT doc_id AS b_doc, text,
@@ -506,9 +516,79 @@ object DedupQueries {
       |  FROM docs),
       |b AS (
       |  SELECT DISTINCT b_doc,
-      |    substr(text, CAST(p AS INTEGER), $subW) AS g
+      |    unhex(md5(substr(text, CAST(p AS INTEGER), $subW))) AS g
       |  FROM bp),
-      |keep AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= $subMaxDocs),
+      |keep AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= $subMaxDocs)""".stripMargin
+
+  private def subDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= subW)
+
+  /** Grid probe grams: one md5 digest per (doc, stride-aligned pos). */
+  private def subASide(s: SparkSession, d: String): DataFrame =
+    subDocs(s, d)
+      .select(col("doc_id").as("a_doc"), col("text"),
+        explode(sequence(lit(1), col("len") - (subW - 1), lit(subS)))
+          .as("a_pos"))
+      .select(col("a_doc"), col("a_pos"),
+        unhex(md5(expr(s"substring(text, a_pos, $subW)").cast("binary")))
+          .as("g"))
+
+  /** The session-lifetime corpus artifact of the substring family: the
+    * inverted (gram-digest → doc) index at distinct (g, doc) grain,
+    * plus the tiny hot-gram (boilerplate) set. ONE exchange keyed
+    * hash(g) builds it — the per-(g, doc) dedup aggregate is
+    * shuffle-free on top (hash(g) satisfies its clustering
+    * requirement) — and localCheckpoint materializes it, so its
+    * consumers (both declared queries × every hot/candidate pass) read
+    * cached blocks instead of re-running the 10M-row explode+md5
+    * (plan-level exchange reuse proved fragile here: the planner
+    * broadcast-collected the index, 11 s, or SMJ-sorted it twice,
+    * 6 s). Built by `Bench`'s warm-up like the shingle/IVF/PQ/graph
+    * caches. */
+  def substringGramIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("subgram", d)) {
+      val bDist = subDocs(s, d)
+        .select(col("doc_id").as("b_doc"), col("text"),
+          explode(sequence(lit(1), col("len") - (subW - 1), lit(1)))
+            .as("p"))
+        .select(col("b_doc"),
+          unhex(md5(expr(s"substring(text, p, $subW)").cast("binary")))
+            .as("g"))
+        .repartition(col("g"))
+        .dropDuplicates("g", "b_doc")
+        .localCheckpoint()
+      // grams in > subMaxDocs docs (licence text, headers) — near-empty
+      // on healthy corpora, and the guard that keeps a hot gram from
+      // exploding into a quadratic pair block
+      val hot = bDist.groupBy(col("g"))
+        .agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") > subMaxDocs)
+        .select(col("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (bDist, hot)
+    }
+
+  /** Guarded candidate hits: grid grams anti-joined against the TINY
+    * hot set (not inner-joined against the ~all-grams keep side), then
+    * matched against the index. shuffle_hash keeps the hash builds on
+    * the small sides; the 10M-row index only ever STREAMS — never
+    * broadcast, never sorted (PlanSpec pins this). The output is
+    * unique per (a_doc, a_pos, b_doc): (a_doc, a_pos) has exactly one
+    * gram and the index is distinct per (g, doc). */
+  private def subHits(s: SparkSession, d: String): DataFrame = {
+    val (bDist, hot) = substringGramIndex(s, d)
+    subASide(s, d)
+      .join(hot.hint("shuffle_hash"), Seq("g"), "left_anti")
+      .hint("shuffle_hash")
+      .join(bDist, "g")
+  }
+
+  val qDedupSubstring: QDef = QDef(
+    "q_dedup_substring",
+    s"""$subOracleCtes,
       |hits AS (
       |  SELECT a.a_doc, a.a_pos, b.b_doc
       |  FROM a JOIN keep ON a.g = keep.g
@@ -516,41 +596,51 @@ object DedupQueries {
       |SELECT a_doc, b_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM hits GROUP BY a_doc, b_doc
       |ORDER BY a_doc, b_doc""".stripMargin) { (s, d) =>
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      .where(col("len") >= subW)
-    val aSide = docs
-      .select(col("doc_id").as("a_doc"), col("text"),
-        explode(sequence(lit(1), col("len") - (subW - 1), lit(subS)))
-          .as("a_pos"))
-      .select(col("a_doc"), col("a_pos"),
-        expr(s"substring(text, a_pos, $subW)").as("g"))
-    // distinct (doc, gram): a doc repeating a gram internally indexes
-    // it once — keeps the frequency guard a true document count
-    val bDist = docs
-      .select(col("doc_id").as("b_doc"), col("text"),
-        explode(sequence(lit(1), col("len") - (subW - 1), lit(1)))
-          .as("p"))
-      .select(col("b_doc"), expr(s"substring(text, p, $subW)").as("g"))
-      .dropDuplicates("b_doc", "g")
-    val keep = bDist.groupBy(col("g"))
-      .agg(count(lit(1)).as("ndocs"))
-      .where(col("ndocs") <= subMaxDocs)
-      .select(col("g"))
-    // (a_doc, a_pos) has exactly one gram and (g, b_doc) is distinct,
-    // so the join already yields unique (a_doc, a_pos, b_doc) — no
-    // post-join dedup needed before the pair count
-    aSide
-      .join(keep, "g")
-      .join(bDist, "g")
+    subHits(s, d)
       .where(col("a_doc") < col("b_doc"))
       .groupBy(col("a_doc"), col("b_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("a_doc"), col("b_doc"))
   }
 
+  /** Per-document duplicated-span coverage — the curation report the
+    * pair list feeds: which fraction of each document's stride grid is
+    * verbatim-shared with ANY other document (grid grams ≈ every subS
+    * chars, so dup_frac ≈ duplicated-char fraction). Same guarded
+    * gram-join machinery and cached index as q_dedup_substring; only
+    * the final grouping differs (per doc, not per pair). */
+  val qDedupSpanCoverage: QDef = QDef(
+    "q_dedup_span_coverage",
+    s"""$subOracleCtes,
+      |hits AS (
+      |  SELECT DISTINCT a.a_doc, a.a_pos
+      |  FROM a JOIN keep ON a.g = keep.g
+      |  JOIN b ON a.g = b.g AND a.a_doc <> b.b_doc),
+      |grid AS (SELECT a_doc, COUNT(*) AS n_grid FROM a GROUP BY a_doc)
+      |SELECT g.a_doc AS doc_id, CAST(g.n_grid AS BIGINT) AS n_grid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dup,
+      |  ROUND(COUNT(*) * 1.0 / g.n_grid, 4) AS dup_frac
+      |FROM grid g JOIN hits h ON g.a_doc = h.a_doc
+      |GROUP BY g.a_doc, g.n_grid
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dupPos = subHits(s, d)
+      .where(col("a_doc") =!= col("b_doc"))
+      .select(col("a_doc"), col("a_pos"))
+      .dropDuplicates("a_doc", "a_pos")
+      .groupBy(col("a_doc"))
+      .agg(count(lit(1)).as("n_dup"))
+    val grid = subASide(s, d)
+      .groupBy(col("a_doc"))
+      .agg(count(lit(1)).as("n_grid"))
+    grid.join(dupPos, "a_doc")
+      .select(
+        col("a_doc").as("doc_id"), col("n_grid"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_grid"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
     qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl,
-    qDedupSubstring)
+    qDedupSubstring, qDedupSpanCoverage)
 }

@@ -91,6 +91,41 @@ class DedupSubstringSpec extends AnyFunSuite {
     assert(p.size < 100, s"guard failed to prune the pair explosion: ${p.size}")
   }
 
+  test("span coverage: exact dups fully covered, independents absent") {
+    val base = randomDoc(60)
+    val dir = writeDocs(
+      Seq(0L -> base, 1L -> base) ++
+        (2L to 9L).map(i => i -> randomDoc(60)))
+    val cov = SparkEntry.queries("q_dedup_span_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grid"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_frac")))
+      .toMap
+    assert(cov.keySet == Set(0L, 1L),
+      s"only the dup pair should report coverage: ${cov.keySet}")
+    cov.values.foreach { case (nGrid, nDup, frac) =>
+      assert(nGrid == nDup)
+      assert(frac == 1.0)
+    }
+  }
+
+  test("span coverage: a partial borrower reports a partial fraction") {
+    val base = randomDoc(60)
+    val span = base.substring(87, 157)
+    val borrower = randomDoc(25) + " " + span + " " + randomDoc(25)
+    val dir = writeDocs(
+      Seq(0L -> base, 1L -> borrower) ++
+        (2L to 9L).map(i => i -> randomDoc(60)))
+    val cov = SparkEntry.queries("q_dedup_span_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac"))
+      .toMap
+    assert(cov.contains(0L) && cov.contains(1L))
+    assert(cov(0L) > 0.0 && cov(0L) < 1.0,
+      s"70 of ~360 chars shared should be a partial fraction: $cov")
+  }
+
   test("documents shorter than the gram width are ignored, not an error") {
     val dir = writeDocs(Seq(
       0L -> "short text under forty chars",

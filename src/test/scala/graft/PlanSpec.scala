@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions (SURVEY.md §4): the optimizations that
@@ -169,6 +169,20 @@ class PlanSpec extends AnyFunSuite {
     // stage: empty partition spec over the pruned survivors only
     assert(s.contains("windowspecdefinition(b#"),
       s"missing bucket-partitioned local window:\n$s")
+  }
+
+  test("q_dedup_substring: the gram index only STREAMS — shuffled-hash " +
+    "joins with the small sides as builds; never broadcast, never sorted") {
+    val p = finalPlan("q_dedup_substring")
+    val shj = p.collectWithSubqueries { case j: ShuffledHashJoinExec => j }
+    assert(shj.size == 2,
+      s"expected the anti-hot + candidate joins as shuffled-hash, got:\n$p")
+    assert(p.collectWithSubqueries {
+      case j: SortMergeJoinExec => j
+    }.isEmpty, s"10M-row index must not be sorted for a merge join:\n$p")
+    assert(p.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"the gram index must never be broadcast-collected:\n$p")
   }
 
   test("suite-wide sweep: no query degenerates to a cartesian product") {
