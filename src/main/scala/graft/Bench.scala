@@ -77,6 +77,8 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     graft.operators.PqAnn.build(spark, sfDir).encoded
       .write.mode("overwrite").format("noop").save()
+    graft.operators.PqAnn.topKIvfPq(spark, sfDir, 0L, 1)
+      .write.mode("overwrite").format("noop").save() // ivfpq combined cache
     // substring-dedup inverted gram index: the localCheckpoint build is
     // eager; the hot-gram set still needs one materializing pass
     graft.operators.DedupQueries.substringGramIndex(spark, sfDir)

@@ -56,6 +56,20 @@ object IvfAnn {
       Index(assigned, model.clusterCenters)
     }
 
+  /** The `nprobe` centroid ids nearest (squared euclidean in the
+    * normalized space) to a normalized query — the driver-side routing
+    * step shared with the IVF-PQ composite (PqAnn.topKIvfPq). */
+  def nearestCentroids(
+      centroids: Array[Vector], q: Array[Double], nprobe: Int): Array[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        val dist = c.toArray.zip(q).map { case (a, b) =>
+          (a - b) * (a - b)
+        }.sum
+        (i, dist)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
   /** Top-k neighbours of `queryVecId`, probing `nprobe` inverted
     * lists. */
   def topK(
@@ -73,14 +87,7 @@ object IvfAnn {
     // distance must compare against the normalized query
     val qn = math.sqrt(raw.map(x => x * x).sum)
     val q = if (qn > 0) raw.map(_ / qn) else raw
-    val probes = idx.centroids.zipWithIndex
-      .map { case (c, i) =>
-        val dist = c.toArray.zip(q).map { case (a, b) =>
-          (a - b) * (a - b)
-        }.sum
-        (i, dist)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
+    val probes = nearestCentroids(idx.centroids, q.toArray, nprobe)
     val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
       .select(
         col("embedding").as("qv"),

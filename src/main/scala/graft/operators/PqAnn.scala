@@ -85,12 +85,10 @@ object PqAnn {
       Index(enc, models.map(_.clusterCenters.map(_.toArray)).toArray)
     }
 
-  /** Top-k neighbours of `queryVecId`: ADC scan over the encoded
-    * corpus, exact-cosine re-rank of the top-`rerank` candidates. */
-  def topK(
-      s: SparkSession, d: String, queryVecId: Long, k: Int,
-      rerank: Int = 64): DataFrame = {
-    val idx = build(s, d)
+  /** The query vector, L2-normalized, fetched driver-side (one row —
+    * collecting it IS the broadcast). */
+  private def normalizedQuery(
+      s: SparkSession, d: String, queryVecId: Long): Array[Double] = {
     val qRows = embeddings(s, d)
       .filter(col("vec_id") === queryVecId)
       .select(col("embedding")).head(1)
@@ -98,30 +96,41 @@ object PqAnn {
       s"query vector vec_id=$queryVecId not found in $d/embeddings")
     val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
     val qn = math.sqrt(raw.map(x => x * x).sum)
-    val q = if (qn > 0) raw.map(_ / qn).toArray else raw.toArray
-    // ADC lookup table: exact squared distance from each query slice to
-    // each centroid — m×ksub = 128 doubles, computed driver-side and
-    // inlined as literal arrays (codegen folds them into constants)
+    if (qn > 0) raw.map(_ / qn).toArray else raw.toArray
+  }
+
+  /** ADC column for a normalized query: the per-query m×ksub lookup
+    * table of exact query-slice-to-centroid squared distances is
+    * computed driver-side (128 doubles) and inlined as literal arrays
+    * — codegen folds them into constants, so the per-row cost is m
+    * lookups + m−1 adds. */
+  def adcColumn(
+      codebooks: Array[Array[Array[Double]]], q: Array[Double]): Column = {
     val dtab: Array[Array[Double]] = Array.tabulate(m) { j =>
       val qs = q.slice(j * dsub, (j + 1) * dsub)
-      idx.codebooks(j).map { c =>
+      codebooks(j).map { c =>
         var acc = 0.0
         var i = 0
         while (i < dsub) { val t = qs(i) - c(i); acc += t * t; i += 1 }
         acc
       }
     }
-    val adc: Column = (0 until m).map { j =>
+    (0 until m).map { j =>
       element_at(array(dtab(j).map(lit).toIndexedSeq: _*),
         col("codes")(j) + 1)
     }.reduce(_ + _)
+  }
+
+  /** Exact-cosine re-rank of an ADC-ranked candidate frame (must carry
+    * vec_id + embedding + adc). */
+  private def rerankExact(
+      s: SparkSession, d: String, queryVecId: Long, k: Int,
+      rerank: Int, candidates: DataFrame): DataFrame = {
     val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
       .select(
         col("embedding").as("qv"),
         SimilarityQueries.l2norm(col("embedding")).as("qnrm"))
-    idx.encoded
-      .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+    candidates
       .orderBy(col("adc"), col("vec_id")) // TakeOrderedAndProject, not a sort
       .limit(rerank)
       .crossJoin(broadcast(qv))
@@ -135,6 +144,50 @@ object PqAnn {
       .limit(k)
   }
 
+  /** Top-k neighbours of `queryVecId`: ADC scan over the encoded
+    * corpus, exact-cosine re-rank of the top-`rerank` candidates. */
+  def topK(
+      s: SparkSession, d: String, queryVecId: Long, k: Int,
+      rerank: Int = 64): DataFrame = {
+    val idx = build(s, d)
+    val q = normalizedQuery(s, d, queryVecId)
+    rerankExact(s, d, queryVecId, k, rerank,
+      idx.encoded
+        .filter(col("vec_id") =!= queryVecId)
+        .select(col("vec_id"), col("embedding"),
+          adcColumn(idx.codebooks, q).as("adc")))
+  }
+
+  /** IVF-PQ composite (the FAISS-style IVFADC layout from the same
+    * public PQ paper): the IVF coarse quantizer routes the query to
+    * `nprobe` inverted lists and the ADC scan runs over the PQ codes
+    * of those lists ONLY — at 100 TB the scan touches nprobe/k of the
+    * corpus and reads 8-byte codes, not 256-byte vectors; the two
+    * index structures compose multiplicatively. Exact-cosine re-rank
+    * as everywhere. */
+  def topKIvfPq(
+      s: SparkSession, d: String, queryVecId: Long, k: Int,
+      nprobe: Int = 4, rerank: Int = 64): DataFrame = {
+    val pq = build(s, d)
+    val ivf = IvfAnn.build(s, d)
+    // cluster routing + codes in one cached frame (vec_id, cluster,
+    // codes, embedding) — derived from the two warmed indexes
+    val combined = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ivfpq", d)) {
+        ivf.assigned.select(col("vec_id"), col("cluster"))
+          .join(pq.encoded, "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val q = normalizedQuery(s, d, queryVecId)
+    val probed = IvfAnn.nearestCentroids(ivf.centroids, q, nprobe)
+    rerankExact(s, d, queryVecId, k, rerank,
+      combined
+        .filter(col("cluster").isin(probed.map(Integer.valueOf): _*)
+          && col("vec_id") =!= queryVecId)
+        .select(col("vec_id"), col("embedding"),
+          adcColumn(pq.codebooks, q).as("adc")))
+  }
+
   /** Declared query: PQ/ADC top-10 for the query vector (no oracle —
     * the codebooks are engine-internal k-means state; PqAnnSpec asserts
     * code validity, recall vs brute force, monotonicity in the rerank
@@ -143,5 +196,12 @@ object PqAnn {
     topK(s, d, queryVecId = 0L, k = 10)
   }
 
-  val defs: Seq[QDef] = Seq(qAnnPq)
+  /** Declared query: IVF-PQ top-10 (no oracle; PqAnnSpec asserts the
+    * candidate set is the probed-lists ∩ ADC ranking, recall vs brute
+    * force, and monotonicity in nprobe). */
+  val qAnnIvfPq: QDef = QDef.noOracle("q_ann_ivf_pq") { (s, d) =>
+    topKIvfPq(s, d, queryVecId = 0L, k = 10)
+  }
+
+  val defs: Seq[QDef] = Seq(qAnnPq, qAnnIvfPq)
 }

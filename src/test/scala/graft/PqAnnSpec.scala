@@ -58,6 +58,43 @@ class PqAnnSpec extends AnyFunSuite {
       s"recall ${(brute & pq).size}/10 with a 64-candidate budget")
   }
 
+  test("q_ann_ivf_pq is deterministic and non-empty") {
+    val r1 = SparkEntry.queries("q_ann_ivf_pq")(spark, sfDir).collect().toSeq
+    val r2 = SparkEntry.queries("q_ann_ivf_pq")(spark, sfDir).collect().toSeq
+    assert(r1 == r2)
+    assert(r1.nonEmpty)
+  }
+
+  test("IVF-PQ with every list probed degenerates to plain PQ") {
+    val full = PqAnn.topKIvfPq(spark, sfDir, 0L, 10, nprobe = 16)
+      .collect().toSeq
+    val pq = PqAnn.topK(spark, sfDir, 0L, 10).collect().toSeq
+    assert(full == pq,
+      "probing all 16 lists must reproduce the unrouted ADC scan")
+  }
+
+  test("IVF-PQ recall@10 >= 0.5 at nprobe=4 on the structured corpus") {
+    val d = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, d)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val got = PqAnn.topKIvfPq(spark, d, 0L, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute & got).size >= 5,
+      s"recall ${(brute & got).size}/10 probing 4/16 lists over PQ codes")
+  }
+
+  test("IVF-PQ recall is non-decreasing in nprobe") {
+    val brute = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recalls = Seq(2, 4, 8, 16).map { np =>
+      val got = PqAnn.topKIvfPq(spark, sfDir, 0L, 10, nprobe = np)
+        .collect().map(_.getLong(0)).toSet
+      (brute & got).size
+    }
+    assert(recalls == recalls.sorted,
+      s"probing more lists must never lose neighbors: $recalls")
+  }
+
   test("PQ recall is non-decreasing in the rerank budget") {
     val brute = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
       .limit(10).collect().map(_.getLong(0)).toSet
