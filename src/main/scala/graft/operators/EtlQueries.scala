@@ -98,6 +98,11 @@ object EtlQueries {
       val w = src.coalesce(1).write.mode("overwrite")
       if (fmt == "csv") w.option("header", "true").csv(out)
       else if (fmt == "orc") w.orc(out)
+      else if (fmt == "xml")
+        // Access's own XML export shape: <dataroot> root, one element
+        // per row named after the table
+        w.option("rootTag", "dataroot").option("rowTag", "documents")
+          .format("xml").save(out)
       else w.json(out)
       out
     }
@@ -133,6 +138,22 @@ object EtlQueries {
     """SELECT doc_id, lang, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     s.read.schema(docSchema).orc(roundtripDir(s, d, "orc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** XML ingest (Spark 4's built-in XML datasource) in Microsoft
+    * Access's OWN export shape — `<dataroot>` root element, one
+    * `<documents>` element per row — the third interchange format the
+    * reference's source system emits next to CSV and the .mdb binary.
+    * Same export → re-read → must-equal-source contract; the oracle
+    * reads the original parquet. */
+  val qScanXml: QDef = QDef(
+    "q_scan_xml",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(docSchema).option("rowTag", "documents")
+      .format("xml").load(roundtripDir(s, d, "xml"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -416,7 +437,7 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
+    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply)
 }
