@@ -639,8 +639,62 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Span CUT — the transform the detection feeds (the public
+    * exact-substring dedup pipeline removes duplicated spans rather
+    * than whole documents): every grid gram of a doc that also occurs
+    * in a LOWER-id doc marks the span [a_pos, a_pos+subW) for removal;
+    * overlapping spans are merged into intervals and the surviving
+    * pieces are reassembled. First occurrence (lowest doc_id) always
+    * survives intact — only later copies lose the duplicated text.
+    *
+    * The interval merge and reassembly are pure codegen
+    * higher-order-function expressions (aggregate/zip_with/transform
+    * over the per-doc position array — bounded by len/subS entries, so
+    * per-row state is small and there is no UDF in the path). No
+    * oracle: the span arithmetic is not reasonably SQL-expressible in
+    * DuckDB; DedupSubstringSpec property-tests the cut (dup pair →
+    * later copy nearly empty; partial borrower loses exactly the
+    * borrowed span; first doc and independents untouched). */
+  val qDedupSpanCut: QDef = QDef.noOracle("q_dedup_span_cut") { (s, d) =>
+    val cutPos = subHits(s, d)
+      .where(col("b_doc") < col("a_doc"))
+      .groupBy(col("a_doc").as("doc_id"))
+      .agg(sort_array(collect_set(col("a_pos"))).as("ps"))
+    val withText = subDocs(s, d)
+      .select(col("doc_id"), col("text"), col("len"))
+      .join(cutPos, "doc_id")
+    // merge overlapping/adjacent fixed-width spans into intervals
+    val iv = expr(
+      s"""aggregate(ps,
+         |  cast(array() as array<struct<s:int,e:int>>),
+         |  (acc, p) -> CASE
+         |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+         |    THEN concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('s', element_at(acc, -1).s,
+         |        'e', greatest(element_at(acc, -1).e, p + $subW))))
+         |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $subW)))
+         |  END)""".stripMargin)
+    withText
+      .withColumn("iv", iv)
+      // surviving pieces: [1, s1), [e1, s2), …, [ek, len+1)
+      .withColumn("clean_text", expr(
+        """concat_ws('', zip_with(
+          |  concat(array(1), transform(iv, x -> x.e)),
+          |  concat(transform(iv, x -> x.s), array(len + 1)),
+          |  (a, b) -> substring(text, a, b - a)))""".stripMargin))
+      .withColumn("n_cut",
+        expr("aggregate(iv, 0, (acc, x) -> acc + (x.e - x.s))"))
+      .select(
+        col("doc_id"),
+        col("len").as("orig_len"),
+        col("n_cut").cast("long").as("n_cut"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
     qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl,
-    qDedupSubstring, qDedupSpanCoverage)
+    qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut)
 }

@@ -126,6 +126,48 @@ class DedupSubstringSpec extends AnyFunSuite {
       s"70 of ~360 chars shared should be a partial fraction: $cov")
   }
 
+  test("span cut: the later exact copy is cut, the first copy survives") {
+    val base = randomDoc(60)
+    val dir = writeDocs(
+      Seq(0L -> base, 1L -> base) ++
+        (2L to 9L).map(i => i -> randomDoc(60)))
+    val rows = SparkEntry.queries("q_dedup_span_cut")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L),
+      "only the higher-id copy is cut; first occurrence survives intact")
+    val r = rows.head
+    // every grid gram matches doc 0, so the merged cut interval is
+    // [1, lastGrid + 40) and only the sub-stride tail survives
+    val nGrid = (base.length - 40) / 20 + 1
+    val lastGrid = 1 + 20 * (nGrid - 1)
+    val expectedClean = base.substring(lastGrid + 39) // 0-based drop
+    assert(r.getAs[String]("clean_text") == expectedClean)
+    assert(r.getAs[Long]("clean_len") == expectedClean.length.toLong)
+    assert(r.getAs[Long]("n_cut") == (lastGrid + 39).toLong)
+  }
+
+  test("span cut: a borrower loses only the borrowed span") {
+    val base = randomDoc(60)
+    val span = base.substring(87, 157)
+    val prefix = randomDoc(25)
+    val suffix = randomDoc(25)
+    val borrower = prefix + " " + span + " " + suffix
+    val dir = writeDocs(
+      Seq(0L -> base, 1L -> borrower) ++
+        (2L to 9L).map(i => i -> randomDoc(60)))
+    val rows = SparkEntry.queries("q_dedup_span_cut")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val clean = rows.head.getAs[String]("clean_text")
+    // cut intervals are grid grams fully inside the borrowed span, so
+    // the prefix and suffix must survive verbatim
+    assert(clean.startsWith(prefix))
+    assert(clean.endsWith(suffix))
+    val nCut = rows.head.getAs[Long]("n_cut")
+    assert(nCut >= 40L && nCut <= 70L,
+      s"cut must stay within the 70-char borrowed span, got $nCut")
+  }
+
   test("documents shorter than the gram width are ignored, not an error") {
     val dir = writeDocs(Seq(
       0L -> "short text under forty chars",
