@@ -178,4 +178,30 @@ object DedupPipeline {
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Incremental exact-SUBSTRING audit of a NEW batch against the
+    * ingested corpus: the batch's stride-grid grams (O(|batch| ·
+    * len/stride) rows) probe the session-cached corpus inverted gram
+    * index (DedupQueries.substringGramIndex — built once, the 100 TB
+    * side only streams), after the same hot-gram boilerplate guard the
+    * corpus queries use. Returns one row per batch doc with verbatim
+    * corpus overlap: (doc_id, n_matched_grid — grid positions found in
+    * ANY corpus doc, ≈ overlap_chars/stride — and n_corpus_docs
+    * touched). Compose with the minhash path: dedupIncremental drops
+    * whole near-dup docs; this catches partial span-level
+    * contamination (a licence block, a copied paragraph) those
+    * doc-level signatures miss. */
+  def substringOverlapIncremental(
+      s: SparkSession, batch: DataFrame, d: String): DataFrame = {
+    val (index, hot) = DedupQueries.substringGramIndex(s, d)
+    DedupQueries.gridGramsOf(batch)
+      .join(hot.hint("shuffle_hash"), Seq("g"), "left_anti")
+      .hint("shuffle_hash")
+      .join(index, "g")
+      .groupBy(col("a_doc").as("doc_id"))
+      .agg(
+        countDistinct(col("a_pos")).as("n_matched_grid"),
+        countDistinct(col("b_doc")).as("n_corpus_docs"))
+      .orderBy(col("doc_id"))
+  }
 }

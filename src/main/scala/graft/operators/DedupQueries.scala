@@ -525,15 +525,23 @@ object DedupQueries {
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .where(col("len") >= subW)
 
-  /** Grid probe grams: one md5 digest per (doc, stride-aligned pos). */
-  private def subASide(s: SparkSession, d: String): DataFrame =
-    subDocs(s, d)
+  /** Grid probe grams for an ARBITRARY (doc_id, text) frame: one md5
+    * digest per (doc, stride-aligned pos) — the building block shared
+    * by the corpus queries and the incremental batch path
+    * (DedupPipeline.substringOverlapIncremental). */
+  def gridGramsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= subW)
       .select(col("doc_id").as("a_doc"), col("text"),
         explode(sequence(lit(1), col("len") - (subW - 1), lit(subS)))
           .as("a_pos"))
       .select(col("a_doc"), col("a_pos"),
         unhex(md5(expr(s"substring(text, a_pos, $subW)").cast("binary")))
           .as("g"))
+
+  private def subASide(s: SparkSession, d: String): DataFrame =
+    gridGramsOf(documents(s, d))
 
   /** The session-lifetime corpus artifact of the substring family: the
     * inverted (gram-digest → doc) index at distinct (g, doc) grain,

@@ -76,4 +76,30 @@ class DedupIncrementalSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(kept == Set(30002L), s"survivors: $kept")
   }
+
+  test("incremental substring audit flags span-level corpus overlap") {
+    import spark.implicits._
+    val donor = corpusDocs(30).map(_._2).maxBy(_.length)
+    require(donor.length >= 160, "fixture doc long enough for a span")
+    // 70 chars lifted from mid-corpus-doc at an odd offset, wrapped in
+    // fresh text — doc-level signatures would likely miss this; the
+    // span audit must not
+    val span = donor.substring(81, 151)
+    val fresh = (1 to 60)
+      .map(i => s"freshword$i unique${i * 11} tok${i * 17}")
+      .mkString(" ")
+    val batch = Seq(
+      (20001L, fresh.take(140) + " " + span + " " + fresh.drop(200)),
+      (20002L, fresh) // no corpus overlap — must be absent
+    ).toDF("doc_id", "text")
+    val out = DedupPipeline.substringOverlapIncremental(spark, batch, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matched_grid"), r.getAs[Long]("n_corpus_docs")))
+      .toMap
+    assert(out.contains(20001L),
+      s"borrowed 70-char span must surface, got $out")
+    assert(out(20001L)._1 >= 1L && out(20001L)._2 >= 1L)
+    assert(!out.contains(20002L), s"fresh doc wrongly flagged: $out")
+  }
 }
