@@ -435,9 +435,59 @@ object EtlQueries {
       .orderBy(col("status"))
   }
 
+  /** The schema-translation stage AS DATA: the full Jet→PostgreSQL
+    * type mapping (every one of the 14 Jet types) plus the column-name
+    * sanitization rules, emitted row-per-column exactly as
+    * `MigrationPipeline.ddl` would render them — the engine's
+    * `mdb-schema … postgres` analog, pinned under the driver's hash
+    * gate. The oracle restates the documented §1.2 mapping as literal
+    * rows, so any drift in either the mapping or the sanitizer fails
+    * the round's correctness artifact, not just a unit test. */
+  val qMigrationDdl: QDef = {
+    import graft.sources.JetTypes
+    // a representative Access table exercising every Jet type and the
+    // sanitizer's corner cases (spaces, symbols, leading digit)
+    val jetCols: Seq[(String, JetTypes.JetType)] = Seq(
+      "Order ID" -> JetTypes.LongInteger,
+      "Is Active?" -> JetTypes.YesNo,
+      "Priority Code" -> JetTypes.JetByte,
+      "Line No" -> JetTypes.JetInteger,
+      "Weight (kg)" -> JetTypes.Single,
+      "Unit Price" -> JetTypes.Currency,
+      "Exact Rate" -> JetTypes.Numeric(28, 6),
+      "Growth %" -> JetTypes.JetDouble,
+      "Ordered At" -> JetTypes.DateTime,
+      "Customer Name" -> JetTypes.ShortText,
+      "Notes" -> JetTypes.Memo,
+      "Attachment" -> JetTypes.OleObject,
+      "Home Page" -> JetTypes.Hyperlink,
+      "2nd Replica ID" -> JetTypes.ReplicationId)
+    val rows = jetCols.zipWithIndex.map { case ((raw, t), i) =>
+      (i + 1, raw, JetTypes.sanitizeName(raw), t.name,
+        JetTypes.toPostgres(t), JetTypes.toSpark(t).simpleString)
+    }
+    val oracleRows = rows
+      .map { case (o, raw, san, jet, pg, sp) =>
+        s"($o, '$raw', '$san', '$jet', '$pg', '$sp')"
+      }
+      .mkString(",\n|  ")
+    QDef(
+      "q_migration_ddl",
+      s"""SELECT * FROM (VALUES
+        |  $oracleRows)
+        |AS t(ordinal, source_column, column_name, jet_type, pg_type,
+        |     spark_type)
+        |ORDER BY ordinal""".stripMargin) { (s, _) =>
+      s.createDataFrame(rows).toDF(
+        "ordinal", "source_column", "column_name", "jet_type",
+        "pg_type", "spark_type")
+        .orderBy(col("ordinal"))
+    }
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
-    qTableChecksum, qCdcApply)
+    qTableChecksum, qCdcApply, qMigrationDdl)
 }

@@ -84,5 +84,51 @@ object ReshapeQueries {
         col("l_orderkey"), col("l_linenumber"), col("measure"))
   }
 
-  val defs: Seq[QDef] = Seq(qPivot, qUnpivot)
+  /** Access's crosstab in FULL fidelity: `TRANSFORM Sum(...) PIVOT ...`
+    * emits a row-Total column alongside the pivoted value columns —
+    * q_pivot covers the matrix, this covers the Total. One aggregation
+    * pass produces the status columns AND the row total (the total is
+    * the coalesced sum of the pivoted cells, not a second scan);
+    * currency accumulates exactly in DECIMAL and renders as DOUBLE
+    * (the §0 contract). */
+  val qCrosstabTotals: QDef = QDef(
+    "q_crosstab_totals",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+      |    AS DOUBLE) AS status_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+      |    AS DOUBLE) AS status_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+      |    AS DOUBLE) AS status_p,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS row_total,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("price_dec")).as("rev"), count(lit(1)).as("cnt"))
+      .select(
+        col("o_orderpriority"),
+        col("F_rev").cast("double").as("status_f"),
+        col("O_rev").cast("double").as("status_o"),
+        col("P_rev").cast("double").as("status_p"),
+        // the Access Total column: sum of the pivoted cells (exact in
+        // DECIMAL before the double rendering)
+        (coalesce(col("F_rev"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("O_rev"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("P_rev"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("row_total"),
+        (coalesce(col("F_cnt"), lit(0L)) + coalesce(col("O_cnt"), lit(0L))
+          + coalesce(col("P_cnt"), lit(0L))).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val defs: Seq[QDef] = Seq(qPivot, qUnpivot, qCrosstabTotals)
 }
