@@ -43,4 +43,28 @@ object MediaGen {
 
   def wavBytes(docId: Long): Array[Byte] =
     WavCodec.encode(wavRate(docId), wavSamples(docId))
+
+  // Animated-GIF fixtures (q_gif_frames):
+  //   w        = 8 + doc_id % 5            (8..12)
+  //   h        = 6 + (doc_id / 2) % 5      (6..10)
+  //   n_frames = 3 + doc_id % 4            (3..6)
+  //   idx[f][j] = (doc_id·7 + f·11 + j·5) % 16   (palette index)
+  // palette formulas live in GifCodec.paletteColor.
+
+  def gifDims(docId: Long): (Int, Int) =
+    ((8 + docId % 5).toInt, (6 + (docId / 2) % 5).toInt)
+
+  def gifFrameCount(docId: Long): Int = (3 + docId % 4).toInt
+
+  def gifFrameIndices(docId: Long, f: Int): Array[Byte] = {
+    val (w, h) = gifDims(docId)
+    Array.tabulate(w * h)(j =>
+      ((docId * 7 + f * 11 + j * 5) % 16).toByte)
+  }
+
+  def gifBytes(docId: Long): Array[Byte] = {
+    val (w, h) = gifDims(docId)
+    GifCodec.encode(w, h,
+      Array.tabulate(gifFrameCount(docId))(f => gifFrameIndices(docId, f)))
+  }
 }

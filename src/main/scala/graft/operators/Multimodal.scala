@@ -433,7 +433,84 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL multi-frame frame-sampling: encode deterministic animated
+    * GIF89a payloads (real variable-width LZW — GifCodec), decode the
+    * container back off the bytes, sample every SECOND frame, and
+    * report per-frame palette-resolved channel means. This upgrades
+    * the frame-sampling lane from the opaque-container stub
+    * (qMultimodalFrames) to a genuine codec path: only sampled frames'
+    * pixels are touched after the container walk, mirroring a
+    * production keyframe-extraction job. The oracle recomputes the
+    * SAME statistics from MediaGen's closed-form index + palette
+    * formulas, so the whole byte layout — LZW bit packing, sub-block
+    * framing, palette table — is under the hash gate. */
+  val qGifFrames: QDef = QDef(
+    "q_gif_frames",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 5 AS w,
+      |    6 + (doc_id // 2) % 5 AS h,
+      |    CAST(3 + doc_id % 4 AS INT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, n_frames,
+      |    CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+      |  FROM g),
+      |sampled AS (SELECT * FROM f WHERE frame_idx % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, n_frames, frame_idx, w, h,
+      |    unnest(range(w * h)) AS j
+      |  FROM sampled),
+      |c AS (
+      |  SELECT doc_id, n_frames, frame_idx,
+      |    (doc_id * 7 + frame_idx * 11 + j * 5) % 16 AS ci
+      |  FROM px)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  ROUND(AVG((ci * 17 + 3) % 256), 4) AS mean_r,
+      |  ROUND(AVG((ci * 29 + 7) % 256), 4) AS mean_g,
+      |  ROUND(AVG((ci * 43 + 11) % 256), 4) AS mean_b
+      |FROM c
+      |GROUP BY doc_id, n_frames, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val gif = graft.media.GifCodec.decode(
+          graft.media.MediaGen.gifBytes(id))
+        gif.frames.zipWithIndex
+          .filter(_._2 % 2 == 0) // keyframe sampling: every 2nd frame
+          .map { case (frame, fi) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < frame.length) {
+              val (cr, cg, cb) = gif.palette(frame(i) & 0xff)
+              sr += cr; sg += cg; sb += cb
+              i += 1
+            }
+            org.apache.spark.sql.Row(
+              id, gif.frames.length, fi, sr, sg, sb, frame.length.toLong)
+          }
+      }
+    }(enc)
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        round(col("sum_r") * lit(1.0) / col("n_px"), 4).as("mean_r"),
+        round(col("sum_g") * lit(1.0) / col("n_px"), 4).as("mean_g"),
+        round(col("sum_b") * lit(1.0) / col("n_px"), 4).as("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames,
-    qImageDecode, qImageResize, qAudioStats)
+    qImageDecode, qImageResize, qAudioStats, qGifFrames)
 }
