@@ -421,7 +421,127 @@ object ExperimentQueries {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Benjamini-Hochberg FDR correction over a 30-test family — the
+    * multiple-testing step every experimentation readout needs once it
+    * reports more than one metric/segment: per DAY, a two-sample
+    * z-test of mean event `value` between the md5 50/50 user arms;
+    * then the K p-values are ranked and compared against the BH
+    * staircase i·α/K (α = 0.05).
+    *
+    * Determinism: value accumulates as DECIMAL(18,6) (sums exact,
+    * order-independent), means/variances become doubles only after
+    * exact accumulation; the normal tail uses the public
+    * Abramowitz-Stegun 26.2.17 polynomial with IDENTICAL literals on
+    * both engines, and the BH rank orders by the 6dp-ROUNDed p with
+    * the day as tie-break (the q_map_at_k idiom: rank keys are
+    * rounded so ordering can't flip on cross-engine ULPs). The rank
+    * window is unpartitioned over the CALENDAR-bounded 30-row test
+    * table (whitelisted in RegistryPlanSpec). */
+  val qFdrBh: QDef = QDef(
+    "q_fdr_bh",
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |      AS day,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 4)) AS INT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT day, arm, COUNT(*) AS n,
+      |    CAST(SUM(v) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+      |  FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day,
+      |    MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+      |    MAX(CASE WHEN arm = 'A' THEN sv END) AS sva,
+      |    MAX(CASE WHEN arm = 'A' THEN svv END) AS svva,
+      |    MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+      |    MAX(CASE WHEN arm = 'B' THEN sv END) AS svb,
+      |    MAX(CASE WHEN arm = 'B' THEN svv END) AS svvb
+      |  FROM g GROUP BY day
+      |  HAVING MAX(CASE WHEN arm = 'A' THEN n END) >= 2
+      |     AND MAX(CASE WHEN arm = 'B' THEN n END) >= 2),
+      |z AS (
+      |  SELECT day, na, nb,
+      |    (sva / na - svb / nb)
+      |      / SQRT(((svva - sva * sva / na) / (na - 1)) / na
+      |           + ((svvb - svb * svb / nb) / (nb - 1)) / nb) AS zv
+      |  FROM w),
+      |p AS (
+      |  SELECT day, na, nb, zv,
+      |    ROUND(2 * (EXP(-zv * zv / 2) / 2.5066282746310002)
+      |      * ((1.0 / (1 + 0.2316419 * ABS(zv)))
+      |        * (0.319381530 + (1.0 / (1 + 0.2316419 * ABS(zv)))
+      |        * (-0.356563782 + (1.0 / (1 + 0.2316419 * ABS(zv)))
+      |        * (1.781477937 + (1.0 / (1 + 0.2316419 * ABS(zv)))
+      |        * (-1.821255978 + 1.330274429
+      |          * (1.0 / (1 + 0.2316419 * ABS(zv)))))))), 6) AS p6
+      |  FROM z),
+      |r AS (
+      |  SELECT day, na, nb, zv, p6,
+      |    ROW_NUMBER() OVER (ORDER BY p6, day) AS rnk,
+      |    COUNT(*) OVER () AS k
+      |  FROM p)
+      |SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(zv, 4) AS z, p6 AS p_value,
+      |  CAST(rnk AS INT) AS p_rank, CAST(k AS INT) AS n_tests,
+      |  ROUND(rnk * 0.05 / k, 6) AS bh_threshold,
+      |  (p6 <= ROUND(rnk * 0.05 / k, 6)) AS significant
+      |FROM r
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val arm = when(
+      conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("int") % 100 < 50, "A").otherwise("B")
+    val v = col("value").cast("decimal(18,6)")
+    val g = events(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        arm.as("arm"), v.as("v"))
+      .groupBy(col("day"), col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sv"),
+        sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double")
+          .as("svv"))
+    val w = g.groupBy(col("day"))
+      .agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "A", col("sv"))).as("sva"),
+        max(when(col("arm") === "A", col("svv"))).as("svva"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "B", col("sv"))).as("svb"),
+        max(when(col("arm") === "B", col("svv"))).as("svvb"))
+      .where(col("na") >= 2 && col("nb") >= 2)
+    val zv = (col("sva") / col("na") - col("svb") / col("nb")) /
+      sqrt(((col("svva") - col("sva") * col("sva") / col("na"))
+          / (col("na") - 1)) / col("na")
+        + ((col("svvb") - col("svb") * col("svb") / col("nb"))
+          / (col("nb") - 1)) / col("nb"))
+    val t = lit(1.0) / (lit(1) + lit(0.2316419) * abs(col("zv")))
+    val pTwo = lit(2) * (exp(-col("zv") * col("zv") / 2)
+        / lit(2.5066282746310002)) *
+      (t * (lit(0.319381530) + t * (lit(-0.356563782) + t
+        * (lit(1.781477937) + t * (lit(-1.821255978)
+          + lit(1.330274429) * t)))))
+    val ranked = w
+      .select(col("day"), col("na"), col("nb"), zv.as("zv"))
+      .withColumn("p6", round(pTwo, 6))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("p6"), col("day"))))
+      .withColumn("k", count(lit(1)).over(
+        Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val thr = round(col("rnk") * lit(0.05) / col("k"), 6)
+    ranked.select(
+      col("day"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("zv"), 4).as("z"), col("p6").as("p_value"),
+      col("rnk").as("p_rank"), col("k").cast("int").as("n_tests"),
+      thr.as("bh_threshold"),
+      (col("p6") <= thr).as("significant"))
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck,
-      qCupedEffect)
+      qCupedEffect, qFdrBh)
 }

@@ -46,7 +46,7 @@ class RegistryPlanSpec extends AnyFunSuite {
       "q_bollinger", "q_changepoint", "q_stl_decompose",
       "q_rolling_corr", "q_cum_users", "q_theil_sen", "q_spearman_corr",
       "q_mannwhitney_u", "q_ks_test", "q_survival_km", "q_concurrency",
-      "q_interpolate_linear") ++
+      "q_interpolate_linear", "q_fdr_bh") ++
     // fixed small domains: region/source/bucket/threshold/replicate
     // tables — pre-aggregated to a domain that does not grow with data
     Set("q_region_share", "q_train_mix", "q_basket_size_dist",
