@@ -85,6 +85,7 @@ object Bench {
       ._2.write.mode("overwrite").format("noop").save()
     // FP-Growth basket model (q_freq_itemsets) — fit is setup cost
     graft.operators.StatExtQueries.fpGrowthModel(spark, sfDir)
+    graft.operators.SequenceQueries.prefixSpanPatterns(spark, sfDir)
     // graph session caches: the co-purchase edge list, the support-≥2
     // backbone and its symmetric/degree views are session-lifetime
     // builds shared by the pagerank/triangle/jaccard/clustering/
