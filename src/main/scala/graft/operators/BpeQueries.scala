@@ -89,9 +89,10 @@ object BpeQueries {
 
   /** q_token_truncate re-based on BPE: clip to the first 64 subword
     * tokens and DECODE the kept prefix back to text — byte-level BPE
-    * round-trips losslessly within words, so the report can state
-    * exactly how many characters of each document survive a context
-    * window, not an estimate. */
+    * round-trips losslessly within words, so n_kept_chars counts the
+    * exact surviving WORD characters (decode concatenates words with
+    * no separator, so inter-word whitespace is excluded — see
+    * Bpe.decode), not an estimate. */
   val qBpeTokenTruncate: QDef = QDef.noOracle("q_bpe_token_truncate") {
     (s, d) =>
       val vocab = bpeVocab(s, d)

@@ -345,6 +345,30 @@ private[sources] object JetCsvFilters {
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: UTF8String, y) => Some(x.toString.compareTo(y.toString))
+    // Spark Decimal internal values (Currency/NUMERIC columns) against
+    // the BigDecimal literals V1 filters carry — NOT java Numbers, so
+    // the generic case below never matches them
+    case (x: Decimal, y: java.math.BigDecimal) =>
+      Some(x.toJavaBigDecimal.compareTo(y))
+    case (x: Decimal, y: BigDecimal) => Some(x.toBigDecimal.compare(y))
+    case (x: Decimal, y: Number) =>
+      Some(x.toJavaBigDecimal.compareTo(
+        new java.math.BigDecimal(y.toString)))
+    // DateTime columns hold epoch MICROS internally; filter literals
+    // arrive as java.sql.Timestamp or (java8 datetime API) Instant
+    case (x: java.lang.Long, y: java.sql.Timestamp) =>
+      Some(java.lang.Long.compare(x,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(y)))
+    case (x: java.lang.Long, y: java.time.Instant) =>
+      Some(java.lang.Long.compare(x,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(y)))
+    case (x: java.lang.Integer, y: java.sql.Date) =>
+      Some(Integer.compare(x,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(y)))
+    case (x: java.lang.Integer, y: java.time.LocalDate) =>
+      Some(java.lang.Long.compare(x.longValue(), y.toEpochDay))
     case (x: Number, y: Number) =>
       Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
@@ -352,22 +376,29 @@ private[sources] object JetCsvFilters {
   }
 
   /** filter → predicate over the PRUNED raw value array (evaluated
-    * before row construction); unknown columns / shapes never drop. */
+    * before row construction). Safety contract: every pushed filter is
+    * ALSO returned as residual (pushFilters above), so the reader may
+    * only skip a row it is CERTAIN fails the predicate. A non-null
+    * value whose shape cmp() cannot compare therefore KEEPS the row
+    * (`forall` — the residual FilterExec decides); only a NULL value
+    * fails a comparison outright, which matches SQL semantics. The
+    * pre-fix `exists` dropped incomparable matches silently — for a
+    * Decimal or Timestamp column that meant every row. */
   def compile(f: Filter, schema: StructType): Array[Any] => Boolean = {
     def idx(name: String): Int = schema.fieldNames.indexOf(name)
     def value(arr: Array[Any], i: Int): Any =
       if (i < 0) null else arr(i)
+    def test(i: Int, v: Any, ok: Int => Boolean): Array[Any] => Boolean =
+      r => {
+        val x = value(r, i)
+        x != null && cmp(x, v).forall(ok)
+      }
     f match {
-      case EqualTo(c, v) =>
-        val i = idx(c); r => cmp(value(r, i), v).contains(0)
-      case GreaterThan(c, v) =>
-        val i = idx(c); r => cmp(value(r, i), v).exists(_ > 0)
-      case GreaterThanOrEqual(c, v) =>
-        val i = idx(c); r => cmp(value(r, i), v).exists(_ >= 0)
-      case LessThan(c, v) =>
-        val i = idx(c); r => cmp(value(r, i), v).exists(_ < 0)
-      case LessThanOrEqual(c, v) =>
-        val i = idx(c); r => cmp(value(r, i), v).exists(_ <= 0)
+      case EqualTo(c, v) => test(idx(c), v, _ == 0)
+      case GreaterThan(c, v) => test(idx(c), v, _ > 0)
+      case GreaterThanOrEqual(c, v) => test(idx(c), v, _ >= 0)
+      case LessThan(c, v) => test(idx(c), v, _ < 0)
+      case LessThanOrEqual(c, v) => test(idx(c), v, _ <= 0)
       case IsNull(c) =>
         val i = idx(c); r => i >= 0 && value(r, i) == null
       case IsNotNull(c) =>

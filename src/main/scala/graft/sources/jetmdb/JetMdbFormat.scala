@@ -218,8 +218,15 @@ object JetMdbFormat {
   }
 
   /** Row offsets of a data page owned by `tdefPage`: (start, end)
-    * pairs in page coordinates, deleted and overflow rows skipped.
-    * Returns empty for pages of any other type/owner. */
+    * pairs in page coordinates, deleted rows skipped. Returns empty
+    * for pages of any other type/owner.
+    *
+    * Overflow rows (flag 0x4000 — a row that no longer fit its slot
+    * after an update and whose slot holds a pointer to the moved row)
+    * are REJECTED, not skipped: following the pointer is out of this
+    * reader's documented scope, and skipping would silently drop a
+    * live record from a real Access-written file — the scope contract
+    * is "rejected explicitly, never misparsed". */
   def dataRowExtents(
       page: Array[Byte], tdefPage: Int): Seq[(Int, Int)] = {
     if (u8(page, 0) != 0x01 || i32(page, 4) != tdefPage) return Nil
@@ -232,9 +239,14 @@ object JetMdbFormat {
       val start = raw & 0x1FFF
       val deleted = (raw & 0x8000) != 0
       val overflow = (raw & 0x4000) != 0
+      if (!deleted && overflow)
+        throw new IllegalArgumentException(
+          s"jetmdb: overflow row $i on a page owned by TDEF $tdefPage " +
+            "(flag 0x4000): moved-row pointers are out of scope for " +
+            "this reader; compact the database before migrating")
       // the row ABOVE (previous index) bounds this row's extent; a
       // deleted row still occupies its slot for extent computation
-      if (!deleted && !overflow) out += ((start, prevStart))
+      if (!deleted) out += ((start, prevStart))
       prevStart = start
       i += 1
     }
@@ -415,7 +427,15 @@ object JetMdbFormat {
           if (b == 0x00) { wide = true; i += 1 }
           else { sb.append(b.toChar); i += 1 }
         } else {
-          if (i + 1 < e && p(i) == 0x00 && p(i + 1) == 0x00) {
+          // a wide char needs BOTH bytes inside the value extent — a
+          // dangling single byte means a truncated/corrupt value, and
+          // reading p(i+1) would fabricate a char from the NEIGHBORING
+          // row's first byte (reject, never misparse)
+          if (i + 1 >= e)
+            throw new IllegalArgumentException(
+              "jetmdb: truncated double-byte run in compressed text " +
+                s"(odd trailing byte at extent [$s,$e))")
+          if (p(i) == 0x00 && p(i + 1) == 0x00) {
             wide = false; i += 2
           } else {
             sb.append(((u8(p, i + 1) << 8) | u8(p, i)).toChar)
@@ -427,14 +447,28 @@ object JetMdbFormat {
     } else new String(p, s, e - s, StandardCharsets.UTF_16LE)
   }
 
-  /** OLE automation date (double days since 1899-12-30, fractional
-    * part = time of day) → microseconds since the epoch, as Spark's
-    * TimestampType long. 1970-01-01 is day 25569. */
-  def oleDateToMicros(days: Double): java.lang.Long =
-    java.lang.Long.valueOf(math.round((days - 25569.0) * 86400.0 * 1e6))
+  /** OLE automation date → microseconds since the epoch, as Spark's
+    * TimestampType long. 1970-01-01 is day 25569.
+    *
+    * OLE dates are SIGN-MAGNITUDE around 1899-12-30, not linear: the
+    * integer part (truncated toward zero) is the calendar day and the
+    * MAGNITUDE of the fraction is the time of day — so -1.25 means
+    * 1899-12-29 06:00 (day -1, +6 h), not "minus 1.25 days". A linear
+    * decode is correct for all post-1899 dates but lands pre-1900
+    * instants up to a day off (and running backwards within a day). */
+  def oleDateToMicros(days: Double): java.lang.Long = {
+    val day = if (days < 0) math.ceil(days) else math.floor(days)
+    val frac = math.abs(days - day)
+    java.lang.Long.valueOf(
+      math.round((day - 25569.0 + frac) * 86400.0 * 1e6))
+  }
 
-  def microsToOleDate(micros: Long): Double =
-    micros / 86400.0 / 1e6 + 25569.0
+  def microsToOleDate(micros: Long): Double = {
+    val linear = micros / 86400.0 / 1e6 + 25569.0
+    val day = math.floor(linear)
+    val frac = linear - day // time of day in [0, 1)
+    if (day >= 0) day + frac else day - frac
+  }
 
   /** 16 GUID bytes → canonical lowercase string. Jet stores the first
     * three groups little-endian (Windows GUID layout). */

@@ -84,31 +84,53 @@ object JetMdbSource {
     page
   }
 
-  /** List the user tables of a database: (name, tdefPage). */
-  def listTables(path: String): Seq[(String, Int)] = {
+  /** Per-JVM catalog memo keyed by (path, length, mtime): resolving
+    * MSysObjects rows requires scanning the file's pages (this reader
+    * carries no usage-map shortcut — documented scope), and the
+    * resolve runs at least twice per read (inferSchema +
+    * planInputPartitions) and once more per reader factory. Without
+    * the memo a 2 GB file would pay ~524k driver page reads per
+    * occurrence; with it, once per file per JVM, invalidated when the
+    * file changes. Bounded: wholesale clear past 256 entries (catalog
+    * rows are a few hundred bytes each — the clear is paranoia, not
+    * pressure). */
+  private val catalogCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[CatalogEntry]]()
+
+  private def catalogOf(path: String): (Seq[CatalogEntry], Int) = {
+    require(path != null, "jetmdb: a path must be supplied")
     val h = fs(path)
-    val in = h.open(new Path(path))
-    try {
-      val count = (h.getFileStatus(new Path(path)).getLen / PageSize).toInt
-      checkHeader(readPage(in, 0))
-      readCatalog(count, readPage(in, _))
-        .filter(!_.isSystem).map(e => e.name -> e.tdefPage)
-    } finally in.close()
+    val st = h.getFileStatus(new Path(path))
+    val count = (st.getLen / PageSize).toInt
+    val key = (path, st.getLen, st.getModificationTime)
+    val hit = catalogCache.get(key)
+    if (hit != null) (hit, count)
+    else {
+      val in = h.open(new Path(path))
+      try {
+        checkHeader(readPage(in, 0))
+        val cat = readCatalog(count, readPage(in, _))
+        if (catalogCache.size > 256) catalogCache.clear()
+        catalogCache.put(key, cat)
+        (cat, count)
+      } finally in.close()
+    }
   }
+
+  /** List the user tables of a database: (name, tdefPage). */
+  def listTables(path: String): Seq[(String, Int)] =
+    catalogOf(path)._1.filter(!_.isSystem).map(e => e.name -> e.tdefPage)
 
   /** Resolve `table` → (tdef, Spark schema, pageCount). */
   def tableDef(path: String, table: String): (JetTableDef, StructType, Int) = {
-    require(path != null, "jetmdb: a path must be supplied")
+    val (cat, count) = catalogOf(path)
+    val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
+      .getOrElse(throw new IllegalArgumentException(
+        s"jetmdb: no user table '$table' in $path " +
+          s"(have: ${cat.filter(!_.isSystem).map(_.name).mkString(", ")})"))
     val h = fs(path)
     val in = h.open(new Path(path))
     try {
-      val count = (h.getFileStatus(new Path(path)).getLen / PageSize).toInt
-      checkHeader(readPage(in, 0))
-      val cat = readCatalog(count, readPage(in, _))
-      val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
-        .getOrElse(throw new IllegalArgumentException(
-          s"jetmdb: no user table '$table' in $path " +
-            s"(have: ${cat.filter(!_.isSystem).map(_.name).mkString(", ")})"))
       val tdef = parseTdef(readPage(in, entry.tdefPage), entry.tdefPage)
       val schema = StructType(tdef.jetTypes.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)

@@ -66,6 +66,39 @@ object JetMdbWrite {
   private def isVarCode(c: Int): Boolean =
     c == T_TEXT || c == T_MEMO || c == T_OLE
 
+  /** Text value bytes: plain UTF-16LE — EXCEPT strings whose first
+    * char is U+FEFF (a BOM lifted from UTF-8-with-BOM sources), whose
+    * plain encoding would START with FF FE, the Jet Unicode-compression
+    * marker, and read back corrupted. Those strings are written in the
+    * compressed representation instead, which expresses every char
+    * (wide runs toggle via 00 / 00 00) except NUL — a NUL in such a
+    * string is rejected, never misparsed. */
+  private def encodeText(s: String): Array[Byte] = {
+    if (s.isEmpty || s.charAt(0) != '\uFEFF')
+      s.getBytes(StandardCharsets.UTF_16LE)
+    else {
+      require(s.indexOf('\u0000') < 0,
+        "jetmdb: NUL inside a compression-marker-prefixed text value " +
+          "has no Jet rendering")
+      val out = new java.io.ByteArrayOutputStream(2 * s.length + 2)
+      out.write(0xFF); out.write(0xFE)
+      var wide = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 1 && c <= 0xFF) {
+          if (wide) { out.write(0); out.write(0); wide = false }
+          out.write(c & 0xFF)
+        } else {
+          if (!wide) { out.write(0); wide = true }
+          out.write(c & 0xFF); out.write((c >> 8) & 0xFF)
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+  }
+
   /** Inline memo/OLE rendering: 12-byte header (low 24 bits length,
     * byte 3 = inline flag) followed by the payload. */
   private def inlineMemo(payload: Array[Byte]): Array[Byte] = {
@@ -99,10 +132,8 @@ object JetMdbWrite {
     val varBytes: Seq[Array[Byte]] = varIdxs.map { i =>
       if (row.isNullAt(i)) Array.emptyByteArray
       else codes(i) match {
-        case T_TEXT => row.getUTF8String(i).toString
-          .getBytes(StandardCharsets.UTF_16LE)
-        case T_MEMO => inlineMemo(row.getUTF8String(i).toString
-          .getBytes(StandardCharsets.UTF_16LE))
+        case T_TEXT => encodeText(row.getUTF8String(i).toString)
+        case T_MEMO => inlineMemo(encodeText(row.getUTF8String(i).toString))
         case T_OLE => inlineMemo(row.getBinary(i))
       }
     }

@@ -80,12 +80,20 @@ object PlanAudit {
 
   /** Audit the STATIC physical plan (AQE disabled during planning so
     * exchanges and join strategies are visible, not wrapped in opaque
-    * query stages — the same inspection mode RegistryPlanSpec uses). */
+    * query stages — the same inspection mode RegistryPlanSpec uses).
+    *
+    * Always RE-PLANS from the logical plan: `executedPlan` is a
+    * memoized lazy val, so on a DataFrame that has already run an
+    * action it would come back as an opaque AdaptiveSparkPlanExec LEAF
+    * under which every collect is empty — a cartesian query would
+    * audit clean. The fresh execution makes the AQE toggle actually
+    * apply regardless of the DataFrame's history. */
   def of(df: DataFrame): PlanAudit = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try audit(df.queryExecution.executedPlan)
+    try audit(
+      org.apache.spark.sql.graft.ColumnBridge.freshExecutedPlan(df))
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
