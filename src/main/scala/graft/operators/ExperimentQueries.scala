@@ -482,13 +482,18 @@ object ExperimentQueries {
       |  SELECT day, na, nb, zv, p6,
       |    ROW_NUMBER() OVER (ORDER BY p6, day) AS rnk,
       |    COUNT(*) OVER () AS k
-      |  FROM p)
+      |  FROM p),
+      |r2 AS (
+      |  SELECT *, ROUND(rnk * 0.05 / k, 6) AS thr,
+      |    MAX(CASE WHEN p6 <= ROUND(rnk * 0.05 / k, 6) THEN rnk END)
+      |      OVER () AS kstar
+      |  FROM r)
       |SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
       |  ROUND(zv, 4) AS z, p6 AS p_value,
       |  CAST(rnk AS INT) AS p_rank, CAST(k AS INT) AS n_tests,
-      |  ROUND(rnk * 0.05 / k, 6) AS bh_threshold,
-      |  (p6 <= ROUND(rnk * 0.05 / k, 6)) AS significant
-      |FROM r
+      |  thr AS bh_threshold,
+      |  COALESCE(rnk <= kstar, FALSE) AS significant
+      |FROM r2
       |ORDER BY day""".stripMargin) { (s, d) =>
     val arm = when(
       conv(substring(md5(col("user_id").cast("string").cast("binary")),
@@ -532,12 +537,23 @@ object ExperimentQueries {
         Window.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
     val thr = round(col("rnk") * lit(0.05) / col("k"), 6)
-    ranked.select(
-      col("day"), col("na").as("n_a"), col("nb").as("n_b"),
-      round(col("zv"), 4).as("z"), col("p6").as("p_value"),
-      col("rnk").as("p_rank"), col("k").cast("int").as("n_tests"),
-      thr.as("bh_threshold"),
-      (col("p6") <= thr).as("significant"))
+    // BH is a STEP-UP rule: reject ranks 1..k* where k* is the LARGEST
+    // rank whose p passes its own staircase step — a low-rank p above
+    // its step is still rejected when a higher rank passes (a per-rank
+    // check would under-reject exactly there)
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val kstar = max(when(col("p6") <= thr, col("rnk"))).over(full)
+    ranked
+      .withColumn("thr", thr)
+      .withColumn("kstar", kstar)
+      .select(
+        col("day"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("zv"), 4).as("z"), col("p6").as("p_value"),
+        col("rnk").as("p_rank"), col("k").cast("int").as("n_tests"),
+        col("thr").as("bh_threshold"),
+        coalesce(col("rnk") <= col("kstar"), lit(false))
+          .as("significant"))
       .orderBy(col("day"))
   }
 

@@ -346,16 +346,18 @@ private[sources] object JetCsvFilters {
     case (null, _) | (_, null) => None
     case (x: UTF8String, y) => Some(x.toString.compareTo(y.toString))
     // Spark Decimal internal values (Currency/NUMERIC columns) against
-    // the BigDecimal literals V1 filters carry — NOT java Numbers, so
-    // the generic case below never matches them
+    // the java BigDecimal literals V1 filters carry (Catalyst's
+    // toScala conversion always yields java.math.BigDecimal) — NOT
+    // java Numbers, so the generic case below never matches them
     case (x: Decimal, y: java.math.BigDecimal) =>
       Some(x.toJavaBigDecimal.compareTo(y))
-    case (x: Decimal, y: BigDecimal) => Some(x.toBigDecimal.compare(y))
     case (x: Decimal, y: Number) =>
       Some(x.toJavaBigDecimal.compareTo(
         new java.math.BigDecimal(y.toString)))
     // DateTime columns hold epoch MICROS internally; filter literals
-    // arrive as java.sql.Timestamp or (java8 datetime API) Instant
+    // arrive as java.sql.Timestamp or (java8 datetime API) Instant.
+    // No Jet type maps to DateType, so Date/LocalDate literals cannot
+    // reach this source and are deliberately not handled here.
     case (x: java.lang.Long, y: java.sql.Timestamp) =>
       Some(java.lang.Long.compare(x,
         org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -364,11 +366,6 @@ private[sources] object JetCsvFilters {
       Some(java.lang.Long.compare(x,
         org.apache.spark.sql.catalyst.util.DateTimeUtils
           .instantToMicros(y)))
-    case (x: java.lang.Integer, y: java.sql.Date) =>
-      Some(Integer.compare(x,
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(y)))
-    case (x: java.lang.Integer, y: java.time.LocalDate) =>
-      Some(java.lang.Long.compare(x.longValue(), y.toEpochDay))
     case (x: Number, y: Number) =>
       Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))

@@ -93,7 +93,15 @@ object JetMdbSource {
     * occurrence; with it, once per file per JVM, invalidated when the
     * file changes. Bounded: wholesale clear past 256 entries (catalog
     * rows are a few hundred bytes each — the clear is paranoia, not
-    * pressure). */
+    * pressure).
+    *
+    * Staleness window (the standard metadata-cache tradeoff, same as
+    * Spark's own FileStatusCache): a rewrite that leaves BOTH length
+    * and mtime unchanged — an equal-length overwrite within the
+    * filesystem's mtime granularity — serves the previous catalog.
+    * Write-then-reread loops on such filesystems should use distinct
+    * paths (this repo's own writer stages to a fresh name and
+    * renames, which updates mtime). */
   private val catalogCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), Seq[CatalogEntry]]()
 
