@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,6 +458,49 @@ object MlEvalQueries {
       .orderBy(col("bin"))
   }
 
+  /** The reliability-diagram bins of qCalibrationBins, as a reusable
+    * frame: (bin, n, mean_score, pos_rate) — exact integer-quantized
+    * aggregation, 10 rows. */
+  private def calibrationBins(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(least(col("value") / 600, lit(1.0)).as("p"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      .select(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"),
+        floor(col("p") * lit(1e6)).cast("bigint").as("pq"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("pq")).cast("double") / lit(1e6) / count(lit(1)))
+          .as("mean_score"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
+
+  /** Isotonic (PAV) calibration of the reliability diagram — the
+    * post-hoc calibrator every scored-model pipeline fits after the
+    * binned diagnostic: Spark ML's IsotonicRegression pools adjacent
+    * violating bins (weighted by bin size) into a monotone
+    * non-decreasing mapping score → calibrated rate. PAV is EXACT and
+    * deterministic, but not SQL-expressible — no oracle;
+    * IsotonicCalibrationSpec re-implements textbook PAV independently
+    * and asserts equality, monotonicity, and weighted-mean
+    * preservation. The model fits over 10 pre-aggregated rows — the
+    * 100 TB scan cost is the binning aggregate, not the fit. */
+  val qCalibrationIsotonic: QDef =
+    QDef.noOracle("q_calibration_isotonic") { (s, d) =>
+      val bins = calibrationBins(s, d)
+      val model = new org.apache.spark.ml.regression.IsotonicRegression()
+        .setFeaturesCol("mean_score")
+        .setLabelCol("pos_rate")
+        .setWeightCol("w")
+        .fit(bins.withColumn("w", col("n").cast("double")))
+      model.transform(bins.withColumn("w", col("n").cast("double")))
+        .select(
+          col("bin"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("pos_rate"), 6).as("pos_rate"),
+          round(col("prediction"), 6).as("iso_rate"))
+        .orderBy(col("bin"))
+    }
+
   val defs: Seq[QDef] = Seq(qAuc, qPsi, qKsTest, qSurvivalKm,
-    qConfusionMetrics, qMrr, qNdcg, qCalibrationBins)
+    qConfusionMetrics, qMrr, qNdcg, qCalibrationBins,
+    qCalibrationIsotonic)
 }
