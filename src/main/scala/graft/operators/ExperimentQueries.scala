@@ -557,7 +557,65 @@ object ExperimentQueries {
       .orderBy(col("day"))
   }
 
+  /** Power analysis / sample-size planning — the question every
+    * experiment DESIGN starts with: per event_type, how many
+    * observations per arm does a two-sample test of mean `value` need
+    * to detect a 5%-of-mean shift at α = 0.05 (two-sided) with 80%
+    * power? n/arm = ⌈2·σ²·(z_{α/2} + z_β)² / δ²⌉ with the standard
+    * normal quantile sum as ONE shared literal (2.801585) so the
+    * engines cannot disagree on its rounding.
+    * Variance from DECIMAL-exact sums (the q_fdr_bh discipline);
+    * the ceil runs on a ROUND(…, 6)-quantized operand so an
+    * engine-ULP cannot flip an integer boundary. */
+  val qPowerMde: QDef = QDef(
+    "q_power_mde",
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+      |      * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type
+      |  HAVING COUNT(*) >= 2),
+      |s AS (
+      |  SELECT event_type, n,
+      |    sv / n AS mean,
+      |    (svv - sv * sv / n) / (n - 1) AS var,
+      |    0.05 * sv / n AS mde
+      |  FROM g)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_observed,
+      |  ROUND(mean, 4) AS mean_value,
+      |  ROUND(SQRT(var), 4) AS stddev,
+      |  ROUND(mde, 4) AS mde_abs,
+      |  CAST(CEIL(ROUND(
+      |    2 * var * 2.801585 * 2.801585
+      |      / (mde * mde), 6)) AS BIGINT) AS n_per_arm
+      |FROM s
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val v = col("value").cast("decimal(18,6)")
+    val g = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum((v * v).cast("decimal(38,12)")).cast("double").as("svv"))
+      .where(col("n") >= 2)
+    val mean = col("sv") / col("n")
+    val variance = (col("svv") - col("sv") * col("sv") / col("n")) /
+      (col("n") - 1)
+    val mde = lit(0.05) * mean
+    val zsum = lit(2.801585) // z_{0.025} + z_{0.20}, single shared literal
+    g.select(
+        col("event_type"), col("n").as("n_observed"),
+        round(mean, 4).as("mean_value"),
+        round(sqrt(variance), 4).as("stddev"),
+        round(mde, 4).as("mde_abs"),
+        ceil(round(lit(2) * variance * zsum * zsum / (mde * mde), 6))
+          .cast("bigint").as("n_per_arm"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck,
-      qCupedEffect, qFdrBh)
+      qCupedEffect, qFdrBh, qPowerMde)
 }
