@@ -46,6 +46,15 @@ object MigrationPipeline {
   def normalize(spark: SparkSession, spec: TableSpec): DataFrame =
     JetTypes.applyJetSchema(spec.source(spark), spec.jetSchema)
 
+  /** Normalize an ALREADY-TYPED frame — the jetmdb BINARY source
+    * yields Jet-correct Spark types directly (Currency is already
+    * DECIMAL(19,4), Yes/No already boolean), so re-applying the
+    * stringly ingest casts of [[normalize]] would corrupt them (the
+    * Currency cast divides by 10⁴ again). Only the name sanitization
+    * applies. */
+  def normalizeTyped(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(JetTypes.sanitizeName).toIndexedSeq: _*)
+
   /** Run the full migration; returns per-table row counts.
     * `sinkProps` passes driver/credential options to a JDBC sink. */
   def migrate(

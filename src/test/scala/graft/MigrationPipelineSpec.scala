@@ -67,4 +67,57 @@ class MigrationPipelineSpec extends AnyFunSuite {
     assert(loaded(0).getBoolean(1)) // -1 -> true
     assert(loaded(0).getDecimal(2).toString == "1.2500") // 12500/1e4
   }
+
+  test("end-to-end through the BINARY boundary: .mdb -> typed " +
+    "normalize -> real JDBC database -> values exact -> re-export .mdb") {
+    import graft.JetMdbFixture.{Col, Table}
+    // 1. an Access database written by the INDEPENDENT fixture writer,
+    //    with Access-style free-form column names
+    val mdb = Files.createTempDirectory("mig-e2e").resolve("crm.mdb")
+    val ts = 1709287200000000L // 2024-03-01 10:00:00 UTC micros
+    JetMdbFixture.write(mdb.toString, Seq(Table("Customer List",
+      Seq(Col("Customer ID", 0x04), Col("Is Active?", 0x01),
+        Col("Credit Limit", 0x05), Col("Signed Up", 0x08),
+        Col("Full Name", 0x0A)),
+      Seq(
+        Seq[Any](Integer.valueOf(1), java.lang.Boolean.TRUE,
+          new java.math.BigDecimal("1.2500"), java.lang.Long.valueOf(ts),
+          "Ann Smith"),
+        Seq[Any](Integer.valueOf(2), java.lang.Boolean.FALSE,
+          new java.math.BigDecimal("99.0000"), java.lang.Long.valueOf(ts),
+          "Bo Chen")))))
+    // 2. read the binary + sanitize names (types already Jet-correct)
+    val raw = spark.read.format("jetmdb")
+      .option("table", "Customer List").load(mdb.toString)
+    val norm = MigrationPipeline.normalizeTyped(raw)
+    assert(norm.columns.toSeq == Seq(
+      "customer_id", "is_active", "credit_limit", "signed_up",
+      "full_name"))
+    // 3. load into a real SQL database and read the VALUES back
+    val dbDir = Files.createTempDirectory("mig-e2e-db").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    graft.sources.JdbcConnector.write(
+      norm, url, "customer_list", props = props)
+    val back = graft.sources.JdbcConnector
+      .read(spark, url, "customer_list", props = props)
+      .orderBy("customer_id").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[Boolean]("is_active"))
+    assert(back(0).getAs[java.math.BigDecimal]("credit_limit")
+      .compareTo(new java.math.BigDecimal("1.2500")) == 0)
+    assert(back(0).getAs[java.sql.Timestamp]("signed_up").getTime
+      == ts / 1000L)
+    assert(back(1).getAs[String]("full_name") == "Bo Chen")
+    // 4. the reverse direction: export the normalized table back to a
+    //    NEW .mdb through the engine's own writer and re-read it
+    val out = Files.createTempDirectory("mig-e2e-out").resolve("out.mdb")
+    norm.write.mode("overwrite").format("jetmdb")
+      .option("table", "customer_list").save(out.toString)
+    val reread = spark.read.format("jetmdb")
+      .option("table", "customer_list").load(out.toString)
+      .orderBy("customer_id").collect().map(_.toSeq)
+    assert(reread.toSeq.map(_.toList) ==
+      norm.orderBy("customer_id").collect().map(_.toSeq.toList).toSeq)
+  }
 }
