@@ -236,7 +236,11 @@ object GifCodec {
     pos += 3 * gctSize
     val frames = ArrayBuffer.empty[Array[Byte]]
     var done = false
-    while (!done) {
+    // a truncated stream (missing trailer, sub-block length past the
+    // buffer) must reject with a DIAGNOSTIC, not a raw
+    // ArrayIndexOutOfBounds — the codec's contract is "rejected
+    // explicitly, never misparsed"
+    try while (!done) {
       (bytes(pos) & 0xff) match {
         case 0x3b => done = true
         case 0x21 => // extension: skip its sub-blocks
@@ -268,6 +272,10 @@ object GifCodec {
           throw new IllegalArgumentException(
             f"gif: unexpected block 0x$other%02x at $pos")
       }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "gif: truncated stream (block data runs past the buffer)")
     }
     Gif(width, height, palette, frames.toArray)
   }

@@ -266,8 +266,11 @@ object DedupQueries {
       .agg(count(lit(1)).as("__bn"))
       .select(
         col("source"), col("lang"),
+        // n > maxRows form, never n(n-1)/2 — the product overflows
+        // Long at the very scale the guard protects (see cosinePairs)
         when(
-          col("__bn") * (col("__bn") - 1) / 2 > maxPairsPerBlock,
+          col("__bn") > ((1.0 + math.sqrt(
+            1.0 + 8.0 * maxPairsPerBlock.toDouble)) / 2.0).toLong,
           raise_error(concat(
             lit("q_dedup_ngram_jaccard: block ("), col("source"),
             lit(", "), col("lang"), lit(") has "), col("__bn"),

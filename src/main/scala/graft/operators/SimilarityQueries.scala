@@ -85,12 +85,19 @@ object SimilarityQueries {
     // block-size guard: evaluated distributedly over the tiny
     // per-label aggregate (no driver collect); joining it back touches
     // every label once and fires the error before any pair is built
+    // n(n-1)/2 > maxPairs ⇔ n > maxRows with maxRows PRECOMPUTED: the
+    // product form overflows Long at n ≈ 4.3e9 — wrapping negative
+    // (guard silently off) without ANSI, or dying with a raw
+    // ArithmeticException instead of this diagnostic under ANSI —
+    // which is exactly the scale the guard exists to protect
+    val maxRows =
+      ((1.0 + math.sqrt(1.0 + 8.0 * maxPairs.toDouble)) / 2.0).toLong
     val labelGuard = e0.groupBy(col("label"))
       .agg(count(lit(1)).as("__ln"))
       .select(
         col("label"),
         when(
-          col("__ln") * (col("__ln") - 1) / 2 > maxPairs,
+          col("__ln") > maxRows,
           raise_error(concat(
             lit("q_sim_cosine: label block "), col("label"),
             lit(" has "), col("__ln"),

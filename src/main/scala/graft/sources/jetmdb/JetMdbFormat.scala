@@ -1,6 +1,5 @@
 package graft.sources.jetmdb
 
-import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import graft.sources.JetTypes
@@ -133,16 +132,23 @@ object JetMdbFormat {
   val MemoInline = 0x80
   val MemoSingleLval = 0x40
 
-  private def buf(page: Array[Byte]) =
-    ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN)
-
+  // direct little-endian byte arithmetic (the BmpCodec/WavCodec form):
+  // these run in the per-row, per-column decode hot loop of a full
+  // scan, where a ByteBuffer.wrap per value would be pure allocation
+  // churn
   def u8(p: Array[Byte], off: Int): Int = p(off) & 0xFF
-  def u16(p: Array[Byte], off: Int): Int = buf(p).getShort(off) & 0xFFFF
-  def i16(p: Array[Byte], off: Int): Short = buf(p).getShort(off)
-  def i32(p: Array[Byte], off: Int): Int = buf(p).getInt(off)
-  def i64(p: Array[Byte], off: Int): Long = buf(p).getLong(off)
-  def f32(p: Array[Byte], off: Int): Float = buf(p).getFloat(off)
-  def f64(p: Array[Byte], off: Int): Double = buf(p).getDouble(off)
+  def u16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+  def i16(p: Array[Byte], off: Int): Short = u16(p, off).toShort
+  def i32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+      ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+  def i64(p: Array[Byte], off: Int): Long =
+    (i32(p, off) & 0xFFFFFFFFL) | (i32(p, off + 4).toLong << 32)
+  def f32(p: Array[Byte], off: Int): Float =
+    java.lang.Float.intBitsToFloat(i32(p, off))
+  def f64(p: Array[Byte], off: Int): Double =
+    java.lang.Double.longBitsToDouble(i64(p, off))
 
   /** Validate page 0; returns unit or throws with a precise reason. */
   def checkHeader(page0: Array[Byte]): Unit = {
@@ -329,10 +335,16 @@ object JetMdbFormat {
 
   /** Decode one row into an Any array aligned with tdef.columns.
     * `rowBytes` is the page slice [start, end); `lval` fetches a page
-    * by number for memo/OLE indirection (null → inline-only). */
+    * by number for memo/OLE indirection (null → inline-only).
+    * `wanted` (aligned with tdef.columns; null = all) makes column
+    * PRUNING real at decode time: an unwanted column yields null
+    * without touching its bytes — for MEMO/OLE that skips the LVAL
+    * page fetches entirely, so `select("id")` over a table with large
+    * memos never pays their I/O. */
   def decodeRow(
       page: Array[Byte], start: Int, end: Int,
-      tdef: JetTableDef, lval: Int => Array[Byte] = null): Array[Any] = {
+      tdef: JetTableDef, lval: Int => Array[Byte] = null,
+      wanted: Array[Boolean] = null): Array[Any] = {
     val nCols = u16(page, start)
     val bitmaskSz = (nCols + 7) / 8
     val maskOff = end - bitmaskSz
@@ -357,7 +369,9 @@ object JetMdbFormat {
     while (i < tdef.columns.length) {
       val c = tdef.columns(i)
       out(i) =
-        if (c.typeCode == T_BOOL) java.lang.Boolean.valueOf(notNull(c.colNum))
+        if (wanted != null && !wanted(i)) null
+        else if (c.typeCode == T_BOOL)
+          java.lang.Boolean.valueOf(notNull(c.colNum))
         else if (!notNull(c.colNum)) null
         else if (c.fixed) decodeFixed(page, fixedBase + c.offsetF, c)
         else {

@@ -260,14 +260,28 @@ private[jetmdb] final class JetMdbPartitionReader(
     .getFileSystem(hconf).open(new Path(path))
 
   // TDEF re-read on the executor (one page) — keeps the partition
-  // descriptor serializable-trivial, mirroring jetcsv's sidecar
-  private val tdef =
-    parseTdef(JetMdbSource.readPage(in, part.tdefPage), part.tdefPage)
-  private val jetTypes = tdef.jetTypes.toMap
-  private val colIdx: Array[Int] =
-    required.fieldNames.map(n => tdef.columns.indexWhere(_.name == n))
-  private val colType: Array[JetTypes.JetType] =
-    required.fieldNames.map(jetTypes)
+  // descriptor serializable-trivial, mirroring jetcsv's sidecar.
+  // Initialization after the stream is open must not LEAK it: a
+  // corrupt TDEF would throw before Spark ever holds a reader to
+  // close(), and each failed task attempt would strand a descriptor.
+  private val (tdef, colIdx, colType, wanted) =
+    try {
+      val t = parseTdef(
+        JetMdbSource.readPage(in, part.tdefPage), part.tdefPage)
+      val jetTypes = t.jetTypes.toMap
+      val idx: Array[Int] =
+        required.fieldNames.map(n => t.columns.indexWhere(_.name == n))
+      val typ: Array[JetTypes.JetType] = required.fieldNames.map(jetTypes)
+      // decode-time pruning mask: unwanted columns are never decoded
+      // (for MEMO/OLE that skips their LVAL page I/O entirely)
+      val w = new Array[Boolean](t.columns.length)
+      idx.foreach(i => if (i >= 0) w(i) = true)
+      (t, idx, typ, w)
+    } catch {
+      case e: Throwable =>
+        try in.close() catch { case _: Throwable => () }
+        throw e
+    }
   private val evals = filters.map(JetCsvFilters.compile(_, required))
 
   private var pageNum = part.fromPage
@@ -298,7 +312,7 @@ private[jetmdb] final class JetMdbPartitionReader(
         pageNum += 1
       } else {
         val (s, e) = rows.next()
-        val decoded = decodeRow(page, s, e, tdef, lvalFetch)
+        val decoded = decodeRow(page, s, e, tdef, lvalFetch, wanted)
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {

@@ -112,8 +112,18 @@ object PlanAudit {
             f.partitionFilters.size)
         case b: BatchScanExec =>
           // DSv2 (jetcsv/jetmdb/...): pushed filters live inside the
-          // scan implementation; report what the node exposes
-          ScanInfo(b.scan.getClass.getSimpleName, b.output.size, 0, 0)
+          // scan implementation. Both graft sources render them in the
+          // scan description as "PushedFilters: [f1, f2]" — parse that
+          // count so a filtered 9+-column DSv2 scan does not trip the
+          // no-pushed-filters risk falsely (and an unfiltered one
+          // still does)
+          val desc = try b.scan.description() catch { case _: Throwable => "" }
+          val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+            .findFirstMatchIn(desc)
+            .map(_.group(1).trim)
+            .map(s => if (s.isEmpty) 0 else s.split(',').length)
+            .getOrElse(0)
+          ScanInfo(b.scan.getClass.getSimpleName, b.output.size, pushed, 0)
       }
     PlanAudit(
       shuffles = all { case e: ShuffleExchangeLike => e }.size,

@@ -56,6 +56,21 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated streams reject with a diagnostic, not a raw AIOOBE") {
+    val valid = GifCodec.encode(6, 6, Array(
+      Array.tabulate(36)(j => (j % 16).toByte)))
+    // missing trailer
+    val e1 = intercept[IllegalArgumentException] {
+      GifCodec.decode(valid.dropRight(1))
+    }
+    assert(e1.getMessage.contains("gif:"))
+    // cut mid-sub-block
+    val e2 = intercept[IllegalArgumentException] {
+      GifCodec.decode(valid.dropRight(valid.length / 3))
+    }
+    assert(e2.getMessage.contains("gif:"))
+  }
+
   test("out-of-scope and junk streams are rejected, never misparsed") {
     intercept[IllegalArgumentException] {
       GifCodec.decode("GIF87athisisnotavalidstream".getBytes("US-ASCII"))

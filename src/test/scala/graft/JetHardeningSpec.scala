@@ -113,6 +113,64 @@ class JetHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("decode-time pruning never touches a pruned LVAL column") {
+    import graft.JetMdbFixture.{Col, Table}
+    import graft.sources.jetmdb.{JetMdbFormat, JetMdbSource}
+    val path = Files.createTempDirectory("jet-prune")
+      .resolve("db.mdb").toString
+    val longText = "memo payload " * 150 // forces the LVAL form
+    graft.JetMdbFixture.write(path, Seq(Table("docs",
+      Seq(Col("k", 0x04), Col("body", 0x0C)),
+      rows = (0 until 3).map(i =>
+        Seq[Any](Integer.valueOf(i), longText + i)),
+      lvalCols = Set("body"))))
+    val (tdef, _, count) = JetMdbSource.tableDef(path, "docs")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val pages = bytes.grouped(JetMdbFormat.PageSize).toArray
+    val dataPage = pages.indexWhere(p =>
+      (p(0) & 0xff) == 0x01 && JetMdbFormat.i32(p, 4) == tdef.tdefPage)
+    assert(dataPage > 0, "fixture data page not found")
+    val (s0, e0) =
+      JetMdbFormat.dataRowExtents(pages(dataPage), tdef.tdefPage).head
+    val boom: Int => Array[Byte] =
+      _ => throw new AssertionError("LVAL fetched for a pruned column")
+    val wanted = tdef.columns.map(_.name == "k").toArray
+    // pruned: the k column decodes, the memo slot is null, and the
+    // LVAL fetcher is NEVER called
+    val row = JetMdbFormat.decodeRow(
+      pages(dataPage), s0, e0, tdef, boom, wanted)
+    assert(row(tdef.columns.indexWhere(_.name == "k")) != null)
+    assert(row(tdef.columns.indexWhere(_.name == "body")) == null)
+    // unpruned, the same row genuinely needs the fetcher
+    intercept[AssertionError] {
+      JetMdbFormat.decodeRow(pages(dataPage), s0, e0, tdef, boom, null)
+    }
+  }
+
+  test("PlanAudit reports pushed filters for DSv2 scans (no false " +
+    "full-unpruned-read risk)") {
+    val path = writeDb()
+    val df = spark.read.format("jetmdb").option("table", "t").load(path)
+      .where(col("id") > 1)
+    val audit = graft.tools.PlanAudit.of(df)
+    assert(audit.scans.exists(_.pushedFilters >= 1),
+      s"DSv2 pushed filters must be visible to the audit:\n${audit.render}")
+  }
+
+  test("pair-budget guards compare counts, never the overflowing " +
+    "n*(n-1)/2 product") {
+    // the threshold row count for 1e7 pairs: 4472 rows fit, 4473 don't
+    def maxRows(m: Long): Long =
+      ((1.0 + math.sqrt(1.0 + 8.0 * m.toDouble)) / 2.0).toLong
+    assert(maxRows(10000000L) == 4472L)
+    assert(4472L * 4471L / 2 <= 10000000L)
+    assert(4473L * 4472L / 2 > 10000000L)
+    // at the scale the old product form wrapped (n ~ 4.3e9), the
+    // count comparison is still well-defined
+    assert(5000000000L > maxRows(10000000L))
+  }
+
   test("PlanAudit still sees risks after the plan has been executed " +
     "(pre-fix: AQE leaf made every audit come back clean)") {
     val a = Seq(1, 2, 3).toDF("x")
