@@ -317,7 +317,8 @@ object DedupQueries {
       |  FROM embeddings),
       |n AS (SELECT vec_id, label, v,
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      |  FROM e)
+      |  FROM e
+      |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  ROUND(list_sum(list_transform(range(1, 65),
       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
@@ -325,10 +326,15 @@ object DedupQueries {
       |WHERE list_sum(list_transform(range(1, 65),
       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    // zero-norm guard on BOTH engines: an all-zero embedding has no
+    // defined cosine — without the filter the pair division is
+    // DIVIDE_BY_ZERO under Spark ANSI but NULL/inf in DuckDB (the
+    // q_embed_quantize degenerate-vector lesson, ADVICE r5)
     val e = embeddings(s, d)
       .select(
         col("vec_id"), col("label"), col("embedding"),
         SimilarityQueries.l2norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
     val a = e.select(
       col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("va"), col("nrm").as("nrm_a"))
@@ -573,7 +579,15 @@ object DedupQueries {
         .localCheckpoint()
       // grams in > subMaxDocs docs (licence text, headers) — near-empty
       // on healthy corpora, and the guard that keeps a hot gram from
-      // exploding into a quadratic pair block
+      // exploding into a quadratic pair block.
+      // Deliberately NOT fused via the distinct_upto aggregate: a
+      // TypedImperativeAggregate plans as ObjectHashAggregate, whose
+      // sort-based fallback past 128 in-memory groups SORTS the ~10M
+      // gram groups (measured 13 s vs 2.5 s for these plain hash
+      // aggregates — see spark-plan-pitfalls). distinct_upto is the
+      // right tool for LOW-cardinality guarded groupings; here the
+      // per-(g, b_doc) dedup state is one row per pair and spills
+      // through the hash aggregate normally.
       val hot = bDist.groupBy(col("g"))
         .agg(count(lit(1)).as("ndocs"))
         .where(col("ndocs") > subMaxDocs)

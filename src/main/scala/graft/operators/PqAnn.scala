@@ -47,20 +47,21 @@ object PqAnn {
       encoded: DataFrame, // vec_id, embedding, codes: array<int>[m]
       codebooks: Array[Array[Array[Double]]]) // m × ksub × dsub
 
-  private def normalized: Column = {
-    val nrm = SimilarityQueries.l2norm(col("embedding"))
-    when(nrm > 0,
-      transform(col("embedding"), x => x.cast("double") / nrm))
-      .otherwise(transform(col("embedding"), x => x.cast("double")))
-  }
-
   /** Fit (and memoize) the PQ index: m per-subspace codebooks + the
     * encoded corpus. Setup cost, not query cost — `Bench`'s warm-up
     * builds it before any timed run. */
   def build(s: SparkSession, d: String): Index =
     graft.sources.SessionCache.getOrElseUpdate(s, ("pq", d)) {
+      // norm computed ONCE per row into a column — embedding it inside
+      // the per-element transform lambda would re-evaluate the 64-dim
+      // norm for every element (O(d²) per row, the IvfAnn.build lesson)
       val vecs = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), normalized.as("nv"))
+        .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          when(col("nrm") > 0,
+            transform(col("embedding"), x => x.cast("double") / col("nrm")))
+            .otherwise(transform(col("embedding"), x => x.cast("double")))
+            .as("nv"))
       // one k-means per subspace over that subspace's 8-dim slice;
       // each fit is a distributed ML job, the model (16×8 doubles) is
       // the only driver-side state — the IVF-centroid pattern
@@ -96,7 +97,10 @@ object PqAnn {
       s"query vector vec_id=$queryVecId not found in $d/embeddings")
     val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
     val qn = math.sqrt(raw.map(x => x * x).sum)
-    if (qn > 0) raw.map(_ / qn).toArray else raw.toArray
+    require(qn > 0,
+      s"query vector vec_id=$queryVecId has zero norm — no cosine " +
+        "neighbourhood is defined for it")
+    raw.map(_ / qn).toArray
   }
 
   /** ADC column for a normalized query: the per-query m×ksub lookup
@@ -121,24 +125,33 @@ object PqAnn {
     }.reduce(_ + _)
   }
 
-  /** Exact-cosine re-rank of an ADC-ranked candidate frame (must carry
-    * vec_id + embedding + adc). */
+  /** Exact-cosine re-rank of an ADC ranking over (vec_id, adc) ONLY:
+    * the ADC scan and its top-`rerank` selection never carry the raw
+    * 64-float vectors — that is the whole point of PQ at 100 TB; the
+    * ≤ `rerank` survivors broadcast-join the embeddings back for the
+    * exact pass. Zero-norm corpus vectors (tolerated by the index
+    * build) are excluded here — they have no defined cosine. */
   private def rerankExact(
       s: SparkSession, d: String, queryVecId: Long, k: Int,
-      rerank: Int, candidates: DataFrame): DataFrame = {
+      rerank: Int, ranked: DataFrame): DataFrame = {
     val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
       .select(
         col("embedding").as("qv"),
         SimilarityQueries.l2norm(col("embedding")).as("qnrm"))
-    candidates
+    val cands = ranked
       .orderBy(col("adc"), col("vec_id")) // TakeOrderedAndProject, not a sort
       .limit(rerank)
+      .select(col("vec_id"))
+    embeddings(s, d)
+      .join(broadcast(cands), "vec_id")
+      .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
+      .where(col("nrm") > 0)
       .crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
         round(
           SimilarityQueries.dot(col("embedding"), col("qv"))
-            / (SimilarityQueries.l2norm(col("embedding")) * col("qnrm")),
+            / (col("nrm") * col("qnrm")),
           4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -154,8 +167,7 @@ object PqAnn {
     rerankExact(s, d, queryVecId, k, rerank,
       idx.encoded
         .filter(col("vec_id") =!= queryVecId)
-        .select(col("vec_id"), col("embedding"),
-          adcColumn(idx.codebooks, q).as("adc")))
+        .select(col("vec_id"), adcColumn(idx.codebooks, q).as("adc")))
   }
 
   /** IVF-PQ composite (the FAISS-style IVFADC layout from the same
@@ -184,8 +196,7 @@ object PqAnn {
       combined
         .filter(col("cluster").isin(probed.map(Integer.valueOf): _*)
           && col("vec_id") =!= queryVecId)
-        .select(col("vec_id"), col("embedding"),
-          adcColumn(pq.codebooks, q).as("adc")))
+        .select(col("vec_id"), adcColumn(pq.codebooks, q).as("adc")))
   }
 
   /** Declared query: PQ/ADC top-10 for the query vector (no oracle —
