@@ -28,7 +28,8 @@ object SparkEntry {
       GraphQueries.defs ++ TimeSeriesQueries.defs ++
       SequenceQueries.defs ++ NonparamQueries.defs ++
       MlEvalQueries2.defs ++ DataOpsQueries.defs ++
-      ExperimentQueries.defs ++ BpeQueries.defs ++ PqAnn.defs
+      ExperimentQueries.defs ++ BpeQueries.defs ++ PqAnn.defs ++
+      RetrievalExtQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

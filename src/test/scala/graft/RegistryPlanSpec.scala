@@ -54,7 +54,10 @@ class RegistryPlanSpec extends AnyFunSuite {
       "q_pareto_revenue") ++
     // top-k-first: the LIMIT/TakeOrdered runs BEFORE the serial
     // window, so the window sees k rows regardless of corpus size
-    Set("q_zipf_top", "q_skyline", "q_zipf_alpha")
+    Set("q_zipf_top", "q_skyline", "q_zipf_alpha",
+      // hybrid RRF ranks inside two TakeOrdered(100) candidate pools —
+      // each serial window sees exactly 100 rows at any corpus size
+      "q_hybrid_rrf")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>
