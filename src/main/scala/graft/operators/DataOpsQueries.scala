@@ -499,6 +499,60 @@ object DataOpsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Differentially-private released counts (the seeded/reproducible
+    * variant): per (event_type, day), the true count plus Laplace(1/ε)
+    * noise at ε = 1, the noise drawn through the exact inverse CDF
+    * from a 24-bit md5 uniform — a pure function of the group key, so
+    * the release is identical across engines and re-runs. REAL DP
+    * needs fresh randomness per release (a replayable seed leaks the
+    * true count to anyone who can recompute it); the seeded form is
+    * what a test/CI pipeline uses so the privacy plumbing is
+    * hash-gate-checkable, and the doc contract says exactly that.
+    * `released` clamps at zero (counts are nonnegative post-processing
+    * — allowed under DP). One hash aggregate, per-row noise map:
+    * partition-parallel at any scale. Both ROUNDed columns fold
+    * negative zero (+ 0.0) — a noisy count CAN land within ±5e-5 of
+    * zero. */
+  val qDpCountNoise: QDef = QDef(
+    "q_dp_count_noise",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, day, cnt,
+      |    (CAST(('0x' || substr(md5(event_type || '|'
+      |        || CAST(day AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |      / 16777216.0 AS u
+      |  FROM c),
+      |z AS (
+      |  SELECT event_type, day, cnt,
+      |    CASE WHEN u < 0.5 THEN ln(2 * u) ELSE -ln(2 - 2 * u) END
+      |      AS noise
+      |  FROM h)
+      |SELECT event_type, day,
+      |  ROUND(cnt + noise, 4) + 0.0 AS noisy_count,
+      |  ROUND(GREATEST(cnt + noise, 0.0), 4) + 0.0 AS released
+      |FROM z
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val c = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val u = (conv(
+      substring(md5(concat(col("event_type"), lit("|"),
+        col("day").cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("bigint") + lit(0.5)) / lit(16777216.0)
+    val noise = when(u < 0.5, log(lit(2) * u))
+      .otherwise(-log(lit(2) - lit(2) * u))
+    c.select(col("event_type"), col("day"),
+        (col("cnt") + noise).as("nc"))
+      .select(col("event_type"), col("day"),
+        (round(col("nc"), 4) + 0.0).as("noisy_count"),
+        (round(greatest(col("nc"), lit(0.0)), 4) + 0.0).as("released"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Key-skew diagnostics for the shuffle planner: the per-key count
     * distribution of lineitem's supplier key — key cardinality, max and
     * interpolated p50/p99 per-key counts, coefficient of variation from
@@ -562,5 +616,5 @@ object DataOpsQueries {
   val defs: Seq[QDef] = Seq(
     qFkOrphans, qDqRules, qPsiDrift, qKlDrift, qLinregGroup,
     qMadOutlier, qShardPack, qEmbedQuantize, qCorrMatrix,
-    qKAnonymity, qSkewMetrics)
+    qKAnonymity, qDpCountNoise, qSkewMetrics)
 }

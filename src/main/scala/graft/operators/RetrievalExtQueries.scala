@@ -434,6 +434,64 @@ object RetrievalExtQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  // ------------------------------------------------ hard negatives
+
+  /** Hard-negative mining for contrastive training: for each of the 10
+    * probe vectors, the 5 most-similar vectors with a DIFFERENT label —
+    * high-cosine wrong-label examples are exactly what embedding-model
+    * training needs as negatives (easy random negatives teach nothing).
+    *
+    * Scale shape: the probe set broadcasts (|probes|·n work, never n²),
+    * the rank window is PARTITIONED by probe — fully parallel; ranks
+    * order by ROUND(cos, 4) with neg_id tie-break so rank boundaries
+    * never hinge on a ULP. At corpus scale the candidate stage is ANN
+    * (qAnnLsh/IVF) and this exact pass re-ranks per probe. */
+  val qHardNegatives: QDef = QDef(
+    "q_hard_negatives",
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |p AS (SELECT * FROM n WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT p.vec_id AS probe_id, a.vec_id AS neg_id,
+      |    a.label AS neg_label,
+      |    ROUND(list_sum(list_transform(range(1, 65),
+      |      i -> a.v[i] * p.v[i])) / (a.nrm * p.nrm), 4) AS cos
+      |  FROM n a JOIN p ON a.label <> p.label),
+      |r AS (
+      |  SELECT probe_id, neg_id, neg_label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cos DESC, neg_id) AS rn
+      |  FROM sc)
+      |SELECT probe_id, CAST(rn AS BIGINT) AS rank, neg_id, neg_label,
+      |  cos
+      |FROM r WHERE rn <= 5
+      |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"),
+        col("embedding").as("pv"), col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    e.join(broadcast(probes), col("label") =!= col("probe_label"))
+      .select(col("probe_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        round(dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pnrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn").cast("bigint").as("rank"),
+        col("neg_id"), col("neg_label"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val defs: Seq[QDef] =
-    Seq(qHybridRrf, qMmrRerank, qRandomProjection, qPreferencePairs)
+    Seq(qHybridRrf, qMmrRerank, qRandomProjection, qPreferencePairs,
+      qHardNegatives)
 }

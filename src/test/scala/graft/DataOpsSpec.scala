@@ -147,4 +147,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.length == 6)
     rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
   }
+
+  test("q_dp_count_noise: Laplace(1) noise actually applied, release " +
+    "clamped nonnegative, draw deterministic per group key") {
+    val run1 = SparkEntry.queries("q_dp_count_noise")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3)))
+    // true counts recomputed independently
+    val truth = TableLoader.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(run1.length == truth.size)
+    val absNoise = run1.map { case (et, day, noisy, released) =>
+      val cnt = truth((et, day))
+      assert(released >= 0.0, s"negative release: $et $day")
+      assert(released == math.max(noisy, 0.0) ||
+        math.abs(released - math.max(noisy, 0.0)) < 1e-9)
+      math.abs(noisy - cnt)
+    }.sorted
+    // every group must actually be perturbed (a zero draw means the
+    // inverse CDF is wired wrong) and the median |noise| must look
+    // like Laplace(b=1): median = ln 2 ≈ 0.693
+    assert(absNoise.head > 0.0, "a group released its true count")
+    val median = absNoise(absNoise.length / 2)
+    assert(median > 0.15 && median < 3.0,
+      s"median |noise| $median not Laplace(1)-like")
+    // seeded determinism: a second run draws the identical noise
+    val run2 = SparkEntry.queries("q_dp_count_noise")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3)))
+    assert(run1.toSeq == run2.toSeq)
+  }
 }

@@ -97,6 +97,43 @@ class RetrievalExtSpec extends AnyFunSuite {
       s"JL mean ratio drifted: $mean")
   }
 
+  test("q_hard_negatives: 5 per probe, all wrong-label, and exactly " +
+    "the brute-force top-5 hardest") {
+    val rows = run("q_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5))
+
+    val e = graft.sources.TableLoader.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labels = e.map(x => x._1 -> x._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    byProbe.foreach { case (probe, negs) =>
+      negs.foreach { case (_, _, negId, negLabel, _) =>
+        assert(labels(negId) == negLabel)
+        assert(negLabel != labels(probe), "same-label negative")
+      }
+      // independent brute force: top-5 wrong-label by (round4 cos, id)
+      val pv = e.find(_._1 == probe).get._3
+      val brute = e.filter(_._2 != labels(probe))
+        .map { case (id, _, v) => (id, r4(cos(v, pv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      assert(negs.sortBy(_._2).map(_._3).toSeq == brute,
+        s"probe $probe selection differs from brute force")
+    }
+  }
+
   test("q_preference_pairs: chosen strictly beats rejected, pairs are " +
     "within-group, margin matches the quality gap") {
     val rows = run("q_preference_pairs").collect()
