@@ -128,6 +128,44 @@ object SketchQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Heavy-hitter counts through the frequent-items sketch (Misra–
+    * Gries family, `functions/FreqSketch.scala`): per-event-type
+    * sketches over user_id, re-merged to a global blob, probed for the
+    * exact top-5 hottest users. The map (4096 slots) exceeds the
+    * fixture's user cardinality at every SF, so NO purge occurs and
+    * every estimate is EXACT (lb = est = ub) — which is what lets this
+    * sketch query, alone in the family, sit under the DuckDB hash gate
+    * (the oracle just counts). The purge/approximate regime — the
+    * actual 100 TB operating point, bounds + NO_FALSE_NEGATIVES
+    * enumeration — is pinned by FreqSketchSpec on seeded skewed data,
+    * where exactness is impossible and an oracle can't follow. */
+  val qFreqSketchTopk: QDef = QDef(
+    "q_freq_sketch_topk",
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |top AS (
+      |  SELECT user_id, CAST(n AS BIGINT) AS est_n
+      |  FROM c ORDER BY n DESC, user_id LIMIT 5)
+      |SELECT user_id, est_n, est_n AS lb, est_n AS ub
+      |FROM top ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.functions.FreqSketch
+    val mapSize = 4096
+    val ev = events(s, d)
+    val merged = ev.groupBy(col("event_type"))
+      .agg(FreqSketch.sketch(col("user_id"), mapSize).as("sk"))
+      .agg(FreqSketch.merge(col("sk"), mapSize).as("sk"))
+    val hot = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).limit(5)
+      .select(col("user_id"))
+    hot.crossJoin(broadcast(merged))
+      .select(col("user_id"),
+        FreqSketch.estimate(col("sk"), col("user_id")).as("e"))
+      .select(col("user_id"), col("e.est").as("est_n"),
+        col("e.lb").as("lb"), col("e.ub").as("ub"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QDef] =
-    Seq(qHllSketchMerge, qCmsFreq, qKllQuantiles, qThetaOverlap)
+    Seq(qHllSketchMerge, qCmsFreq, qKllQuantiles, qThetaOverlap,
+      qFreqSketchTopk)
 }
