@@ -464,4 +464,61 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.count(_.partitionSpec.isEmpty) <= 1,
       "more than one whole-partition window")
   }
+
+  test("q_hybrid_rrf: both retriever arms are true top-k (TakeOrdered" +
+    "AndProject), never a global sort of the corpus") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val p = finalPlan("q_hybrid_rrf")
+    val topk = p.collectWithSubqueries {
+      case t: TakeOrderedAndProjectExec => t }
+    assert(topk.size >= 2, s"expected two TakeOrdered arms in:\n$p")
+    // any full SortExec must sit ABOVE a take-ordered prefix (the
+    // 100-row rank windows / 20-row output), never directly over a scan
+    val badSorts = p.collectWithSubqueries {
+      case s: SortExec if s.collectLeaves().exists {
+        case f: FileSourceScanExec => true
+        case _ => false
+      } && !s.exists(_.isInstanceOf[TakeOrderedAndProjectExec]) => s
+    }
+    assert(badSorts.isEmpty,
+      s"global sort over an unbounded input:\n${badSorts.mkString("\n")}")
+  }
+
+  test("q_hard_negatives: probe set broadcasts (nested-loop on the " +
+    "non-equi label predicate), rank window partitioned per probe") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan("q_hard_negatives")
+    assert(p.collectWithSubqueries {
+      case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      s"probes not broadcast:\n$p")
+    val ws = p.collectWithSubqueries { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "rank window not partitioned by probe")
+  }
+
+  test("q_random_projection is a pure per-row map: no shuffle except " +
+    "the output sort's range exchange") {
+    val p = finalPlan("q_random_projection")
+    val ex = p.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 1, s"unexpected shuffles:\n$p")
+  }
+
+  test("q_dp_count_noise: one aggregation shuffle, noise applied " +
+    "post-aggregate (map over the tiny grouped table)") {
+    val p = finalPlan("q_dp_count_noise")
+    val ex = p.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    // groupBy exchange + output-sort range exchange
+    assert(ex.size <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("q_freq_sketch_topk builds frequent-items sketches map-side " +
+    "(partial aggregation before the shuffle)") {
+    val s = finalPlan("q_freq_sketch_topk").toString
+    assert(s.contains("partial_freqsketchagg")
+      || s.toLowerCase.contains("partial_freq")
+      || (s.toLowerCase.contains("partial")
+        && s.toLowerCase.contains("freqsketch")),
+      s"sketch partial aggregation missing:\n$s")
+  }
 }
