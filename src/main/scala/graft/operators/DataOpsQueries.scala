@@ -499,6 +499,50 @@ object DataOpsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** l-diversity audit — k-anonymity's complement (privacy trio with
+    * q_k_anonymity and q_dp_count_noise): a group can be large (k-safe)
+    * yet still leak if every member shares the SENSITIVE value. Per
+    * quasi-identifier group (nation × account-balance kilo-bucket),
+    * count the distinct sensitive values (market segment); report per
+    * nation the worst group's l, how many groups sit under l = 3, and
+    * the share of ROWS in those groups. Same two-hash-aggregate shape
+    * as the k audit — partition-parallel at any scale; the
+    * count-distinct inside the first aggregate is exact but bounded
+    * (≤ 5 segments), so no expand-explosion. */
+  val qLDiversity: QDef = QDef(
+    "q_l_diversity",
+    """WITH g AS (
+      |  SELECT c_nationkey,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    COUNT(DISTINCT c_mktsegment) AS l,
+      |    COUNT(*) AS grp_n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_below_3,
+      |  ROUND(SUM(CASE WHEN l < 3 THEN grp_n ELSE 0 END) * 1.0
+      |    / SUM(grp_n), 4) AS rows_at_risk_share
+      |FROM g GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val g = customer(s, d)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("bal_bucket"))
+      .agg(
+        countDistinct(col("c_mktsegment")).as("l"),
+        count(lit(1)).as("grp_n"))
+    g.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_below_3"),
+        round(
+          sum(when(col("l") < 3, col("grp_n")).otherwise(0L)) * lit(1.0)
+            / sum(col("grp_n")), 4).as("rows_at_risk_share"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Differentially-private released counts (the seeded/reproducible
     * variant): per (event_type, day), the true count plus Laplace(1/ε)
     * noise at ε = 1, the noise drawn through the exact inverse CDF
@@ -616,5 +660,5 @@ object DataOpsQueries {
   val defs: Seq[QDef] = Seq(
     qFkOrphans, qDqRules, qPsiDrift, qKlDrift, qLinregGroup,
     qMadOutlier, qShardPack, qEmbedQuantize, qCorrMatrix,
-    qKAnonymity, qDpCountNoise, qSkewMetrics)
+    qKAnonymity, qLDiversity, qDpCountNoise, qSkewMetrics)
 }
