@@ -39,9 +39,19 @@ object PcaQueries {
     * given as a(j)(k)); deterministic sweep order, so identical inputs
     * give bit-identical spectra. */
   private[graft] def jacobiEigen(
-      a0: Array[Array[Double]], maxSweeps: Int = 64): Array[Double] = {
+      a0: Array[Array[Double]], maxSweeps: Int = 64): Array[Double] =
+    jacobiEigenSystem(a0, maxSweeps)._1
+
+  /** Full eigensystem: (eigenvalues sorted descending, eigenvectors as
+    * ROWS of the returned matrix, row c pairing with eigenvalue c).
+    * Same deterministic cyclic sweeps; the rotation product is
+    * accumulated so V'AV = diag. */
+  private[graft] def jacobiEigenSystem(
+      a0: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
     val n = a0.length
     val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val vv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = Double.MaxValue
     while (sweep < maxSweeps && off > 1e-14) {
@@ -74,6 +84,13 @@ object PcaQueries {
               a(q)(i) = s * api + c * aqi
               i += 1
             }
+            i = 0
+            while (i < n) {
+              val vip = vv(i)(p); val viq = vv(i)(q)
+              vv(i)(p) = c * vip - s * viq
+              vv(i)(q) = s * vip + c * viq
+              i += 1
+            }
           }
           q += 1
         }
@@ -87,7 +104,10 @@ object PcaQueries {
       }
       sweep += 1
     }
-    Array.tabulate(n)(i => a(i)(i)).sortBy(-_)
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map(c => Array.tabulate(n)(i => vv(i)(c))).toArray
+    (values, vectors)
   }
 
   /** Covariance matrix of the embedding corpus from quantized integer
@@ -105,7 +125,8 @@ object PcaQueries {
     * units before summation, so the cross-row addition is
     * order-independent — bit-identical spectra on every run. */
   private[graft] def covarianceMatrix(
-      s: SparkSession, d: String): (Array[Array[Double]], Long) = {
+      s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Double], Long) = {
     import s.implicits._
     val nPairs = dim * (dim + 1) / 2
     val parts = embeddings(s, d)
@@ -156,13 +177,13 @@ object PcaQueries {
       val (lo, hi) = if (j <= k) (j, k) else (k, j)
       upper(lo)(hi) / scaleQ / n - mu(j) * mu(k)
     }
-    (cov, n)
+    (cov, mu, n)
   }
 
   /** Top-16 principal spectrum of the embedding covariance: eigenvalue,
     * explained-variance ratio, cumulative ratio per component. */
   val qEmbedPca: QDef = QDef.noOracle("q_embed_pca") { (s, d) =>
-    val (cov, _) = covarianceMatrix(s, d)
+    val (cov, _, _) = covarianceMatrix(s, d)
     val eig = jacobiEigen(cov)
     val total = eig.sum
     var cum = 0.0
@@ -179,5 +200,119 @@ object PcaQueries {
       .orderBy(col("component"))
   }
 
-  val defs: Seq[QDef] = Seq(qEmbedPca)
+  /** Project every embedding onto the top-8 principal components — the
+    * data-driven twin of q_random_projection's oblivious JL map (same
+    * compression budget, but axes LEARNED from the covariance, so more
+    * variance survives per component). The eigensystem is driver-side
+    * over the collected moments (bounded state); the projection itself
+    * is the data-sized pass: per-partition imperative map with the
+    * 8×64 basis + mean in closure — zero shuffle before the output
+    * sort. Emits each vector's projected norm and captured-variance
+    * ratio ||y||²/||x−μ||²; PcaSpec checks the per-component variance
+    * across vectors reproduces the eigenvalues — the PCA property
+    * itself. */
+  val qPcaProject: QDef = QDef.noOracle("q_pca_project") { (s, d) =>
+    val k = 8
+    val (cov, mu, _) = covarianceMatrix(s, d)
+    val (_, vecs) = jacobiEigenSystem(cov)
+    val basis = vecs.take(k)
+    import s.implicits._
+    val out = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val y = new Array[Double](dim)
+        it.map { case (id, row) =>
+          var j = 0
+          while (j < dim) { y(j) = row(j).toDouble - mu(j); j += 1 }
+          var cN = 0.0
+          var c = 0
+          var p2 = 0.0
+          while (c < k) {
+            val b = basis(c)
+            var acc = 0.0
+            j = 0
+            while (j < dim) { acc += b(j) * y(j); j += 1 }
+            p2 += acc * acc
+            c += 1
+          }
+          j = 0
+          while (j < dim) { cN += y(j) * y(j); j += 1 }
+          (id, math.sqrt(p2), if (cN > 0) p2 / cN else 0.0)
+        }
+      }
+      .toDF("vec_id", "proj_norm", "captured_ratio")
+    out.select(col("vec_id"),
+        round(col("proj_norm"), 4).as("proj_norm"),
+        round(col("captured_ratio"), 4).as("captured_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Mahalanobis outlier scoring — distance from the corpus mean under
+    * the covariance metric, the multivariate generalization of the
+    * z-score the curation stack uses per-column (q_anomaly_zscore):
+    * directions the corpus varies little in are penalized more, so a
+    * vector can be a strong outlier while every coordinate looks
+    * ordinary. Σ is ridge-stabilized (+1e-9·I) and Cholesky-factored
+    * DRIVER-side; each row then costs one forward-substitution
+    * L z = (x−μ), d² = ‖z‖² in the per-partition pass. Top-20 by d²
+    * (TakeOrdered) — the "look at these first" curation list. χ²₆₄
+    * gives E[d²] = 64 on Gaussian data; PcaSpec bounds the corpus
+    * mean d² against that. */
+  val qMahalanobis: QDef = QDef.noOracle("q_mahalanobis") { (s, d) =>
+    val (cov, mu, _) = covarianceMatrix(s, d)
+    // Cholesky of cov + ridge: L lower-triangular, L·Lᵀ = Σ
+    val L = Array.ofDim[Double](dim, dim)
+    cholesky(cov, L)
+    import s.implicits._
+    val out = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val y = new Array[Double](dim)
+        val z = new Array[Double](dim)
+        it.map { case (id, row) =>
+          var i = 0
+          while (i < dim) { y(i) = row(i).toDouble - mu(i); i += 1 }
+          // forward substitution L z = y
+          i = 0
+          var d2 = 0.0
+          while (i < dim) {
+            var acc = y(i)
+            var t = 0
+            while (t < i) { acc -= L(i)(t) * z(t); t += 1 }
+            z(i) = acc / L(i)(i)
+            d2 += z(i) * z(i)
+            i += 1
+          }
+          (id, d2)
+        }
+      }
+      .toDF("vec_id", "d2")
+    out.select(col("vec_id"), round(col("d2"), 4).as("mahal_d2"))
+      .orderBy(col("mahal_d2").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** In-place Cholesky factorization with a 1e-9 ridge (covariance is
+    * PSD by construction; the ridge guards the quantization floor). */
+  private[graft] def cholesky(
+      cov: Array[Array[Double]], L: Array[Array[Double]]): Unit = {
+    val n = cov.length
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var acc = cov(i)(j) + (if (i == j) 1e-9 else 0.0)
+        var k = 0
+        while (k < j) { acc -= L(i)(k) * L(j)(k); k += 1 }
+        if (i == j) L(i)(j) = math.sqrt(math.max(acc, 1e-18))
+        else L(i)(j) = acc / L(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(qEmbedPca, qPcaProject, qMahalanobis)
 }

@@ -33,7 +33,7 @@ class PcaSpec extends AnyFunSuite {
   }
 
   test("spectrum is PSD, non-increasing, and sums to the trace") {
-    val (cov, n) = PcaQueries.covarianceMatrix(spark, sfDir)
+    val (cov, _, n) = PcaQueries.covarianceMatrix(spark, sfDir)
     assert(n == 500)
     val eig = PcaQueries.jacobiEigen(cov)
     val trace = (0 until cov.length).map(i => cov(i)(i)).sum
@@ -68,5 +68,79 @@ class PcaSpec extends AnyFunSuite {
     val a = SparkEntry.queries("q_embed_pca")(spark, sfDir).collect()
     val b = SparkEntry.queries("q_embed_pca")(spark, sfDir).collect()
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("eigenvectors are orthonormal and diagonalize the covariance") {
+    val (cov, _, _) = PcaQueries.covarianceMatrix(spark, sfDir)
+    val (vals, vecs) = PcaQueries.jacobiEigenSystem(cov)
+    val n = cov.length
+    for (a <- 0 until n; b <- a until n) {
+      val dot = (0 until n).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"V row $a . row $b = $dot")
+    }
+    // Rayleigh quotient of each eigenvector reproduces its eigenvalue
+    for (c <- 0 until 8) {
+      val v = vecs(c)
+      val av = Array.tabulate(n)(i =>
+        (0 until n).map(j => cov(i)(j) * v(j)).sum)
+      val rq = (0 until n).map(i => v(i) * av(i)).sum
+      assert(math.abs(rq - vals(c)) < 1e-9 * math.max(1.0, vals(c)),
+        s"component $c: rq $rq vs ${vals(c)}")
+    }
+  }
+
+  test("q_pca_project: captured ratios valid; mean captured variance " +
+    "matches the top-8 spectrum share") {
+    val rows = SparkEntry.queries("q_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, pn, cr) =>
+      assert(pn >= 0.0 && cr >= 0.0 && cr <= 1.0 + 1e-9)
+    }
+    val (cov, _, _) = PcaQueries.covarianceMatrix(spark, sfDir)
+    val (vals, _) = PcaQueries.jacobiEigenSystem(cov)
+    val share = vals.take(8).sum / vals.sum
+    // variance-weighted mean of captured ratios ≈ spectrum share; the
+    // unweighted mean is a coarser proxy — allow a generous band
+    val mean = rows.map(_._3).sum / rows.length
+    assert(math.abs(mean - share) < 0.15,
+      s"mean captured $mean vs spectrum share $share")
+  }
+
+  test("q_mahalanobis: top-20 sorted desc; corpus mean d2 equals dim " +
+    "(the trace identity of the sample covariance)") {
+    val rows = SparkEntry.queries("q_mahalanobis")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._2 >= w(1)._2, "not sorted by distance")
+    }
+    rows.foreach { case (_, d2) => assert(d2 >= 0.0) }
+    // (1/n) Σ (x−μ)ᵀ Σ̂⁻¹ (x−μ) = trace(Σ̂⁻¹ Σ̂) = dim, exactly, up to
+    // the ridge and the 1e-6 quantization — recompute over ALL vectors
+    val (cov, mu, n) = PcaQueries.covarianceMatrix(spark, sfDir)
+    val dim = cov.length
+    val L = Array.ofDim[Double](dim, dim)
+    PcaQueries.cholesky(cov, L)
+    val e = graft.sources.TableLoader.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val z = new Array[Double](dim)
+    var total = 0.0
+    e.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        var acc = x(i) - mu(i)
+        var t = 0
+        while (t < i) { acc -= L(i)(t) * z(t); t += 1 }
+        z(i) = acc / L(i)(i)
+        total += z(i) * z(i)
+        i += 1
+      }
+    }
+    val meanD2 = total / n
+    assert(math.abs(meanD2 - dim) < 0.05,
+      s"mean d2 $meanD2 != dim $dim")
   }
 }
