@@ -510,6 +510,87 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (D = 0.75) — the smoothing
+    * actually used by n-gram LM quality filters, upgrading
+    * q_bigram_perplexity's raw MLE: probability mass is discounted from
+    * observed bigrams and redistributed through the CONTINUATION
+    * distribution (how many distinct contexts a word follows — "san
+    * francisco"-type words score low as novel continuations no matter
+    * how frequent the bigram). P(w2|w1) = max(c12−D,0)/c1 +
+    * (D·N1+(w1·)/c1)·(N1+(·w2)/T). All counts are exact integers from
+    * three hash aggregates over the distinct-bigram table; per-bigram
+    * log-probs quantize to integer micro-units before the per-doc sum
+    * (the established order-independence idiom); the double arithmetic
+    * inside ln() is structured identically on both engines. Join keys
+    * are uniformly-hashed tokens, vocab-sized dims broadcast via AQE —
+    * the q_tfidf/q_bm25 shape. */
+  val qKneserNey: QDef = QDef(
+    "q_kneser_ney",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |b AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg
+      |  FROM t WHERE len(l) >= 2),
+      |cb AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY 1),
+      |cw AS (
+      |  SELECT string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1,
+      |    COUNT(*) AS n1w1
+      |  FROM cb GROUP BY 1),
+      |cont AS (
+      |  SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS n1w2
+      |  FROM cb GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM cb),
+      |lm AS (
+      |  SELECT bg, CAST(FLOOR(LN(
+      |      GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0) / c1
+      |      + (0.75 * CAST(n1w1 AS DOUBLE) / c1) * (n1w2 / T)) * 1e6)
+      |    AS BIGINT) AS lp_micro
+      |  FROM cb
+      |  JOIN cw ON string_split(cb.bg, ' ')[1] = cw.w1
+      |  JOIN cont ON string_split(cb.bg, ' ')[2] = cont.w2
+      |  CROSS JOIN tt)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-SUM(lp_micro) AS DOUBLE) / 1e6 / COUNT(*) AS avg_nll_kn
+      |FROM b JOIN lm USING (bg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = documents(s, d)
+      .select(col("doc_id"), tokens.as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("bg"))
+    val cb = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val cw = cb
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    val cont = cb
+      .groupBy(split(col("bg"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("n1w2"))
+    val tt = cb.agg(count(lit(1)).cast("double").as("T"))
+    val p =
+      greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) /
+        col("c1") +
+        (lit(0.75) * col("n1w1").cast("double") / col("c1")) *
+          (col("n1w2") / col("T"))
+    val lm = cb
+      .join(cw, split(cb("bg"), " ").getItem(0) === cw("w1"))
+      .join(cont, split(cb("bg"), " ").getItem(1) === cont("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col("bg"),
+        floor(log(p) * lit(1e6)).cast("bigint").as("lp_micro"))
+    b.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_micro")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((-col("slp")).cast("double") / lit(1e6) / col("n_bigrams"))
+          .as("avg_nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf exponent of the corpus word distribution: OLS fit of
     * ln(freq) on ln(rank) over the TOP-100 frequency head (natural
     * language sits near α ≈ 1 — a corpus that doesn't is synthetic,
@@ -568,5 +649,6 @@ object TextQueries {
   val defs: Seq[QDef] = Seq(
     qTextTokens, qTextStats, qTfidf, qNgram, qLangId, qQualityScore,
     qTokenCount, qFingerprint, qRepetition, qTextNormalize,
-    qWinnowFingerprint, qReadability, qBigramPerplexity, qZipfAlpha)
+    qWinnowFingerprint, qReadability, qBigramPerplexity, qKneserNey,
+    qZipfAlpha)
 }

@@ -134,4 +134,46 @@ class RoundSixSpec extends AnyFunSuite {
     assert(top10 <= 1.0 + 1e-9 && top10 >= maxCnt * 1.0 / total - 1e-9)
     assert(nKeys > 0 && total >= nKeys)
   }
+
+  test("q_kneser_ney: P(.|w1) sums to 1 over the vocabulary, and the " +
+    "corpus KN NLL is >= the MLE NLL (MLE is the train-set optimum)") {
+    import org.apache.spark.sql.functions._
+    // rebuild the count tables independently, then check the KN
+    // normalization identity numerically for every context w1
+    val docs = graft.sources.TableLoader.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(element_at(l, i) as w1, element_at(l, i + 1) as w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val cb = docs.groupBy("w1", "w2").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val c1 = cb.groupBy(_._1._1).map { case (w, xs) =>
+      w -> xs.map(_._2).sum }
+    val n1w1 = cb.groupBy(_._1._1).map { case (w, xs) => w -> xs.size }
+    val n1w2 = cb.groupBy(_._1._2).map { case (w, xs) => w -> xs.size }
+    val tTypes = cb.length.toDouble
+    val vocab = (n1w2.keySet ++ n1w1.keySet).toSeq
+    val d = 0.75
+    val byW1 = cb.groupBy(_._1._1)
+    c1.keys.foreach { w1 =>
+      val seen = byW1(w1).map { case ((_, w2), c12) =>
+        math.max(c12 - d, 0.0) / c1(w1)
+      }.sum
+      val cont = vocab.map(w2 =>
+        (d * n1w1(w1) / c1(w1)) *
+          (n1w2.getOrElse(w2, 0) / tTypes)).sum
+      assert(math.abs(seen + cont - 1.0) < 1e-9,
+        s"P(.|$w1) sums to ${seen + cont}")
+    }
+    // corpus-total optimality: MLE minimizes train NLL among all
+    // bigram models, so the smoothed total can only be >=
+    val mle = run("q_bigram_perplexity")
+      .map(r => r.getLong(1) * r.getDouble(2)).sum
+    val kn = run("q_kneser_ney")
+      .map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(kn >= mle - 1e-6, s"KN total $kn below MLE total $mle")
+  }
 }
