@@ -485,9 +485,44 @@ object EtlQueries {
     }
   }
 
+  /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
+    * idiom `TOP 10 PERCENT` every reference user has in saved queries:
+    * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
+    * boundary value (Access includes ties at the cut — a LIMIT is not
+    * equivalent). Shape: one count, a TakeOrdered(k) boundary-value
+    * aggregate, then a full-scan filter ≥ threshold — deterministic
+    * regardless of storage order, unlike Access's own (which returns
+    * whichever tied rows come first without the tie rule... the
+    * documented TOP-PERCENT tie inclusion is the portable semantic).
+    * At corpus scale the boundary would come from a KLL quantile probe
+    * (registry operator) + the same exact filter; the 10%-of-rows
+    * output is inherent to the ask. */
+  val qJetTopPercent: QDef = QDef(
+    "q_jet_top_percent",
+    """WITH s AS (
+      |  SELECT CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS k FROM customer),
+      |b AS (
+      |  SELECT MIN(c_acctbal) AS thr FROM (
+      |    SELECT c_acctbal FROM customer
+      |    ORDER BY c_acctbal DESC LIMIT (SELECT k FROM s)))
+      |SELECT c_custkey, c_acctbal
+      |FROM customer, b WHERE c_acctbal >= thr
+      |ORDER BY c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
+    val c = customer(s, d)
+    val k = math.ceil(0.1 * c.count()).toLong
+    val thr = c.select(col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc)
+      .limit(k.toInt)
+      .agg(min(col("c_acctbal")).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") >= col("thr"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
-    qTableChecksum, qCdcApply, qMigrationDdl)
+    qTableChecksum, qCdcApply, qMigrationDdl, qJetTopPercent)
 }
