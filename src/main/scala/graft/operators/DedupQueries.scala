@@ -430,6 +430,68 @@ object DedupQueries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Jaro–Winkler fuzzy pairing — the OTHER classic entity-resolution
+    * scorer next to q_fuzzy_name_match's levenshtein: prefix-weighted
+    * similarity that forgives suffix noise ("widget"/"widgets") the
+    * way edit distance can't without a length-relative threshold.
+    * Spark ships no jaro function, so this exercises the codegen'd
+    * [[graft.functions.JaroWinklerSim]] expression, and DuckDB's
+    * native `jaro_winkler_similarity` is the oracle — the engine's
+    * from-scratch implementation must agree with an independent one on
+    * every blocked pair at 4 decimal places, corpus-wide (boost
+    * threshold 0.7, p = 0.1, prefix ≤ 4 — the textbook convention both
+    * follow). Same scale discipline as the levenshtein twin: score
+    * DISTINCT names within (brand, type) blocks — the name vocabulary
+    * is tiny relative to rows — then expand matched name pairs back to
+    * key pairs; the oracle stays the naive quadratic form (two
+    * algorithms, one answer). */
+  val qFuzzyJwPairs: QDef = QDef(
+    "q_fuzzy_jw_pairs",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE a.p_name <> b.p_name
+      |  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+      |    >= 0.86
+      |ORDER BY jw DESC, key_a, key_b LIMIT 50""".stripMargin) { (s, d) =>
+    import graft.functions.JaroWinkler.jaroWinkler
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"),
+      col("p_type"), col("p_name"))
+    val names = p.select(col("p_brand"), col("p_type"), col("p_name"))
+      .distinct()
+    val na = names.select(col("p_brand"), col("p_type"),
+      col("p_name").as("name_a"))
+    val nb = names.select(col("p_brand").as("brand_b"),
+      col("p_type").as("type_b"), col("p_name").as("name_b"))
+    val matched = na
+      .join(nb, col("p_brand") === col("brand_b")
+        && col("p_type") === col("type_b")
+        && col("name_a") < col("name_b"))
+      .withColumn("jw",
+        round(jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= 0.86)
+      .select(col("p_brand"), col("p_type"), col("name_a"),
+        col("name_b"), col("jw"))
+    val pa = p.select(col("p_partkey").as("ka"), col("p_brand"),
+      col("p_type"), col("p_name").as("name_a"))
+    val pb = p.select(col("p_partkey").as("kb"),
+      col("p_brand").as("pb_brand"), col("p_type").as("pb_type"),
+      col("p_name").as("pb_name"))
+    matched
+      .join(pa, Seq("p_brand", "p_type", "name_a"))
+      .join(pb, col("p_brand") === col("pb_brand")
+        && col("p_type") === col("pb_type")
+        && col("name_b") === col("pb_name"))
+      .select(
+        least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"),
+        col("jw"))
+      .orderBy(col("jw").desc, col("key_a"), col("key_b"))
+      .limit(50)
+  }
+
   /** Canonical-URL dedup with a keep-best policy (the first stage of
     * every web-corpus pipeline: many crawls of one URL → keep the
     * longest capture, oldest id on ties). The engine side is a single
@@ -720,6 +782,6 @@ object DedupQueries {
 
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
-    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qDedupUrl,
-    qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut)
+    qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qFuzzyJwPairs,
+    qDedupUrl, qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut)
 }
