@@ -117,7 +117,30 @@ object GraftExtensions {
           "bpe_decode(ids) - decode byte-level BPE token ids back to " +
             "text (default vocab); lossless within words"),
         (es: Seq[Expression]) =>
-          graft.functions.BpeDecode(es(0), graft.functions.Bpe.default)))
+          graft.functions.BpeDecode(es(0), graft.functions.Bpe.default)),
+      (FunctionIdentifier("jaro_winkler"),
+        info("jaro_winkler",
+          "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] " +
+            "(prefix boost past the 0.7 threshold; matches DuckDB's " +
+            "jaro_winkler_similarity convention)"),
+        (es: Seq[Expression]) =>
+          graft.functions.JaroWinklerSim(es(0), es(1))),
+      (FunctionIdentifier("freq_sketch"),
+        info("freq_sketch",
+          "freq_sketch(x) - aggregate: mergeable frequent-items " +
+            "(heavy-hitters) sketch blob over bigint x"),
+        (es: Seq[Expression]) => graft.functions.FreqSketchAgg(es(0))),
+      (FunctionIdentifier("freq_merge"),
+        info("freq_merge",
+          "freq_merge(blob) - aggregate: lossless union of " +
+            "frequent-items sketch blobs"),
+        (es: Seq[Expression]) => graft.functions.FreqMergeAgg(es(0))),
+      (FunctionIdentifier("freq_estimate"),
+        info("freq_estimate",
+          "freq_estimate(blob, item) - struct(est, lb, ub) count " +
+            "bounds for item from a frequent-items sketch blob"),
+        (es: Seq[Expression]) =>
+          graft.functions.FreqEstimate(es(0), es(1))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -87,4 +87,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(
       graft.functions.ThetaOps.estimate(est) - 100.0) < 1e-6)
   }
+
+  test("jaro_winkler and the freq_sketch family are callable from SQL") {
+    GraftExtensions.register(spark)
+    val jw = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").collect()(0)
+      .getDouble(0)
+    assert(math.abs(jw - 0.961111) < 1e-5)
+    // 20 distinct items stay under the default map's 0.75*64 = 48
+    // purge capacity -> exact counts survive the SQL group/merge path
+    val r = spark.sql(
+      """WITH g AS (
+        |  SELECT id % 3 AS grp, id % 20 AS item FROM range(3000)),
+        |per AS (SELECT grp, freq_sketch(item) AS sk FROM g GROUP BY grp),
+        |all_sk AS (SELECT freq_merge(sk) AS sk FROM per)
+        |SELECT freq_estimate(sk, 7L).est AS est FROM all_sk""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(r == 150L, s"freq estimate $r")
+  }
 }
