@@ -65,4 +65,44 @@ class StreamSinkSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(50002L), s"survivors: $kept")
   }
+
+  test("incremental sketch state merges across drains and matches " +
+    "exact counts (no-purge regime)") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val state = Files.createTempDirectory("sksink_state").toString
+    val ckpt = Files.createTempDirectory("sksink_ckpt").toString
+    val stream = MemoryStream[(String, Long)]
+
+    // drain 1: users 0..99 on 'click', 0..49 on 'view'
+    stream.addData((0L until 100L).map(u => ("click", u)) ++
+      (0L until 50L).map(u => ("view", u)): _*)
+    StreamSinks.foreachBatchSketchParquet(
+      stream.toDF().toDF("event_type", "user_id"), state, ckpt)
+      .awaitTermination()
+
+    // drain 2: 50 NEW click users + user 7 hammered on view
+    stream.addData((100L until 150L).map(u => ("click", u)) ++
+      Seq.fill(40)(("view", 7L)): _*)
+    StreamSinks.foreachBatchSketchParquet(
+      stream.toDF().toDF("event_type", "user_id"), state, ckpt)
+      .awaitTermination()
+
+    val st = StreamSinks.latestSketchState(spark, state).get
+    val rows = st
+      .select(col("event_type"),
+        hll_sketch_estimate(col("hll")).as("users"),
+        graft.functions.FreqSketch
+          .estimate(col("freq"), lit(7L)).getField("est").as("u7"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // HLL at these cardinalities is exact-ish; allow 2% slack
+    assert(math.abs(rows("click")._1 - 150L) <= 3,
+      s"click users ${rows("click")._1}")
+    assert(math.abs(rows("view")._1 - 50L) <= 2,
+      s"view users ${rows("view")._1}")
+    // frequent-items in the exact regime: user 7 = 1 (drain 1) + 40
+    assert(rows("view")._2 == 41L, s"view u7 ${rows("view")._2}")
+    assert(rows("click")._2 == 1L, s"click u7 ${rows("click")._2}")
+  }
 }
