@@ -43,6 +43,11 @@ case class FreqSketchAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[LongsSketch] {
 
+  // LongsSketch rejects non-power-of-2 maps with a constructor throw on
+  // the EXECUTOR; fail at plan construction with a readable message
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"freq_sketch maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -90,6 +95,9 @@ case class FreqMergeAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[LongsSketch] {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"freq_merge maxMapSize must be a power of 2 >= 8, got $maxMapSize")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

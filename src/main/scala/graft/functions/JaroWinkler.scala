@@ -54,7 +54,14 @@ case class JaroWinklerSim(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Static scorer shared by the interpreted and generated paths. */
+  /** Static scorer shared by the interpreted and generated paths.
+    *
+    * Unit of comparison is the UTF-16 code unit (Java `charAt`) — for
+    * ASCII and BMP text this matches engines that compare code points
+    * (DuckDB included, verified by the corpus-wide oracle); strings
+    * with surrogate pairs (emoji, rare CJK) would count a supplementary
+    * character as two units. Entity-resolution keys are normalized
+    * ASCII-ish names in practice; normalize first if they aren't. */
   def similarity(s1: String, s2: String): Double = {
     if (s1 == s2) return 1.0
     val l1 = s1.length
