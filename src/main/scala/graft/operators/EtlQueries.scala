@@ -510,6 +510,12 @@ object EtlQueries {
       |ORDER BY c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
     val c = customer(s, d)
     val k = math.ceil(0.1 * c.count()).toLong
+    // limit() takes an Int; past ~21 G rows the TOP-PERCENT prefix
+    // itself no longer fits the demo form — the KLL-quantile boundary
+    // path (q_kll_quantiles) is the corpus-scale formulation
+    require(k <= Int.MaxValue,
+      s"q_jet_top_percent: 10% prefix is $k rows — use the KLL " +
+        "quantile boundary instead of TakeOrdered at this scale")
     val thr = c.select(col("c_acctbal"))
       .orderBy(col("c_acctbal").desc)
       .limit(k.toInt)

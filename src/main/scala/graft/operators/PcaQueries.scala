@@ -138,6 +138,8 @@ object PcaQueries {
         val x = new Array[Double](dim)
         while (it.hasNext) {
           val row = it.next()
+          require(row.length == dim,
+            s"embedding dimension ${row.length} != expected $dim")
           var j = 0
           while (j < dim) { x(j) = row(j).toDouble; j += 1 }
           var idx = 0
@@ -167,6 +169,7 @@ object PcaQueries {
       while (i < dim) { sv(i) += psv(i); i += 1 }
       n += pn
     }
+    require(n > 0, "covarianceMatrix: empty embeddings table")
     val mu = Array.tabulate(dim)(j => sv(j) / scaleQ / n)
     val upper = Array.ofDim[Long](dim, dim)
     var idx = 0

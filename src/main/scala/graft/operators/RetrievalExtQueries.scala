@@ -91,7 +91,9 @@ object RetrievalExtQueries {
       |      AS v,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |vc AS (
       |  SELECT a.vec_id AS doc_id,
       |    ROUND(list_sum(list_transform(range(1, 65),
@@ -142,10 +144,12 @@ object RetrievalExtQueries {
           Window.orderBy(col("s_lex").desc, col("doc_id")))
           .cast("bigint").as("r_lex"))
     // vector arm: exact cosine vs the broadcast query vector (the ANN
-    // stage at corpus scale), TakeOrdered(100) then rank
+    // stage at corpus scale), TakeOrdered(100) then rank; zero-norm
+    // guard on BOTH engines (the q_dedup_embedding discipline)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
     val vtop = e.filter(col("vec_id") =!= 0)
@@ -196,7 +200,9 @@ object RetrievalExtQueries {
       |      AS v,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |rel AS (
       |  SELECT a.vec_id, list_sum(list_transform(range(1, 65),
       |      i -> a.v[i] * q.v[i])) / (a.nrm * q.nrm) AS r
@@ -228,11 +234,17 @@ object RetrievalExtQueries {
       |SELECT CAST(step AS BIGINT) AS rank, picked AS vec_id,
       |  ROUND(relv, 4) AS relevance, ROUND(score, 4) AS mmr
       |FROM sel ORDER BY rank""".stripMargin) { (s, d) =>
+    // zero-norm guards: corpus rows filtered (no defined cosine), the
+    // QUERY vector fails fast with a diagnostic (the PQ discipline)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    require(!q.isEmpty,
+      "q_mmr_rerank: query vector 0 is missing or zero-norm — cosine " +
+        "relevance is undefined; pick a nonzero query vector")
     val cands = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"),
@@ -350,7 +362,8 @@ object RetrievalExtQueries {
       |    AS nrm
       |  FROM e)
       |SELECT a.vec_id, ROUND(sqrt(a.p2), 4) AS proj_norm,
-      |  ROUND(sqrt(a.p2) / nr.nrm, 4) AS norm_ratio
+      |  CASE WHEN nr.nrm > 0 THEN ROUND(sqrt(a.p2) / nr.nrm, 4) END
+      |    AS norm_ratio
       |FROM agg a JOIN nr USING (vec_id)
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val planesCol = typedLit(rpPlanes)
@@ -366,7 +379,10 @@ object RetrievalExtQueries {
       .select(col("vec_id"), p2.as("p2"), l2norm(v).as("nrm"))
       .select(col("vec_id"),
         round(sqrt(col("p2")), 4).as("proj_norm"),
-        round(sqrt(col("p2")) / col("nrm"), 4).as("norm_ratio"))
+        // a zero vector keeps its row but has no defined ratio —
+        // NULL on both engines instead of a 0/0 NaN rendering seam
+        when(col("nrm") > 0, round(sqrt(col("p2")) / col("nrm"), 4))
+          .as("norm_ratio"))
       .orderBy(col("vec_id"))
   }
 
@@ -453,7 +469,9 @@ object RetrievalExtQueries {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |p AS (SELECT * FROM n WHERE vec_id < 10),
       |sc AS (
       |  SELECT p.vec_id AS probe_id, a.vec_id AS neg_id,
@@ -470,9 +488,11 @@ object RetrievalExtQueries {
       |  cos
       |FROM r WHERE rn <= 5
       |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    // zero-norm guard on BOTH engines, probes and corpus alike
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"),
         col("label").as("probe_label"),
