@@ -63,10 +63,12 @@ object JaroWinkler {
     * character as two units. Entity-resolution keys are normalized
     * ASCII-ish names in practice; normalize first if they aren't. */
   def similarity(s1: String, s2: String): Double = {
-    if (s1 == s2) return 1.0
     val l1 = s1.length
     val l2 = s2.length
+    // emptiness wins over equality: DuckDB scores ("", "") as 0.0
+    // (no characters → no matches), and parity with it is the contract
     if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
     val w = math.max(l1, l2) / 2 - 1
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)

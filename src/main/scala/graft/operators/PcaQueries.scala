@@ -126,6 +126,18 @@ object PcaQueries {
     * order-independent — bit-identical spectra on every run. */
   private[graft] def covarianceMatrix(
       s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Double], Long) =
+    // three registry queries (spectrum, projection, Mahalanobis) and
+    // the specs all start from the same moments — memoize the
+    // data-sized pass per (session, sfDir), the IVF/PQ-codebook
+    // discipline (quantized integer sums: the cached value is
+    // bit-identical to a recomputation)
+    graft.sources.SessionCache.getOrElseUpdate(s, ("pca-moments", d)) {
+      covarianceMatrixUncached(s, d)
+    }
+
+  private def covarianceMatrixUncached(
+      s: SparkSession, d: String)
       : (Array[Array[Double]], Array[Double], Long) = {
     import s.implicits._
     val nPairs = dim * (dim + 1) / 2

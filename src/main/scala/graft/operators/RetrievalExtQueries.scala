@@ -29,14 +29,13 @@ import graft.sources.TableLoader._
   */
 object RetrievalExtQueries {
 
+  // the shared codegen'd forms (unrolled fixed-dim sums, bit-identical
+  // to the sequential HOF fold and to DuckDB's list_sum — and ~6x
+  // faster on per-row scan paths, per SimilarityQueries' measurement)
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    SimilarityQueries.dot(a, b)
 
-  private def l2norm(a: Column): Column =
-    sqrt(aggregate(
-      a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def l2norm(a: Column): Column = SimilarityQueries.l2norm(a)
 
   // ---------------------------------------------------------------- RRF
 

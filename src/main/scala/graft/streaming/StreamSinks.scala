@@ -111,14 +111,32 @@ object StreamSinks {
                 graft.functions.FreqSketch
                   .merge(col("freq"), freqMapSize).as("freq"))
         }
-        // batch-addressed commit: replays overwrite their own dir
-        merged.write.mode("overwrite")
-          .parquet(s"$stateDir/upto_batch=$id")
+        // batch-addressed commit through a staging dir + rename (the
+        // JetCsvWrite/LakeOps discipline): the final path appears only
+        // complete, so latestSketchState never reads a half-write —
+        // and a replay overwrites its own staging dir then re-swaps
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$stateDir/.staging_upto_batch=$id")
+        val committed = new org.apache.hadoop.fs.Path(
+          s"$stateDir/upto_batch=$id")
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(committed, true)
+        if (!fs.rename(staging, committed))
+          throw new java.io.IOException(
+            s"sketch-state commit failed: $staging -> $committed")
       }
       .start()
 
   /** Read point for [[foreachBatchSketchParquet]]'s state: the latest
-    * committed `upto_batch=` directory (None before the first drain). */
+    * COMMITTED `upto_batch=` directory — a `_SUCCESS` marker is
+    * required, so a crash mid-write (before the staging rename) can
+    * never be mistaken for state (None before the first drain).
+    *
+    * Lifecycle contract: batch ids come from the CHECKPOINT, so the
+    * state dir and the checkpoint must be retired together — resetting
+    * the checkpoint alone restarts ids at 0 and the old run's
+    * highest-id directory would keep winning this glob. */
   def latestSketchState(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] = {
@@ -126,9 +144,12 @@ object StreamSinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$stateDir/upto_batch=*"))
-    if (dirs == null || dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.getPath)
+    if (dirs == null) None
+    else dirs.map(_.getPath)
+      .filter(p => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .sortBy(_.getName.stripPrefix("upto_batch=").toLong)
-      .last.toString))
+      .lastOption
+      .map(p => spark.read.parquet(p.toString))
   }
 }

@@ -24,7 +24,9 @@ class JaroWinklerSpec extends AnyFunSuite {
 
   test("edge cases: equality, emptiness, no-match, boost threshold") {
     assert(jw("same", "same") == 1.0)
-    assert(jw("", "") == 1.0) // equal strings, even empty
+    // DuckDB convention: no characters -> no matches -> 0, even for
+    // two empty strings (emptiness wins over equality)
+    assert(jw("", "") == 0.0)
     assert(jw("a", "") == 0.0 && jw("", "a") == 0.0)
     assert(jw("x", "y") == 0.0)
     // adjacent transposition outside the window of 2-char strings
@@ -41,7 +43,7 @@ class JaroWinklerSpec extends AnyFunSuite {
       val x = jw(a, b)
       assert(x >= 0.0 && x <= 1.0)
       assert(x == jw(b, a), s"asymmetric on ($a, $b)")
-      if (a == b) assert(x == 1.0)
+      if (a == b && a.nonEmpty) assert(x == 1.0)
     }
   }
 
