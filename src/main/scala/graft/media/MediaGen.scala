@@ -67,4 +67,23 @@ object MediaGen {
     GifCodec.encode(w, h,
       Array.tabulate(gifFrameCount(docId))(f => gifFrameIndices(docId, f)))
   }
+
+  // PNG fixtures (q_png_decode):
+  //   w      = 5 + doc_id % 8           (5..12)
+  //   h      = 5 + (doc_id / 2) % 7     (5..11 — ≥5 rows, so every
+  //            image exercises all five scanline filters)
+  //   rgb[j] = (doc_id * 17 + j * 3) % 256
+
+  def pngDims(docId: Long): (Int, Int) =
+    ((5 + docId % 8).toInt, (5 + (docId / 2) % 7).toInt)
+
+  def pngPixels(docId: Long): Array[Int] = {
+    val (w, h) = pngDims(docId)
+    Array.tabulate(3 * w * h)(j => ((docId * 17 + j * 3) % 256).toInt)
+  }
+
+  def pngBytes(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    PngCodec.encode(w, h, pngPixels(docId))
+  }
 }

@@ -444,6 +444,74 @@ object Multimodal {
     * SAME statistics from MediaGen's closed-form index + palette
     * formulas, so the whole byte layout — LZW bit packing, sub-block
     * framing, palette table — is under the hash gate. */
+  /** Real PNG decode — the fourth real codec in the multimodal tier
+    * (BMP, WAV, GIF, now PNG): the engine ENCODES each doc's
+    * closed-form pixels into a genuine PNG (zlib-deflated scanlines,
+    * CRC'd chunks, filter type cycling 0–4 by row so every image
+    * exercises every standard filter) and then PARSES the bytes back —
+    * chunk walk, CRC verify, multi-IDAT inflate, per-row unfiltering
+    * with the Paeth predictor. The oracle recomputes the SAME channel
+    * means from MediaGen's pixel formula over `range()`, so the whole
+    * compressed byte layout sits under the hash gate. byte_len is NOT
+    * emitted — deflate output size is not closed-form (that's the
+    * point of a real compressor). */
+  val qPngDecode: QDef = QDef(
+    "q_png_decode",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(5 + doc_id % 8 AS INT) AS width,
+      |    CAST(5 + (doc_id // 2) % 7 AS INT) AS height
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, width, height,
+      |    unnest(range(3 * width * height)) AS j
+      |  FROM g),
+      |p AS (
+      |  SELECT doc_id, width, height, j,
+      |    (doc_id * 17 + j * 3) % 256 AS val
+      |  FROM v)
+      |SELECT doc_id, width, height,
+      |  ROUND(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_r,
+      |  ROUND(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_g,
+      |  ROUND(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END) * 1.0
+      |    / (width * height), 4) AS mean_b
+      |FROM p
+      |GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val statsSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        // encode THEN decode: both directions of the byte layout are
+        // on the hash path
+        val png = graft.media.PngCodec
+          .decode(graft.media.MediaGen.pngBytes(id))
+        val (sr, sg, sb) = channelSums(png.rgb)
+        org.apache.spark.sql.Row(
+          id, png.width, png.height, sr, sg, sb)
+      }
+    }(enc)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        round(col("sum_r") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_r"),
+        round(col("sum_g") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_g"),
+        round(col("sum_b") * lit(1.0) / (col("width") * col("height")), 4)
+          .as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
   val qGifFrames: QDef = QDef(
     "q_gif_frames",
     """WITH g AS (
@@ -512,5 +580,5 @@ object Multimodal {
 
   val defs: Seq[QDef] = Seq(
     qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames,
-    qImageDecode, qImageResize, qAudioStats, qGifFrames)
+    qImageDecode, qImageResize, qAudioStats, qGifFrames, qPngDecode)
 }
