@@ -430,6 +430,49 @@ object DedupQueries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** LSH banding planner — the S-curve P(candidate | jaccard s) =
+    * 1 − (1 − s^r)^b for the registry's own MinHash configuration
+    * (b = 8 bands × r = 4 rows, the 32-perm signature above), tabulated
+    * over s = 0.05..0.95. This is the design table an operator consults
+    * before re-banding a 100 TB dedup run: where the curve's knee sits
+    * (s* ≈ (1/b)^(1/r) ≈ 0.59 here), what leaks below it, what's
+    * missed above. All arithmetic is explicit repeated multiplication
+    * of identical doubles on both engines (s⁴ = ((s·s)·s)·s,
+    * q⁸ = (q²)²·(q²)² as q2/q4/q8 stages) — no libm pow, so the table
+    * is bit-deterministic cross-engine. Input is `range`, zero table
+    * scans. */
+  val qLshPlanner: QDef = QDef(
+    "q_lsh_planner",
+    """WITH s AS (
+      |  SELECT CAST(k AS BIGINT) AS k, k / CAST(20 AS DOUBLE) AS sim
+      |  FROM range(1, 20) t(k)),
+      |p AS (
+      |  SELECT k, sim, ((sim * sim) * sim) * sim AS s4 FROM s),
+      |q AS (SELECT k, sim, s4, 1 - s4 AS q1 FROM p),
+      |e AS (
+      |  SELECT k, sim, s4, q1 * q1 AS q2 FROM q),
+      |f AS (SELECT k, sim, s4, q2 * q2 AS q4 FROM e)
+      |SELECT k, ROUND(sim, 2) AS jaccard,
+      |  ROUND(s4, 6) AS p_one_band,
+      |  ROUND(1 - q4 * q4, 6) AS p_candidate
+      |FROM f ORDER BY k""".stripMargin) { (s, d) =>
+    val sim = col("k") / 20.0
+    val s4 = ((sim * sim) * sim) * sim
+    s.range(1, 20).toDF("k")
+      .select(col("k"), sim.as("sim"), s4.as("s4"))
+      .select(col("k"), col("sim"), col("s4"),
+        (lit(1) - col("s4")).as("q1"))
+      .select(col("k"), col("sim"), col("s4"),
+        (col("q1") * col("q1")).as("q2"))
+      .select(col("k"), col("sim"), col("s4"),
+        (col("q2") * col("q2")).as("q4"))
+      .select(col("k"),
+        round(col("sim"), 2).as("jaccard"),
+        round(col("s4"), 6).as("p_one_band"),
+        round(lit(1) - col("q4") * col("q4"), 6).as("p_candidate"))
+      .orderBy(col("k"))
+  }
+
   /** Jaro–Winkler fuzzy pairing — the OTHER classic entity-resolution
     * scorer next to q_fuzzy_name_match's levenshtein: prefix-weighted
     * similarity that forgives suffix noise ("widget"/"widgets") the
@@ -783,5 +826,6 @@ object DedupQueries {
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
     qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qFuzzyJwPairs,
-    qDedupUrl, qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut)
+    qDedupUrl, qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut,
+    qLshPlanner)
 }

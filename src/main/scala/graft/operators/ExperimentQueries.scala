@@ -621,7 +621,66 @@ object ExperimentQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Off-policy evaluation via inverse propensity scoring — "what
+    * would the TARGET policy have earned?" answered from logged data
+    * WITHOUT running it (Horvitz–Thompson / IPS, plus the
+    * self-normalized SNIPS variant that trades a little bias for much
+    * lower variance). Logged policy: the md5 50/50 arm split (known
+    * propensity 0.5 per arm — the same assignment q_abtest_ztest /
+    * q_fdr_bh analyze). Target policy: a deterministic context rule
+    * (arm A before noon, B after — "context" = the event's hour).
+    * IPS = Σ 1{logged=target}·v / (0.5·n); SNIPS = Σ_match v / n_match.
+    *
+    * Determinism: rewards accumulate as DECIMAL(18,6) (exact,
+    * order-independent) and become doubles only at the final division;
+    * one hash aggregate per event_type, no window, no shuffle beyond
+    * the group-by — partition-parallel at any scale. */
+  val qIpsPolicyValue: QDef = QDef(
+    "q_ips_policy_value",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 4)) AS INT) % 100 < 50 THEN 'A' ELSE 'B' END AS logged,
+      |    CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 12
+      |      THEN 'A' ELSE 'B' END AS target,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) FILTER (WHERE logged = target) AS BIGINT)
+      |      AS n_match,
+      |    CAST(SUM(CASE WHEN logged = target THEN v
+      |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |      AS sv_match
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n, n_match,
+      |  ROUND(n_match * 1.0 / n, 4) AS match_rate,
+      |  ROUND(sv_match / 0.5 / n, 6) AS ips_value,
+      |  ROUND(sv_match / n_match, 6) AS snips_value
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val logged = when(
+      conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("int") % 100 < 50, "A").otherwise("B")
+    val target = when(hour(col("ts")) < 12, "A").otherwise("B")
+    val g = events(s, d)
+      .select(col("event_type"), logged.as("logged"),
+        target.as("target"), col("value").cast("decimal(18,6)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("logged") === col("target")).as("n_match"),
+        sum(when(col("logged") === col("target"), col("v"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("double").as("sv_match"))
+    g.select(col("event_type"), col("n"), col("n_match"),
+        round(col("n_match") * lit(1.0) / col("n"), 4).as("match_rate"),
+        round(col("sv_match") / 0.5 / col("n"), 6).as("ips_value"),
+        round(col("sv_match") / col("n_match"), 6).as("snips_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck,
-      qCupedEffect, qFdrBh, qPowerMde)
+      qCupedEffect, qFdrBh, qPowerMde, qIpsPolicyValue)
 }
