@@ -521,4 +521,27 @@ class PlanSpec extends AnyFunSuite {
         && s.toLowerCase.contains("freqsketch")),
       s"sketch partial aggregation missing:\n$s")
   }
+
+  test("q_lsh_planner touches no table at all (pure range plan)") {
+    assert(scans(finalPlan("q_lsh_planner")).isEmpty,
+      "the planner table must come from range(), not a scan")
+  }
+
+  test("q_ips_policy_value is one aggregation pass over events") {
+    val p = finalPlan("q_ips_policy_value")
+    val ex = p.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"unexpected shuffles:\n$p") // agg + sort
+    assert(scans(p).size == 1, "events must be scanned exactly once")
+  }
+
+  test("q_png_decode: decode fans out map-side, one scan, no join") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = finalPlan("q_png_decode")
+    assert(scans(p).size == 1)
+    assert(p.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"decode path should be join-free:\n$p")
+  }
 }
