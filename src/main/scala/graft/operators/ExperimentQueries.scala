@@ -680,7 +680,102 @@ object ExperimentQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Doubly-robust off-policy estimate — the production upgrade of
+    * q_ips_policy_value: DR = direct-model value + the IPS-weighted
+    * correction on matched rows, unbiased if EITHER the reward model
+    * OR the propensity is right (here the propensity IS right by
+    * construction, and the model absorbs most of the variance). The
+    * reward model is the per-(event_type, arm) mean; policies are the
+    * same md5-logged / hour-rule-target pair as the IPS query.
+    *
+    * Determinism: everything reduces to a ≤ 4-row-per-type grouped
+    * table (logged × target) with exact counts and DECIMAL reward
+    * sums; the per-group double addends (cnt·μ̂ terms) are QUANTIZED
+    * to integer micro-units before the cross-group sum, so the final
+    * division never sees an order-dependent double accumulation. */
+  val qDrPolicyValue: QDef = QDef(
+    "q_dr_policy_value",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 4)) AS INT) % 100 < 50 THEN 'A' ELSE 'B' END AS logged,
+      |    CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 12
+      |      THEN 'A' ELSE 'B' END AS target,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, logged AS arm,
+      |    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM e GROUP BY event_type, logged),
+      |g AS (
+      |  SELECT event_type, logged, target,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(v) AS DOUBLE) AS sv
+      |  FROM e GROUP BY event_type, logged, target),
+      |j AS (
+      |  SELECT g.event_type, g.logged, g.target, g.cnt, g.sv,
+      |    mt.mu AS mu_t, ml.mu AS mu_l
+      |  FROM g
+      |  JOIN m mt ON mt.event_type = g.event_type
+      |    AND mt.arm = g.target
+      |  JOIN m ml ON ml.event_type = g.event_type
+      |    AND ml.arm = g.logged),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(FLOOR(cnt * mu_t * 1e6) AS BIGINT)) AS dm_micro,
+      |    SUM(CASE WHEN logged = target
+      |      THEN CAST(FLOOR((sv - cnt * mu_l) * 1e6) AS BIGINT)
+      |      ELSE 0 END) AS corr_micro
+      |  FROM j GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUND(CAST(dm_micro AS DOUBLE) / 1e6 / n, 6) + 0.0 AS dm_value,
+      |  ROUND(2 * CAST(corr_micro AS DOUBLE) / 1e6 / n, 6) + 0.0
+      |    AS ips_corr,
+      |  ROUND((CAST(dm_micro AS DOUBLE)
+      |    + 2 * CAST(corr_micro AS DOUBLE)) / 1e6 / n, 6) + 0.0
+      |    AS dr_value
+      |FROM agg ORDER BY event_type""".stripMargin) { (s, d) =>
+    val logged = when(
+      conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 4), 16, 10).cast("int") % 100 < 50, "A").otherwise("B")
+    val target = when(hour(col("ts")) < 12, "A").otherwise("B")
+    val e = events(s, d)
+      .select(col("event_type"), logged.as("logged"),
+        target.as("target"), col("value").cast("decimal(18,6)").as("v"))
+    val m = e.groupBy(col("event_type"), col("logged").as("arm"))
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("mu"))
+    val g = e.groupBy(col("event_type"), col("logged"), col("target"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("sv"))
+    val mt = m.select(col("event_type").as("et_t"), col("arm").as("arm_t"),
+      col("mu").as("mu_t"))
+    val ml = m.select(col("event_type").as("et_l"), col("arm").as("arm_l"),
+      col("mu").as("mu_l"))
+    val j = g
+      .join(broadcast(mt),
+        col("event_type") === col("et_t") && col("target") === col("arm_t"))
+      .join(broadcast(ml),
+        col("event_type") === col("et_l") && col("logged") === col("arm_l"))
+    val agg = j.groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(floor(col("cnt") * col("mu_t") * 1e6).cast("bigint"))
+          .as("dm_micro"),
+        sum(when(col("logged") === col("target"),
+          floor((col("sv") - col("cnt") * col("mu_l")) * 1e6)
+            .cast("bigint")).otherwise(0L)).as("corr_micro"))
+    agg.select(col("event_type"), col("n"),
+        (round(col("dm_micro").cast("double") / 1e6 / col("n"), 6)
+          + 0.0).as("dm_value"),
+        (round(lit(2) * col("corr_micro").cast("double") / 1e6
+          / col("n"), 6) + 0.0).as("ips_corr"),
+        (round((col("dm_micro").cast("double")
+          + lit(2) * col("corr_micro").cast("double")) / 1e6
+          / col("n"), 6) + 0.0).as("dr_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qGrowthAccounting, qDidEffect, qBootstrapCi, qSrmCheck,
-      qCupedEffect, qFdrBh, qPowerMde, qIpsPolicyValue)
+      qCupedEffect, qFdrBh, qPowerMde, qIpsPolicyValue, qDrPolicyValue)
 }

@@ -180,5 +180,104 @@ object MlEvalQueries2 {
       .orderBy(col("threshold"))
   }
 
-  val defs: Seq[QDef] = Seq(qCohenKappa, qLoglossBrier, qPrCurve)
+  /** Split-conformal prediction intervals — the distribution-free
+    * uncertainty wrapper modern ML eval puts around ANY point
+    * predictor: fit on train, take the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on a CALIBRATION split as the interval radius
+    * q̂, and the marginal coverage guarantee P(|y−ŷ| ≤ q̂) ≥ 1−α holds
+    * on exchangeable test data with NO model or distribution
+    * assumptions (Vovk; Lei et al.). Here the predictor is the
+    * per-event-type train mean, splits are the md5 content hash of
+    * event_id (70/15/15 — stable under repartitioning, the
+    * q_split_hash discipline), α = 0.1.
+    *
+    * Determinism: the train mean comes from DECIMAL-exact sums;
+    * residuals are identical doubles both engines; the order statistic
+    * ranks (residual, event_id) in a window PARTITIONED by event_type;
+    * the rank index ⌈0.9(n+1)⌉ is computed integer-side as
+    * (9(n+1)+9) div 10 so no float boundary can flip it. Coverage at
+    * the fixture's tiny per-type calibration sizes is noisy — the
+    * GUARANTEE is what the spec checks at the pooled level; the hash
+    * gate pins the exact per-type values. */
+  val qConformalInterval: QDef = QDef(
+    "q_conformal_interval",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(18,6)) AS v,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+      |      AS INT) % 100 AS b
+      |  FROM events),
+      |tr AS (
+      |  SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+      |  FROM e WHERE b < 70 GROUP BY event_type),
+      |cal AS (
+      |  SELECT e.event_type, e.event_id,
+      |    ABS(CAST(v AS DOUBLE) - mu) AS r
+      |  FROM e JOIN tr USING (event_type) WHERE b >= 70 AND b < 85),
+      |rk AS (
+      |  SELECT event_type, r,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY r, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nc
+      |  FROM cal),
+      |qh AS (
+      |  SELECT event_type, CAST(MAX(nc) AS BIGINT) AS n_cal,
+      |    MIN(CASE WHEN rn = (9 * (nc + 1) + 9) // 10 THEN r END)
+      |      AS q_hat
+      |  FROM rk GROUP BY event_type),
+      |te AS (
+      |  SELECT e.event_type, CAST(v AS DOUBLE) AS vv, mu
+      |  FROM e JOIN tr USING (event_type) WHERE b >= 85)
+      |SELECT t.event_type, q.n_cal, ROUND(q.q_hat, 6) AS q_hat,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  ROUND(SUM(CASE WHEN ABS(vv - mu) <= q.q_hat THEN 1 ELSE 0 END)
+      |    * 1.0 / COUNT(*), 4) AS coverage
+      |FROM te t JOIN qh q USING (event_type)
+      |GROUP BY t.event_type, q.n_cal, q.q_hat
+      |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+    val bucket = conv(
+      substring(md5(col("event_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("int") % 100
+    val e = events(s, d)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(18,6)").as("v"), bucket.as("b"))
+    val tr = e.filter(col("b") < 70)
+      .groupBy(col("event_type"))
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("mu"))
+    val cal = e.filter(col("b") >= 70 && col("b") < 85)
+      .join(tr, "event_type")
+      .select(col("event_type"), col("event_id"),
+        abs(col("v").cast("double") - col("mu")).as("r"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("r"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val rk = cal.select(col("event_type"), col("r"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(wAll).as("nc"))
+    val qh = rk.groupBy(col("event_type"))
+      .agg(max(col("nc")).as("n_cal"),
+        // ⌈0.9(n+1)⌉ integer-side: Spark's Column./ is DOUBLE division,
+        // so the rank index uses SQL `div` to mirror DuckDB's `//`
+        min(when(col("rn") === expr("(9 * (nc + 1) + 9) div 10"),
+          col("r"))).as("q_hat"))
+    val te = e.filter(col("b") >= 85)
+      .join(tr, "event_type")
+      .select(col("event_type"), col("v").cast("double").as("vv"),
+        col("mu"))
+    te.join(qh, "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("q_hat"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        round(
+          sum(when(abs(col("vv") - col("mu")) <= col("q_hat"), 1L)
+            .otherwise(0L)) * lit(1.0) / count(lit(1)),
+          4).as("coverage"))
+      .select(col("event_type"), col("n_cal"),
+        round(col("q_hat"), 6).as("q_hat"), col("n_test"),
+        col("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[QDef] =
+    Seq(qCohenKappa, qLoglossBrier, qPrCurve, qConformalInterval)
 }

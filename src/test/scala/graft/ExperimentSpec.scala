@@ -122,4 +122,52 @@ class ExperimentSpec extends AnyFunSuite {
     // near-zero noise around the user-mean spread
     assert(math.abs(raw) < 50 && math.abs(cuped) < 50)
   }
+
+  test("off-policy estimators agree structurally: DR = DM + correction, " +
+    "and IPS/SNIPS/DR all track the same target value") {
+    val ips = SparkEntry.queries("q_ips_policy_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val dr = SparkEntry.queries("q_dr_policy_value")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(ips.keySet == dr.keySet)
+    dr.foreach { case (et, (n, dm, corr, drv)) =>
+      // identity (up to the three independent 6dp rounds)
+      assert(math.abs(drv - (dm + corr)) < 2e-6, s"$et: $drv != $dm+$corr")
+      // both estimate E[value under target policy]; with a ~50% match
+      // rate and positive bounded rewards they must land in the same
+      // ballpark (DR is the variance-reduced one)
+      val ipsV = ips(et)._3
+      assert(drv > 0 && ipsV > 0)
+      assert(math.abs(drv - ipsV) < math.max(drv, ipsV),
+        s"$et: DR $drv vs IPS $ipsV implausibly far")
+      assert(ips(et)._1 == n)
+    }
+  }
+
+  test("q_conformal_interval: pooled empirical coverage honors the " +
+    "1 - alpha guarantee within finite-sample noise") {
+    val rows = SparkEntry.queries("q_conformal_interval")(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nCal, qHat, nTest, cov) =>
+      assert(nCal >= 9, s"$et calibration too small for alpha=0.1")
+      assert(qHat > 0 && nTest > 0)
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+    // marginal (pooled) coverage: E = 0.9; binomial noise at the
+    // fixture's ~150 pooled test rows gives sigma ~ 0.025
+    val pooledN = rows.map(_._4).sum
+    val pooledCovered = rows.map { case (_, _, _, n, c) =>
+      math.round(c * n)
+    }.sum
+    val pooled = pooledCovered.toDouble / pooledN
+    assert(pooled >= 0.8 && pooled <= 1.0,
+      s"pooled coverage $pooled violates the conformal guarantee band")
+  }
 }
