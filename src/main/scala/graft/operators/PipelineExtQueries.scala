@@ -81,6 +81,94 @@ object PipelineExtQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** First-passage absorption probabilities over the event-type Markov
+    * chain — the "will this session EVER convert" number the
+    * transition matrix alone doesn't give: treat `purchase` as
+    * absorbing, model sequence termination as a second absorbing state
+    * (`__end__`, fed by each user's last event), and solve
+    * h = r + Q·h for the transient states — h(s) = P(reach purchase
+    * before the sequence ends | currently at s), exactly, not by
+    * simulation.
+    *
+    * Scale split: the DATA-sized work is the same windowed LEAD +
+    * count rollup as q_transition_matrix (one user_id shuffle); the
+    * collected transition table is ≤ |types|² rows, and the
+    * (I−Q)-system solve is a driver-side Gaussian elimination over a
+    * 4×4 matrix — the IVF-centroid bounded-state justification. No
+    * oracle (a linear-system solve is not SQL-expressible);
+    * PipelineExtSpec asserts h ∈ [0,1], h ≥ the direct one-step
+    * probability, and the defining residual (I−Q)h − r ≈ 0. */
+  val qAbsorptionProb: QDef = QDef.noOracle("q_absorption_prob") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events(s, d)
+      .select(
+        col("event_type").as("from_type"),
+        coalesce(lead(col("event_type"), 1).over(w), lit("__end__"))
+          .as("to_type"))
+      .filter(col("from_type") =!= "purchase") // absorbing: no exits
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val transient = trans.map(_._1._1).distinct.sorted
+    val idx = transient.zipWithIndex.toMap
+    val outTotals = trans.groupBy(_._1._1).map { case (f, xs) =>
+      f -> xs.map(_._2).sum }
+    val k = transient.length
+    // (I - Q) h = r, r = one-step P(s -> purchase)
+    val a = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    val r = new Array[Double](k)
+    val direct = new Array[Double](k)
+    trans.foreach { case ((f, t), n) =>
+      val i = idx(f)
+      val p = n.toDouble / outTotals(f)
+      if (t == "purchase") { r(i) += p; direct(i) = p }
+      else idx.get(t).foreach(j => a(i)(j) -= p)
+    }
+    // Gaussian elimination with partial pivoting (deterministic)
+    val h = r.clone()
+    var col0 = 0
+    while (col0 < k) {
+      var piv = col0
+      var row = col0 + 1
+      while (row < k) {
+        if (math.abs(a(row)(col0)) > math.abs(a(piv)(col0))) piv = row
+        row += 1
+      }
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val th = h(col0); h(col0) = h(piv); h(piv) = th
+      require(math.abs(a(col0)(col0)) > 1e-12,
+        "absorption system is singular — a transient state has no exits")
+      row = col0 + 1
+      while (row < k) {
+        val f = a(row)(col0) / a(col0)(col0)
+        var j = col0
+        while (j < k) { a(row)(j) -= f * a(col0)(j); j += 1 }
+        h(row) -= f * h(col0)
+        row += 1
+      }
+      col0 += 1
+    }
+    var i = k - 1
+    while (i >= 0) {
+      var acc = h(i)
+      var j = i + 1
+      while (j < k) { acc -= a(i)(j) * h(j); j += 1 }
+      h(i) = acc / a(i)(i)
+      i -= 1
+    }
+    import s.implicits._
+    transient.indices.map { i =>
+      (transient(i), outTotals(transient(i)),
+        BigDecimal(direct(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(h(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("state", "n_out", "p_direct", "p_reach_purchase")
+      .orderBy(col("state"))
+  }
+
   /** Per-user Shannon entropy of the event-type distribution — the
     * behavioral-diversity / bot-detection feature. Two-level aggregate
     * (per (user, type) counts, then per-user H = ln N − Σ c·ln c / N);
@@ -912,7 +1000,8 @@ object PipelineExtQueries {
   }
 
   val defs: Seq[QDef] = Seq(
-    qCohortRetention, qTransitionMatrix, qEntropy, qAnomalyZscore,
+    qCohortRetention, qTransitionMatrix, qAbsorptionProb, qEntropy,
+    qAnomalyZscore,
     qWeightedAvg, qUserHoldout, qBm25TopTerm, qCentroidDist,
     qActiveUsers, qQuantileBucket, qDedupContainment, qLagFeatures,
     qRobustStats, qSampleBalanced, qTimeGapfill, qVectorQuantize,

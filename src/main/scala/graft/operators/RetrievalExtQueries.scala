@@ -510,7 +510,65 @@ object RetrievalExtQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // --------------------------------------------- uniform negatives
+
+  /** Seeded uniform negative sampling — the complement of
+    * q_hard_negatives: contrastive batches mix a few HARD negatives
+    * with many CHEAP uniform ones. Each anchor (vec_id < 20) draws 5
+    * candidates via md5(anchor, j) mod corpus-size — a pure function
+    * of (anchor, j, n), so the sample is identical across engines,
+    * runs, and repartitionings (the q_split_hash discipline applied to
+    * sampling). Self-draws (candidate = anchor, ~1/n of draws) are
+    * dropped on both engines rather than re-probed — a re-probe chain
+    * would couple each row's output to a variable number of hash
+    * evaluations. The same-label audit column is what a curation
+    * pipeline monitors: uniform sampling does NOT label-filter (that
+    * is the false-negative rate it accepts by design).
+    *
+    * Scale: corpus size is one broadcast scalar; anchors × 5 rows
+    * join embeddings only to fetch the negative's label — no pairwise
+    * work anywhere. */
+  val qNegativeSamples: QDef = QDef(
+    "q_negative_samples",
+    """WITH n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS corpus FROM embeddings),
+      |a AS (
+      |  SELECT vec_id AS anchor_id, label AS anchor_label
+      |  FROM embeddings WHERE vec_id < 20),
+      |draw AS (
+      |  SELECT anchor_id, anchor_label, j,
+      |    CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '_'
+      |      || CAST(j AS VARCHAR)), 1, 6)) AS BIGINT) % corpus AS neg_id
+      |  FROM a CROSS JOIN n CROSS JOIN range(0, 5) t(j)),
+      |kept AS (SELECT * FROM draw WHERE neg_id <> anchor_id)
+      |SELECT k.anchor_id, CAST(k.j AS BIGINT) AS draw_idx, k.neg_id,
+      |  CASE WHEN e.label = k.anchor_label THEN 1 ELSE 0 END
+      |    AS same_label
+      |FROM kept k JOIN embeddings e ON e.vec_id = k.neg_id
+      |ORDER BY anchor_id, draw_idx""".stripMargin) { (s, d) =>
+    val n = embeddings(s, d).agg(count(lit(1)).as("corpus"))
+    val a = embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"))
+    val draws = a.crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("anchor_label"), col("corpus"),
+        explode(sequence(lit(0), lit(4))).as("j"))
+      .select(col("anchor_id"), col("anchor_label"), col("j"),
+        (conv(substring(md5(concat(col("anchor_id").cast("string"),
+          lit("_"), col("j").cast("string")).cast("binary")), 1, 6),
+          16, 10).cast("bigint") % col("corpus")).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+    val lbl = embeddings(s, d)
+      .select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+    draws.join(lbl, "neg_id")
+      .select(col("anchor_id"), col("j").cast("bigint").as("draw_idx"),
+        col("neg_id"),
+        when(col("neg_label") === col("anchor_label"), 1)
+          .otherwise(0).as("same_label"))
+      .orderBy(col("anchor_id"), col("draw_idx"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qHybridRrf, qMmrRerank, qRandomProjection, qPreferencePairs,
-      qHardNegatives)
+      qHardNegatives, qNegativeSamples)
 }

@@ -390,4 +390,50 @@ class PipelineExtSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_absorption_prob solves the defining linear system: " +
+    "h = r + Q h over independently recomputed transitions") {
+    val out = SparkEntry.queries("q_absorption_prob")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty && !out.contains("purchase"))
+    out.foreach { case (st, (nOut, direct, h)) =>
+      assert(nOut > 0)
+      assert(direct >= 0 && direct <= 1)
+      assert(h >= direct - 1e-9 && h <= 1.0 + 1e-9,
+        s"$st: h=$h below direct=$direct or above 1")
+    }
+    // independent transition recomputation via per-user replay
+    val seqs = TableLoader.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1)
+      .values.toSeq
+      .flatMap { rows =>
+        val s = rows.sortBy(x => (x._2.toInstant, x._3)).map(_._4)
+        (s :+ "__end__").sliding(2).map(p => (p(0), p(1))).toSeq
+      }
+      .filter(_._1 != "purchase")
+    val counts = seqs.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val outTot = counts.groupBy(_._1._1).map { case (f, xs) =>
+      f -> xs.values.sum }
+    // residual of h = r + Q h under the recomputed P
+    out.foreach { case (st, (nOut, _, h)) =>
+      assert(outTot(st) == nOut, s"$st transition count")
+      val rhs = counts.collect {
+        case ((f, t), n) if f == st =>
+          val p = n.toDouble / outTot(f)
+          if (t == "purchase") p
+          else out.get(t).map(p * _._3).getOrElse(0.0)
+      }.sum
+      assert(math.abs(h - rhs) < 5e-6,
+        s"$st: h=$h but r+Qh=$rhs (rounding slack exceeded)")
+    }
+  }
 }
