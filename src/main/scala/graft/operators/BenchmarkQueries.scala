@@ -237,6 +237,83 @@ object BenchmarkQueries {
       .orderBy(col("channel"))
   }
 
+  /** Linear (multi-touch) attribution — the even-split policy next to
+    * q_attribution_last_touch's winner-take-all: each purchase's value
+    * divides equally across ALL prior click/view touches of that user;
+    * no touches → organic keeps the full value. Same one-shuffle
+    * window shape (running per-channel touch COUNTS instead of last
+    * timestamps). Credit arithmetic is integer-exact end-to-end:
+    * value → 1e4 fixed-point, per-channel credit = v₁₀ₖ·c_ch div n
+    * (both engines' integer division — the sub-0.1-milli remainder is
+    * truncated identically; q_prorate_cents is the largest-remainder
+    * variant of the same problem), summed as BIGINT before one final
+    * double division. */
+  val qAttributionLinear: QDef = QDef(
+    "q_attribution_linear",
+    """WITH w AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+      |       event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cc,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+      |       event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv
+      |  FROM events),
+      |p AS (
+      |  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v10k,
+      |    cc, cv, cc + cv AS n
+      |  FROM w WHERE event_type = 'purchase'),
+      |credit AS (
+      |  SELECT 'click' AS channel, COUNT(*) FILTER (WHERE cc > 0)
+      |      AS purchases,
+      |    SUM(CASE WHEN n > 0 THEN v10k * cc // n ELSE 0 END) AS cm
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'view', COUNT(*) FILTER (WHERE cv > 0),
+      |    SUM(CASE WHEN n > 0 THEN v10k * cv // n ELSE 0 END)
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'organic', COUNT(*) FILTER (WHERE n = 0),
+      |    SUM(CASE WHEN n = 0 THEN v10k ELSE 0 END)
+      |  FROM p)
+      |SELECT channel, CAST(purchases AS BIGINT) AS purchases,
+      |  ROUND(CAST(cm AS DOUBLE) / 10000, 4) AS attributed_value
+      |FROM credit ORDER BY channel""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        count(when(col("event_type") === "click", 1)).over(byUser)
+          .as("cc"),
+        count(when(col("event_type") === "view", 1)).over(byUser)
+          .as("cv"))
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 10000).cast("bigint").as("v10k"),
+        col("cc"), col("cv"), (col("cc") + col("cv")).as("n"))
+    val click = p.agg(
+      count_if(col("cc") > 0).as("purchases"),
+      sum(when(col("n") > 0, expr("v10k * cc div n")).otherwise(0L))
+        .as("cm"))
+      .select(lit("click").as("channel"), col("purchases"), col("cm"))
+    val view = p.agg(
+      count_if(col("cv") > 0).as("purchases"),
+      sum(when(col("n") > 0, expr("v10k * cv div n")).otherwise(0L))
+        .as("cm"))
+      .select(lit("view").as("channel"), col("purchases"), col("cm"))
+    val organic = p.agg(
+      count_if(col("n") === 0).as("purchases"),
+      sum(when(col("n") === 0, col("v10k")).otherwise(0L)).as("cm"))
+      .select(lit("organic").as("channel"), col("purchases"), col("cm"))
+    click.unionByName(view).unionByName(organic)
+      .select(col("channel"), col("purchases"),
+        round(col("cm").cast("double") / 10000, 4)
+          .as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Monthly revenue split between first-time and repeat customers —
     * the growth-vs-retention decomposition. The per-customer first
     * order date is a whole-partition MIN window (one shuffle on
@@ -519,6 +596,6 @@ object BenchmarkQueries {
 
   val defs: Seq[QDef] = Seq(
     qTpchQ3, qTpchQ5, qTpchQ10, qSeasonalityDow, qAttribution,
-    qNewVsRepeat, qBasketSizeDist, qTpchQ4, qTpchQ13, qTpchQ14,
-    qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ22)
+    qAttributionLinear, qNewVsRepeat, qBasketSizeDist, qTpchQ4,
+    qTpchQ13, qTpchQ14, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ22)
 }
