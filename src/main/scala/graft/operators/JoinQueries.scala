@@ -401,6 +401,69 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of NEAREST — the third merge_asof direction, completing the
+    * backward/forward/tolerance family: each purchase matches the
+    * click with the smallest |Δt|, ties broken toward the EARLIER
+    * click (an explicit convention — pandas leaves ties
+    * implementation-defined). Composed from the two native one-sided
+    * passes (preference order (a): compose existing operators when
+    * semantics allow) — both passes shuffle on the same user_id key,
+    * so the second join reuses the partitioning; the CASE pick is a
+    * per-row map. The oracle keeps the correlated two-subquery form. */
+  val qJoinAsofNearest: QDef = QDef(
+    "q_join_asof_nearest",
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    (SELECT CAST(MAX(c.ts) AS TIMESTAMP) FROM events c
+      |     WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |       AND c.ts <= e.ts) AS prev_ts,
+      |    (SELECT CAST(MIN(c.ts) AS TIMESTAMP) FROM events c
+      |     WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |       AND c.ts > e.ts) AS next_ts
+      |  FROM events e WHERE e.event_type = 'purchase')
+      |SELECT event_id, user_id, ts,
+      |  CASE
+      |    WHEN prev_ts IS NULL THEN next_ts
+      |    WHEN next_ts IS NULL THEN prev_ts
+      |    WHEN epoch_us(ts) - epoch_us(prev_ts)
+      |      <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+      |    ELSE next_ts END AS nearest_click_ts
+      |FROM p ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    // backward pass matches ts_r <= ts; the forward pass must then be
+    // STRICTLY after, so shift its left probe by 1µs (the engine's
+    // time grain) — otherwise an exact-tie click would match both
+    // sides and the tie rule would depend on float gap comparison
+    val back = graft.plans.AsOfJoinOps.asof(
+        purchases, "ts", clicks, "ts", Seq("user_id"), Seq("user_id"),
+        toleranceMicros = None, direction = "backward")
+      .withColumnRenamed("ts_r", "prev_ts")
+    val fwdProbe = back
+      .withColumn("ts_probe",
+        timestamp_micros(unix_micros(col("ts")) + 1))
+    val both = graft.plans.AsOfJoinOps.asof(
+        fwdProbe, "ts_probe", clicks, "ts", Seq("user_id"),
+        Seq("user_id"), toleranceMicros = None, direction = "forward")
+      .withColumnRenamed("ts_r", "next_ts")
+    both.select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("out_ts"),
+        when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+              unix_micros(col("next_ts")) - unix_micros(col("ts")),
+            col("prev_ts"))
+          .otherwise(col("next_ts"))
+          .cast("timestamp_ntz").as("nearest_click_ts"))
+      .withColumnRenamed("out_ts", "ts")
+      .orderBy(col("event_id"))
+  }
+
   /** Point-in-time dimension join (the warehouse temporal-lookup /
     * feature-store pattern): for every line-item SHIPMENT, the
     * priority of its customer's latest order placed on-or-before the
@@ -489,6 +552,7 @@ object JoinQueries {
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinLeftOuter, qJoinFullOuter, qJoinSemi, qJoinAnti,
     qJoinCross, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinAsofNative,
-    qJoinAsofForward, qJoinMultiway, qJoinNullSafe, qCorrelatedScalar,
+    qJoinAsofForward, qJoinAsofNearest, qJoinMultiway, qJoinNullSafe,
+    qCorrelatedScalar,
     qJoinLateral, qJoinPit, qJoinIntervalOverlap)
 }
