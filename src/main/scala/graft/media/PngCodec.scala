@@ -177,11 +177,17 @@ object PngCodec {
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
-      require(n > 0 || inflater.finished() || !inflater.needsInput(),
-        "PNG IDAT stream ended prematurely")
-      if (n == 0 && inflater.needsInput())
+      // zero progress without completion is ALWAYS terminal: truncated
+      // stream (needsInput), or an out-of-scope zlib feature such as a
+      // preset dictionary (needsDictionary) — either way, throwing here
+      // is what keeps a malformed stream from spinning this loop
+      if (n == 0 && !inflater.finished())
         throw new IllegalArgumentException(
-          s"PNG IDAT stream ended prematurely: $got of ${raw.length}")
+          if (inflater.needsDictionary)
+            "unsupported PNG: IDAT zlib stream requires a preset " +
+              "dictionary (FDICT) — out of scope"
+          else
+            s"PNG IDAT stream ended prematurely: $got of ${raw.length}")
       got += n
     }
     inflater.end()

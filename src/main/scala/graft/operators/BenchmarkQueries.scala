@@ -293,21 +293,22 @@ object BenchmarkQueries {
       .filter(col("event_type") === "purchase")
       .select(round(col("value") * 10000).cast("bigint").as("v10k"),
         col("cc"), col("cv"), (col("cc") + col("cv")).as("n"))
-    val click = p.agg(
-      count_if(col("cc") > 0).as("purchases"),
-      sum(when(col("n") > 0, expr("v10k * cc div n")).otherwise(0L))
-        .as("cm"))
-      .select(lit("click").as("channel"), col("purchases"), col("cm"))
-    val view = p.agg(
-      count_if(col("cv") > 0).as("purchases"),
-      sum(when(col("n") > 0, expr("v10k * cv div n")).otherwise(0L))
-        .as("cm"))
-      .select(lit("view").as("channel"), col("purchases"), col("cm"))
-    val organic = p.agg(
-      count_if(col("n") === 0).as("purchases"),
-      sum(when(col("n") === 0, col("v10k")).otherwise(0L)).as("cm"))
-      .select(lit("organic").as("channel"), col("purchases"), col("cm"))
-    click.unionByName(view).unionByName(organic)
+    // ONE aggregation pass computes all six channel figures — three
+    // separate p.agg calls would re-execute the events scan + the
+    // per-user window three times; the 1-row result then unpivots into
+    // the 3-row channel frame via stack()
+    p.agg(
+        count_if(col("cc") > 0).as("pc"),
+        sum(when(col("n") > 0, expr("v10k * cc div n")).otherwise(0L))
+          .as("cmc"),
+        count_if(col("cv") > 0).as("pv"),
+        sum(when(col("n") > 0, expr("v10k * cv div n")).otherwise(0L))
+          .as("cmv"),
+        count_if(col("n") === 0).as("po"),
+        sum(when(col("n") === 0, col("v10k")).otherwise(0L)).as("cmo"))
+      .selectExpr(
+        "stack(3, 'click', pc, cmc, 'view', pv, cmv, " +
+          "'organic', po, cmo) AS (channel, purchases, cm)")
       .select(col("channel"), col("purchases"),
         round(col("cm").cast("double") / 10000, 4)
           .as("attributed_value"))

@@ -743,10 +743,20 @@ object ExperimentQueries {
     val e = events(s, d)
       .select(col("event_type"), logged.as("logged"),
         target.as("target"), col("value").cast("decimal(18,6)").as("v"))
-    val m = e.groupBy(col("event_type"), col("logged").as("arm"))
-      .agg((sum(col("v")).cast("double") / count(lit(1))).as("mu"))
-    val g = e.groupBy(col("event_type"), col("logged"), col("target"))
-      .agg(count(lit(1)).as("cnt"), sum(col("v")).cast("double").as("sv"))
+    // ONE scan: the cell table g keeps its reward sums DECIMAL-exact,
+    // and the reward model m is DERIVED from g (a decimal sum of
+    // per-cell decimal sums is the row-level sum exactly, so
+    // mu = Σ_cells sv / Σ_cells cnt is bit-identical to aggregating
+    // the raw rows — the oracle keeps the two-aggregate form, same
+    // values)
+    val g0 = e.groupBy(col("event_type"), col("logged"), col("target"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv_dec"))
+      .localCheckpoint()
+    val m = g0.groupBy(col("event_type"), col("logged").as("arm"))
+      .agg((sum(col("sv_dec")).cast("double") / sum(col("cnt")))
+        .as("mu"))
+    val g = g0.select(col("event_type"), col("logged"), col("target"),
+      col("cnt"), col("sv_dec").cast("double").as("sv"))
     val mt = m.select(col("event_type").as("et_t"), col("arm").as("arm_t"),
       col("mu").as("mu_t"))
     val ml = m.select(col("event_type").as("et_l"), col("arm").as("arm_l"),

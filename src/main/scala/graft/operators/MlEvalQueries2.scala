@@ -230,7 +230,8 @@ object MlEvalQueries2 {
       |  FROM e JOIN tr USING (event_type) WHERE b >= 85)
       |SELECT t.event_type, q.n_cal, ROUND(q.q_hat, 6) AS q_hat,
       |  CAST(COUNT(*) AS BIGINT) AS n_test,
-      |  ROUND(SUM(CASE WHEN ABS(vv - mu) <= q.q_hat THEN 1 ELSE 0 END)
+      |  ROUND(SUM(CASE WHEN q.q_hat IS NULL THEN 1
+      |    WHEN ABS(vv - mu) <= q.q_hat THEN 1 ELSE 0 END)
       |    * 1.0 / COUNT(*), 4) AS coverage
       |FROM te t JOIN qh q USING (event_type)
       |GROUP BY t.event_type, q.n_cal, q.q_hat
@@ -264,12 +265,18 @@ object MlEvalQueries2 {
       .join(tr, "event_type")
       .select(col("event_type"), col("v").cast("double").as("vv"),
         col("mu"))
+    // calibration smaller than the rank index (n_cal < ⌈0.9(n+1)⌉−1,
+    // i.e. < 9 at α=0.1) means the conformal radius is INFINITE —
+    // q_hat stays NULL and every test row is covered (coverage 1), as
+    // the finite-sample guarantee requires; a NULL-propagating compare
+    // would silently report coverage 0 instead
     te.join(qh, "event_type")
       .groupBy(col("event_type"), col("n_cal"), col("q_hat"))
       .agg(
         count(lit(1)).as("n_test"),
         round(
-          sum(when(abs(col("vv") - col("mu")) <= col("q_hat"), 1L)
+          sum(when(col("q_hat").isNull, 1L)
+            .when(abs(col("vv") - col("mu")) <= col("q_hat"), 1L)
             .otherwise(0L)) * lit(1.0) / count(lit(1)),
           4).as("coverage"))
       .select(col("event_type"), col("n_cal"),

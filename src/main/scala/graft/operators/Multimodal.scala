@@ -433,17 +433,6 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** REAL multi-frame frame-sampling: encode deterministic animated
-    * GIF89a payloads (real variable-width LZW — GifCodec), decode the
-    * container back off the bytes, sample every SECOND frame, and
-    * report per-frame palette-resolved channel means. This upgrades
-    * the frame-sampling lane from the opaque-container stub
-    * (qMultimodalFrames) to a genuine codec path: only sampled frames'
-    * pixels are touched after the container walk, mirroring a
-    * production keyframe-extraction job. The oracle recomputes the
-    * SAME statistics from MediaGen's closed-form index + palette
-    * formulas, so the whole byte layout — LZW bit packing, sub-block
-    * framing, palette table — is under the hash gate. */
   /** Real PNG decode — the fourth real codec in the multimodal tier
     * (BMP, WAV, GIF, now PNG): the engine ENCODES each doc's
     * closed-form pixels into a genuine PNG (zlib-deflated scanlines,
@@ -512,6 +501,17 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL multi-frame frame-sampling: encode deterministic animated
+    * GIF89a payloads (real variable-width LZW — GifCodec), decode the
+    * container back off the bytes, sample every SECOND frame, and
+    * report per-frame palette-resolved channel means. This upgrades
+    * the frame-sampling lane from the opaque-container stub
+    * (qMultimodalFrames) to a genuine codec path: only sampled frames'
+    * pixels are touched after the container walk, mirroring a
+    * production keyframe-extraction job. The oracle recomputes the
+    * SAME statistics from MediaGen's closed-form index + palette
+    * formulas, so the whole byte layout — LZW bit packing, sub-block
+    * framing, palette table — is under the hash gate. */
   val qGifFrames: QDef = QDef(
     "q_gif_frames",
     """WITH g AS (

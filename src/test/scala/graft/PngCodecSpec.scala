@@ -100,4 +100,48 @@ class PngCodecSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](PngCodec.decode(pal))
     assert(e4.getMessage.contains("unsupported"))
   }
+
+  test("FDICT (preset-dictionary) zlib streams reject instead of " +
+    "hanging the inflate loop") {
+    val good = PngCodec.encode(4, 5, Array.tabulate(60)(_ % 256))
+    // rewrite the IDAT payload's zlib header: CMF 0x78, FLG with the
+    // FDICT bit set + FCHECK adjusted so (CMF*256+FLG) % 31 == 0,
+    // followed by a fake 4-byte DICTID; then re-CRC the chunk
+    val ihdrEnd = 8 + 12 + 13
+    def u32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    val idatLen = u32(good, ihdrEnd)
+    val payload = good.slice(ihdrEnd + 8, ihdrEnd + 8 + idatLen)
+    val cmf = 0x78
+    val flgBase = 0x20 // FDICT set, level 0
+    val flg = flgBase + (31 - (cmf * 256 + flgBase) % 31) % 31
+    val dictPayload =
+      Array(cmf.toByte, flg.toByte, 1.toByte, 2.toByte, 3.toByte,
+        4.toByte) ++ payload.drop(2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, ihdrEnd)
+    val chunk = new Array[Byte](12 + dictPayload.length)
+    chunk(0) = ((dictPayload.length >>> 24) & 0xFF).toByte
+    chunk(1) = ((dictPayload.length >>> 16) & 0xFF).toByte
+    chunk(2) = ((dictPayload.length >>> 8) & 0xFF).toByte
+    chunk(3) = (dictPayload.length & 0xFF).toByte
+    "IDAT".zipWithIndex.foreach { case (c, i) => chunk(4 + i) = c.toByte }
+    System.arraycopy(dictPayload, 0, chunk, 8, dictPayload.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunk, 4, 4 + dictPayload.length)
+    val v = crc.getValue
+    chunk(8 + dictPayload.length) = ((v >>> 24) & 0xFF).toByte
+    chunk(9 + dictPayload.length) = ((v >>> 16) & 0xFF).toByte
+    chunk(10 + dictPayload.length) = ((v >>> 8) & 0xFF).toByte
+    chunk(11 + dictPayload.length) = (v & 0xFF).toByte
+    out.write(chunk)
+    out.write(good, ihdrEnd + 12 + idatLen,
+      good.length - (ihdrEnd + 12 + idatLen))
+    val e = intercept[IllegalArgumentException](
+      PngCodec.decode(out.toByteArray))
+    assert(e.getMessage.contains("dictionary")
+      || e.getMessage.contains("prematurely"),
+      s"wrong diagnostic: ${e.getMessage}")
+  }
 }
