@@ -535,6 +535,100 @@ object DedupQueries {
       .limit(50)
   }
 
+  /** End-to-end entity resolution — the COMPOSITION the individual
+    * pieces exist for: (brand, type) blocking → codegen'd Jaro–Winkler
+    * candidate pairs at ≥ 0.92 → connected components over the name
+    * graph → cluster report (the actual deliverable: "these product
+    * names are the same entity"). Nodes are distinct name triples
+    * keyed by their minimum part key (stable, content-derived);
+    * clusters are labeled by their minimum node id and only
+    * multi-name clusters are emitted (singletons are not resolutions).
+    * Scale: same blocked sub-quadratic candidate stage as the JW pair
+    * query, then min-label propagation whose per-round cost is one
+    * join+agg on the (tiny) name-pair graph. No oracle — transitive
+    * closure is not SQL-expressible; RoundSixSpec replays the
+    * clustering with an independent union-find over the same pairs. */
+  /** Edge budget below which the resolution graph clusters
+    * driver-side: the graph is VOCABULARY-sized (distinct names after
+    * blocking + threshold), not data-sized, so even catalog-scale
+    * inputs usually stay collectable; past the budget the same edges
+    * route to the distributed min-label propagation instead. */
+  val erEdgeBudget = 100000L
+
+  private[graft] def erGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"),
+      col("p_type"), col("p_name"))
+    val nodes = p.groupBy(col("p_brand"), col("p_type"), col("p_name"))
+      .agg(min(col("p_partkey")).as("node_id"),
+        count(lit(1)).as("n_parts"))
+    val na = nodes.select(col("p_brand"), col("p_type"),
+      col("p_name").as("name_a"), col("node_id").as("id_a"))
+    val nb = nodes.select(col("p_brand").as("brand_b"),
+      col("p_type").as("type_b"), col("p_name").as("name_b"),
+      col("node_id").as("id_b"))
+    val edges = na
+      .join(nb, col("p_brand") === col("brand_b")
+        && col("p_type") === col("type_b")
+        && col("name_a") < col("name_b"))
+      .filter(round(jaroWinkler(col("name_a"), col("name_b")), 4)
+        >= 0.92)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    (nodes, edges)
+  }
+
+  /** Cluster report from (nodes, edges); `forceDistributed` pins the
+    * large-graph path for the spec's path-equivalence check. */
+  private[graft] def erClustersFrom(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      forceDistributed: Boolean = false): DataFrame = {
+    // ONE bounded job decides the path AND fetches the small graph: a
+    // budget+1 limit-collect never materializes more than ~1.6 MB on
+    // the driver, and avoids a separate count() job re-running the
+    // blocked similarity join
+    val fetched =
+      if (forceDistributed) Array.empty[org.apache.spark.sql.Row]
+      else edges.limit(erEdgeBudget.toInt + 1).collect()
+    val useDistributed =
+      forceDistributed || fetched.length > erEdgeBudget
+    val cc: DataFrame =
+      if (useDistributed) graft.etl.ConnectedComponents.run(edges)
+      else {
+        // vocabulary-sized graph: one collect + union-find beats ~5
+        // rounds of join/agg/checkpoint jobs (measured 3.2 s → 0.5 s
+        // at sf0.1); the SAME edges produce the SAME components either
+        // way (RoundSixSpec pins path equivalence)
+        val es = fetched.map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) r = parent(r)
+          parent(x) = r
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // component label = MIN vertex id (the ConnectedComponents
+        // contract) — the union rule above keeps roots minimal
+        import s.implicits._
+        parent.keys.toSeq.map(v => (v, find(v)))
+          .toDF("v", "cc")
+      }
+    nodes.join(cc, nodes("node_id") === cc("v"))
+      .groupBy(col("cc").as("cluster_id"))
+      .agg(count(lit(1)).as("n_names"),
+        sum(col("n_parts")).as("n_parts"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val qErClusters: QDef = QDef.noOracle("q_er_clusters") { (s, d) =>
+    val (nodes, edges) = erGraph(s, d)
+    erClustersFrom(s, nodes, edges)
+  }
+
   /** Canonical-URL dedup with a keep-best policy (the first stage of
     * every web-corpus pipeline: many crawls of one URL → keep the
     * longest capture, oldest id on ties). The engine side is a single
@@ -827,5 +921,5 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupNgramJaccard,
     qDedupEmbedding, qDedupTransitive, qFuzzyNameMatch, qFuzzyJwPairs,
     qDedupUrl, qDedupSubstring, qDedupSpanCoverage, qDedupSpanCut,
-    qLshPlanner)
+    qLshPlanner, qErClusters)
 }

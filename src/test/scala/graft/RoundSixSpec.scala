@@ -176,4 +176,57 @@ class RoundSixSpec extends AnyFunSuite {
       .map(r => r.getLong(1) * r.getDouble(2)).sum
     assert(kn >= mle - 1e-6, s"KN total $kn below MLE total $mle")
   }
+
+  test("q_er_clusters equals an independent union-find replay of the " +
+    "same blocked Jaro-Winkler pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.JaroWinkler
+    val out = run("q_er_clusters")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent path: collect the names, rebuild pairs + clusters
+    // in plain Scala with union-find
+    val names = graft.sources.TableLoader.part(spark, sfDir)
+      .groupBy(col("p_brand"), col("p_type"), col("p_name"))
+      .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val parent = scala.collection.mutable.Map(
+      names.map(x => x._4 -> x._4): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for {
+      pair <- names.groupBy(x => (x._1, x._2)).values
+        .flatMap(_.combinations(2))
+      a = pair(0); b = pair(1)
+      if r4(JaroWinkler.similarity(a._3, b._3)) >= 0.92
+    } {
+      val (ra, rb) = (find(a._4), find(b._4))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = names.groupBy(x => find(x._4))
+      .filter(_._2.length >= 2) // run() omits isolated vertices
+      .map { case (root, xs) =>
+        // cluster label = min node id in the component (CC contract)
+        (xs.map(_._4).min, xs.length.toLong, xs.map(_._5).sum)
+      }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected,
+      s"engine ${out.toSeq} != union-find $expected")
+
+    // path equivalence: the distributed min-label propagation over the
+    // SAME edges produces the SAME clusters as the default (driver
+    // union-find under the edge budget) path
+    val (nodesDf, edgesDf) =
+      graft.operators.DedupQueries.erGraph(spark, sfDir)
+    val distributed = graft.operators.DedupQueries
+      .erClustersFrom(spark, nodesDf, edgesDf, forceDistributed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(distributed.toSeq == out.toSeq,
+      "distributed CC path diverges from the union-find path")
+  }
 }
