@@ -47,9 +47,12 @@ object ConnectedComponents {
     // flat scan of the previous round's blocks. (On a real cluster
     // prefer reliable `checkpoint()` with a checkpoint dir — local
     // blocks die with an executor.)
-    var labels = sym.select(col("src").as("v")).distinct()
+    // chk = the round's CHECKPOINTED frame (the LogicalRDD-leaf frame
+    // Checkpoints can release); labels = its (v, cc) view
+    var chk = sym.select(col("src").as("v")).distinct()
       .withColumn("cc", col("v"))
       .localCheckpoint(true)
+    var labels = chk
     var iter = 0
     var converged = false
     while (!converged) {
@@ -63,15 +66,21 @@ object ConnectedComponents {
         .join(labels, sym("dst") === labels("v"))
         .groupBy(sym("src").as("nv"))
         .agg(min(col("cc")).as("nbr_cc"))
-      val next = labels
-        .join(nbrMin, labels("v") === col("nv"), "left")
-        .select(
-          col("v"),
-          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
-          (col("cc") =!= least(col("cc"),
-            coalesce(col("nbr_cc"), col("cc")))).as("changed"))
-        .localCheckpoint(true)
+      // materialize round N, then release round N−1's checkpoint
+      // blocks (Checkpoints.replacing): peak checkpoint residency stays
+      // at 2 frontier copies instead of growing one per round, and a
+      // benchmark/production sweep never inherits this loop's history
+      val next = graft.plans.Checkpoints.replacing(
+        labels
+          .join(nbrMin, labels("v") === col("nv"), "left")
+          .select(
+            col("v"),
+            least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
+            (col("cc") =!= least(col("cc"),
+              coalesce(col("nbr_cc"), col("cc")))).as("changed")),
+        chk)
       val changed = next.filter(col("changed")).limit(1).count()
+      chk = next
       labels = next.select(col("v"), col("cc"))
       if (changed == 0) {
         converged = true

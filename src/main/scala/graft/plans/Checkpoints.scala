@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic lifecycle management for `localCheckpoint`ed frames.
+  *
+  * `Dataset.localCheckpoint(eager = true)` persists the query's
+  * materialized rows as a BlockManager-resident RDD and returns a new
+  * Dataset over a flat [[LogicalRDD]] scan — lineage truncation that the
+  * iterative algorithms here (connected components, pagerank, label
+  * propagation) genuinely need. But the persisted blocks have NO
+  * automatic release: Spark never unpersists a checkpointed RDD, and
+  * `Dataset.unpersist` only covers `CacheManager` (`.persist`/`.cache`)
+  * entries, not checkpoint blocks. Every execution of a checkpointing
+  * query therefore leaks its blocks for the session lifetime — across a
+  * 336-query benchmark sweep at 3 runs each that eviction pressure was
+  * measured evicting the session-lifetime graph caches and landing
+  * multi-second GC pauses on unrelated queries (BENCH r6: 185 s driver
+  * artifact vs 125 s committed at the same HEAD, concentrated in ~10
+  * spike queries).
+  *
+  * Two remedies, both here:
+  *   - loops release round N−1's blocks as soon as round N has
+  *     materialized ([[replacing]]);
+  *   - harness code (Bench) sweeps any checkpoint blocks a query run
+  *     left behind once the run's result has been consumed
+  *     ([[unpersist]] over `sc.getPersistentRDDs`).
+  *
+  * Extraction relies on the checkpointed Dataset's analyzed plan being
+  * exactly one [[LogicalRDD]] leaf — which `Dataset.checkpoint`'s
+  * implementation guarantees (it wraps the checkpointed RDD in
+  * `LogicalRDD` directly). Any other shape yields None and the frame is
+  * simply left alone (never a wrong unpersist).
+  */
+object Checkpoints {
+
+  /** The persisted RDD behind a `localCheckpoint`ed Dataset, if the
+    * plan has the canonical single-LogicalRDD shape. */
+  def rddOf(df: Dataset[_]): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => Some(lr.rdd)
+      case _              => None
+    }
+
+  /** Release a checkpointed frame's blocks. Safe on any Dataset (no-op
+    * when the plan is not a checkpoint scan). `blocking = true` makes
+    * the release synchronous — harness code between timed runs wants
+    * deterministic memory state, not an async race with the next
+    * measurement. */
+  def unpersist(df: Dataset[_], blocking: Boolean = false): Unit =
+    rddOf(df).foreach(_.unpersist(blocking))
+
+  /** Iterative-loop step: eagerly checkpoint `next`, THEN release
+    * `prev`'s blocks — the materialize-before-release order is what
+    * makes this safe (the new round's rows no longer depend on the old
+    * round's blocks once the eager checkpoint returns). Returns the
+    * checkpointed frame. Peak checkpoint residency of a loop drops from
+    * O(rounds) copies of the frontier to 2. */
+  def replacing[T](next: Dataset[T], prev: Dataset[_]): Dataset[T] = {
+    val out = next.localCheckpoint(true)
+    unpersist(prev)
+    out
+  }
+}

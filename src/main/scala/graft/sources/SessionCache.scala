@@ -28,6 +28,17 @@ object SessionCache {
   private val perSession =
     new java.util.IdentityHashMap[SparkSession, TrieMap[Any, Any]]()
 
+  /** RDD ids persisted DURING a memoized build — the session-lifetime
+    * caches (persisted shingle sets, checkpointed gram index, graph
+    * backbones, ML-model internals). Harness sweeps that release
+    * per-query checkpoint garbage between benchmark runs MUST skip
+    * these: unpersisting a memoized `localCheckpoint` destroys data that
+    * its truncated lineage cannot recompute (later reuse would throw),
+    * and unpersisting a memoized `.persist` silently degrades every
+    * later consumer to a recompute. Keyed like [[perSession]]. */
+  private val pinned =
+    new java.util.IdentityHashMap[SparkSession, TrieMap[Int, Unit]]()
+
   private def map(s: SparkSession): TrieMap[Any, Any] =
     perSession.synchronized {
       val it = perSession.keySet().iterator()
@@ -37,9 +48,42 @@ object SessionCache {
       perSession.computeIfAbsent(s, _ => TrieMap.empty[Any, Any])
     }
 
+  private def pinSet(s: SparkSession): TrieMap[Int, Unit] =
+    pinned.synchronized {
+      val it = pinned.keySet().iterator()
+      while (it.hasNext) {
+        if (it.next().sparkContext.isStopped) it.remove()
+      }
+      pinned.computeIfAbsent(s, _ => TrieMap.empty[Int, Unit])
+    }
+
+  /** RDD ids that memoized builds have persisted in this session —
+    * the set a cleanup sweep must never unpersist. */
+  def pinnedRddIds(session: SparkSession): Set[Int] =
+    pinSet(session).keySet.toSet
+
   /** Memoize `value` under `key` within `session`'s cache. The usual
     * TrieMap.getOrElseUpdate caveat applies (value may be computed twice
-    * under a race; one wins) — fine for idempotent plan construction. */
+    * under a race; one wins) — fine for idempotent plan construction.
+    *
+    * Any RDD that becomes persistent while `value` is computed is
+    * recorded in [[pinnedRddIds]]. Eager builds (localCheckpoint,
+    * persist+count) register their data blocks here; lazy `.persist`
+    * marks register at least the intent (the CacheManager entry
+    * materializes its buffer RDD later, but those buffers belong to the
+    * CacheManager, which sweeps never touch). Over-pinning under
+    * concurrency (a parallel query's RDD landing in the window) is
+    * harmless — a pin only ever makes a sweep skip an RDD. */
   def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V =
-    map(session).getOrElseUpdate(key, value).asInstanceOf[V]
+    map(session).getOrElseUpdate(key, {
+      val sc = session.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val v = value
+      val created = sc.getPersistentRDDs.keySet.diff(before)
+      if (created.nonEmpty) {
+        val p = pinSet(session)
+        created.foreach(id => p.put(id, ()))
+      }
+      v
+    }).asInstanceOf[V]
 }
