@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
   * per-query map, trimmed to budget with an explicit `omitted` count if
   * the suite outgrows it), while the full-precision map goes to stderr
   * and to BENCH_FULL.json for the judge.
+  *
+  * Self-describing artifact: both lines carry `"runs"` (timed
+  * executions per query) and `"spikes"` (queries whose slowest
+  * post-warm-up run exceeded 3× their own median this sweep);
+  * BENCH_FULL.json additionally carries `"raw_runs"` — every raw
+  * per-run time including the warm-up, in execution order — so
+  * one-bad-run vs consistently-slow is diagnosable from the artifact
+  * alone. Between runs, [[graft.plans.Checkpoints.sweep]] releases the
+  * checkpoint blocks a run leaked (pinned session caches exempt).
   */
 object Bench {
   /** Fixed-point seconds with trailing zeros trimmed ("0.85", "13.7",
@@ -37,11 +46,26 @@ object Bench {
       entries: Seq[(String, Double)],
       sf: String,
       dp: Int,
-      omitted: Int): String = {
+      omitted: Int,
+      runs: Int,
+      spikes: Int,
+      rawRuns: Option[Map[String, Seq[Double]]] = None): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$omit,"sf":$sf}"""
+    // raw per-run vectors (warm-up run included, in execution order):
+    // BENCH_FULL.json only — lets spike diagnosis distinguish
+    // one-bad-run from consistently-slow without a same-HEAD rerun
+    val raw = rawRuns match {
+      case Some(m) =>
+        val body = entries.map { case (k, _) =>
+          "\"" + k + "\":" +
+            m.getOrElse(k, Nil).map(fmt(_, dp)).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        s""","raw_runs":$body"""
+      case None => ""
+    }
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"queries":$qs$omit$raw,"sf":$sf}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +138,7 @@ object Bench {
       case None        => SparkEntry.registry
     }
     // registry order (stable across rounds), not Map hash order
-    val results: Seq[(String, Double)] = selected.map { qd =>
+    val perQuery: Seq[(String, Double, Seq[Double])] = selected.map { qd =>
       val (name, fn) = (qd.name, qd.fn)
       // warm-up: Janino codegen + AQE settling are session-lifetime
       // one-time costs (the baseline's median methodology measures
@@ -125,29 +149,43 @@ object Bench {
       // Only runs = 1 keeps the dedicated untimed warm-up (its single
       // timed run must be warm). NonFatal only — an OOM must crash,
       // not poison the timed runs.
-      if (runs == 1)
+      if (runs == 1) {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(
               s"[bench] $name warm-up failed: ${e.getMessage}")
         }
+        // the untimed warm-up's checkpoint garbage must not land on
+        // the single timed run
+        graft.plans.Checkpoints.sweep(spark)
+      }
       // a failed run records -1, never its time-to-failure (a fast
       // crash must not report as a fast query)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          // noop sink, not .count(): counting lets Catalyst prune the
-          // output projection and drop terminal sorts, under-measuring
-          // queries whose cost lives there; the noop write pays for
-          // every produced row exactly like a real consumer.
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
+        val t =
+          try {
+            // noop sink, not .count(): counting lets Catalyst prune the
+            // output projection and drop terminal sorts, under-measuring
+            // queries whose cost lives there; the noop write pays for
+            // every produced row exactly like a real consumer.
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+        // between-run checkpoint sweep (OUTSIDE the timing): release
+        // the localCheckpoint blocks this run left behind — pinned
+        // session-lifetime caches excluded — so every timed run pays
+        // its own checkpoint cost and none inherits eviction/GC
+        // pressure from a neighbor's leaked history (the r6/r7 spike
+        // mechanism: 185 s driver artifact vs 125 s committed at one
+        // HEAD, concentrated in the checkpoint-heavy query cluster)
+        graft.plans.Checkpoints.sweep(spark)
+        t
       }
       val warm = if (runs >= 2) times.drop(1) else times
       val ok = warm.filter(_ >= 0).sorted
@@ -157,7 +195,18 @@ object Bench {
         if (ok.isEmpty) -1.0
         else if (ok.size % 2 == 1) ok(ok.size / 2)
         else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-      name -> med
+      (name, med, times)
+    }
+    val results: Seq[(String, Double)] =
+      perQuery.map { case (n, m, _) => n -> m }
+    val rawRuns: Map[String, Seq[Double]] =
+      perQuery.map { case (n, _, ts) => n -> ts }.toMap
+    // spike = a query whose slowest TIMED (post-warm-up) run exceeded
+    // 3× its own median this sweep — the self-describing flakiness
+    // count the round-6/7 verdicts had to reconstruct via reruns
+    val spikes = perQuery.count { case (_, med, ts) =>
+      val warmTs = (if (runs >= 2) ts.drop(1) else ts).filter(_ >= 0)
+      med > 0 && warmTs.nonEmpty && warmTs.max > 3 * med
     }
     // total = successful medians only; failures are visible as the -1
     // per-query entries rather than skewing the total downward
@@ -174,7 +223,8 @@ object Bench {
     // window then held the full line's tail ahead of the compact line
     // and the driver recorded `parsed: null`. stdout (and anything sbt
     // merges into it) must hold exactly one '{'-line: the compact one.
-    val full = renderLine(total, results, sfJson, 6, 0)
+    val full =
+      renderLine(total, results, sfJson, 6, 0, runs, spikes, Some(rawRuns))
     // subset runs are dev-only probes — never clobber the full record
     if (only.isEmpty)
       try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
@@ -185,7 +235,7 @@ object Bench {
     // for any stderr the driver may merge after the line (shutdown
     // warnings): a cut-off line HEAD is unparseable, slack is cheap
     val budget = 1500
-    val all2dp = renderLine(total, results, sfJson, 2, 0)
+    val all2dp = renderLine(total, results, sfJson, 2, 0, runs, spikes)
     val line =
       if (all2dp.length <= budget) all2dp
       else {
@@ -197,10 +247,11 @@ object Bench {
         while (lo < hi) {
           val mid = (lo + hi + 1) / 2
           val len = renderLine(total, bySlowest.take(mid), sfJson, 2,
-            bySlowest.size - mid).length
+            bySlowest.size - mid, runs, spikes).length
           if (len <= budget) lo = mid else hi = mid - 1
         }
-        renderLine(total, bySlowest.take(lo), sfJson, 2, bySlowest.size - lo)
+        renderLine(total, bySlowest.take(lo), sfJson, 2,
+          bySlowest.size - lo, runs, spikes)
       }
     // ERROR level for the shutdown: if the driver merges stderr into
     // the tail it reads, a stray WARN after the metric line must not

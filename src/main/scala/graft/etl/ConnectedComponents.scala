@@ -55,38 +55,46 @@ object ConnectedComponents {
     var labels = chk
     var iter = 0
     var converged = false
-    while (!converged) {
-      if (iter >= maxIter)
-        throw new IllegalStateException(
-          s"connected components did not converge in $maxIter rounds " +
-            "(component diameter too large — use the large-star/" +
-            "small-star variant for chain-shaped graphs)")
-      // min label among neighbors, per vertex
-      val nbrMin = sym
-        .join(labels, sym("dst") === labels("v"))
-        .groupBy(sym("src").as("nv"))
-        .agg(min(col("cc")).as("nbr_cc"))
-      // materialize round N, then release round N−1's checkpoint
-      // blocks (Checkpoints.replacing): peak checkpoint residency stays
-      // at 2 frontier copies instead of growing one per round, and a
-      // benchmark/production sweep never inherits this loop's history
-      val next = graft.plans.Checkpoints.replacing(
-        labels
-          .join(nbrMin, labels("v") === col("nv"), "left")
-          .select(
-            col("v"),
-            least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
-            (col("cc") =!= least(col("cc"),
-              coalesce(col("nbr_cc"), col("cc")))).as("changed")),
-        chk)
-      val changed = next.filter(col("changed")).limit(1).count()
-      chk = next
-      labels = next.select(col("v"), col("cc"))
-      if (changed == 0) {
-        converged = true
-        sym.unpersist()
+    // try/finally: on EVERY exit (convergence, maxIter throw, or a
+    // failed round) sym's cache is released, and on the throw paths the
+    // in-flight round's checkpoint blocks go too — only the CONVERGED
+    // result keeps its blocks, which the caller owns (a one-shot caller
+    // relies on the harness sweep; loop callers pass it straight to the
+    // next round's Checkpoints.replacing)
+    try {
+      while (!converged) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connected components did not converge in $maxIter rounds " +
+              "(component diameter too large — use the large-star/" +
+              "small-star variant for chain-shaped graphs)")
+        // min label among neighbors, per vertex
+        val nbrMin = sym
+          .join(labels, sym("dst") === labels("v"))
+          .groupBy(sym("src").as("nv"))
+          .agg(min(col("cc")).as("nbr_cc"))
+        // materialize round N, then release round N−1's checkpoint
+        // blocks (Checkpoints.replacing): peak checkpoint residency
+        // stays at 2 frontier copies instead of growing one per round,
+        // and a benchmark/production sweep never inherits this history
+        val next = graft.plans.Checkpoints.replacing(
+          labels
+            .join(nbrMin, labels("v") === col("nv"), "left")
+            .select(
+              col("v"),
+              least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
+              (col("cc") =!= least(col("cc"),
+                coalesce(col("nbr_cc"), col("cc")))).as("changed")),
+          chk)
+        val changed = next.filter(col("changed")).limit(1).count()
+        chk = next
+        labels = next.select(col("v"), col("cc"))
+        if (changed == 0) converged = true
+        iter += 1
       }
-      iter += 1
+    } finally {
+      sym.unpersist()
+      if (!converged) graft.plans.Checkpoints.unpersist(chk)
     }
     labels
   }

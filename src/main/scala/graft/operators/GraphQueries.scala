@@ -115,23 +115,27 @@ object GraphQueries {
       // per-iteration localCheckpoint (same discipline as
       // q_label_prop): the rank vector is |V| rows, and without it
       // each of the 5 levels re-plans and re-executes every prior
-      // level inside one nested tree
+      // level inside one nested tree. Checkpoints.replacing releases
+      // round N−1's blocks the moment round N materializes, so an
+      // execution retires its whole history except the final frame
+      // (which the harness sweep reclaims between runs).
       var ranks = ed.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1.0) / lit(n))
         .localCheckpoint()
       for (_ <- 0 until iterations) {
-        ranks = broadcast(ranks)
-          .join(ed, col("node") === col("src"))
-          .select(col("dst"),
-            floor(col("rank") / col("deg") * lit(1e14))
-              .cast("bigint").as("c"))
-          .groupBy(col("dst"))
-          .agg(sum(col("c")).as("cs"))
-          .select(col("dst").as("node"),
-            (lit(0.15) / lit(n) +
-              lit(0.85) * (col("cs").cast("double") / lit(1e14)))
-              .as("rank"))
-          .localCheckpoint()
+        ranks = graft.plans.Checkpoints.replacing(
+          broadcast(ranks)
+            .join(ed, col("node") === col("src"))
+            .select(col("dst"),
+              floor(col("rank") / col("deg") * lit(1e14))
+                .cast("bigint").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("cs"))
+            .select(col("dst").as("node"),
+              (lit(0.15) / lit(n) +
+                lit(0.85) * (col("cs").cast("double") / lit(1e14)))
+                .as("rank")),
+          ranks)
       }
       ranks.select(col("node").as("p_partkey"), col("rank"))
         .orderBy(col("rank").desc, col("p_partkey"))
@@ -401,13 +405,17 @@ object GraphQueries {
         .localCheckpoint()
       var labels = nodes.select(col("v"), col("v").as("lbl"))
         .localCheckpoint()
+      // replacing: round N−1's label blocks release as soon as round N
+      // materializes — adj (joined every round) stays; the final labels
+      // frame and adj are reclaimed by the harness sweep after the run
       for (_ <- 1 to rounds)
-        labels = adj
-          .join(labels.withColumnRenamed("v", "lv"),
-            col("nb") === col("lv"))
-          .groupBy(col("v"))
-          .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+        labels = graft.plans.Checkpoints.replacing(
+          adj
+            .join(labels.withColumnRenamed("v", "lv"),
+              col("nb") === col("lv"))
+            .groupBy(col("v"))
+            .agg(min(col("lbl")).as("lbl")),
+          labels)
       labels
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -203,11 +203,18 @@ object TimeSeriesQueries {
           if (acc + cnt >= rank) { target = pid; off = acc }
           acc += cnt
         }
-        chk.filter(spark_partition_id() === target)
-          .select(col(c),
-            row_number().over(Window.orderBy(col(c))).as("rnk"))
-          .filter(col("rnk") === rank - off)
-          .select(col(c))
+        // replacing: once the 1-row rank result is materialized, the
+        // full-column range-partitioned checkpoint has no consumer —
+        // release it inside the query instead of leaking it to the
+        // harness sweep (this is the per-execution block the r6/r7
+        // bench regressions traced to)
+        graft.plans.Checkpoints.replacing(
+          chk.filter(spark_partition_id() === target)
+            .select(col(c),
+              row_number().over(Window.orderBy(col(c))).as("rnk"))
+            .filter(col("rnk") === rank - off)
+            .select(col(c)),
+          chk)
       }
     val ms = broadcast(
       lowMedian(pairs, "slope", (nPairs + 1) / 2, nPairs)

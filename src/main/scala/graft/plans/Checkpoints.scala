@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Deterministic lifecycle management for `localCheckpoint`ed frames.
@@ -24,9 +24,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Two remedies, both here:
   *   - loops release round N−1's blocks as soon as round N has
   *     materialized ([[replacing]]);
-  *   - harness code (Bench) sweeps any checkpoint blocks a query run
-  *     left behind once the run's result has been consumed
-  *     ([[unpersist]] over `sc.getPersistentRDDs`).
+  *   - harness code (Bench calls it between timed runs) releases the
+  *     checkpoint blocks a finished run left behind ([[sweep]]).
+  *
+  * The sweep contract, stated once and shared by
+  * [[graft.sources.SessionCache]]'s pinning doc: a sweep releases
+  * exactly the persistent RDDs that are (a) CHECKPOINTED — CacheManager
+  * buffer RDDs behind `.persist`/`.cache` are never touched, they
+  * answer `isCheckpointed == false` — and (b) NOT pinned by
+  * `SessionCache.pinnedRddIds`, the ids persisted during memoized
+  * session-lifetime builds (whose truncated lineage cannot recompute
+  * released blocks; later reuse would throw).
   *
   * Extraction relies on the checkpointed Dataset's analyzed plan being
   * exactly one [[LogicalRDD]] leaf — which `Dataset.checkpoint`'s
@@ -62,5 +70,20 @@ object Checkpoints {
     val out = next.localCheckpoint(true)
     unpersist(prev)
     out
+  }
+
+  /** Harness sweep (the second remedy above): synchronously release
+    * every persistent RDD in `session` that is checkpointed and not in
+    * [[graft.sources.SessionCache.pinnedRddIds]]. Returns the released
+    * ids, so callers can log what a query run leaked. Never touches
+    * CacheManager buffers (`isCheckpointed == false`) or pinned
+    * session-lifetime checkpoints. */
+  def sweep(session: SparkSession): Seq[Int] = {
+    val pinned = graft.sources.SessionCache.pinnedRddIds(session)
+    val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
+      case (id, rdd) if rdd.isCheckpointed && !pinned(id) => (id, rdd)
+    }
+    victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
+    victims.map(_._1)
   }
 }

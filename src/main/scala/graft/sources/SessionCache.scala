@@ -30,12 +30,14 @@ object SessionCache {
 
   /** RDD ids persisted DURING a memoized build — the session-lifetime
     * caches (persisted shingle sets, checkpointed gram index, graph
-    * backbones, ML-model internals). Harness sweeps that release
-    * per-query checkpoint garbage between benchmark runs MUST skip
-    * these: unpersisting a memoized `localCheckpoint` destroys data that
-    * its truncated lineage cannot recompute (later reuse would throw),
-    * and unpersisting a memoized `.persist` silently degrades every
-    * later consumer to a recompute. Keyed like [[perSession]]. */
+    * backbones, ML-model internals). [[graft.plans.Checkpoints.sweep]]
+    * (the harness sweep Bench runs between timed runs) releases exactly
+    * the persistent RDDs that are checkpointed AND not in this set —
+    * CacheManager buffers behind `.persist`/`.cache` are excluded by
+    * the `isCheckpointed` test, so pinning only needs to protect the
+    * memoized `localCheckpoint`s, whose truncated lineage cannot
+    * recompute released blocks (later reuse would throw). Keyed like
+    * [[perSession]]. */
   private val pinned =
     new java.util.IdentityHashMap[SparkSession, TrieMap[Int, Unit]]()
 
@@ -62,28 +64,48 @@ object SessionCache {
   def pinnedRddIds(session: SparkSession): Set[Int] =
     pinSet(session).keySet.toSet
 
-  /** Memoize `value` under `key` within `session`'s cache. The usual
-    * TrieMap.getOrElseUpdate caveat applies (value may be computed twice
-    * under a race; one wins) — fine for idempotent plan construction.
+  /** Memoize `value` under `key` within `session`'s cache. Under a
+    * race, `value` may be computed twice; putIfAbsent picks one winner
+    * and the LOSING build's freshly-persisted RDDs are unpersisted
+    * rather than pinned — pinning them would exclude orphaned blocks
+    * from every future sweep, i.e. a permanent leak. (The
+    * snapshot-window attribution is best-effort: an unrelated
+    * concurrent query's RDD landing in a LOSING build's window would be
+    * wrongly released — accepted because races here require two threads
+    * building the same session-cache key concurrently, which the
+    * harness mains never do, while the leak-forever alternative hits
+    * every race.)
     *
-    * Any RDD that becomes persistent while `value` is computed is
-    * recorded in [[pinnedRddIds]]. Eager builds (localCheckpoint,
-    * persist+count) register their data blocks here; lazy `.persist`
-    * marks register at least the intent (the CacheManager entry
-    * materializes its buffer RDD later, but those buffers belong to the
-    * CacheManager, which sweeps never touch). Over-pinning under
-    * concurrency (a parallel query's RDD landing in the window) is
-    * harmless — a pin only ever makes a sweep skip an RDD. */
-  def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V =
-    map(session).getOrElseUpdate(key, {
-      val sc = session.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val v = value
-      val created = sc.getPersistentRDDs.keySet.diff(before)
-      if (created.nonEmpty) {
-        val p = pinSet(session)
-        created.foreach(id => p.put(id, ()))
-      }
-      v
-    }).asInstanceOf[V]
+    * Any RDD that becomes persistent while the WINNING `value` is
+    * computed is recorded in [[pinnedRddIds]]. Eager builds
+    * (localCheckpoint, persist+count) register their data blocks here;
+    * lazy `.persist` marks register at least the intent (the
+    * CacheManager entry materializes its buffer RDD later, but those
+    * buffers belong to the CacheManager, which sweeps never touch).
+    * Over-pinning (a parallel query's RDD landing in a winning build's
+    * window) is harmless — a pin only ever makes a sweep skip an RDD. */
+  def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V = {
+    val m = map(session)
+    m.get(key) match {
+      case Some(v) => v.asInstanceOf[V]
+      case None =>
+        val sc = session.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val v = value
+        val created = sc.getPersistentRDDs.keySet.diff(before)
+        m.putIfAbsent(key, v) match {
+          case None =>
+            if (created.nonEmpty) {
+              val p = pinSet(session)
+              created.foreach(id => p.put(id, ()))
+            }
+            v
+          case Some(winner) =>
+            val live = sc.getPersistentRDDs
+            created.foreach(id =>
+              live.get(id).foreach(_.unpersist(blocking = false)))
+            winner.asInstanceOf[V]
+        }
+    }
+  }
 }

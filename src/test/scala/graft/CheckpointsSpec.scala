@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Checkpoints
+import graft.sources.SessionCache
+
+/** Lifecycle invariants of the checkpoint-hygiene machinery (the
+  * Checkpoints/SessionCache/Bench-sweep contract):
+  *   - `replacing` releases the previous frame's blocks and the new
+  *     frame still answers;
+  *   - `sweep` releases unpinned checkpoint blocks, NEVER CacheManager
+  *     buffers, NEVER pinned session-lifetime checkpoints — which must
+  *     still answer queries afterwards;
+  *   - `rddOf`/`unpersist` are no-ops on non-checkpoint frames;
+  *   - memoized builds register their persisted RDD ids as pins.
+  *
+  * Persistence state is observed through `sc.getPersistentRDDs` (the
+  * same view the sweep acts on) — `rdd.getStorageLevel` alone can lag
+  * an async unpersist.
+  */
+class CheckpointsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def freshFrame(n: Int) = {
+    import spark.implicits._
+    (1 to n).toDF("x")
+  }
+
+  test("replacing releases prev's blocks; the new frame still answers") {
+    val prev = freshFrame(100).localCheckpoint(true)
+    val prevId = Checkpoints.rddOf(prev).get.id
+    assert(persistentIds.contains(prevId), "prev checkpoint not resident")
+    val next = Checkpoints.replacing(
+      prev.selectExpr("x * 2 as x"), prev)
+    val nextId = Checkpoints.rddOf(next).get.id
+    // prev released (synchronously observable after an eager next)...
+    assert(!persistentIds.contains(prevId),
+      "replacing left prev's checkpoint blocks resident")
+    // ...next resident and correct
+    assert(persistentIds.contains(nextId))
+    assert(next.agg(org.apache.spark.sql.functions.sum("x"))
+      .head.getLong(0) == 2L * 5050)
+    Checkpoints.unpersist(next, blocking = true)
+  }
+
+  test("rddOf is None and unpersist a no-op on non-checkpoint frames") {
+    val plain = freshFrame(10).selectExpr("x + 1 as x")
+    assert(Checkpoints.rddOf(plain).isEmpty)
+    Checkpoints.unpersist(plain, blocking = true) // must not throw
+    assert(plain.count() == 10)
+  }
+
+  test("sweep releases unpinned checkpoints, spares CacheManager caches " +
+    "and pinned session checkpoints (which still answer)") {
+    // 1) per-query garbage: an unpinned localCheckpoint
+    val garbage = freshFrame(50).localCheckpoint(true)
+    val garbageId = Checkpoints.rddOf(garbage).get.id
+    // 2) a CacheManager cache (.persist) — isCheckpointed == false
+    val cached = freshFrame(60).persist(StorageLevel.MEMORY_AND_DISK)
+    assert(cached.count() == 60) // materialize the buffer
+    val cacheIdsBefore = persistentIds - garbageId
+    // 3) a pinned session-lifetime checkpoint via the memoization path
+    val key = ("checkpoints_spec_pin", System.nanoTime())
+    val pinnedDf = SessionCache.getOrElseUpdate(spark, key) {
+      freshFrame(70).localCheckpoint(true)
+    }
+    val pinnedId = Checkpoints.rddOf(pinnedDf).get.id
+    assert(SessionCache.pinnedRddIds(spark).contains(pinnedId),
+      "memoized build did not register its checkpoint RDD as pinned")
+
+    val released = Checkpoints.sweep(spark)
+
+    assert(released.contains(garbageId),
+      "sweep did not release the unpinned checkpoint")
+    assert(!persistentIds.contains(garbageId))
+    assert(!released.contains(pinnedId),
+      "sweep released a PINNED session-lifetime checkpoint")
+    assert(cacheIdsBefore.forall(id => !released.contains(id)),
+      "sweep touched a CacheManager buffer RDD")
+    // the pinned frame must still answer — its truncated lineage could
+    // not recompute released blocks, so this read is the real proof
+    assert(pinnedDf.count() == 70)
+    // the CacheManager cache still answers from its buffer
+    assert(cached.count() == 60)
+    cached.unpersist(true)
+    Checkpoints.unpersist(pinnedDf, blocking = true)
+  }
+
+  test("sweep after an iterative query leaves only pinned state behind") {
+    // simulate a bench run: an iterative loop using replacing leaks
+    // exactly its final frame; a sweep reclaims it
+    var frontier = freshFrame(40).localCheckpoint(true)
+    for (_ <- 1 to 3)
+      frontier = Checkpoints.replacing(
+        frontier.selectExpr("x + 1 as x"), frontier)
+    val lastId = Checkpoints.rddOf(frontier).get.id
+    assert(persistentIds.contains(lastId))
+    val released = Checkpoints.sweep(spark)
+    assert(released.contains(lastId))
+    assert(!persistentIds.contains(lastId))
+  }
+}
