@@ -57,7 +57,17 @@ class RegistryPlanSpec extends AnyFunSuite {
     Set("q_zipf_top", "q_skyline", "q_zipf_alpha",
       // hybrid RRF ranks inside two TakeOrdered(100) candidate pools —
       // each serial window sees exactly 100 rows at any corpus size
-      "q_hybrid_rrf")
+      "q_hybrid_rrf") ++
+    // banded exact-rank NTILE (addNtile4): the only unpartitioned
+    // window runs over the per-BAND offset table — one row per band,
+    // cardinality fixed by the banding scheme (recency/64 is
+    // calendar-bounded, frequency/monetary bands are domain-width
+    // constants; at extreme domains the bands come from
+    // approx-percentile sampling, same bounded contract), never by the
+    // customer count. The per-customer rank window IS partitioned (by
+    // band). Formerly exempted structurally by its __-prefixed columns;
+    // now audited explicitly like everything else.
+    Set("q_rfm_segments")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>
@@ -78,12 +88,11 @@ class RegistryPlanSpec extends AnyFunSuite {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         catch { case _: Throwable => Nil } // planning failures: test 1
-      // q_rfm_segments-style band-offset windows over a __-prefixed
-      // bounded intermediate don't count against the budget
-      val unaudited = unpart.filterNot(w =>
-        w.child.output.exists(_.name.startsWith("__")) &&
-          w.child.output.size <= 4)
-      if (unaudited.nonEmpty && !boundedWindowWhitelist(q.name))
+      // no structural exemptions: EVERY unpartitioned window must be
+      // on the explicit whitelist with its boundedness argument (the
+      // earlier __-prefix column-name escape hatch let any future
+      // global window dodge the audit by naming convention)
+      if (unpart.nonEmpty && !boundedWindowWhitelist(q.name))
         Some(q.name)
       else None
     }
