@@ -132,8 +132,9 @@ object GraftExtensions {
         (es: Seq[Expression]) => graft.functions.FreqSketchAgg(es(0))),
       (FunctionIdentifier("freq_merge"),
         info("freq_merge",
-          "freq_merge(blob) - aggregate: lossless union of " +
-            "frequent-items sketch blobs"),
+          "freq_merge(blob) - aggregate: union of frequent-items " +
+            "sketch blobs at the widest input map size (exact while " +
+            "no input has purged; bounded-error after)"),
         (es: Seq[Expression]) => graft.functions.FreqMergeAgg(es(0))),
       (FunctionIdentifier("freq_estimate"),
         info("freq_estimate",

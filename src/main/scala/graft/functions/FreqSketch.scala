@@ -85,10 +85,18 @@ case class FreqSketchAgg(
       c: IndexedSeq[Expression]): FreqSketchAgg = copy(child = c.head)
 }
 
-/** Lossless re-union of materialized frequent-items blobs (the
-  * per-shard → global incremental path). Counter maps add; the merged
-  * error bound is the sum of the inputs' offsets — still
-  * ≤ 3.5·N_total/maxMapSize. */
+/** Re-union of materialized frequent-items blobs (the per-shard →
+  * global incremental path). Counter maps add; the merged error bound
+  * is the sum of the inputs' offsets — ≤ 3.5·N_total/mapSize at the
+  * EFFECTIVE map size, which is the LARGEST map among the inputs and
+  * this aggregate's own `maxMapSize` floor: the accumulator ADOPTS the
+  * widest sketch it sees (merging the smaller one into it) instead of
+  * folding every input into a fixed-size buffer, so re-merging blobs
+  * built at mapSize 1024 through a default-64 merge no longer silently
+  * purges them down to 64 slots. The merge is lossless exactly when no
+  * purge fires anywhere (every map stayed under 75% load — the
+  * exact-count regime); once any input has purged, the deterministic
+  * est ≤ true ≤ est+maxError bound is what survives, not exactness. */
 case class FreqMergeAgg(
     child: Expression,
     maxMapSize: Int = 64,
@@ -111,18 +119,32 @@ case class FreqMergeAgg(
   override def createAggregationBuffer(): LongsSketch =
     new LongsSketch(maxMapSize)
 
+  /** Merge preserving the WIDEST map: when the incoming sketch has a
+    * larger capacity than the accumulator, the accumulator's (fewer,
+    * already-folded) counters merge INTO the incoming sketch and it
+    * becomes the new buffer — merging the other way would purge the
+    * wide input down to the narrow buffer's size and silently widen
+    * every bound the caller thought it had. LongsSketch.merge is
+    * counter-wise add either way, so the result is order-independent
+    * up to the deterministic purge rule. */
+  private def adoptWidest(acc: LongsSketch, in: LongsSketch): LongsSketch =
+    if (in.getMaximumMapCapacity > acc.getMaximumMapCapacity) {
+      in.merge(acc)
+      in
+    } else {
+      acc.merge(in)
+      acc
+    }
+
   override def update(buf: LongsSketch, row: InternalRow): LongsSketch = {
     val v = child.eval(row)
-    if (v != null)
-      buf.merge(LongsSketch.getInstance(
-        Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    buf
+    if (v == null) buf
+    else adoptWidest(buf,
+      LongsSketch.getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]])))
   }
 
-  override def merge(a: LongsSketch, b: LongsSketch): LongsSketch = {
-    a.merge(b)
-    a
-  }
+  override def merge(a: LongsSketch, b: LongsSketch): LongsSketch =
+    adoptWidest(a, b)
 
   override def eval(buf: LongsSketch): Any = buf.toByteArray
 

@@ -190,9 +190,19 @@ object PngCodec {
             s"PNG IDAT stream ended prematurely: $got of ${raw.length}")
       got += n
     }
-    inflater.end()
     require(got == raw.length,
       s"PNG IDAT inflated to $got bytes, expected ${raw.length}")
+    // surplus check: the loop exits the moment `got` fills the buffer,
+    // so a stream carrying MORE pixel data than IHDR declares would
+    // otherwise decode as a silently truncated image. One probe inflate
+    // must yield nothing and leave the stream finished.
+    if (!inflater.finished()) {
+      val extra = inflater.inflate(new Array[Byte](1))
+      require(extra == 0 && inflater.finished(),
+        s"PNG IDAT zlib stream does not end at the ${raw.length} bytes " +
+          "IHDR declares (surplus pixel data, or missing final block)")
+    }
+    inflater.end()
     val rgb = new Array[Int](stride * height)
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)

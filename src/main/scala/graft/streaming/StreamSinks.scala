@@ -75,7 +75,13 @@ object StreamSinks {
     * add). The honest exactly-once story therefore batch-addresses the
     * state (`stateDir/upto_batch=<id>`), so a replay overwrites its
     * own output instead of re-merging into it; the latest committed
-    * directory is the dashboard's read point. */
+    * directory is the dashboard's read point.
+    *
+    * The prev-state read is `_SUCCESS`-gated like [[latestSketchState]]
+    * (a half-written directory is never merged as state), and after
+    * each commit every directory older than the immediate predecessor
+    * is pruned — the new state subsumes them; the predecessor survives
+    * one round because an uncommitted-batch replay re-reads it. */
   def foreachBatchSketchParquet(
       df: DataFrame, stateDir: String, checkpoint: String,
       freqMapSize: Int = 1024): StreamingQuery =
@@ -93,13 +99,20 @@ object StreamSinks {
               .sketch(col("user_id"), freqMapSize).as("freq"))
         val fs = new org.apache.hadoop.fs.Path(stateDir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // prev-state read under the SAME `_SUCCESS` gate the public
+        // read point (latestSketchState) enforces: a directory that
+        // lost its staging rename mid-crash must not be merged as
+        // state here either
         val prev = fs.globStatus(
           new org.apache.hadoop.fs.Path(s"$stateDir/upto_batch=*"))
-        val prevDir = if (prev == null || prev.isEmpty) None
-          else Some(prev.map(_.getPath)
+        val committedPrev = if (prev == null) Array.empty[
+            org.apache.hadoop.fs.Path]
+          else prev.map(_.getPath)
+            .filter(p => fs.exists(
+              new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
             .filter(_.getName.stripPrefix("upto_batch=").toLong < id)
             .sortBy(_.getName.stripPrefix("upto_batch=").toLong)
-            .lastOption).flatten
+        val prevDir = committedPrev.lastOption
         val merged = prevDir match {
           case None => perType
           case Some(p) =>
@@ -125,6 +138,15 @@ object StreamSinks {
         if (!fs.rename(staging, committed))
           throw new java.io.IOException(
             s"sketch-state commit failed: $staging -> $committed")
+        // retention: the merged state at `id` SUBSUMES every earlier
+        // directory, so prune all but the immediate predecessor — kept
+        // because a crash between this rename and the checkpoint
+        // commit replays batch `id`, and the replay's prev-state read
+        // needs the latest directory BELOW id to rebuild the same
+        // merge (pruning it would silently restart state from this
+        // batch alone). Everything older is unreachable by any reader
+        // or replay and only accumulates files.
+        committedPrev.dropRight(1).foreach(p => fs.delete(p, true))
       }
       .start()
 

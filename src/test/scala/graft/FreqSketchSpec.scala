@@ -87,4 +87,27 @@ class FreqSketchSpec extends AnyFunSuite {
       assert(a.getEstimate(k) == b.getEstimate(k), s"key $k")
     }
   }
+
+  test("freq_merge adopts the widest input map: wide blobs re-merged " +
+    "through a narrow (default-64) merge stay exact, not purged") {
+    import spark.implicits._
+    // 300 distinct keys: exact at mapSize 512 (no purge), but far over
+    // a 64-slot map's 48-key purge threshold — folding these blobs
+    // into a fixed 64-slot merge buffer would purge and widen bounds
+    val df = (1L to 9000L).map(i => (i % 5, i % 300)).toDF("g", "k")
+    val merged = df.groupBy($"g")
+      .agg(FreqSketch.sketch($"k", 512).as("sk"))
+      .agg(FreqSketch.merge($"sk").as("sk")) // default maxMapSize = 64
+      .collect()(0).getAs[Array[Byte]](0)
+    val sk = LongsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(merged))
+    assert(sk.getStreamLength == 9000L)
+    // exactness survived the narrow merge: every count right, zero
+    // error offset (purge would have made lb < ub somewhere)
+    assert(sk.getMaximumError == 0,
+      s"merge purged despite wide inputs (maxError=${sk.getMaximumError})")
+    (0L until 300L).foreach { k =>
+      assert(sk.getEstimate(k) == 30L, s"key $k")
+    }
+  }
 }

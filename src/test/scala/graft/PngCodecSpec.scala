@@ -144,4 +144,24 @@ class PngCodecSpec extends AnyFunSuite {
       || e.getMessage.contains("prematurely"),
       s"wrong diagnostic: ${e.getMessage}")
   }
+
+  test("surplus pixel data rejects: stream inflating past IHDR dims " +
+    "must not decode as a silently truncated image") {
+    // encode 4x6, then patch IHDR to claim height 5 (and re-CRC): the
+    // zlib stream still carries 6 rows, so inflation does not END at
+    // the declared 5-row buffer
+    val good = PngCodec.encode(4, 6, Array.tabulate(72)(_ % 256))
+    val shrunk = good.clone()
+    shrunk(8 + 8 + 7) = 5 // height LSB inside IHDR payload (big-endian)
+    val crc = new java.util.zip.CRC32
+    crc.update(shrunk, 8 + 4, 4 + 13)
+    val v = crc.getValue
+    shrunk(8 + 8 + 13) = ((v >>> 24) & 0xFF).toByte
+    shrunk(8 + 9 + 13) = ((v >>> 16) & 0xFF).toByte
+    shrunk(8 + 10 + 13) = ((v >>> 8) & 0xFF).toByte
+    shrunk(8 + 11 + 13) = (v & 0xFF).toByte
+    val e = intercept[IllegalArgumentException](PngCodec.decode(shrunk))
+    assert(e.getMessage.contains("does not end"),
+      s"wrong diagnostic: ${e.getMessage}")
+  }
 }

@@ -105,4 +105,58 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(rows("view")._2 == 41L, s"view u7 ${rows("view")._2}")
     assert(rows("click")._2 == 1L, s"click u7 ${rows("click")._2}")
   }
+
+  test("sketch state: uncommitted dirs are never merged as state, and " +
+    "superseded dirs prune down to {latest, predecessor}") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val state = Files.createTempDirectory("skgate_state").toString
+    val ckpt = Files.createTempDirectory("skgate_ckpt").toString
+    val stream = MemoryStream[(String, Long)]
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // a half-written directory from a "crashed" earlier run: parquet
+    // data but NO _SUCCESS — must be invisible to merge AND read point
+    val ghost = s"$state/upto_batch=9999"
+    Seq(("click", 777L)).toDF("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("hll"),
+        graft.functions.FreqSketch.sketch(col("user_id"), 64).as("freq"))
+      .write.parquet(ghost)
+    fs.delete(new org.apache.hadoop.fs.Path(ghost, "_SUCCESS"), false)
+    assert(StreamSinks.latestSketchState(spark, state).isEmpty,
+      "read point saw a dir without _SUCCESS")
+
+    // three drains; each merges only _SUCCESS-committed predecessors
+    for (i <- 0 until 3) {
+      stream.addData((0L until 10L).map(u => ("click", i * 100L + u)): _*)
+      StreamSinks.foreachBatchSketchParquet(
+        stream.toDF().toDF("event_type", "user_id"), state, ckpt)
+        .awaitTermination()
+    }
+    // state reflects exactly the 30 streamed users — the ghost's user
+    // 777 was never merged (it would be +1 on the exact-regime count)
+    val st = StreamSinks.latestSketchState(spark, state).get
+    val users = st.filter(col("event_type") === "click")
+      .select(hll_sketch_estimate(col("hll"))).collect()(0).getLong(0)
+    assert(math.abs(users - 30L) <= 1, s"click users $users")
+    val u777 = st.filter(col("event_type") === "click")
+      .select(graft.functions.FreqSketch
+        .estimate(col("freq"), lit(777L)).getField("est"))
+      .collect()(0).getLong(0)
+    assert(u777 == 0L, "uncommitted ghost state leaked into the merge")
+
+    // retention: of the three committed batch dirs only the latest two
+    // remain (predecessor kept for uncommitted-batch replay); the
+    // ghost is not a committed predecessor so pruning never considered
+    // it (ids above the current batch are out of scope by the < id
+    // filter) — it stays, still gated out of every read
+    val committed = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$state/upto_batch=*"))
+      .map(_.getPath.getName.stripPrefix("upto_batch=").toLong)
+      .filter(_ != 9999L).sorted
+    assert(committed.length == 2,
+      s"expected latest+predecessor after pruning, got ${committed.toSeq}")
+  }
 }
