@@ -86,4 +86,27 @@ object MediaGen {
     val (w, h) = pngDims(docId)
     PngCodec.encode(w, h, pngPixels(docId))
   }
+
+  // APNG fixtures (q_apng_frames):
+  //   w        = 7 + doc_id % 6        (7..12)
+  //   h        = 5 + (doc_id / 2) % 6  (5..10 — ≥5 rows, all filters)
+  //   n_frames = 2 + doc_id % 4        (2..5)
+  //   rgb[f][j] = (doc_id * 13 + f * 19 + j * 7) % 256
+
+  def apngDims(docId: Long): (Int, Int) =
+    ((7 + docId % 6).toInt, (5 + (docId / 2) % 6).toInt)
+
+  def apngFrameCount(docId: Long): Int = (2 + docId % 4).toInt
+
+  def apngFramePixels(docId: Long, f: Int): Array[Int] = {
+    val (w, h) = apngDims(docId)
+    Array.tabulate(3 * w * h)(j =>
+      ((docId * 13 + f * 19 + j * 7) % 256).toInt)
+  }
+
+  def apngBytes(docId: Long): Array[Byte] = {
+    val (w, h) = apngDims(docId)
+    ApngCodec.encode(w, h,
+      Array.tabulate(apngFrameCount(docId))(f => apngFramePixels(docId, f)))
+  }
 }

@@ -61,10 +61,14 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode top-down RGB triplets as a single-IDAT 8-bit RGB PNG.
-    * Scanline y uses filter type (y % 5) — every image taller than 4
-    * rows exercises every filter the decoder must invert. */
-  def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+  /** Scanline-filter `rgb` (filter type = y % 5, so every image taller
+    * than 4 rows exercises every filter) and deflate to a complete
+    * zlib stream — the shared image-data half of the encoder, reused
+    * verbatim by [[ApngCodec]] for per-frame fdAT payloads (the APNG
+    * spec gives each frame its own zlib datastream with IDAT-identical
+    * content). */
+  private[media] def filterAndDeflate(
+      width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(rgb.length == 3 * width * height,
       s"expected ${3 * width * height} channel values, got ${rgb.length}")
@@ -106,6 +110,12 @@ object PngCodec {
       bos.write(buf, 0, n)
     }
     deflater.end()
+    bos.toByteArray
+  }
+
+  /** Encode top-down RGB triplets as a single-IDAT 8-bit RGB PNG. */
+  def encode(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    val idat = filterAndDeflate(width, height, rgb)
     val ihdr = new Array[Byte](13)
     putU32(ihdr, 0, width)
     putU32(ihdr, 4, height)
@@ -115,7 +125,7 @@ object PngCodec {
     val out = new java.io.ByteArrayOutputStream()
     out.write(signature)
     out.write(chunk("IHDR", ihdr))
-    out.write(chunk("IDAT", bos.toByteArray))
+    out.write(chunk("IDAT", idat))
     out.write(chunk("IEND", Array.empty[Byte]))
     out.toByteArray
   }
@@ -170,10 +180,19 @@ object PngCodec {
       off += 12 + len
     }
     require(width > 0, "PNG has no IHDR")
+    Png(width, height, inflateAndUnfilter(width, height, idat.toByteArray))
+  }
+
+  /** Inflate a complete zlib image-data stream and invert the scanline
+    * filters — the shared decode half, reused by [[ApngCodec]] on each
+    * frame's reassembled fdAT stream. Rejects truncated streams, FDICT,
+    * and streams that do not END at the declared pixel count. */
+  private[media] def inflateAndUnfilter(
+      width: Int, height: Int, zstream: Array[Byte]): Array[Int] = {
     val stride = 3 * width
     val raw = new Array[Byte]((stride + 1) * height)
     val inflater = new Inflater()
-    inflater.setInput(idat.toByteArray)
+    inflater.setInput(zstream)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
@@ -229,6 +248,11 @@ object PngCodec {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Png(width, height, rgb)
+    rgb
   }
+
+  private[media] def makeChunk(typ: String, payload: Array[Byte])
+      : Array[Byte] = chunk(typ, payload)
+
+  private[media] val pngSignature: Array[Byte] = signature
 }

@@ -13,19 +13,25 @@ import graft.sources.TableLoader._
   * Media payloads are opaque `BinaryType` columns with a typed metadata
   * struct riding alongside. Two tiers:
   *
-  *   - REAL codecs for public trivially-parseable formats — 24bpp BMP
-  *     and PCM16 WAV ([[graft.media.BmpCodec]]/[[graft.media.WavCodec]],
-  *     pure JVM, no native libs): q_image_decode / q_image_resize /
-  *     q_audio_stats encode deterministic fixtures, parse the BYTES
-  *     back, and are ORACLE-CHECKED against DuckDB recomputing the
-  *     expected statistics from the generative formulas
+  *   - REAL codecs for public pure-JVM-parseable formats — 24bpp BMP,
+  *     PCM16 WAV, animated GIF89a, PNG, and animated APNG
+  *     ([[graft.media.BmpCodec]]/[[graft.media.WavCodec]]/
+  *     [[graft.media.GifCodec]]/[[graft.media.PngCodec]]/
+  *     [[graft.media.ApngCodec]], no native libs): the decode /
+  *     resize / audio-stats / frame-sampling queries encode
+  *     deterministic fixtures, parse the BYTES back, and are
+  *     ORACLE-CHECKED against DuckDB recomputing the expected
+  *     statistics from the generative formulas
   *     ([[graft.media.MediaGen]]) — the byte layout itself is under
-  *     hash test.
-  *   - A STUB decoder for container formats that genuinely need codec
-  *     libraries (video frames): `decodeStub` derives a deterministic
-  *     feature vector from the bytes so the 1→N frame-sampling batch
-  *     shape is exercised; swapping in a real codec changes ONE
-  *     function, not the pipeline.
+  *     hash test. Animated frame decode is covered twice for real
+  *     (palette frames via GIF, true-color frames via APNG with
+  *     sampled-only inflation), so every media lane — still image,
+  *     audio, animation/keyframe — has a genuine codec path.
+  *   - A STUB decoder retained ONLY for the opaque-container batch
+  *     shape (`decodeStub` in qMultimodalFeatures/qMultimodalFrames):
+  *     it demonstrates the 1→N fan-out plumbing against a format the
+  *     JVM genuinely cannot parse (e.g. H.264 video), where swapping
+  *     in a native codec changes ONE function, not the pipeline.
   */
 object Multimodal {
 
@@ -578,7 +584,82 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** APNG frame sampling — true-color animated decode through the real
+    * PNG machinery (acTL/fcTL/fdAT container walk + per-frame zlib +
+    * all five scanline filters), retiring the last stubbed frame lane:
+    * where q_gif_frames samples PALETTE frames and qMultimodalFrames
+    * fakes an opaque container, this decodes genuine RGB animation
+    * frames, and ONLY the sampled (even-index) frames are ever
+    * inflated — the container walk validates every chunk's CRC and
+    * sequence number but skipped frames' zlib streams stay compressed,
+    * which is the cost model of a production keyframe extractor. The
+    * oracle recomputes per-frame channel means from MediaGen's
+    * closed-form pixel formula, so the whole layout — chunk framing,
+    * sequence numbering, per-frame deflate, filter cycling — sits
+    * under the hash gate. */
+  val qApngFrames: QDef = QDef(
+    "q_apng_frames",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(7 + doc_id % 6 AS INT) AS w,
+      |    CAST(5 + (doc_id // 2) % 6 AS INT) AS h,
+      |    CAST(2 + doc_id % 4 AS INT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, n_frames,
+      |    CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+      |  FROM g),
+      |sampled AS (SELECT * FROM f WHERE frame_idx % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, n_frames, frame_idx, w, h,
+      |    unnest(range(3 * w * h)) AS j
+      |  FROM sampled),
+      |v AS (
+      |  SELECT doc_id, n_frames, frame_idx, w, h,
+      |    j, (doc_id * 13 + frame_idx * 19 + j * 7) % 256 AS val
+      |  FROM px)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  ROUND(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END) * 1.0
+      |    / (w * h), 4) AS mean_r,
+      |  ROUND(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END) * 1.0
+      |    / (w * h), 4) AS mean_g,
+      |  ROUND(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END) * 1.0
+      |    / (w * h), 4) AS mean_b
+      |FROM v
+      |GROUP BY doc_id, n_frames, frame_idx, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val (w, h, n, frames) = graft.media.ApngCodec.decodeSampled(
+          graft.media.MediaGen.apngBytes(id), (idx, _) => idx % 2 == 0)
+        frames.map { case (fi, rgb) =>
+          val (sr, sg, sb) = channelSums(rgb)
+          org.apache.spark.sql.Row(
+            id, n, fi, sr, sg, sb, (w * h).toLong)
+        }
+      }
+    }(enc)
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        round(col("sum_r") * lit(1.0) / col("n_px"), 4).as("mean_r"),
+        round(col("sum_g") * lit(1.0) / col("n_px"), 4).as("mean_g"),
+        round(col("sum_b") * lit(1.0) / col("n_px"), 4).as("mean_b"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames,
-    qImageDecode, qImageResize, qAudioStats, qGifFrames, qPngDecode)
+    qImageDecode, qImageResize, qAudioStats, qGifFrames, qPngDecode,
+    qApngFrames)
 }
