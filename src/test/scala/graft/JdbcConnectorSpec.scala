@@ -40,8 +40,12 @@ class JdbcConnectorSpec extends AnyFunSuite {
   }
 
   test("jdbc round-trip (integration, env-gated)") {
-    val url = sys.env.get("SPARK_GRAFT_JDBC_URL")
-    assume(url.isDefined, "SPARK_GRAFT_JDBC_URL not set — skipping")
+    // GRAFT_PG_URL is the documented live-PostgreSQL hook
+    // (RealFixtureSpec); SPARK_GRAFT_JDBC_URL accepted for any server
+    val url = sys.env.get("GRAFT_PG_URL")
+      .orElse(sys.env.get("SPARK_GRAFT_JDBC_URL"))
+    assume(url.isDefined,
+      "GRAFT_PG_URL / SPARK_GRAFT_JDBC_URL not set — skipping")
     val src = TableLoader.nation(spark, "/root/testdata/sf0.001")
     JdbcConnector.write(src, url.get, "graft_nation_rt")
     val back = JdbcConnector.read(
