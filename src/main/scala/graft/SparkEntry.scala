@@ -29,7 +29,8 @@ object SparkEntry {
       SequenceQueries.defs ++ NonparamQueries.defs ++
       MlEvalQueries2.defs ++ DataOpsQueries.defs ++
       ExperimentQueries.defs ++ BpeQueries.defs ++ PqAnn.defs ++
-      RetrievalExtQueries.defs ++ PcaQueries.defs
+      RetrievalExtQueries.defs ++ PcaQueries.defs ++
+      SelectionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query checkpoint garbage (pinned session caches
+      // exempt) — without this the 337-query dump accumulates every
+      // iterative query's final frontier for the session lifetime
+      // (same leak Bench sweeps between timed runs)
+      graft.plans.Checkpoints.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

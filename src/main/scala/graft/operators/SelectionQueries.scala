@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.TableLoader._
+
+/** Pretraining data SELECTION — two public methods the curation stack
+  * was still missing, composed from the engine's existing primitives:
+  *
+  *   - DSIR (Xie et al., "Data Selection for Language Models via
+  *     Importance Resampling", NeurIPS 2023): score every raw document
+  *     by a hashed-n-gram importance weight log p_target(x)/p_raw(x) —
+  *     how target-like its token statistics are. The weights feed the
+  *     engine's seeded weighted sampler (q_sample_weighted's A-ES
+  *     shape) for the actual resample; the scoring itself is what runs
+  *     over 100 TB, and it is two bounded hash-aggregates plus a
+  *     broadcast join: the bucket table is FIXED-size (1024 rows), so
+  *     no shuffle ever carries more than |docs| rows.
+  *   - SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+  *     web-scale through semantic deduplication", 2023): k-means the
+  *     embedding space, then prune cosine near-duplicates WITHIN each
+  *     cluster only. The clustering is the scale device — it turns the
+  *     n² semantic-pair problem into Σ|cluster|² with cluster count
+  *     growing with corpus size; a per-cluster pair budget makes the
+  *     quadratic-regression failure mode an explicit error pointing at
+  *     the banded-LSH path instead of a silent 100× job.
+  */
+object SelectionQueries {
+
+  private val dsirBuckets = 1024
+  // add-α smoothing; α·B folded into the denominator constant
+  private val dsirAlpha = 0.5
+
+  /** md5-prefix feature bucket — the engine-portable hash convention
+    * (q_feature_hash): DuckDB computes the identical value from
+    * `('0x' || substr(md5(bg), 1, 4))::INT % B`. */
+  private def bucketOf(c: Column): Column =
+    (conv(substring(md5(c.cast("binary")), 1, 4), 16, 10)
+      .cast("int") % dsirBuckets).cast("int")
+
+  /** Hashed-bigram features of every document: (doc_id, lang, bucket),
+    * one row per bigram occurrence. */
+  private def dsirFeatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), bucketOf(col("bg")).as("bucket"))
+
+  /** DSIR importance weights with `lang = 'en'` as the target
+    * distribution (the realistic stand-in for "docs resembling the
+    * curated target domain"). Per-bucket log-ratios are micro-quantized
+    * integers (the q_kneser_ney discipline: floor(ln(p)·1e6) on
+    * identical doubles both engines), so the per-doc sum is exact
+    * BIGINT arithmetic and the whole query sits under the DuckDB hash
+    * gate despite the ln().
+    *
+    * Scale shape: one explode pass over the corpus → two hash
+    * aggregates to a FIXED 1024-row bucket table (raw + target counts)
+    * → per-(doc, bucket) counts joined against the broadcast λ table →
+    * one final per-doc aggregate. Nothing quadratic, nothing wider
+    * than the corpus ever shuffles; the λ table is the only state and
+    * it is 1024 rows at ANY corpus size. */
+  val qDsirWeights: QDef = QDef(
+    "q_dsir_weights",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS l
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang, UNNEST(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg
+      |  FROM t WHERE len(l) >= 2),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST(('0x' || substr(md5(bg), 1, 4)) AS INT)
+      |      % $dsirBuckets AS INT) AS bucket
+      |  FROM b),
+      |r AS (SELECT bucket, COUNT(*) AS c_r FROM f GROUP BY 1),
+      |tg AS (SELECT bucket, COUNT(*) AS c_t FROM f
+      |  WHERE lang = 'en' GROUP BY 1),
+      |nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r FROM f),
+      |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t FROM f
+      |  WHERE lang = 'en'),
+      |lam AS (
+      |  SELECT r.bucket,
+      |    CAST(FLOOR(LN((COALESCE(c_t, 0) + $dsirAlpha)
+      |        / (n_t + ${dsirAlpha * dsirBuckets})) * 1e6) AS BIGINT)
+      |    - CAST(FLOOR(LN((c_r + $dsirAlpha)
+      |        / (n_r + ${dsirAlpha * dsirBuckets})) * 1e6) AS BIGINT)
+      |      AS lam_micro
+      |  FROM r LEFT JOIN tg ON r.bucket = tg.bucket
+      |  CROSS JOIN nr CROSS JOIN nt),
+      |dc AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(SUM(c * lam_micro) AS DOUBLE) / 1e6 AS log_w
+      |FROM dc JOIN lam USING (bucket)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = dsirFeatures(s, d)
+    val r = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val tg = f.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val nr = f.agg(count(lit(1)).cast("double").as("n_r"))
+    val nt = f.filter(col("lang") === "en")
+      .agg(count(lit(1)).cast("double").as("n_t"))
+    val denomAdd = lit(dsirAlpha * dsirBuckets)
+    val lam = r.join(tg, Seq("bucket"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("bucket"),
+        (floor(log((coalesce(col("c_t"), lit(0L)) + lit(dsirAlpha))
+            / (col("n_t") + denomAdd)) * lit(1e6)).cast("bigint")
+          - floor(log((col("c_r") + lit(dsirAlpha))
+            / (col("n_r") + denomAdd)) * lit(1e6)).cast("bigint"))
+          .as("lam_micro"))
+    f.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_grams"),
+        sum(col("c") * col("lam_micro")).as("lw_micro"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("lw_micro").cast("double") / lit(1e6)).as("log_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-cluster pair budget for SemDeDup's within-cluster quadratic:
+    * |cluster|² past this raises instead of silently regressing toward
+    * all-pairs (SemDeDup's own contract is cluster count ∝ corpus
+    * size, keeping every cluster bounded). */
+  private val semMaxPairsPerCluster = 4000000L
+
+  /** Within-cluster cosine near-duplicate DROPS: (vec_id, kept_id,
+    * cos) — every vector that has a same-cluster neighbor with cosine
+    * ≥ `tau` and a LOWER id is dropped; kept_id is its lowest-id such
+    * neighbor (the deterministic canonical-survivor rule the dedup
+    * family uses everywhere). Exposed for the spec and for pipeline
+    * composition (anti-join the corpus against the drops). */
+  def semdedupDrops(
+      s: SparkSession, d: String, tau: Double = 0.95): DataFrame = {
+    val idx = IvfAnn.build(s, d)
+    // budget guard: one 16-row aggregate, never a data-sized job
+    val sizes = idx.assigned.groupBy(col("cluster")).count()
+      .collect().map(r => r.getLong(1))
+    sizes.foreach { n =>
+      require(n * n <= semMaxPairsPerCluster,
+        s"semdedup: cluster of $n vectors exceeds the " +
+          s"$semMaxPairsPerCluster-pair budget — increase k (more, " +
+          "smaller clusters) or use the banded path " +
+          "(q_dedup_embedding_lsh) for this corpus")
+    }
+    // normalized vectors stay array<float>: the codegen'd DotProduct
+    // expression is float-typed, and at 0.95-class thresholds float
+    // rounding (≤1e-6 on unit vectors) cannot flip a decision
+    val nv = idx.assigned
+      .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
+      .select(col("vec_id"), col("cluster"),
+        when(col("nrm") > 0,
+          transform(col("embedding"),
+            x => (x.cast("double") / col("nrm")).cast("float")))
+          .otherwise(col("embedding"))
+          .as("nv"))
+    val a = nv.select(col("cluster"), col("vec_id").as("a_id"),
+      col("nv").as("na"))
+    val b = nv.select(col("cluster"), col("vec_id").as("b_id"),
+      col("nv").as("nb"))
+    a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(SimilarityQueries.dot(col("na"), col("nb")), 6))
+      .where(col("cos") >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("kept_id"), max(col("cos")).as("cos"))
+  }
+
+  /** Declared query: per-cluster SemDeDup report at τ = 0.95 — cluster
+    * size, near-dup pairs surviving the threshold, vectors dropped.
+    * Always |clusters| rows (zero-dup clusters included), so the
+    * artifact is meaningful even on a dup-free corpus. No oracle (the
+    * k-means assignment is engine-internal ML state, like the
+    * IVF/PQ/PCA family); SelectionSpec pins the drop semantics on
+    * planted duplicates and the budget guard's diagnostic. */
+  val qSemdedup: QDef = QDef.noOracle("q_semdedup") { (s, d) =>
+    val idx = IvfAnn.build(s, d)
+    val drops = semdedupDrops(s, d)
+    val clusterOf = idx.assigned.select(col("vec_id"), col("cluster"))
+    val perCluster = drops.join(clusterOf, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dropped"))
+    idx.assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(perCluster, Seq("cluster"), "left")
+      .select(col("cluster"),
+        col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cluster"))
+  }
+
+  val defs: Seq[QDef] = Seq(qDsirWeights, qSemdedup)
+}

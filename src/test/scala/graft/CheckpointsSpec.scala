@@ -60,10 +60,16 @@ class CheckpointsSpec extends AnyFunSuite {
     // 1) per-query garbage: an unpinned localCheckpoint
     val garbage = freshFrame(50).localCheckpoint(true)
     val garbageId = Checkpoints.rddOf(garbage).get.id
-    // 2) a CacheManager cache (.persist) — isCheckpointed == false
+    // 2) a CacheManager cache (.persist) — isCheckpointed == false.
+    // NOTE: the suite shares one session, so OTHER specs' leaked
+    // (unpinned) checkpoints may also be resident and will rightly be
+    // swept — the buffer-survival claim is therefore asserted on the
+    // NON-checkpointed persistent set, not on "everything else"
     val cached = freshFrame(60).persist(StorageLevel.MEMORY_AND_DISK)
     assert(cached.count() == 60) // materialize the buffer
-    val cacheIdsBefore = persistentIds - garbageId
+    val bufferIdsBefore = spark.sparkContext.getPersistentRDDs.collect {
+      case (id, rdd) if !rdd.isCheckpointed => id
+    }.toSet
     // 3) a pinned session-lifetime checkpoint via the memoization path
     val key = ("checkpoints_spec_pin", System.nanoTime())
     val pinnedDf = SessionCache.getOrElseUpdate(spark, key) {
@@ -80,7 +86,7 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(!persistentIds.contains(garbageId))
     assert(!released.contains(pinnedId),
       "sweep released a PINNED session-lifetime checkpoint")
-    assert(cacheIdsBefore.forall(id => !released.contains(id)),
+    assert(bufferIdsBefore.forall(id => !released.contains(id)),
       "sweep touched a CacheManager buffer RDD")
     // the pinned frame must still answer — its truncated lineage could
     // not recompute released blocks, so this read is the real proof

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SelectionQueries
+
+/** Data-selection operators: DSIR importance weights (directional
+  * sanity — the hash-gated arithmetic is under the oracle) and
+  * SemDeDup drop semantics on planted duplicate vectors. */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  test("DSIR weights separate target-vocabulary docs from off-target " +
+    "docs, with mixed docs in between") {
+    // the shipped fixtures use ONE vocabulary for every lang value, so
+    // the directional property needs a corpus where the target really
+    // differs: en docs draw from vocab A, others from disjoint vocab
+    // B, one mixed doc draws from both
+    val dir = Files.createTempDirectory("graft_dsir").toString
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val vocabB = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(v: Seq[String], seed: Int, n: Int): String =
+      (0 until n).map(j => v((seed * 31 + j * 7) % v.size)).mkString(" ")
+    val docs =
+      (0 until 20).map(i => (i.toLong, doc(vocabA, i, 40), "en", "s")) ++
+      (20 until 40).map(i => (i.toLong, doc(vocabB, i, 40), "de", "s")) ++
+      Seq((40L, doc(vocabA, 3, 20) + " " + doc(vocabB, 3, 20), "de", "s"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getDouble(2) / r.getAs[Long]("n_grams")).toMap
+    val enAvg = (0 until 20).map(i => w(i.toLong))
+    val deAvg = (20 until 40).map(i => w(i.toLong))
+    // defining property of an importance weight toward the target:
+    // every pure-target doc above every pure-off-target doc, the
+    // mixed doc strictly between the two families
+    assert(enAvg.min > deAvg.max,
+      s"target/off-target not separated: en ${enAvg.min}, de ${deAvg.max}")
+    assert(w(40L) > deAvg.max && w(40L) < enAvg.min,
+      s"mixed doc ${w(40L)} not between families")
+  }
+
+  test("DSIR on the shipped corpus: a weight for every multi-token " +
+    "doc, deterministic across runs") {
+    val out = SparkEntry.queries("q_dsir_weights")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nDocs = graft.sources.TableLoader.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.size.toLong == nDocs, s"${out.size} weights, $nDocs docs")
+    val again = SparkEntry.queries("q_dsir_weights")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == again)
+  }
+
+  test("SemDeDup drops exactly the planted duplicate vectors, keeping " +
+    "the lowest-id canonical") {
+    val dir = Files.createTempDirectory("graft_semdedup").toString
+    // 50 mutually-orthogonal base vectors (one-hot dims 0..49) and 20
+    // EXACT copies of the first 20 (ids 1000+k): cosine(copy, base)=1,
+    // cosine(any other pair)=0 — the drop set is knowable in advance
+    val base = (0 until 50).map { k =>
+      (k.toLong, Array.tabulate(64)(t => if (t == k) 1.0f else 0.0f).toSeq,
+        k % 10)
+    }
+    val copies = (0 until 20).map { k =>
+      (1000L + k, Array.tabulate(64)(t => if (t == k) 1.0f else 0.0f).toSeq,
+        k % 10)
+    }
+    (base ++ copies).toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val drops = SelectionQueries.semdedupDrops(spark, dir, tau = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kept_id"))
+      .toMap
+    assert(drops.keySet == (0 until 20).map(k => 1000L + k).toSet,
+      s"drop set wrong: $drops")
+    (0 until 20).foreach(k =>
+      assert(drops(1000L + k) == k.toLong,
+        s"copy ${1000 + k} kept ${drops(1000L + k)}, expected $k"))
+    // the per-cluster report is |clusters| rows and accounts for
+    // every drop exactly once
+    val report = SparkEntry.queries("q_semdedup")(spark, dir).collect()
+    assert(report.map(_.getAs[Long]("n_vecs")).sum == 70L)
+    assert(report.map(_.getAs[Long]("n_dropped")).sum == 20L)
+  }
+
+  test("SemDeDup per-cluster pair budget raises with a diagnostic " +
+    "pointing at the banded path") {
+    // an oversize cluster is simulated by the budget math itself:
+    // 2001² > 4e6 would raise — here we assert the real corpora stay
+    // under budget AND the guard text is wired (fire it via a corpus
+    // that k-means collapses into one cluster: 2001 identical vectors
+    // would blow the 4e6 budget only at 2001² = 4.004e6)
+    val dir = Files.createTempDirectory("graft_sembudget").toString
+    (0 until 2001).map(i =>
+      (i.toLong, Array.tabulate(64)(t => if (t == 0) 1.0f else 0.0f).toSeq,
+        0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SelectionQueries.semdedupDrops(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("q_dedup_embedding_lsh"),
+      s"guard diagnostic missing: ${e.getMessage}")
+  }
+}
