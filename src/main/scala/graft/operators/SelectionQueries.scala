@@ -52,22 +52,10 @@ object SelectionQueries {
           .as("bg"))
       .select(col("doc_id"), col("lang"), bucketOf(col("bg")).as("bucket"))
 
-  /** DSIR importance weights with `lang = 'en'` as the target
-    * distribution (the realistic stand-in for "docs resembling the
-    * curated target domain"). Per-bucket log-ratios are micro-quantized
-    * integers (the q_kneser_ney discipline: floor(ln(p)·1e6) on
-    * identical doubles both engines), so the per-doc sum is exact
-    * BIGINT arithmetic and the whole query sits under the DuckDB hash
-    * gate despite the ln().
-    *
-    * Scale shape: one explode pass over the corpus → two hash
-    * aggregates to a FIXED 1024-row bucket table (raw + target counts)
-    * → per-(doc, bucket) counts joined against the broadcast λ table →
-    * one final per-doc aggregate. Nothing quadratic, nothing wider
-    * than the corpus ever shuffles; the λ table is the only state and
-    * it is 1024 rows at ANY corpus size. */
-  val qDsirWeights: QDef = QDef(
-    "q_dsir_weights",
+  /** Shared SQL CTE chain ending in `dw(doc_id, n_grams, lw_micro)` —
+    * the per-doc micro-quantized DSIR log-weight both oracle queries
+    * build on. */
+  private val dsirDwSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS l
       |  FROM documents),
@@ -96,12 +84,16 @@ object SelectionQueries {
       |  FROM r LEFT JOIN tg ON r.bucket = tg.bucket
       |  CROSS JOIN nr CROSS JOIN nt),
       |dc AS (
-      |  SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-      |  CAST(SUM(c * lam_micro) AS DOUBLE) / 1e6 AS log_w
-      |FROM dc JOIN lam USING (bucket)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  SELECT doc_id, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2),
+      |dw AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |    CAST(SUM(c * lam_micro) AS BIGINT) AS lw_micro
+      |  FROM dc JOIN lam USING (bucket)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc DSIR weight frame: (doc_id, n_grams BIGINT, lw_micro
+    * BIGINT) — the Spark twin of [[dsirDwSql]]'s `dw` CTE. */
+  private def dsirDocWeights(s: SparkSession, d: String): DataFrame = {
     val f = dsirFeatures(s, d)
     val r = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
     val tg = f.filter(col("lang") === "en")
@@ -123,9 +115,147 @@ object SelectionQueries {
       .join(broadcast(lam), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("bigint").as("n_grams"),
-        sum(col("c") * col("lam_micro")).as("lw_micro"))
+        sum(col("c") * col("lam_micro")).cast("bigint").as("lw_micro"))
+  }
+
+  /** DSIR importance weights with `lang = 'en'` as the target
+    * distribution (the realistic stand-in for "docs resembling the
+    * curated target domain"). Per-bucket log-ratios are micro-quantized
+    * integers (the q_kneser_ney discipline: floor(ln(p)·1e6) on
+    * identical doubles both engines), so the per-doc sum is exact
+    * BIGINT arithmetic and the whole query sits under the DuckDB hash
+    * gate despite the ln().
+    *
+    * Scale shape: one explode pass over the corpus → two hash
+    * aggregates to a FIXED 1024-row bucket table (raw + target counts)
+    * → per-(doc, bucket) counts joined against the broadcast λ table →
+    * one final per-doc aggregate. Nothing quadratic, nothing wider
+    * than the corpus ever shuffles; the λ table is the only state and
+    * it is 1024 rows at ANY corpus size. */
+  val qDsirWeights: QDef = QDef(
+    "q_dsir_weights",
+    s"""$dsirDwSql
+      |SELECT doc_id, n_grams,
+      |  CAST(lw_micro AS DOUBLE) / 1e6 AS log_w
+      |FROM dw
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    dsirDocWeights(s, d)
       .select(col("doc_id"), col("n_grams"),
         (col("lw_micro").cast("double") / lit(1e6)).as("log_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DSIR RESAMPLE itself — the step the paper's weights exist
+    * for: Gumbel-top-k over the log-weights (argmax of log w + G with
+    * i.i.d. Gumbel noise draws k docs WITHOUT replacement with
+    * probability ∝ w — the log-space twin of q_sample_weighted's
+    * A-ES keys). The Gumbel draw is content-keyed and deterministic:
+    * u from the doc_id's md5 (the engine's seeded-uniform convention),
+    * G = −ln(−ln u), micro-quantized to an exact BIGINT so the sort
+    * key lw_micro + g_micro is pure integer arithmetic — no float
+    * boundary can reorder the two engines at the LIMIT edge. Top-k by
+    * key is a TakeOrdered, never a global sort. */
+  val qDsirSample: QDef = QDef(
+    "q_dsir_sample",
+    s"""$dsirDwSql,
+      |g AS (
+      |  SELECT doc_id, lw_micro,
+      |    CAST(FLOOR(-LN(-LN(
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) + 1.0) / 4294967297.0)) * 1e6) AS BIGINT)
+      |      AS g_micro
+      |  FROM dw)
+      |SELECT doc_id,
+      |  CAST(lw_micro AS DOUBLE) / 1e6 AS log_w,
+      |  CAST(lw_micro + g_micro AS DOUBLE) / 1e6 AS key
+      |FROM g
+      |ORDER BY lw_micro + g_micro DESC, doc_id
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("bigint")
+      + lit(1.0)) / lit(4294967297.0)
+    dsirDocWeights(s, d)
+      .withColumn("g_micro", floor(-log(-log(u)) * lit(1e6)).cast("bigint"))
+      .withColumn("key_micro", col("lw_micro") + col("g_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"),
+        (col("lw_micro").cast("double") / lit(1e6)).as("log_w"),
+        (col("key_micro").cast("double") / lit(1e6)).as("key"))
+  }
+
+  /** Gopher-style rule filter (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021 — the
+    * public heuristic rule-set later adopted by FineWeb/Dolma): unlike
+    * q_quality_score's single composite score, this emits the
+    * individual REJECT REASONS a curation pipeline reports per rule —
+    * word-count bounds [50, 100k], mean word length in [3, 10],
+    * fraction of words containing an alphabetic character ≥ 0.8, and
+    * ≥ 2 distinct stop-word hits — plus the conjunctive keep bit.
+    * Flags are 0/1 INTs (the registry has no boolean outputs — INT
+    * renders identically in both engines' CSV/hash paths), and every
+    * threshold compares the UNROUNDED ratio: each ratio is one IEEE
+    * divide of exact integers, bit-identical cross-engine, so no
+    * boundary flap. One scan, no shuffle at all (pure per-row map +
+    * final order), the cheapest filter in the stack — which is the
+    * point: Gopher rules run before anything that shuffles. */
+  val qGopherRules: QDef = QDef(
+    "q_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(len(l) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE)
+      |      / len(l) AS mwl,
+      |    CAST(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]')))
+      |      AS DOUBLE) / len(l) AS alpha_ratio,
+      |    CAST(len(list_intersect(list_distinct(l),
+      |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  ROUND(mwl, 4) AS mean_word_len,
+      |  ROUND(alpha_ratio, 4) AS alpha_word_ratio,
+      |  stop_hits,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |    THEN 1 ELSE 0 END AS INT) AS ok_words,
+      |  CAST(CASE WHEN mwl BETWEEN 3 AND 10
+      |    THEN 1 ELSE 0 END AS INT) AS ok_wlen,
+      |  CAST(CASE WHEN alpha_ratio >= 0.8
+      |    THEN 1 ELSE 0 END AS INT) AS ok_alpha,
+      |  CAST(CASE WHEN stop_hits >= 2
+      |    THEN 1 ELSE 0 END AS INT) AS ok_stop,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |    AND mwl BETWEEN 3 AND 10 AND alpha_ratio >= 0.8
+      |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM g
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val l = split(col("text"), " ")
+    val nWords = size(l).cast("bigint")
+    val mwl = aggregate(transform(l, w => length(w)), lit(0L),
+      (acc, x) => acc + x).cast("double") / size(l)
+    val alphaRatio = size(filter(l, w => w.rlike("[A-Za-z]")))
+      .cast("double") / size(l)
+    val stopHits = size(array_intersect(array_distinct(l),
+      array(Seq("the", "a", "of", "and", "to").map(lit): _*)))
+      .cast("bigint")
+    def flag(c: Column): Column = when(c, 1).otherwise(0).cast("int")
+    documents(s, d)
+      .select(col("doc_id"),
+        nWords.as("n_words"), mwl.as("mwl"),
+        alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mwl"), 4).as("mean_word_len"),
+        round(col("alpha_ratio"), 4).as("alpha_word_ratio"),
+        col("stop_hits"),
+        flag(col("n_words").between(50, 100000)).as("ok_words"),
+        flag(col("mwl").between(3, 10)).as("ok_wlen"),
+        flag(col("alpha_ratio") >= 0.8).as("ok_alpha"),
+        flag(col("stop_hits") >= 2).as("ok_stop"),
+        flag(col("n_words").between(50, 100000)
+          && col("mwl").between(3, 10)
+          && col("alpha_ratio") >= 0.8
+          && col("stop_hits") >= 2).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -201,5 +331,6 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
-  val defs: Seq[QDef] = Seq(qDsirWeights, qSemdedup)
+  val defs: Seq[QDef] =
+    Seq(qDsirWeights, qDsirSample, qGopherRules, qSemdedup)
 }

@@ -62,6 +62,65 @@ class SelectionSpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("DSIR Gumbel-top-k sample: deterministic, weight-consistent, " +
+    "key-ordered, without replacement") {
+    val sample = SparkEntry.queries("q_dsir_sample")(spark, sfDir).collect()
+    val again = SparkEntry.queries("q_dsir_sample")(spark, sfDir).collect()
+    assert(sample.toSeq == again.toSeq, "sample not deterministic")
+    val weights = SparkEntry.queries("q_dsir_weights")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sample.length == math.min(50, weights.size))
+    // no doc drawn twice, every log_w is the scoring query's value
+    val ids = sample.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "drawn with replacement")
+    sample.foreach(r =>
+      assert(r.getDouble(1) == weights(r.getLong(0)),
+        s"log_w mismatch for doc ${r.getLong(0)}"))
+    // keys non-increasing (ties broken by doc_id upstream)
+    val keys = sample.map(_.getDouble(2))
+    keys.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+
+  test("Gopher rules flag each violation class and keep the clean doc") {
+    val dir = Files.createTempDirectory("graft_gopher").toString
+    val stops = "the a of and to"
+    val good = (stops + " ") + Seq.fill(55)("word").mkString(" ")
+    val tooShort = stops + " tiny doc"
+    val longWords =
+      (0 until 60).map(_ => "supercalifragilistic").mkString(" ")
+    val nonAlpha = (0 until 60).map(i => s"$i$i$i").mkString(" ")
+    val noStops = Seq.fill(60)("word").mkString(" ")
+    val docs = Seq(
+      (0L, good, "en", "s"), (1L, tooShort, "en", "s"),
+      (2L, longWords, "en", "s"), (3L, nonAlpha, "en", "s"),
+      (4L, noStops, "en", "s"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (out(id).getAs[Int]("ok_words"),
+      out(id).getAs[Int]("ok_wlen"), out(id).getAs[Int]("ok_alpha"),
+      out(id).getAs[Int]("ok_stop"), out(id).getAs[Int]("keep"))
+    assert(flags(0L) == ((1, 1, 1, 1, 1)), s"clean doc rejected: ${out(0L)}")
+    assert(flags(1L)._1 == 0 && flags(1L)._5 == 0, "short doc kept")
+    assert(flags(2L)._2 == 0 && flags(2L)._5 == 0, "long-word doc kept")
+    assert(flags(3L)._3 == 0 && flags(3L)._5 == 0, "non-alpha doc kept")
+    assert(flags(4L)._4 == 0 && flags(4L)._5 == 0, "stop-free doc kept")
+  }
+
+  test("Gopher keep bit is exactly the conjunction of the four rule " +
+    "flags on the shipped corpus") {
+    val rows = SparkEntry.queries("q_gopher_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = Seq("ok_words", "ok_wlen", "ok_alpha", "ok_stop")
+        .map(r.getAs[Int](_)).min
+      assert(r.getAs[Int]("keep") == conj, s"keep != conjunction: $r")
+    }
+  }
+
   test("SemDeDup drops exactly the planted duplicate vectors, keeping " +
     "the lowest-id canonical") {
     val dir = Files.createTempDirectory("graft_semdedup").toString
