@@ -112,30 +112,28 @@ object GraphQueries {
     QDef("q_pagerank_parts", sql) { (s, d) =>
       val ed = copurchaseEdges(s, d)
       val n = copurchaseNodeCount(s, d)
-      // per-iteration localCheckpoint (same discipline as
-      // q_label_prop): the rank vector is |V| rows, and without it
-      // each of the 5 levels re-plans and re-executes every prior
-      // level inside one nested tree. Checkpoints.replacing releases
-      // round N−1's blocks the moment round N materializes, so an
-      // execution retires its whole history except the final frame
-      // (which the harness sweep reclaims between runs).
+      // iterations is a FIXED constant (5), so the loop stays one lazy
+      // plan executed as a single job: each level's broadcast subtree
+      // builds exactly once inside that job, and there are no eager
+      // per-round localCheckpoint materializations or checkpoint
+      // blocks to release (Checkpoints.replacing is reserved for the
+      // unbounded data-dependent loops, where lineage depth grows
+      // with the data). ed is the pinned session cache, so the five
+      // re-reads of it are memory-speed.
       var ranks = ed.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1.0) / lit(n))
-        .localCheckpoint()
       for (_ <- 0 until iterations) {
-        ranks = graft.plans.Checkpoints.replacing(
-          broadcast(ranks)
-            .join(ed, col("node") === col("src"))
-            .select(col("dst"),
-              floor(col("rank") / col("deg") * lit(1e14))
-                .cast("bigint").as("c"))
-            .groupBy(col("dst"))
-            .agg(sum(col("c")).as("cs"))
-            .select(col("dst").as("node"),
-              (lit(0.15) / lit(n) +
-                lit(0.85) * (col("cs").cast("double") / lit(1e14)))
-                .as("rank")),
-          ranks)
+        ranks = broadcast(ranks)
+          .join(ed, col("node") === col("src"))
+          .select(col("dst"),
+            floor(col("rank") / col("deg") * lit(1e14))
+              .cast("bigint").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("node"),
+            (lit(0.15) / lit(n) +
+              lit(0.85) * (col("cs").cast("double") / lit(1e14)))
+              .as("rank"))
       }
       ranks.select(col("node").as("p_partkey"), col("rank"))
         .orderBy(col("rank").desc, col("p_partkey"))
@@ -407,7 +405,13 @@ object GraphQueries {
         .localCheckpoint()
       // replacing: round N−1's label blocks release as soon as round N
       // materializes — adj (joined every round) stays; the final labels
-      // frame and adj are reclaimed by the harness sweep after the run
+      // frame and adj are reclaimed by the harness sweep after the run.
+      // An A/B against the fully-lazy fused chain (no checkpoints) at
+      // sf0.1 measured 1.86–2.41 s checkpointed vs 2.14–2.52 s lazy —
+      // inside host noise, so eager rounds are kept for what they
+      // guarantee rather than speed: AQE plans every round's join from
+      // exact materialized sizes, and peak block residency stays O(1)
+      // frontiers instead of one deep plan.
       for (_ <- 1 to rounds)
         labels = graft.plans.Checkpoints.replacing(
           adj

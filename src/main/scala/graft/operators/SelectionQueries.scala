@@ -259,6 +259,102 @@ object SelectionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus embedding DIVERSITY per label — the selection signal dual
+    * to dedup: mean pairwise cosine over all C(n,2) pairs, computed in
+    * ONE O(n·d) pass with zero pairs materialized via the sum-vector
+    * identity  Σ_{i≠j} cos(vᵢ,vⱼ) = ‖Σ v̂‖² − Σ‖v̂‖²  on the
+    * normalized vectors. A near-1 mean says the label's corpus is
+    * semantically collapsed (near-dup farm → route to SemDeDup); near
+    * 0 says diverse. This is the quantity people estimate by sampling
+    * pairs — here it is EXACT and linear, the plan a 100 TB curation
+    * run actually wants.
+    *
+    * Determinism: normalized components are quantized to 1e-6 integer
+    * units per row (every op on the way — fixed-order 64-element fold,
+    * divide, multiply, FLOOR — is correctly-rounded IEEE, so the
+    * BIGINT is identical cross-engine); per-dim sums S_i and per-row
+    * norm Σq² accumulate as exact integers (DECIMAL(38) on the Spark
+    * side, HUGEINT in DuckDB — order-free), and the only double
+    * arithmetic is the final fixed-order fold of 64 squares. */
+  val qEmbedDiversity: QDef = QDef(
+    "q_embed_diversity",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nz AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(v, x -> CAST(FLOOR(x / nrm * 1e6) AS BIGINT))
+      |      AS qv
+      |  FROM nz WHERE nrm > 0),
+      |qq AS (
+      |  SELECT vec_id, label,
+      |    list_sum(list_transform(qv, x -> x * x)) AS q2
+      |  FROM q),
+      |s AS (
+      |  SELECT label, i, SUM(qv[i]) AS s_i
+      |  FROM q CROSS JOIN generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i),
+      |ss AS (
+      |  SELECT label,
+      |    list_sum(list_transform(list(CAST(s_i AS DOUBLE) ORDER BY i),
+      |      x -> x * x)) AS s2
+      |  FROM s GROUP BY label),
+      |agg AS (
+      |  SELECT label, COUNT(*) AS n, CAST(SUM(q2) AS DOUBLE) AS sumq2
+      |  FROM qq GROUP BY label)
+      |SELECT a.label, CAST(n AS BIGINT) AS n_vecs,
+      |  ROUND((s2 - sumq2) / (CAST(n AS DOUBLE) * (n - 1) * 1e12), 6)
+      |    + 0.0 AS mean_pair_cos
+      |FROM agg a JOIN ss USING (label)
+      |WHERE n > 1
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dotVV = aggregate(transform(v, x => x * x), lit(0.0),
+      (acc, x) => acc + x)
+    val nrm = sqrt(dotVV)
+    // the when() guard keeps ANSI divide from evaluating on the
+    // zero-norm rows the filter excludes (filter/project eval order is
+    // not guaranteed rowwise under codegen)
+    val q = embeddings(s, d)
+      .withColumn("nrm", nrm)
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), col("label"),
+        when(col("nrm") > 0,
+          transform(v, x => floor(x / col("nrm") * lit(1e6))
+            .cast("bigint")))
+          .as("qv"))
+    val qq = q.select(col("label"),
+      aggregate(transform(col("qv"), x => x * x), lit(0L),
+        (acc, x) => acc + x).as("q2"))
+    // per-dim exact integer sums -> ordered 64-element array per label
+    val ss = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "qx")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qx")).as("s_i"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s_i"))))
+        .as("ps"))
+      .select(col("label"),
+        aggregate(
+          transform(col("ps"), p => p.getField("s_i").cast("double")),
+          lit(0.0), (acc, x) => acc + x * x).as("s2"))
+    val agg = qq.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q2").cast("decimal(38,0)")).cast("double").as("sumq2"))
+    agg.join(ss, "label")
+      .where(col("n") > 1)
+      .select(col("label"), col("n").cast("bigint").as("n_vecs"),
+        (round((col("s2") - col("sumq2"))
+          / (col("n").cast("double") * (col("n") - 1) * lit(1e12)), 6)
+          + lit(0.0)).as("mean_pair_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Per-cluster pair budget for SemDeDup's within-cluster quadratic:
     * |cluster|² past this raises instead of silently regressing toward
     * all-pairs (SemDeDup's own contract is cluster count ∝ corpus
@@ -332,5 +428,6 @@ object SelectionQueries {
   }
 
   val defs: Seq[QDef] =
-    Seq(qDsirWeights, qDsirSample, qGopherRules, qSemdedup)
+    Seq(qDsirWeights, qDsirSample, qGopherRules, qEmbedDiversity,
+      qSemdedup)
 }

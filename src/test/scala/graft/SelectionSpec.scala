@@ -121,6 +121,30 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("embed diversity: collapsed label scores exactly 1, orthogonal " +
+    "label exactly 0, zero vectors excluded") {
+    val dir = Files.createTempDirectory("graft_diversity").toString
+    // label 0: 30 identical one-hot vectors -> every pairwise cos = 1
+    // label 1: 30 mutually-orthogonal one-hots -> every pairwise cos = 0
+    // label 2: one vector (n=1, no pairs) + one all-zero vector -> no row
+    val rows =
+      (0 until 30).map(i => (i.toLong,
+        Array.tabulate(64)(t => if (t == 0) 2.5f else 0.0f).toSeq, 0)) ++
+      (0 until 30).map(i => (100L + i,
+        Array.tabulate(64)(t => if (t == i) 1.0f else 0.0f).toSeq, 1)) ++
+      Seq((200L, Array.tabulate(64)(t => 1.0f).toSeq, 2),
+        (201L, Array.fill(64)(0.0f).toSeq, 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_diversity")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0, 1), s"labels: ${out.keySet}")
+    assert(out(0) == ((30L, 1.0)), s"collapsed label: ${out(0)}")
+    assert(out(1) == ((30L, 0.0)), s"orthogonal label: ${out(1)}")
+  }
+
   test("SemDeDup drops exactly the planted duplicate vectors, keeping " +
     "the lowest-id canonical") {
     val dir = Files.createTempDirectory("graft_semdedup").toString
