@@ -49,19 +49,23 @@ object ConnectedComponents {
     // blocks die with an executor.)
     // chk = the round's CHECKPOINTED frame (the LogicalRDD-leaf frame
     // Checkpoints can release); labels = its (v, cc) view
-    var chk = sym.select(col("src").as("v")).distinct()
-      .withColumn("cc", col("v"))
-      .localCheckpoint(true)
-    var labels = chk
+    var chk: DataFrame = null
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
-    // try/finally: on EVERY exit (convergence, maxIter throw, or a
-    // failed round) sym's cache is released, and on the throw paths the
-    // in-flight round's checkpoint blocks go too — only the CONVERGED
-    // result keeps its blocks, which the caller owns (a one-shot caller
-    // relies on the harness sweep; loop callers pass it straight to the
-    // next round's Checkpoints.replacing)
+    // try/finally: on EVERY exit (convergence, maxIter throw, a failed
+    // round, or a failure in the INITIAL eager checkpoint — which is why
+    // that checkpoint sits inside the try) sym's cache is released, and
+    // on the throw paths the in-flight round's checkpoint blocks go
+    // too — only the CONVERGED result keeps its blocks, which the
+    // caller owns (a one-shot caller relies on the harness sweep; loop
+    // callers pass it straight to the next round's
+    // Checkpoints.replacing)
     try {
+      chk = sym.select(col("src").as("v")).distinct()
+        .withColumn("cc", col("v"))
+        .localCheckpoint(true)
+      labels = chk
       while (!converged) {
         if (iter >= maxIter)
           throw new IllegalStateException(
@@ -94,7 +98,7 @@ object ConnectedComponents {
       }
     } finally {
       sym.unpersist()
-      if (!converged) graft.plans.Checkpoints.unpersist(chk)
+      if (!converged && chk != null) graft.plans.Checkpoints.unpersist(chk)
     }
     labels
   }

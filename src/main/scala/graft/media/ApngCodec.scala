@@ -15,7 +15,10 @@ import java.util.zip.CRC32
   *     before the first IDAT per spec.
   *   - `fcTL` (frame control): sequence number, frame dims/offsets,
   *     delay fraction, dispose/blend ops. One precedes each frame's
-  *     data; an fcTL before IDAT makes the IDAT stream frame 0.
+  *     data; an fcTL before IDAT makes the IDAT stream frame 0, and
+  *     when the first fcTL appears only AFTER IDAT the default image
+  *     is (per spec) not part of the animation — its bytes are still
+  *     walked and CRC-verified but excluded from the frame list.
   *   - `fdAT` (frame data): sequence number + IDAT-equivalent bytes.
   *     Consecutive fdAT chunks of one frame concatenate into that
   *     frame's OWN complete zlib stream (each frame compresses
@@ -115,6 +118,7 @@ object ApngCodec {
     var declared = -1
     var sawEnd = false
     var sawIdat = false
+    var idatIsFrame0 = false
     var expectSeq = 0
     // per-frame compressed streams; fcTL opens a frame, IDAT/fdAT
     // bytes append to the OPEN frame
@@ -160,15 +164,20 @@ object ApngCodec {
           require(fw == width && fh == height && fx == 0 && fy == 0,
             s"unsupported APNG: partial frame ${fw}x$fh+$fx+$fy " +
               "(compositing with dispose/blend is out of scope)")
+          // an fcTL BEFORE the image data makes the IDAT stream frame
+          // 0; if the first fcTL appears only after IDAT, the spec
+          // says the default image is simply NOT part of the animation
+          if (!sawIdat && streams.isEmpty) idatIsFrame0 = true
           streams += new java.io.ByteArrayOutputStream()
         case "IDAT" =>
           sawIdat = true
-          require(streams.nonEmpty,
-            if (declared < 0)
-              "not an APNG: IDAT with no acTL/fcTL (plain PNG — " +
-                "use PngCodec)"
-            else "APNG IDAT with no preceding fcTL (frame 0 uncontrolled)")
-          streams.head.write(bytes, off + 8, len)
+          require(declared >= 0 || streams.nonEmpty,
+            "not an APNG: IDAT with no acTL/fcTL (plain PNG — " +
+              "use PngCodec)")
+          // when the default image is excluded from the animation
+          // (no fcTL preceded IDAT), its bytes are walked (CRC'd)
+          // but never appended to any frame stream
+          if (idatIsFrame0) streams.head.write(bytes, off + 8, len)
         case "fdAT" =>
           require(len >= 4, s"fdAT length $len")
           val seq = getU32(bytes, off + 8).toInt

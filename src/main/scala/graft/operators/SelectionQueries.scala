@@ -95,17 +95,22 @@ object SelectionQueries {
     * BIGINT) — the Spark twin of [[dsirDwSql]]'s `dw` CTE. */
   private def dsirDocWeights(s: SparkSession, d: String): DataFrame = {
     val f = dsirFeatures(s, d)
-    val r = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-    val tg = f.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
-    val nr = f.agg(count(lit(1)).cast("double").as("n_r"))
-    val nt = f.filter(col("lang") === "en")
-      .agg(count(lit(1)).cast("double").as("n_t"))
+    // ONE conditional hash-aggregate computes raw AND target bucket
+    // counts together (the target distribution is a filter of the same
+    // rows, so a second scan would be pure waste); the corpus totals
+    // n_r/n_t are 1024-row sums over THIS table, not extra corpus
+    // scans. Two explode passes total (here + the per-doc aggregate
+    // below) — down from the five a naive subtree-per-CTE plan runs.
+    val byBucket = f.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val totals = broadcast(byBucket
+      .agg(sum(col("c_r")).cast("double").as("n_r"),
+        sum(col("c_t")).cast("double").as("n_t")))
     val denomAdd = lit(dsirAlpha * dsirBuckets)
-    val lam = r.join(tg, Seq("bucket"), "left")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+    val lam = byBucket.crossJoin(totals)
       .select(col("bucket"),
-        (floor(log((coalesce(col("c_t"), lit(0L)) + lit(dsirAlpha))
+        (floor(log((col("c_t") + lit(dsirAlpha))
             / (col("n_t") + denomAdd)) * lit(1e6)).cast("bigint")
           - floor(log((col("c_r") + lit(dsirAlpha))
             / (col("n_r") + denomAdd)) * lit(1e6)).cast("bigint"))
@@ -126,12 +131,13 @@ object SelectionQueries {
     * BIGINT arithmetic and the whole query sits under the DuckDB hash
     * gate despite the ln().
     *
-    * Scale shape: one explode pass over the corpus → two hash
-    * aggregates to a FIXED 1024-row bucket table (raw + target counts)
-    * → per-(doc, bucket) counts joined against the broadcast λ table →
-    * one final per-doc aggregate. Nothing quadratic, nothing wider
-    * than the corpus ever shuffles; the λ table is the only state and
-    * it is 1024 rows at ANY corpus size. */
+    * Scale shape: two explode passes over the corpus — one conditional
+    * hash-aggregate producing raw AND target counts in a single FIXED
+    * 1024-row bucket table, then per-(doc, bucket) counts joined
+    * against the broadcast λ table and a final per-doc aggregate.
+    * Nothing quadratic, nothing wider than the corpus ever shuffles;
+    * the λ table is the only state and it is 1024 rows at ANY corpus
+    * size. */
   val qDsirWeights: QDef = QDef(
     "q_dsir_weights",
     s"""$dsirDwSql
@@ -270,12 +276,15 @@ object SelectionQueries {
     * run actually wants.
     *
     * Determinism: normalized components are quantized to 1e-6 integer
-    * units per row (every op on the way — fixed-order 64-element fold,
+    * units per row (every op on the way — fixed-order per-dim fold,
     * divide, multiply, FLOOR — is correctly-rounded IEEE, so the
-    * BIGINT is identical cross-engine); per-dim sums S_i and per-row
-    * norm Σq² accumulate as exact integers (DECIMAL(38) on the Spark
-    * side, HUGEINT in DuckDB — order-free), and the only double
-    * arithmetic is the final fixed-order fold of 64 squares. */
+    * BIGINT is identical cross-engine); per-dim sums S_i and squared
+    * sums accumulate as exact integers (DECIMAL(38) on the Spark side,
+    * HUGEINT in DuckDB — order-free), and the only double arithmetic
+    * is the final fixed-order fold of d squares. Both engines derive d
+    * from the array itself (posexplode / zipped UNNEST) — no
+    * dimension literal anywhere, so a non-64-dim corpus cannot
+    * silently diverge. */
   val qEmbedDiversity: QDef = QDef(
     "q_embed_diversity",
     """WITH e AS (
@@ -291,26 +300,26 @@ object SelectionQueries {
       |    list_transform(v, x -> CAST(FLOOR(x / nrm * 1e6) AS BIGINT))
       |      AS qv
       |  FROM nz WHERE nrm > 0),
-      |qq AS (
-      |  SELECT vec_id, label,
-      |    list_sum(list_transform(qv, x -> x * x)) AS q2
+      |ex AS (
+      |  SELECT label,
+      |    UNNEST(qv) AS qx,
+      |    UNNEST(generate_series(1, len(qv))) AS i
       |  FROM q),
-      |s AS (
-      |  SELECT label, i, SUM(qv[i]) AS s_i
-      |  FROM q CROSS JOIN generate_series(1, 64) AS t(i)
-      |  GROUP BY label, i),
-      |ss AS (
+      |per AS (
+      |  SELECT label, i, SUM(qx) AS s_i,
+      |    SUM(CAST(qx AS HUGEINT) * qx) AS ssq, COUNT(*) AS cnt
+      |  FROM ex GROUP BY label, i),
+      |ag AS (
       |  SELECT label,
       |    list_sum(list_transform(list(CAST(s_i AS DOUBLE) ORDER BY i),
-      |      x -> x * x)) AS s2
-      |  FROM s GROUP BY label),
-      |agg AS (
-      |  SELECT label, COUNT(*) AS n, CAST(SUM(q2) AS DOUBLE) AS sumq2
-      |  FROM qq GROUP BY label)
-      |SELECT a.label, CAST(n AS BIGINT) AS n_vecs,
+      |      x -> x * x)) AS s2,
+      |    CAST(SUM(ssq) AS DOUBLE) AS sumq2,
+      |    MAX(cnt) AS n
+      |  FROM per GROUP BY label)
+      |SELECT label, CAST(n AS BIGINT) AS n_vecs,
       |  ROUND((s2 - sumq2) / (CAST(n AS DOUBLE) * (n - 1) * 1e12), 6)
       |    + 0.0 AS mean_pair_cos
-      |FROM agg a JOIN ss USING (label)
+      |FROM ag
       |WHERE n > 1
       |ORDER BY label""".stripMargin) { (s, d) =>
     val v = transform(col("embedding"), x => x.cast("double"))
@@ -328,28 +337,29 @@ object SelectionQueries {
           transform(v, x => floor(x / col("nrm") * lit(1e6))
             .cast("bigint")))
           .as("qv"))
-    val qq = q.select(col("label"),
-      aggregate(transform(col("qv"), x => x * x), lit(0L),
-        (acc, x) => acc + x).as("q2"))
-    // per-dim exact integer sums -> ordered 64-element array per label
-    val ss = q
+    // ONE posexplode pass yields every per-label statistic at once:
+    // per-dim exact sums S_i (for ‖Σv̂‖²), per-dim Σqx² (whose total
+    // over dims IS Σ‖v̂‖² — no second scan for the per-row norms), and
+    // n as the per-dim row count (every dim appears once per vector).
+    // The shuffle carries |labels|·d rows, nothing corpus-sized; each
+    // qx² ≤ 1e12 fits bigint, the cross-row sum accumulates as
+    // DECIMAL(38) (exact, order-free).
+    val per = q
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "qx")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("qx")).as("s_i"))
-      .groupBy(col("label"))
+      .agg(sum(col("qx")).as("s_i"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("ssq"),
+        count(lit(1)).as("cnt"))
+    per.groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("s_i"))))
-        .as("ps"))
-      .select(col("label"),
-        aggregate(
-          transform(col("ps"), p => p.getField("s_i").cast("double")),
-          lit(0.0), (acc, x) => acc + x * x).as("s2"))
-    val agg = qq.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("q2").cast("decimal(38,0)")).cast("double").as("sumq2"))
-    agg.join(ss, "label")
+        .as("ps"),
+        sum(col("ssq")).cast("double").as("sumq2"),
+        max(col("cnt")).as("n"))
       .where(col("n") > 1)
       .select(col("label"), col("n").cast("bigint").as("n_vecs"),
-        (round((col("s2") - col("sumq2"))
+        (round((aggregate(
+            transform(col("ps"), p => p.getField("s_i").cast("double")),
+            lit(0.0), (acc, x) => acc + x * x) - col("sumq2"))
           / (col("n").cast("double") * (col("n") - 1) * lit(1e12)), 6)
           + lit(0.0)).as("mean_pair_cos"))
       .orderBy(col("label"))
@@ -365,8 +375,10 @@ object SelectionQueries {
     * cos) — every vector that has a same-cluster neighbor with cosine
     * ≥ `tau` and a LOWER id is dropped; kept_id is its lowest-id such
     * neighbor (the deterministic canonical-survivor rule the dedup
-    * family uses everywhere). Exposed for the spec and for pipeline
-    * composition (anti-join the corpus against the drops). */
+    * family uses everywhere) and cos is the cosine with THAT neighbor,
+    * so the row reads as a self-consistent audit record. Exposed for
+    * the spec and for pipeline composition (anti-join the corpus
+    * against the drops). */
   def semdedupDrops(
       s: SparkSession, d: String, tau: Double = 0.95): DataFrame = {
     val idx = IvfAnn.build(s, d)
@@ -401,7 +413,12 @@ object SelectionQueries {
         round(SimilarityQueries.dot(col("na"), col("nb")), 6))
       .where(col("cos") >= tau)
       .groupBy(col("b_id").as("vec_id"))
-      .agg(min(col("a_id")).as("kept_id"), max(col("cos")).as("cos"))
+      // cos must be the similarity WITH kept_id (the docstring's audit
+      // contract), not the max over all qualifying neighbors — min_by
+      // picks the cos of the same row min(a_id) names (a_id is unique
+      // within the group, so no tie ambiguity)
+      .agg(min(col("a_id")).as("kept_id"),
+        min_by(col("cos"), col("a_id")).as("cos"))
   }
 
   /** Declared query: per-cluster SemDeDup report at τ = 0.95 — cluster

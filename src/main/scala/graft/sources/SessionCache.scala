@@ -64,48 +64,50 @@ object SessionCache {
   def pinnedRddIds(session: SparkSession): Set[Int] =
     pinSet(session).keySet.toSet
 
-  /** Memoize `value` under `key` within `session`'s cache. Under a
-    * race, `value` may be computed twice; putIfAbsent picks one winner
-    * and the LOSING build's freshly-persisted RDDs are unpersisted
-    * rather than pinned — pinning them would exclude orphaned blocks
-    * from every future sweep, i.e. a permanent leak. (The
-    * snapshot-window attribution is best-effort: an unrelated
-    * concurrent query's RDD landing in a LOSING build's window would be
-    * wrongly released — accepted because races here require two threads
-    * building the same session-cache key concurrently, which the
-    * harness mains never do, while the leak-forever alternative hits
-    * every race.)
+  /** A published-before-evaluated memo cell: `lazy val` gives
+    * exactly-once, mutual-exclusion evaluation, so no duplicate build
+    * ever runs and there are never orphaned RDDs to clean up. A build
+    * that THROWS is not cached (lazy val re-evaluates on next access),
+    * so transient failures don't poison the key. */
+  private final class Cell(session: SparkSession, thunk: () => Any) {
+    lazy val value: Any = {
+      val sc = session.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val v = thunk()
+      val created = sc.getPersistentRDDs.keySet.diff(before)
+      if (created.nonEmpty) {
+        val p = pinSet(session)
+        created.foreach(id => p.put(id, ()))
+      }
+      v
+    }
+  }
+
+  /** Memoize `value` under `key` within `session`'s cache. The cell is
+    * PUBLISHED (putIfAbsent) before it is EVALUATED, so under a race
+    * both threads resolve to the same cell and its `lazy val` runs the
+    * build exactly once — the earlier losing-build-unpersists-winner
+    * hazard (the loser's snapshot window necessarily overlapped the
+    * winner's freshly-persisted RDDs, so "cleanup" destroyed the very
+    * checkpoint being returned) cannot occur because no losing build
+    * exists.
     *
-    * Any RDD that becomes persistent while the WINNING `value` is
-    * computed is recorded in [[pinnedRddIds]]. Eager builds
-    * (localCheckpoint, persist+count) register their data blocks here;
-    * lazy `.persist` marks register at least the intent (the
-    * CacheManager entry materializes its buffer RDD later, but those
-    * buffers belong to the CacheManager, which sweeps never touch).
-    * Over-pinning (a parallel query's RDD landing in a winning build's
-    * window) is harmless — a pin only ever makes a sweep skip an RDD. */
+    * Any RDD that becomes persistent while `value` is computed is
+    * recorded in [[pinnedRddIds]]. Eager builds (localCheckpoint,
+    * persist+count) register their data blocks here; lazy `.persist`
+    * marks register at least the intent (the CacheManager entry
+    * materializes its buffer RDD later, but those buffers belong to
+    * the CacheManager, which sweeps never touch). Over-pinning (a
+    * parallel query's RDD landing in the build's window) is harmless —
+    * a pin only ever makes a sweep skip an RDD. */
   def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V = {
     val m = map(session)
-    m.get(key) match {
-      case Some(v) => v.asInstanceOf[V]
+    val cell = m.get(key) match {
+      case Some(c) => c
       case None =>
-        val sc = session.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        val v = value
-        val created = sc.getPersistentRDDs.keySet.diff(before)
-        m.putIfAbsent(key, v) match {
-          case None =>
-            if (created.nonEmpty) {
-              val p = pinSet(session)
-              created.foreach(id => p.put(id, ()))
-            }
-            v
-          case Some(winner) =>
-            val live = sc.getPersistentRDDs
-            created.foreach(id =>
-              live.get(id).foreach(_.unpersist(blocking = false)))
-            winner.asInstanceOf[V]
-        }
+        val fresh = new Cell(session, () => value)
+        m.putIfAbsent(key, fresh).getOrElse(fresh)
     }
+    cell.asInstanceOf[Cell].value.asInstanceOf[V]
   }
 }

@@ -79,12 +79,21 @@ object StreamSinks {
     *
     * The prev-state read is `_SUCCESS`-gated like [[latestSketchState]]
     * (a half-written directory is never merged as state), and after
-    * each commit every directory older than the immediate predecessor
-    * is pruned — the new state subsumes them; the predecessor survives
-    * one round because an uncommitted-batch replay re-reads it. */
+    * each commit directories older than the newest `retainGenerations`
+    * committed predecessors are pruned — the new state subsumes them.
+    * The immediate predecessor must always survive (an
+    * uncommitted-batch replay re-reads it to rebuild the same merge);
+    * the extra generations exist for CONCURRENT READERS: a reader that
+    * resolved [[latestSketchState]] to some directory keeps scanning it
+    * while the stream commits — with AvailableNow's bursty drains, a
+    * commit can land mid-scan, so a directory is only deleted once it
+    * is `retainGenerations` commits stale. A reader slower than
+    * `retainGenerations` consecutive commits can still lose its
+    * directory mid-scan — size the parameter to the slowest reader,
+    * or set it high and prune out-of-band. */
   def foreachBatchSketchParquet(
       df: DataFrame, stateDir: String, checkpoint: String,
-      freqMapSize: Int = 1024): StreamingQuery =
+      freqMapSize: Int = 1024, retainGenerations: Int = 3): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -139,14 +148,16 @@ object StreamSinks {
           throw new java.io.IOException(
             s"sketch-state commit failed: $staging -> $committed")
         // retention: the merged state at `id` SUBSUMES every earlier
-        // directory, so prune all but the immediate predecessor — kept
-        // because a crash between this rename and the checkpoint
-        // commit replays batch `id`, and the replay's prev-state read
-        // needs the latest directory BELOW id to rebuild the same
-        // merge (pruning it would silently restart state from this
-        // batch alone). Everything older is unreachable by any reader
-        // or replay and only accumulates files.
-        committedPrev.dropRight(1).foreach(p => fs.delete(p, true))
+        // directory. The immediate predecessor is non-negotiable (a
+        // crash between this rename and the checkpoint commit replays
+        // batch `id`, and the replay's prev-state read needs the
+        // latest directory BELOW id to rebuild the same merge);
+        // further generations are kept only as a grace window for
+        // readers that resolved latestSketchState just before a
+        // commit burst — see the scaladoc's retainGenerations
+        // contract.
+        committedPrev.dropRight(math.max(1, retainGenerations))
+          .foreach(p => fs.delete(p, true))
       }
       .start()
 

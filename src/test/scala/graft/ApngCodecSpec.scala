@@ -89,4 +89,64 @@ class ApngCodecSpec extends AnyFunSuite {
       ApngCodec.decode(MediaGen.pngBytes(3L)))
     assert(e4.getMessage.contains("acTL"))
   }
+
+  test("spec-valid layout with the default image EXCLUDED from the " +
+    "animation (first fcTL after IDAT) decodes instead of rejecting") {
+    // rearrange an encoded 2-frame APNG into the other spec-legal
+    // layout: acTL(1), IDAT (default image only — not a frame),
+    // fcTL(seq 0), fdAT(seq 1). The decoded animation is exactly the
+    // one fdAT frame; the IDAT bytes are walked/CRC'd but dropped.
+    val id = 4L // 2 + 4%4 = 2 frames
+    val src = MediaGen.apngBytes(id)
+    def chunks(b: Array[Byte]): Seq[(String, Int, Int)] = {
+      var off = 8
+      val out = Seq.newBuilder[(String, Int, Int)]
+      while (off + 8 <= b.length) {
+        val len = ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+          ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+        out += ((new String(b, off + 4, 4, "US-ASCII"), off, 12 + len))
+        off += 12 + len
+      }
+      out.result()
+    }
+    def reCrc(b: Array[Byte]): Unit = {
+      val len = ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) |
+        ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 4, 4 + len)
+      val v = crc.getValue
+      b(8 + len) = ((v >>> 24) & 0xFF).toByte
+      b(9 + len) = ((v >>> 16) & 0xFF).toByte
+      b(10 + len) = ((v >>> 8) & 0xFF).toByte
+      b(11 + len) = (v & 0xFF).toByte
+    }
+    val cs = chunks(src)
+    assert(cs.count(_._1 == "fcTL") == 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(src, 0, 8)
+    var fctlSeen = 0
+    for ((t, off, tot) <- cs) {
+      val c = java.util.Arrays.copyOfRange(src, off, off + tot)
+      t match {
+        case "acTL" =>
+          // num_frames 2 -> 1: only the fdAT frame is animated
+          c(8) = 0; c(9) = 0; c(10) = 0; c(11) = 1
+          reCrc(c); out.write(c)
+        case "fcTL" =>
+          fctlSeen += 1
+          if (fctlSeen == 2) {
+            c(8) = 0; c(9) = 0; c(10) = 0; c(11) = 0 // seq 1 -> 0
+            reCrc(c); out.write(c)
+          } // first fcTL dropped: IDAT becomes the default image only
+        case "fdAT" =>
+          c(8) = 0; c(9) = 0; c(10) = 0; c(11) = 1 // seq 2 -> 1
+          reCrc(c); out.write(c)
+        case _ => out.write(c)
+      }
+    }
+    val apng = ApngCodec.decode(out.toByteArray)
+    assert((apng.width, apng.height) == MediaGen.apngDims(id))
+    assert(apng.frames.length == 1)
+    assert(apng.frames(0).toSeq == MediaGen.apngFramePixels(id, 1).toSeq)
+  }
 }

@@ -97,6 +97,43 @@ class CheckpointsSpec extends AnyFunSuite {
     Checkpoints.unpersist(pinnedDf, blocking = true)
   }
 
+  test("concurrent getOrElseUpdate builds exactly once and the " +
+    "memoized checkpoint's blocks survive") {
+    // the cell is PUBLISHED before it is EVALUATED, so racing threads
+    // resolve to one build — the old losing-build cleanup path (which
+    // unpersisted the winner's freshly-checkpointed blocks) cannot run
+    val key = ("race-spec", System.nanoTime())
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[
+            org.apache.spark.sql.DataFrame] {
+          def call(): org.apache.spark.sql.DataFrame = {
+            latch.await()
+            SessionCache.getOrElseUpdate(spark, key) {
+              builds.incrementAndGet()
+              freshFrame(25).localCheckpoint(true)
+            }
+          }
+        })
+      }
+      latch.countDown()
+      val dfs = futs.map(_.get())
+      assert(builds.get() == 1,
+        s"value built ${builds.get()} times under a race")
+      assert(dfs.forall(_ eq dfs.head),
+        "racing threads resolved to different values")
+      val id = Checkpoints.rddOf(dfs.head).get.id
+      assert(persistentIds.contains(id),
+        "memoized checkpoint's blocks were unpersisted by the race")
+      assert(SessionCache.pinnedRddIds(spark).contains(id),
+        "memoized checkpoint not pinned")
+      assert(dfs.head.count() == 25)
+    } finally pool.shutdown()
+  }
+
   test("sweep after an iterative query leaves only pinned state behind") {
     // simulate a bench run: an iterative loop using replacing leaks
     // exactly its final frame; a sweep reclaims it

@@ -178,6 +178,42 @@ class SelectionSpec extends AnyFunSuite {
     assert(report.map(_.getAs[Long]("n_dropped")).sum == 20L)
   }
 
+  test("SemDeDup drop rows pair cos with kept_id, not the max over " +
+    "qualifying neighbors") {
+    val dir = Files.createTempDirectory("graft_semcos").toString
+    // three coplanar unit vectors at 0°, 8°, 12° in span(e0, e1):
+    // v5's qualifying lower-id neighbors are v1 (cos 12° ≈ 0.978) and
+    // v3 (cos 4° ≈ 0.9976); kept_id = min = 1, and the audit contract
+    // requires cos = cos(v5, v1) — a max-over-group would report
+    // 0.9976, the similarity with a DIFFERENT vector
+    def planar(theta: Double): Seq[Float] = {
+      val c = math.cos(theta).toFloat
+      val sn = math.sin(theta).toFloat
+      Array.tabulate(64)(t =>
+        if (t == 0) c else if (t == 1) sn else 0.0f).toSeq
+    }
+    val rad = math.Pi / 180
+    val close = Seq(
+      (1L, planar(0.0), 0), (3L, planar(8 * rad), 0),
+      (5L, planar(12 * rad), 0))
+    val far = (0 until 40).map(i => (100L + i,
+      Array.tabulate(64)(t => if (t == 10 + i) 1.0f else 0.0f).toSeq, 1))
+    (close ++ far).toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val drops = SelectionQueries.semdedupDrops(spark, dir, tau = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("kept_id"), r.getAs[Double]("cos"))))
+      .toMap
+    assert(drops.keySet == Set(3L, 5L), s"drop set: $drops")
+    assert(drops(3L)._1 == 1L)
+    assert(math.abs(drops(3L)._2 - math.cos(8 * rad)) < 1e-3)
+    assert(drops(5L)._1 == 1L)
+    assert(math.abs(drops(5L)._2 - math.cos(12 * rad)) < 1e-3,
+      s"cos must pair with kept_id=1 (cos 12°), got ${drops(5L)._2}")
+  }
+
   test("SemDeDup per-cluster pair budget raises with a diagnostic " +
     "pointing at the banded path") {
     // an oversize cluster is simulated by the budget math itself:

@@ -128,11 +128,14 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(StreamSinks.latestSketchState(spark, state).isEmpty,
       "read point saw a dir without _SUCCESS")
 
-    // three drains; each merges only _SUCCESS-committed predecessors
+    // three drains; each merges only _SUCCESS-committed predecessors.
+    // retainGenerations=1 = the floor (predecessor only): pins that
+    // pruning can never go below the replay-required predecessor
     for (i <- 0 until 3) {
       stream.addData((0L until 10L).map(u => ("click", i * 100L + u)): _*)
       StreamSinks.foreachBatchSketchParquet(
-        stream.toDF().toDF("event_type", "user_id"), state, ckpt)
+        stream.toDF().toDF("event_type", "user_id"), state, ckpt,
+        retainGenerations = 1)
         .awaitTermination()
     }
     // state reflects exactly the 30 streamed users — the ghost's user
