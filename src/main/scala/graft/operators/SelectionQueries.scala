@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QDef
@@ -444,7 +445,190 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
+  /** UniMax language-budget allocation (Chung et al., "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): given per-language token counts, a
+    * total training budget B (here: half the corpus) and an epoch cap
+    * E = 4, allocate each language min(E·n, fair share) by
+    * WATERFILLING — small languages are capped at E epochs, the
+    * remaining budget splits equally among the rest. The sequential
+    * recurrence has a closed prefix form on languages sorted ascending
+    * by size: with cum_i = Σ_{j<i} E·n_j (valid while everything
+    * before i is capped) and share_i = (B − cum_i)/(L − i + 1), the
+    * FIRST language where E·n_i > share_i starts the uncapped suffix,
+    * and every uncapped language gets exactly that share. So the whole
+    * allocation is one corpus aggregate to the |langs|-row table, two
+    * windows OVER THAT TABLE (bounded by the language domain, never by
+    * data volume — whitelisted in RegistryPlanSpec), and a broadcast
+    * of the single pivot row.
+    *
+    * Determinism: n, cum, B and (L − i + 1) are exact integers; share
+    * is ONE IEEE divide of exact integers (bit-identical cross-engine)
+    * and the cap compare E·n > share sees identical doubles on both
+    * sides. */
+  val qUnimaxAlloc: QDef = QDef(
+    "q_unimax_alloc",
+    """WITH lt AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tok
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS b,
+      |    COUNT(*) AS nl
+      |  FROM lt),
+      |o AS (
+      |  SELECT lang, n_tok,
+      |    ROW_NUMBER() OVER (ORDER BY n_tok, lang) AS i,
+      |    COALESCE(SUM(4 * n_tok) OVER (ORDER BY n_tok, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum
+      |  FROM lt),
+      |r AS (
+      |  SELECT lang, n_tok, i,
+      |    CAST(b - cum AS DOUBLE) / (nl - i + 1) AS share,
+      |    CASE WHEN CAST(4 * n_tok AS DOUBLE)
+      |      > CAST(b - cum AS DOUBLE) / (nl - i + 1)
+      |      THEN 1 ELSE 0 END AS uncapped
+      |  FROM o CROSS JOIN tot),
+      |kk AS (SELECT MIN(i) AS k FROM r WHERE uncapped = 1),
+      |ks AS (SELECT share AS rshare FROM r JOIN kk ON r.i = kk.k)
+      |SELECT lang, n_tok AS n_tokens,
+      |  ROUND(CASE WHEN k IS NULL OR i < k
+      |    THEN CAST(4 * n_tok AS DOUBLE) ELSE rshare END, 4) + 0.0
+      |    AS alloc_tokens,
+      |  CAST(CASE WHEN k IS NULL OR i < k THEN 1 ELSE 0 END AS INT)
+      |    AS capped
+      |FROM r CROSS JOIN kk LEFT JOIN ks ON TRUE
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val epochs = 4L
+    val lt = documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("n_tok"))
+    val tot = broadcast(lt.agg(
+      expr("CAST(SUM(n_tok) DIV 2 AS BIGINT)").as("b"),
+      count(lit(1)).as("nl")))
+    val w = Window.orderBy(col("n_tok"), col("lang"))
+    val o = lt
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", coalesce(
+        sum(lit(epochs) * col("n_tok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val r = o.crossJoin(tot)
+      .withColumn("share",
+        (col("b") - col("cum")).cast("double")
+          / (col("nl") - col("i") + 1))
+      .withColumn("uncapped",
+        ((lit(epochs) * col("n_tok")).cast("double") > col("share"))
+          .cast("int"))
+    // the pivot: first uncapped index k and ITS share — min over a
+    // |langs|-row frame, broadcast back (k is null when E·n ≤ B/L for
+    // every language, i.e. the whole corpus fits the budget capped)
+    val kk = broadcast(r.agg(
+      min(when(col("uncapped") === 1, col("i"))).as("k"),
+      min(when(col("uncapped") === 1,
+        struct(col("i"), col("share")))).as("kr")))
+    r.crossJoin(kk)
+      .select(col("lang"), col("n_tok").as("n_tokens"),
+        (round(when(col("k").isNull || col("i") < col("k"),
+          (lit(epochs) * col("n_tok")).cast("double"))
+          .otherwise(col("kr").getField("share")), 4) + lit(0.0))
+          .as("alloc_tokens"),
+        when(col("k").isNull || col("i") < col("k"), 1).otherwise(0)
+          .cast("int").as("capped"))
+      .orderBy(col("lang"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): score every document with the corpus's own
+    * interpolated-KN bigram model (TextQueries.knDocTotals — the
+    * engine's LM-quality primitive) and split the corpus into
+    * head/middle/tail TERCILES by per-bigram NLL — head = most fluent
+    * third, the slice CCNet keeps for LM training. The report is the
+    * 3-row per-bucket summary (doc count, bigram mass, mean NLL) a
+    * curation run logs before materializing the head slice.
+    *
+    * Tercile cuts are VALUES, not row partitions (ties share a
+    * bucket): cut_q = min NLL value whose cumulative doc count reaches
+    * ⌈qn/3⌉. The cumulative count never runs corpus-wide serial — the
+    * q_weighted_median two-level shape: NLL (micro-quantized BIGINT)
+    * bands by integer unit, the only unbounded-order window walks the
+    * per-band table (≤ ~25 rows — avg bigram NLL is bounded by
+    * ln(vocab)), and the per-value window is PARTITIONED by band.
+    * Per-doc NLL quantizes as floor((−slp)/n · 1) in micro units: one
+    * IEEE divide of exact integers, so cuts and bucket assignment are
+    * exact integer compares cross-engine. */
+  val qCcnetBuckets: QDef = QDef(
+    "q_ccnet_buckets",
+    s"""${TextQueries.knDocSql},
+      |q AS (
+      |  SELECT doc_id, n_bigrams,
+      |    CAST(FLOOR(CAST(-slp AS DOUBLE) / n_bigrams) AS BIGINT)
+      |      AS nllq
+      |  FROM dw),
+      |vv AS (SELECT nllq, COUNT(*) AS c FROM q GROUP BY 1),
+      |cc AS (
+      |  SELECT nllq, SUM(c) OVER (ORDER BY nllq) AS cum FROM vv),
+      |nn AS (SELECT COUNT(*) AS n FROM q),
+      |cuts AS (
+      |  SELECT
+      |    (SELECT MIN(nllq) FROM cc, nn WHERE cum >= (n + 2) // 3)
+      |      AS cut1,
+      |    (SELECT MIN(nllq) FROM cc, nn WHERE cum >= (2 * n + 2) // 3)
+      |      AS cut2),
+      |bk AS (
+      |  SELECT doc_id, n_bigrams, nllq,
+      |    CASE WHEN nllq <= cut1 THEN 'head'
+      |      WHEN nllq <= cut2 THEN 'middle'
+      |      ELSE 'tail' END AS bucket
+      |  FROM q CROSS JOIN cuts)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(nllq) AS DOUBLE) / COUNT(*) / 1e6, 6) + 0.0
+      |    AS avg_nll
+      |FROM bk GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val q = TextQueries.knDocTotals(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        floor((-col("slp")).cast("double") / col("n_bigrams"))
+          .cast("bigint").as("nllq"))
+    // two-level exact cumulative doc count over the value grain: band
+    // by integer NLL unit, offsets from the tiny band table, per-value
+    // window partitioned by band
+    val vv = q.groupBy(col("nllq")).agg(count(lit(1)).as("c"))
+      .withColumn("band", floor(col("nllq") / lit(1e6)).cast("bigint"))
+    val offs = vv.groupBy(col("band")).agg(sum(col("c")).as("bc"))
+      .withColumn("boff", coalesce(
+        sum(col("bc")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("boff"))
+    val inner = Window.partitionBy(col("band")).orderBy(col("nllq"))
+    val cc = vv.join(broadcast(offs), "band")
+      .withColumn("cum", col("boff") + sum(col("c")).over(inner))
+    val nn = broadcast(q.agg(count(lit(1)).as("n")))
+    // rank thresholds are INTEGER division (⌈n/3⌉ = (n+2) div 3) —
+    // Spark's `/` on integers is a double divide, which would shift
+    // the cut whenever n+2 is not a multiple of 3
+    val cuts = broadcast(cc.crossJoin(nn).agg(
+      min(when(col("cum") >= expr("(n + 2) DIV 3"), col("nllq")))
+        .as("cut1"),
+      min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("nllq")))
+        .as("cut2")))
+    q.crossJoin(cuts)
+      .withColumn("bucket",
+        when(col("nllq") <= col("cut1"), "head")
+          .when(col("nllq") <= col("cut2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_bigrams")).cast("bigint").as("n_bigrams"),
+        (round(sum(col("nllq")).cast("double") / count(lit(1))
+          / lit(1e6), 6) + lit(0.0)).as("avg_nll"))
+      .orderBy(col("bucket"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qDsirWeights, qDsirSample, qGopherRules, qEmbedDiversity,
-      qSemdedup)
+      qSemdedup, qUnimaxAlloc, qCcnetBuckets)
 }

@@ -510,22 +510,10 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Interpolated Kneser–Ney bigram scoring (D = 0.75) — the smoothing
-    * actually used by n-gram LM quality filters, upgrading
-    * q_bigram_perplexity's raw MLE: probability mass is discounted from
-    * observed bigrams and redistributed through the CONTINUATION
-    * distribution (how many distinct contexts a word follows — "san
-    * francisco"-type words score low as novel continuations no matter
-    * how frequent the bigram). P(w2|w1) = max(c12−D,0)/c1 +
-    * (D·N1+(w1·)/c1)·(N1+(·w2)/T). All counts are exact integers from
-    * three hash aggregates over the distinct-bigram table; per-bigram
-    * log-probs quantize to integer micro-units before the per-doc sum
-    * (the established order-independence idiom); the double arithmetic
-    * inside ln() is structured identically on both engines. Join keys
-    * are uniformly-hashed tokens, vocab-sized dims broadcast via AQE —
-    * the q_tfidf/q_bm25 shape. */
-  val qKneserNey: QDef = QDef(
-    "q_kneser_ney",
+  /** Shared SQL CTE chain ending in `dw(doc_id, n_bigrams, slp)` — the
+    * per-doc interpolated-KN totals both [[qKneserNey]] and the CCNet
+    * bucketing report (SelectionQueries.qCcnetBuckets) build on. */
+  private[operators] val knDocSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |b AS (
@@ -549,12 +537,17 @@ object TextQueries {
       |  FROM cb
       |  JOIN cw ON string_split(cb.bg, ' ')[1] = cw.w1
       |  JOIN cont ON string_split(cb.bg, ' ')[2] = cont.w2
-      |  CROSS JOIN tt)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(-SUM(lp_micro) AS DOUBLE) / 1e6 / COUNT(*) AS avg_nll_kn
-      |FROM b JOIN lm USING (bg)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  CROSS JOIN tt),
+      |dw AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp_micro) AS slp
+      |  FROM b JOIN lm USING (bg)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc interpolated-KN totals: (doc_id, n_bigrams, slp BIGINT =
+    * Σ lp_micro) — the Spark twin of [[knDocSql]]'s `dw` CTE, shared
+    * with the CCNet perplexity-bucketing report. */
+  private[operators] def knDocTotals(
+      s: SparkSession, d: String): DataFrame = {
     val b = documents(s, d)
       .select(col("doc_id"), tokens.as("l"))
       .filter(size(col("l")) >= 2)
@@ -585,11 +578,36 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp_micro")).as("slp"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (D = 0.75) — the smoothing
+    * actually used by n-gram LM quality filters, upgrading
+    * q_bigram_perplexity's raw MLE: probability mass is discounted from
+    * observed bigrams and redistributed through the CONTINUATION
+    * distribution (how many distinct contexts a word follows — "san
+    * francisco"-type words score low as novel continuations no matter
+    * how frequent the bigram). P(w2|w1) = max(c12−D,0)/c1 +
+    * (D·N1+(w1·)/c1)·(N1+(·w2)/T). All counts are exact integers from
+    * three hash aggregates over the distinct-bigram table; per-bigram
+    * log-probs quantize to integer micro-units before the per-doc sum
+    * (the established order-independence idiom); the double arithmetic
+    * inside ln() is structured identically on both engines. Join keys
+    * are uniformly-hashed tokens, vocab-sized dims broadcast via AQE —
+    * the q_tfidf/q_bm25 shape. */
+  val qKneserNey: QDef = QDef(
+    "q_kneser_ney",
+    s"""$knDocSql
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(-slp AS DOUBLE) / 1e6 / n_bigrams AS avg_nll_kn
+      |FROM dw
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    knDocTotals(s, d)
       .select(col("doc_id"), col("n_bigrams"),
         ((-col("slp")).cast("double") / lit(1e6) / col("n_bigrams"))
           .as("avg_nll_kn"))
       .orderBy(col("doc_id"))
   }
+
 
   /** Zipf exponent of the corpus word distribution: OLS fit of
     * ln(freq) on ln(rank) over the TOP-100 frequency head (natural

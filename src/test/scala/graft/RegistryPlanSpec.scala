@@ -51,7 +51,11 @@ class RegistryPlanSpec extends AnyFunSuite {
     // tables — pre-aggregated to a domain that does not grow with data
     Set("q_region_share", "q_train_mix", "q_basket_size_dist",
       "q_auc", "q_pr_curve", "q_shard_pack", "q_bootstrap_ci",
-      "q_pareto_revenue") ++
+      "q_pareto_revenue",
+      // UniMax waterfilling: both windows run over the per-LANGUAGE
+      // token table — one row per language, bounded by the language
+      // domain, never by corpus volume
+      "q_unimax_alloc") ++
     // top-k-first: the LIMIT/TakeOrdered runs BEFORE the serial
     // window, so the window sees k rows regardless of corpus size
     Set("q_zipf_top", "q_skyline", "q_zipf_alpha",
@@ -67,7 +71,13 @@ class RegistryPlanSpec extends AnyFunSuite {
     // customer count. The per-customer rank window IS partitioned (by
     // band). Formerly exempted structurally by its __-prefixed columns;
     // now audited explicitly like everything else.
-    Set("q_rfm_segments")
+    Set("q_rfm_segments",
+      // CCNet terciles: the q_weighted_median two-level shape — the
+      // only unbounded-order window walks the per-BAND offset table
+      // (one row per integer NLL unit, ≤ ~25 bands since avg bigram
+      // NLL is bounded by ln(vocab)); the per-value cumulative window
+      // is partitioned by band
+      "q_ccnet_buckets")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>

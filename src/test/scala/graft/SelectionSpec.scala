@@ -178,6 +178,77 @@ class SelectionSpec extends AnyFunSuite {
     assert(report.map(_.getAs[Long]("n_dropped")).sum == 20L)
   }
 
+  test("UniMax waterfilling matches the closed-form allocation: small " +
+    "languages capped at E epochs, the rest split the remainder") {
+    // lang word totals 2/3/40/155, budget B = 200/2 = 100, E = 4:
+    //   asc order (aa, bb, cc, dd) →
+    //   aa: share 100/4 = 25,   4·2  = 8  ≤ 25 → capped 8
+    //   bb: share 92/3 ≈ 30.7,  4·3  = 12 ≤    → capped 12
+    //   cc: share 80/2 = 40,    4·40 = 160 >   → uncapped, share 40
+    //   dd: uncapped, same share 40          (8+12+40+40 = 100 = B)
+    val dir = Files.createTempDirectory("graft_unimax").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, doc(2), "aa"), (2L, doc(3), "bb"),
+      (3L, doc(25), "cc"), (4L, doc(15), "cc"),
+      (5L, doc(100), "dd"), (6L, doc(55), "dd"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_unimax_alloc")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("alloc_tokens"),
+          r.getAs[Int]("capped"))))
+      .toMap
+    assert(out("aa") == ((2L, 8.0, 1)), s"aa: ${out("aa")}")
+    assert(out("bb") == ((3L, 12.0, 1)), s"bb: ${out("bb")}")
+    assert(out("cc") == ((40L, 40.0, 0)), s"cc: ${out("cc")}")
+    assert(out("dd") == ((155L, 40.0, 0)), s"dd: ${out("dd")}")
+  }
+
+  test("UniMax degenerates to an equal split when even the smallest " +
+    "language exceeds its fair share") {
+    // totals 25/175 → B = 100, E = 4: the SMALLEST language already
+    // wants 4·25 = 100 > its fair share 100/2 = 50, so the uncapped
+    // suffix starts at i = 1 and every language gets the equal share
+    // 50 — the pivot-at-first-index branch (k = 1, no capped prefix)
+    val dir = Files.createTempDirectory("graft_unimax2").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    Seq((1L, doc(25), "aa"), (2L, doc(175), "bb"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_unimax_alloc")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("alloc_tokens"), r.getAs[Int]("capped"))))
+      .toMap
+    assert(out("aa") == ((50.0, 0)), s"aa: ${out("aa")}")
+    assert(out("bb") == ((50.0, 0)), s"bb: ${out("bb")}")
+  }
+
+  test("CCNet buckets partition the corpus into ordered terciles " +
+    "by KN fluency") {
+    val out = SparkEntry.queries("q_ccnet_buckets")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("avg_nll"))))
+      .toMap
+    assert(out.keySet == Set("head", "middle", "tail"), s"$out")
+    // every doc with ≥ 2 whitespace tokens gets a KN score
+    val scoredDocs = graft.sources.TableLoader.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.values.map(_._1).sum == scoredDocs,
+      "buckets must partition every scored doc")
+    // value-cut terciles: each bucket holds ≥ 1 doc and the head is
+    // at most ⌈n/3⌉ + ties; mean NLL must be strictly ordered
+    assert(out("head")._2 < out("middle")._2)
+    assert(out("middle")._2 < out("tail")._2)
+    assert(out("head")._1 >= (scoredDocs + 2) / 3,
+      "head must reach the first tercile rank (ties may overshoot)")
+  }
+
   test("SemDeDup drop rows pair cos with kept_id, not the max over " +
     "qualifying neighbors") {
     val dir = Files.createTempDirectory("graft_semcos").toString
