@@ -473,7 +473,61 @@ object CurationQueries {
     }
   }
 
+  /** Cluster-representative selection — the step AFTER a dedup pass
+    * groups documents: each cluster keeps its highest-QUALITY member
+    * (longest text, doc_id as the deterministic tiebreak), not merely
+    * the lowest id the cheap passes use. The grain here is the
+    * md5 of the first-8-word shingle (coarser than q_dedup_prefix's
+    * 120-char key, so real multi-member clusters form), and the output
+    * is the per-cluster AUDIT a curation run logs: the surviving doc,
+    * member count, total bytes, and bytes reclaimed by collapsing the
+    * cluster to its representative.
+    *
+    * Scale shape: ONE hash-partitioned aggregate at cluster grain —
+    * the keeper is an `min_by` over the composite ordering key
+    * (−n_chars, doc_id), so no window sort and no per-cluster row
+    * traffic beyond the aggregate's partial buffers. The oracle
+    * expresses the same policy as a partitioned ROW_NUMBER, pinning
+    * that the argmin-by-struct really implements "max quality, min id
+    * on ties" cross-engine. */
+  val qDedupClusterRep: QDef = QDef(
+    "q_dedup_cluster_rep",
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |      AS ck
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY ck
+      |      ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY ck) AS n_members,
+      |    SUM(n_chars) OVER (PARTITION BY ck) AS total_chars
+      |  FROM p)
+      |SELECT doc_id AS rep_doc_id,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(total_chars AS BIGINT) AS total_chars,
+      |  CAST(total_chars - n_chars AS BIGINT) AS chars_saved
+      |FROM r WHERE rn = 1
+      |ORDER BY rep_doc_id""".stripMargin) { (s, d) =>
+    val p = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+          .cast("binary")).as("ck"))
+    p.groupBy(col("ck"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        min_by(struct(col("doc_id"), col("n_chars")),
+          struct((-col("n_chars")).as("neg_q"), col("doc_id")))
+          .as("rep"))
+      .select(col("rep.doc_id").as("rep_doc_id"), col("n_members"),
+        col("total_chars"),
+        (col("total_chars") - col("rep.n_chars")).as("chars_saved"))
+      .orderBy(col("rep_doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qDedupPrefix, qLengthBand, qZipfTop, qScd2Status, qParetoRevenue,
-    qRfmSegments, qMomChange, qWinsorize, qContamination)
+    qRfmSegments, qMomChange, qWinsorize, qContamination,
+    qDedupClusterRep)
 }

@@ -466,8 +466,10 @@ object SelectionQueries {
     * is ONE IEEE divide of exact integers (bit-identical cross-engine)
     * and the cap compare E·n > share sees identical doubles on both
     * sides. */
-  val qUnimaxAlloc: QDef = QDef(
-    "q_unimax_alloc",
+  /** Shared SQL WITH-chain ending in `alloc(lang, n_tok, alloc_tok,
+    * capped)` — the UniMax waterfill both [[qUnimaxAlloc]] and the
+    * data-constrained yield report select from. */
+  private val unimaxAllocSql: String =
     """WITH lt AS (
       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
       |    AS n_tok
@@ -491,15 +493,20 @@ object SelectionQueries {
       |      THEN 1 ELSE 0 END AS uncapped
       |  FROM o CROSS JOIN tot),
       |kk AS (SELECT MIN(i) AS k FROM r WHERE uncapped = 1),
-      |ks AS (SELECT share AS rshare FROM r JOIN kk ON r.i = kk.k)
-      |SELECT lang, n_tok AS n_tokens,
-      |  ROUND(CASE WHEN k IS NULL OR i < k
-      |    THEN CAST(4 * n_tok AS DOUBLE) ELSE rshare END, 4) + 0.0
-      |    AS alloc_tokens,
-      |  CAST(CASE WHEN k IS NULL OR i < k THEN 1 ELSE 0 END AS INT)
-      |    AS capped
-      |FROM r CROSS JOIN kk LEFT JOIN ks ON TRUE
-      |ORDER BY lang""".stripMargin) { (s, d) =>
+      |ks AS (SELECT share AS rshare FROM r JOIN kk ON r.i = kk.k),
+      |alloc AS (
+      |  SELECT lang, n_tok,
+      |    CASE WHEN k IS NULL OR i < k
+      |      THEN CAST(4 * n_tok AS DOUBLE) ELSE rshare END AS alloc_tok,
+      |    CASE WHEN k IS NULL OR i < k THEN 1 ELSE 0 END AS capped
+      |  FROM r CROSS JOIN kk LEFT JOIN ks ON TRUE)""".stripMargin
+
+  /** UniMax waterfill frame: (lang, n_tok BIGINT, alloc_tok DOUBLE,
+    * capped INT) — the Spark twin of [[unimaxAllocSql]]'s `alloc` CTE,
+    * shared with the data-constrained yield report. alloc_tok is
+    * bit-deterministic: either the exact integer 4·n or ONE IEEE
+    * divide of exact integers. */
+  private def unimaxAlloc(s: SparkSession, d: String): DataFrame = {
     val epochs = 4L
     val lt = documents(s, d)
       .groupBy(col("lang"))
@@ -529,13 +536,84 @@ object SelectionQueries {
       min(when(col("uncapped") === 1,
         struct(col("i"), col("share")))).as("kr")))
     r.crossJoin(kk)
-      .select(col("lang"), col("n_tok").as("n_tokens"),
-        (round(when(col("k").isNull || col("i") < col("k"),
+      .select(col("lang"), col("n_tok"),
+        when(col("k").isNull || col("i") < col("k"),
           (lit(epochs) * col("n_tok")).cast("double"))
-          .otherwise(col("kr").getField("share")), 4) + lit(0.0))
-          .as("alloc_tokens"),
+          .otherwise(col("kr").getField("share")).as("alloc_tok"),
         when(col("k").isNull || col("i") < col("k"), 1).otherwise(0)
           .cast("int").as("capped"))
+  }
+
+  val qUnimaxAlloc: QDef = QDef(
+    "q_unimax_alloc",
+    s"""$unimaxAllocSql
+      |SELECT lang, n_tok AS n_tokens,
+      |  ROUND(alloc_tok, 4) + 0.0 AS alloc_tokens,
+      |  CAST(capped AS INT) AS capped
+      |FROM alloc
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    unimaxAlloc(s, d)
+      .select(col("lang"), col("n_tok").as("n_tokens"),
+        (round(col("alloc_tok"), 4) + lit(0.0)).as("alloc_tokens"),
+        col("capped"))
+      .orderBy(col("lang"))
+  }
+
+  /** Data-constrained effective-token yield of the UniMax allocation
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * NeurIPS 2023): repeating data decays in value exponentially —
+    * with U unique tokens read for R_D repetitions beyond the first
+    * epoch, the paper's fitted form counts D' = U + U·R*·(1 −
+    * exp(−R_D/R*)) effective tokens (R* ≈ 15; fitted 15.4 in the
+    * paper). This grades each language's UniMax budget: epochs =
+    * alloc/U; under one full epoch the yield is just the tokens read
+    * (alloc ≤ U reads alloc UNIQUE tokens — the decay law only governs
+    * repetition), past it the exponential saturation kicks in, capping
+    * any language's possible yield at U·(1 + R*). The report is what a
+    * mixing planner reads to see where the next budget dollar still
+    * buys effective tokens.
+    *
+    * Scale + determinism: selects FROM the shared [[unimaxAlloc]]
+    * frame (|langs| rows; the corpus work is q_unimax_alloc's one
+    * aggregate), epochs is one IEEE divide of bit-identical inputs,
+    * and the one libm call exp() micro-quantizes to integer units
+    * (floor(e·1e6) — the established ln()/exp() discipline) so every
+    * downstream op is correctly-rounded arithmetic on identical
+    * doubles. */
+  val qDataConstrained: QDef = QDef(
+    "q_data_constrained",
+    s"""$unimaxAllocSql,
+      |ep AS (
+      |  SELECT lang, n_tok, alloc_tok, capped,
+      |    alloc_tok / n_tok AS epochs
+      |  FROM alloc),
+      |em AS (
+      |  SELECT lang, n_tok, alloc_tok, capped, epochs,
+      |    CAST(FLOOR(EXP(-GREATEST(epochs - 1, 0) / 15.0) * 1e6)
+      |      AS BIGINT) AS e_micro
+      |  FROM ep)
+      |SELECT lang, n_tok AS n_tokens,
+      |  ROUND(alloc_tok, 4) + 0.0 AS alloc_tokens,
+      |  ROUND(epochs, 6) + 0.0 AS epochs,
+      |  ROUND(CASE WHEN epochs <= 1 THEN alloc_tok
+      |    ELSE n_tok * (1 + 15.0 * (1 - CAST(e_micro AS DOUBLE) / 1e6))
+      |    END, 4) + 0.0 AS eff_tokens
+      |FROM em
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val rStar = 15.0
+    val ep = unimaxAlloc(s, d)
+      .withColumn("epochs", col("alloc_tok") / col("n_tok"))
+      .withColumn("e_micro",
+        floor(exp(-greatest(col("epochs") - 1, lit(0.0)) / lit(rStar))
+          * lit(1e6)).cast("bigint"))
+    ep.select(col("lang"), col("n_tok").as("n_tokens"),
+        (round(col("alloc_tok"), 4) + lit(0.0)).as("alloc_tokens"),
+        (round(col("epochs"), 6) + lit(0.0)).as("epochs"),
+        (round(when(col("epochs") <= 1, col("alloc_tok"))
+          .otherwise(col("n_tok")
+            * (lit(1.0) + lit(rStar)
+              * (lit(1.0) - col("e_micro").cast("double") / lit(1e6)))),
+          4) + lit(0.0)).as("eff_tokens"))
       .orderBy(col("lang"))
   }
 
@@ -628,7 +706,98 @@ object SelectionQueries {
       .orderBy(col("bucket"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+    * 2023): one exponentiated-gradient step over per-domain EXCESS
+    * loss. The paper's excess is proxy-vs-reference model loss; the
+    * engine's stand-in is each source's mean KN bigram NLL minus the
+    * corpus-wide mean (clamped at 0) — the same LM-quality primitive
+    * CCNet bucketing scores with, so the two reports read off one
+    * model. New weight w'_d ∝ u_d · exp(η · excess_d) with the
+    * baseline mixture u_d = the source's bigram share and η = 1
+    * (a single EG step; iterating is re-running the query on the
+    * reweighted sample).
+    *
+    * Scale shape: the KN totals are the corpus-wide work (bigram hash
+    * aggregates + broadcast vocab joins, the q_kneser_ney plan); from
+    * there ONE aggregate lands on the |sources|-row table and
+    * everything downstream — reference NLL, pivot, normalization — is
+    * arithmetic on that bounded frame with 1-row broadcasts. No
+    * windows at all.
+    *
+    * Determinism: per-source NLL micro-units come from an INTEGER
+    * divide of exact BIGINTs (DuckDB `//` = Spark `DIV` on positive
+    * operands); exp() is quantized to integer micro-units
+    * (floor(exp·1e6) — the ln() discipline of q_kneser_ney: a flap
+    * needs the true value within 1 ulp of a 1e-6 boundary);
+    * numerators n_d · e_micro are exact integer products (HUGEINT /
+    * DECIMAL(38,0)), their sum is order-free, and each output weight
+    * is ONE IEEE divide of two exactly-known integers. */
+  val qDoremiWeights: QDef = QDef(
+    "q_doremi_weights",
+    s"""${TextQueries.knDocSql},
+      |sd AS (SELECT doc_id, source FROM documents),
+      |ps AS (
+      |  SELECT source, CAST(SUM(n_bigrams) AS BIGINT) AS n_bg,
+      |    CAST(SUM(-slp) AS BIGINT) AS nll_sum
+      |  FROM dw JOIN sd USING (doc_id)
+      |  GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_bg) AS BIGINT) AS n_all,
+      |    CAST(SUM(nll_sum) AS BIGINT) // CAST(SUM(n_bg) AS BIGINT)
+      |      AS ref_micro
+      |  FROM ps),
+      |e AS (
+      |  SELECT source, n_bg, n_all,
+      |    GREATEST(nll_sum // n_bg - ref_micro, 0) AS excess_micro
+      |  FROM ps CROSS JOIN tot),
+      |nm AS (
+      |  SELECT source, n_bg, n_all, excess_micro,
+      |    CAST(n_bg AS HUGEINT)
+      |      * CAST(FLOOR(EXP(CAST(excess_micro AS DOUBLE) / 1e6)
+      |          * 1e6) AS BIGINT) AS num
+      |  FROM e),
+      |dn AS (SELECT SUM(num) AS den FROM nm)
+      |SELECT source, n_bg AS n_bigrams,
+      |  ROUND(CAST(n_bg AS DOUBLE) / CAST(n_all AS DOUBLE), 6) + 0.0
+      |    AS token_share,
+      |  ROUND(CAST(excess_micro AS DOUBLE) / 1e6, 6) + 0.0
+      |    AS excess_nll,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0
+      |    AS weight
+      |FROM nm CROSS JOIN dn
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val ps = TextQueries.knDocTotals(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_bigrams")).cast("bigint").as("n_bg"),
+        sum(-col("slp")).cast("bigint").as("nll_sum"))
+    val tot = broadcast(ps.agg(
+      sum(col("n_bg")).cast("bigint").as("n_all"),
+      expr("CAST(SUM(nll_sum) AS BIGINT) DIV CAST(SUM(n_bg) AS BIGINT)")
+        .as("ref_micro")))
+    val nm = ps.crossJoin(tot)
+      .withColumn("excess_micro",
+        greatest(expr("nll_sum DIV n_bg") - col("ref_micro"), lit(0L)))
+      .withColumn("num",
+        col("n_bg").cast("decimal(38,0)")
+          * floor(exp(col("excess_micro").cast("double") / lit(1e6))
+              * lit(1e6)).cast("bigint").cast("decimal(38,0)"))
+    val dn = broadcast(nm.agg(sum(col("num")).as("den")))
+    nm.crossJoin(dn)
+      .select(col("source"), col("n_bg").as("n_bigrams"),
+        (round(col("n_bg").cast("double") / col("n_all").cast("double"),
+          6) + lit(0.0)).as("token_share"),
+        (round(col("excess_micro").cast("double") / lit(1e6), 6)
+          + lit(0.0)).as("excess_nll"),
+        (round(col("num").cast("double") / col("den").cast("double"),
+          6) + lit(0.0)).as("weight"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QDef] =
     Seq(qDsirWeights, qDsirSample, qGopherRules, qEmbedDiversity,
-      qSemdedup, qUnimaxAlloc, qCcnetBuckets)
+      qSemdedup, qUnimaxAlloc, qCcnetBuckets, qDoremiWeights,
+      qDataConstrained)
 }

@@ -128,4 +128,43 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.DedupQueries
       .ngramJaccardPairs(spark, sfDir).count() >= 1)
   }
+
+  test("cluster representative keeps the longest member, lowest id on " +
+    "ties, and accounts every member exactly once") {
+    val dir = Files.createTempDirectory("graft_clusterrep").toString
+    val prefixA = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val prefixB = "q1 q2 q3 q4 q5 q6 q7 q8"
+    def tail(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      // cluster A: 11 is the longest -> keeper despite higher id
+      (10L, s"$prefixA ${tail("aa", 5)}"),
+      (11L, s"$prefixA ${tail("bb", 20)}"),
+      (12L, s"$prefixA ${tail("cc", 2)}"),
+      // cluster B: equal lengths -> min doc_id 20 wins the tie
+      (20L, s"$prefixB ${tail("dd", 7)}"),
+      (21L, s"$prefixB ${tail("ee", 7)}"),
+      // singleton: its own representative, nothing reclaimed
+      (30L, "r1 r2 r3 r4 r5 r6 r7 r8 r9"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_cluster_rep")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("rep_doc_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("chars_saved"))))
+      .toMap
+    val chars = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    assert(out.keySet == Set(11L, 20L, 30L), s"representatives: $out")
+    assert(out(11L)._1 == 3L && out(20L)._1 == 2L && out(30L)._1 == 1L)
+    assert(out(11L)._2 == chars(10L) + chars(11L) + chars(12L))
+    assert(out(11L)._3 == chars(10L) + chars(12L),
+      "saved = every non-representative byte in the cluster")
+    assert(out(20L)._3 == chars(21L))
+    assert(out(30L)._3 == 0L, "singleton reclaims nothing")
+    // members partition the corpus
+    assert(out.values.map(_._1).sum == docs.size.toLong)
+  }
 }

@@ -54,8 +54,9 @@ class RegistryPlanSpec extends AnyFunSuite {
       "q_pareto_revenue",
       // UniMax waterfilling: both windows run over the per-LANGUAGE
       // token table — one row per language, bounded by the language
-      // domain, never by corpus volume
-      "q_unimax_alloc") ++
+      // domain, never by corpus volume (q_data_constrained selects
+      // from the same shared |langs|-row alloc frame)
+      "q_unimax_alloc", "q_data_constrained") ++
     // top-k-first: the LIMIT/TakeOrdered runs BEFORE the serial
     // window, so the window sees k rows regardless of corpus size
     Set("q_zipf_top", "q_skyline", "q_zipf_alpha",

@@ -228,6 +228,40 @@ class SelectionSpec extends AnyFunSuite {
     assert(out("bb") == ((50.0, 0)), s"bb: ${out("bb")}")
   }
 
+  test("data-constrained yield: sub-epoch languages yield exactly " +
+    "their read tokens, repeated languages saturate per the decay law") {
+    // reuse the UniMax fixture: totals 2/3/40/155, B = 100, E = 4 →
+    // alloc aa=8 (4 epochs), bb=12 (4 epochs), cc=40 (1 epoch),
+    // dd=40 (40/155 < 1 epoch)
+    val dir = Files.createTempDirectory("graft_datacon").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, doc(2), "aa"), (2L, doc(3), "bb"),
+      (3L, doc(25), "cc"), (4L, doc(15), "cc"),
+      (5L, doc(100), "dd"), (6L, doc(55), "dd"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_data_constrained")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("epochs"), r.getAs[Double]("eff_tokens"))))
+      .toMap
+    // closed form: U + U·15·(1 − e^{−(R−1)/15}) for R epochs of U
+    def eff(u: Double, r: Double): Double =
+      u * (1 + 15.0 * (1 - math.floor(
+        math.exp(-(r - 1) / 15.0) * 1e6) / 1e6))
+    assert(out("aa")._1 == 4.0 && out("bb")._1 == 4.0)
+    assert(math.abs(out("aa")._2 - eff(2, 4)) < 1e-3, s"aa: ${out("aa")}")
+    assert(math.abs(out("bb")._2 - eff(3, 4)) < 1e-3, s"bb: ${out("bb")}")
+    // exactly one epoch: both branches equal U (continuity point)
+    assert(out("cc") == ((1.0, 40.0)), s"cc: ${out("cc")}")
+    // under one epoch: yield is the tokens actually read, not U
+    assert(out("dd")._1 < 1.0 && out("dd")._2 == 40.0, s"dd: ${out("dd")}")
+    // repetition decays: 4 epochs yield strictly less than 4× uniques
+    assert(out("aa")._2 < 4 * 2.0 && out("aa")._2 > 2.0)
+  }
+
   test("CCNet buckets partition the corpus into ordered terciles " +
     "by KN fluency") {
     val out = SparkEntry.queries("q_ccnet_buckets")(spark, sfDir)
@@ -283,6 +317,63 @@ class SelectionSpec extends AnyFunSuite {
     assert(drops(5L)._1 == 1L)
     assert(math.abs(drops(5L)._2 - math.cos(12 * rad)) < 1e-3,
       s"cos must pair with kept_id=1 (cos 12°), got ${drops(5L)._2}")
+  }
+
+  test("DoReMi upweights the high-excess-loss domain and clamps the " +
+    "fluent domain at its baseline share") {
+    // source 'rep': every doc is the SAME two-token alternation, so
+    // its bigrams dominate the corpus LM -> per-bigram NLL below the
+    // corpus mean -> excess clamps to 0 and weight/share stays at the
+    // e^0 floor. source 'div': every doc uses doc-unique tokens, so
+    // every bigram is a count-1 singleton -> NLL above the mean ->
+    // positive excess -> EG upweights it relative to its share.
+    val dir = Files.createTempDirectory("graft_doremi").toString
+    def rep(n: Int) = Seq.fill(n)("aa bb").mkString(" ")
+    def div(seed: Int, n: Int) =
+      (0 until n).map(j => s"w${seed}x$j").mkString(" ")
+    val docs =
+      (0 until 10).map(i => (i.toLong, rep(20), "en", "rep")) ++
+      (10 until 20).map(i => (i.toLong, div(i, 40), "en", "div"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doremi_weights")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("token_share"), r.getAs[Double]("excess_nll"),
+          r.getAs[Double]("weight"))))
+      .toMap
+    assert(out.keySet == Set("rep", "div"), s"sources: ${out.keySet}")
+    assert(out("rep")._2 == 0.0,
+      s"fluent domain must clamp at zero excess: ${out("rep")}")
+    assert(out("div")._2 > 0.0, s"diverse domain excess: ${out("div")}")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-4,
+      "weights must normalize")
+    // the EG step moves mass toward the high-excess domain
+    assert(out("div")._3 > out("div")._1,
+      s"div not upweighted vs baseline: ${out("div")}")
+    assert(out("rep")._3 < out("rep")._1,
+      s"rep not downweighted vs baseline: ${out("rep")}")
+  }
+
+  test("DoReMi on the shipped corpus: every source weighted, " +
+    "non-negative excess, normalized, deterministic") {
+    val rows = SparkEntry.queries("q_doremi_weights")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20, s"${rows.length} sources")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("excess_nll") >= 0.0, s"negative excess: $r")
+      assert(r.getAs[Double]("weight") > 0.0, s"zero weight: $r")
+    }
+    assert(math.abs(
+      rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    // at least one source sits at or below the reference NLL
+    assert(rows.exists(_.getAs[Double]("excess_nll") == 0.0),
+      "some source must clamp at the corpus reference")
+    val again = SparkEntry.queries("q_doremi_weights")(spark, sfDir)
+      .collect()
+    assert(rows.toSeq == again.toSeq, "not deterministic")
   }
 
   test("SemDeDup per-cluster pair budget raises with a diagnostic " +
