@@ -545,9 +545,18 @@ object TextQueries {
 
   /** Per-doc interpolated-KN totals: (doc_id, n_bigrams, slp BIGINT =
     * Σ lp_micro) — the Spark twin of [[knDocSql]]'s `dw` CTE, shared
-    * with the CCNet perplexity-bucketing report. */
+    * with the CCNet perplexity-bucketing report and DoReMi domain
+    * reweighting. Memoized per (session, sfDir): the LM is built ONCE
+    * and every report that scores with it reads the persisted
+    * |docs|-row totals — three consumers, one bigram-join chain. */
   private[operators] def knDocTotals(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("kn_doc_totals", d)) {
+      knDocTotalsOf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def knDocTotalsOf(s: SparkSession, d: String): DataFrame = {
     val b = documents(s, d)
       .select(col("doc_id"), tokens.as("l"))
       .filter(size(col("l")) >= 2)
