@@ -445,27 +445,6 @@ object SelectionQueries {
       .orderBy(col("cluster"))
   }
 
-  /** UniMax language-budget allocation (Chung et al., "UniMax: Fairer
-    * and More Effective Language Sampling for Large-Scale Multilingual
-    * Pretraining", ICLR 2023): given per-language token counts, a
-    * total training budget B (here: half the corpus) and an epoch cap
-    * E = 4, allocate each language min(E·n, fair share) by
-    * WATERFILLING — small languages are capped at E epochs, the
-    * remaining budget splits equally among the rest. The sequential
-    * recurrence has a closed prefix form on languages sorted ascending
-    * by size: with cum_i = Σ_{j<i} E·n_j (valid while everything
-    * before i is capped) and share_i = (B − cum_i)/(L − i + 1), the
-    * FIRST language where E·n_i > share_i starts the uncapped suffix,
-    * and every uncapped language gets exactly that share. So the whole
-    * allocation is one corpus aggregate to the |langs|-row table, two
-    * windows OVER THAT TABLE (bounded by the language domain, never by
-    * data volume — whitelisted in RegistryPlanSpec), and a broadcast
-    * of the single pivot row.
-    *
-    * Determinism: n, cum, B and (L − i + 1) are exact integers; share
-    * is ONE IEEE divide of exact integers (bit-identical cross-engine)
-    * and the cap compare E·n > share sees identical doubles on both
-    * sides. */
   /** Shared SQL WITH-chain ending in `alloc(lang, n_tok, alloc_tok,
     * capped)` — the UniMax waterfill both [[qUnimaxAlloc]] and the
     * data-constrained yield report select from. */
@@ -503,10 +482,18 @@ object SelectionQueries {
 
   /** UniMax waterfill frame: (lang, n_tok BIGINT, alloc_tok DOUBLE,
     * capped INT) — the Spark twin of [[unimaxAllocSql]]'s `alloc` CTE,
-    * shared with the data-constrained yield report. alloc_tok is
-    * bit-deterministic: either the exact integer 4·n or ONE IEEE
-    * divide of exact integers. */
-  private def unimaxAlloc(s: SparkSession, d: String): DataFrame = {
+    * shared with the data-constrained yield report and memoized per
+    * (session, sfDir) so the two consumers run the corpus aggregate
+    * once (the |langs|-row result persists; the pin survives the
+    * harness sweep). alloc_tok is bit-deterministic: either the exact
+    * integer 4·n or ONE IEEE divide of exact integers. */
+  private def unimaxAlloc(s: SparkSession, d: String): DataFrame =
+    graft.sources.SessionCache.getOrElseUpdate(s, ("unimax_alloc", d)) {
+      unimaxAllocOf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def unimaxAllocOf(s: SparkSession, d: String): DataFrame = {
     val epochs = 4L
     val lt = documents(s, d)
       .groupBy(col("lang"))
@@ -544,6 +531,27 @@ object SelectionQueries {
           .cast("int").as("capped"))
   }
 
+  /** UniMax language-budget allocation (Chung et al., "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): given per-language token counts, a
+    * total training budget B (here: half the corpus) and an epoch cap
+    * E = 4, allocate each language min(E·n, fair share) by
+    * WATERFILLING — small languages are capped at E epochs, the
+    * remaining budget splits equally among the rest. The sequential
+    * recurrence has a closed prefix form on languages sorted ascending
+    * by size: with cum_i = Σ_{j<i} E·n_j (valid while everything
+    * before i is capped) and share_i = (B − cum_i)/(L − i + 1), the
+    * FIRST language where E·n_i > share_i starts the uncapped suffix,
+    * and every uncapped language gets exactly that share. So the whole
+    * allocation is one corpus aggregate to the |langs|-row table, two
+    * windows OVER THAT TABLE (bounded by the language domain, never by
+    * data volume — whitelisted in RegistryPlanSpec), and a broadcast
+    * of the single pivot row.
+    *
+    * Determinism: n, cum, B and (L − i + 1) are exact integers; share
+    * is ONE IEEE divide of exact integers (bit-identical cross-engine)
+    * and the cap compare E·n > share sees identical doubles on both
+    * sides. */
   val qUnimaxAlloc: QDef = QDef(
     "q_unimax_alloc",
     s"""$unimaxAllocSql
