@@ -20,14 +20,28 @@ import org.apache.spark.sql.SparkSession
   * the suite outgrows it), while the full-precision map goes to stderr
   * and to BENCH_FULL.json for the judge.
   *
-  * Self-describing artifact: both lines carry `"runs"` (timed
-  * executions per query) and `"spikes"` (queries whose slowest
-  * post-warm-up run exceeded 3× their own median this sweep);
-  * BENCH_FULL.json additionally carries `"raw_runs"` — every raw
-  * per-run time including the warm-up, in execution order — so
-  * one-bad-run vs consistently-slow is diagnosable from the artifact
-  * alone. Between runs, [[graft.plans.Checkpoints.sweep]] releases the
-  * checkpoint blocks a run leaked (pinned session caches exempt).
+  * Self-describing artifact: both lines carry `"runs"` (executions
+  * per query, warm-up included), `"cpus"` (the local[n] width — the
+  * r8 driver ran 32 while the committed run's width went unrecorded,
+  * which is exactly why the two artifacts could not be compared), and
+  * `"spikes"` (queries whose slowest post-warm-up run exceeded 3×
+  * their own median this sweep); BENCH_FULL.json additionally carries
+  * `"raw_runs"` — per run, in execution order including the warm-up:
+  * `{"t":sec,"gc_ms":…,"swept":…,"hit":…,"miss":…}` where gc_ms is
+  * the JVM GC-time delta over the run (ManagementFactory GC beans),
+  * swept is how many leaked checkpoint RDDs the between-run
+  * [[graft.plans.Checkpoints.sweep]] released after it, and hit/miss
+  * are the [[graft.sources.SessionCache]] deltas (an unexpected miss
+  * = a session-lifetime cache was evicted and rebuilt inside a timed
+  * run). Together these let a slow driver artifact be attributed —
+  * GC pressure vs checkpoint leak vs cache eviction vs plan change —
+  * without a same-HEAD rerun, the r6-r8 diagnosability gap.
+  *
+  * Default runs = 4 (1 warm-up + 3 timed): a TRUE 3-run median. The
+  * earlier default of 3 left the median a mean-of-two — one bad run
+  * inflated it by half its excess, and the 3×-median spike test was
+  * structurally near-blind (r8: q_agg_rollup raw [1.29, 1.63, 4.70]
+  * reported spikes:0).
   */
 object Bench {
   /** Fixed-point seconds with trailing zeros trimmed ("0.85", "13.7",
@@ -41,6 +55,15 @@ object Bench {
     }
   }
 
+  /** One raw execution: wall seconds plus the attribution telemetry
+    * the scaladoc's artifact contract describes. */
+  private final case class RunStat(
+      t: Double, gcMs: Long, swept: Int, hit: Long, miss: Long) {
+    def render(dp: Int): String =
+      s"""{"t":${fmt(t, dp)},"gc_ms":$gcMs,"swept":$swept,""" +
+        s""""hit":$hit,"miss":$miss}"""
+  }
+
   private def renderLine(
       total: Double,
       entries: Seq[(String, Double)],
@@ -49,43 +72,57 @@ object Bench {
       omitted: Int,
       runs: Int,
       spikes: Int,
-      rawRuns: Option[Map[String, Seq[Double]]] = None): String = {
+      cpus: String,
+      rawRuns: Option[Map[String, Seq[RunStat]]] = None): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
-    // raw per-run vectors (warm-up run included, in execution order):
-    // BENCH_FULL.json only — lets spike diagnosis distinguish
-    // one-bad-run from consistently-slow without a same-HEAD rerun
+    // raw per-run stat objects (warm-up run included, in execution
+    // order): BENCH_FULL.json only — lets spike diagnosis distinguish
+    // one-bad-run / consistently-slow / GC / eviction without a
+    // same-HEAD rerun
     val raw = rawRuns match {
       case Some(m) =>
         val body = entries.map { case (k, _) =>
           "\"" + k + "\":" +
-            m.getOrElse(k, Nil).map(fmt(_, dp)).mkString("[", ",", "]")
+            m.getOrElse(k, Nil).map(_.render(dp)).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
         s""","raw_runs":$body"""
       case None => ""
     }
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"queries":$qs$omit$raw,"sf":$sf}"""
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"cpus":$cpus,"queries":$qs$omit$raw,"sf":$sf}"""
+  }
+
+  /** Total JVM GC milliseconds so far, summed over collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // cap executions per query at 3: medians are stable by then, and
-    // the driver raises the requested run count every round — at 270
-    // registered queries an uncapped n=5 is ~1600 executions (~15+
-    // min), which is how a whole round loses its bench artifact to a
-    // timeout. 3 runs × 270 queries measured ≈ 8 min at sf0.1.
-    val requestedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val runs = math.min(requestedRuns, 3)
+    val rawCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // JSON-safe rendering for the artifact's "cpus" field (a local[*]
+    // style value must be quoted, a thread count stays a number)
+    val cpus =
+      if (rawCpus.nonEmpty && rawCpus.forall(_.isDigit)) rawCpus
+      else "\"" + rawCpus + "\""
+    // default 4 = 1 warm-up + 3 timed (a true median; see the object
+    // scaladoc), capped at 4: the driver raises the requested run
+    // count every round, and at ~350 registered queries an uncapped
+    // n=6 is ~2100 executions — how a whole round loses its bench
+    // artifact to a timeout. 4 runs × 350 queries ≈ 12 min at sf0.1.
+    val requestedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
+    val runs = math.min(requestedRuns, 4)
     // make the clamp visible in the artifact's stderr: a requested n=5
     // silently running as n=3 would otherwise mislabel the methodology
     if (runs != requestedRuns)
       System.err.println(
         s"[bench] SPARK_GRAFT_BENCH_RUNS=$requestedRuns clamped to $runs")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$rawCpus]")
+      .config("spark.sql.shuffle.partitions", rawCpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -138,7 +175,7 @@ object Bench {
       case None        => SparkEntry.registry
     }
     // registry order (stable across rounds), not Map hash order
-    val perQuery: Seq[(String, Double, Seq[Double])] = selected.map { qd =>
+    val perQuery: Seq[(String, Double, Seq[RunStat])] = selected.map { qd =>
       val (name, fn) = (qd.name, qd.fn)
       // warm-up: Janino codegen + AQE settling are session-lifetime
       // one-time costs (the baseline's median methodology measures
@@ -162,7 +199,9 @@ object Bench {
       }
       // a failed run records -1, never its time-to-failure (a fast
       // crash must not report as a fast query)
-      val times = (1 to runs).map { _ =>
+      val stats = (1 to runs).map { _ =>
+        val gc0 = gcMillis()
+        val (hit0, miss0) = graft.sources.SessionCache.stats
         val t0 = System.nanoTime()
         val t =
           try {
@@ -177,6 +216,8 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               -1.0
           }
+        val gcDelta = gcMillis() - gc0
+        val (hit1, miss1) = graft.sources.SessionCache.stats
         // between-run checkpoint sweep (OUTSIDE the timing): release
         // the localCheckpoint blocks this run left behind — pinned
         // session-lifetime caches excluded — so every timed run pays
@@ -184,9 +225,10 @@ object Bench {
         // pressure from a neighbor's leaked history (the r6/r7 spike
         // mechanism: 185 s driver artifact vs 125 s committed at one
         // HEAD, concentrated in the checkpoint-heavy query cluster)
-        graft.plans.Checkpoints.sweep(spark)
-        t
+        val swept = graft.plans.Checkpoints.sweep(spark).size
+        RunStat(t, gcDelta, swept, hit1 - hit0, miss1 - miss0)
       }
+      val times = stats.map(_.t)
       val warm = if (runs >= 2) times.drop(1) else times
       val ok = warm.filter(_ >= 0).sorted
       // true median: mean of the two middle values when n is even (the
@@ -195,17 +237,18 @@ object Bench {
         if (ok.isEmpty) -1.0
         else if (ok.size % 2 == 1) ok(ok.size / 2)
         else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-      (name, med, times)
+      (name, med, stats)
     }
     val results: Seq[(String, Double)] =
       perQuery.map { case (n, m, _) => n -> m }
-    val rawRuns: Map[String, Seq[Double]] =
+    val rawRuns: Map[String, Seq[RunStat]] =
       perQuery.map { case (n, _, ts) => n -> ts }.toMap
     // spike = a query whose slowest TIMED (post-warm-up) run exceeded
     // 3× its own median this sweep — the self-describing flakiness
     // count the round-6/7 verdicts had to reconstruct via reruns
     val spikes = perQuery.count { case (_, med, ts) =>
-      val warmTs = (if (runs >= 2) ts.drop(1) else ts).filter(_ >= 0)
+      val warmTs =
+        (if (runs >= 2) ts.drop(1) else ts).map(_.t).filter(_ >= 0)
       med > 0 && warmTs.nonEmpty && warmTs.max > 3 * med
     }
     // total = successful medians only; failures are visible as the -1
@@ -224,7 +267,8 @@ object Bench {
     // and the driver recorded `parsed: null`. stdout (and anything sbt
     // merges into it) must hold exactly one '{'-line: the compact one.
     val full =
-      renderLine(total, results, sfJson, 6, 0, runs, spikes, Some(rawRuns))
+      renderLine(total, results, sfJson, 6, 0, runs, spikes, cpus,
+        Some(rawRuns))
     // subset runs are dev-only probes — never clobber the full record
     if (only.isEmpty)
       try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
@@ -235,7 +279,7 @@ object Bench {
     // for any stderr the driver may merge after the line (shutdown
     // warnings): a cut-off line HEAD is unparseable, slack is cheap
     val budget = 1500
-    val all2dp = renderLine(total, results, sfJson, 2, 0, runs, spikes)
+    val all2dp = renderLine(total, results, sfJson, 2, 0, runs, spikes, cpus)
     val line =
       if (all2dp.length <= budget) all2dp
       else {
@@ -247,11 +291,11 @@ object Bench {
         while (lo < hi) {
           val mid = (lo + hi + 1) / 2
           val len = renderLine(total, bySlowest.take(mid), sfJson, 2,
-            bySlowest.size - mid, runs, spikes).length
+            bySlowest.size - mid, runs, spikes, cpus).length
           if (len <= budget) lo = mid else hi = mid - 1
         }
         renderLine(total, bySlowest.take(lo), sfJson, 2,
-          bySlowest.size - lo, runs, spikes)
+          bySlowest.size - lo, runs, spikes, cpus)
       }
     // ERROR level for the shutdown: if the driver merges stderr into
     // the tail it reads, a stray WARN after the metric line must not

@@ -90,8 +90,12 @@ object ConnectedComponents {
               (col("cc") =!= least(col("cc"),
                 coalesce(col("nbr_cc"), col("cc")))).as("changed")),
           chk)
-        val changed = next.filter(col("changed")).limit(1).count()
+        // chk must point at `next` BEFORE the count below: if that
+        // job throws, the finally's unpersist has to release the
+        // frame replacing() just checkpointed, not the already-freed
+        // previous one
         chk = next
+        val changed = next.filter(col("changed")).limit(1).count()
         labels = next.select(col("v"), col("cc"))
         if (changed == 0) converged = true
         iter += 1

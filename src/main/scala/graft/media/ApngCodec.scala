@@ -81,10 +81,12 @@ object ApngCodec {
       putU32(fctl, 8, height)
       putU32(fctl, 12, 0) // x_offset
       putU32(fctl, 16, 0) // y_offset
-      fctl(20) = 0; fctl(21) = 10 // delay 0/10 s num
-      fctl(22) = 10 // delay_den (10 fps)
-      fctl(23) = 0 // dispose_op: none
-      fctl(24) = 0 // blend_op: source
+      // delay = delay_num/delay_den s, both u16 big-endian per the
+      // APNG spec: 1/10 s = 10 fps
+      fctl(20) = 0; fctl(21) = 1 // delay_num = 1
+      fctl(22) = 0; fctl(23) = 10 // delay_den = 10
+      fctl(24) = 0 // dispose_op: none
+      fctl(25) = 0 // blend_op: source
       out.write(PngCodec.makeChunk("fcTL", fctl))
       val z = PngCodec.filterAndDeflate(width, height, frames(f))
       if (f == 0) out.write(PngCodec.makeChunk("IDAT", z))

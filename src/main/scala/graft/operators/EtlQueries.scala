@@ -485,6 +485,68 @@ object EtlQueries {
     }
   }
 
+  /** The POST-LOAD CONSTRAINTS stage AS DATA (the q_migration_ddl
+    * pattern, one lifecycle step later): a representative Access
+    * schema — PK/unique/plain indexes plus enforced, cascading,
+    * multi-semantics relationships — rendered through
+    * `MigrationPipeline.constraintDdl` exactly as the post-load stage
+    * would execute it against PostgreSQL, one row per statement. The
+    * oracle restates the expected DDL as literal rows, so drift in
+    * index→DDL or MSysRelationships→FK translation fails the round's
+    * correctness artifact. The Derby E2E (constraints actually applied
+    * and enforced after a load) lives in MigrationPipelineSpec. */
+  val qMigrationConstraints: QDef = {
+    import graft.etl.MigrationPipeline
+    import graft.sources.jetmdb.JetMdbFormat.JetIndex
+    import graft.sources.jetmdb.JetMdbSource.JetRelationshipRow
+    val specs = Seq(
+      MigrationPipeline.TableSpec("Customers", null, Nil, Seq(
+        JetIndex("PrimaryKey", Seq("Customer ID"),
+          unique = true, primary = true),
+        JetIndex("ByName", Seq("Company Name"),
+          unique = false, primary = false))),
+      MigrationPipeline.TableSpec("Orders", null, Nil, Seq(
+        JetIndex("PrimaryKey", Seq("Order ID"),
+          unique = true, primary = true))),
+      MigrationPipeline.TableSpec("Order Details", null, Nil, Seq(
+        JetIndex("PrimaryKey", Seq("Order ID", "Product ID"),
+          unique = true, primary = true),
+        JetIndex("Line No", Seq("Line No"),
+          unique = true, primary = false))))
+    val rels = Seq(
+      // enforced, ON DELETE CASCADE (dbRelationDeleteCascade)
+      JetRelationshipRow("CustomersOrders", "Orders", "Customer ID",
+        "Customers", "Customer ID", 0, 1, 0x1000),
+      // enforced, ON UPDATE CASCADE (dbRelationUpdateCascade)
+      JetRelationshipRow("OrdersDetails", "Order Details", "Order ID",
+        "Orders", "Order ID", 0, 1, 0x100),
+      // declared but NOT enforced (dbRelationDontEnforce)
+      JetRelationshipRow("LegacyShipper", "Orders", "Ship Via",
+        "Shippers", "Shipper ID", 0, 1, 0x2))
+    val ddl = MigrationPipeline.constraintDdl(specs, rels)
+    val rows = ddl.zipWithIndex.map { case (stmt, i) =>
+      val kind =
+        if (stmt.startsWith("--")) "comment"
+        else if (stmt.contains("PRIMARY KEY")) "primary_key"
+        else if (stmt.startsWith("CREATE")) "index"
+        else "foreign_key"
+      (i + 1, kind, stmt)
+    }
+    val oracleRows = rows
+      .map { case (o, k, s) => s"($o, '$k', '${s.replace("'", "''")}')" }
+      .mkString(",\n|  ")
+    QDef(
+      "q_migration_constraints",
+      s"""SELECT * FROM (VALUES
+        |  $oracleRows)
+        |AS t(ordinal, stmt_kind, ddl)
+        |ORDER BY ordinal""".stripMargin) { (s, _) =>
+      s.createDataFrame(rows)
+        .toDF("ordinal", "stmt_kind", "ddl")
+        .orderBy(col("ordinal"))
+    }
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -530,5 +592,6 @@ object EtlQueries {
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
-    qTableChecksum, qCdcApply, qMigrationDdl, qJetTopPercent)
+    qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
+    qJetTopPercent)
 }

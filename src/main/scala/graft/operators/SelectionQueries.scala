@@ -366,11 +366,28 @@ object SelectionQueries {
       .orderBy(col("label"))
   }
 
-  /** Per-cluster pair budget for SemDeDup's within-cluster quadratic:
-    * |cluster|² past this raises instead of silently regressing toward
-    * all-pairs (SemDeDup's own contract is cluster count ∝ corpus
-    * size, keeping every cluster bounded). */
-  private val semMaxPairsPerCluster = 4000000L
+  /** Per-cluster ROW budget for SemDeDup's within-cluster quadratic:
+    * a cluster larger than this raises instead of silently regressing
+    * toward all-pairs (SemDeDup's own contract is cluster count ∝
+    * corpus size, keeping every cluster bounded). Stored in √budget
+    * form — 2000 rows = 4e6 pairs — and compared as `n <= limit`, the
+    * count-form discipline every other pair guard uses: the earlier
+    * `n * n <= pairs` form overflows Long past n ≈ 3.04e9 and DISARMS
+    * exactly at the 100 TB scale the guard exists for (~2.4e10-row
+    * clusters from a 16-way k-means over 4e11 vectors). */
+  private val semMaxClusterRows = 2000L
+
+  /** The guard itself, factored out so the spec can hit the regime the
+    * fixture can't materialize: n ≈ 3.1e9, where the old product form
+    * wrapped negative and passed vacuously. */
+  private[graft] def requireClusterWithinSemBudget(n: Long): Unit =
+    // √budget comparison, NEVER n*n: the product form wraps negative
+    // past n ≈ 3.04e9 and the guard fails open at target scale
+    require(n <= semMaxClusterRows,
+      s"semdedup: cluster of $n vectors exceeds the " +
+        s"$semMaxClusterRows-row (${semMaxClusterRows}²-pair) " +
+        "budget — increase k (more, smaller clusters) or use the " +
+        "banded path (q_dedup_embedding_lsh) for this corpus")
 
   /** Within-cluster cosine near-duplicate DROPS: (vec_id, kept_id,
     * cos) — every vector that has a same-cluster neighbor with cosine
@@ -386,13 +403,7 @@ object SelectionQueries {
     // budget guard: one 16-row aggregate, never a data-sized job
     val sizes = idx.assigned.groupBy(col("cluster")).count()
       .collect().map(r => r.getLong(1))
-    sizes.foreach { n =>
-      require(n * n <= semMaxPairsPerCluster,
-        s"semdedup: cluster of $n vectors exceeds the " +
-          s"$semMaxPairsPerCluster-pair budget — increase k (more, " +
-          "smaller clusters) or use the banded path " +
-          "(q_dedup_embedding_lsh) for this corpus")
-    }
+    sizes.foreach(requireClusterWithinSemBudget)
     // normalized vectors stay array<float>: the codegen'd DotProduct
     // expression is float-typed, and at 0.95-class thresholds float
     // rounding (≤1e-6 on unit vectors) cannot flip a decision

@@ -122,4 +122,28 @@ object JdbcConnector {
       } finally st.close()
     } finally conn.close()
   }
+
+  /** Driver-issued DDL batch (the post-load constraints stage of a
+    * migration): statements run in order on one connection, failing
+    * fast with the offending statement in the exception — a half-
+    * applied constraint set must be visible, not swallowed. */
+  def execute(
+      url: String,
+      sqls: Seq[String],
+      props: Map[String, String] = Map.empty): Unit = {
+    if (sqls.isEmpty) return
+    props.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach { sql =>
+        try st.execute(sql)
+        catch {
+          case e: java.sql.SQLException =>
+            throw new java.sql.SQLException(
+              s"DDL failed: $sql — ${e.getMessage}", e)
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
 }

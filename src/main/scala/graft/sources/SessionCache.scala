@@ -103,11 +103,26 @@ object SessionCache {
   def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V = {
     val m = map(session)
     val cell = m.get(key) match {
-      case Some(c) => c
+      case Some(c) => hitCount.incrementAndGet(); c
       case None =>
         val fresh = new Cell(session, () => value)
-        m.putIfAbsent(key, fresh).getOrElse(fresh)
+        m.putIfAbsent(key, fresh) match {
+          case Some(winner) => hitCount.incrementAndGet(); winner
+          case None         => missCount.incrementAndGet(); fresh
+        }
     }
     cell.asInstanceOf[Cell].value.asInstanceOf[V]
   }
+
+  // ---- telemetry ---------------------------------------------------
+  // Bench records per-run deltas of these into BENCH_FULL.json so a
+  // driver-session slowdown can be attributed (cache eviction forcing
+  // rebuilds would show as unexpected misses) without a same-HEAD
+  // rerun. Process-global (a bench JVM holds one session); a lost
+  // putIfAbsent race counts as a hit — the caller got an existing cell.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since JVM start — monotone; callers diff. */
+  def stats: (Long, Long) = (hitCount.get(), missCount.get())
 }

@@ -66,11 +66,21 @@ object JetMdbFormat {
       prec: Int = 0, // NUMERIC precision (descriptor byte 11)
       scale: Int = 0) // NUMERIC scale (descriptor byte 12)
 
+  /** One index from a TDEF's index section (the `mdb-schema` CREATE
+    * INDEX / PRIMARY KEY surface). `columns` in index-key order;
+    * `primary` implies `unique` (Jet's own rule). */
+  final case class JetIndex(
+      name: String,
+      columns: Seq[String],
+      unique: Boolean,
+      primary: Boolean)
+
   final case class JetTableDef(
       tdefPage: Int,
       numRows: Int,
       tableType: Int, // 0x4e user, 0x53 system
-      columns: Seq[JetColumn]) {
+      columns: Seq[JetColumn],
+      indexes: Seq[JetIndex] = Nil) {
     def jetTypes: Seq[(String, JetType)] =
       columns.map(c => c.name ->
         JetMdbFormat.toJetType(c.typeCode, c.length, c.prec, c.scale))
@@ -220,7 +230,66 @@ object JetMdbFormat {
     }
     require(cols.count(c => !c.fixed && c.typeCode != T_BOOL) == numVarCols,
       s"jetmdb: TDEF var-column count mismatch on page $pageNum")
-    JetTableDef(pageNum, numRows, tableType, cols.toSeq)
+    // ---- index section (after the column names; public Jet4 layout,
+    // same provenance as the rest of this file). Per PHYSICAL index
+    // (num_real_idx, 52 bytes): u32 unknown, 10 × (u16 col_num +
+    // u8 col_order; col_num 0xFFFF = unused slot), u32 usage-map ptr,
+    // u32 first index page, u8 flags (0x01 = unique), 9 unknown.
+    // Per LOGICAL index (num_idx, 28 bytes): u32 unknown,
+    // u32 index_num, u32 backing physical index, 15 bytes
+    // relationship bookkeeping, u8 index_type (0x01 primary,
+    // 0x02 relationship-backing, 0x00 plain). Then num_idx
+    // u16-length-prefixed UCS-2LE index names. A TDEF written before
+    // this section existed carries num_idx = num_real_idx = 0 and
+    // parses exactly as before.
+    val numIdx = i32(page, 47)
+    val colByNum = cols.map(c => c.colNum -> c.name).toMap
+    val physCols = new Array[Seq[String]](numRealIdx)
+    val physUnique = new Array[Boolean](numRealIdx)
+    var r = 0
+    while (r < numRealIdx) {
+      off += 4
+      val members = (0 until 10).flatMap { slot =>
+        val cn = u16(page, off + 3 * slot)
+        if (cn == 0xFFFF) None
+        else Some(colByNum.getOrElse(cn,
+          throw new IllegalArgumentException(
+            s"jetmdb: index on page $pageNum names unknown column $cn")))
+      }
+      off += 30 // 10 column slots
+      off += 4 // usage-map ptr
+      off += 4 // first index page
+      physUnique(r) = (u8(page, off) & 0x01) != 0
+      off += 1 + 9
+      physCols(r) = members
+      r += 1
+    }
+    val logicalPhys = new Array[Int](numIdx)
+    val logicalType = new Array[Int](numIdx)
+    var l = 0
+    while (l < numIdx) {
+      off += 4 // unknown
+      off += 4 // index_num
+      logicalPhys(l) = i32(page, off)
+      off += 4
+      off += 15 // relationship bookkeeping
+      logicalType(l) = u8(page, off)
+      off += 1
+      l += 1
+    }
+    val idxs = (0 until numIdx).map { k =>
+      val n = u16(page, off)
+      off += 2
+      val name = new String(page, off, n, StandardCharsets.UTF_16LE)
+      off += n
+      val phys = logicalPhys(k)
+      require(phys >= 0 && phys < numRealIdx,
+        s"jetmdb: logical index '$name' on page $pageNum points at " +
+          s"physical index $phys of $numRealIdx")
+      val primary = logicalType(k) == 0x01
+      JetIndex(name, physCols(phys), physUnique(phys) || primary, primary)
+    }
+    JetTableDef(pageNum, numRows, tableType, cols.toSeq, idxs)
   }
 
   /** Row offsets of a data page owned by `tdefPage`: (start, end)

@@ -146,6 +146,78 @@ object JetMdbSource {
       (tdef, schema, count)
     } finally in.close()
   }
+
+  /** Indexes declared on `table`'s TDEF (primary key, unique, plain)
+    * — the post-load constraint surface of `mdb-schema`. */
+  def indexes(path: String, table: String): Seq[JetIndex] =
+    tableDef(path, table)._1.indexes
+
+  /** One MSysRelationships row — one COLUMN PAIR of a relationship
+    * (Access stores an n-column relationship as n rows sharing
+    * `szRelationship`, ordered by `icolumn`, with `ccolumn` = n).
+    * `grbit` uses the public DAO dbRelation* bits. */
+  final case class JetRelationshipRow(
+      name: String,
+      table: String,
+      column: String,
+      refTable: String,
+      refColumn: String,
+      icolumn: Int,
+      ccolumn: Int,
+      grbit: Int) {
+    def updateCascade: Boolean = (grbit & 0x100) != 0 // dbRelationUpdateCascade
+    def deleteCascade: Boolean = (grbit & 0x1000) != 0 // dbRelationDeleteCascade
+    def enforced: Boolean = (grbit & 0x2) == 0 // !dbRelationDontEnforce
+  }
+
+  /** The database's referential-integrity catalog: every
+    * MSysRelationships row, or empty when the system table is absent
+    * (a database with no relationships). Driver-side: the table holds
+    * one row per FK column pair — catalog-sized, never data-sized. */
+  def relationships(path: String): Seq[JetRelationshipRow] = {
+    val (cat, count) = catalogOf(path)
+    cat.find(e => e.name.equalsIgnoreCase("MSysRelationships")) match {
+      case None => Nil
+      case Some(entry) =>
+        val h = fs(path)
+        val in = h.open(new Path(path))
+        try {
+          val tdef = parseTdef(readPage(in, entry.tdefPage), entry.tdefPage)
+          def idx(n: String): Int = {
+            val i = tdef.columns.indexWhere(_.name.equalsIgnoreCase(n))
+            require(i >= 0,
+              s"jetmdb: MSysRelationships lacks column '$n'")
+            i
+          }
+          val (iName, iObj, iCol, iRefObj, iRefCol, iIc, iCc, iGr) =
+            (idx("szRelationship"), idx("szObject"), idx("szColumn"),
+              idx("szReferencedObject"), idx("szReferencedColumn"),
+              idx("icolumn"), idx("ccolumn"), idx("grbit"))
+          var lvalNum = -1
+          var lvalPage: Array[Byte] = null
+          val lval: Int => Array[Byte] = { n =>
+            if (n != lvalNum) { lvalPage = readPage(in, n); lvalNum = n }
+            lvalPage
+          }
+          def asInt(v: Any): Int = v match {
+            case i: Integer => i.intValue()
+            case s: java.lang.Short => s.intValue()
+            case other => String.valueOf(other).toInt
+          }
+          (1 until count).flatMap { pn =>
+            val page = readPage(in, pn)
+            dataRowExtents(page, entry.tdefPage).map { case (s, e) =>
+              val row = decodeRow(page, s, e, tdef, lval)
+              JetRelationshipRow(
+                String.valueOf(row(iName)), String.valueOf(row(iObj)),
+                String.valueOf(row(iCol)), String.valueOf(row(iRefObj)),
+                String.valueOf(row(iRefCol)),
+                asInt(row(iIc)), asInt(row(iCc)), asInt(row(iGr)))
+            }
+          }.sortBy(r => (r.name, r.icolumn))
+        } finally in.close()
+    }
+  }
 }
 
 private[jetmdb] final case class JetMdbTable(

@@ -220,10 +220,17 @@ object JetMdbWrite {
 
   /** TDEF page for `schema` at `tdefPage` (same layout the reader
     * parses; colNum = declaration index, offset_F by declaration
-    * order over fixed columns, offset_V over var columns). */
+    * order over fixed columns, offset_V over var columns).
+    * `indexes` adds the TDEF index section — one physical + one
+    * logical entry per index, names last — per the public layout the
+    * reader's parseTdef documents. No B-tree pages are emitted (first
+    * index page = 0): the section carries the SCHEMA surface (`mdb-
+    * schema`'s PRIMARY KEY / CREATE INDEX output), which is what a
+    * migration consumes; Jet itself rebuilds trees on compact. */
   def tdefPage(
       schema: StructType, codes: Array[Int], numRows: Int,
-      system: Boolean): Array[Byte] = {
+      system: Boolean,
+      indexes: Seq[JetMdbFormat.JetIndex] = Nil): Array[Byte] = {
     val p = new Array[Byte](PageSize)
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     p(0) = 0x02; p(1) = 0x01
@@ -233,7 +240,9 @@ object JetMdbWrite {
     b.putShort(41, codes.length.toShort)
     b.putShort(43, nVar.toShort)
     b.putShort(45, codes.length.toShort)
-    var off = 63
+    b.putInt(47, indexes.length) // num_idx (logical)
+    b.putInt(51, indexes.length) // num_real_idx (physical)
+    var off = 63 + indexes.length * 8 // 8-byte per-real-index headers (zero)
     var fOff = 0
     var vIdx = 0
     codes.zipWithIndex.foreach { case (code, i) =>
@@ -261,10 +270,96 @@ object JetMdbWrite {
       System.arraycopy(nb, 0, p, off + 2, nb.length)
       off += 2 + nb.length
     }
+    // index section (the reader's parseTdef documents the layout):
+    // physical entries, then logical entries, then names
+    val colNumOf = schema.fieldNames.zipWithIndex.toMap
+    indexes.foreach { ix =>
+      require(ix.columns.nonEmpty && ix.columns.size <= 10,
+        s"jetmdb: index '${ix.name}' must name 1..10 columns " +
+          "(Jet's own slot limit)")
+      off += 4 // unknown
+      (0 until 10).foreach { slot =>
+        if (slot < ix.columns.size) {
+          val cn = colNumOf.getOrElse(ix.columns(slot),
+            throw new IllegalArgumentException(
+              s"jetmdb: index '${ix.name}' names unknown column " +
+                s"'${ix.columns(slot)}'"))
+          b.putShort(off + 3 * slot, cn.toShort)
+          p(off + 3 * slot + 2) = 0x01 // ascending
+        } else b.putShort(off + 3 * slot, 0xFFFF.toShort)
+      }
+      off += 30
+      off += 4 // usage-map ptr (none)
+      off += 4 // first index page (none — schema surface only)
+      p(off) = (if (ix.unique || ix.primary) 0x01 else 0x00).toByte
+      off += 1 + 9
+    }
+    indexes.zipWithIndex.foreach { case (ix, k) =>
+      off += 4 // unknown
+      b.putInt(off, k); off += 4 // index_num
+      b.putInt(off, k); off += 4 // backing physical index
+      off += 15 // relationship bookkeeping
+      p(off) = (if (ix.primary) 0x01 else 0x00).toByte
+      off += 1
+    }
+    indexes.foreach { ix =>
+      val nb = ix.name.getBytes(StandardCharsets.UTF_16LE)
+      b.putShort(off, nb.length.toShort)
+      System.arraycopy(nb, 0, p, off + 2, nb.length)
+      off += 2 + nb.length
+    }
     require(off <= PageSize,
       s"jetmdb: schema too wide for a single TDEF page")
     p
   }
+
+  /** Parse the writer's `.option("indexes", …)` spec:
+    * `name:col1+col2:pu;…` — flag chars `p` (primary) and `u`
+    * (unique); the trailing flag field may be empty for a plain
+    * index. */
+  def parseIndexSpec(spec: String): Seq[JetMdbFormat.JetIndex] =
+    spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+      val parts = entry.split(':')
+      require(parts.length == 2 || parts.length == 3,
+        s"jetmdb: bad index spec '$entry' (want name:cols[:flags])")
+      val flags = if (parts.length == 3) parts(2) else ""
+      flags.foreach(c => require(c == 'p' || c == 'u',
+        s"jetmdb: unknown index flag '$c' in '$entry'"))
+      JetMdbFormat.JetIndex(
+        parts(0),
+        parts(1).split('+').map(_.trim).filter(_.nonEmpty).toSeq,
+        unique = flags.contains('u') || flags.contains('p'),
+        primary = flags.contains('p'))
+    }
+
+  /** Parse the writer's `.option("relationships", …)` spec:
+    * `relName:colA+colB>RefTable.refA+refB:grbit;…` (grbit optional,
+    * default 0 = enforced, no cascades). Yields MSysRelationships
+    * rows — one per column pair, `icolumn` in declaration order. */
+  def parseRelationshipSpec(spec: String)
+      : Seq[(String, String, String, String, Int, Int, Int)] =
+    spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq.flatMap { entry =>
+      val parts = entry.split(':')
+      require(parts.length == 2 || parts.length == 3,
+        s"jetmdb: bad relationship spec '$entry' " +
+          "(want name:cols>RefTable.refCols[:grbit])")
+      val grbit = if (parts.length == 3) parts(2).trim.toInt else 0
+      val sides = parts(1).split('>')
+      require(sides.length == 2,
+        s"jetmdb: relationship '$entry' needs exactly one '>'")
+      val (lhs, rhs) = (sides(0), sides(1))
+      val cols = lhs.split('+').map(_.trim).filter(_.nonEmpty)
+      val dot = rhs.lastIndexOf('.')
+      require(dot > 0, s"jetmdb: relationship '$entry' needs RefTable.col")
+      val refTable = rhs.substring(0, dot).trim
+      val refCols =
+        rhs.substring(dot + 1).split('+').map(_.trim).filter(_.nonEmpty)
+      require(cols.length == refCols.length && cols.nonEmpty,
+        s"jetmdb: relationship '$entry' column lists differ in length")
+      cols.indices.map { i =>
+        (parts(0), cols(i), refTable, refCols(i), i, cols.length, grbit)
+      }
+    }
 
   /** The Jet 2 GB file cap, in pages. */
   val MaxPages: Int = (2L * 1024 * 1024 * 1024 / PageSize).toInt
@@ -291,7 +386,22 @@ private[jetmdb] final class JetMdbWriteBuilder(
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
-      JetMdbBatchWrite(path, table, schema, memoCols,
+      // index/relationship metadata: parsed (and so validated) at
+      // plan time, carried to the driver-side commit
+      val indexes = Option(info.options.get("indexes"))
+        .map(JetMdbWrite.parseIndexSpec).getOrElse(Nil)
+      indexes.foreach(_.columns.foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"jetmdb: index names unknown column '$c'")))
+      require(indexes.count(_.primary) <= 1,
+        "jetmdb: a table has at most one primary key")
+      val rels = Option(info.options.get("relationships"))
+        .map(JetMdbWrite.parseRelationshipSpec).getOrElse(Nil)
+      rels.foreach { case (_, c, _, _, _, _, _) =>
+        require(schema.fieldNames.contains(c),
+          s"jetmdb: relationship names unknown column '$c'")
+      }
+      JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -303,6 +413,8 @@ private[jetmdb] final case class JetMdbBatchWrite(
     table: String,
     schema: StructType,
     memoCols: Set[String],
+    indexes: Seq[JetMdbFormat.JetIndex],
+    relationships: Seq[(String, String, String, String, Int, Int, Int)],
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
@@ -342,27 +454,62 @@ private[jetmdb] final case class JetMdbBatchWrite(
       val usage = new Array[Byte](PageSize)
       usage(0) = 0x05; usage(1) = 0x01
       writePage(usage)
-      // pages 2-3: catalog (MSysObjects at page 2; user TDEF at 4)
+      // pages 2-3: catalog (MSysObjects at page 2; user TDEF at 4;
+      // MSysRelationships TDEF at 5 when relationships were declared)
+      import org.apache.spark.sql.catalyst.{InternalRow => IRow}
+      import org.apache.spark.unsafe.types.UTF8String
       val sysSchema = StructType(Seq(
         StructField("Id", IntegerType), StructField("Type", ShortType),
         StructField("Name", StringType)))
       val sysCodes = Array(T_LONG, T_INT, T_TEXT)
       writePage(JetMdbWrite.tdefPage(sysSchema, sysCodes, 2, system = true))
-      val catRows = Seq(
-        org.apache.spark.sql.catalyst.InternalRow(
-          2, 3.toShort,
-          org.apache.spark.unsafe.types.UTF8String
-            .fromString("MSysObjects")),
-        org.apache.spark.sql.catalyst.InternalRow(
-          4, 1.toShort,
-          org.apache.spark.unsafe.types.UTF8String.fromString(table)))
+      val relTdefPage = 5
+      val catRows = (Seq(
+        IRow(2, 3.toShort, UTF8String.fromString("MSysObjects")),
+        IRow(4, 1.toShort, UTF8String.fromString(table))) ++
+        (if (relationships.nonEmpty)
+          Seq(IRow(relTdefPage, 3.toShort,
+            UTF8String.fromString("MSysRelationships")))
+        else Nil))
         .map(JetMdbWrite.encodeRow(_, sysSchema, sysCodes))
       val catPages = JetMdbPagePacker.pack(catRows.iterator, 2).toSeq
       require(catPages.size == 1, "jetmdb: catalog must fit one page")
       catPages.foreach(writePage)
-      // page 4: user TDEF, then its data pages (owner = 4)
+      // page 4: user TDEF (with its index section), then — if
+      // declared — the MSysRelationships TDEF + data (owner = 5),
+      // then the user data pages (owner = 4). Owners make page order
+      // irrelevant to the reader's extent walk.
       writePage(JetMdbWrite.tdefPage(schema, codes,
-        math.min(numRows, Int.MaxValue.toLong).toInt, system = false))
+        math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
+        indexes))
+      if (relationships.nonEmpty) {
+        val relSchema = StructType(Seq(
+          StructField("ccolumn", IntegerType),
+          StructField("grbit", IntegerType),
+          StructField("icolumn", IntegerType),
+          StructField("szColumn", StringType),
+          StructField("szObject", StringType),
+          StructField("szReferencedColumn", StringType),
+          StructField("szReferencedObject", StringType),
+          StructField("szRelationship", StringType)))
+        val relCodes =
+          Array(T_LONG, T_LONG, T_LONG, T_TEXT, T_TEXT, T_TEXT, T_TEXT,
+            T_TEXT)
+        writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
+          relationships.size, system = true))
+        val relRows = relationships.map {
+          case (name, col, refTable, refCol, icol, ccol, grbit) =>
+            JetMdbWrite.encodeRow(
+              IRow(ccol, grbit, icol, UTF8String.fromString(col),
+                UTF8String.fromString(table),
+                UTF8String.fromString(refCol),
+                UTF8String.fromString(refTable),
+                UTF8String.fromString(name)),
+              relSchema, relCodes)
+        }
+        JetMdbPagePacker.pack(relRows.iterator, relTdefPage)
+          .foreach(writePage)
+      }
       val blobIter = parts.iterator.flatMap { m =>
         JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
       }

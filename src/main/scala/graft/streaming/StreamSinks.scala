@@ -158,6 +158,21 @@ object StreamSinks {
         // contract.
         committedPrev.dropRight(math.max(1, retainGenerations))
           .foreach(p => fs.delete(p, true))
+        // crashed half-writes (no `_SUCCESS`) below the newest
+        // committed predecessor can never become valid state — their
+        // batch will never replay once a later batch committed, and
+        // reads are `_SUCCESS`-gated anyway — so prune them too, or
+        // they accumulate in stateDir indefinitely
+        prevDir.foreach { newest =>
+          val newestId =
+            newest.getName.stripPrefix("upto_batch=").toLong
+          if (prev != null) prev.map(_.getPath)
+            .filter(p => !fs.exists(
+              new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            .filter(_.getName.stripPrefix("upto_batch=")
+              .toLong < newestId)
+            .foreach(p => fs.delete(p, true))
+        }
       }
       .start()
 

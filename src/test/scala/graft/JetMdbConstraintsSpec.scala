@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.MigrationPipeline
+import graft.etl.MigrationPipeline.{JdbcSink, TableSpec}
+import graft.sources.JetTypes.{LongInteger, ShortText}
+import graft.sources.jetmdb.JetMdbFormat.JetIndex
+import graft.sources.jetmdb.JetMdbSource
+import graft.sources.jetmdb.JetMdbSource.JetRelationshipRow
+
+/** The post-load constraints stage end to end: index metadata in the
+  * Jet TDEF (read from fixtures written by the INDEPENDENT test-side
+  * writer AND round-tripped through the production writer),
+  * MSysRelationships as the referential-integrity catalog, DDL
+  * rendering for both dialects, and the constraints actually applied
+  * and ENFORCED by an embedded Derby after a real migrate(). */
+class JetMdbConstraintsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("fixture-written TDEF index section parses: PK, unique, plain") {
+    spark.sparkContext // JetMdbSource.fs needs an active session
+    val dir = tmp("graft_jetidx")
+    val path = s"$dir/idx.mdb"
+    JetMdbFixture.write(path, Seq(
+      JetMdbFixture.Table(
+        "Widgets",
+        Seq(
+          JetMdbFixture.Col("Widget ID", 0x04),
+          JetMdbFixture.Col("Batch", 0x04),
+          JetMdbFixture.Col("Serial", 0x0A),
+          JetMdbFixture.Col("Label", 0x0A)),
+        Seq(Seq(Integer.valueOf(1), Integer.valueOf(7), "s1", "a")),
+        indexes = Seq(
+          JetMdbFixture.IndexDef("PrimaryKey",
+            Seq("Widget ID", "Batch"), unique = true, primary = true),
+          JetMdbFixture.IndexDef("BySerial",
+            Seq("Serial"), unique = true, primary = false),
+          JetMdbFixture.IndexDef("ByLabel",
+            Seq("Label"), unique = false, primary = false)))))
+    val idxs = JetMdbSource.indexes(path, "Widgets")
+    assert(idxs == Seq(
+      JetIndex("PrimaryKey", Seq("Widget ID", "Batch"),
+        unique = true, primary = true),
+      JetIndex("BySerial", Seq("Serial"), unique = true, primary = false),
+      JetIndex("ByLabel", Seq("Label"), unique = false, primary = false)))
+    // the index section must not disturb the data read
+    val rows = spark.read.format("jetmdb")
+      .option("table", "Widgets").load(path).collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 1)
+  }
+
+  test("fixture MSysRelationships reads as ordered relationship rows " +
+    "and stays out of listTables") {
+    spark.sparkContext // JetMdbSource.fs needs an active session
+    val dir = tmp("graft_jetrel")
+    val path = s"$dir/rel.mdb"
+    val relCols = Seq(
+      JetMdbFixture.Col("ccolumn", 0x04),
+      JetMdbFixture.Col("grbit", 0x04),
+      JetMdbFixture.Col("icolumn", 0x04),
+      JetMdbFixture.Col("szColumn", 0x0A),
+      JetMdbFixture.Col("szObject", 0x0A),
+      JetMdbFixture.Col("szReferencedColumn", 0x0A),
+      JetMdbFixture.Col("szReferencedObject", 0x0A),
+      JetMdbFixture.Col("szRelationship", 0x0A))
+    def rel(cc: Int, gr: Int, ic: Int, c: String, o: String, rc: String,
+        ro: String, n: String): Seq[Any] =
+      Seq(Integer.valueOf(cc), Integer.valueOf(gr), Integer.valueOf(ic),
+        c, o, rc, ro, n)
+    JetMdbFixture.write(path, Seq(
+      JetMdbFixture.Table(
+        "Orders",
+        Seq(JetMdbFixture.Col("Order ID", 0x04)),
+        Seq(Seq(Integer.valueOf(1)))),
+      JetMdbFixture.Table(
+        "MSysRelationships", relCols,
+        Seq( // two-column FK declared out of icolumn order + a 1-col FK
+          rel(2, 0x1000, 1, "Part No", "Order Lines", "Part No",
+            "Parts", "LinesParts"),
+          rel(2, 0x1000, 0, "Order ID", "Order Lines", "Order ID",
+            "Parts", "LinesParts"),
+          rel(1, 0x2, 0, "Customer ID", "Orders", "Customer ID",
+            "Customers", "OrdersCustomers")),
+        system = true)))
+    assert(JetMdbSource.listTables(path).map(_._1) == Seq("Orders"),
+      "MSysRelationships must not list as a user table")
+    val rels = JetMdbSource.relationships(path)
+    assert(rels.map(_.name) ==
+      Seq("LinesParts", "LinesParts", "OrdersCustomers"))
+    assert(rels.take(2).map(r => (r.icolumn, r.column)) ==
+      Seq((0, "Order ID"), (1, "Part No")),
+      "rows must come back icolumn-ordered within a relationship")
+    assert(rels(0).deleteCascade && !rels(0).updateCascade)
+    assert(rels(0).enforced && !rels(2).enforced)
+    assert(JetMdbSource.relationships(
+      path) == rels, "re-read must be stable")
+  }
+
+  test("production writer round-trips indexes and relationships " +
+    "through its own options") {
+    val dir = tmp("graft_jetwidx")
+    val path = s"$dir/out.mdb"
+    Seq((1, 10, "a"), (2, 20, "b"))
+      .toDF("pid", "ref", "name")
+      .write.format("jetmdb")
+      .option("table", "Items")
+      .option("indexes", "PrimaryKey:pid:p;ByRef:ref:;ByName:name:u")
+      .option("relationships", "ItemsParents:ref>Parents.pid:4096")
+      .mode("overwrite").save(path)
+    val idxs = JetMdbSource.indexes(path, "Items")
+    assert(idxs == Seq(
+      JetIndex("PrimaryKey", Seq("pid"), unique = true, primary = true),
+      JetIndex("ByRef", Seq("ref"), unique = false, primary = false),
+      JetIndex("ByName", Seq("name"), unique = true, primary = false)))
+    val rels = JetMdbSource.relationships(path)
+    assert(rels == Seq(JetRelationshipRow(
+      "ItemsParents", "Items", "ref", "Parents", "pid", 0, 1, 4096)))
+    // data pages coexist with the relationship system table
+    val back = spark.read.format("jetmdb")
+      .option("table", "Items").load(path)
+      .orderBy("pid").collect()
+    assert(back.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(JetMdbSource.listTables(path).map(_._1) == Seq("Items"))
+  }
+
+  test("constraintDdl: derby dialect adds NOT NULL before the PK and " +
+    "suppresses ON UPDATE CASCADE") {
+    val specs = Seq(TableSpec("T One", null, Nil,
+      Seq(JetIndex("PrimaryKey", Seq("A Id"), unique = true,
+        primary = true))))
+    val rels = Seq(
+      JetRelationshipRow("R1", "T One", "B Ref", "T Two", "B Id",
+        0, 1, 0x100 | 0x1000))
+    val pg = MigrationPipeline.constraintDdl(specs, rels)
+    assert(pg == Seq(
+      "ALTER TABLE t_one ADD CONSTRAINT t_one_pkey PRIMARY KEY (\"a_id\")",
+      "ALTER TABLE t_one ADD CONSTRAINT fk_r1 FOREIGN KEY (\"b_ref\") " +
+        "REFERENCES t_two (\"b_id\") ON DELETE CASCADE ON UPDATE CASCADE"))
+    val derby = MigrationPipeline.constraintDdl(specs, rels, "derby")
+    assert(derby == Seq(
+      "ALTER TABLE t_one ALTER COLUMN \"a_id\" NOT NULL",
+      "ALTER TABLE t_one ADD CONSTRAINT t_one_pkey PRIMARY KEY (\"a_id\")",
+      "ALTER TABLE t_one ADD CONSTRAINT fk_r1 FOREIGN KEY (\"b_ref\") " +
+        "REFERENCES t_two (\"b_id\") ON DELETE CASCADE"))
+  }
+
+  test("migrate applies ENFORCED constraints after load (Derby E2E): " +
+    "PK uniqueness, FK integrity, delete cascade") {
+    val dbDir = Files.createTempDirectory("graft_derby_cons").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val specs = Seq(
+      TableSpec(
+        "Parent T",
+        _ => Seq(("1", "ann"), ("2", "bo")).toDF("Pid", "Name"),
+        Seq("Pid" -> LongInteger, "Name" -> ShortText),
+        Seq(JetIndex("PrimaryKey", Seq("Pid"), unique = true,
+          primary = true))),
+      TableSpec(
+        "Child T",
+        _ => Seq(("10", "1"), ("11", "2")).toDF("Cid", "Pref"),
+        Seq("Cid" -> LongInteger, "Pref" -> LongInteger),
+        Seq(JetIndex("PrimaryKey", Seq("Cid"), unique = true,
+          primary = true))))
+    val rels = Seq(JetRelationshipRow(
+      "ParentChild", "Child T", "Pref", "Parent T", "Pid", 0, 1, 0x1000))
+    val counts = MigrationPipeline.migrate(
+      spark, specs, JdbcSink(url), props, rels)
+    assert(counts == Map("Parent T" -> 2L, "Child T" -> 2L))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        // PK enforced: duplicate key must fail
+        val dup = intercept[java.sql.SQLException] {
+          st.execute("INSERT INTO parent_t VALUES (1, 'dup')")
+        }
+        assert(dup.getSQLState.startsWith("23"), dup.getMessage)
+        // FK enforced: an orphan child must fail
+        val orphan = intercept[java.sql.SQLException] {
+          st.execute("INSERT INTO child_t VALUES (12, 99)")
+        }
+        assert(orphan.getSQLState.startsWith("23"), orphan.getMessage)
+        // delete cascade: removing parent 1 removes child 10
+        st.execute("DELETE FROM parent_t WHERE \"pid\" = 1")
+        val rs = st.executeQuery("SELECT COUNT(*) FROM child_t")
+        rs.next()
+        assert(rs.getInt(1) == 1, "cascade must delete child 10")
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  test("q_migration_constraints renders the stable statement list") {
+    val rows = SparkEntry.queries("q_migration_constraints")(
+      spark, "unused").collect()
+    assert(rows.length == 8, rows.mkString("\n"))
+    val kinds = rows.map(_.getString(1)).toSeq
+    assert(kinds.count(_ == "primary_key") == 3)
+    assert(kinds.count(_ == "index") == 2)
+    assert(kinds.count(_ == "foreign_key") == 2)
+    // the un-enforced relationship documents itself instead of
+    // constraining
+    assert(kinds.count(_ == "comment") == 1)
+    val ddl = rows.map(_.getString(2)).mkString("\n")
+    assert(ddl.contains("ON DELETE CASCADE"))
+    assert(ddl.contains("ON UPDATE CASCADE"))
+    assert(ddl.contains("dbRelationDontEnforce"))
+  }
+}

@@ -27,12 +27,21 @@ object JetMdbFixture {
   final case class Col(name: String, code: Int, fixedLen: Int = 0,
       prec: Int = 0, scale: Int = 0)
 
+  /** Index declaration for the TDEF index section (same documented
+    * profile the production reader parses). */
+  final case class IndexDef(
+      name: String, cols: Seq[String], unique: Boolean, primary: Boolean)
+
   final case class Table(
       name: String,
       cols: Seq[Col],
       rows: Seq[Seq[Any]],
       deleted: Set[Int] = Set.empty,
       compressText: Boolean = false,
+      indexes: Seq[IndexDef] = Nil,
+      // catalog Type 3 (system) instead of 1 (user) — e.g. a fixture
+      // MSysRelationships table
+      system: Boolean = false,
       // memo/OLE columns named here store their payload on shared
       // LVAL pages (single-page type); others store inline
       lvalCols: Set[String] = Set.empty,
@@ -94,8 +103,9 @@ object JetMdbFixture {
     b.putShort(41, t.cols.length.toShort) // max_cols
     b.putShort(43, varCols.toShort)
     b.putShort(45, t.cols.length.toShort)
-    b.putInt(47, 0); b.putInt(51, 0) // no indexes
-    var off = 63
+    b.putInt(47, t.indexes.length) // num_idx
+    b.putInt(51, t.indexes.length) // num_real_idx
+    var off = 63 + t.indexes.length * 8 // zeroed per-real-index headers
     var fixedOff = 0
     var varIdx = 0
     t.cols.zipWithIndex.foreach { case (c, i) =>
@@ -120,6 +130,36 @@ object JetMdbFixture {
     }
     t.cols.foreach { c =>
       val nb = c.name.getBytes(StandardCharsets.UTF_16LE)
+      b.putShort(off, nb.length.toShort)
+      System.arraycopy(nb, 0, p, off + 2, nb.length)
+      off += 2 + nb.length
+    }
+    // index section: physical entries (52 B), logical entries (28 B),
+    // then u16-length-prefixed UCS-2LE names — laid out from the
+    // documented offsets, independent of the production writer
+    val colNum = t.cols.map(_.name).zipWithIndex.toMap
+    t.indexes.foreach { ix =>
+      off += 4
+      (0 until 10).foreach { slot =>
+        if (slot < ix.cols.length) {
+          b.putShort(off + 3 * slot, colNum(ix.cols(slot)).toShort)
+          p(off + 3 * slot + 2) = 0x01
+        } else b.putShort(off + 3 * slot, 0xFFFF.toShort)
+      }
+      off += 30 + 4 + 4 // slots, usage ptr, first page
+      p(off) = (if (ix.unique || ix.primary) 0x01 else 0x00).toByte
+      off += 10
+    }
+    t.indexes.zipWithIndex.foreach { case (ix, k) =>
+      off += 4
+      b.putInt(off, k); off += 4
+      b.putInt(off, k); off += 4
+      off += 15
+      p(off) = (if (ix.primary) 0x01 else 0x00).toByte
+      off += 1
+    }
+    t.indexes.foreach { ix =>
+      val nb = ix.name.getBytes(StandardCharsets.UTF_16LE)
       b.putShort(off, nb.length.toShort)
       System.arraycopy(nb, 0, p, off + 2, nb.length)
       off += 2 + nb.length
@@ -414,7 +454,8 @@ object JetMdbFixture {
       pages += tdefPageBytes(t, t.rows.length, system = false)
       dps.foreach(pages += _)
       catalogRows += Seq(Integer.valueOf(tdefPage),
-        java.lang.Short.valueOf(1.toShort), t.name)
+        java.lang.Short.valueOf(if (t.system) 3.toShort else 1.toShort),
+        t.name)
     }
     // catalog: MSysObjects at page 2 (Id LONG, Type INT, Name TEXT)
     val sysTable = Table(

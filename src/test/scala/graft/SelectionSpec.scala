@@ -396,4 +396,22 @@ class SelectionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("q_dedup_embedding_lsh"),
       s"guard diagnostic missing: ${e.getMessage}")
   }
+
+  test("SemDeDup budget guard still fires where the old n*n form " +
+    "wrapped negative (overflow-disarm regression)") {
+    // 3.1e9² ≈ 9.6e18 > Long.MaxValue: the former `n * n <= pairs`
+    // guard went negative here and passed vacuously — exactly the
+    // 100 TB cluster-size regime. The √budget form must still raise.
+    val n = 3100000000L
+    assert(n * n < 0L, "fixture must sit in the Long-overflow regime")
+    val e = intercept[IllegalArgumentException] {
+      SelectionQueries.requireClusterWithinSemBudget(n)
+    }
+    assert(e.getMessage.contains("3100000000"), e.getMessage)
+    // and the boundary itself: 2000 passes, 2001 raises
+    SelectionQueries.requireClusterWithinSemBudget(2000L)
+    intercept[IllegalArgumentException] {
+      SelectionQueries.requireClusterWithinSemBudget(2001L)
+    }
+  }
 }
