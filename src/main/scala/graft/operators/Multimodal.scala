@@ -27,11 +27,19 @@ import graft.sources.TableLoader._
   *     (palette frames via GIF, true-color frames via APNG with
   *     sampled-only inflation), so every media lane — still image,
   *     audio, animation/keyframe — has a genuine codec path.
-  *   - A STUB decoder retained ONLY for the opaque-container batch
-  *     shape (`decodeStub` in qMultimodalFeatures/qMultimodalFrames):
-  *     it demonstrates the 1→N fan-out plumbing against a format the
-  *     JVM genuinely cannot parse (e.g. H.264 video), where swapping
-  *     in a native codec changes ONE function, not the pipeline.
+  *   - A PER-KIND DISPATCH tier (qMultimodalFeatures /
+  *     qMultimodalFrames / resizeMedia): a mixed-kind media table
+  *     (BMP + PNG stills, PCM16 WAV audio, APNG video, assigned by
+  *     doc_id % 4) whose feature / frame-sample / thumbnail lanes
+  *     SNIFF the container from the payload's magic bytes and route
+  *     to the matching real codec — the heterogeneous-corpus shape a
+  *     production pipeline has, where one scan meets many formats.
+  *     Both queries are oracle-checked against the per-kind MediaGen
+  *     closed forms, so the dispatch itself sits under the hash gate.
+  *     A payload no codec claims is REJECTED with the sniffed prefix
+  *     (never fake-decoded); adding a format (e.g. a native H.264
+  *     bridge) extends `sniffCodec` + one decode arm, not the
+  *     pipeline.
   */
 object Multimodal {
 
@@ -48,45 +56,152 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true))),
       nullable = false)))
 
-  val featureDim = 16
-
-  /** STUB decode: a real implementation would decode the payload with a
-    * codec and emit pixel/sample features. The deterministic fake folds
-    * the bytes into `featureDim` accumulators (rolling polynomial hash
-    * per lane) so the full pipeline — including partition-parallel
-    * execution and downstream similarity — is exercised end-to-end.
-    */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Long](featureDim)
-    var i = 0
-    while (i < payload.length) {
-      val lane = i % featureDim
-      acc(lane) = acc(lane) * 31 + (payload(i) & 0xFF)
-      i += 1
-    }
-    acc.map(v => Math.floorMod(v, 1000003L).toFloat / 1000003f)
+  /** Container sniffing — dispatch from the BYTES, not trusted
+    * metadata (an ingest job's mime column can lie; magic numbers
+    * don't): 'BM' → bmp; the 8-byte PNG signature → apng when an acTL
+    * chunk precedes the first IDAT, else png; RIFF….WAVE → wav.
+    * Anything else is rejected with the offending prefix — an opaque
+    * container this JVM cannot parse must fail loudly, never
+    * fake-decode. */
+  def sniffCodec(p: Array[Byte]): String = {
+    def pngSig: Boolean = p.length >= 8 &&
+      (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (pngSig) {
+      // chunk walk: [u32 len][4-byte type][data][crc] from offset 8;
+      // acTL must appear before IDAT to mark an animated PNG
+      var off = 8
+      var out: String = null
+      while (out == null && off + 8 <= p.length) {
+        val len = ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+          ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+        val t = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (t == "acTL") out = "apng"
+        else if (t == "IDAT" || t == "IEND") out = "png"
+        else off += 12 + len
+      }
+      if (out == null) "png" else out
+    } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+      p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
+      p(10) == 'V' && p(11) == 'E') "wav"
+    else throw new IllegalArgumentException(
+      "multimodal: unknown container (prefix " +
+        p.take(8).map(b => f"${b & 0xFF}%02x").mkString(" ") +
+        ") — no JVM codec claims it; route through a native bridge " +
+        "or exclude the row")
   }
 
-  /** Batch feature extraction: mapPartitions over the payload column —
-    * the Scala analog of `mapInPandas` batch decode. Each partition
-    * decodes its rows independently (no shuffle), which is exactly how
-    * a 1000-executor cluster fans out codec work at 100 TB. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
+  /** Real per-kind media table: every document becomes one media row
+    * whose payload is a genuinely ENCODED container — doc_id % 4 →
+    * 24bpp BMP still, PNG still, PCM16 WAV clip, animated APNG —
+    * with the metadata an ingest job would record (image geometry,
+    * audio/video duration). Pure map-side fan-out, no shuffle. */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
+      .encoderFor(mediaSchema)
+    import graft.media.MediaGen
+    documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val row: org.apache.spark.sql.Row = (id % 4) match {
+          case 0 =>
+            val (w, h) = MediaGen.imageDims(id)
+            val p = MediaGen.imageBytes(id)
+            org.apache.spark.sql.Row(id, "image", p,
+              org.apache.spark.sql.Row(
+                p.length.toLong, "image/bmp", w, h, null))
+          case 1 =>
+            val (w, h) = MediaGen.pngDims(id)
+            val p = MediaGen.pngBytes(id)
+            org.apache.spark.sql.Row(id, "image", p,
+              org.apache.spark.sql.Row(
+                p.length.toLong, "image/png", w, h, null))
+          case 2 =>
+            val p = MediaGen.wavBytes(id)
+            val n = MediaGen.wavSamples(id).length
+            val dur = n * 1000L / MediaGen.wavRate(id)
+            org.apache.spark.sql.Row(id, "audio", p,
+              org.apache.spark.sql.Row(
+                p.length.toLong, "audio/wav", null, null, dur))
+          case _ =>
+            val (w, h) = MediaGen.apngDims(id)
+            val p = MediaGen.apngBytes(id)
+            // 100 ms/frame: the fcTL delay the encoder writes (1/10 s)
+            val dur = MediaGen.apngFrameCount(id) * 100L
+            org.apache.spark.sql.Row(id, "video", p,
+              org.apache.spark.sql.Row(
+                p.length.toLong, "image/apng", w, h, dur))
+        }
+        row
+      }
+    }(enc)
+  }
+
+  private val featureRowSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("acc", LongType, nullable = false),
+    StructField("n_units", LongType, nullable = false)))
+
+  /** Batch feature extraction with REAL per-kind decode: mapPartitions
+    * over the payload column (the Scala analog of `mapInPandas` batch
+    * decode — each partition decodes independently, no shuffle, which
+    * is how a 1000-executor cluster fans out codec work at 100 TB).
+    * The codec is SNIFFED from the bytes; geometry/duration come from
+    * the DECODE, not the metadata column. Emits integer accumulators
+    * (acc, n_units) so the float math happens once, in the query:
+    * stills/video acc = Σ channel values over the (first) frame,
+    * n_units = 3·w·h; audio acc = Σ s², n_units = n samples. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureRowSchema)
     media
-      .select(col("media_id"), col("kind"), col("payload"))
+      .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          org.apache.spark.sql.Row(
-            r.getLong(0), r.getString(1),
-            decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          sniffCodec(p) match {
+            case "bmp" =>
+              val (w, h, rgb) = graft.media.BmpCodec.decode(p)
+              org.apache.spark.sql.Row(id, "bmp", w, h, null,
+                sumOf(rgb), 3L * w * h)
+            case "png" =>
+              val png = graft.media.PngCodec.decode(p)
+              org.apache.spark.sql.Row(id, "png", png.width, png.height,
+                null, sumOf(png.rgb), 3L * png.width * png.height)
+            case "wav" =>
+              val wav = graft.media.WavCodec.decode(p)
+              var sq = 0L
+              var i = 0
+              while (i < wav.samples.length) {
+                val v = wav.samples(i).toLong
+                sq += v * v
+                i += 1
+              }
+              org.apache.spark.sql.Row(id, "wav", null, null,
+                wav.samples.length * 1000L / wav.sampleRate,
+                sq, wav.samples.length.toLong)
+            case "apng" =>
+              // feature frame = frame 0 only; the container walk still
+              // validates every chunk, but later frames stay deflated
+              val (w, h, n, frames) = graft.media.ApngCodec
+                .decodeSampled(p, (idx, _) => idx == 0)
+              org.apache.spark.sql.Row(id, "apng", w, h, n * 100L,
+                sumOf(frames.head._2), 3L * w * h)
+          }
         }
       }(enc)
+  }
+
+  private def sumOf(vals: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < vals.length) { s += vals(i); i += 1 }
+    s
   }
 
   /** Build a media table from documents: payload = utf8 bytes of text
@@ -124,78 +239,155 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Feature-extraction query over the stubbed decoder: per-kind count
-    * and mean first-lane feature — exercises the full binary →
-    * mapPartitions-decode → aggregate pipeline. No oracle (the stub is
-    * engine-internal); MultimodalSpec pins exact values. */
-  val qMultimodalFeatures: QDef = QDef.noOracle("q_multimodal_features") {
-    (s, d) =>
-      extractFeatures(mediaFromDocuments(s, d))
-        .select(
-          col("media_id"), col("kind"),
-          element_at(col("features"), 1).cast("double").as("f0"),
-          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))
-            .as("f_sum"))
-        .orderBy(col("media_id"))
+  /** Heterogeneous feature extraction, ORACLE-CHECKED: the mixed
+    * BMP/PNG/WAV/APNG media table through the sniffing dispatch of
+    * [[extractFeatures]] — one scan meets four containers; geometry,
+    * duration, and the per-kind primary feature (channel mean for
+    * stills/video frame 0, RMS for audio) all come from REAL decodes
+    * of the encoded bytes. The oracle recomputes every branch from
+    * MediaGen's closed forms, so the dispatch AND each codec's byte
+    * handling sit under the driver's hash gate. */
+  val qMultimodalFeatures: QDef = QDef(
+    "q_multimodal_features",
+    """WITH b0 AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 7 AS h
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |b1 AS (SELECT doc_id, w, h, unnest(range(3 * w * h)) AS j FROM b0),
+      |bmp AS (
+      |  SELECT doc_id AS media_id, 'bmp' AS codec,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(NULL AS BIGINT) AS duration_ms,
+      |    ROUND(SUM((doc_id * 31 + j) % 256) * 1.0 / (3 * w * h), 4)
+      |      AS f0
+      |  FROM b1 GROUP BY doc_id, w, h),
+      |p0 AS (
+      |  SELECT doc_id, 5 + doc_id % 8 AS w, 5 + (doc_id // 2) % 7 AS h
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |p1 AS (SELECT doc_id, w, h, unnest(range(3 * w * h)) AS j FROM p0),
+      |png AS (
+      |  SELECT doc_id AS media_id, 'png' AS codec,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(NULL AS BIGINT) AS duration_ms,
+      |    ROUND(SUM((doc_id * 17 + j * 3) % 256) * 1.0 / (3 * w * h), 4)
+      |      AS f0
+      |  FROM p1 GROUP BY doc_id, w, h),
+      |w0 AS (
+      |  SELECT doc_id, 8000 + (doc_id % 5) * 2000 AS rate,
+      |    200 + doc_id % 300 AS n
+      |  FROM documents WHERE doc_id % 4 = 2),
+      |w1 AS (SELECT doc_id, rate, n, unnest(range(n)) AS j FROM w0),
+      |w2 AS (
+      |  SELECT doc_id, rate, n,
+      |    (doc_id * 7 + j * 13) % 65536 - 32768 AS s
+      |  FROM w1),
+      |wav AS (
+      |  SELECT doc_id AS media_id, 'wav' AS codec,
+      |    CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+      |    CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |    ROUND(SQRT(SUM(s * s) * 1.0 / n), 4) AS f0
+      |  FROM w2 GROUP BY doc_id, rate, n),
+      |a0 AS (
+      |  SELECT doc_id, 7 + doc_id % 6 AS w, 5 + (doc_id // 2) % 6 AS h,
+      |    2 + doc_id % 4 AS n
+      |  FROM documents WHERE doc_id % 4 = 3),
+      |a1 AS (SELECT doc_id, w, h, n, unnest(range(3 * w * h)) AS j FROM a0),
+      |apng AS (
+      |  SELECT doc_id AS media_id, 'apng' AS codec,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(n * 100 AS BIGINT) AS duration_ms,
+      |    ROUND(SUM((doc_id * 13 + j * 7) % 256) * 1.0 / (3 * w * h), 4)
+      |      AS f0
+      |  FROM a1 GROUP BY doc_id, w, h, n)
+      |SELECT * FROM (
+      |  SELECT * FROM bmp UNION ALL SELECT * FROM png
+      |  UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM apng)
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    extractFeatures(mediaTable(s, d))
+      .select(
+        col("media_id"), col("codec"), col("width"), col("height"),
+        col("duration_ms"),
+        when(col("codec") === "wav",
+          round(sqrt(col("acc") * lit(1.0) / col("n_units")), 4))
+          .otherwise(
+            round(col("acc") * lit(1.0) / col("n_units"), 4)).as("f0"))
+      .orderBy(col("media_id"))
   }
 
-  /** STUB resize: a real implementation would decode, scale with a
-    * resampling kernel, and re-encode; the deterministic fake
-    * stride-samples the payload down to `targetBytes` so the pipeline
-    * shape — per-row binary in, smaller binary out, metadata updated,
-    * partition-parallel, no shuffle — is exercised end-to-end. */
-  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-    if (payload.length <= targetBytes) payload
-    else {
-      val out = new Array[Byte](targetBytes)
-      var i = 0
-      while (i < targetBytes) {
-        // evenly-spaced sample positions (nearest-neighbor downsample)
-        out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
-        i += 1
-      }
-      out
-    }
-  }
-
-  /** Batch resize over the media table: payload replaced by its
-    * downsampled form, `meta.byte_len` updated, all other metadata
-    * preserved — the write-back shape a thumbnailing pass needs. */
-  def resizeMedia(media: DataFrame, targetBytes: Int): DataFrame = {
+  /** Batch thumbnail pass with real per-kind transforms: stills
+    * decode → nearest-neighbor resize to 8×8 → RE-ENCODE in their own
+    * container; audio decimates to every 2nd sample (duration halves
+    * at the same rate); video keeps only even-index frames and
+    * re-encodes the APNG. Payload replaced, metadata updated from the
+    * transform, partition-parallel, no shuffle — the write-back shape
+    * a thumbnailing pass needs. */
+  def resizeMedia(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
     media
       .select(col("media_id"), col("kind"), col("payload"), col("meta"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val resized = resizeStub(r.getAs[Array[Byte]](2), targetBytes)
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val p = r.getAs[Array[Byte]](2)
           val meta = r.getAs[org.apache.spark.sql.Row](3)
-          org.apache.spark.sql.Row(
-            r.getLong(0), r.getString(1), resized,
-            org.apache.spark.sql.Row(
-              resized.length.toLong, meta.getString(1),
-              meta.get(2), meta.get(3), meta.get(4)))
+          val mime = meta.getString(1)
+          sniffCodec(p) match {
+            case "bmp" =>
+              val (w, h, rgb) = graft.media.BmpCodec.decode(p)
+              val out = graft.media.BmpCodec.encode(8, 8,
+                graft.media.BmpCodec.resizeNearest(w, h, rgb, 8, 8))
+              org.apache.spark.sql.Row(id, kind, out,
+                org.apache.spark.sql.Row(
+                  out.length.toLong, mime, 8, 8, null))
+            case "png" =>
+              val png = graft.media.PngCodec.decode(p)
+              val out = graft.media.PngCodec.encode(8, 8,
+                graft.media.BmpCodec.resizeNearest(
+                  png.width, png.height, png.rgb, 8, 8))
+              org.apache.spark.sql.Row(id, kind, out,
+                org.apache.spark.sql.Row(
+                  out.length.toLong, mime, 8, 8, null))
+            case "wav" =>
+              val wav = graft.media.WavCodec.decode(p)
+              val dec = Array.tabulate((wav.samples.length + 1) / 2)(i =>
+                wav.samples(2 * i))
+              val out = graft.media.WavCodec.encode(wav.sampleRate, dec)
+              org.apache.spark.sql.Row(id, kind, out,
+                org.apache.spark.sql.Row(
+                  out.length.toLong, mime, null, null,
+                  dec.length * 1000L / wav.sampleRate))
+            case "apng" =>
+              val apng = graft.media.ApngCodec.decode(p)
+              val kept = apng.frames.zipWithIndex
+                .collect { case (f, i) if i % 2 == 0 => f }.toArray
+              val out = graft.media.ApngCodec.encode(
+                apng.width, apng.height, kept)
+              org.apache.spark.sql.Row(id, kind, out,
+                org.apache.spark.sql.Row(
+                  out.length.toLong, mime, apng.width, apng.height,
+                  kept.length * 100L))
+          }
         }
       }(enc)
   }
 
-  /** Fake frame geometry for the video path: payloads are treated as a
-    * concatenation of fixed-size frames (a real decoder would use the
-    * container's index instead — same row shape out). */
-  val frameBytes = 256
-
-  /** Frame sampling: every `stride`-th frame of each video payload
-    * becomes its OWN output row (frame_idx + per-frame features) — the
-    * 1→N flatMap batch shape a real video pipeline needs, still
-    * partition-parallel with no shuffle. Sampling happens BEFORE
-    * decoding (only sampled frames are decoded) — at 100 TB the decode
-    * is the cost, so stride-k cuts codec work k×, not just output. */
+  /** Frame sampling with real per-kind decode — the 1→N flatMap batch
+    * shape of a keyframe extractor: video (APNG) emits every
+    * `stride`-th frame, and ONLY those frames are ever inflated (the
+    * container walk validates the rest; at 100 TB the inflate is the
+    * per-byte cost, so stride-k cuts codec work k×, not just output);
+    * stills emit their single frame as frame 0; audio has no visual
+    * frames and emits nothing. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     require(stride > 0)
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
+      StructField("acc", LongType, nullable = false),
+      StructField("n_units", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     media
@@ -203,27 +395,86 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val nFrames = payload.length / frameBytes
-          (0 until nFrames by stride).iterator.map { f =>
-            val frame = java.util.Arrays.copyOfRange(
-              payload, f * frameBytes, (f + 1) * frameBytes)
-            org.apache.spark.sql.Row(id, f, decodeStub(frame).toSeq)
+          val p = r.getAs[Array[Byte]](1)
+          sniffCodec(p) match {
+            case "bmp" =>
+              val (w, h, rgb) = graft.media.BmpCodec.decode(p)
+              Iterator.single(org.apache.spark.sql.Row(
+                id, "bmp", 1, 0, sumOf(rgb), 3L * w * h))
+            case "png" =>
+              val png = graft.media.PngCodec.decode(p)
+              Iterator.single(org.apache.spark.sql.Row(
+                id, "png", 1, 0, sumOf(png.rgb),
+                3L * png.width * png.height))
+            case "wav" => Iterator.empty
+            case "apng" =>
+              val (w, h, n, frames) = graft.media.ApngCodec
+                .decodeSampled(p, (idx, _) => idx % stride == 0)
+              frames.iterator.map { case (fi, rgb) =>
+                org.apache.spark.sql.Row(
+                  id, "apng", n, fi, sumOf(rgb), 3L * w * h)
+              }
           }
         }
       }(enc)
   }
 
-  /** Frame-sample query (stride 4): one row per sampled frame with the
-    * first feature lane. No oracle (stub decoder); MultimodalSpec pins
-    * the sampling arithmetic and per-frame determinism. */
-  val qMultimodalFrames: QDef = QDef.noOracle("q_multimodal_frames") {
-    (s, d) =>
-      sampleFrames(mediaFromDocuments(s, d), stride = 4)
-        .select(
-          col("media_id"), col("frame_idx"),
-          element_at(col("features"), 1).cast("double").as("f0"))
-        .orderBy(col("media_id"), col("frame_idx"))
+  /** Frame-sample query (stride 2) over the mixed media table,
+    * ORACLE-CHECKED: stills contribute their single frame, APNG
+    * videos their even-index frames, audio nothing — per-frame f0 =
+    * channel mean, recomputed by the oracle from the per-kind closed
+    * forms (frame f of video uses the `f·19` term of the APNG pixel
+    * formula). */
+  val qMultimodalFrames: QDef = QDef(
+    "q_multimodal_frames",
+    """WITH b0 AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 7 AS h
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |b1 AS (SELECT doc_id, w, h, unnest(range(3 * w * h)) AS j FROM b0),
+      |bmp AS (
+      |  SELECT doc_id AS media_id, 'bmp' AS codec,
+      |    CAST(1 AS INT) AS n_frames, CAST(0 AS INT) AS frame_idx,
+      |    ROUND(SUM((doc_id * 31 + j) % 256) * 1.0 / (3 * w * h), 4)
+      |      AS f0
+      |  FROM b1 GROUP BY doc_id, w, h),
+      |p0 AS (
+      |  SELECT doc_id, 5 + doc_id % 8 AS w, 5 + (doc_id // 2) % 7 AS h
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |p1 AS (SELECT doc_id, w, h, unnest(range(3 * w * h)) AS j FROM p0),
+      |png AS (
+      |  SELECT doc_id AS media_id, 'png' AS codec,
+      |    CAST(1 AS INT) AS n_frames, CAST(0 AS INT) AS frame_idx,
+      |    ROUND(SUM((doc_id * 17 + j * 3) % 256) * 1.0 / (3 * w * h), 4)
+      |      AS f0
+      |  FROM p1 GROUP BY doc_id, w, h),
+      |a0 AS (
+      |  SELECT doc_id, 7 + doc_id % 6 AS w, 5 + (doc_id // 2) % 6 AS h,
+      |    CAST(2 + doc_id % 4 AS INT) AS n
+      |  FROM documents WHERE doc_id % 4 = 3),
+      |af AS (
+      |  SELECT doc_id, w, h, n,
+      |    CAST(unnest(range(n)) AS INT) AS frame_idx
+      |  FROM a0),
+      |asamp AS (SELECT * FROM af WHERE frame_idx % 2 = 0),
+      |a1 AS (
+      |  SELECT doc_id, w, h, n, frame_idx,
+      |    unnest(range(3 * w * h)) AS j
+      |  FROM asamp),
+      |apng AS (
+      |  SELECT doc_id AS media_id, 'apng' AS codec, n AS n_frames,
+      |    frame_idx,
+      |    ROUND(SUM((doc_id * 13 + frame_idx * 19 + j * 7) % 256) * 1.0
+      |      / (3 * w * h), 4) AS f0
+      |  FROM a1 GROUP BY doc_id, w, h, n, frame_idx)
+      |SELECT * FROM (
+      |  SELECT * FROM bmp UNION ALL SELECT * FROM png
+      |  UNION ALL SELECT * FROM apng)
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    sampleFrames(mediaTable(s, d), stride = 2)
+      .select(
+        col("media_id"), col("codec"), col("n_frames"), col("frame_idx"),
+        round(col("acc") * lit(1.0) / col("n_units"), 4).as("f0"))
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   // ---------------------------------------------------------------
@@ -510,10 +761,9 @@ object Multimodal {
   /** REAL multi-frame frame-sampling: encode deterministic animated
     * GIF89a payloads (real variable-width LZW — GifCodec), decode the
     * container back off the bytes, sample every SECOND frame, and
-    * report per-frame palette-resolved channel means. This upgrades
-    * the frame-sampling lane from the opaque-container stub
-    * (qMultimodalFrames) to a genuine codec path: only sampled frames'
-    * pixels are touched after the container walk, mirroring a
+    * report per-frame palette-resolved channel means — the PALETTE
+    * sibling of qMultimodalFrames' true-color lanes: only sampled
+    * frames' pixels are touched after the container walk, mirroring a
     * production keyframe-extraction job. The oracle recomputes the
     * SAME statistics from MediaGen's closed-form index + palette
     * formulas, so the whole byte layout — LZW bit packing, sub-block
@@ -586,9 +836,8 @@ object Multimodal {
 
   /** APNG frame sampling — true-color animated decode through the real
     * PNG machinery (acTL/fcTL/fdAT container walk + per-frame zlib +
-    * all five scanline filters), retiring the last stubbed frame lane:
-    * where q_gif_frames samples PALETTE frames and qMultimodalFrames
-    * fakes an opaque container, this decodes genuine RGB animation
+    * all five scanline filters): where q_gif_frames samples PALETTE
+    * frames, this decodes genuine RGB animation
     * frames, and ONLY the sampled (even-index) frames are ever
     * inflated — the container walk validates every chunk's CRC and
     * sequence number but skipped frames' zlib streams stay compressed,
