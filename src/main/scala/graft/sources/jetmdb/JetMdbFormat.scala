@@ -11,12 +11,14 @@ import graft.sources.JetTypes._
   * PUBLICLY documented Jet3/4 page layout (the mdbtools project's
   * HACKING format notes); no code is taken from any implementation.
   *
-  * Scope (documented, honest): Jet4 only (4096-byte pages, version
-  * byte 0x01), unencrypted databases, single-page TDEFs, inline
+  * Scope (documented, honest): Jet4 (4096-byte pages, version byte
+  * 0x01), unencrypted databases, single-page TDEFs, inline
   * column types (BOOL/BYTE/INT/LONG/MONEY/SINGLE/DOUBLE/DATETIME/
   * TEXT/GUID) plus MEMO/OLE long values in all three storage forms —
   * inline, single "LVAL"-row, and chained multi-page (type-2) LVAL
-  * chains; Jet3 files are rejected by version. Validated
+  * chains. Jet3 (Access 97) files are DISPATCHED by the source layer
+  * to the scope-bounded [[Jet3Format]] profile (2048-byte pages,
+  * CP1252 text, u8 row offsets). Validated
   * against generated fixtures (no real `.mdb` exists in this offline
   * environment — JetMdbSourceSpec writes fixtures through an
   * independent test-side writer that follows the same public layout
@@ -160,7 +162,9 @@ object JetMdbFormat {
   def f64(p: Array[Byte], off: Int): Double =
     java.lang.Double.longBitsToDouble(i64(p, off))
 
-  /** Validate page 0; returns unit or throws with a precise reason. */
+  /** Validate page 0; returns unit or throws with a precise reason.
+    * Accepts Jet4 (0x01) and Jet3 (0x00 — dispatched to
+    * [[Jet3Format]] by the source layer). */
   def checkHeader(page0: Array[Byte]): Unit = {
     require(page0.length >= 0x15, "jetmdb: truncated header page")
     require(u8(page0, 0) == 0x00 && u8(page0, 1) == 0x01,
@@ -168,8 +172,9 @@ object JetMdbFormat {
     val magic = new String(page0, 4, Magic.length, StandardCharsets.US_ASCII)
     require(magic == Magic, s"jetmdb: bad magic '$magic'")
     val ver = u8(page0, 0x14)
-    require(ver == 0x01,
-      f"jetmdb: unsupported Jet version 0x$ver%02x (only Jet4 = 0x01)")
+    require(ver == 0x01 || ver == 0x00,
+      f"jetmdb: unsupported Jet version 0x$ver%02x " +
+        "(0x00 = Jet3, 0x01 = Jet4)")
   }
 
   /** Parse a TDEF page into column metadata. Single-page TDEFs only

@@ -76,11 +76,13 @@ object JetMdbSource {
       SparkSession.active.sparkContext.hadoopConfiguration)
 
   /** Read page `n` of `path` through the Hadoop FS (works for local
-    * and distributed stores alike). */
+    * and distributed stores alike). `pageSize` defaults to Jet4's
+    * 4096; Jet3 files read 2048-byte pages. */
   def readPage(
-      f: org.apache.hadoop.fs.FSDataInputStream, n: Int): Array[Byte] = {
-    val page = new Array[Byte](PageSize)
-    f.readFully(n.toLong * PageSize, page)
+      f: org.apache.hadoop.fs.FSDataInputStream, n: Int,
+      pageSize: Int = PageSize): Array[Byte] = {
+    val page = new Array[Byte](pageSize)
+    f.readFully(n.toLong * pageSize, page)
     page
   }
 
@@ -103,24 +105,37 @@ object JetMdbSource {
     * paths (this repo's own writer stages to a fresh name and
     * renames, which updates mtime). */
   private val catalogCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Seq[CatalogEntry]]()
+    (String, Long, Long), (Seq[CatalogEntry], Boolean)]()
 
-  private def catalogOf(path: String): (Seq[CatalogEntry], Int) = {
+  /** (catalog, pageCount, jet3?) — version sniffed from the header's
+    * format byte, page size and layout dispatched accordingly. */
+  private def catalogOf(path: String)
+      : (Seq[CatalogEntry], Int, Boolean) = {
     require(path != null, "jetmdb: a path must be supplied")
     val h = fs(path)
     val st = h.getFileStatus(new Path(path))
-    val count = (st.getLen / PageSize).toInt
     val key = (path, st.getLen, st.getModificationTime)
     val hit = catalogCache.get(key)
-    if (hit != null) (hit, count)
-    else {
+    if (hit != null) {
+      val (cat, jet3) = hit
+      val ps = if (jet3) Jet3Format.PageSize else PageSize
+      (cat, (st.getLen / ps).toInt, jet3)
+    } else {
       val in = h.open(new Path(path))
       try {
-        checkHeader(readPage(in, 0))
-        val cat = readCatalog(count, readPage(in, _))
+        // the header fits the smaller (Jet3) page; sniff before
+        // choosing the page size
+        val head = readPage(in, 0, Jet3Format.PageSize)
+        checkHeader(head)
+        val jet3 = Jet3Format.isJet3(head)
+        val ps = if (jet3) Jet3Format.PageSize else PageSize
+        val count = (st.getLen / ps).toInt
+        val cat =
+          if (jet3) Jet3Format.readCatalog(count, readPage(in, _, ps))
+          else readCatalog(count, readPage(in, _, ps))
         if (catalogCache.size > 256) catalogCache.clear()
-        catalogCache.put(key, cat)
-        (cat, count)
+        catalogCache.put(key, (cat, jet3))
+        (cat, count, jet3)
       } finally in.close()
     }
   }
@@ -129,22 +144,34 @@ object JetMdbSource {
   def listTables(path: String): Seq[(String, Int)] =
     catalogOf(path)._1.filter(!_.isSystem).map(e => e.name -> e.tdefPage)
 
-  /** Resolve `table` → (tdef, Spark schema, pageCount). */
-  def tableDef(path: String, table: String): (JetTableDef, StructType, Int) = {
-    val (cat, count) = catalogOf(path)
+  /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?). */
+  def tableDefV(path: String, table: String)
+      : (JetTableDef, StructType, Int, Boolean) = {
+    val (cat, count, jet3) = catalogOf(path)
     val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
       .getOrElse(throw new IllegalArgumentException(
         s"jetmdb: no user table '$table' in $path " +
           s"(have: ${cat.filter(!_.isSystem).map(_.name).mkString(", ")})"))
     val h = fs(path)
     val in = h.open(new Path(path))
+    val ps = if (jet3) Jet3Format.PageSize else PageSize
     try {
-      val tdef = parseTdef(readPage(in, entry.tdefPage), entry.tdefPage)
+      val page = readPage(in, entry.tdefPage, ps)
+      val tdef =
+        if (jet3) Jet3Format.parseTdef(page, entry.tdefPage)
+        else parseTdef(page, entry.tdefPage)
       val schema = StructType(tdef.jetTypes.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
       })
-      (tdef, schema, count)
+      (tdef, schema, count, jet3)
     } finally in.close()
+  }
+
+  /** Resolve `table` → (tdef, Spark schema, pageCount). */
+  def tableDef(path: String, table: String)
+      : (JetTableDef, StructType, Int) = {
+    val (tdef, schema, count, _) = tableDefV(path, table)
+    (tdef, schema, count)
   }
 
   /** Indexes declared on `table`'s TDEF (primary key, unique, plain)
@@ -175,14 +202,21 @@ object JetMdbSource {
     * (a database with no relationships). Driver-side: the table holds
     * one row per FK column pair — catalog-sized, never data-sized. */
   def relationships(path: String): Seq[JetRelationshipRow] = {
-    val (cat, count) = catalogOf(path)
+    val (cat, count, jet3) = catalogOf(path)
+    // Jet3 text columns decode fine through Jet3Format, but this
+    // repo's writer emits relationships only into Jet4 files; the
+    // dispatch below keeps the read honest for both
     cat.find(e => e.name.equalsIgnoreCase("MSysRelationships")) match {
       case None => Nil
       case Some(entry) =>
         val h = fs(path)
         val in = h.open(new Path(path))
+        val ps = if (jet3) Jet3Format.PageSize else PageSize
         try {
-          val tdef = parseTdef(readPage(in, entry.tdefPage), entry.tdefPage)
+          val tpage = readPage(in, entry.tdefPage, ps)
+          val tdef =
+            if (jet3) Jet3Format.parseTdef(tpage, entry.tdefPage)
+            else parseTdef(tpage, entry.tdefPage)
           def idx(n: String): Int = {
             val i = tdef.columns.indexWhere(_.name.equalsIgnoreCase(n))
             require(i >= 0,
@@ -205,9 +239,14 @@ object JetMdbSource {
             case other => String.valueOf(other).toInt
           }
           (1 until count).flatMap { pn =>
-            val page = readPage(in, pn)
-            dataRowExtents(page, entry.tdefPage).map { case (s, e) =>
-              val row = decodeRow(page, s, e, tdef, lval)
+            val page = readPage(in, pn, ps)
+            val extents =
+              if (jet3) Jet3Format.dataRowExtents(page, entry.tdefPage)
+              else dataRowExtents(page, entry.tdefPage)
+            extents.map { case (s, e) =>
+              val row =
+                if (jet3) Jet3Format.decodeRow(page, s, e, tdef)
+                else decodeRow(page, s, e, tdef, lval)
               JetRelationshipRow(
                 String.valueOf(row(iName)), String.valueOf(row(iObj)),
                 String.valueOf(row(iCol)), String.valueOf(row(iRefObj)),
@@ -287,12 +326,12 @@ private[jetmdb] final case class JetMdbScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (tdef, _, pageCount) = JetMdbSource.tableDef(path, table)
+    val (tdef, _, pageCount, jet3) = JetMdbSource.tableDefV(path, table)
     // partition 0 starts at page 1 (page 0 is the header)
     (1 until pageCount by PagesPerSplit).map { start =>
       JetMdbInputPartition(
         start, math.min(start + PagesPerSplit, pageCount),
-        tdef.tdefPage): InputPartition
+        tdef.tdefPage, jet3): InputPartition
     }.toArray
   }
 
@@ -303,7 +342,8 @@ private[jetmdb] final case class JetMdbScan(
 }
 
 private[jetmdb] final case class JetMdbInputPartition(
-    fromPage: Int, untilPage: Int, tdefPage: Int) extends InputPartition
+    fromPage: Int, untilPage: Int, tdefPage: Int,
+    jet3: Boolean) extends InputPartition
 
 private[jetmdb] final case class JetMdbReaderFactory(
     path: String,
@@ -331,6 +371,9 @@ private[jetmdb] final class JetMdbPartitionReader(
   private val in = new Path(path)
     .getFileSystem(hconf).open(new Path(path))
 
+  private val pageSize =
+    if (part.jet3) Jet3Format.PageSize else PageSize
+
   // TDEF re-read on the executor (one page) — keeps the partition
   // descriptor serializable-trivial, mirroring jetcsv's sidecar.
   // Initialization after the stream is open must not LEAK it: a
@@ -338,8 +381,10 @@ private[jetmdb] final class JetMdbPartitionReader(
   // close(), and each failed task attempt would strand a descriptor.
   private val (tdef, colIdx, colType, wanted) =
     try {
-      val t = parseTdef(
-        JetMdbSource.readPage(in, part.tdefPage), part.tdefPage)
+      val tp = JetMdbSource.readPage(in, part.tdefPage, pageSize)
+      val t =
+        if (part.jet3) Jet3Format.parseTdef(tp, part.tdefPage)
+        else parseTdef(tp, part.tdefPage)
       val jetTypes = t.jetTypes.toMap
       val idx: Array[Int] =
         required.fieldNames.map(n => t.columns.indexWhere(_.name == n))
@@ -368,7 +413,7 @@ private[jetmdb] final class JetMdbPartitionReader(
   private var lvalCachedPage: Array[Byte] = _
   private val lvalFetch: Int => Array[Byte] = { n =>
     if (n != lvalCachedNum) {
-      lvalCachedPage = JetMdbSource.readPage(in, n)
+      lvalCachedPage = JetMdbSource.readPage(in, n, pageSize)
       lvalCachedNum = n
     }
     lvalCachedPage
@@ -379,12 +424,16 @@ private[jetmdb] final class JetMdbPartitionReader(
     while (current == null) {
       if (!rows.hasNext) {
         if (pageNum >= part.untilPage) return false
-        page = JetMdbSource.readPage(in, pageNum)
-        rows = dataRowExtents(page, part.tdefPage).iterator
+        page = JetMdbSource.readPage(in, pageNum, pageSize)
+        rows =
+          (if (part.jet3) Jet3Format.dataRowExtents(page, part.tdefPage)
+           else dataRowExtents(page, part.tdefPage)).iterator
         pageNum += 1
       } else {
         val (s, e) = rows.next()
-        val decoded = decodeRow(page, s, e, tdef, lvalFetch, wanted)
+        val decoded =
+          if (part.jet3) Jet3Format.decodeRow(page, s, e, tdef, wanted)
+          else decodeRow(page, s, e, tdef, lvalFetch, wanted)
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {

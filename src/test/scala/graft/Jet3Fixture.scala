@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Test-side Jet3 (Access 97) `.mdb` fixture writer — the independent
+  * byte-layout sibling of [[JetMdbFixture]], emitting the SAME
+  * documented profile `graft.sources.jetmdb.Jet3Format` parses
+  * (2048-byte pages, version byte 0x00, 18-byte column descriptors,
+  * u8-length CP1252 names, u8 row column count and var offsets) while
+  * sharing no code with the production reader: a shared
+  * misunderstanding of an offset shows up as a spec failure, not
+  * silent agreement.
+  *
+  * Values per column code: Boolean, Short (BYTE/INT), Int (LONG),
+  * java.math.BigDecimal (MONEY), Float, Double, Long epoch-micros
+  * (DATETIME), String (TEXT, CP1252), or null.
+  */
+object Jet3Fixture {
+
+  val PageSize = 2048
+  private val cp1252: Charset = Charset.forName("windows-1252")
+
+  final case class Col(name: String, code: Int, fixedLen: Int = 0)
+
+  final case class Table(name: String, cols: Seq[Col], rows: Seq[Seq[Any]],
+      deleted: Set[Int] = Set.empty)
+
+  private def le(bytes: Array[Byte]) =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def fixedLenOf(c: Col): Int = c.code match {
+    case 0x01 => 0
+    case 0x02 => 1
+    case 0x03 => 2
+    case 0x04 => 4
+    case 0x05 => 8
+    case 0x06 => 4
+    case 0x07 => 8
+    case 0x08 => 8
+    case 0x0A => c.fixedLen
+    case other => sys.error(f"jet3 fixture: no fixed length for 0x$other%02x")
+  }
+
+  private def isVar(c: Col): Boolean = c.code == 0x0A && c.fixedLen == 0
+  private def isBool(c: Col): Boolean = c.code == 0x01
+
+  private def tdefPageBytes(
+      t: Table, numRows: Int, system: Boolean): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val b = le(p)
+    p(0) = 0x02; p(1) = 0x01
+    b.putInt(4, 0) // single-page TDEF
+    b.putInt(12, numRows)
+    p(20) = if (system) 0x53 else 0x4e
+    b.putShort(21, t.cols.length.toShort) // max_cols
+    b.putShort(23, t.cols.count(isVar).toShort)
+    b.putShort(25, t.cols.length.toShort)
+    b.putInt(27, 0) // num_idx
+    b.putInt(31, 0) // num_real_idx
+    var off = 43
+    var fixedOff = 0
+    var varIdx = 0
+    t.cols.zipWithIndex.foreach { case (c, i) =>
+      p(off) = c.code.toByte
+      b.putShort(off + 1, i.toShort) // col_num
+      if (isVar(c)) { b.putShort(off + 3, varIdx.toShort); varIdx += 1 }
+      b.putShort(off + 5, i.toShort)
+      p(off + 13) = ((if (isVar(c)) 0x00 else 0x01) | 0x02).toByte
+      if (!isVar(c) && !isBool(c)) {
+        b.putShort(off + 14, fixedOff.toShort)
+        fixedOff += fixedLenOf(c)
+      }
+      b.putShort(off + 16,
+        (if (isVar(c)) 0 else fixedLenOf(c)).toShort)
+      off += 18
+    }
+    t.cols.foreach { c =>
+      val nb = c.name.getBytes(cp1252)
+      require(nb.length <= 255, "jet3 fixture: name too long")
+      p(off) = nb.length.toByte
+      System.arraycopy(nb, 0, p, off + 1, nb.length)
+      off += 1 + nb.length
+    }
+    require(off <= PageSize, s"jet3 fixture: TDEF overflow for ${t.name}")
+    p
+  }
+
+  private def encodeRow(t: Table, row: Seq[Any]): Array[Byte] = {
+    val cols = t.cols
+    val bitmaskSz = (cols.length + 7) / 8
+    val fixedTotal = cols.filterNot(isBool).filterNot(isVar)
+      .map(fixedLenOf).sum
+    val varIdxs = cols.indices.filter(i => isVar(cols(i)))
+    val varBytes = varIdxs.map { i =>
+      row(i) match {
+        case null => Array.emptyByteArray
+        case s: String => s.getBytes(cp1252)
+        case other => sys.error(s"jet3 fixture: bad var value $other")
+      }
+    }
+    val hasVar = varIdxs.nonEmpty
+    val total = 1 + fixedTotal + varBytes.map(_.length).sum +
+      (if (hasVar) (varIdxs.length + 1) + 1 else 0) + bitmaskSz
+    require(total <= 255,
+      s"jet3 fixture: row of $total bytes exceeds the u8-offset form")
+    val r = new Array[Byte](total)
+    val b = le(r)
+    r(0) = cols.length.toByte
+    val mask = new Array[Byte](bitmaskSz)
+    def setBit(i: Int): Unit =
+      mask(i / 8) = (mask(i / 8) | (1 << (i % 8))).toByte
+    var off = 1
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (isBool(c)) {
+        if (row(i) != null && row(i).asInstanceOf[Boolean]) setBit(i)
+      } else if (!isVar(c)) {
+        if (row(i) != null) {
+          setBit(i)
+          c.code match {
+            case 0x02 => r(off) = row(i).asInstanceOf[Short].toByte
+            case 0x03 => b.putShort(off, row(i).asInstanceOf[Short])
+            case 0x04 => b.putInt(off, row(i).asInstanceOf[Int])
+            case 0x05 => b.putLong(off,
+              row(i).asInstanceOf[java.math.BigDecimal]
+                .movePointRight(4).longValueExact())
+            case 0x06 => b.putFloat(off, row(i).asInstanceOf[Float])
+            case 0x07 => b.putDouble(off, row(i).asInstanceOf[Double])
+            case 0x08 =>
+              // micros → OLE date (inverse of the reader's linear
+              // post-1899 decode; fixtures stay post-1970)
+              b.putDouble(off,
+                row(i).asInstanceOf[Long] / 86400.0 / 1e6 + 25569.0)
+            case 0x0A =>
+              val tb = row(i).asInstanceOf[String].getBytes(cp1252)
+              require(tb.length <= c.fixedLen, "fixed text overflow")
+              System.arraycopy(tb, 0, r, off, tb.length)
+          }
+        }
+        off += fixedLenOf(c)
+      }
+    }
+    var vOff = 1 + fixedTotal
+    val varOffsets = new Array[Int](varIdxs.length + 1)
+    varIdxs.zipWithIndex.foreach { case (ci, vi) =>
+      varOffsets(vi) = vOff
+      val bytes = varBytes(vi)
+      System.arraycopy(bytes, 0, r, vOff, bytes.length)
+      vOff += bytes.length
+      if (row(ci) != null) setBit(ci)
+    }
+    val tail = total - bitmaskSz
+    if (hasVar) {
+      varOffsets(varIdxs.length) = vOff
+      r(tail - 1) = varIdxs.length.toByte
+      val tabOff = tail - 1 - (varIdxs.length + 1)
+      varOffsets.zipWithIndex.foreach { case (o, k) =>
+        r(tabOff + k) = o.toByte
+      }
+    }
+    System.arraycopy(mask, 0, r, tail, bitmaskSz)
+    r
+  }
+
+  private def dataPages(
+      tdefPage: Int, rows: Seq[Array[Byte]],
+      deleted: Set[Int]): Seq[Array[Byte]] = {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    while (i < rows.length) {
+      val p = new Array[Byte](PageSize)
+      val b = le(p)
+      p(0) = 0x01; p(1) = 0x01
+      b.putInt(4, tdefPage)
+      var dataTop = PageSize
+      var n = 0
+      var fits = true
+      while (i < rows.length && fits) {
+        val r = rows(i)
+        if (10 + 2 * (n + 1) <= dataTop - r.length) {
+          dataTop -= r.length
+          System.arraycopy(r, 0, p, dataTop, r.length)
+          val flag = if (deleted.contains(i)) 0x8000 else 0
+          b.putShort(10 + 2 * n, (dataTop | flag).toShort)
+          n += 1
+          i += 1
+        } else fits = false
+      }
+      b.putShort(8, n.toShort)
+      b.putShort(2, (dataTop - (10 + 2 * n)).toShort)
+      pages += p
+    }
+    pages.toSeq
+  }
+
+  /** Write a Jet3 database file holding `tables`. */
+  def write(path: String, tables: Seq[Table]): Unit = {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    val hdr = new Array[Byte](PageSize)
+    hdr(0) = 0x00; hdr(1) = 0x01
+    val magic = "Standard Jet DB".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    System.arraycopy(magic, 0, hdr, 4, magic.length)
+    hdr(0x14) = 0x00 // Jet3
+    pages += hdr
+    val usage = new Array[Byte](PageSize)
+    usage(0) = 0x05; usage(1) = 0x01
+    pages += usage
+    pages += null; pages += null // catalog TDEF + data, patched below
+    val catalogRows = ArrayBuffer[Seq[Any]](
+      Seq(Integer.valueOf(2), 3.toShort, "MSysObjects"))
+    tables.foreach { t =>
+      val tdefPage = pages.length
+      pages += tdefPageBytes(t, t.rows.length, system = false)
+      dataPages(tdefPage, t.rows.map(encodeRow(t, _)), t.deleted)
+        .foreach(pages += _)
+      catalogRows += Seq(Integer.valueOf(tdefPage), 1.toShort, t.name)
+    }
+    val sysTable = Table(
+      "MSysObjects",
+      Seq(Col("Id", 0x04), Col("Type", 0x03), Col("Name", 0x0A)),
+      catalogRows.toSeq)
+    pages(2) = tdefPageBytes(sysTable, catalogRows.length, system = true)
+    val catData = dataPages(2, catalogRows.toSeq.map(encodeRow(sysTable, _)),
+      Set.empty)
+    require(catData.length == 1, "jet3 fixture: catalog must fit one page")
+    pages(3) = catData.head
+    val out = new java.io.ByteArrayOutputStream(pages.length * PageSize)
+    pages.foreach(out.write)
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.jetmdb.{Jet3Format, JetMdbSource}
+
+/** Jet3 (Access 97) read support: fixtures written by the independent
+  * test-side layout writer ([[Jet3Fixture]]), decoded by the
+  * production reader through the same `jetmdb` format with version
+  * auto-dispatch — plus the profile's honest rejections. */
+class Jet3SourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_jet3").toString
+
+  test("jet3 fixture round-trips every in-scope type, nulls, " +
+    "deleted rows, CP1252 text") {
+    spark.sparkContext
+    val path = s"${tmp()}/old97.mdb"
+    val micros = 1582934400000000L // 2020-02-29T00:00:00Z
+    Jet3Fixture.write(path, Seq(
+      Jet3Fixture.Table(
+        "Orders 97",
+        Seq(
+          Jet3Fixture.Col("ID", 0x04),
+          Jet3Fixture.Col("Active", 0x01),
+          Jet3Fixture.Col("Tiny", 0x02),
+          Jet3Fixture.Col("Small", 0x03),
+          Jet3Fixture.Col("Price", 0x05),
+          Jet3Fixture.Col("Ratio", 0x06),
+          Jet3Fixture.Col("Exact", 0x07),
+          Jet3Fixture.Col("Placed", 0x08),
+          Jet3Fixture.Col("Code", 0x0A, fixedLen = 4),
+          Jet3Fixture.Col("Name", 0x0A)),
+        Seq(
+          Seq(Integer.valueOf(1), Boolean.box(true), 200.toShort,
+            (-7).toShort, new java.math.BigDecimal("12.3400"),
+            1.5f, 2.25, java.lang.Long.valueOf(micros), "ABCD",
+            "Café Über"), // CP1252 é and Ü
+          Seq(Integer.valueOf(2), Boolean.box(false), null, null,
+            null, null, null, null, "WXYZ", null),
+          Seq(Integer.valueOf(3), Boolean.box(true), 1.toShort,
+            1.toShort, new java.math.BigDecimal("-0.0100"), -2f,
+            -4.5, java.lang.Long.valueOf(0L), "QQQQ", "gone")),
+        deleted = Set(2))))
+    assert(JetMdbSource.listTables(path).map(_._1) == Seq("Orders 97"))
+    val df = spark.read.format("jetmdb")
+      .option("table", "Orders 97").load(path)
+    val rows = df.orderBy(col("ID")).collect()
+    assert(rows.length == 2, "deleted row must not surface")
+    val r0 = rows(0)
+    assert(r0.getAs[Int]("ID") == 1)
+    assert(r0.getAs[Boolean]("Active"))
+    assert(r0.getAs[Short]("Tiny") == 200)
+    assert(r0.getAs[Short]("Small") == -7)
+    assert(r0.getAs[java.math.BigDecimal]("Price")
+      .compareTo(new java.math.BigDecimal("12.3400")) == 0)
+    assert(r0.getAs[Float]("Ratio") == 1.5f)
+    assert(r0.getAs[Double]("Exact") == 2.25)
+    assert(r0.getAs[java.sql.Timestamp]("Placed").toInstant
+      .toEpochMilli == micros / 1000)
+    assert(r0.getAs[String]("Code").startsWith("ABCD"))
+    assert(r0.getAs[String]("Name") == "Café Über")
+    val r1 = rows(1)
+    assert(!r1.getAs[Boolean]("Active"))
+    assert(r1.isNullAt(r1.fieldIndex("Tiny")))
+    assert(r1.isNullAt(r1.fieldIndex("Name")))
+  }
+
+  test("jet3 column pruning decodes only requested columns") {
+    spark.sparkContext
+    val path = s"${tmp()}/prune.mdb"
+    Jet3Fixture.write(path, Seq(
+      Jet3Fixture.Table(
+        "T",
+        Seq(Jet3Fixture.Col("a", 0x04), Jet3Fixture.Col("b", 0x0A)),
+        (1 to 300).map(i => Seq(Integer.valueOf(i), s"value_$i")))))
+    val only = spark.read.format("jetmdb").option("table", "T")
+      .load(path).select("a")
+    assert(only.count() == 300)
+    assert(only.agg(sum(col("a"))).collect()(0).getLong(0) ==
+      300L * 301 / 2)
+  }
+
+  test("jet3 rejections: out-of-profile column types name the " +
+    "jetcsv escape route") {
+    val page = new Array[Byte](Jet3Format.PageSize)
+    page(0) = 0x02; page(1) = 0x01
+    // num_cols = 1 @25, no indexes; one MEMO (0x0C) descriptor @43
+    page(25) = 1
+    page(43) = 0x0C
+    val e = intercept[UnsupportedOperationException] {
+      Jet3Format.parseTdef(page, 7)
+    }
+    assert(e.getMessage.contains("jetcsv"), e.getMessage)
+  }
+
+  test("jet3 rejects oversized rows (u8-offset profile) honestly") {
+    val tdef = graft.sources.jetmdb.JetMdbFormat.JetTableDef(
+      5, 1, 0x4e, Seq(graft.sources.jetmdb.JetMdbFormat.JetColumn(
+        "x", 0x0A, 0, fixed = false, 0, 0, 0)))
+    val page = new Array[Byte](Jet3Format.PageSize)
+    val e = intercept[UnsupportedOperationException] {
+      Jet3Format.decodeRow(page, 100, 400, tdef)
+    }
+    assert(e.getMessage.contains("jump-table"), e.getMessage)
+  }
+
+  test("version sniffing: the same reader code path serves Jet3 and " +
+    "Jet4 files side by side") {
+    spark.sparkContext
+    val dir = tmp()
+    val p3 = s"$dir/v3.mdb"
+    val p4 = s"$dir/v4.mdb"
+    Jet3Fixture.write(p3, Seq(Jet3Fixture.Table(
+      "t", Seq(Jet3Fixture.Col("n", 0x04)),
+      Seq(Seq(Integer.valueOf(30))))))
+    JetMdbFixture.write(p4, Seq(JetMdbFixture.Table(
+      "t", Seq(JetMdbFixture.Col("n", 0x04)),
+      Seq(Seq(Integer.valueOf(40))))))
+    def one(p: String): Int = spark.read.format("jetmdb")
+      .option("table", "t").load(p).collect()(0).getInt(0)
+    assert(one(p3) == 30)
+    assert(one(p4) == 40)
+  }
+}
