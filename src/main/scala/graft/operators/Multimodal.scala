@@ -78,6 +78,9 @@ object Multimodal {
         val t = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         if (t == "acTL") out = "apng"
         else if (t == "IDAT" || t == "IEND") out = "png"
+        // a corrupt negative/huge length must terminate the walk (the
+        // decoder will reject the stream properly), never spin it
+        else if (len < 0) out = "png"
         else off += 12 + len
       }
       if (out == null) "png" else out

@@ -382,7 +382,8 @@ class JetMdbSourceSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("unknown column")))
   }
 
-  test("non-Jet and Jet3 files are rejected with precise errors") {
+  test("non-Jet and unknown-version files are rejected with precise " +
+    "errors (Jet3 now DISPATCHES — see Jet3SourceSpec)") {
     val dir = Files.createTempDirectory("jetmdb-bad")
     val junk = dir.resolve("junk.mdb")
     Files.write(junk, Array.fill[Byte](4096)(7))
@@ -390,16 +391,16 @@ class JetMdbSourceSpec extends AnyFunSuite {
       JetMdbSource.listTables(junk.toString)
     }
     assert(e1.getMessage.contains("signature"))
-    // valid signature, Jet3 version byte
-    val j3 = new Array[Byte](4096)
-    j3(0) = 0x00; j3(1) = 0x01
-    System.arraycopy("Standard Jet DB".getBytes("US-ASCII"), 0, j3, 4, 15)
-    j3(0x14) = 0x00
-    val f3 = dir.resolve("jet3.mdb")
-    Files.write(f3, j3)
+    // valid signature, unknown version byte (neither Jet3 nor Jet4)
+    val jx = new Array[Byte](4096)
+    jx(0) = 0x00; jx(1) = 0x01
+    System.arraycopy("Standard Jet DB".getBytes("US-ASCII"), 0, jx, 4, 15)
+    jx(0x14) = 0x02
+    val fx = dir.resolve("jetx.mdb")
+    Files.write(fx, jx)
     val e2 = intercept[IllegalArgumentException] {
-      JetMdbSource.listTables(f3.toString)
+      JetMdbSource.listTables(fx.toString)
     }
-    assert(e2.getMessage.contains("Jet4"))
+    assert(e2.getMessage.contains("unsupported Jet version"))
   }
 }
