@@ -30,7 +30,7 @@ object SparkEntry {
       MlEvalQueries2.defs ++ DataOpsQueries.defs ++
       ExperimentQueries.defs ++ BpeQueries.defs ++ PqAnn.defs ++
       RetrievalExtQueries.defs ++ PcaQueries.defs ++
-      SelectionQueries.defs
+      SelectionQueries.defs ++ PipelineOpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -78,7 +78,13 @@ class RegistryPlanSpec extends AnyFunSuite {
       // (one row per integer NLL unit, ≤ ~25 bands since avg bigram
       // NLL is bounded by ln(vocab)); the per-value cumulative window
       // is partitioned by band
-      "q_ccnet_buckets")
+      "q_ccnet_buckets",
+      // curriculum interleave: the only unpartitioned windows
+      // (ROW_NUMBER + COUNT OVER ()) run on the DISTINCT-sources
+      // frame — |sources| = 20 rows at every scale factor, a domain
+      // constant; the per-document rank window IS partitioned (by
+      // source) and the frame joins back broadcast
+      "q_curriculum_mix")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>
