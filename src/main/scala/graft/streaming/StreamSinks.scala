@@ -172,6 +172,16 @@ object StreamSinks {
             .filter(_.getName.stripPrefix("upto_batch=")
               .toLong < newestId)
             .foreach(p => fs.delete(p, true))
+          // same fate for orphaned STAGING dirs (crash mid-write
+          // before the rename — the more common artifact): a batch
+          // below the newest committed predecessor will never replay,
+          // so its staging can never be re-swapped
+          val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$stateDir/.staging_upto_batch=*"))
+          if (stale != null) stale.map(_.getPath)
+            .filter(_.getName.stripPrefix(".staging_upto_batch=")
+              .toLong < newestId)
+            .foreach(p => fs.delete(p, true))
         }
       }
       .start()

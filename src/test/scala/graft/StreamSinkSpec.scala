@@ -161,5 +161,25 @@ class StreamSinkSpec extends AnyFunSuite {
       .filter(_ != 9999L).sorted
     assert(committed.length == 2,
       s"expected latest+predecessor after pruning, got ${committed.toSeq}")
+
+    // crashed-artifact pruning: an UNCOMMITTED dir and an orphaned
+    // STAGING dir below the newest committed predecessor can never
+    // become valid state (their batch will never replay) — the next
+    // commit removes both. The high-id ghost (9999) stays: ids at or
+    // above the current batch are out of pruning scope by design.
+    val lowGhost = new org.apache.hadoop.fs.Path(s"$state/upto_batch=1")
+    val lowStaging =
+      new org.apache.hadoop.fs.Path(s"$state/.staging_upto_batch=1")
+    fs.mkdirs(lowGhost) // no _SUCCESS: a crash between write and commit
+    fs.mkdirs(lowStaging) // a crash mid-write, before the rename
+    stream.addData(("click", 9000L))
+    StreamSinks.foreachBatchSketchParquet(
+      stream.toDF().toDF("event_type", "user_id"), state, ckpt,
+      retainGenerations = 1)
+      .awaitTermination()
+    assert(!fs.exists(lowGhost), "uncommitted low-id dir must be pruned")
+    assert(!fs.exists(lowStaging), "orphaned staging dir must be pruned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/upto_batch=9999")),
+      "future-id ghost stays out of pruning scope")
   }
 }
