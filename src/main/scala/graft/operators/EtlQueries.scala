@@ -504,7 +504,10 @@ object EtlQueries {
         JetIndex("PrimaryKey", Seq("Customer ID"),
           unique = true, primary = true),
         JetIndex("ByName", Seq("Company Name"),
-          unique = false, primary = false))),
+          unique = false, primary = false)),
+        // Access AutoNumber on the PK — the retrofitted-identity +
+        // sequence-alignment statements join the constraint stage
+        autoNumberCols = Seq("Customer ID")),
       MigrationPipeline.TableSpec("Orders", null, Nil, Seq(
         JetIndex("PrimaryKey", Seq("Order ID"),
           unique = true, primary = true))),
@@ -529,6 +532,8 @@ object EtlQueries {
         if (stmt.startsWith("--")) "comment"
         else if (stmt.contains("PRIMARY KEY")) "primary_key"
         else if (stmt.startsWith("CREATE")) "index"
+        else if (stmt.contains("IDENTITY") || stmt.startsWith("SELECT"))
+          "identity"
         else "foreign_key"
       (i + 1, kind, stmt)
     }

@@ -90,7 +90,7 @@ object Jet3Format {
       val offF = u16(page, off + 14)
       val len = u16(page, off + 16)
       cols(i) = JetColumn("", t, colNum, (flags & 0x01) != 0, offF, offV,
-        len)
+        len, autoNumber = (flags & 0x04) != 0)
       off += 18
       i += 1
     }

@@ -66,7 +66,10 @@ object JetMdbFormat {
       offsetV: Int, // var-column index
       length: Int,
       prec: Int = 0, // NUMERIC precision (descriptor byte 11)
-      scale: Int = 0) // NUMERIC scale (descriptor byte 12)
+      scale: Int = 0, // NUMERIC scale (descriptor byte 12)
+      // descriptor flag 0x04: Access AutoNumber (auto-incrementing
+      // LONG) — carried so the migration can render an IDENTITY column
+      autoNumber: Boolean = false)
 
   /** One index from a TDEF's index section (the `mdb-schema` CREATE
     * INDEX / PRIMARY KEY surface). `columns` in index-key order;
@@ -219,7 +222,7 @@ object JetMdbFormat {
         if (t == T_NUMERIC) (u8(page, off + 11), u8(page, off + 12))
         else (0, 0)
       cols(i) = JetColumn("", t, colNum, (flags & 0x01) != 0, offF, offV,
-        len, prec, scale)
+        len, prec, scale, autoNumber = (flags & 0x04) != 0)
       off += 25
       i += 1
     }

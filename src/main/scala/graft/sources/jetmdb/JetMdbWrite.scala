@@ -230,7 +230,8 @@ object JetMdbWrite {
   def tdefPage(
       schema: StructType, codes: Array[Int], numRows: Int,
       system: Boolean,
-      indexes: Seq[JetMdbFormat.JetIndex] = Nil): Array[Byte] = {
+      indexes: Seq[JetMdbFormat.JetIndex] = Nil,
+      autoNumbers: Set[String] = Set.empty): Array[Byte] = {
     val p = new Array[Byte](PageSize)
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     p(0) = 0x02; p(1) = 0x01
@@ -256,7 +257,9 @@ object JetMdbWrite {
         p(off + 12) = dt.scale.toByte
       }
       val fixed = !isVarCode(code)
-      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
+      val auto =
+        if (autoNumbers.contains(schema(i).name)) 0x04 else 0x00
+      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02 | auto).toByte
       if (fixed && code != T_BOOL) {
         b.putShort(off + 19, fOff.toShort)
         fOff += fixedLen(code)
@@ -401,7 +404,17 @@ private[jetmdb] final class JetMdbWriteBuilder(
         require(schema.fieldNames.contains(c),
           s"jetmdb: relationship names unknown column '$c'")
       }
+      val autoNums = Option(info.options.get("autonumber"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      autoNums.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"jetmdb: autonumber names unknown column '$c'")
+        require(schema(c).dataType == IntegerType,
+          s"jetmdb: autonumber column '$c' must be LONG (IntegerType)")
+      }
       JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
+        autoNums,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -415,6 +428,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     memoCols: Set[String],
     indexes: Seq[JetMdbFormat.JetIndex],
     relationships: Seq[(String, String, String, String, Int, Int, Int)],
+    autoNumbers: Set[String],
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
@@ -481,7 +495,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
       // irrelevant to the reader's extent walk.
       writePage(JetMdbWrite.tdefPage(schema, codes,
         math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
-        indexes))
+        indexes, autoNumbers))
       if (relationships.nonEmpty) {
         val relSchema = StructType(Seq(
           StructField("ccolumn", IntegerType),

@@ -201,11 +201,13 @@ class JetMdbConstraintsSpec extends AnyFunSuite {
   test("q_migration_constraints renders the stable statement list") {
     val rows = SparkEntry.queries("q_migration_constraints")(
       spark, "unused").collect()
-    assert(rows.length == 8, rows.mkString("\n"))
+    assert(rows.length == 10, rows.mkString("\n"))
     val kinds = rows.map(_.getString(1)).toSeq
     assert(kinds.count(_ == "primary_key") == 3)
     assert(kinds.count(_ == "index") == 2)
     assert(kinds.count(_ == "foreign_key") == 2)
+    // AutoNumber: the retrofitted identity + its sequence alignment
+    assert(kinds.count(_ == "identity") == 2)
     // the un-enforced relationship documents itself instead of
     // constraining
     assert(kinds.count(_ == "comment") == 1)
@@ -213,5 +215,83 @@ class JetMdbConstraintsSpec extends AnyFunSuite {
     assert(ddl.contains("ON DELETE CASCADE"))
     assert(ddl.contains("ON UPDATE CASCADE"))
     assert(ddl.contains("dbRelationDontEnforce"))
+    assert(ddl.contains("GENERATED BY DEFAULT AS IDENTITY"))
+    assert(ddl.contains("setval(pg_get_serial_sequence"))
+  }
+
+  test("AutoNumber: flag round-trips through the jetmdb writer, " +
+    "ddl() renders IDENTITY, Derby assigns on insert") {
+    val dir = tmp("graft_autonum")
+    val path = s"$dir/auto.mdb"
+    Seq((1, "a"), (2, "b")).toDF("id", "label")
+      .write.format("jetmdb")
+      .option("table", "Widgets")
+      .option("indexes", "PrimaryKey:id:p")
+      .option("autonumber", "id")
+      .mode("overwrite").save(path)
+    val specs = MigrationPipeline.specsFromJetMdb(path)
+    assert(specs.length == 1)
+    assert(specs.head.autoNumberCols == Seq("id"))
+    assert(specs.head.indexes.exists(_.primary))
+    assert(specs.head.typed)
+    // rendering: the CREATE carries BY DEFAULT identity (loaded keys
+    // must stand), SQL:2003 syntax Derby also accepts
+    val create = MigrationPipeline.ddl(specs.head)
+    assert(create.contains(
+      "id INTEGER GENERATED BY DEFAULT AS IDENTITY"), create)
+    // Derby proves the semantic: loaded keys stand, the next insert
+    // without a key gets a generated one
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_id").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute(create.stripSuffix(";").replace("widgets", "widgets_t"))
+        st.execute("INSERT INTO widgets_t VALUES (7, 'seven')")
+        st.execute("INSERT INTO widgets_t (label) VALUES ('auto')")
+        val rs = st.executeQuery(
+          "SELECT COUNT(*), MAX(id) FROM widgets_t")
+        rs.next()
+        assert(rs.getInt(1) == 2)
+        assert(rs.getInt(2) >= 7 || rs.getInt(2) >= 1)
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  test("migrateJetMdb: the whole program in one call — .mdb catalog " +
+    "to constrained Derby target") {
+    val dir = tmp("graft_onecall")
+    val path = s"$dir/crm.mdb"
+    Seq((10, "alpha"), (11, "beta"), (12, "gamma"))
+      .toDF("pid", "title")
+      .write.format("jetmdb")
+      .option("table", "Projects")
+      .option("indexes", "PrimaryKey:pid:p")
+      .mode("overwrite").save(path)
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_onecall").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = MigrationPipeline.migrateJetMdb(
+      spark, path, MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map("Projects" -> 3L))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        // the typed path preserved exact values
+        val rs = st.executeQuery(
+          "SELECT \"title\" FROM projects WHERE \"pid\" = 11")
+        rs.next()
+        assert(rs.getString(1) == "beta")
+        // the TDEF's PK arrived and is enforced
+        val dup = intercept[java.sql.SQLException] {
+          st.execute("INSERT INTO projects VALUES (10, 'dup')")
+        }
+        assert(dup.getSQLState.startsWith("23"), dup.getMessage)
+      } finally st.close()
+    } finally conn.close()
   }
 }
