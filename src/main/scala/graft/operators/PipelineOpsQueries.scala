@@ -212,6 +212,102 @@ object PipelineOpsQueries {
       .orderBy(col("global_pos"))
   }
 
+  /** Temperature-scaled source mixing at α = 0.5 (the multilingual
+    * sampling standard between proportional α=1 and uniform α=0;
+    * the SOURCE-grain sibling of q_train_mix's α=0.7 lang weights):
+    * p_i ∝ √n_i. α is HALF deliberately — √ is correctly rounded in
+    * IEEE 754, so both engines compute bit-identical per-source
+    * weights where a general pow(x, 0.3) could differ in the last
+    * ulp. Each √ is then QUANTIZED to an integer 1e9 grid before the
+    * normalizing sum — float summation order across an unordered
+    * aggregate is the one remaining nondeterminism, and integer sums
+    * are order-free (the engine-pair discipline the selection tier
+    * uses everywhere). Corpus work collapses to the |sources|-row
+    * count frame before any float math. */
+  val qMixTemperature: QDef = QDef(
+    "q_mix_temperature",
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*)) * 1000000000) AS BIGINT) AS wq
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT SUM(wq) AS z, SUM(n_docs) AS total FROM c)
+      |SELECT c.source, c.n_docs,
+      |  ROUND(c.wq * 1.0 / t.z, 6) AS p_sample,
+      |  ROUND(c.wq * 1.0 / t.z - c.n_docs * 1.0 / t.total, 6) AS uplift
+      |FROM c, t
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val c = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        floor(sqrt(col("n_docs")) * lit(1000000000L)).cast("bigint"))
+    val z = c.agg(sum(col("wq")).as("z"), sum(col("n_docs")).as("total"))
+    c.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("wq") * lit(1.0) / col("z"), 6).as("p_sample"),
+        round(col("wq") * lit(1.0) / col("z")
+          - col("n_docs") * lit(1.0) / col("total"), 6).as("uplift"))
+      .orderBy(col("source"))
+  }
+
+  /** Padding-waste accounting for batched training: documents bucket
+    * to the next power-of-two token length (the standard
+    * length-bucketing scheme) and each bucket reports how many pad
+    * tokens batching at that width costs vs the tokens it carries.
+    * The bucket boundary is a CASE chain over the fixed power ladder,
+    * NOT 2^⌈log2 n⌉ — float log at exact powers of two is
+    * last-ulp-fragile across engines, a documented determinism trap.
+    * One scan, one |buckets|-row aggregate. */
+  val qPadWaste: QDef = QDef(
+    "q_pad_waste",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE
+      |      WHEN n_tok <= 16 THEN 16
+      |      WHEN n_tok <= 32 THEN 32
+      |      WHEN n_tok <= 64 THEN 64
+      |      WHEN n_tok <= 128 THEN 128
+      |      WHEN n_tok <= 256 THEN 256
+      |      WHEN n_tok <= 512 THEN 512
+      |      ELSE 1024 END AS bucket
+      |  FROM t)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |  CAST(COUNT(*) * bucket - SUM(n_tok) AS BIGINT) AS pad_tok,
+      |  ROUND((COUNT(*) * bucket - SUM(n_tok)) * 100.0
+      |    / (COUNT(*) * bucket), 4) AS waste_pct
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val t = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val bucket =
+      when(col("n_tok") <= 16, 16L)
+        .when(col("n_tok") <= 32, 32L)
+        .when(col("n_tok") <= 64, 64L)
+        .when(col("n_tok") <= 128, 128L)
+        .when(col("n_tok") <= 256, 256L)
+        .when(col("n_tok") <= 512, 512L)
+        .otherwise(1024L)
+    t.select(col("n_tok"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .select(
+        col("bucket").cast("int").as("bucket"),
+        col("n_docs"),
+        col("sum_tok"),
+        (col("n_docs") * col("bucket") - col("sum_tok")).as("pad_tok"),
+        round((col("n_docs") * col("bucket") - col("sum_tok"))
+          * lit(100.0) / (col("n_docs") * col("bucket")), 4)
+          .as("waste_pct"))
+      .orderBy(col("bucket"))
+  }
+
   val defs: Seq[QDef] = Seq(
-    qBloomPrefilter, qSplitLeakageSafe, qPiiScrub, qCurriculumMix)
+    qBloomPrefilter, qSplitLeakageSafe, qPiiScrub, qCurriculumMix,
+    qMixTemperature, qPadWaste)
 }

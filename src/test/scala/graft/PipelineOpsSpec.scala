@@ -79,6 +79,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1) == "no pii here, just 2,5 numbers and @ signs @ large")
   }
 
+  test("q_mix_temperature: probabilities normalize, sqrt flattening " +
+    "lifts small sources and taxes large ones") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sfDir)
+      .collect()
+    val pSum = rows.map(_.getAs[Double]("p_sample")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p sums to $pSum")
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("uplift") >=
+      byN.last.getAs[Double]("uplift"),
+      "smallest source must gain at least as much as the largest")
+  }
+
+  test("q_pad_waste: bucket sums reconstruct the corpus token total, " +
+    "waste within [0, 100)") {
+    val rows = SparkEntry.queries("q_pad_waste")(spark, sfDir).collect()
+    val sumTok = rows.map(_.getAs[Long]("sum_tok")).sum
+    val want = graft.sources.TableLoader.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(sumTok == want)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("waste_pct")
+      assert(w >= 0.0 && w < 100.0, r.toString)
+      assert(r.getAs[Long]("pad_tok") ==
+        r.getAs[Long]("n_docs") * r.getAs[Int]("bucket") -
+          r.getAs[Long]("sum_tok"))
+    }
+  }
+
   test("q_curriculum_mix: unique dense-ordered positions, first " +
     "|sources| rows cover every source exactly once, ranks " +
     "quality-descending within source") {
