@@ -236,6 +236,32 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("bloom prefilter at 10x: probe side cut to ~selectivity+FPP " +
+    "before the join, result exactly equals the plain semi-join",
+    SlowTag) {
+    // 200k probe keys, 1% selective dim side (hash-derived, seeded)
+    val probe = spark.range(200000).select(col("id").as("k"))
+    val dim = probe.filter(pmod(xxhash64(col("k")), lit(100)) === 0)
+    val nDim = dim.count()
+    val bloom = dim.stat.bloomFilter("k", nDim, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val passed = probe.filter(mightContain(col("k"))).count()
+    // the scale claim measured: the prefilter admits the true matches
+    // plus ~FPP of the rest — the shuffle downstream sees ~2% of the
+    // probe, not 100% (at 100 TB that factor IS the job cost)
+    assert(passed >= nDim, "bloom must have no false negatives")
+    assert(passed <= nDim + (200000 * 0.03).toLong,
+      s"bloom admitted $passed rows for $nDim true matches — FPP " +
+        "far above the configured 1%")
+    // exactness: prefilter + semi-join == plain semi-join
+    val got = probe.filter(mightContain(col("k")))
+      .join(dim.select(col("k").as("dk")), col("k") === col("dk"),
+        "left_semi")
+      .count()
+    assert(got == nDim)
+  }
+
   test("n-gram Jaccard quadratic guard at 10x: completes within budget " +
     "or raises its designed diagnostic — never explodes", SlowTag) {
     def msgs(t: Throwable): Seq[String] =
