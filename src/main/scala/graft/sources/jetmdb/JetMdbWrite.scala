@@ -16,7 +16,10 @@ import graft.sources.jetmdb.JetMdbFormat._
 
 /** Write side of the jetmdb source: `df.write.format("jetmdb")
   * .option("table", "t").save("/out/db.mdb")` produces a valid Jet4
-  * database holding one user table.
+  * database; `mode("append")` ADDS a table to an existing database
+  * (catalog page rebuilt, relationships folded into the existing
+  * MSysRelationships), so multi-table `.mdb` files — real FK pairs
+  * included — build incrementally, one table per write.
   *
   * Topology: a `.mdb` is a SINGLE file with an internal catalog, so
   * the two-phase commit stages per-task ROW BLOBS (a trivial
@@ -372,9 +375,11 @@ private[jetmdb] final class JetMdbWriteBuilder(
     path: String, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
 
-  // a jetmdb write always (re)creates the whole single-file database,
-  // so truncate-for-overwrite is inherently satisfied
-  override def truncate(): WriteBuilder = this
+  // Overwrite recreates the whole single-file database (Spark signals
+  // it via truncate()); a plain append instead ADDS a user table to an
+  // existing database — the multi-table construction path.
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -414,7 +419,7 @@ private[jetmdb] final class JetMdbWriteBuilder(
           s"jetmdb: autonumber column '$c' must be LONG (IntegerType)")
       }
       JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
-        autoNums,
+        autoNums, overwrite,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -429,6 +434,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     indexes: Seq[JetMdbFormat.JetIndex],
     relationships: Seq[(String, String, String, String, Int, Int, Int)],
     autoNumbers: Set[String],
+    overwrite: Boolean,
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
@@ -437,7 +443,37 @@ private[jetmdb] final case class JetMdbBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory =
     JetMdbWriterFactory(path, stagingName, schema, memoCols, conf)
 
-  /** Stream staged row blobs into Jet pages; O(page) memory. */
+  private val relSchema = StructType(Seq(
+    StructField("ccolumn", IntegerType),
+    StructField("grbit", IntegerType),
+    StructField("icolumn", IntegerType),
+    StructField("szColumn", StringType),
+    StructField("szObject", StringType),
+    StructField("szReferencedColumn", StringType),
+    StructField("szReferencedObject", StringType),
+    StructField("szRelationship", StringType)))
+  private val relCodes =
+    Array(T_LONG, T_LONG, T_LONG, T_TEXT, T_TEXT, T_TEXT, T_TEXT, T_TEXT)
+
+  private def relRowBytes(): Seq[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.{InternalRow => IRow}
+    import org.apache.spark.unsafe.types.UTF8String
+    relationships.map {
+      case (name, col, refTable, refCol, icol, ccol, grbit) =>
+        JetMdbWrite.encodeRow(
+          IRow(ccol, grbit, icol, UTF8String.fromString(col),
+            UTF8String.fromString(table),
+            UTF8String.fromString(refCol),
+            UTF8String.fromString(refTable),
+            UTF8String.fromString(name)),
+          relSchema, relCodes)
+    }
+  }
+
+  /** Stream staged row blobs into Jet pages; O(page) memory for the
+    * fresh (overwrite) path; the append path additionally holds the
+    * EXISTING file's pages (bounded by Jet's own 2 GB format cap —
+    * this sink is interchange-scale by contract). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val parent = new Path(path).getParent
@@ -457,7 +493,147 @@ private[jetmdb] final case class JetMdbBatchWrite(
             "is for bounded interchange tables (use parquet/JDBC)")
       out.write(p); pageCount += 1
     }
+    val appending = !overwrite && fs.exists(new Path(path))
     try {
+      if (appending) {
+        appendPages(fs, staging, codes, parts, numRows, writePage)
+      } else freshPages(fs, staging, codes, parts, numRows, writePage)
+    } finally out.close()
+    if (fs.exists(new Path(path)) && !fs.delete(new Path(path), false))
+      throw new java.io.IOException(s"jetmdb: cannot replace $path")
+    if (!fs.rename(tmpOut, new Path(path)))
+      throw new java.io.IOException(
+        s"jetmdb commit: failed to move $tmpOut to $path")
+    fs.delete(staging, true)
+  }
+
+  /** APPEND path — multi-table `.mdb` construction: copy the existing
+    * database's pages, add the new table's TDEF (+ index section) and
+    * data pages, rebuild the single catalog data page with the new
+    * entries, and fold any declared relationships into the existing
+    * MSysRelationships (new data pages under its existing TDEF owner —
+    * the reader's extent walk discovers them by owner, so nothing
+    * already on disk moves). Jet4 files only; a same-named table is
+    * rejected, never replaced. */
+  private def appendPages(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path,
+      codes: Array[Int], parts: Array[JetMdbCommit], numRows: Long,
+      writePage: Array[Byte] => Unit): Unit = {
+    import org.apache.spark.sql.catalyst.{InternalRow => IRow}
+    import org.apache.spark.unsafe.types.UTF8String
+    val st = fs.getFileStatus(new Path(path))
+    require(st.getLen % PageSize == 0,
+      s"jetmdb append: $path is not page-aligned (${st.getLen} bytes)")
+    val oldCount = (st.getLen / PageSize).toInt
+    val pages = new Array[Array[Byte]](oldCount)
+    val in = fs.open(new Path(path))
+    try {
+      var n = 0
+      while (n < oldCount) {
+        val pg = new Array[Byte](PageSize)
+        in.readFully(n.toLong * PageSize, pg)
+        pages(n) = pg
+        n += 1
+      }
+    } finally in.close()
+    checkHeader(pages(0))
+    require(u8(pages(0), 0x14) == 0x01,
+      "jetmdb append: only Jet4 files can be appended to (Jet3 is " +
+        "read-only scope)")
+    val sysTdef = parseTdef(pages(2), 2)
+    require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
+      ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
+      "jetmdb append: page-2 catalog TDEF is not the (Id, Type, Name) " +
+        "profile this writer maintains")
+    // existing catalog rows + the single catalog data page they live on
+    var catPageNum = -1
+    val oldCat = (1 until oldCount).flatMap { pn =>
+      val extents = dataRowExtents(pages(pn), 2)
+      if (extents.nonEmpty) {
+        require(catPageNum == -1 || catPageNum == pn,
+          "jetmdb append: multi-page catalogs are out of this " +
+            "writer's single-page discipline")
+        catPageNum = pn
+      }
+      extents.map { case (rs, re) =>
+        val row = decodeRow(pages(pn), rs, re, sysTdef)
+        (row(0).asInstanceOf[Integer].intValue(),
+          row(1).asInstanceOf[Short].toInt,
+          String.valueOf(row(2)))
+      }
+    }
+    require(catPageNum > 0, "jetmdb append: no catalog data page found")
+    require(!oldCat.exists(_._3.equalsIgnoreCase(table)),
+      s"jetmdb append: table '$table' already exists in $path " +
+        "(append adds tables, never replaces — overwrite mode rewrites " +
+        "the database)")
+    val existingRelTdef = oldCat
+      .find(_._3.equalsIgnoreCase("MSysRelationships")).map(_._1)
+    val newTdefPage = oldCount
+    // a fresh MSysRelationships TDEF lands right after the new table's
+    // TDEF when relationships are declared and none exists yet
+    val newRelTdefPage =
+      if (relationships.nonEmpty && existingRelTdef.isEmpty)
+        Some(newTdefPage + 1)
+      else None
+    val sysSchema = StructType(Seq(
+      StructField("Id", IntegerType), StructField("Type", ShortType),
+      StructField("Name", StringType)))
+    val sysCodes = Array(T_LONG, T_INT, T_TEXT)
+    val catRows = (oldCat.map { case (id, tp, nm) =>
+      IRow(id, tp.toShort, UTF8String.fromString(nm))
+    } :+ IRow(newTdefPage, 1.toShort, UTF8String.fromString(table))) ++
+      newRelTdefPage.map(rp =>
+        IRow(rp, 3.toShort, UTF8String.fromString("MSysRelationships")))
+    val newCatPages = JetMdbPagePacker.pack(
+      catRows.map(JetMdbWrite.encodeRow(_, sysSchema, sysCodes)).iterator,
+      2).toSeq
+    require(newCatPages.size == 1,
+      "jetmdb append: catalog no longer fits its single page — the " +
+        "database has reached this writer's table-count capacity")
+    // MSysObjects TDEF row count goes stale on page 2 — patch it, and
+    // the existing MSysRelationships TDEF's count when rows fold in
+    val page2 = pages(2).clone()
+    java.nio.ByteBuffer.wrap(page2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, catRows.size)
+    pages(2) = page2
+    existingRelTdef.foreach { rp =>
+      if (relationships.nonEmpty) {
+        val rt = pages(rp).clone()
+        val bb = java.nio.ByteBuffer.wrap(rt)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(16, i32(rt, 16) + relationships.size)
+        pages(rp) = rt
+      }
+    }
+    // emit: existing pages (catalog page swapped), new table TDEF,
+    // optional new rel TDEF, new rel data pages, new table data pages
+    pages(catPageNum) = newCatPages.head
+    pages.foreach(writePage)
+    writePage(JetMdbWrite.tdefPage(schema, codes,
+      math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
+      indexes, autoNumbers))
+    newRelTdefPage.foreach { _ =>
+      writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
+        relationships.size, system = true))
+    }
+    if (relationships.nonEmpty) {
+      val owner = existingRelTdef.orElse(newRelTdefPage).get
+      JetMdbPagePacker.pack(relRowBytes().iterator, owner)
+        .foreach(writePage)
+    }
+    val blobIter = parts.iterator.flatMap { m =>
+      JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
+    }
+    JetMdbPagePacker.pack(blobIter, newTdefPage).foreach(writePage)
+  }
+
+  private def freshPages(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path,
+      codes: Array[Int], parts: Array[JetMdbCommit], numRows: Long,
+      writePage: Array[Byte] => Unit): Unit = {
+    {
       // pages 0-1: header + usage placeholder
       val hdr = new Array[Byte](PageSize)
       hdr(0) = 0x00; hdr(1) = 0x01
@@ -497,44 +673,16 @@ private[jetmdb] final case class JetMdbBatchWrite(
         math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
         indexes, autoNumbers))
       if (relationships.nonEmpty) {
-        val relSchema = StructType(Seq(
-          StructField("ccolumn", IntegerType),
-          StructField("grbit", IntegerType),
-          StructField("icolumn", IntegerType),
-          StructField("szColumn", StringType),
-          StructField("szObject", StringType),
-          StructField("szReferencedColumn", StringType),
-          StructField("szReferencedObject", StringType),
-          StructField("szRelationship", StringType)))
-        val relCodes =
-          Array(T_LONG, T_LONG, T_LONG, T_TEXT, T_TEXT, T_TEXT, T_TEXT,
-            T_TEXT)
         writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
           relationships.size, system = true))
-        val relRows = relationships.map {
-          case (name, col, refTable, refCol, icol, ccol, grbit) =>
-            JetMdbWrite.encodeRow(
-              IRow(ccol, grbit, icol, UTF8String.fromString(col),
-                UTF8String.fromString(table),
-                UTF8String.fromString(refCol),
-                UTF8String.fromString(refTable),
-                UTF8String.fromString(name)),
-              relSchema, relCodes)
-        }
-        JetMdbPagePacker.pack(relRows.iterator, relTdefPage)
+        JetMdbPagePacker.pack(relRowBytes().iterator, relTdefPage)
           .foreach(writePage)
       }
       val blobIter = parts.iterator.flatMap { m =>
         JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
       }
       JetMdbPagePacker.pack(blobIter, 4).foreach(writePage)
-    } finally out.close()
-    if (fs.exists(new Path(path)) && !fs.delete(new Path(path), false))
-      throw new java.io.IOException(s"jetmdb: cannot replace $path")
-    if (!fs.rename(tmpOut, new Path(path)))
-      throw new java.io.IOException(
-        s"jetmdb commit: failed to move $tmpOut to $path")
-    fs.delete(staging, true)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -260,6 +260,81 @@ class JetMdbConstraintsSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("append mode builds a MULTI-TABLE .mdb: second and third " +
+    "tables, relationships folding into MSysRelationships, one-call " +
+    "migration with a REAL cross-table FK") {
+    val dir = tmp("graft_multi")
+    val path = s"$dir/multi.mdb"
+    Seq((1, "ann"), (2, "bo"), (3, "cy"))
+      .toDF("pid", "name")
+      .write.format("jetmdb")
+      .option("table", "Parents")
+      .option("indexes", "PrimaryKey:pid:p")
+      .mode("overwrite").save(path)
+    Seq((10, 1, "x"), (11, 2, "y"), (12, 2, "z"))
+      .toDF("cid", "pref", "tag")
+      .write.format("jetmdb")
+      .option("table", "Children")
+      .option("indexes", "PrimaryKey:cid:p;ByRef:pref:")
+      .option("relationships", "ParentsChildren:pref>Parents.pid:4096")
+      .mode("append").save(path)
+    // third table: relationships FOLD INTO the existing catalog
+    Seq((100, 1)).toDF("nid", "owner")
+      .write.format("jetmdb")
+      .option("table", "Notes")
+      .option("relationships", "ParentsNotes:owner>Parents.pid:0")
+      .mode("append").save(path)
+    assert(JetMdbSource.listTables(path).map(_._1).sorted ==
+      Seq("Children", "Notes", "Parents"))
+    // every table reads back intact, indexes preserved across appends
+    def rows(t: String) = spark.read.format("jetmdb")
+      .option("table", t).load(path).collect()
+    assert(rows("Parents").length == 3)
+    assert(rows("Children").length == 3)
+    assert(rows("Notes").length == 1)
+    assert(JetMdbSource.indexes(path, "Parents")
+      .exists(_.primary), "parent PK must survive appends")
+    assert(JetMdbSource.indexes(path, "Children").map(_.name).toSet ==
+      Set("PrimaryKey", "ByRef"))
+    val rels = JetMdbSource.relationships(path)
+    assert(rels.map(_.name).sorted ==
+      Seq("ParentsChildren", "ParentsNotes"))
+    // appending a same-named table is rejected, never a replace
+    val dup = intercept[Exception] {
+      Seq((9, "q")).toDF("pid", "name")
+        .write.format("jetmdb").option("table", "parents")
+        .mode("append").save(path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(dup).exists(_.contains("already exists")),
+      msgs(dup).mkString(" | "))
+    // the whole program over the multi-table file: both tables land,
+    // the REAL cross-table FK enforces and cascades
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_multi").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = MigrationPipeline.migrateJetMdb(
+      spark, path, MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map(
+      "Parents" -> 3L, "Children" -> 3L, "Notes" -> 1L))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val orphan = intercept[java.sql.SQLException] {
+          st.execute("INSERT INTO children VALUES (13, 99, 'w')")
+        }
+        assert(orphan.getSQLState.startsWith("23"), orphan.getMessage)
+        st.execute("DELETE FROM parents WHERE \"pid\" = 2")
+        val rs = st.executeQuery("SELECT COUNT(*) FROM children")
+        rs.next()
+        assert(rs.getInt(1) == 1, "cascade must delete children of 2")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   test("migrateJetMdb: the whole program in one call — .mdb catalog " +
     "to constrained Derby target") {
     val dir = tmp("graft_onecall")
