@@ -335,6 +335,44 @@ class JetMdbConstraintsSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("exportToJetMdb closes the FULL database round trip: " +
+    "engine -> .mdb -> engine -> .mdb -> engine, constraints intact") {
+    val dir = tmp("graft_dbrt")
+    val p1 = s"$dir/gen1.mdb"
+    val p2 = s"$dir/gen2.mdb"
+    val parents = Seq((1, "ann"), (2, "bo")).toDF("pid", "name")
+    val children = Seq((10, 1), (11, 2)).toDF("cid", "pref")
+    val idx = Map(
+      "Parents" -> "PrimaryKey:pid:p",
+      "Children" -> "PrimaryKey:cid:p")
+    val rel = Map(
+      "Children" -> "ParentsChildren:pref>Parents.pid:4096")
+    MigrationPipeline.exportToJetMdb(
+      Seq("Parents" -> parents, "Children" -> children), p1, idx, rel)
+    // generation 2: re-read gen1 through the binary source and export
+    // it again — any lossy seam in either direction doubles up here
+    def tablesOf(p: String) = JetMdbSource.listTables(p).map(_._1)
+      .sorted.map(n => n -> spark.read.format("jetmdb")
+        .option("table", n).load(p))
+    MigrationPipeline.exportToJetMdb(tablesOf(p1), p2,
+      Map("Children" -> "PrimaryKey:cid:p", "Parents" -> "PrimaryKey:pid:p"),
+      rel)
+    // data identical across generations
+    def dump(p: String, t: String) = spark.read.format("jetmdb")
+      .option("table", t).load(p)
+      .orderBy(t.toLowerCase.take(1) + "id")
+      .collect().toSeq
+    assert(dump(p2, "Parents") == dump(p1, "Parents"))
+    assert(dump(p2, "Children") == dump(p1, "Children"))
+    // constraint catalog identical: PKs on both tables, the FK row
+    assert(JetMdbSource.indexes(p2, "Parents").exists(_.primary))
+    assert(JetMdbSource.indexes(p2, "Children").exists(_.primary))
+    val r1 = JetMdbSource.relationships(p1)
+    val r2 = JetMdbSource.relationships(p2)
+    assert(r1.nonEmpty && r1 == r2,
+      s"relationships drifted across the round trip: $r1 vs $r2")
+  }
+
   test("migrateJetMdb: the whole program in one call — .mdb catalog " +
     "to constrained Derby target") {
     val dir = tmp("graft_onecall")
