@@ -552,6 +552,38 @@ object EtlQueries {
     }
   }
 
+  /** An Access SAVED QUERY ported through the [[graft.sources.JetSql]]
+    * translator and EXECUTED — brackets, IIF, NZ, `&` concat, a
+    * `#date#` literal, Jet LIKE wildcards, and TOP all in one
+    * statement, run by `spark.sql` over the registered orders view.
+    * The oracle is the hand-written ANSI equivalent, so the
+    * translator's OUTPUT (not just its text) sits under the driver
+    * hash gate: a rewrite that parses but changes semantics fails the
+    * round's correctness artifact. */
+  val qJetSqlSaved: QDef = QDef(
+    "q_jetsql_saved",
+    """SELECT o_orderkey,
+      |  upper(o_orderstatus) || '/' ||
+      |    (CASE WHEN o_totalprice > 200000 THEN 'BIG'
+      |      ELSE coalesce(o_orderpriority, '?') END) AS tag
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |  AND o_orderpriority LIKE '1-%'
+      |ORDER BY o_orderkey
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT TOP 50 [o_orderkey],",
+      "  UCase([o_orderstatus]) & \"/\" &",
+      "    IIf([o_totalprice] > 200000, \"BIG\",",
+      "        Nz([o_orderpriority], \"?\")) AS tag",
+      "FROM orders",
+      "WHERE [o_orderdate] >= #1/1/1995#",
+      "  AND [o_orderpriority] LIKE \"1-*\"",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -598,5 +630,5 @@ object EtlQueries {
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
-    qJetTopPercent)
+    qJetSqlSaved, qJetTopPercent)
 }
