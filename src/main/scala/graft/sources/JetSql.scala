@@ -201,11 +201,22 @@ object JetSql {
     throw new IllegalArgumentException("jetsql: unbalanced parentheses")
   }
 
-  /** Rewrite a token stream to ANSI text (recursive for IIF/NZ). */
+  /** Rewrite a token stream to ANSI text (recursive for IIF/NZ).
+    * Spacing is handled at TOKEN level (a pending-separator flag), so
+    * a multi-space run inside a translated STRING LITERAL survives —
+    * a string-level whitespace collapse would corrupt literal
+    * content. */
   private def emit(toks: Vector[Tok]): String = {
     val sb = new StringBuilder
+    var pendingSpace = false
+    def put(text: String): Unit = {
+      if (pendingSpace && sb.nonEmpty) sb.append(' ')
+      pendingSpace = false
+      sb.append(text)
+    }
     var i = 0
     var limit: Option[String] = None
+    var lastWord: String = ""
     def nextNonWs(from: Int): Int = {
       var j = from
       while (j < toks.length && toks(j).kind == "ws") j += 1
@@ -213,17 +224,23 @@ object JetSql {
     }
     while (i < toks.length) {
       val t = toks(i)
-      if (t.kind == "word" && rejected.contains(t.text.toLowerCase))
+      if (t.kind == "ws") { pendingSpace = true; i += 1 }
+      else if (t.kind == "word" && rejected.contains(t.text.toLowerCase)) {
         fail(s"the ${t.text.toUpperCase} construct")
-      else if (isWord(t, "top")) {
-        // SELECT TOP n … → … LIMIT n (PERCENT rejected)
+      } else if (isWord(t, "top") &&
+        lastWord.equalsIgnoreCase("select") && {
+          val nn = nextNonWs(i + 1)
+          nn < toks.length && toks(nn).kind == "number"
+        }) {
+        // SELECT TOP n ... -> ... LIMIT n (PERCENT rejected); a
+        // column merely NAMED [Top] is either not in SELECT's keyword
+        // position or not followed by a count, and passes through
         val nIdx = nextNonWs(i + 1)
-        require(nIdx < toks.length && toks(nIdx).kind == "number",
-          "jetsql: TOP without a count")
         val pIdx = nextNonWs(nIdx + 1)
         if (pIdx < toks.length && isWord(toks(pIdx), "percent"))
           fail("TOP n PERCENT (tie semantics)")
         limit = Some(toks(nIdx).text)
+        lastWord = "top"
         i = nIdx + 1
       } else if (isWord(t, "iif") &&
         nextNonWs(i + 1) < toks.length &&
@@ -233,9 +250,9 @@ object JetSql {
         val args = splitArgs(toks.slice(open + 1, close))
         require(args.length == 3,
           s"jetsql: IIF takes 3 arguments, got ${args.length}")
-        sb.append("CASE WHEN ").append(emit(args(0)))
-          .append(" THEN ").append(emit(args(1)))
-          .append(" ELSE ").append(emit(args(2))).append(" END")
+        put("CASE WHEN " + emit(args(0)) + " THEN " + emit(args(1)) +
+          " ELSE " + emit(args(2)) + " END")
+        lastWord = "end"
         i = close + 1
       } else if (isWord(t, "nz") &&
         nextNonWs(i + 1) < toks.length &&
@@ -245,8 +262,8 @@ object JetSql {
         val args = splitArgs(toks.slice(open + 1, close))
         if (args.length != 2)
           fail("1-argument NZ (its result type is context-dependent)")
-        sb.append("COALESCE(").append(emit(args(0))).append(", ")
-          .append(emit(args(1))).append(")")
+        put("COALESCE(" + emit(args(0)) + ", " + emit(args(1)) + ")")
+        lastWord = "coalesce"
         i = close + 1
       } else if (t.kind == "word" &&
         castFns.contains(t.text.toLowerCase) &&
@@ -254,49 +271,53 @@ object JetSql {
         toks(nextNonWs(i + 1)).text == "(") {
         val open = nextNonWs(i + 1)
         val close = closeOf(toks, open)
-        sb.append("CAST(").append(emit(toks.slice(open + 1, close)))
-          .append(" AS ").append(castFns(t.text.toLowerCase)).append(")")
+        put("CAST(" + emit(toks.slice(open + 1, close)) + " AS " +
+          castFns(t.text.toLowerCase) + ")")
+        lastWord = "cast"
         i = close + 1
       } else if (t.kind == "word" &&
         renames.contains(t.text.toLowerCase)) {
-        sb.append(renames(t.text.toLowerCase))
+        put(renames(t.text.toLowerCase))
+        lastWord = t.text
         i += 1
       } else if (isWord(t, "now") &&
         nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(") {
-        val open = nextNonWs(i + 1)
-        require(closeOf(toks, open) == nextNonWs(open + 1) ||
-          toks.slice(open + 1, closeOf(toks, open))
-            .forall(_.kind == "ws"),
-          "jetsql: NOW takes no arguments")
-        sb.append("current_timestamp")
-        i = closeOf(toks, open) + 1
+        toks(nextNonWs(i + 1)).text == "(" &&
+        toks.slice(nextNonWs(i + 1) + 1,
+          closeOf(toks, nextNonWs(i + 1))).forall(_.kind == "ws")) {
+        put("current_timestamp")
+        lastWord = "now"
+        i = closeOf(toks, nextNonWs(i + 1)) + 1
       } else if (isWord(t, "date") &&
         nextNonWs(i + 1) < toks.length &&
         toks(nextNonWs(i + 1)).text == "(" &&
         toks.slice(nextNonWs(i + 1) + 1,
           closeOf(toks, nextNonWs(i + 1))).forall(_.kind == "ws")) {
-        sb.append("current_date")
+        put("current_date")
+        lastWord = "date"
         i = closeOf(toks, nextNonWs(i + 1)) + 1
       } else if (t.kind == "punct" && t.text == "&") {
-        sb.append("||")
+        put("||")
         i += 1
       } else if (isWord(t, "like")) {
         // translate the wildcards of the literal that follows
-        sb.append("LIKE")
+        put("LIKE")
+        lastWord = "like"
         val litIdx = nextNonWs(i + 1)
         if (litIdx < toks.length && toks(litIdx).kind == "string") {
-          sb.append(" ").append(render(Tok("string",
+          pendingSpace = true
+          put(render(Tok("string",
             toks(litIdx).text.replace('*', '%').replace('?', '_'))))
           i = litIdx + 1
         } else i += 1
       } else {
-        sb.append(render(t))
+        put(render(t))
+        if (t.kind == "word") lastWord = t.text
         i += 1
       }
     }
     limit.foreach(n => sb.append(" LIMIT ").append(n))
-    sb.toString.replaceAll("\\s+", " ").trim
+    sb.toString.trim
   }
 
   /** Translate one Jet-SQL statement to Spark-runnable ANSI SQL. */

@@ -65,6 +65,17 @@ class JetSqlSpec extends AnyFunSuite {
         "current_timestamp, current_date")
   }
 
+  test("multi-space runs inside string literals survive (spacing is " +
+    "token-level, never a regex over the output)") {
+    assert(translate("SELECT \"two  spaces   here\" FROM t") ==
+      "SELECT 'two  spaces   here' FROM t")
+  }
+
+  test("a column merely NAMED [Top] is not the TOP keyword") {
+    assert(translate("SELECT [Top], a FROM t WHERE [Top] > 3") ==
+      "SELECT top, a FROM t WHERE top > 3")
+  }
+
   test("untranslatable constructs reject loudly, never silently wrong") {
     for (bad <- Seq(
       "TRANSFORM Sum(x) SELECT a FROM t PIVOT b",
