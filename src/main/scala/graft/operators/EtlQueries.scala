@@ -584,6 +584,44 @@ object EtlQueries {
     s.sql(graft.sources.JetSql.translate(saved))
   }
 
+  /** Second translated saved query, exercising the translator
+    * surfaces q_jetsql_saved doesn't: Mid/InStr/Len renames, the
+    * BANKER'S-rounding CLng (Access CLng(2.5)=2 — a plain cast would
+    * truncate; the oracle recomputes with DuckDB's own roundbankers,
+    * so the Access semantic itself is hash-pinned), and a #date time#
+    * TIMESTAMP literal in a filter. */
+  val qJetSqlSaved2: QDef = QDef(
+    "q_jetsql_saved2",
+    """SELECT o_orderkey,
+      |  substr(o_orderpriority, 3, 6) AS pri_word,
+      |  CAST(instr(o_orderpriority, '-') AS INT) AS dash_at,
+      |  CAST(roundbankers(o_totalprice / 1000, 0) AS BIGINT) AS kilo,
+      |  CAST(length(o_orderstatus) AS INT) AS st_len
+      |FROM orders
+      |WHERE CAST(o_orderdate AS TIMESTAMP)
+      |    < TIMESTAMP '1995-06-15 12:30:00'
+      |  AND o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [o_orderkey],",
+      "  Mid([o_orderpriority], 3, 6) AS pri_word,",
+      "  InStr([o_orderpriority], \"-\") AS dash_at,",
+      "  CLng([o_totalprice] / 1000) AS kilo,",
+      "  Len([o_orderstatus]) AS st_len",
+      "FROM orders",
+      "WHERE [o_orderdate] < #6/15/1995 12:30#",
+      "  AND [o_orderkey] Mod 7 = 0",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    import org.apache.spark.sql.functions.{col => c}
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(c("o_orderkey"), c("pri_word"),
+        c("dash_at").cast("int").as("dash_at"),
+        c("kilo").cast("bigint").as("kilo"),
+        c("st_len").cast("int").as("st_len"))
+      .orderBy(c("o_orderkey"))
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -630,5 +668,5 @@ object EtlQueries {
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
-    qJetSqlSaved, qJetTopPercent)
+    qJetSqlSaved, qJetSqlSaved2, qJetTopPercent)
 }

@@ -31,9 +31,9 @@ package graft.sources
   *     the string literal FOLLOWING a LIKE, never elsewhere);
   *   - function renames: UCASE→upper, LCASE→lower, LEN→length,
   *     MID→substr, INSTR→instr, CHR→char, NOW→current_timestamp,
-  *     DATE()→current_date, CDBL→double cast, CLNG→bigint cast,
-  *     CINT→int cast (the cast forms rewrite `CDBL(x)` →
-  *     `CAST(x AS DOUBLE)` etc.);
+  *     DATE()→current_date, CDBL→`CAST(x AS DOUBLE)`; CLNG/CINT →
+  *     `CAST(BROUND(x) AS BIGINT/INT)` — Access rounds HALF TO EVEN
+  *     (banker's), a plain integer cast would truncate;
   *   - anything it cannot translate faithfully (FORMAT, DLOOKUP,
   *     crosstab TRANSFORM, PARAMETERS) is REJECTED with the construct
   *     named — a saved query ports correctly or loudly, never subtly
@@ -154,8 +154,12 @@ object JetSql {
   private val renames = Map(
     "ucase" -> "upper", "lcase" -> "lower", "len" -> "length",
     "mid" -> "substr", "instr" -> "instr", "chr" -> "char")
-  private val castFns = Map(
-    "cdbl" -> "DOUBLE", "clng" -> "BIGINT", "cint" -> "INT")
+  // CDbl is a pure widening cast; CLng/CInt are NOT plain casts —
+  // Access rounds HALF TO EVEN (banker's) where CAST(double AS
+  // BIGINT) truncates in Spark, so they translate through BROUND
+  // (Spark's banker's rounding). CLng(2.5) = 2 in Access AND here.
+  private val castFns = Map("cdbl" -> "DOUBLE")
+  private val broundFns = Map("clng" -> "BIGINT", "cint" -> "INT")
   private val rejected = Set(
     "format", "dlookup", "dsum", "dcount", "transform", "parameters")
 
@@ -276,6 +280,16 @@ object JetSql {
         lastWord = "cast"
         i = close + 1
       } else if (t.kind == "word" &&
+        broundFns.contains(t.text.toLowerCase) &&
+        nextNonWs(i + 1) < toks.length &&
+        toks(nextNonWs(i + 1)).text == "(") {
+        val open = nextNonWs(i + 1)
+        val close = closeOf(toks, open)
+        put("CAST(BROUND(" + emit(toks.slice(open + 1, close)) +
+          ") AS " + broundFns(t.text.toLowerCase) + ")")
+        lastWord = "cast"
+        i = close + 1
+      } else if (t.kind == "word" &&
         renames.contains(t.text.toLowerCase)) {
         put(renames(t.text.toLowerCase))
         lastWord = t.text
@@ -298,6 +312,13 @@ object JetSql {
         i = closeOf(toks, nextNonWs(i + 1)) + 1
       } else if (t.kind == "punct" && t.text == "&") {
         put("||")
+        i += 1
+      } else if (isWord(t, "mod") && !lastWord.isEmpty &&
+        nextNonWs(i + 1) < toks.length &&
+        toks(nextNonWs(i + 1)).text != "(") {
+        // Jet's infix Mod operator → % (a leading or call-form `mod`
+        // is left alone — e.g. a function or a column named mod)
+        put("%")
         i += 1
       } else if (isWord(t, "like")) {
         // translate the wildcards of the literal that follows

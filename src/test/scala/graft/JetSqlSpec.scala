@@ -61,8 +61,14 @@ class JetSqlSpec extends AnyFunSuite {
     assert(translate("SELECT UCase(Mid(nm, 2, 3)), Len(nm), " +
       "CDbl(qty), CLng(qty), Now(), Date()") ==
       "SELECT upper(substr(nm, 2, 3)), length(nm), " +
-        "CAST(qty AS DOUBLE), CAST(qty AS BIGINT), " +
+        "CAST(qty AS DOUBLE), CAST(BROUND(qty) AS BIGINT), " +
         "current_timestamp, current_date")
+    // CLng is Access banker's rounding, not a truncating cast:
+    // CLng(2.5) = 2, CLng(3.5) = 4 — BROUND matches both
+    val spark = TestSpark.session
+    val r = spark.sql(translate("SELECT CLng(2.5) AS a, CLng(3.5) AS b"))
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
   }
 
   test("multi-space runs inside string literals survive (spacing is " +
