@@ -622,6 +622,141 @@ object EtlQueries {
       .orderBy(c("o_orderkey"))
   }
 
+  /** An Access CROSSTAB (TRANSFORM … PIVOT) saved query ported through
+    * the translator and EXECUTED: Jet crosstabs become ANSI conditional
+    * aggregation (one `agg(CASE WHEN pivotExpr = v THEN arg END)`
+    * column per IN heading), so the same text runs on Spark and any
+    * ANSI engine. The aggregate rides through CCur — Access Currency
+    * is EXACT 4-decimal fixed point, so the per-cell sums accumulate
+    * in DECIMAL on both sides and the only double conversion is the
+    * final rounded output (the determinism contract's accumulate-
+    * exact/emit-double rule, expressed in Jet's own type system). */
+  val qJetSqlCrosstab: QDef = QDef(
+    "q_jetsql_crosstab",
+    """SELECT o_orderpriority AS pri, COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+      |    THEN CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |    END) AS DOUBLE), 2) AS "1995",
+      |  ROUND(CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+      |    THEN CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |    END) AS DOUBLE), 2) AS "1996",
+      |  ROUND(CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+      |    THEN CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |    END) AS DOUBLE), 2) AS "1997"
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |  AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY pri""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "TRANSFORM Sum(CCur([o_totalprice]))",
+      "SELECT [o_orderpriority] AS pri, Count(*) AS n_orders",
+      "FROM orders",
+      "WHERE [o_orderdate] >= #1/1/1995#",
+      "  AND [o_orderdate] < #1/1/1998#",
+      "GROUP BY [o_orderpriority]",
+      "PIVOT Year([o_orderdate]) IN (1995, 1996, 1997)").mkString(" ")
+    val df = s.sql(graft.sources.JetSql.translate(saved))
+    df.select(col("pri"), col("n_orders"),
+      round(col("1995").cast("double"), 2).as("1995"),
+      round(col("1996").cast("double"), 2).as("1996"),
+      round(col("1997").cast("double"), 2).as("1997"))
+      .orderBy(col("pri"))
+  }
+
+  /** An Access PARAMETER query ported and executed: the `PARAMETERS`
+    * header's DECLARED types drive the literal rendering of the
+    * caller's bindings (DateTime → DATE literal, Currency →
+    * banker's-rounded 4-decimal, Text → quoted, Long → integer), so a
+    * parameterized saved query ports as a function of its bindings —
+    * the oracle inlines the same literals by hand. */
+  val qJetSqlParams: QDef = QDef(
+    "q_jetsql_params",
+    """SELECT o_orderkey, o_orderpriority,
+      |  ROUND(CAST(CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |    AS DOUBLE), 2) AS total_cur
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-02-01'
+      |  AND CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |    <= 150000.0000
+      |  AND o_orderpriority = '2-HIGH'
+      |  AND o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "PARAMETERS [Start Date] DateTime, [Max Total] Currency,",
+      "  [Pri] Text(20), [Key Step] Long;",
+      "SELECT [o_orderkey], [o_orderpriority],",
+      "  CCur([o_totalprice]) AS total_cur",
+      "FROM orders",
+      "WHERE [o_orderdate] >= [Start Date]",
+      "  AND CCur([o_totalprice]) <= [Max Total]",
+      "  AND [o_orderpriority] = [Pri]",
+      "  AND [o_orderkey] Mod [Key Step] = 0",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    val sql = graft.sources.JetSql.translate(saved, Map(
+      "Start Date" -> java.time.LocalDate.of(1996, 2, 1),
+      "Max Total" -> BigDecimal(150000),
+      "Pri" -> "2-HIGH",
+      "Key Step" -> 3L))
+    s.sql(sql)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("total_cur").cast("double"), 2).as("total_cur"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The Access date-arithmetic trio executed over real data: DatePart
+    * interval codes, Weekday's Sunday=1 numbering, DateAdd's month-end
+    * clamping, and DateDiff's BOUNDARY-COUNT semantics (month-index
+    * differences, Sunday-anchored "ww" week crossings) — each
+    * recomputed independently in the DuckDB oracle (date_diff for
+    * days, explicit year/month index arithmetic for months, the
+    * days-since-Sunday identity for weeks), so the Jet semantics
+    * themselves sit under the driver hash gate. */
+  val qJetSqlDateFuncs: QDef = QDef(
+    "q_jetsql_datefuncs",
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS wd,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |  CAST(date_diff('day', o_orderdate,
+      |    TIMESTAMP '1997-12-31 00:00:00') AS INT) AS days_left,
+      |  CAST((1997 - year(o_orderdate)) * 12
+      |    + 12 - month(o_orderdate) AS INT) AS months_left,
+      |  CAST((date_diff('day', CAST(o_orderdate AS DATE),
+      |      DATE '1997-12-31') - 3 + dayofweek(o_orderdate)) // 7
+      |    AS BIGINT) AS weeks_left
+      |FROM orders
+      |WHERE o_orderkey % 13 = 0 AND o_orderdate < DATE '1997-07-01'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [o_orderkey],",
+      "  DatePart(\"q\", [o_orderdate]) AS qtr,",
+      "  DatePart(\"y\", [o_orderdate]) AS doy,",
+      "  Weekday([o_orderdate]) AS wd,",
+      "  DateAdd(\"m\", 2, [o_orderdate]) AS plus2m,",
+      "  DateDiff(\"d\", [o_orderdate], #12/31/1997#) AS days_left,",
+      "  DateDiff(\"m\", [o_orderdate], #12/31/1997#) AS months_left,",
+      "  DateDiff(\"ww\", [o_orderdate], #12/31/1997#) AS weeks_left",
+      "FROM orders",
+      "WHERE [o_orderkey] Mod 13 = 0",
+      "  AND [o_orderdate] < #7/1/1997#",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("o_orderkey"),
+        col("qtr").cast("int").as("qtr"),
+        col("doy").cast("int").as("doy"),
+        col("wd").cast("int").as("wd"),
+        col("plus2m").cast("date").as("plus2m"),
+        col("days_left").cast("int").as("days_left"),
+        col("months_left").cast("int").as("months_left"),
+        col("weeks_left").cast("bigint").as("weeks_left"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -668,5 +803,6 @@ object EtlQueries {
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
-    qJetSqlSaved, qJetSqlSaved2, qJetTopPercent)
+    qJetSqlSaved, qJetSqlSaved2, qJetSqlCrosstab, qJetSqlParams,
+    qJetSqlDateFuncs, qJetTopPercent)
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.SparkSession
+
 /** Jet-SQL (Access saved-query) → Spark/ANSI SQL translation — the
   * porting layer for the queries a reference user has SAVED inside
   * their `.mdb` (Access stores them as Jet-SQL text; `mdb-schema`-era
@@ -28,14 +30,55 @@ package graft.sources
   *     REJECTED with a pointer to the q_jet_top_percent tie-aware
   *     operator — LIMIT is not equivalent);
   *   - LIKE patterns: Jet wildcards `*`/`?` → `%`/`_` (only inside
-  *     the string literal FOLLOWING a LIKE, never elsewhere);
+  *     the string literal FOLLOWING a LIKE, never elsewhere); Jet's
+  *     `[charlist]` and `#` (single digit) wildcards are REJECTED —
+  *     ANSI LIKE has no equivalent and leaving them in place would
+  *     silently match literal brackets/hashes instead;
   *   - function renames: UCASE→upper, LCASE→lower, LEN→length,
-  *     MID→substr, INSTR→instr, CHR→char, NOW→current_timestamp,
-  *     DATE()→current_date, CDBL→`CAST(x AS DOUBLE)`; CLNG/CINT →
+  *     MID→substr, INSTR→instr, CHR→char, SGN→sign, SQR→sqrt,
+  *     STRREVERSE→reverse, WEEKDAY→dayofweek (Access and Spark agree:
+  *     1 = Sunday; the 2-arg firstdayofweek form is rejected),
+  *     INT(x)→FLOOR(x) (Access Int rounds toward −∞), FIX(x)→
+  *     CAST(x AS BIGINT) (truncation toward zero), NOW→
+  *     current_timestamp, DATE()→current_date, CDBL→`CAST(x AS
+  *     DOUBLE)`, CSTR→`CAST(x AS STRING)`; CLNG/CINT →
   *     `CAST(BROUND(x) AS BIGINT/INT)` — Access rounds HALF TO EVEN
-  *     (banker's), a plain integer cast would truncate;
+  *     (banker's), a plain integer cast would truncate; CCUR →
+  *     `CAST(BROUND(x, 4) AS DECIMAL(19,4))` (Currency is exact
+  *     4-decimal fixed point, banker's-rounded on entry);
+  *   - the Access date-arithmetic trio, with Jet's BOUNDARY-COUNT
+  *     semantics (not elapsed-unit counts — DateDiff("h", 1:59, 2:01)
+  *     is 1 in Access because an hour boundary was crossed):
+  *     `DatePart(i, d)` → year/quarter/month/day/dayofyear/dayofweek/
+  *     hour/minute/second by interval code ("ww" is rejected: Access
+  *     week-of-year numbering follows firstweekofyear rules ANSI
+  *     functions don't reproduce); `DateAdd(i, n, d)` →
+  *     `timestampadd(UNIT, n, d)` (month-end clamping matches Access:
+  *     Jan 31 + 1 month = Feb 29); `DateDiff(i, a, b)` → calendar
+  *     boundary counts: yyyy/q/m as year/quarter/month-index
+  *     differences, d/y as `datediff`, w as whole-7-day periods
+  *     (truncated toward zero, Access's Fix), ww as SUNDAY week-start
+  *     boundaries crossed (Access firstdayofweek default), h/n/s as
+  *     truncated-clock differences;
+  *   - `PARAMETERS [name] Type, …;` headers: declarations are parsed
+  *     and every use of a declared parameter is replaced by a literal
+  *     rendered from the caller's binding map per the DECLARED type
+  *     (Text → quoted string, DateTime → DATE/TIMESTAMP literal,
+  *     Long/Short/Byte → integer, Double/Single → plain decimal,
+  *     Currency → banker's-rounded 4-decimal, Bit/YesNo → boolean);
+  *     an unbound parameter fails loudly with its name and type;
+  *   - `TRANSFORM agg SELECT … GROUP BY … PIVOT expr IN (v1, …)`
+  *     (Access crosstab queries) → ANSI conditional aggregation: one
+  *     `agg(CASE WHEN expr = v THEN arg END) AS v` column per heading
+  *     appended to the row-head select list — runs identically on
+  *     Spark and any ANSI engine, no PIVOT-clause dialect needed.
+  *     Without an explicit IN list Access discovers headings from the
+  *     data; `translate` rejects that form (pure text cannot), and
+  *     [[translateCrosstab]] reproduces it with a bounded DISTINCT
+  *     probe (≤ maxHeadings, deterministic ordering);
   *   - anything it cannot translate faithfully (FORMAT, DLOOKUP,
-  *     crosstab TRANSFORM, PARAMETERS) is REJECTED with the construct
+  *     DISTINCTROW — its duplicate elimination is over underlying
+  *     records, not output columns) is REJECTED with the construct
   *     named — a saved query ports correctly or loudly, never subtly
   *     wrong.
   */
@@ -45,13 +88,13 @@ object JetSql {
     throw new IllegalArgumentException(
       s"jetsql: $what has no faithful ANSI translation here — " +
         "port this saved query by hand (the engine-side operators " +
-        "cover TRANSFORM via q_pivot/q_crosstab_totals and TOP n " +
-        "PERCENT via q_jet_top_percent)")
+        "cover TOP n PERCENT via q_jet_top_percent; data-discovered " +
+        "crosstab headings via translateCrosstab)")
 
   /** Token: (kind, text). Kinds: word, string ('…' already ANSI),
-    * number, punct, ws. Identifiers from […] arrive pre-sanitized as
-    * words; date literals arrive as finished DATE/TIMESTAMP strings
-    * (kind punct carries them whole). */
+    * number, punct, ws, date (#…# body), raw (pre-rendered SQL text —
+    * bound parameter literals). Identifiers from […] arrive
+    * pre-sanitized as words. */
   private final case class Tok(kind: String, text: String)
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -153,15 +196,29 @@ object JetSql {
 
   private val renames = Map(
     "ucase" -> "upper", "lcase" -> "lower", "len" -> "length",
-    "mid" -> "substr", "instr" -> "instr", "chr" -> "char")
-  // CDbl is a pure widening cast; CLng/CInt are NOT plain casts —
+    "mid" -> "substr", "instr" -> "instr", "chr" -> "char",
+    "sgn" -> "sign", "sqr" -> "sqrt", "strreverse" -> "reverse")
+  // CDbl/CStr are pure casts; CLng/CInt are NOT plain casts —
   // Access rounds HALF TO EVEN (banker's) where CAST(double AS
   // BIGINT) truncates in Spark, so they translate through BROUND
   // (Spark's banker's rounding). CLng(2.5) = 2 in Access AND here.
-  private val castFns = Map("cdbl" -> "DOUBLE")
+  private val castFns = Map("cdbl" -> "DOUBLE", "cstr" -> "STRING")
   private val broundFns = Map("clng" -> "BIGINT", "cint" -> "INT")
+  // Call-form-only renames (the bare word must survive: `AS INT` is a
+  // cast target, not the Int() function).
+  private val callRenames = Map("int" -> "FLOOR")
   private val rejected = Set(
-    "format", "dlookup", "dsum", "dcount", "transform", "parameters")
+    "format", "dlookup", "dsum", "dcount", "distinctrow")
+
+  // Jet interval codes (DatePart/DateAdd/DateDiff first argument).
+  private val partFns = Map(
+    "yyyy" -> "year", "q" -> "quarter", "m" -> "month", "d" -> "day",
+    "y" -> "dayofyear", "w" -> "dayofweek", "h" -> "hour",
+    "n" -> "minute", "s" -> "second")
+  private val addUnits = Map(
+    "yyyy" -> "YEAR", "q" -> "QUARTER", "m" -> "MONTH", "d" -> "DAY",
+    "y" -> "DAY", "w" -> "DAY", "ww" -> "WEEK", "h" -> "HOUR",
+    "n" -> "MINUTE", "s" -> "SECOND")
 
   private def isWord(t: Tok, w: String): Boolean =
     t.kind == "word" && t.text.equalsIgnoreCase(w)
@@ -205,11 +262,34 @@ object JetSql {
     throw new IllegalArgumentException("jetsql: unbalanced parentheses")
   }
 
-  /** Rewrite a token stream to ANSI text (recursive for IIF/NZ).
-    * Spacing is handled at TOKEN level (a pending-separator flag), so
-    * a multi-space run inside a translated STRING LITERAL survives —
-    * a string-level whitespace collapse would corrupt literal
-    * content. */
+  /** First index ≥ `from` holding `word` at paren depth 0, or -1. */
+  private def depth0Word(toks: Vector[Tok], word: String,
+      from: Int = 0): Int = {
+    var depth = 0
+    var i = from
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == "punct" && t.text == "(") depth += 1
+      else if (t.kind == "punct" && t.text == ")") depth -= 1
+      else if (depth == 0 && isWord(t, word)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The single non-ws interval-code string of a date-fn first arg. */
+  private def intervalCode(arg: Vector[Tok], fn: String): String = {
+    val ts = arg.filter(_.kind != "ws")
+    require(ts.length == 1 && ts.head.kind == "string",
+      s"jetsql: $fn expects a string interval code as its first argument")
+    ts.head.text.toLowerCase
+  }
+
+  /** Rewrite a token stream to ANSI text (recursive for IIF/NZ/date
+    * functions). Spacing is handled at TOKEN level (a
+    * pending-separator flag), so a multi-space run inside a translated
+    * STRING LITERAL survives — a string-level whitespace collapse
+    * would corrupt literal content. */
   private def emit(toks: Vector[Tok]): String = {
     val sb = new StringBuilder
     var pendingSpace = false
@@ -225,6 +305,15 @@ object JetSql {
       var j = from
       while (j < toks.length && toks(j).kind == "ws") j += 1
       j
+    }
+    // The (open, close, args) of a call form at `i`, if one follows.
+    def callAt(i: Int): Option[(Int, Int, Vector[Vector[Tok]])] = {
+      val open = nextNonWs(i + 1)
+      if (open < toks.length && toks(open).text == "(" &&
+        toks(open).kind == "punct") {
+        val close = closeOf(toks, open)
+        Some((open, close, splitArgs(toks.slice(open + 1, close))))
+      } else None
     }
     while (i < toks.length) {
       val t = toks(i)
@@ -246,45 +335,121 @@ object JetSql {
         limit = Some(toks(nIdx).text)
         lastWord = "top"
         i = nIdx + 1
-      } else if (isWord(t, "iif") &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(") {
-        val open = nextNonWs(i + 1)
-        val close = closeOf(toks, open)
-        val args = splitArgs(toks.slice(open + 1, close))
+      } else if (isWord(t, "iif") && callAt(i).isDefined) {
+        val (_, close, args) = callAt(i).get
         require(args.length == 3,
           s"jetsql: IIF takes 3 arguments, got ${args.length}")
         put("CASE WHEN " + emit(args(0)) + " THEN " + emit(args(1)) +
           " ELSE " + emit(args(2)) + " END")
         lastWord = "end"
         i = close + 1
-      } else if (isWord(t, "nz") &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(") {
-        val open = nextNonWs(i + 1)
-        val close = closeOf(toks, open)
-        val args = splitArgs(toks.slice(open + 1, close))
+      } else if (isWord(t, "nz") && callAt(i).isDefined) {
+        val (_, close, args) = callAt(i).get
         if (args.length != 2)
           fail("1-argument NZ (its result type is context-dependent)")
         put("COALESCE(" + emit(args(0)) + ", " + emit(args(1)) + ")")
         lastWord = "coalesce"
         i = close + 1
+      } else if (isWord(t, "weekday") && callAt(i).isDefined) {
+        // Access Weekday: 1 = Sunday … 7 = Saturday — exactly Spark's
+        // dayofweek. The 2-arg firstdayofweek form renumbers; reject.
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail("WEEKDAY with a firstdayofweek argument")
+        put("dayofweek(" + emit(args(0)) + ")")
+        lastWord = "dayofweek"
+        i = close + 1
+      } else if (isWord(t, "datepart") && callAt(i).isDefined) {
+        val (_, close, args) = callAt(i).get
+        if (args.length != 2)
+          fail("DATEPART with firstdayofweek/firstweekofyear arguments")
+        val code = intervalCode(args(0), "DatePart")
+        if (code == "ww")
+          fail("DATEPART(\"ww\") (Access week-of-year numbering " +
+            "follows firstweekofyear rules)")
+        val fn = partFns.getOrElse(code,
+          fail(s"DATEPART interval code \"$code\""))
+        put(s"$fn(" + emit(args(1)) + ")")
+        lastWord = fn
+        i = close + 1
+      } else if (isWord(t, "dateadd") && callAt(i).isDefined) {
+        val (_, close, args) = callAt(i).get
+        require(args.length == 3,
+          s"jetsql: DATEADD takes 3 arguments, got ${args.length}")
+        val code = intervalCode(args(0), "DateAdd")
+        val unit = addUnits.getOrElse(code,
+          fail(s"DATEADD interval code \"$code\""))
+        put(s"timestampadd($unit, " + emit(args(1)) + ", " +
+          emit(args(2)) + ")")
+        lastWord = "timestampadd"
+        i = close + 1
+      } else if (isWord(t, "datediff") && callAt(i).isDefined) {
+        val (_, close, args) = callAt(i).get
+        if (args.length != 3)
+          fail("DATEDIFF with firstdayofweek/firstweekofyear arguments")
+        val code = intervalCode(args(0), "DateDiff")
+        val a = emit(args(1))
+        val b = emit(args(2))
+        // Access counts CALENDAR/CLOCK BOUNDARIES crossed, never
+        // elapsed whole units — each form below is a boundary count.
+        val sql = code match {
+          case "yyyy" => s"(year($b) - year($a))"
+          case "q" =>
+            s"((year($b) - year($a)) * 4 + quarter($b) - quarter($a))"
+          case "m" =>
+            s"((year($b) - year($a)) * 12 + month($b) - month($a))"
+          case "d" | "y" => s"datediff($b, $a)"
+          // "w": whole 7-day periods, truncated toward zero (Fix).
+          case "w" => s"CAST(datediff($b, $a) / 7 AS BIGINT)"
+          // "ww": Sunday week-start boundaries crossed (default
+          // firstdayofweek). Anchor both ends to their week's Sunday
+          // (dayofweek is 1 on Sunday), then the day gap is an exact
+          // multiple of 7.
+          case "ww" =>
+            s"CAST(datediff(date_sub(CAST($b AS DATE), dayofweek($b) " +
+              s"- 1), date_sub(CAST($a AS DATE), dayofweek($a) - 1)) " +
+              "/ 7 AS BIGINT)"
+          case "h" =>
+            s"CAST((unix_timestamp(date_trunc('HOUR', $b)) - " +
+              s"unix_timestamp(date_trunc('HOUR', $a))) / 3600 AS BIGINT)"
+          case "n" =>
+            s"CAST((unix_timestamp(date_trunc('MINUTE', $b)) - " +
+              s"unix_timestamp(date_trunc('MINUTE', $a))) / 60 AS BIGINT)"
+          case "s" => s"(unix_timestamp($b) - unix_timestamp($a))"
+          case other => fail(s"DATEDIFF interval code \"$other\"")
+        }
+        put(sql)
+        lastWord = "datediff"
+        i = close + 1
+      } else if (isWord(t, "ccur") && callAt(i).isDefined) {
+        // Currency: exact 4-decimal fixed point, banker's-rounded on
+        // entry — CCur(1.00005) = 1.0000 (round half to even).
+        val (open, close, _) = callAt(i).get
+        put("CAST(BROUND(" + emit(toks.slice(open + 1, close)) +
+          ", 4) AS DECIMAL(19,4))")
+        lastWord = "cast"
+        i = close + 1
+      } else if (isWord(t, "fix") && callAt(i).isDefined) {
+        // Fix truncates toward zero (Int floors); BIGINT cast matches.
+        val (open, close, _) = callAt(i).get
+        put("CAST(" + emit(toks.slice(open + 1, close)) + " AS BIGINT)")
+        lastWord = "cast"
+        i = close + 1
       } else if (t.kind == "word" &&
-        castFns.contains(t.text.toLowerCase) &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(") {
-        val open = nextNonWs(i + 1)
-        val close = closeOf(toks, open)
+        callRenames.contains(t.text.toLowerCase) && callAt(i).isDefined) {
+        put(callRenames(t.text.toLowerCase))
+        lastWord = t.text
+        i += 1
+      } else if (t.kind == "word" &&
+        castFns.contains(t.text.toLowerCase) && callAt(i).isDefined) {
+        val (open, close, _) = callAt(i).get
         put("CAST(" + emit(toks.slice(open + 1, close)) + " AS " +
           castFns(t.text.toLowerCase) + ")")
         lastWord = "cast"
         i = close + 1
       } else if (t.kind == "word" &&
-        broundFns.contains(t.text.toLowerCase) &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(") {
-        val open = nextNonWs(i + 1)
-        val close = closeOf(toks, open)
+        broundFns.contains(t.text.toLowerCase) && callAt(i).isDefined) {
+        val (open, close, _) = callAt(i).get
         put("CAST(BROUND(" + emit(toks.slice(open + 1, close)) +
           ") AS " + broundFns(t.text.toLowerCase) + ")")
         lastWord = "cast"
@@ -294,22 +459,16 @@ object JetSql {
         put(renames(t.text.toLowerCase))
         lastWord = t.text
         i += 1
-      } else if (isWord(t, "now") &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(" &&
-        toks.slice(nextNonWs(i + 1) + 1,
-          closeOf(toks, nextNonWs(i + 1))).forall(_.kind == "ws")) {
+      } else if (isWord(t, "now") && callAt(i).isDefined &&
+        callAt(i).get._3.forall(_.forall(_.kind == "ws"))) {
         put("current_timestamp")
         lastWord = "now"
-        i = closeOf(toks, nextNonWs(i + 1)) + 1
-      } else if (isWord(t, "date") &&
-        nextNonWs(i + 1) < toks.length &&
-        toks(nextNonWs(i + 1)).text == "(" &&
-        toks.slice(nextNonWs(i + 1) + 1,
-          closeOf(toks, nextNonWs(i + 1))).forall(_.kind == "ws")) {
+        i = callAt(i).get._2 + 1
+      } else if (isWord(t, "date") && callAt(i).isDefined &&
+        callAt(i).get._3.forall(_.forall(_.kind == "ws"))) {
         put("current_date")
         lastWord = "date"
-        i = closeOf(toks, nextNonWs(i + 1)) + 1
+        i = callAt(i).get._2 + 1
       } else if (t.kind == "punct" && t.text == "&") {
         put("||")
         i += 1
@@ -326,9 +485,13 @@ object JetSql {
         lastWord = "like"
         val litIdx = nextNonWs(i + 1)
         if (litIdx < toks.length && toks(litIdx).kind == "string") {
+          val pat = toks(litIdx).text
+          if (pat.contains("[") || pat.contains("#"))
+            fail("Jet LIKE [charlist]/# digit wildcards (no ANSI LIKE " +
+              "equivalent; rewrite with regexp_like)")
           pendingSpace = true
           put(render(Tok("string",
-            toks(litIdx).text.replace('*', '%').replace('?', '_'))))
+            pat.replace('*', '%').replace('?', '_'))))
           i = litIdx + 1
         } else i += 1
       } else {
@@ -341,6 +504,284 @@ object JetSql {
     sb.toString.trim
   }
 
+  // ------------------------------------------------------------------
+  // PARAMETERS header
+  // ------------------------------------------------------------------
+
+  private val paramTypes = Set(
+    "text", "char", "datetime", "date", "time", "long", "integer",
+    "short", "byte", "single", "double", "ieeesingle", "ieeedouble",
+    "currency", "bit", "yesno", "guid")
+
+  /** Parse a leading `PARAMETERS name Type, …;` header. Returns the
+    * declarations (sanitized name → lowercase type) and the statement
+    * body that follows the ';'. */
+  private def stripParameters(toks: Vector[Tok])
+      : (Vector[(String, String)], Vector[Tok]) = {
+    def nextNonWs(from: Int): Int = {
+      var j = from
+      while (j < toks.length && toks(j).kind == "ws") j += 1
+      j
+    }
+    val first = nextNonWs(0)
+    if (first >= toks.length || !isWord(toks(first), "parameters"))
+      return (Vector.empty, toks)
+    val decls = Vector.newBuilder[(String, String)]
+    var i = nextNonWs(first + 1)
+    var done = false
+    while (!done) {
+      require(i < toks.length && toks(i).kind == "word",
+        "jetsql: PARAMETERS expects a parameter name")
+      val name = JetTypes.sanitizeName(toks(i).text)
+      i = nextNonWs(i + 1)
+      require(i < toks.length && toks(i).kind == "word" &&
+        paramTypes.contains(toks(i).text.toLowerCase),
+        s"jetsql: unsupported PARAMETERS type after [$name]" +
+          (if (i < toks.length) s": '${toks(i).text}'" else ""))
+      val tpe = toks(i).text.toLowerCase
+      i = nextNonWs(i + 1)
+      // optional Text(n) size
+      if (i < toks.length && toks(i).text == "(" &&
+        toks(i).kind == "punct") i = nextNonWs(closeOf(toks, i) + 1)
+      decls += ((name, tpe))
+      require(i < toks.length && toks(i).kind == "punct" &&
+        (toks(i).text == "," || toks(i).text == ";"),
+        "jetsql: PARAMETERS declarations must be ','-separated and " +
+          "';'-terminated")
+      if (toks(i).text == ";") done = true
+      i = nextNonWs(i + 1)
+    }
+    (decls.result(), toks.drop(i))
+  }
+
+  /** Render one parameter binding as a SQL literal per its DECLARED
+    * Jet type — the declaration drives the rendering, so a Text
+    * parameter bound with `"123"` stays a string. */
+  private def renderParam(name: String, tpe: String, v: Any): String = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"jetsql: parameter [$name] declared ${tpe.toUpperCase} cannot " +
+        s"be rendered from ${v.getClass.getSimpleName} '$v'")
+    tpe match {
+      case "text" | "char" | "guid" =>
+        "'" + v.toString.replace("'", "''") + "'"
+      case "datetime" | "date" | "time" => v match {
+        case d: java.time.LocalDate => s"DATE '$d'"
+        case t: java.time.LocalDateTime =>
+          dateLiteral(t.toLocalDate.toString + " " +
+            f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d")
+        case d: java.sql.Date => s"DATE '$d'"
+        case t: java.sql.Timestamp => dateLiteral(t.toString.take(19))
+        case s: String => dateLiteral(s)
+        case _ => bad()
+      }
+      case "long" | "integer" | "short" | "byte" => v match {
+        case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+        case s: String if s.matches("-?\\d+") => s
+        case _ => bad()
+      }
+      case "double" | "single" | "ieeedouble" | "ieeesingle" => v match {
+        case n @ (_: Double | _: Float | _: Int | _: Long) =>
+          new java.math.BigDecimal(n.toString).toPlainString
+        case d: BigDecimal => d.bigDecimal.toPlainString
+        case _ => bad()
+      }
+      case "currency" => v match {
+        case n @ (_: Double | _: Float | _: Int | _: Long) =>
+          new java.math.BigDecimal(n.toString)
+            .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+        case d: BigDecimal => d.bigDecimal
+          .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+        case _ => bad()
+      }
+      case "bit" | "yesno" => v match {
+        case b: Boolean => if (b) "TRUE" else "FALSE"
+        case _ => bad()
+      }
+      case _ => bad()
+    }
+  }
+
+  /** Replace every use of a declared parameter with its bound literal
+    * (kind `raw`, so `render` passes it through verbatim). Substitution
+    * is purely lexical: a parameter whose sanitized name collides with
+    * a COLUMN name is substituted there too (Access would resolve the
+    * column first) — rename the parameter when porting such a query. */
+  private def substituteParams(toks: Vector[Tok],
+      decls: Vector[(String, String)],
+      params: Map[String, Any]): Vector[Tok] = {
+    if (decls.isEmpty) return toks
+    val bindings = params.map { case (k, v) =>
+      JetTypes.sanitizeName(k) -> v
+    }
+    val literals: Map[String, String] = decls.map { case (name, tpe) =>
+      val v = bindings.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"jetsql: parameter [$name] (declared ${tpe.toUpperCase}) " +
+            "is unbound — pass a value in the params map"))
+      name -> renderParam(name, tpe, v)
+    }.toMap
+    toks.map { t =>
+      if (t.kind == "word" &&
+        literals.contains(JetTypes.sanitizeName(t.text)))
+        Tok("raw", literals(JetTypes.sanitizeName(t.text)))
+      else t
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // TRANSFORM … PIVOT (crosstab)
+  // ------------------------------------------------------------------
+
+  private val crosstabAggs = Map(
+    "sum" -> "sum", "count" -> "count", "avg" -> "avg", "min" -> "min",
+    "max" -> "max", "stdev" -> "stddev_samp", "var" -> "var_samp")
+
+  private final case class Crosstab(
+      aggFn: String, aggArg: Vector[Tok], countStar: Boolean,
+      selectList: Vector[Tok], rest: Vector[Tok],
+      colExpr: Vector[Tok], items: Option[Vector[Vector[Tok]]])
+
+  private def isCrosstab(toks: Vector[Tok]): Boolean =
+    toks.find(_.kind != "ws").exists(isWord(_, "transform"))
+
+  private def parseCrosstab(toks: Vector[Tok]): Crosstab = {
+    val trIdx = toks.indexWhere(_.kind != "ws")
+    val selIdx = depth0Word(toks, "select", trIdx + 1)
+    require(selIdx > 0, "jetsql: TRANSFORM without a SELECT")
+    val pivIdx = depth0Word(toks, "pivot", selIdx + 1)
+    require(pivIdx > 0, "jetsql: TRANSFORM without a PIVOT clause")
+
+    // aggregate: fn(arg)
+    val aggToks = toks.slice(trIdx + 1, selIdx)
+    val fnIdx = aggToks.indexWhere(_.kind != "ws")
+    require(fnIdx >= 0 && aggToks(fnIdx).kind == "word",
+      "jetsql: TRANSFORM expects an aggregate expression")
+    val fnName = aggToks(fnIdx).text.toLowerCase
+    if (fnName == "first" || fnName == "last")
+      fail("crosstab FIRST/LAST (storage-order-dependent)")
+    val fn = crosstabAggs.getOrElse(fnName,
+      fail(s"crosstab aggregate '${aggToks(fnIdx).text}'"))
+    val open = aggToks.indexWhere(t => t.kind == "punct" && t.text == "(",
+      fnIdx + 1)
+    require(open > 0, "jetsql: TRANSFORM aggregate needs a (…) argument")
+    val close = closeOf(aggToks, open)
+    val arg = aggToks.slice(open + 1, close)
+    val countStar = fnName == "count" &&
+      arg.filter(_.kind != "ws").map(_.text) == Vector("*")
+
+    // row-head select list + the FROM…GROUP BY…ORDER BY remainder
+    val body = toks.slice(selIdx + 1, pivIdx)
+    val fromIdx = depth0Word(body, "from")
+    require(fromIdx > 0, "jetsql: crosstab without a FROM clause")
+    val selectList = body.take(fromIdx)
+    selectList.find(_.kind != "ws").foreach { t =>
+      if (isWord(t, "top")) fail("TOP inside a crosstab")
+    }
+
+    // PIVOT expr [IN (items)]
+    val tail = toks.drop(pivIdx + 1)
+    val inIdx = depth0Word(tail, "in")
+    val (colExpr, items) =
+      if (inIdx < 0) (tail, None)
+      else {
+        val po = tail.indexWhere(t => t.kind == "punct" && t.text == "(",
+          inIdx + 1)
+        require(po > 0, "jetsql: PIVOT … IN expects a (…) heading list")
+        val pc = closeOf(tail, po)
+        (tail.take(inIdx), Some(splitArgs(tail.slice(po + 1, pc))))
+      }
+    Crosstab(fn, arg, countStar, selectList, body.drop(fromIdx),
+      colExpr, items)
+  }
+
+  /** Value text → emitted column name: bare if already an identifier,
+    * backtick-quoted otherwise (Spark's identifier quoting). */
+  private def quoteIdent(s: String): String =
+    if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s
+    else "`" + s.replace("`", "``") + "`"
+
+  private def emitCrosstab(ct: Crosstab,
+      resolved: Option[Vector[Vector[Tok]]]): String = {
+    val items = ct.items.orElse(resolved).getOrElse(
+      fail("a crosstab WITHOUT an IN heading list under pure-text " +
+        "translation (Access discovers headings from the data; use " +
+        "translateCrosstab(spark, sql) for the bounded DISTINCT probe)"))
+    val colSql = emit(ct.colExpr)
+    val cells = items.map { item =>
+      val ts = item.filter(_.kind != "ws")
+      require(ts.length == 1 &&
+        Set("string", "number", "date").contains(ts.head.kind),
+        "jetsql: PIVOT … IN headings must be literals")
+      val lit = render(ts.head)
+      val caption = ts.head.kind match {
+        case "date" => dateLiteral(ts.head.text)
+          .split("'")(1) // the ISO body of the literal
+        case _ => ts.head.text
+      }
+      val cell =
+        if (ct.countStar) s"count(CASE WHEN ($colSql) = $lit THEN 1 END)"
+        else s"${ct.aggFn}(CASE WHEN ($colSql) = $lit THEN " +
+          emit(ct.aggArg) + " END)"
+      s"$cell AS ${quoteIdent(caption)}"
+    }
+    "SELECT " + emit(ct.selectList) + ", " + cells.mkString(", ") +
+      " " + emit(ct.rest)
+  }
+
+  // ------------------------------------------------------------------
+  // Entry points
+  // ------------------------------------------------------------------
+
   /** Translate one Jet-SQL statement to Spark-runnable ANSI SQL. */
-  def translate(jetSql: String): String = emit(tokenize(jetSql))
+  def translate(jetSql: String): String = translate(jetSql, Map.empty)
+
+  /** Translate with PARAMETERS bindings (keys matched after the same
+    * name sanitization the migration applies, so `"Start Date"` and
+    * `"start_date"` both bind `[Start Date]`). */
+  def translate(jetSql: String, params: Map[String, Any]): String = {
+    val (decls, body) = stripParameters(tokenize(jetSql))
+    val toks = substituteParams(body, decls, params)
+    if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
+    else emit(toks)
+  }
+
+  /** Translate an Access crosstab whose headings are DISCOVERED from
+    * the data (no `IN` list), the way Access itself renders one: a
+    * bounded `SELECT DISTINCT` probe over the same FROM/WHERE finds
+    * the headings (≤ `maxHeadings` — Access caps crosstabs at 255
+    * columns), NULL headings are skipped (Access's `<>` column needs
+    * an explicit IN to be addressable), and headings are ordered
+    * numerically when numeric, lexically otherwise, so the emitted
+    * column order is deterministic regardless of partitioning. */
+  def translateCrosstab(spark: SparkSession, jetSql: String,
+      params: Map[String, Any] = Map.empty,
+      maxHeadings: Int = 64): String = {
+    val (decls, body) = stripParameters(tokenize(jetSql))
+    val toks = substituteParams(body, decls, params)
+    require(isCrosstab(toks),
+      "jetsql: translateCrosstab expects a TRANSFORM statement")
+    val ct = parseCrosstab(toks)
+    if (ct.items.isDefined) return emitCrosstab(ct, None)
+    val gIdx = depth0Word(ct.rest, "group")
+    val scope = if (gIdx < 0) ct.rest else ct.rest.take(gIdx)
+    val probe = "SELECT DISTINCT " + emit(ct.colExpr) + " AS __jet_h " +
+      emit(scope)
+    val rows = spark.sql(probe).limit(maxHeadings + 1).collect()
+    require(rows.length <= maxHeadings,
+      s"jetsql: crosstab heading probe exceeded $maxHeadings distinct " +
+        "values — pass an explicit IN list or raise maxHeadings")
+    val toks2 = rows.toVector.flatMap(r => Option(r.get(0))).map {
+      case n: java.lang.Number => Tok("number", n.toString)
+      case s: String => Tok("string", s)
+      case d: java.sql.Date => Tok("date", d.toString)
+      case d: java.time.LocalDate => Tok("date", d.toString)
+      case other => fail(s"crosstab heading of type " +
+        s"${other.getClass.getSimpleName}")
+    }
+    val sorted =
+      if (toks2.nonEmpty && toks2.forall(_.kind == "number"))
+        toks2.sortBy(_.text.toDouble)
+      else toks2.sortBy(_.text)
+    emitCrosstab(ct, Some(sorted.map(Vector(_))))
+  }
 }

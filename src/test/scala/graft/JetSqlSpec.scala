@@ -84,11 +84,149 @@ class JetSqlSpec extends AnyFunSuite {
 
   test("untranslatable constructs reject loudly, never silently wrong") {
     for (bad <- Seq(
-      "TRANSFORM Sum(x) SELECT a FROM t PIVOT b",
+      "TRANSFORM Sum(x) SELECT a FROM t PIVOT b", // no IN list
       "SELECT Format(d, 'yyyy') FROM t",
+      "SELECT DISTINCTROW a FROM t",
       "SELECT DLookUp('x', 't') FROM u")) {
       val e = intercept[IllegalArgumentException] { translate(bad) }
       assert(e.getMessage.contains("jetsql:"), s"$bad → ${e.getMessage}")
+    }
+  }
+
+  test("Jet LIKE charlist and # digit wildcards reject (ANSI LIKE " +
+    "cannot express them; leaving them in would silently match " +
+    "literal brackets)") {
+    for (bad <- Seq(
+      "WHERE nm LIKE \"Sm[iy]th\"",
+      "WHERE code LIKE \"A#-*\"")) {
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.contains("regexp_like"), s"$bad")
+    }
+  }
+
+  test("numeric helpers: Int floors, Fix truncates toward zero, Sgn, " +
+    "Sqr, CStr, CCur — and a bare `AS INT` cast target is untouched") {
+    assert(translate("SELECT Int(x), Fix(x), Sgn(x), Sqr(x) FROM t") ==
+      "SELECT FLOOR(x), CAST(x AS BIGINT), sign(x), sqrt(x) FROM t")
+    assert(translate("SELECT CStr(n), CCur(p) FROM t") ==
+      "SELECT CAST(n AS STRING), " +
+        "CAST(BROUND(p, 4) AS DECIMAL(19,4)) FROM t")
+    assert(translate("SELECT CAST(x AS INT) FROM t") ==
+      "SELECT CAST(x AS INT) FROM t")
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Int(-2.5) AS a, Fix(-2.5) AS b, CCur(2.5) AS c")).collect()(0)
+    assert(r.getAs[Number]("a").longValue == -3L) // Int floors toward -inf
+    assert(r.getLong(1) == -2L) // Fix truncates toward zero
+    assert(r.getDecimal(2).toPlainString == "2.5000")
+  }
+
+  test("DatePart/Weekday: Jet interval codes; ww and firstdayofweek " +
+    "forms reject") {
+    assert(translate("SELECT DatePart(\"q\", d), Weekday(d) FROM t") ==
+      "SELECT quarter(d), dayofweek(d) FROM t")
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT DatePart(\"q\", #5/15/2020#) AS q, " +
+        "Weekday(#1/5/2020#) AS wd, " + // 2020-01-05 is a Sunday
+        "DatePart(\"y\", #2/1/2020#) AS doy")).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getInt(2) == 32)
+    intercept[IllegalArgumentException] {
+      translate("SELECT DatePart(\"ww\", d) FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT Weekday(d, 2) FROM t")
+    }
+  }
+
+  test("DateAdd clamps month ends like Access; DateDiff counts " +
+    "BOUNDARIES crossed, not elapsed units") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT CAST(DateAdd(\"m\", 1, #1/31/2020#) AS DATE) AS clamp, " +
+        "DateDiff(\"m\", #1/31/2020#, #2/1/2020#) AS mb, " +
+        "DateDiff(\"d\", #1/1/2020#, #1/10/2020#) AS db, " +
+        "DateDiff(\"w\", #1/1/2020#, #1/14/2020#) AS whole_weeks, " +
+        "DateDiff(\"ww\", #1/4/2020#, #1/5/2020#) AS sun_cross, " +
+        "DateDiff(\"ww\", #1/5/2020#, #1/11/2020#) AS same_week, " +
+        "DateDiff(\"h\", #1/1/2020 1:59#, #1/1/2020 2:01#) AS hb, " +
+        "DateDiff(\"s\", #1/1/2020 0:0:5#, #1/1/2020 0:1:3#) AS sb"))
+      .collect()(0)
+    assert(r.getDate(0).toString == "2020-02-29") // Jan 31 + 1m clamps
+    assert(r.getInt(1) == 1)   // a month boundary was crossed
+    assert(r.getInt(2) == 9)
+    assert(r.getLong(3) == 1L) // 13 days = 1 whole 7-day period
+    assert(r.getLong(4) == 1L) // Sat→Sun crosses a Sunday week start
+    assert(r.getLong(5) == 0L) // Sun→Sat stays inside one Jet week
+    assert(r.getLong(6) == 1L) // 1:59→2:01 crosses the 2:00 boundary
+    assert(r.getLong(7) == 58L)
+  }
+
+  test("PARAMETERS header: typed literal substitution; unbound rejects " +
+    "with the name and type") {
+    val jet = Seq(
+      "PARAMETERS [Start Date] DateTime, [Min Total] Currency,",
+      "  [Pri] Text(20), [K] Long;",
+      "SELECT a FROM t WHERE d >= [Start Date] AND p >= [Min Total]",
+      "  AND priority = [Pri] AND seq > [K]").mkString(" ")
+    val got = translate(jet, Map(
+      "Start Date" -> java.time.LocalDate.of(1995, 3, 15),
+      "min_total" -> BigDecimal("1234.5"),
+      "Pri" -> "1-URGENT", "K" -> 42L))
+    assert(got ==
+      "SELECT a FROM t WHERE d >= DATE '1995-03-15' AND p >= 1234.5000 " +
+        "AND priority = '1-URGENT' AND seq > 42")
+    val e = intercept[IllegalArgumentException] {
+      translate(jet, Map("Pri" -> "x", "K" -> 1,
+        "min_total" -> BigDecimal(1)))
+    }
+    assert(e.getMessage.contains("start_date") &&
+      e.getMessage.contains("DATETIME"))
+  }
+
+  test("TRANSFORM … PIVOT with an IN list becomes conditional " +
+    "aggregation; Count(*) cells count rows") {
+    val jet = Seq(
+      "TRANSFORM Sum([Unit Price])",
+      "SELECT [Region] FROM [Sales Log]",
+      "GROUP BY [Region]",
+      "PIVOT Year([Sold On]) IN (1995, 1996)").mkString(" ")
+    assert(translate(jet) ==
+      "SELECT region, " +
+        "sum(CASE WHEN (Year(sold_on)) = 1995 THEN unit_price END) " +
+        "AS `1995`, " +
+        "sum(CASE WHEN (Year(sold_on)) = 1996 THEN unit_price END) " +
+        "AS `1996` " +
+        "FROM sales_log GROUP BY region")
+    assert(translate(
+      "TRANSFORM Count(*) SELECT a FROM t GROUP BY a " +
+        "PIVOT b IN (\"x\", \"y\")") ==
+      "SELECT a, count(CASE WHEN (b) = 'x' THEN 1 END) AS x, " +
+        "count(CASE WHEN (b) = 'y' THEN 1 END) AS y FROM t GROUP BY a")
+    intercept[IllegalArgumentException] {
+      translate("TRANSFORM First(x) SELECT a FROM t GROUP BY a " +
+        "PIVOT b IN (1)")
+    }
+  }
+
+  test("translateCrosstab discovers headings with a bounded DISTINCT " +
+    "probe and matches the hand-built pivot") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    Seq(("east", "F", 10), ("east", "O", 5), ("west", "F", 2),
+      ("west", "F", 3)).toDF("region", "st", "qty")
+      .createOrReplaceTempView("xt_src")
+    val sql = graft.sources.JetSql.translateCrosstab(spark,
+      "TRANSFORM Sum([qty]) SELECT [region] FROM xt_src " +
+        "GROUP BY [region] PIVOT [st]")
+    val got = spark.sql(sql).orderBy("region").collect()
+    assert(got.map(_.toSeq).toSeq == Seq(
+      Seq("east", 10L, 5L), Seq("west", 5L, null)))
+    // the probe is bounded
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateCrosstab(spark,
+        "TRANSFORM Sum([qty]) SELECT [region] FROM xt_src " +
+          "GROUP BY [region] PIVOT [qty]", maxHeadings = 2)
     }
   }
 
