@@ -706,6 +706,52 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** A CHAIN of Access saved queries ported as views — the pattern
+    * real databases ship: one saved query SELECTing from another. The
+    * two queries are registered OUT of dependency order through
+    * [[graft.sources.JetSql.registerSavedQueries]]'s fixpoint (Spark
+    * analyzes view bodies eagerly, so ordering matters), then the
+    * top-level report queries the derived view. The oracle rebuilds
+    * the chain as CTEs. */
+  val qJetSqlViews: QDef = QDef(
+    "q_jetsql_views",
+    """WITH ord_extended AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(roundbankers(o_totalprice, 4) AS DECIMAL(19,4))
+      |      AS total_cur,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |pri_rollup AS (
+      |  SELECT o_orderpriority AS pri, yr, COUNT(*) AS n,
+      |    SUM(total_cur) AS tot
+      |  FROM ord_extended WHERE yr <= 1997
+      |  GROUP BY o_orderpriority, yr)
+      |SELECT pri, CAST(yr AS INT) AS yr, n,
+      |  ROUND(CAST(tot AS DOUBLE), 2) AS tot
+      |FROM pri_rollup
+      |ORDER BY pri, yr""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    graft.sources.JetSql.registerSavedQueries(s, Seq(
+      // dependent query FIRST — the fixpoint must defer it one round
+      "Pri Rollup" -> Seq(
+        "SELECT [o_orderpriority] AS pri, [yr], Count(*) AS n,",
+        "  Sum([total_cur]) AS tot",
+        "FROM [Ord Extended]",
+        "WHERE [yr] <= 1997",
+        "GROUP BY [o_orderpriority], [yr]").mkString(" "),
+      "Ord Extended" -> Seq(
+        "SELECT [o_orderkey], [o_orderpriority],",
+        "  CCur([o_totalprice]) AS total_cur,",
+        "  Year([o_orderdate]) AS yr",
+        "FROM orders WHERE [o_orderstatus] = \"F\"").mkString(" ")))
+    s.sql(graft.sources.JetSql.translate(
+      "SELECT [pri], [yr], [n], [tot] FROM [Pri Rollup] " +
+        "ORDER BY [pri], [yr]"))
+      .select(col("pri"), col("yr").cast("int").as("yr"), col("n"),
+        round(col("tot").cast("double"), 2).as("tot"))
+      .orderBy(col("pri"), col("yr"))
+  }
+
   /** The Access date-arithmetic trio executed over real data: DatePart
     * interval codes, Weekday's Sunday=1 numbering, DateAdd's month-end
     * clamping, and DateDiff's BOUNDARY-COUNT semantics (month-index
@@ -804,5 +850,5 @@ object EtlQueries {
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
     qJetSqlSaved, qJetSqlSaved2, qJetSqlCrosstab, qJetSqlParams,
-    qJetSqlDateFuncs, qJetTopPercent)
+    qJetSqlDateFuncs, qJetSqlViews, qJetTopPercent)
 }

@@ -745,6 +745,73 @@ object JetSql {
     else emit(toks)
   }
 
+  /** Translate EITHER form: crosstabs route through the heading probe
+    * when no IN list is present, everything else through the pure-text
+    * path. The one entry point view registration needs. */
+  def translateAny(spark: SparkSession, jetSql: String,
+      params: Map[String, Any] = Map.empty): String = {
+    val (decls, body) = stripParameters(tokenize(jetSql))
+    val toks = substituteParams(body, decls, params)
+    if (isCrosstab(toks)) {
+      val ct = parseCrosstab(toks)
+      if (ct.items.isDefined) emitCrosstab(ct, None)
+      else translateCrosstab(spark, jetSql, params)
+    } else emit(toks)
+  }
+
+  /** Register Access SAVED QUERIES as Spark temporary views — the
+    * whole-database migration step after tables and constraints.
+    * Access stores saved queries as parsed attribute rows (not SQL
+    * text), so the input here is the SQL-text export every
+    * mdb-tooling workflow produces ((name, jetSql) pairs); names are
+    * sanitized with the same rule as table/column names, so a saved
+    * query that SELECTs from another saved query keeps resolving
+    * after both are ported.
+    *
+    * Saved queries routinely reference each other, and Spark analyzes
+    * a CREATE TEMP VIEW body eagerly, so registration runs as a
+    * dependency FIXPOINT: each round registers every query whose
+    * references now resolve; a round with no progress fails loudly,
+    * naming each unresolved query and its error (never a silent
+    * partial port). Returns the sanitized view names in registration
+    * order. */
+  def registerSavedQueries(spark: SparkSession,
+      queries: Seq[(String, String)],
+      params: Map[String, Any] = Map.empty): Seq[String] = {
+    var pending = queries.toVector
+    val done = Vector.newBuilder[String]
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val stillPending = Vector.newBuilder[((String, String), String)]
+      pending.foreach { case q @ (rawName, jetSql) =>
+        val name = JetTypes.sanitizeName(rawName)
+        try {
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+            translateAny(spark, jetSql, params))
+          done += name
+          progress = true
+        } catch {
+          case e: IllegalArgumentException => throw e // translator: loud
+          case scala.util.control.NonFatal(e) =>
+            stillPending += ((q, e.getMessage))
+        }
+      }
+      pending = stillPending.result().map(_._1)
+      if (!progress && pending.nonEmpty) {
+        val detail = stillPending.result()
+          .map { case ((n, _), msg) =>
+            s"[$n]: ${Option(msg).getOrElse("").linesIterator
+              .take(1).mkString}"
+          }.mkString("; ")
+        throw new IllegalArgumentException(
+          s"jetsql: saved queries failed to register after fixpoint " +
+            s"(circular or unresolved references?): $detail")
+      }
+    }
+    done.result()
+  }
+
   /** Translate an Access crosstab whose headings are DISCOVERED from
     * the data (no `IN` list), the way Access itself renders one: a
     * bounded `SELECT DISTINCT` probe over the same FROM/WHERE finds

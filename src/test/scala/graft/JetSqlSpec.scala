@@ -230,6 +230,26 @@ class JetSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("registerSavedQueries resolves view-on-view chains by fixpoint " +
+    "and fails loudly on unresolvable references") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    Seq((1, "a", 10), (2, "a", 20), (3, "b", 5))
+      .toDF("id", "grp", "v").createOrReplaceTempView("sq_base")
+    // dependent first: round 1 registers only [Lvl One], round 2 the rest
+    val names = graft.sources.JetSql.registerSavedQueries(spark, Seq(
+      "Lvl Two" -> "SELECT [grp], Sum([vv]) AS s FROM [Lvl One] GROUP BY [grp]",
+      "Lvl One" -> "SELECT [grp], [v] * 2 AS vv FROM sq_base WHERE [id] < 3"))
+    assert(names == Seq("lvl_one", "lvl_two"))
+    assert(spark.sql("SELECT s FROM lvl_two WHERE grp = 'a'")
+      .collect()(0).getLong(0) == 60L)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JetSql.registerSavedQueries(spark, Seq(
+        "Orphan" -> "SELECT x FROM [No Such View]"))
+    }
+    assert(e.getMessage.contains("Orphan"))
+  }
+
   test("a full translated saved query runs in Spark and matches the " +
     "direct DataFrame form") {
     val spark = TestSpark.session
