@@ -706,6 +706,36 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The classic Access monthly rollup: `Format(date, "yyyy-mm")` as
+    * the GROUP BY key — the single most common Jet reporting idiom.
+    * Format's deterministic date-pattern subset translates to
+    * date_format; the oracle recomputes the key with DuckDB's own
+    * strftime, so the pattern mapping itself is hash-pinned. */
+  val qJetSqlFormat: QDef = QDef(
+    "q_jetsql_format",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(roundbankers(o_totalprice, 4)
+      |    AS DECIMAL(19,4))) AS DOUBLE), 2) AS tot
+      |FROM orders
+      |WHERE o_orderdate < DATE '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY ym""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT Format([o_orderdate], \"yyyy-mm\") AS ym,",
+      "  Count(*) AS n,",
+      "  Sum(CCur([o_totalprice])) AS tot",
+      "FROM orders",
+      "WHERE [o_orderdate] < #1/1/1997#",
+      "GROUP BY Format([o_orderdate], \"yyyy-mm\")",
+      "ORDER BY [ym]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("ym"), col("n"),
+        round(col("tot").cast("double"), 2).as("tot"))
+      .orderBy(col("ym"))
+  }
+
   /** A CHAIN of Access saved queries ported as views — the pattern
     * real databases ship: one saved query SELECTing from another. The
     * two queries are registered OUT of dependency order through
@@ -850,5 +880,5 @@ object EtlQueries {
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
     qJetSqlSaved, qJetSqlSaved2, qJetSqlCrosstab, qJetSqlParams,
-    qJetSqlDateFuncs, qJetSqlViews, qJetTopPercent)
+    qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetTopPercent)
 }

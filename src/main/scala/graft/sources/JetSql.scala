@@ -76,11 +76,15 @@ import org.apache.spark.sql.SparkSession
   *     data; `translate` rejects that form (pure text cannot), and
   *     [[translateCrosstab]] reproduces it with a bounded DISTINCT
   *     probe (≤ maxHeadings, deterministic ordering);
-  *   - anything it cannot translate faithfully (FORMAT, DLOOKUP,
-  *     DISTINCTROW — its duplicate elimination is over underlying
-  *     records, not output columns) is REJECTED with the construct
-  *     named — a saved query ports correctly or loudly, never subtly
-  *     wrong.
+  *   - `FORMAT(d, "pattern")` for the DETERMINISTIC date subset
+  *     (numeric y/q/m/d/h/n/s runs and separators) → `date_format`;
+  *     locale-dependent patterns (month/day names, AM/PM), numeric
+  *     masks, the 1-arg form, and Jet's m-after-h-means-minutes
+  *     context rule all REJECT;
+  *   - anything it cannot translate faithfully (DLOOKUP, DISTINCTROW
+  *     — its duplicate elimination is over underlying records, not
+  *     output columns) is REJECTED with the construct named — a saved
+  *     query ports correctly or loudly, never subtly wrong.
   */
 object JetSql {
 
@@ -208,7 +212,55 @@ object JetSql {
   // cast target, not the Int() function).
   private val callRenames = Map("int" -> "FLOOR")
   private val rejected = Set(
-    "format", "dlookup", "dsum", "dcount", "distinctrow")
+    "dlookup", "dsum", "dcount", "distinctrow")
+
+  /** Access Format() DATE patterns → Spark date_format patterns, for
+    * the deterministic subset only (numeric runs and separators). The
+    * locale-dependent forms — month/day NAMES (mmm/dddd), AM/PM,
+    * 2-digit-year pivot — and Jet's context rules (an m-run right
+    * after an h-run silently means MINUTES) reject: a silently
+    * locale-shifted group key corrupts a report. Jet minutes are
+    * spelled `n`/`nn` here, exactly the unambiguous Access spelling. */
+  private def formatPattern(pat: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var lastLetter = ' '
+    while (i < pat.length) {
+      val c = pat.charAt(i).toLower
+      if (c.isLetter) {
+        var j = i
+        while (j < pat.length && pat.charAt(j).toLower == c) j += 1
+        val run = j - i
+        val mapped = (c, run) match {
+          case ('y', 4) => "yyyy"
+          case ('y', 2) => "yy"
+          case ('q', 1) => "Q"
+          case ('m', 1) | ('m', 2) =>
+            if (lastLetter == 'h')
+              fail("FORMAT with an m-run after an h-run (Jet silently " +
+                "reads it as minutes — spell minutes n/nn)")
+            if (run == 1) "M" else "MM"
+          case ('d', 1) => "d"
+          case ('d', 2) => "dd"
+          case ('h', 1) => "H"
+          case ('h', 2) => "HH"
+          case ('n', 1) => "m"
+          case ('n', 2) => "mm"
+          case ('s', 1) => "s"
+          case ('s', 2) => "ss"
+          case _ => fail(s"FORMAT pattern run '${c.toString * run}' " +
+            "(locale-dependent or out of the deterministic date subset)")
+        }
+        out.append(mapped)
+        lastLetter = c
+        i = j
+      } else if ("-/:. _".contains(c)) {
+        out.append(pat.charAt(i))
+        i += 1
+      } else fail(s"FORMAT pattern character '$c'")
+    }
+    out.toString
+  }
 
   // Jet interval codes (DatePart/DateAdd/DateDiff first argument).
   private val partFns = Map(
@@ -420,6 +472,20 @@ object JetSql {
         }
         put(sql)
         lastWord = "datediff"
+        i = close + 1
+      } else if (isWord(t, "format") && callAt(i).isDefined) {
+        // Deterministic DATE-pattern subset only; everything else
+        // (1-arg general Format, numeric masks, named months) rejects.
+        val (_, close, args) = callAt(i).get
+        if (args.length != 2)
+          fail(s"${args.length}-argument FORMAT (only the 2-argument " +
+            "date-pattern form is deterministic)")
+        val ps = args(1).filter(_.kind != "ws")
+        if (ps.length != 1 || ps.head.kind != "string")
+          fail("FORMAT with a non-literal pattern")
+        put("date_format(" + emit(args(0)) + ", '" +
+          formatPattern(ps.head.text) + "')")
+        lastWord = "date_format"
         i = close + 1
       } else if (isWord(t, "ccur") && callAt(i).isDefined) {
         // Currency: exact 4-decimal fixed point, banker's-rounded on

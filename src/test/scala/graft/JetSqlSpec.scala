@@ -85,7 +85,7 @@ class JetSqlSpec extends AnyFunSuite {
   test("untranslatable constructs reject loudly, never silently wrong") {
     for (bad <- Seq(
       "TRANSFORM Sum(x) SELECT a FROM t PIVOT b", // no IN list
-      "SELECT Format(d, 'yyyy') FROM t",
+      "SELECT Format(x) FROM t", // 1-arg general Format
       "SELECT DISTINCTROW a FROM t",
       "SELECT DLookUp('x', 't') FROM u")) {
       val e = intercept[IllegalArgumentException] { translate(bad) }
@@ -228,6 +228,45 @@ class JetSqlSpec extends AnyFunSuite {
         "TRANSFORM Sum([qty]) SELECT [region] FROM xt_src " +
           "GROUP BY [region] PIVOT [qty]", maxHeadings = 2)
     }
+  }
+
+  test("Format: deterministic date patterns map to date_format; " +
+    "locale-dependent and ambiguous patterns reject") {
+    assert(translate("SELECT Format([d], \"yyyy-mm\") FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
+    assert(translate("SELECT Format(d, \"q\"), " +
+      "Format(t2, \"hh:nn:ss\"), Format(d, \"m/d/yy\")") ==
+      "SELECT date_format(d, 'Q'), " +
+        "date_format(t2, 'HH:mm:ss'), date_format(d, 'M/d/yy')")
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Format(#3/7/2020 9:05#, \"yyyy-mm-dd hh:nn\") AS x"))
+      .collect()(0)
+    assert(r.getString(0) == "2020-03-07 09:05")
+    for (bad <- Seq(
+      "SELECT Format(d, \"mmm yyyy\")", // month names: locale
+      "SELECT Format(d, \"hh:mm\")",    // Jet reads this m as MINUTES
+      "SELECT Format(n, \"0.00\")",     // numeric mask
+      "SELECT Format(d, p)"))           // non-literal pattern
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("Access designer FROM shapes — nested-paren INNER/LEFT JOIN " +
+    "chains — pass through and run") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    Seq((1, 10), (2, 20)).toDF("id", "cid")
+      .createOrReplaceTempView("aj_o")
+    Seq((10, "x"), (20, "y")).toDF("cid", "nm")
+      .createOrReplaceTempView("aj_c")
+    Seq((1, 5.0)).toDF("oid", "amt").createOrReplaceTempView("aj_d")
+    val jet = Seq(
+      "SELECT [aj_o].[id], [aj_c].[nm], Nz([aj_d].[amt], 0) AS amt",
+      "FROM ((aj_o INNER JOIN aj_c ON [aj_o].[cid] = [aj_c].[cid])",
+      "  LEFT JOIN aj_d ON [aj_o].[id] = [aj_d].[oid])",
+      "ORDER BY [aj_o].[id]").mkString(" ")
+    val got = spark.sql(translate(jet)).collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(1, "x", 5.0), Seq(2, "y", 0.0)))
   }
 
   test("registerSavedQueries resolves view-on-view chains by fixpoint " +
