@@ -706,6 +706,40 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Access DOMAIN AGGREGATES (DSum/DCount) executed: the functions
+    * form-bound Access apps lean on everywhere, translated to scalar
+    * subqueries whose string arguments are themselves Jet-SQL
+    * fragments (brackets, CCur, #date# literals all recurse). The
+    * oracle writes the subqueries directly. */
+  val qJetSqlDomainAgg: QDef = QDef(
+    "q_jetsql_domain_agg",
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  ROUND(CAST((SELECT SUM(CAST(roundbankers(o_totalprice, 4)
+      |      AS DECIMAL(19,4)))
+      |    FROM orders WHERE o_orderdate < DATE '1996-01-01')
+      |    AS DOUBLE), 2) AS tot_95
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (s, d) =>
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [c_mktsegment] AS seg, Count(*) AS n_cust,",
+      "  DCount(\"*\", \"orders\",",
+      "    \"[o_orderpriority] = '1-URGENT'\") AS n_urgent,",
+      "  DSum(\"CCur([o_totalprice])\", \"orders\",",
+      "    \"[o_orderdate] < #1/1/1996#\") AS tot_95",
+      "FROM customer",
+      "GROUP BY [c_mktsegment]",
+      "ORDER BY [seg]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("seg"), col("n_cust"), col("n_urgent"),
+        round(col("tot_95").cast("double"), 2).as("tot_95"))
+      .orderBy(col("seg"))
+  }
+
   /** The classic Access monthly rollup: `Format(date, "yyyy-mm")` as
     * the GROUP BY key — the single most common Jet reporting idiom.
     * Format's deterministic date-pattern subset translates to
@@ -880,5 +914,6 @@ object EtlQueries {
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
     qJetSqlSaved, qJetSqlSaved2, qJetSqlCrosstab, qJetSqlParams,
-    qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetTopPercent)
+    qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetSqlDomainAgg,
+    qJetTopPercent)
 }

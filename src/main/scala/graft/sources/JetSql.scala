@@ -81,10 +81,22 @@ import org.apache.spark.sql.SparkSession
   *     locale-dependent patterns (month/day names, AM/PM), numeric
   *     masks, the 1-arg form, and Jet's m-after-h-means-minutes
   *     context rule all REJECT;
-  *   - anything it cannot translate faithfully (DLOOKUP, DISTINCTROW
-  *     — its duplicate elimination is over underlying records, not
-  *     output columns) is REJECTED with the construct named — a saved
-  *     query ports correctly or loudly, never subtly wrong.
+  *   - domain aggregates `DSum/DCount/DAvg/DMin/DMax("expr",
+  *     "domain"[, "criteria"])` → uncorrelated scalar subqueries —
+  *     each string argument is itself a Jet-SQL fragment and recurses
+  *     through the translator; criteria built by CONCATENATION embed
+  *     row values into program text and reject. `SWITCH` (pairwise) /
+  *     `CHOOSE` (1-based index) → CASE forms with Access's
+  *     no-match-is-Null semantics;
+  *   - action queries: `DELETE * FROM` drops the designer star,
+  *     `INSERT INTO … SELECT` and single-table `UPDATE … SET` pass
+  *     through the normal rewrites, and `UPDATE … JOIN` REJECTS —
+  *     a multi-table update is a MERGE on the target system;
+  *   - anything it cannot translate faithfully (DLOOKUP — it returns
+  *     an ORDER-UNDEFINED matching row's value; DISTINCTROW — its
+  *     duplicate elimination is over underlying records, not output
+  *     columns) is REJECTED with the construct named — a saved query
+  *     ports correctly or loudly, never subtly wrong.
   */
 object JetSql {
 
@@ -211,8 +223,16 @@ object JetSql {
   // Call-form-only renames (the bare word must survive: `AS INT` is a
   // cast target, not the Int() function).
   private val callRenames = Map("int" -> "FLOOR")
-  private val rejected = Set(
-    "dlookup", "dsum", "dcount", "distinctrow")
+  // DLookup stays rejected: it returns SOME matching row's value with
+  // no defined order — porting it silently would freeze one engine's
+  // arbitrary pick into the result. The aggregate D-functions are
+  // well-defined and translate to scalar subqueries below.
+  private val rejected = Set("dlookup", "distinctrow")
+
+  /** Domain aggregate name → SQL aggregate. */
+  private val domainAggs = Map(
+    "dsum" -> "SUM", "dcount" -> "COUNT", "davg" -> "AVG",
+    "dmin" -> "MIN", "dmax" -> "MAX")
 
   /** Access Format() DATE patterns → Spark date_format patterns, for
     * the deterministic subset only (numeric runs and separators). The
@@ -472,6 +492,62 @@ object JetSql {
         }
         put(sql)
         lastWord = "datediff"
+        i = close + 1
+      } else if (t.kind == "word" &&
+        domainAggs.contains(t.text.toLowerCase) && callAt(i).isDefined) {
+        // DSum("expr", "domain"[, "criteria"]) → an uncorrelated
+        // scalar subquery. Each argument is a Jet-SQL FRAGMENT in a
+        // string, so it recursively tokenizes+translates (brackets,
+        // #dates#, IIF — everything works inside). Only all-literal
+        // arguments translate: Access criteria built by string
+        // CONCATENATION ("k = " & [k]) embed row values into program
+        // text and have no static SQL equivalent — those reject.
+        val fnU = t.text.toUpperCase
+        val (_, close, args) = callAt(i).get
+        if (args.length != 2 && args.length != 3)
+          fail(s"$fnU with ${args.length} arguments")
+        val lits = args.map { a =>
+          val ts = a.filter(_.kind != "ws")
+          if (ts.length != 1 || ts.head.kind != "string")
+            fail(s"$fnU with a non-literal argument (criteria built " +
+              "by concatenation embed row values into program text — " +
+              "rewrite as a correlated subquery)")
+          ts.head.text
+        }
+        val fn = domainAggs(t.text.toLowerCase)
+        val exprSql =
+          if (fn == "COUNT" && lits(0).trim == "*") "*"
+          else emit(tokenize(lits(0)))
+        val where =
+          if (args.length == 3) " WHERE " + emit(tokenize(lits(2)))
+          else ""
+        put(s"(SELECT $fn($exprSql) FROM " +
+          emit(tokenize(lits(1))) + where + ")")
+        lastWord = "subquery"
+        i = close + 1
+      } else if (isWord(t, "switch") && callAt(i).isDefined) {
+        // Switch(c1, v1, c2, v2, …) → CASE WHEN c1 THEN v1 … END
+        // (first true pair wins in Access too; no match → Null = ANSI)
+        val (_, close, args) = callAt(i).get
+        if (args.length < 2 || args.length % 2 != 0)
+          fail(s"SWITCH with ${args.length} arguments (needs pairs)")
+        val cases = args.grouped(2).map { p =>
+          "WHEN " + emit(p(0)) + " THEN " + emit(p(1))
+        }.mkString(" ")
+        put(s"CASE $cases END")
+        lastWord = "end"
+        i = close + 1
+      } else if (isWord(t, "choose") && callAt(i).isDefined) {
+        // Choose(i, v1, v2, …) → CASE i WHEN 1 THEN v1 … END
+        // (out-of-range index → Null, matching Access)
+        val (_, close, args) = callAt(i).get
+        if (args.length < 2)
+          fail(s"CHOOSE with ${args.length} arguments")
+        val cases = args.tail.zipWithIndex.map { case (v, k) =>
+          s"WHEN ${k + 1} THEN " + emit(v)
+        }.mkString(" ")
+        put("CASE " + emit(args.head) + s" $cases END")
+        lastWord = "end"
         i = close + 1
       } else if (isWord(t, "format") && callAt(i).isDefined) {
         // Deterministic DATE-pattern subset only; everything else
@@ -808,7 +884,32 @@ object JetSql {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks = substituteParams(body, decls, params)
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
-    else emit(toks)
+    else emit(actionQueryRewrites(toks))
+  }
+
+  /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the
+    * Access designer writes) drops the star — ANSI DELETE takes no
+    * select list. `UPDATE a INNER JOIN b … SET` has NO ANSI
+    * equivalent (it is a MERGE) and rejects; plain UPDATE/DELETE/
+    * INSERT…SELECT pass through the normal token rewrites. */
+  private def actionQueryRewrites(toks: Vector[Tok]): Vector[Tok] = {
+    val first = toks.indexWhere(_.kind != "ws")
+    if (first < 0) return toks
+    if (isWord(toks(first), "delete")) {
+      var j = first + 1
+      while (j < toks.length && toks(j).kind == "ws") j += 1
+      if (j < toks.length && toks(j).kind == "punct" &&
+        toks(j).text == "*")
+        return toks.take(first + 1) ++ toks.drop(j + 1)
+      toks
+    } else if (isWord(toks(first), "update")) {
+      val joinIdx = depth0Word(toks, "join", first + 1)
+      val setIdx = depth0Word(toks, "set", first + 1)
+      if (joinIdx >= 0 && (setIdx < 0 || joinIdx < setIdx))
+        fail("UPDATE … JOIN (a multi-table update is a MERGE on the " +
+          "target system — see q_merge_upsert)")
+      toks
+    } else toks
   }
 
   /** Translate EITHER form: crosstabs route through the heading probe

@@ -269,6 +269,48 @@ class JetSqlSpec extends AnyFunSuite {
     assert(got == Seq(Seq(1, "x", 5.0), Seq(2, "y", 0.0)))
   }
 
+  test("domain aggregates translate to scalar subqueries (arguments " +
+    "are Jet fragments and recurse); Switch/Choose become CASE") {
+    assert(translate("SELECT DSum(\"CCur([amt])\", \"[Order Log]\", " +
+      "\"[Sold On] < #1/1/1996#\")") ==
+      "SELECT (SELECT SUM(CAST(BROUND(amt, 4) AS DECIMAL(19,4))) " +
+        "FROM order_log WHERE sold_on < DATE '1996-01-01')")
+    assert(translate("SELECT DCount(\"*\", \"t\") AS n") ==
+      "SELECT (SELECT COUNT(*) FROM t) AS n")
+    // concatenated criteria embed row values into program text
+    intercept[IllegalArgumentException] {
+      translate("SELECT DSum(\"x\", \"t\", \"k = \" & [k])")
+    }
+    // DLookup returns an ORDER-UNDEFINED row's value; stays rejected
+    intercept[IllegalArgumentException] {
+      translate("SELECT DLookUp(\"x\", \"t\")")
+    }
+    assert(translate("SELECT Switch(a > 1, \"hi\", a > 0, \"lo\")") ==
+      "SELECT CASE WHEN a > 1 THEN 'hi' WHEN a > 0 THEN 'lo' END")
+    assert(translate("SELECT Choose(k, \"a\", \"b\")") ==
+      "SELECT CASE k WHEN 1 THEN 'a' WHEN 2 THEN 'b' END")
+    intercept[IllegalArgumentException] {
+      translate("SELECT Switch(a > 1, 1, a > 0)") // unpaired
+    }
+  }
+
+  test("action queries: DELETE * drops the designer star, UPDATE…JOIN " +
+    "rejects (it is a MERGE), INSERT…SELECT passes through rewrites") {
+    assert(translate("DELETE * FROM orders WHERE [id] > 5") ==
+      "DELETE FROM orders WHERE id > 5")
+    assert(translate(
+      "UPDATE t SET [x] = IIf([y] > 0, 1, 0) WHERE [z] Mod 2 = 0") ==
+      "UPDATE t SET x = CASE WHEN y > 0 THEN 1 ELSE 0 END " +
+        "WHERE z % 2 = 0")
+    assert(translate(
+      "INSERT INTO t (a, b) SELECT [a], Nz([b], 0) FROM s") ==
+      "INSERT INTO t (a, b) SELECT a, COALESCE(b, 0) FROM s")
+    val e = intercept[IllegalArgumentException] {
+      translate("UPDATE a INNER JOIN b ON a.k = b.k SET a.x = b.y")
+    }
+    assert(e.getMessage.contains("MERGE"))
+  }
+
   test("registerSavedQueries resolves view-on-view chains by fixpoint " +
     "and fails loudly on unresolvable references") {
     val spark = TestSpark.session
