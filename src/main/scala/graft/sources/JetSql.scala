@@ -107,10 +107,11 @@ object JetSql {
         "cover TOP n PERCENT via q_jet_top_percent; data-discovered " +
         "crosstab headings via translateCrosstab)")
 
-  /** Token: (kind, text). Kinds: word, string ('…' already ANSI),
-    * number, punct, ws, date (#…# body), raw (pre-rendered SQL text —
-    * bound parameter literals). Identifiers from […] arrive
-    * pre-sanitized as words. */
+  /** Token: (kind, text). Kinds: word, ident ([bracketed] — arrives
+    * pre-sanitized; matches keywords like a word everywhere, but its
+    * bracketed-ness survives so JDBC-target emission can quote it),
+    * string ('…' already ANSI), number, punct, ws, date (#…# body),
+    * raw (pre-rendered SQL text — bound parameter literals). */
   private final case class Tok(kind: String, text: String)
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -127,7 +128,7 @@ object JetSql {
       } else if (c == '[') {
         val j = sql.indexOf(']', i + 1)
         require(j > 0, s"jetsql: unterminated [identifier at $i")
-        out += Tok("word", JetTypes.sanitizeName(sql.substring(i + 1, j)))
+        out += Tok("ident", JetTypes.sanitizeName(sql.substring(i + 1, j)))
         i = j + 1
       } else if (c == '"') {
         // Jet string: "" escapes a quote
@@ -293,7 +294,7 @@ object JetSql {
     "n" -> "MINUTE", "s" -> "SECOND")
 
   private def isWord(t: Tok, w: String): Boolean =
-    t.kind == "word" && t.text.equalsIgnoreCase(w)
+    (t.kind == "word" || t.kind == "ident") && t.text.equalsIgnoreCase(w)
 
   /** Render one token back to SQL text. */
   private def render(t: Tok): String = t.kind match {
@@ -638,7 +639,8 @@ object JetSql {
         } else i += 1
       } else {
         put(render(t))
-        if (t.kind == "word") lastWord = t.text
+        if (t.kind == "word" || t.kind == "ident" || t.kind == "raw")
+          lastWord = t.text
         i += 1
       }
     }
@@ -672,7 +674,8 @@ object JetSql {
     var i = nextNonWs(first + 1)
     var done = false
     while (!done) {
-      require(i < toks.length && toks(i).kind == "word",
+      require(i < toks.length &&
+        (toks(i).kind == "word" || toks(i).kind == "ident"),
         "jetsql: PARAMETERS expects a parameter name")
       val name = JetTypes.sanitizeName(toks(i).text)
       i = nextNonWs(i + 1)
@@ -763,7 +766,7 @@ object JetSql {
       name -> renderParam(name, tpe, v)
     }.toMap
     toks.map { t =>
-      if (t.kind == "word" &&
+      if ((t.kind == "word" || t.kind == "ident") &&
         literals.contains(JetTypes.sanitizeName(t.text)))
         Tok("raw", literals(JetTypes.sanitizeName(t.text)))
       else t
@@ -885,6 +888,34 @@ object JetSql {
     val toks = substituteParams(body, decls, params)
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
     else emit(actionQueryRewrites(toks))
+  }
+
+  /** Translate for a JDBC TARGET database (the action-query path):
+    * same rewrites as [[translate]], but BRACKETED identifiers render
+    * ANSI-double-quoted — the Spark JDBC writer this engine migrates
+    * through creates columns as quoted case-exact identifiers, so an
+    * unquoted name would case-fold away from them (Derby folds to
+    * upper, PostgreSQL to lower). Identifiers in TABLE position
+    * (after FROM/INTO/UPDATE/JOIN) stay bare: the writer passes
+    * dbtable through unquoted, so bare names fold identically on both
+    * sides. Access queries bracket field references as a matter of
+    * style, which is exactly the lexical marker this needs. */
+  def translateForJdbc(jetSql: String,
+      params: Map[String, Any] = Map.empty): String = {
+    val (decls, body) = stripParameters(tokenize(jetSql))
+    val toks0 = actionQueryRewrites(substituteParams(body, decls, params))
+    val tablePos = Set("from", "into", "update", "join")
+    var lastMeaning = ""
+    val toks = toks0.map { t =>
+      val out =
+        if (t.kind == "ident" && !tablePos.contains(lastMeaning))
+          Tok("raw", "\"" + t.text + "\"")
+        else t
+      if (t.kind != "ws") lastMeaning = t.text.toLowerCase
+      out
+    }
+    if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
+    else emit(toks)
   }
 
   /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the

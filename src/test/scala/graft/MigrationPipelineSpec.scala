@@ -57,6 +57,43 @@ class MigrationPipelineSpec extends AnyFunSuite {
       Seq("customer_id", "is_active", "credit_limit", "full_name"))
   }
 
+  test("translated Jet ACTION queries execute on the migration " +
+    "target (Derby): UPDATE, INSERT…SELECT, DELETE *") {
+    val dbDir = Files.createTempDirectory("graft_derby_act").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    MigrationPipeline.migrate(
+      spark, specs.take(1), MigrationPipeline.JdbcSink(url), props)
+    val applied = MigrationPipeline.runActionQueries(url, Seq(
+      "Uppercase One" ->
+        ("UPDATE customer_list SET [full_name] = UCase([full_name]) " +
+          "WHERE [customer_id] = 1"),
+      "Archive Copies" ->
+        ("INSERT INTO customer_list " +
+          "([customer_id], [is_active], [credit_limit], [full_name]) " +
+          "SELECT [customer_id] + 100, [is_active], [credit_limit], " +
+          "[full_name] & \" (copy)\" FROM customer_list"),
+      "Purge Two" -> "DELETE * FROM customer_list WHERE [customer_id] = 2"),
+      props = props)
+    assert(applied == Seq(
+      "Uppercase One" -> 1, "Archive Copies" -> 2, "Purge Two" -> 1))
+    val back = graft.sources.JdbcConnector
+      .read(spark, url, "customer_list", props = props)
+      .orderBy("customer_id")
+      .select("customer_id", "full_name").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(
+      (1, "ANN SMITH"),           // updated in place
+      (101, "ANN SMITH (copy)"),  // copied AFTER the update
+      (102, "Bo Chen (copy)")))   // source row then purged
+    // a failing statement names the query and the translated SQL
+    val e = intercept[java.sql.SQLException] {
+      MigrationPipeline.runActionQueries(url, Seq(
+        "Bad One" -> "DELETE * FROM no_such_table"), props = props)
+    }
+    assert(e.getMessage.contains("Bad One") &&
+      e.getMessage.contains("DELETE FROM no_such_table"))
+  }
+
   test("migrate normalizes and loads every table, verified by count") {
     val out = Files.createTempDirectory("graft_migrate").toString
     val counts =
