@@ -94,6 +94,45 @@ class MigrationPipelineSpec extends AnyFunSuite {
       e.getMessage.contains("DELETE FROM no_such_table"))
   }
 
+  test("migrateJetMdbApp: one call ports the whole Access app — " +
+    "binary tables, action queries ON the target, saved-query views " +
+    "reading the post-action state") {
+    import graft.JetMdbFixture.{Col, Table}
+    val mdb = Files.createTempDirectory("mig-app").resolve("app.mdb")
+    JetMdbFixture.write(mdb.toString, Seq(Table("Deals",
+      Seq(Col("Deal ID", 0x04), Col("Stage", 0x0A), Col("Amount", 0x05)),
+      Seq(
+        Seq[Any](Integer.valueOf(1), "open",
+          new java.math.BigDecimal("10.0000")),
+        Seq[Any](Integer.valueOf(2), "won",
+          new java.math.BigDecimal("25.0000")),
+        Seq[Any](Integer.valueOf(3), "junk",
+          new java.math.BigDecimal("1.0000"))))))
+    val dbDir = Files.createTempDirectory("graft_derby_app").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val (counts, applied, views) = MigrationPipeline.migrateJetMdbApp(
+      spark, mdb.toString, url, props,
+      actionQueries = Seq(
+        "Purge Junk" -> "DELETE * FROM deals WHERE [stage] = \"junk\"",
+        "Mark Big" ->
+          "UPDATE deals SET [stage] = UCase([stage]) WHERE [amount] > 20"),
+      savedQueries = Seq(
+        // dependent first: the fixpoint defers it one round
+        "Stage Totals" ->
+          "SELECT [stage], Count(*) AS n FROM [Open Deals] GROUP BY [stage]",
+        "Open Deals" ->
+          "SELECT [deal_id], [stage], [amount] FROM deals"))
+    assert(counts == Map("Deals" -> 3L))
+    assert(applied == Seq("Purge Junk" -> 1, "Mark Big" -> 1))
+    assert(views == Seq("open_deals", "stage_totals"))
+    // the views see the POST-action target: junk purged, won → WON
+    val got = spark.sql(
+      "SELECT stage, n FROM stage_totals ORDER BY stage")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("WON", 1L), ("open", 1L)))
+  }
+
   test("migrate normalizes and loads every table, verified by count") {
     val out = Files.createTempDirectory("graft_migrate").toString
     val counts =
