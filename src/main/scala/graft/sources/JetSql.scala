@@ -222,8 +222,13 @@ object JetSql {
   private val castFns = Map("cdbl" -> "DOUBLE", "cstr" -> "STRING")
   private val broundFns = Map("clng" -> "BIGINT", "cint" -> "INT")
   // Call-form-only renames (the bare word must survive: `AS INT` is a
-  // cast target, not the Int() function).
-  private val callRenames = Map("int" -> "FLOOR")
+  // cast target, not the Int() function; a column named `var` is
+  // legal). Jet StDev/Var are SAMPLE statistics, the P-suffixed forms
+  // population — Spark's bare `stddev`/`variance` happen to agree but
+  // the explicit _samp/_pop names can't drift.
+  private val callRenames = Map(
+    "int" -> "FLOOR", "stdev" -> "stddev_samp", "stdevp" -> "stddev_pop",
+    "var" -> "var_samp", "varp" -> "var_pop")
   // DLookup stays rejected: it returns SOME matching row's value with
   // no defined order — porting it silently would freeze one engine's
   // arbitrary pick into the result. The aggregate D-functions are
@@ -494,6 +499,14 @@ object JetSql {
         put(sql)
         lastWord = "datediff"
         i = close + 1
+      } else if ((isWord(t, "first") || isWord(t, "last")) &&
+        callAt(i).isDefined) {
+        // Jet First/Last return the value of the first/last row in
+        // STORAGE order — Spark would resolve the same names to its
+        // own nondeterministic first/last and silently freeze one
+        // run's arbitrary pick into the result.
+        fail(s"${t.text.toUpperCase} (storage-order-dependent; use " +
+          "MIN/MAX, or min_by/max_by over an explicit ordering key)")
       } else if (t.kind == "word" &&
         domainAggs.contains(t.text.toLowerCase) && callAt(i).isDefined) {
         // DSum("expr", "domain"[, "criteria"]) → an uncorrelated

@@ -294,6 +294,34 @@ class JetSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("First/Last reject (storage-order-dependent); StDev/Var family " +
+    "renames are call-form-only with explicit _samp/_pop") {
+    val e = intercept[IllegalArgumentException] {
+      translate("SELECT First([nm]) FROM t")
+    }
+    assert(e.getMessage.contains("storage-order"))
+    intercept[IllegalArgumentException] {
+      translate("SELECT Last(nm) FROM t")
+    }
+    assert(translate(
+      "SELECT StDev(x), StDevP(x), Var(x), VarP(x) FROM t GROUP BY g") ==
+      "SELECT stddev_samp(x), stddev_pop(x), var_samp(x), var_pop(x) " +
+        "FROM t GROUP BY g")
+    // a column merely NAMED var is untouched (call-form only)
+    assert(translate("SELECT [var], last FROM t") == "SELECT var, last FROM t")
+  }
+
+  test("translateForJdbc quotes bracketed identifiers (case-exact " +
+    "JDBC columns) but leaves table positions bare to fold") {
+    assert(graft.sources.JetSql.translateForJdbc(
+      "UPDATE deals SET [stage] = UCase([stage]) WHERE [amount] > 20") ==
+      "UPDATE deals SET \"stage\" = upper(\"stage\") " +
+        "WHERE \"amount\" > 20")
+    assert(graft.sources.JetSql.translateForJdbc(
+      "INSERT INTO [Order Log] ([order_id]) SELECT [id] FROM [Old Log]") ==
+      "INSERT INTO order_log (\"order_id\") SELECT \"id\" FROM old_log")
+  }
+
   test("action queries: DELETE * drops the designer star, UPDATE…JOIN " +
     "rejects (it is a MERGE), INSERT…SELECT passes through rewrites") {
     assert(translate("DELETE * FROM orders WHERE [id] > 5") ==
