@@ -410,6 +410,9 @@ object JetSql {
         val pIdx = nextNonWs(nIdx + 1)
         if (pIdx < toks.length && isWord(toks(pIdx), "percent"))
           fail("TOP n PERCENT (tie semantics)")
+        if (limit.isDefined)
+          fail("a second TOP in one scope (UNION branches each need " +
+            "their own parenthesized SELECT for per-branch limits)")
         limit = Some(toks(nIdx).text)
         lastWord = "top"
         i = nIdx + 1
@@ -625,6 +628,15 @@ object JetSql {
         put("current_date")
         lastWord = "date"
         i = callAt(i).get._2 + 1
+      } else if (t.kind == "punct" && t.text == "(") {
+        // every parenthesized group is its OWN emit scope: a TOP
+        // inside a subquery becomes that subquery's LIMIT — without
+        // the recursion it would float to the OUTER statement's end
+        // and silently change which query it limits
+        val close = closeOf(toks, i)
+        put("(" + emit(toks.slice(i + 1, close)) + ")")
+        lastWord = ")"
+        i = close + 1
       } else if (t.kind == "punct" && t.text == "&") {
         put("||")
         i += 1
@@ -741,6 +753,7 @@ object JetSql {
         case n @ (_: Double | _: Float | _: Int | _: Long) =>
           new java.math.BigDecimal(n.toString).toPlainString
         case d: BigDecimal => d.bigDecimal.toPlainString
+        case d: java.math.BigDecimal => d.toPlainString
         case _ => bad()
       }
       case "currency" => v match {
@@ -749,6 +762,8 @@ object JetSql {
             .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
         case d: BigDecimal => d.bigDecimal
           .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+        case d: java.math.BigDecimal =>
+          d.setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
         case _ => bad()
       }
       case "bit" | "yesno" => v match {

@@ -294,6 +294,22 @@ class JetSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("TOP scoping: a subquery's TOP becomes THAT subquery's LIMIT " +
+    "(paren groups are their own emit scope); a second TOP in one " +
+    "scope rejects") {
+    assert(translate("SELECT a FROM t WHERE x = " +
+      "(SELECT TOP 1 y FROM u ORDER BY z)") ==
+      "SELECT a FROM t WHERE x = (SELECT y FROM u ORDER BY z LIMIT 1)")
+    assert(translate("SELECT TOP 2 a FROM " +
+      "(SELECT TOP 10 a FROM t ORDER BY b) ORDER BY a") ==
+      "SELECT a FROM (SELECT a FROM t ORDER BY b LIMIT 10) " +
+        "ORDER BY a LIMIT 2")
+    val e = intercept[IllegalArgumentException] {
+      translate("SELECT TOP 1 a FROM t UNION SELECT TOP 2 b FROM u")
+    }
+    assert(e.getMessage.contains("second TOP"))
+  }
+
   test("First/Last reject (storage-order-dependent); StDev/Var family " +
     "renames are call-form-only with explicit _samp/_pop") {
     val e = intercept[IllegalArgumentException] {
