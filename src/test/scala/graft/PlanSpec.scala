@@ -544,4 +544,33 @@ class PlanSpec extends AnyFunSuite {
       case j: ShuffledHashJoinExec => j }.isEmpty,
       s"decode path should be join-free:\n$p")
   }
+
+  test("q_jetsql_crosstab: the translated Access crosstab is ONE " +
+    "hash-aggregation pass (conditional aggregation — no per-heading " +
+    "scan, no pivot exchange, no join), so it scales like any groupBy") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = finalPlan("q_jetsql_crosstab")
+    assert(scans(p).size == 1, s"orders must be scanned exactly once:\n$p")
+    assert(p.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"crosstab must be join-free:\n$p")
+    val ex = p.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+    // one groupBy exchange + the output sort's range exchange
+    assert(ex.size <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("q_jetsql_domain_agg: each domain aggregate is ONE independent " +
+    "scalar subquery (uncorrelated — computed once, broadcast into " +
+    "the row plan, never a per-row rescan)") {
+    val p = finalPlan("q_jetsql_domain_agg")
+    import org.apache.spark.sql.execution.ScalarSubquery
+    val subs = p.collectWithSubqueries { case s => s }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case s: ScalarSubquery => s })
+    assert(subs.nonEmpty, s"scalar subqueries expected:\n$p")
+    // orders scanned once per domain aggregate + customer once
+    assert(scans(p).size <= 3, s"unexpected rescans:\n$p")
+  }
 }
