@@ -664,8 +664,10 @@ object JetSql {
         } else i += 1
       } else {
         put(render(t))
-        if (t.kind == "word" || t.kind == "ident" || t.kind == "raw")
-          lastWord = t.text
+        // every operand token arms the infix-Mod guard (a NUMBER left
+        // operand is as valid as a column: `3 Mod 5`); keywords and
+        // identifiers also feed the TOP position check
+        lastWord = t.text
         i += 1
       }
     }
