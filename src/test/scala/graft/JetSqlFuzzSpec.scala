@@ -132,6 +132,95 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  test("400 random date-arithmetic calls: the emitted boundary-count " +
+    "SQL matches a direct java.time implementation of the Jet " +
+    "semantics (month-index diffs, Sunday-anchored ww, truncated " +
+    "clocks, calendar-clamped adds)") {
+    import java.time.LocalDateTime
+    import java.time.temporal.ChronoUnit
+    val spark = TestSpark.session
+    val r = new scala.util.Random(98123L)
+    def randTs(): LocalDateTime = LocalDateTime.of(
+      2019 + r.nextInt(3), 1 + r.nextInt(12), 1 + r.nextInt(28),
+      r.nextInt(24), r.nextInt(60), r.nextInt(60))
+    def jetLit(t: LocalDateTime): String =
+      f"#${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear} " +
+        f"${t.getHour}%d:${t.getMinute}%02d:${t.getSecond}%02d#"
+    // days since Sunday (Jet's default week anchor)
+    def dow0(t: LocalDateTime): Int = t.getDayOfWeek.getValue % 7
+    def dayDiff(a: LocalDateTime, b: LocalDateTime): Long =
+      ChronoUnit.DAYS.between(a.toLocalDate, b.toLocalDate)
+    // the Jet semantics, implemented DIRECTLY (not via the SQL forms)
+    def refDiff(code: String, a: LocalDateTime, b: LocalDateTime): Long =
+      code match {
+        case "yyyy" => (b.getYear - a.getYear).toLong
+        case "q" => (b.getYear - a.getYear) * 4L +
+          ((b.getMonthValue - 1) / 3 - (a.getMonthValue - 1) / 3)
+        case "m" => (b.getYear - a.getYear) * 12L +
+          (b.getMonthValue - a.getMonthValue)
+        case "d" | "y" => dayDiff(a, b)
+        case "w" => dayDiff(a, b) / 7 // toward zero like Fix
+        case "ww" => (dayDiff(a, b) - dow0(b) + dow0(a)) / 7
+        case "h" => ChronoUnit.HOURS.between(
+          a.truncatedTo(ChronoUnit.HOURS), b.truncatedTo(ChronoUnit.HOURS))
+        case "n" => ChronoUnit.MINUTES.between(
+          a.truncatedTo(ChronoUnit.MINUTES),
+          b.truncatedTo(ChronoUnit.MINUTES))
+        case "s" => ChronoUnit.SECONDS.between(a, b)
+      }
+    def refAdd(code: String, k: Int, t: LocalDateTime): LocalDateTime =
+      code match {
+        case "yyyy" => t.plusYears(k.toLong)
+        case "q" => t.plusMonths(3L * k)
+        case "m" => t.plusMonths(k.toLong)
+        case "d" | "y" | "w" => t.plusDays(k.toLong)
+        case "ww" => t.plusWeeks(k.toLong)
+        case "h" => t.plusHours(k.toLong)
+        case "n" => t.plusMinutes(k.toLong)
+        case "s" => t.plusSeconds(k.toLong)
+      }
+    def refPart(code: String, t: LocalDateTime): Long = code match {
+      case "yyyy" => t.getYear.toLong
+      case "q" => ((t.getMonthValue - 1) / 3 + 1).toLong
+      case "m" => t.getMonthValue.toLong
+      case "d" => t.getDayOfMonth.toLong
+      case "y" => t.getDayOfYear.toLong
+      case "w" => dow0(t) + 1L // Access Weekday: Sunday = 1
+      case "h" => t.getHour.toLong
+      case "n" => t.getMinute.toLong
+      case "s" => t.getSecond.toLong
+    }
+    val diffCodes = Seq("yyyy", "q", "m", "d", "y", "w", "ww", "h", "n", "s")
+    val partCodes = Seq("yyyy", "q", "m", "d", "y", "w", "h", "n", "s")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val cases = Vector.fill(400)(r.nextInt(3)) // 0=diff 1=add 2=part
+    cases.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val built = batch.map {
+        case 0 =>
+          val (c, a, b) = (diffCodes(r.nextInt(diffCodes.length)),
+            randTs(), randTs())
+          (s"DateDiff(\"$c\", ${jetLit(a)}, ${jetLit(b)})",
+            refDiff(c, a, b).toString)
+        case 1 =>
+          val (c, k, t) = (diffCodes(r.nextInt(diffCodes.length)),
+            r.nextInt(49) - 24, randTs())
+          (s"CStr(DateAdd(\"$c\", $k, ${jetLit(t)}))",
+            refAdd(c, k, t).format(fmt))
+        case _ =>
+          val (c, t) = (partCodes(r.nextInt(partCodes.length)), randTs())
+          (s"DatePart(\"$c\", ${jetLit(t)})", refPart(c, t).toString)
+      }
+      val row = spark.sql(translate("SELECT " +
+        built.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      built.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+  }
+
   test("500 random expressions: Spark executing the translation " +
     "matches the independent interpreter (seeded)") {
     val spark = TestSpark.session
