@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   *   - `NZ(x, y)` → `COALESCE(x, y)`; the 1-arg form is REJECTED (its
   *     Access result is context-typed — "" in string context, 0
   *     numeric — and silently guessing corrupts data);
-  *   - `&` (Jet concat, null-propagating differences documented) →
-  *     `||`;
+  *   - `&` (Jet concat) treats Null as "" — NOT ANSI `||`'s null
+  *     propagation — so depth-0 `&`-chains rewrite to null-skipping
+  *     `concat_ws('', …)` (Spark/DuckDB) or `COALESCE(x,'') || …`
+  *     (JDBC targets), with operand boundaries honoring Jet
+  *     precedence (arithmetic and Mod bind tighter; comparisons and
+  *     clause keywords bound the chain); a LIKE pattern built by `&`
+  *     rejects — its wildcards could no longer be translated;
   *   - `SELECT TOP n …` → trailing `LIMIT n` (requires an ORDER BY,
   *     like Access's own deterministic reading; `TOP n PERCENT` is
   *     REJECTED with a pointer to the q_jet_top_percent tie-aware
@@ -363,12 +368,106 @@ object JetSql {
     ts.head.text.toLowerCase
   }
 
+  /** Words that END an expression run for the `&`-chain rewrite —
+    * SQL clause keywords and logical connectives. Jet's `&` binds
+    * BELOW arithmetic (and `Mod`) but ABOVE nothing else relevant, so
+    * arithmetic stays inside operands while comparisons and keywords
+    * bound them. */
+  private val runBoundaryWords = Set(
+    "select", "from", "where", "and", "or", "not", "on", "group",
+    "order", "by", "having", "as", "when", "then", "else", "end", "in",
+    "like", "between", "is", "union", "all", "distinct", "set",
+    "values", "insert", "into", "update", "delete", "top", "percent",
+    "limit", "inner", "left", "right", "outer", "join", "asc", "desc",
+    "pivot", "transform", "parameters")
+  private def isRunBoundary(t: Tok): Boolean =
+    ((t.kind == "word" || t.kind == "ident") &&
+      runBoundaryWords.contains(t.text.toLowerCase)) ||
+      (t.kind == "punct" && ",=<>;".contains(t.text))
+
+  /** Jet `&` concat treats Null as "" (unlike ANSI `||`, which
+    * propagates NULL), so every depth-0 `&`-chain rewrites to
+    * `concat_ws('', …)` — null-SKIPPING in Spark and DuckDB alike.
+    * Operand boundaries honor Jet precedence: each maximal expression
+    * run between clause keywords / commas / comparison operators
+    * splits at its depth-0 `&`s; arithmetic and `Mod` bind tighter
+    * and stay inside operands. A pattern built by `&` directly after
+    * LIKE rejects — its wildcards could no longer be translated. */
+  private def ampRewrite(toks: Vector[Tok],
+      jdbc: Boolean): Vector[Tok] = {
+    if (!toks.exists(t => t.kind == "punct" && t.text == "&")) return toks
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    var lastBoundary: Option[Tok] = None
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == "ws" || isRunBoundary(t)) {
+        if (t.kind != "ws") lastBoundary = Some(t)
+        out += t
+        i += 1
+      } else {
+        // the maximal run from i to the next depth-0 boundary
+        var depth = 0
+        var j = i
+        var hasAmp = false
+        while (j < toks.length && (depth > 0 || !isRunBoundary(toks(j)))) {
+          val u = toks(j)
+          if (u.kind == "punct" && u.text == "(") depth += 1
+          else if (u.kind == "punct" && u.text == ")") depth -= 1
+          else if (depth == 0 && u.kind == "punct" && u.text == "&")
+            hasAmp = true
+          j += 1
+        }
+        val run0 = toks.slice(i, j)
+        // trailing whitespace separates the run from the next
+        // boundary keyword — keep it outside the replacement
+        val trailWs = run0.reverseIterator.takeWhile(_.kind == "ws").length
+        val run = run0.dropRight(trailWs)
+        if (!hasAmp) run0.foreach(out += _)
+        else {
+          if (lastBoundary.exists(isWord(_, "like")))
+            fail("a LIKE pattern built by & concatenation (its " +
+              "wildcards can no longer be translated textually — " +
+              "rewrite with a literal pattern or regexp_like)")
+          // split the run at its depth-0 &s; emit each operand in its
+          // own scope
+          val ops = Vector.newBuilder[Vector[Tok]]
+          var d = 0
+          var cur = Vector.newBuilder[Tok]
+          run.foreach { u =>
+            if (u.kind == "punct" && u.text == "(") { d += 1; cur += u }
+            else if (u.kind == "punct" && u.text == ")") { d -= 1; cur += u }
+            else if (d == 0 && u.kind == "punct" && u.text == "&") {
+              ops += cur.result(); cur = Vector.newBuilder[Tok]
+            } else cur += u
+          }
+          ops += cur.result()
+          val parts = ops.result().map(o => emit(o, jdbc))
+          require(parts.forall(_.nonEmpty),
+            "jetsql: & with a missing operand")
+          // Spark/DuckDB: concat_ws skips NULLs like Jet's &. JDBC
+          // targets (Derby has no concat_ws): portable COALESCE + ||.
+          out += Tok("raw",
+            if (jdbc) parts.map(x => s"COALESCE($x, '')")
+              .mkString("(", " || ", ")")
+            else parts.mkString("concat_ws('', ", ", ", ")"))
+          run0.takeRight(trailWs).foreach(out += _)
+        }
+        lastBoundary = None
+        i = j
+      }
+    }
+    out.result()
+  }
+
   /** Rewrite a token stream to ANSI text (recursive for IIF/NZ/date
     * functions). Spacing is handled at TOKEN level (a
     * pending-separator flag), so a multi-space run inside a translated
     * STRING LITERAL survives — a string-level whitespace collapse
     * would corrupt literal content. */
-  private def emit(toks: Vector[Tok]): String = {
+  private def emit(toks0: Vector[Tok], jdbc: Boolean = false): String = {
+    val toks = ampRewrite(toks0, jdbc)
+    def em(ts: Vector[Tok]): String = emit(ts, jdbc)
     val sb = new StringBuilder
     var pendingSpace = false
     def put(text: String): Unit = {
@@ -420,15 +519,15 @@ object JetSql {
         val (_, close, args) = callAt(i).get
         require(args.length == 3,
           s"jetsql: IIF takes 3 arguments, got ${args.length}")
-        put("CASE WHEN " + emit(args(0)) + " THEN " + emit(args(1)) +
-          " ELSE " + emit(args(2)) + " END")
+        put("CASE WHEN " + em(args(0)) + " THEN " + em(args(1)) +
+          " ELSE " + em(args(2)) + " END")
         lastWord = "end"
         i = close + 1
       } else if (isWord(t, "nz") && callAt(i).isDefined) {
         val (_, close, args) = callAt(i).get
         if (args.length != 2)
           fail("1-argument NZ (its result type is context-dependent)")
-        put("COALESCE(" + emit(args(0)) + ", " + emit(args(1)) + ")")
+        put("COALESCE(" + em(args(0)) + ", " + em(args(1)) + ")")
         lastWord = "coalesce"
         i = close + 1
       } else if (isWord(t, "weekday") && callAt(i).isDefined) {
@@ -437,7 +536,7 @@ object JetSql {
         val (_, close, args) = callAt(i).get
         if (args.length != 1)
           fail("WEEKDAY with a firstdayofweek argument")
-        put("dayofweek(" + emit(args(0)) + ")")
+        put("dayofweek(" + em(args(0)) + ")")
         lastWord = "dayofweek"
         i = close + 1
       } else if (isWord(t, "datepart") && callAt(i).isDefined) {
@@ -450,7 +549,7 @@ object JetSql {
             "follows firstweekofyear rules)")
         val fn = partFns.getOrElse(code,
           fail(s"DATEPART interval code \"$code\""))
-        put(s"$fn(" + emit(args(1)) + ")")
+        put(s"$fn(" + em(args(1)) + ")")
         lastWord = fn
         i = close + 1
       } else if (isWord(t, "dateadd") && callAt(i).isDefined) {
@@ -460,8 +559,8 @@ object JetSql {
         val code = intervalCode(args(0), "DateAdd")
         val unit = addUnits.getOrElse(code,
           fail(s"DATEADD interval code \"$code\""))
-        put(s"timestampadd($unit, " + emit(args(1)) + ", " +
-          emit(args(2)) + ")")
+        put(s"timestampadd($unit, " + em(args(1)) + ", " +
+          em(args(2)) + ")")
         lastWord = "timestampadd"
         i = close + 1
       } else if (isWord(t, "datediff") && callAt(i).isDefined) {
@@ -469,8 +568,8 @@ object JetSql {
         if (args.length != 3)
           fail("DATEDIFF with firstdayofweek/firstweekofyear arguments")
         val code = intervalCode(args(0), "DateDiff")
-        val a = emit(args(1))
-        val b = emit(args(2))
+        val a = em(args(1))
+        val b = em(args(2))
         // Access counts CALENDAR/CLOCK BOUNDARIES crossed, never
         // elapsed whole units — each form below is a boundary count.
         val sql = code match {
@@ -534,12 +633,12 @@ object JetSql {
         val fn = domainAggs(t.text.toLowerCase)
         val exprSql =
           if (fn == "COUNT" && lits(0).trim == "*") "*"
-          else emit(tokenize(lits(0)))
+          else em(tokenize(lits(0)))
         val where =
-          if (args.length == 3) " WHERE " + emit(tokenize(lits(2)))
+          if (args.length == 3) " WHERE " + em(tokenize(lits(2)))
           else ""
         put(s"(SELECT $fn($exprSql) FROM " +
-          emit(tokenize(lits(1))) + where + ")")
+          em(tokenize(lits(1))) + where + ")")
         lastWord = "subquery"
         i = close + 1
       } else if (isWord(t, "switch") && callAt(i).isDefined) {
@@ -549,7 +648,7 @@ object JetSql {
         if (args.length < 2 || args.length % 2 != 0)
           fail(s"SWITCH with ${args.length} arguments (needs pairs)")
         val cases = args.grouped(2).map { p =>
-          "WHEN " + emit(p(0)) + " THEN " + emit(p(1))
+          "WHEN " + em(p(0)) + " THEN " + em(p(1))
         }.mkString(" ")
         put(s"CASE $cases END")
         lastWord = "end"
@@ -561,9 +660,9 @@ object JetSql {
         if (args.length < 2)
           fail(s"CHOOSE with ${args.length} arguments")
         val cases = args.tail.zipWithIndex.map { case (v, k) =>
-          s"WHEN ${k + 1} THEN " + emit(v)
+          s"WHEN ${k + 1} THEN " + em(v)
         }.mkString(" ")
-        put("CASE " + emit(args.head) + s" $cases END")
+        put("CASE " + em(args.head) + s" $cases END")
         lastWord = "end"
         i = close + 1
       } else if (isWord(t, "format") && callAt(i).isDefined) {
@@ -576,7 +675,7 @@ object JetSql {
         val ps = args(1).filter(_.kind != "ws")
         if (ps.length != 1 || ps.head.kind != "string")
           fail("FORMAT with a non-literal pattern")
-        put("date_format(" + emit(args(0)) + ", '" +
+        put("date_format(" + em(args(0)) + ", '" +
           formatPattern(ps.head.text) + "')")
         lastWord = "date_format"
         i = close + 1
@@ -584,14 +683,14 @@ object JetSql {
         // Currency: exact 4-decimal fixed point, banker's-rounded on
         // entry — CCur(1.00005) = 1.0000 (round half to even).
         val (open, close, _) = callAt(i).get
-        put("CAST(BROUND(" + emit(toks.slice(open + 1, close)) +
+        put("CAST(BROUND(" + em(toks.slice(open + 1, close)) +
           ", 4) AS DECIMAL(19,4))")
         lastWord = "cast"
         i = close + 1
       } else if (isWord(t, "fix") && callAt(i).isDefined) {
         // Fix truncates toward zero (Int floors); BIGINT cast matches.
         val (open, close, _) = callAt(i).get
-        put("CAST(" + emit(toks.slice(open + 1, close)) + " AS BIGINT)")
+        put("CAST(" + em(toks.slice(open + 1, close)) + " AS BIGINT)")
         lastWord = "cast"
         i = close + 1
       } else if (t.kind == "word" &&
@@ -602,14 +701,14 @@ object JetSql {
       } else if (t.kind == "word" &&
         castFns.contains(t.text.toLowerCase) && callAt(i).isDefined) {
         val (open, close, _) = callAt(i).get
-        put("CAST(" + emit(toks.slice(open + 1, close)) + " AS " +
+        put("CAST(" + em(toks.slice(open + 1, close)) + " AS " +
           castFns(t.text.toLowerCase) + ")")
         lastWord = "cast"
         i = close + 1
       } else if (t.kind == "word" &&
         broundFns.contains(t.text.toLowerCase) && callAt(i).isDefined) {
         val (open, close, _) = callAt(i).get
-        put("CAST(BROUND(" + emit(toks.slice(open + 1, close)) +
+        put("CAST(BROUND(" + em(toks.slice(open + 1, close)) +
           ") AS " + broundFns(t.text.toLowerCase) + ")")
         lastWord = "cast"
         i = close + 1
@@ -634,12 +733,14 @@ object JetSql {
         // the recursion it would float to the OUTER statement's end
         // and silently change which query it limits
         val close = closeOf(toks, i)
-        put("(" + emit(toks.slice(i + 1, close)) + ")")
+        put("(" + em(toks.slice(i + 1, close)) + ")")
         lastWord = ")"
         i = close + 1
       } else if (t.kind == "punct" && t.text == "&") {
-        put("||")
-        i += 1
+        // ampRewrite consumes every reachable & — if one slips
+        // through, emitting it verbatim would be Spark's BITWISE and,
+        // a silent corruption; fail instead.
+        fail("an & the concat rewrite could not scope")
       } else if (isWord(t, "mod") && !lastWord.isEmpty &&
         nextNonWs(i + 1) < toks.length &&
         toks(nextNonWs(i + 1)).text != "(") {
@@ -876,12 +977,13 @@ object JetSql {
     else "`" + s.replace("`", "``") + "`"
 
   private def emitCrosstab(ct: Crosstab,
-      resolved: Option[Vector[Vector[Tok]]]): String = {
+      resolved: Option[Vector[Vector[Tok]]],
+      jdbc: Boolean = false): String = {
     val items = ct.items.orElse(resolved).getOrElse(
       fail("a crosstab WITHOUT an IN heading list under pure-text " +
         "translation (Access discovers headings from the data; use " +
         "translateCrosstab(spark, sql) for the bounded DISTINCT probe)"))
-    val colSql = emit(ct.colExpr)
+    val colSql = emit(ct.colExpr, jdbc)
     val cells = items.map { item =>
       val ts = item.filter(_.kind != "ws")
       require(ts.length == 1 &&
@@ -896,11 +998,11 @@ object JetSql {
       val cell =
         if (ct.countStar) s"count(CASE WHEN ($colSql) = $lit THEN 1 END)"
         else s"${ct.aggFn}(CASE WHEN ($colSql) = $lit THEN " +
-          emit(ct.aggArg) + " END)"
+          emit(ct.aggArg, jdbc) + " END)"
       s"$cell AS ${quoteIdent(caption)}"
     }
-    "SELECT " + emit(ct.selectList) + ", " + cells.mkString(", ") +
-      " " + emit(ct.rest)
+    "SELECT " + emit(ct.selectList, jdbc) + ", " + cells.mkString(", ") +
+      " " + emit(ct.rest, jdbc)
   }
 
   // ------------------------------------------------------------------
@@ -944,8 +1046,9 @@ object JetSql {
       if (t.kind != "ws") lastMeaning = t.text.toLowerCase
       out
     }
-    if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
-    else emit(toks)
+    if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None,
+      jdbc = true)
+    else emit(toks, jdbc = true)
   }
 
   /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the

@@ -96,7 +96,11 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case Mul(a, b) => nInt(eval(a), eval(b))(_ * _)
     case Mod(a, b) => nInt(eval(a), eval(b))(_ % _)
     case Concat(a, b) => (eval(a), eval(b)) match {
-      case (null, _) | (_, null) => null // ANSI || propagates null
+      // Jet & treats Null as "" — the concat_ws('', …) rewrite's
+      // contract (ANSI || would propagate the null instead)
+      case (null, null) => ""
+      case (null, y: String) => y
+      case (x: String, null) => x
       case (x: String, y: String) => x + y
       case other => sys.error(s"type error $other")
     }

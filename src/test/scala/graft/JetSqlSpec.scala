@@ -53,7 +53,7 @@ class JetSqlSpec extends AnyFunSuite {
     "function renames, cast functions") {
     assert(translate(
       "SELECT a & \"-\" & b WHERE nm LIKE \"Sm*th?\"") ==
-      "SELECT a || '-' || b WHERE nm LIKE 'Sm%th_'")
+      "SELECT concat_ws('', a, '-', b) WHERE nm LIKE 'Sm%th_'")
     // a * outside LIKE stays multiplication; a * inside an ordinary
     // string stays a star
     assert(translate("""SELECT a * 2, "lit*eral" FROM t""") ==
@@ -69,6 +69,26 @@ class JetSqlSpec extends AnyFunSuite {
     val r = spark.sql(translate("SELECT CLng(2.5) AS a, CLng(3.5) AS b"))
       .collect()(0)
     assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+  }
+
+  test("& treats Null as empty string like Jet (ANSI || would " +
+    "propagate the null); JDBC mode renders the portable COALESCE " +
+    "form; LIKE patterns built by & reject") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Null & \"x\" AS a, \"y\" & Null & \"z\" AS b, " +
+        "Nz(Null, \"n\") & (1 + 2) AS c")).collect()(0)
+    assert(r.getString(0) == "x")
+    assert(r.getString(1) == "yz")
+    assert(r.getString(2) == "n3") // numbers coerce to text like Jet
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT [a] & \"-\" & [b] FROM t") ==
+      "SELECT (COALESCE(\"a\", '') || COALESCE('-', '') || " +
+        "COALESCE(\"b\", '')) FROM t")
+    val e = intercept[IllegalArgumentException] {
+      translate("WHERE nm LIKE \"Sm\" & \"ith\"")
+    }
+    assert(e.getMessage.contains("concatenation"))
   }
 
   test("multi-space runs inside string literals survive (spacing is " +
