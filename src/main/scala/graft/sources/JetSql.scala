@@ -102,6 +102,12 @@ import org.apache.spark.sql.SparkSession
   *     duplicate elimination is over underlying records, not output
   *     columns) is REJECTED with the construct named — a saved query
   *     ports correctly or loudly, never subtly wrong.
+  *
+  * Known caveat (schema-blind by construction): Jet's `+` is BOTH
+  * numeric addition and the null-PROPAGATING string concat; without
+  * column types a text rewriter cannot tell them apart, so `+`
+  * passes through as addition. A Jet query using `+` on string
+  * columns must port by hand (`||` is the ANSI equivalent).
   */
 object JetSql {
 
