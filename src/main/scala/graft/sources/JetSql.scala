@@ -647,6 +647,20 @@ object JetSql {
           em(tokenize(lits(1))) + where + ")")
         lastWord = "subquery"
         i = close + 1
+      } else if (isWord(t, "instr") && callAt(i).isDefined &&
+        callAt(i).get._3.length == 3) {
+        // 3-arg InStr(start, s1, s2) → locate(s2, s1, start): same
+        // 1-based position, same 0-if-absent, same search-from-start.
+        // (The 4-arg compare form is locale-sensitive and rejects.)
+        val (_, close, args) = callAt(i).get
+        put("locate(" + em(args(2)) + ", " + em(args(1)) + ", " +
+          em(args(0)) + ")")
+        lastWord = "locate"
+        i = close + 1
+      } else if (isWord(t, "instr") && callAt(i).isDefined &&
+        callAt(i).get._3.length == 4) {
+        fail("4-argument INSTR (the compare argument is locale/" +
+          "text-mode sensitive)")
       } else if (isWord(t, "switch") && callAt(i).isDefined) {
         // Switch(c1, v1, c2, v2, …) → CASE WHEN c1 THEN v1 … END
         // (first true pair wins in Access too; no match → Null = ANSI)

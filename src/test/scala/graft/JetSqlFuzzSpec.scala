@@ -136,6 +136,63 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  test("400 random string-function calls: UCase/LCase/Len/Mid/InStr/" +
+    "Left/Right/Trim/StrReverse through the translator match a " +
+    "direct Scala reference (1-based Mid, 0-if-absent InStr, " +
+    "3-arg InStr→locate)") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(555777L)
+    def randS(): String = Seq.fill(r.nextInt(6) + 1)(
+      "abcABC xy'\""(r.nextInt(11))).mkString
+    def lit(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+    // (jet fragment, expected value as string-or-null)
+    def one(): (String, String) = {
+      val s = randS()
+      r.nextInt(9) match {
+        case 0 => (s"UCase(${lit(s)})", s.toUpperCase)
+        case 1 => (s"LCase(${lit(s)})", s.toLowerCase)
+        case 2 => (s"Len(${lit(s)})", s.length.toString)
+        case 3 => // Mid is 1-based; start past the end yields ""
+          val st = r.nextInt(s.length + 3) + 1
+          val ln = r.nextInt(5)
+          (s"Mid(${lit(s)}, $st, $ln)",
+            if (st > s.length) "" else s.substring(st - 1,
+              math.min(s.length, st - 1 + ln)))
+        case 4 => // 2-arg Mid: the whole tail
+          val st = r.nextInt(s.length + 2) + 1
+          (s"Mid(${lit(s)}, $st)",
+            if (st > s.length) "" else s.substring(st - 1))
+        case 5 =>
+          val nee = randS().take(r.nextInt(3) + 1)
+          (s"InStr(${lit(s)}, ${lit(nee)})",
+            (s.indexOf(nee) + 1).toString)
+        case 6 => // 3-arg InStr searches FROM start (1-based)
+          val nee = randS().take(r.nextInt(2) + 1)
+          val st = r.nextInt(s.length) + 1
+          (s"InStr($st, ${lit(s)}, ${lit(nee)})",
+            (s.indexOf(nee, st - 1) + 1).toString)
+        case 7 =>
+          val n = r.nextInt(s.length + 3)
+          if (r.nextBoolean()) (s"Left(${lit(s)}, $n)", s.take(n))
+          else (s"Right(${lit(s)}, $n)", s.takeRight(n))
+        case _ =>
+          if (r.nextBoolean()) (s"Trim(${lit(" " + s + "  ")})", s.trim)
+          else (s"StrReverse(${lit(s)})", s.reverse)
+      }
+    }
+    Vector.fill(400)(one()).grouped(25).zipWithIndex.foreach {
+      case (batch, bi) =>
+        val row = spark.sql(translate("SELECT " +
+          batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+            .mkString(", "))).collect()(0)
+        batch.zipWithIndex.foreach { case ((j, want), i) =>
+          val got = Option(row.get(i)).map(_.toString).orNull
+          assert(got == want,
+            s"batch $bi col $i: got '$got' want '$want'\n  $j")
+        }
+    }
+  }
+
   test("400 random date-arithmetic calls: the emitted boundary-count " +
     "SQL matches a direct java.time implementation of the Jet " +
     "semantics (month-index diffs, Sunday-anchored ww, truncated " +

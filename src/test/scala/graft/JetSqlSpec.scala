@@ -97,6 +97,20 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT 'two  spaces   here' FROM t")
   }
 
+  test("UNION saved queries pass through with per-branch rewrites; " +
+    "3-arg InStr maps to locate, 4-arg rejects") {
+    assert(translate(
+      "SELECT [a], UCase([b]) FROM t WHERE [a] > 1 " +
+        "UNION ALL SELECT [a], Nz([b], \"?\") FROM u") ==
+      "SELECT a, upper(b) FROM t WHERE a > 1 " +
+        "UNION ALL SELECT a, COALESCE(b, '?') FROM u")
+    assert(translate("SELECT InStr(3, nm, \"-\") FROM t") ==
+      "SELECT locate('-', nm, 3) FROM t")
+    intercept[IllegalArgumentException] {
+      translate("SELECT InStr(3, nm, \"-\", 1) FROM t")
+    }
+  }
+
   test("a column merely NAMED [Top] is not the TOP keyword") {
     assert(translate("SELECT [Top], a FROM t WHERE [Top] > 3") ==
       "SELECT top, a FROM t WHERE top > 3")
