@@ -409,6 +409,21 @@ class JetSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Orphan"))
   }
 
+  test("a saved CROSSTAB registers as a view through the heading " +
+    "probe (translateAny inside registerSavedQueries)") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    Seq(("n", "a", 1), ("n", "b", 2), ("s", "a", 4))
+      .toDF("reg", "kind", "v").createOrReplaceTempView("xt_src2")
+    val names = graft.sources.JetSql.registerSavedQueries(spark, Seq(
+      "Kind XTab" -> ("TRANSFORM Sum([v]) SELECT [reg] FROM xt_src2 " +
+        "GROUP BY [reg] PIVOT [kind]")))
+    assert(names == Seq("kind_xtab"))
+    val got = spark.sql("SELECT reg, a, b FROM kind_xtab ORDER BY reg")
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq("n", 1L, 2L), Seq("s", 4L, null)))
+  }
+
   test("a full translated saved query runs in Spark and matches the " +
     "direct DataFrame form") {
     val spark = TestSpark.session
