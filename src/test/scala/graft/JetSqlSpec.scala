@@ -409,6 +409,19 @@ class JetSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Orphan"))
   }
 
+  test("PARAMETERS + TRANSFORM compose: a parameterized crosstab " +
+    "binds its literals before the pivot rewrite") {
+    val jet = Seq(
+      "PARAMETERS [Min V] Long;",
+      "TRANSFORM Sum([v]) SELECT [reg] FROM src",
+      "WHERE [v] >= [Min V]",
+      "GROUP BY [reg] PIVOT [kind] IN (\"a\", \"b\")").mkString(" ")
+    assert(translate(jet, Map("Min V" -> 2)) ==
+      "SELECT reg, sum(CASE WHEN (kind) = 'a' THEN v END) AS a, " +
+        "sum(CASE WHEN (kind) = 'b' THEN v END) AS b " +
+        "FROM src WHERE v >= 2 GROUP BY reg")
+  }
+
   test("a saved CROSSTAB registers as a view through the heading " +
     "probe (translateAny inside registerSavedQueries)") {
     val spark = TestSpark.session
