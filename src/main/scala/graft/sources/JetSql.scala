@@ -391,6 +391,21 @@ object JetSql {
       runBoundaryWords.contains(t.text.toLowerCase)) ||
       (t.kind == "punct" && ",=<>;".contains(t.text))
 
+  /** Boundary test with position context: LEFT/RIGHT are join
+    * keywords AND string functions — they bound a run only as bare
+    * words NOT followed by `(` (a bracketed [left] is a column, a
+    * `Left(` is a call whose tokens must stay inside the operand). */
+  private def isRunBoundaryAt(toks: Vector[Tok], idx: Int): Boolean = {
+    val t = toks(idx)
+    if (!isRunBoundary(t)) return false
+    val lc = t.text.toLowerCase
+    if (lc != "left" && lc != "right") return true
+    if (t.kind == "ident") return false // bracketed: always a column
+    var j = idx + 1
+    while (j < toks.length && toks(j).kind == "ws") j += 1
+    !(j < toks.length && toks(j).kind == "punct" && toks(j).text == "(")
+  }
+
   /** Jet `&` concat treats Null as "" (unlike ANSI `||`, which
     * propagates NULL), so every depth-0 `&`-chain rewrites to
     * `concat_ws('', …)` — null-SKIPPING in Spark and DuckDB alike.
@@ -407,7 +422,7 @@ object JetSql {
     var lastBoundary: Option[Tok] = None
     while (i < toks.length) {
       val t = toks(i)
-      if (t.kind == "ws" || isRunBoundary(t)) {
+      if (t.kind == "ws" || isRunBoundaryAt(toks, i)) {
         if (t.kind != "ws") lastBoundary = Some(t)
         out += t
         i += 1
@@ -416,7 +431,8 @@ object JetSql {
         var depth = 0
         var j = i
         var hasAmp = false
-        while (j < toks.length && (depth > 0 || !isRunBoundary(toks(j)))) {
+        while (j < toks.length &&
+          (depth > 0 || !isRunBoundaryAt(toks, j))) {
           val u = toks(j)
           if (u.kind == "punct" && u.text == "(") depth += 1
           else if (u.kind == "punct" && u.text == ")") depth -= 1

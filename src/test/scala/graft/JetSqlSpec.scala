@@ -89,6 +89,14 @@ class JetSqlSpec extends AnyFunSuite {
       translate("WHERE nm LIKE \"Sm\" & \"ith\"")
     }
     assert(e.getMessage.contains("concatenation"))
+    // LEFT/RIGHT are join keywords AND functions: a call's tokens must
+    // stay inside the & operand, while LEFT JOIN still bounds runs
+    assert(translate("SELECT Left([a], 2) & Right([b], 1) FROM t") ==
+      "SELECT concat_ws('', Left(a, 2), Right(b, 1)) FROM t")
+    assert(translate(
+      "SELECT [t].[x] & [u].[y] FROM t LEFT JOIN u ON [t].[k] = [u].[k]") ==
+      "SELECT concat_ws('', t.x, u.y) " +
+        "FROM t LEFT JOIN u ON t.k = u.k")
   }
 
   test("multi-space runs inside string literals survive (spacing is " +
