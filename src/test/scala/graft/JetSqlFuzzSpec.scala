@@ -31,6 +31,10 @@ class JetSqlFuzzSpec extends AnyFunSuite {
   private final case class Nz(a: Expr, b: Expr) extends Expr
   private final case class Switch(pairs: Seq[(Expr, Expr)]) extends Expr
   private final case class Choose(i: Expr, vs: Seq[Expr]) extends Expr
+  // Left/Right: join keywords AND functions — inside &-chains they
+  // exercise the boundary-detection fix
+  private final case class TakeFn(left: Boolean, s: Expr, n: Int)
+    extends Expr
 
   // ----- generation (seeded, deterministic) -----
   private def genInt(r: scala.util.Random, depth: Int): Expr =
@@ -56,13 +60,15 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     def lit() = StrLit(Seq.fill(r.nextInt(3) + 1)(
       "ab\"x'y z"(r.nextInt(8))).mkString)
     if (depth <= 0) lit()
-    else r.nextInt(4) match {
+    else r.nextInt(5) match {
       case 0 => lit()
       case 1 => Concat(genStr(r, depth - 1), genStr(r, depth - 1))
       case 2 => Iif(genBool(r, depth - 1),
         genStr(r, depth - 1), genStr(r, depth - 1))
       case 3 => Switch(Seq.fill(r.nextInt(2) + 1)(
         (genBool(r, depth - 1), genStr(r, depth - 1))))
+      case 4 =>
+        TakeFn(r.nextBoolean(), genStr(r, depth - 1), r.nextInt(4))
     }
   }
 
@@ -85,6 +91,8 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       s"${jet(c, r)},${ws(r)}${jet(v, r)}" }.mkString(", ") + ")"
     case Choose(i, vs) =>
       "Choose(" + (jet(i, r) +: vs.map(jet(_, r))).mkString(", ") + ")"
+    case TakeFn(l, s, n) =>
+      s"${if (l) "Left" else "Right"}(${jet(s, r)}, $n)"
   }
 
   // ----- independent reference interpreter -----
@@ -116,6 +124,11 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case Choose(i, vs) => eval(i) match {
       case k: Int if k >= 1 && k <= vs.length => eval(vs(k - 1))
       case _ => null
+    }
+    case TakeFn(l, s, n) => eval(s) match {
+      case null => null
+      case x: String => if (l) x.take(n) else x.takeRight(n)
+      case other => sys.error(s"type error $other")
     }
   }
   private def nInt(a: Any, b: Any)(f: (Int, Int) => Int): Any =
