@@ -386,21 +386,23 @@ object JetSql {
     "values", "insert", "into", "update", "delete", "top", "percent",
     "limit", "inner", "left", "right", "outer", "join", "asc", "desc",
     "pivot", "transform", "parameters")
+  // word ONLY, never ident: a bracketed [Order]/[End]/[Top] is a
+  // COLUMN by construction (Jet keywords are never bracketed), so it
+  // must stay inside an &-chain operand, not break the run.
   private def isRunBoundary(t: Tok): Boolean =
-    ((t.kind == "word" || t.kind == "ident") &&
+    (t.kind == "word" &&
       runBoundaryWords.contains(t.text.toLowerCase)) ||
       (t.kind == "punct" && ",=<>;".contains(t.text))
 
   /** Boundary test with position context: LEFT/RIGHT are join
-    * keywords AND string functions — they bound a run only as bare
-    * words NOT followed by `(` (a bracketed [left] is a column, a
-    * `Left(` is a call whose tokens must stay inside the operand). */
+    * keywords AND string functions — they bound a run only when NOT
+    * followed by `(` (a `Left(` is a call whose tokens must stay
+    * inside the operand). */
   private def isRunBoundaryAt(toks: Vector[Tok], idx: Int): Boolean = {
     val t = toks(idx)
     if (!isRunBoundary(t)) return false
     val lc = t.text.toLowerCase
     if (lc != "left" && lc != "right") return true
-    if (t.kind == "ident") return false // bracketed: always a column
     var j = idx + 1
     while (j < toks.length && toks(j).kind == "ws") j += 1
     !(j < toks.length && toks(j).kind == "punct" && toks(j).text == "(")

@@ -97,6 +97,9 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT [t].[x] & [u].[y] FROM t LEFT JOIN u ON [t].[k] = [u].[k]") ==
       "SELECT concat_ws('', t.x, u.y) " +
         "FROM t LEFT JOIN u ON t.k = u.k")
+    // a bracketed column NAMED like a keyword stays inside the chain
+    assert(translate("SELECT [Order] & [End] FROM t") ==
+      "SELECT concat_ws('', order, end) FROM t")
   }
 
   test("multi-space runs inside string literals survive (spacing is " +
