@@ -1033,8 +1033,16 @@ object JetSql {
           .split("'")(1) // the ISO body of the literal
         case _ => ts.head.text
       }
+      // An Access crosstab cell with NO matching records is Null
+      // (blank), for every aggregate: sum/min/max of all-null CASEs
+      // are already null, but count would report 0 — NULLIF restores
+      // the Jet (and Spark pivot) empty-cell semantics.
       val cell =
-        if (ct.countStar) s"count(CASE WHEN ($colSql) = $lit THEN 1 END)"
+        if (ct.countStar)
+          s"NULLIF(count(CASE WHEN ($colSql) = $lit THEN 1 END), 0)"
+        else if (ct.aggFn == "count")
+          s"NULLIF(count(CASE WHEN ($colSql) = $lit THEN " +
+            emit(ct.aggArg, jdbc) + " END), 0)"
         else s"${ct.aggFn}(CASE WHEN ($colSql) = $lit THEN " +
           emit(ct.aggArg, jdbc) + " END)"
       s"$cell AS ${quoteIdent(caption)}"

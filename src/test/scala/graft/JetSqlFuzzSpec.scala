@@ -149,6 +149,38 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  test("60 random crosstabs: the TRANSFORM→conditional-aggregation " +
+    "rewrite matches Spark's own groupBy().pivot() on the same frame") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, sum => fsum,
+      min => fmin, max => fmax, count => fcount}
+    val r = new scala.util.Random(424242L)
+    (0 until 60).foreach { k =>
+      val grps = Seq("g1", "g2", "g3").take(r.nextInt(2) + 2)
+      val cats = Seq("ca", "cb", "cc").take(r.nextInt(2) + 2)
+      val rows = Seq.fill(r.nextInt(30) + 5)(
+        (grps(r.nextInt(grps.length)), cats(r.nextInt(cats.length)),
+          r.nextInt(100) - 50))
+      val df = rows.toDF("grp", "cat", "v")
+      df.createOrReplaceTempView(s"xt_fuzz")
+      val (aggJet, aggRef) = r.nextInt(4) match {
+        case 0 => ("Sum([v])", fsum(c("v")))
+        case 1 => ("Min([v])", fmin(c("v")))
+        case 2 => ("Max([v])", fmax(c("v")))
+        case _ => ("Count([v])", fcount(c("v")))
+      }
+      val inList = cats.map(x => s"""\"$x\"""").mkString(", ")
+      val got = spark.sql(translate(
+        s"TRANSFORM $aggJet SELECT [grp] FROM xt_fuzz " +
+          s"GROUP BY [grp] PIVOT [cat] IN ($inList)"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val want = df.groupBy("grp").pivot("cat", cats).agg(aggRef)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(got == want, s"case $k: $aggJet over $cats\n$got\n$want")
+    }
+  }
+
   test("400 random string-function calls: UCase/LCase/Len/Mid/InStr/" +
     "Left/Right/Trim/StrReverse through the translator match a " +
     "direct Scala reference (1-based Mid, 0-if-absent InStr, " +

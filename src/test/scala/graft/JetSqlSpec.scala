@@ -243,11 +243,14 @@ class JetSqlSpec extends AnyFunSuite {
         "sum(CASE WHEN (Year(sold_on)) = 1996 THEN unit_price END) " +
         "AS `1996` " +
         "FROM sales_log GROUP BY region")
+    // a Count cell with no matching records is NULL in Access (blank),
+    // not 0 — the NULLIF restores that over conditional aggregation
     assert(translate(
       "TRANSFORM Count(*) SELECT a FROM t GROUP BY a " +
         "PIVOT b IN (\"x\", \"y\")") ==
-      "SELECT a, count(CASE WHEN (b) = 'x' THEN 1 END) AS x, " +
-        "count(CASE WHEN (b) = 'y' THEN 1 END) AS y FROM t GROUP BY a")
+      "SELECT a, NULLIF(count(CASE WHEN (b) = 'x' THEN 1 END), 0) " +
+        "AS x, NULLIF(count(CASE WHEN (b) = 'y' THEN 1 END), 0) " +
+        "AS y FROM t GROUP BY a")
     intercept[IllegalArgumentException] {
       translate("TRANSFORM First(x) SELECT a FROM t GROUP BY a " +
         "PIVOT b IN (1)")
