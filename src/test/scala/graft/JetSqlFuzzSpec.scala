@@ -149,6 +149,57 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  test("200 random typed PARAMETERS bindings render, execute, and " +
+    "round-trip their values (quote escaping, banker's Currency, " +
+    "date vs timestamp split)") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(314159L)
+    def randTxt(): String = Seq.fill(r.nextInt(6) + 1)(
+      "ab c'\"[]%_"(r.nextInt(10))).mkString
+    // (declared type, binding, SQL cast for stable collection,
+    //  expected collected string)
+    def one(i: Int): (String, Any, String, String) = r.nextInt(6) match {
+      case 0 =>
+        val v = r.nextLong(1000000) - 500000
+        ("Long", v, "", v.toString)
+      case 1 =>
+        val v = BigDecimal(r.nextInt(1000000) - 500000) / 100
+        ("Currency", v, "",
+          v.bigDecimal.setScale(4,
+            java.math.RoundingMode.HALF_EVEN).toPlainString)
+      case 2 =>
+        val v = randTxt()
+        ("Text", v, "", v)
+      case 3 =>
+        val v = java.time.LocalDate.of(
+          2000 + r.nextInt(30), 1 + r.nextInt(12), 1 + r.nextInt(28))
+        ("DateTime", v, "", v.toString)
+      case 4 =>
+        val v = java.time.LocalDateTime.of(
+          2010 + r.nextInt(10), 1 + r.nextInt(12), 1 + r.nextInt(28),
+          r.nextInt(24), r.nextInt(60), r.nextInt(60))
+        ("DateTime", v, "",
+          v.toLocalDate.toString + " " +
+            f"${v.getHour}%02d:${v.getMinute}%02d:${v.getSecond}%02d")
+      case _ =>
+        val v = r.nextBoolean()
+        ("Bit", v, "", v.toString)
+    }
+    (0 until 200).grouped(25).foreach { batch =>
+      val cases = batch.map(i => (i, one(i)))
+      val jet = "PARAMETERS " + cases.map { case (i, (tpe, _, _, _)) =>
+        s"[P $i] $tpe" }.mkString(", ") + "; SELECT " +
+        cases.map { case (i, _) => s"CStr([P $i]) AS c$i" }.mkString(", ")
+      val binds = cases.map { case (i, (_, v, _, _)) =>
+        s"p_$i" -> v }.toMap[String, Any]
+      val row = spark.sql(translate(jet, binds)).collect()(0)
+      cases.zipWithIndex.foreach { case ((i, (tpe, v, _, want)), k) =>
+        val got = row.getString(k)
+        assert(got == want, s"param $i ($tpe = $v): got '$got' want '$want'")
+      }
+    }
+  }
+
   test("60 random crosstabs: the TRANSFORM→conditional-aggregation " +
     "rewrite matches Spark's own groupBy().pivot() on the same frame") {
     val spark = TestSpark.session
