@@ -561,6 +561,22 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.size <= 2, s"unexpected shuffles:\n$p")
   }
 
+  test("q_jetsql_params: a TRANSLATED query keeps Catalyst " +
+    "optimizations — bound-parameter filters push into the parquet " +
+    "scan and the read schema prunes to the referenced columns") {
+    val s = scans(finalPlan("q_jetsql_params"))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") ||
+      pushed.contains("GreaterThanOrEqual(o_orderkey"),
+      s"parameter-bound filter not pushed: $pushed")
+    assert(pushed.contains("EqualTo(o_orderpriority"),
+      s"equality filter not pushed: $pushed")
+    assert(s.head.requiredSchema.fieldNames.length <= 4,
+      s"scan reads more columns than the query needs: " +
+        s.head.requiredSchema.fieldNames.mkString(","))
+  }
+
   test("q_jetsql_domain_agg: each domain aggregate is ONE independent " +
     "scalar subquery (uncorrelated — computed once, broadcast into " +
     "the row plan, never a per-row rescan)") {
