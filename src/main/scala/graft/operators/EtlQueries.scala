@@ -526,18 +526,37 @@ object EtlQueries {
       // declared but NOT enforced (dbRelationDontEnforce)
       JetRelationshipRow("LegacyShipper", "Orders", "Ship Via",
         "Shippers", "Shipper ID", 0, 1, 0x2))
-    val ddl = MigrationPipeline.constraintDdl(specs, rels)
-    val rows = ddl.zipWithIndex.map { case (stmt, i) =>
-      val kind =
-        if (stmt.startsWith("--")) "comment"
-        else if (stmt.contains("PRIMARY KEY")) "primary_key"
-        else if (stmt.startsWith("CREATE")) "index"
-        else if (stmt.contains("IDENTITY") || stmt.startsWith("SELECT"))
-          "identity"
-        else "foreign_key"
-      (i + 1, kind, stmt)
-    }
-    val oracleRows = rows
+    // The oracle is HAND-WRITTEN literal DDL — not re-rendered from
+    // constraintDdl's own output (which would be circular and unable
+    // to catch translation drift at run time; the r9 ADVICE finding).
+    // Any change to index→DDL or MSysRelationships→FK rendering now
+    // diverges from these literals and fails the driver hash gate.
+    val expected = Seq(
+      (1, "primary_key", "ALTER TABLE customers ADD CONSTRAINT " +
+        "customers_pkey PRIMARY KEY (\"customer_id\")"),
+      (2, "primary_key", "ALTER TABLE orders ADD CONSTRAINT " +
+        "orders_pkey PRIMARY KEY (\"order_id\")"),
+      (3, "primary_key", "ALTER TABLE order_details ADD CONSTRAINT " +
+        "order_details_pkey PRIMARY KEY (\"order_id\", \"product_id\")"),
+      (4, "index", "CREATE INDEX idx_customers_byname ON customers " +
+        "(\"company_name\")"),
+      (5, "index", "CREATE UNIQUE INDEX idx_order_details_line_no ON " +
+        "order_details (\"line_no\")"),
+      (6, "identity", "ALTER TABLE customers ALTER COLUMN " +
+        "\"customer_id\" ADD GENERATED BY DEFAULT AS IDENTITY"),
+      (7, "identity", "SELECT setval(pg_get_serial_sequence(" +
+        "'customers', 'customer_id'), COALESCE((SELECT " +
+        "MAX(\"customer_id\") FROM customers), 0) + 1, false)"),
+      (8, "foreign_key", "ALTER TABLE orders ADD CONSTRAINT " +
+        "fk_customersorders FOREIGN KEY (\"customer_id\") REFERENCES " +
+        "customers (\"customer_id\") ON DELETE CASCADE"),
+      (9, "comment", "-- relationship legacyshipper: orders(ship_via)" +
+        " -> shippers(shipper_id) not enforced in Access " +
+        "(dbRelationDontEnforce); no constraint emitted"),
+      (10, "foreign_key", "ALTER TABLE order_details ADD CONSTRAINT " +
+        "fk_ordersdetails FOREIGN KEY (\"order_id\") REFERENCES " +
+        "orders (\"order_id\") ON UPDATE CASCADE"))
+    val oracleRows = expected
       .map { case (o, k, s) => s"($o, '$k', '${s.replace("'", "''")}')" }
       .mkString(",\n|  ")
     QDef(
@@ -546,6 +565,19 @@ object EtlQueries {
         |  $oracleRows)
         |AS t(ordinal, stmt_kind, ddl)
         |ORDER BY ordinal""".stripMargin) { (s, _) =>
+      // the QUERY side alone runs the translator: constraintDdl at
+      // execution time, kind derived from each statement's shape
+      val ddl = MigrationPipeline.constraintDdl(specs, rels)
+      val rows = ddl.zipWithIndex.map { case (stmt, i) =>
+        val kind =
+          if (stmt.startsWith("--")) "comment"
+          else if (stmt.contains("PRIMARY KEY")) "primary_key"
+          else if (stmt.startsWith("CREATE")) "index"
+          else if (stmt.contains("IDENTITY") || stmt.startsWith("SELECT"))
+            "identity"
+          else "foreign_key"
+        (i + 1, kind, stmt)
+      }
       s.createDataFrame(rows)
         .toDF("ordinal", "stmt_kind", "ddl")
         .orderBy(col("ordinal"))

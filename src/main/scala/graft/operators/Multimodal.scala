@@ -79,9 +79,16 @@ object Multimodal {
         if (t == "acTL") out = "apng"
         else if (t == "IDAT" || t == "IEND") out = "png"
         // a corrupt negative/huge length must terminate the walk (the
-        // decoder will reject the stream properly), never spin it
+        // decoder will reject the stream properly), never spin it —
+        // and the next offset is computed in Long: a large positive
+        // corrupt len would overflow `off + 12 + len` to a NEGATIVE
+        // Int, turning the designed terminate-and-reject into an
+        // ArrayIndexOutOfBoundsException on p(off)
         else if (len < 0) out = "png"
-        else off += 12 + len
+        else {
+          val next = off.toLong + 12L + len.toLong
+          if (next + 8 > p.length) out = "png" else off = next.toInt
+        }
       }
       if (out == null) "png" else out
     } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&

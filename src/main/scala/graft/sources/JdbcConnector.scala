@@ -24,6 +24,21 @@ object JdbcConnector {
   final case class PartitionSpec(
       column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
 
+  /** Driver-side connection honoring the SAME props map the Spark
+    * JDBC read/write paths honor. `DriverManager.getConnection(url)`
+    * alone silently drops `user`/`password` entries — an upsert or
+    * DDL batch against an authenticated target would then fail
+    * despite credentials being passed. Every prop except `driver`
+    * (JVM-side class loading, not a connection property) forwards;
+    * JDBC drivers ignore unknown keys by contract. */
+  private[graft] def connect(
+      url: String, props: Map[String, String]): java.sql.Connection = {
+    props.get("driver").foreach(Class.forName)
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => if (k != "driver") p.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, p)
+  }
+
   def read(
       spark: SparkSession,
       url: String,
@@ -112,8 +127,7 @@ object JdbcConnector {
          |WHEN MATCHED THEN UPDATE SET $set
          |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
     }
-    props.get("driver").foreach(Class.forName)
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = connect(url, props)
     try {
       val st = conn.createStatement()
       try {
@@ -132,8 +146,7 @@ object JdbcConnector {
       sqls: Seq[String],
       props: Map[String, String] = Map.empty): Unit = {
     if (sqls.isEmpty) return
-    props.get("driver").foreach(Class.forName)
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = connect(url, props)
     try {
       val st = conn.createStatement()
       try sqls.foreach { sql =>

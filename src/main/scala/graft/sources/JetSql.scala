@@ -30,15 +30,21 @@ import org.apache.spark.sql.SparkSession
   *     precedence (arithmetic and Mod bind tighter; comparisons and
   *     clause keywords bound the chain); a LIKE pattern built by `&`
   *     rejects — its wildcards could no longer be translated;
-  *   - `SELECT TOP n …` → trailing `LIMIT n` (requires an ORDER BY,
-  *     like Access's own deterministic reading; `TOP n PERCENT` is
-  *     REJECTED with a pointer to the q_jet_top_percent tie-aware
-  *     operator — LIMIT is not equivalent);
+  *   - `SELECT TOP n …` → trailing `LIMIT n`; a TOP in a scope that
+  *     also holds a depth-0 UNION REJECTS (Access applies TOP per
+  *     SELECT branch, but a trailing LIMIT would silently bind to
+  *     the COMBINED result — parenthesize the branch); `TOP n
+  *     PERCENT` → Access's tie-aware windowed form on the engine
+  *     target (`RANK() ≤ CEILING(pct of COUNT)` over the statement's
+  *     own ORDER BY, boundary ties included — LIMIT is not
+  *     equivalent), still rejected for JDBC targets;
   *   - LIKE patterns: Jet wildcards `*`/`?` → `%`/`_` (only inside
   *     the string literal FOLLOWING a LIKE, never elsewhere); Jet's
-  *     `[charlist]` and `#` (single digit) wildcards are REJECTED —
-  *     ANSI LIKE has no equivalent and leaving them in place would
-  *     silently match literal brackets/hashes instead;
+  *     `[charlist]` and `#` (single digit) wildcards — which ANSI
+  *     LIKE cannot express — become an anchored RLIKE regex on the
+  *     engine target (`[!…]` negation → `[^…]`, ranges shared) and
+  *     reject only for JDBC targets, where regex operators are
+  *     dialect-specific;
   *   - function renames: UCASE→upper, LCASE→lower, LEN→length,
   *     MID→substr, INSTR→instr, CHR→char, SGN→sign, SQR→sqrt,
   *     STRREVERSE→reverse, WEEKDAY→dayofweek (Access and Spark agree:
@@ -97,11 +103,18 @@ import org.apache.spark.sql.SparkSession
   *     `INSERT INTO … SELECT` and single-table `UPDATE … SET` pass
   *     through the normal rewrites, and `UPDATE … JOIN` REJECTS —
   *     a multi-table update is a MERGE on the target system;
-  *   - anything it cannot translate faithfully (DLOOKUP — it returns
-  *     an ORDER-UNDEFINED matching row's value; DISTINCTROW — its
-  *     duplicate elimination is over underlying records, not output
-  *     columns) is REJECTED with the construct named — a saved query
-  *     ports correctly or loudly, never subtly wrong.
+  *   - `DISTINCTROW` over a SINGLE table translates by dropping the
+  *     keyword — Access itself ignores it there (its duplicate
+  *     elimination is over underlying RECORDS, and a one-table
+  *     query's records are its rows), and the Access designer emits
+  *     it by default, so this is the construct a ported legacy app
+  *     hits first; the multi-table form still rejects (eliminating
+  *     duplicates over non-output source fields has no ANSI
+  *     equivalent);
+  *   - anything it cannot translate faithfully (e.g. DLOOKUP — it
+  *     returns an ORDER-UNDEFINED matching row's value) is REJECTED
+  *     with the construct named — a saved query ports correctly or
+  *     loudly, never subtly wrong.
   *
   * Known caveat (schema-blind by construction): Jet's `+` is BOTH
   * numeric addition and the null-PROPAGATING string concat; without
@@ -244,7 +257,9 @@ object JetSql {
   // no defined order — porting it silently would freeze one engine's
   // arbitrary pick into the result. The aggregate D-functions are
   // well-defined and translate to scalar subqueries below.
-  private val rejected = Set("dlookup", "distinctrow")
+  // (DISTINCTROW left this set in round 10: the single-table form —
+  // which Access itself ignores — now translates; see emit.)
+  private val rejected = Set("dlookup")
 
   /** Domain aggregate name → SQL aggregate. */
   private val domainAggs = Map(
@@ -349,6 +364,89 @@ object JetSql {
       i += 1
     }
     throw new IllegalArgumentException("jetsql: unbalanced parentheses")
+  }
+
+  /** True when a depth-0 UNION KEYWORD exists in this scope's tokens
+    * (kind `word` only — a bracketed [Union] column is an ident and
+    * never a set operator). Used to keep a scope's trailing LIMIT
+    * from silently binding to a combined UNION result when Access
+    * applies TOP per SELECT branch. */
+  private def hasDepth0Union(toks: Vector[Tok]): Boolean = {
+    var depth = 0
+    toks.exists { u =>
+      if (u.kind == "punct" && u.text == "(") { depth += 1; false }
+      else if (u.kind == "punct" && u.text == ")") { depth -= 1; false }
+      else depth == 0 && u.kind == "word" &&
+        u.text.equalsIgnoreCase("union")
+    }
+  }
+
+  /** True when this scope's depth-0 FROM clause draws from more than
+    * one table — a JOIN keyword or a comma-separated table list
+    * before the next clause keyword. Subqueries in FROM are one
+    * "table" here (their own scope decides for themselves). */
+  private def fromIsMultiTable(toks: Vector[Tok]): Boolean = {
+    val fromIdx = depth0Word(toks, "from")
+    if (fromIdx < 0) return false
+    val endWords =
+      Set("where", "group", "order", "having", "union", "limit")
+    var depth = 0
+    var i = fromIdx + 1
+    while (i < toks.length) {
+      val u = toks(i)
+      if (u.kind == "punct" && u.text == "(") depth += 1
+      else if (u.kind == "punct" && u.text == ")") depth -= 1
+      else if (depth == 0 && u.kind == "word" &&
+        endWords.contains(u.text.toLowerCase)) return false
+      else if (depth == 0 && ((u.kind == "punct" && u.text == ",") ||
+        (u.kind == "word" && u.text.equalsIgnoreCase("join"))))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Jet LIKE pattern → ANCHORED Java regex (Jet LIKE matches the
+    * whole string). `*`→`.*`, `?`→`.`, `#`→`[0-9]`, `[charlist]`
+    * passes through as a regex class (`[!…]` negation → `[^…]`,
+    * ranges shared, class-special `\^]&[` escaped); every other
+    * character is escaped when regex-special. Only reached on the
+    * engine target, where the emitted operator is RLIKE. */
+  private def jetLikeRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    val meta = "\\^$.|?*+()[]{}"
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '#' => sb.append("[0-9]"); i += 1
+        case '[' =>
+          val close = pat.indexOf(']', i + 1)
+          if (close < 0)
+            fail("a Jet LIKE pattern with an unterminated [charlist")
+          var body = pat.substring(i + 1, close)
+          // Access treats [] as a zero-length never-match and [!]
+          // as a literal '!' — both are trap spellings; loud beats
+          // silently freezing an interpretation
+          if (body.isEmpty || body == "!")
+            fail(s"the Jet LIKE charlist [$body] (its Access " +
+              "semantics are a never-match / literal-'!' trap)")
+          sb.append('[')
+          if (body.startsWith("!")) { sb.append('^'); body = body.tail }
+          body.foreach { bc =>
+            if ("\\^]&[".indexOf(bc.toInt) >= 0) sb.append('\\')
+            sb.append(bc)
+          }
+          sb.append(']')
+          i = close + 1
+        case other =>
+          if (meta.indexOf(other.toInt) >= 0) sb.append('\\')
+          sb.append(other)
+          i += 1
+      }
+    }
+    sb.append('$').toString
   }
 
   /** First index ≥ `from` holding `word` at paren depth 0, or -1. */
@@ -516,23 +614,115 @@ object JetSql {
         Some((open, close, splitArgs(toks.slice(open + 1, close))))
       } else None
     }
+    // --- TOP n PERCENT pre-pass: a scope-leading `SELECT [DISTINCT]
+    // TOP n PERCENT` restructures the WHOLE scope into Access's
+    // tie-aware form — rank ≤ ceil(pct of count), boundary ties
+    // included — which LIMIT cannot express. Engine target only: the
+    // rewrite leans on Spark's RANK() / `SELECT * EXCEPT` surface
+    // (JDBC targets reject; Derby has neither). The two global
+    // windows are the operation's nature (a global percentile needs a
+    // global order); the engine-side q_jet_top_percent operator is
+    // the scale path for big inputs.
+    {
+      val selIdx = nextNonWs(0)
+      if (selIdx < toks.length && isWord(toks(selIdx), "select")) {
+        val d = nextNonWs(selIdx + 1)
+        val hasDistinct = d < toks.length &&
+          (isWord(toks(d), "distinct") || isWord(toks(d), "distinctrow"))
+        val topIdx = if (hasDistinct) nextNonWs(d + 1) else d
+        val nIdx =
+          if (topIdx < toks.length) nextNonWs(topIdx + 1) else toks.length
+        val pIdx =
+          if (nIdx < toks.length) nextNonWs(nIdx + 1) else toks.length
+        if (topIdx < toks.length && isWord(toks(topIdx), "top") &&
+          nIdx < toks.length && toks(nIdx).kind == "number" &&
+          pIdx < toks.length && isWord(toks(pIdx), "percent")) {
+          if (jdbc)
+            fail("TOP n PERCENT on a JDBC target (the tie-aware " +
+              "rewrite needs RANK()/SELECT * EXCEPT — port through " +
+              "the engine, or apply q_jet_top_percent's windowed " +
+              "form in the target's dialect)")
+          if (hasDepth0Union(toks))
+            fail("TOP n PERCENT in a scope containing UNION " +
+              "(parenthesize the branch so the rewrite has its own " +
+              "single-SELECT scope)")
+          val pct = toks(nIdx).text
+          require(pct.toDouble >= 0 && pct.toDouble <= 100,
+            s"jetsql: TOP $pct PERCENT is outside Access's 0..100")
+          val orderIdx = depth0Word(toks, "order", pIdx + 1)
+          if (orderIdx < 0)
+            fail("TOP n PERCENT without ORDER BY (Access would " +
+              "return an arbitrary slice)")
+          val byIdx = nextNonWs(orderIdx + 1)
+          require(byIdx < toks.length && isWord(toks(byIdx), "by"),
+            "jetsql: ORDER without BY")
+          val keyToks = toks.drop(byIdx + 1)
+          // a depth-0 bare number in the keys would be POSITIONAL in
+          // Access but a CONSTANT inside RANK's OVER in Spark — a
+          // silent semantics flip; reject instead
+          var kd = 0
+          keyToks.foreach { u =>
+            if (u.kind == "punct" && u.text == "(") kd += 1
+            else if (u.kind == "punct" && u.text == ")") kd -= 1
+            else if (kd == 0 && u.kind == "number")
+              fail("TOP n PERCENT with a positional/arithmetic " +
+                "ORDER BY key (spell the column name)")
+          }
+          val keys = em(keyToks)
+          val inner =
+            em(toks.slice(0, topIdx) ++ toks.slice(pIdx + 1, orderIdx))
+          return s"SELECT * EXCEPT (__jet_rk, __jet_n) FROM (SELECT " +
+            s"*, RANK() OVER (ORDER BY $keys) AS __jet_rk, COUNT(*) " +
+            s"OVER () AS __jet_n FROM ($inner)) WHERE __jet_rk <= " +
+            s"CEILING(__jet_n * $pct / 100.0) ORDER BY $keys"
+        }
+      }
+    }
     while (i < toks.length) {
       val t = toks(i)
       if (t.kind == "ws") { pendingSpace = true; i += 1 }
       else if (t.kind == "word" && rejected.contains(t.text.toLowerCase)) {
         fail(s"the ${t.text.toUpperCase} construct")
+      } else if (isWord(t, "distinctrow") &&
+        lastWord.equalsIgnoreCase("select")) {
+        // Access itself IGNORES DISTINCTROW when the query draws from
+        // a single table (its duplicate elimination is over underlying
+        // RECORDS, and a one-table query's records ARE its rows) — and
+        // the Access designer EMITS it by default, so this is the
+        // rejection a ported .mdb app used to hit first. Single-table:
+        // drop the keyword (plain row semantics, exactly Access).
+        // Multi-table: still rejected — eliminating duplicates over
+        // non-output source fields has no ANSI equivalent.
+        if (fromIsMultiTable(toks))
+          fail("DISTINCTROW over a join or multi-table FROM (its " +
+            "duplicate elimination is over underlying records, not " +
+            "output columns)")
+        // dropped; lastWord stays "select" so a following TOP still
+        // lands in keyword position
+        i += 1
+      } else if (isWord(t, "distinctrow")) {
+        fail("DISTINCTROW outside SELECT's keyword position")
       } else if (isWord(t, "top") &&
-        lastWord.equalsIgnoreCase("select") && {
+        (lastWord.equalsIgnoreCase("select") ||
+          lastWord.equalsIgnoreCase("distinct")) && {
           val nn = nextNonWs(i + 1)
           nn < toks.length && toks(nn).kind == "number"
         }) {
-        // SELECT TOP n ... -> ... LIMIT n (PERCENT rejected); a
-        // column merely NAMED [Top] is either not in SELECT's keyword
-        // position or not followed by a count, and passes through
+        // SELECT [DISTINCT] TOP n ... -> ... LIMIT n; a column merely
+        // NAMED [Top] is either not in keyword position or not
+        // followed by a count, and passes through. A scope-leading
+        // TOP n PERCENT was already rewritten above, so PERCENT here
+        // means a UNION-branch TOP — same cure as the UNION check.
         val nIdx = nextNonWs(i + 1)
         val pIdx = nextNonWs(nIdx + 1)
         if (pIdx < toks.length && isWord(toks(pIdx), "percent"))
-          fail("TOP n PERCENT (tie semantics)")
+          fail("TOP n PERCENT in a UNION branch (parenthesize the " +
+            "branch so the tie-aware rewrite has its own scope)")
+        if (hasDepth0Union(toks))
+          fail("TOP in a scope containing UNION (Access applies TOP " +
+            "per SELECT branch, but a trailing LIMIT would bind to " +
+            "the COMBINED result — parenthesize the TOP branch's " +
+            "SELECT)")
         if (limit.isDefined)
           fail("a second TOP in one scope (UNION branches each need " +
             "their own parenthesized SELECT for per-branch limits)")
@@ -788,19 +978,37 @@ object JetSql {
         i += 1
       } else if (isWord(t, "like")) {
         // translate the wildcards of the literal that follows
-        put("LIKE")
-        lastWord = "like"
         val litIdx = nextNonWs(i + 1)
         if (litIdx < toks.length && toks(litIdx).kind == "string") {
           val pat = toks(litIdx).text
-          if (pat.contains("[") || pat.contains("#"))
-            fail("Jet LIKE [charlist]/# digit wildcards (no ANSI LIKE " +
-              "equivalent; rewrite with regexp_like)")
-          pendingSpace = true
-          put(render(Tok("string",
-            pat.replace('*', '%').replace('?', '_'))))
+          if (pat.contains("[") || pat.contains("#")) {
+            // [charlist] / # (single digit) have no ANSI LIKE
+            // equivalent but map EXACTLY onto a regex — on the engine
+            // target the whole pattern becomes an anchored RLIKE
+            // (`NOT LIKE` stays correct: the NOT token already
+            // emitted, and Spark parses `x NOT RLIKE p`). JDBC
+            // targets keep the rejection: regex operators are
+            // dialect-specific there (Derby has none).
+            if (jdbc)
+              fail("Jet LIKE [charlist]/# digit wildcards on a JDBC " +
+                "target (regex operators are dialect-specific; " +
+                "rewrite with the target's regexp_like)")
+            put("RLIKE")
+            lastWord = "rlike"
+            pendingSpace = true
+            // double the regex's backslashes for Spark's string
+            // escaping (the parser folds '\\' back to one)
+            put("'" + jetLikeRegex(pat)
+              .replace("\\", "\\\\").replace("'", "''") + "'")
+          } else {
+            put("LIKE")
+            lastWord = "like"
+            pendingSpace = true
+            put(render(Tok("string",
+              pat.replace('*', '%').replace('?', '_'))))
+          }
           i = litIdx + 1
-        } else i += 1
+        } else { put("LIKE"); lastWord = "like"; i += 1 }
       } else {
         put(render(t))
         // every operand token arms the infix-Mod guard (a NUMBER left
@@ -1076,17 +1284,29 @@ object JetSql {
     * upper, PostgreSQL to lower). Identifiers in TABLE position
     * (after FROM/INTO/UPDATE/JOIN) stay bare: the writer passes
     * dbtable through unquoted, so bare names fold identically on both
-    * sides. Access queries bracket field references as a matter of
-    * style, which is exactly the lexical marker this needs. */
+    * sides — and a table QUALIFIER in a `[Table].[col]` reference
+    * stays bare for the same reason. Access queries bracket field
+    * references as a matter of style, which is exactly the lexical
+    * marker this needs. */
   def translateForJdbc(jetSql: String,
       params: Map[String, Any] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks0 = actionQueryRewrites(substituteParams(body, decls, params))
     val tablePos = Set("from", "into", "update", "join")
     var lastMeaning = ""
-    val toks = toks0.map { t =>
+    val toks = toks0.zipWithIndex.map { case (t, idx) =>
+      // a TABLE QUALIFIER in [Table].[col] must also stay bare: the
+      // table itself was created under an unquoted (case-folded)
+      // name, so a quoted case-exact qualifier would not resolve on
+      // Derby/Postgres. Lexical marker: the next non-ws token is '.'
+      def qualifies: Boolean = {
+        var j = idx + 1
+        while (j < toks0.length && toks0(j).kind == "ws") j += 1
+        j < toks0.length && toks0(j).kind == "punct" && toks0(j).text == "."
+      }
       val out =
-        if (t.kind == "ident" && !tablePos.contains(lastMeaning))
+        if (t.kind == "ident" && !tablePos.contains(lastMeaning) &&
+          !qualifies)
           Tok("raw", "\"" + t.text + "\"")
         else t
       if (t.kind != "ws") lastMeaning = t.text.toLowerCase

@@ -39,6 +39,26 @@ class JdbcConnectorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connect forwards user/password props to the driver") {
+    // Embedded Derby without authentication still USES the `user`
+    // prop: it becomes the connection's default schema. A connection
+    // whose CURRENT SCHEMA matches the passed user proves the props
+    // map reached DriverManager (the r9 ADVICE gap: getConnection(url)
+    // alone silently dropped credentials runActionQueries was passed).
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_auth").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = graft.sources.JdbcConnector.connect(
+      url, Map(
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+        "user" -> "GRAFTUSER", "password" -> "pw"))
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("VALUES CURRENT SCHEMA")
+      assert(rs.next() && rs.getString(1) == "GRAFTUSER")
+    } finally conn.close()
+  }
+
   test("jdbc round-trip (integration, env-gated)") {
     // GRAFT_PG_URL is the documented live-PostgreSQL hook
     // (RealFixtureSpec); SPARK_GRAFT_JDBC_URL accepted for any server

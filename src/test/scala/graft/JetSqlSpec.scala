@@ -39,14 +39,45 @@ class JetSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("context-dependent"))
   }
 
-  test("TOP n floats to a trailing LIMIT; TOP PERCENT rejects with " +
-    "the operator pointer") {
+  test("TOP n floats to a trailing LIMIT; SELECT DISTINCT TOP also " +
+    "lands in keyword position") {
     assert(translate("SELECT TOP 5 a FROM t ORDER BY a") ==
       "SELECT a FROM t ORDER BY a LIMIT 5")
-    val e = intercept[IllegalArgumentException] {
-      translate("SELECT TOP 10 PERCENT a FROM t ORDER BY a")
+    assert(translate("SELECT DISTINCT TOP 5 a FROM t ORDER BY a") ==
+      "SELECT DISTINCT a FROM t ORDER BY a LIMIT 5")
+  }
+
+  test("TOP n PERCENT translates to the tie-aware windowed form and " +
+    "executes with Access's boundary-tie semantics") {
+    val sql = translate("SELECT TOP 25 PERCENT a FROM t ORDER BY a")
+    assert(sql.contains("RANK() OVER (ORDER BY a)"))
+    assert(sql.contains("CEILING(__jet_n * 25 / 100.0)"))
+    assert(sql.contains("SELECT * EXCEPT (__jet_rk, __jet_n)"))
+    val spark = TestSpark.session
+    // 8 rows, 25% → ceil(2) = 2 rows; the value at the boundary (2)
+    // TIES with a third row — Access includes it, LIMIT would not
+    spark.sql("SELECT * FROM VALUES (1),(2),(2),(3),(4),(5),(6),(7) " +
+      "AS t(a)").createOrReplaceTempView("t")
+    val got = spark.sql(sql).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 2), got)
+    // the helper columns must not leak into the output schema
+    assert(spark.sql(sql).columns.toSeq == Seq("a"))
+    // DISTINCT composes: duplicates collapse BEFORE the percentage
+    val d = spark.sql(translate(
+      "SELECT DISTINCT TOP 50 PERCENT a FROM t ORDER BY a"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(1, 2, 3, 4), d) // 7 distinct → ceil(3.5) = 4
+    // guard rails: no ORDER BY / positional key / JDBC target reject
+    intercept[IllegalArgumentException] {
+      translate("SELECT TOP 10 PERCENT a FROM t")
     }
-    assert(e.getMessage.contains("q_jet_top_percent"))
+    intercept[IllegalArgumentException] {
+      translate("SELECT TOP 10 PERCENT a FROM t ORDER BY 1")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "SELECT TOP 10 PERCENT [a] FROM t ORDER BY [a]")
+    }
   }
 
   test("concat operator, LIKE wildcards (only inside the pattern), " +
@@ -131,21 +162,62 @@ class JetSqlSpec extends AnyFunSuite {
     for (bad <- Seq(
       "TRANSFORM Sum(x) SELECT a FROM t PIVOT b", // no IN list
       "SELECT Format(x) FROM t", // 1-arg general Format
-      "SELECT DISTINCTROW a FROM t",
+      "SELECT DISTINCTROW a FROM t INNER JOIN u ON t.k = u.k",
       "SELECT DLookUp('x', 't') FROM u")) {
       val e = intercept[IllegalArgumentException] { translate(bad) }
       assert(e.getMessage.contains("jetsql:"), s"$bad → ${e.getMessage}")
     }
   }
 
-  test("Jet LIKE charlist and # digit wildcards reject (ANSI LIKE " +
-    "cannot express them; leaving them in would silently match " +
-    "literal brackets)") {
-    for (bad <- Seq(
-      "WHERE nm LIKE \"Sm[iy]th\"",
-      "WHERE code LIKE \"A#-*\"")) {
-      val e = intercept[IllegalArgumentException] { translate(bad) }
-      assert(e.getMessage.contains("regexp_like"), s"$bad")
+  test("single-table DISTINCTROW drops (Access ignores it there); " +
+    "multi-table and out-of-position forms reject") {
+    assert(translate("SELECT DISTINCTROW a, b FROM t WHERE a > 1") ==
+      "SELECT a, b FROM t WHERE a > 1")
+    // the designer default composes with TOP (keyword position holds)
+    assert(translate("SELECT DISTINCTROW TOP 3 a FROM t ORDER BY a") ==
+      "SELECT a FROM t ORDER BY a LIMIT 3")
+    // comma-list FROM is multi-table even without a JOIN keyword
+    intercept[IllegalArgumentException] {
+      translate("SELECT DISTINCTROW t.a FROM t, u WHERE t.k = u.k")
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT a, DISTINCTROW b FROM t")
+    }
+  }
+
+  test("Jet LIKE charlist and # digit wildcards translate to an " +
+    "anchored RLIKE regex on the engine target; JDBC targets reject") {
+    assert(translate("WHERE nm LIKE \"Sm[iy]th\"") ==
+      "WHERE nm RLIKE '^Sm[iy]th$'")
+    assert(translate("WHERE code LIKE \"A#-*\"") ==
+      "WHERE code RLIKE '^A[0-9]-.*$'")
+    // negated class, range, and regex-special literals all escape
+    assert(translate("WHERE x LIKE \"[!a-c].(v)\"") ==
+      "WHERE x RLIKE '^[^a-c]\\\\.\\\\(v\\\\)$'")
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT IIf(\"Smith\" LIKE \"Sm[iy]th\", 1, 0) AS a, " +
+        "IIf(\"Smyth\" LIKE \"Sm[iy]th\", 1, 0) AS b, " +
+        "IIf(\"Smath\" LIKE \"Sm[iy]th\", 1, 0) AS c, " +
+        "IIf(\"A7-xy\" LIKE \"A#-*\", 1, 0) AS d, " +
+        "IIf(\"Ax-xy\" LIKE \"A#-*\", 1, 0) AS e, " +
+        "IIf(\"a.(v)\" LIKE \"[!a-c].(v)\", 1, 0) AS f, " +
+        "IIf(\"z.(v)\" LIKE \"[!a-c].(v)\", 1, 0) AS g, " +
+        "IIf(\"Smith!\" NOT LIKE \"Sm[iy]th\", 1, 0) AS h"))
+      .collect()(0)
+    assert((0 to 7).map(r.getInt) == Seq(1, 1, 0, 1, 0, 0, 1, 1))
+    // JDBC target: regex operators are dialect-specific → still loud
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "SELECT [a] FROM t WHERE [nm] LIKE \"Sm[iy]th\"")
+    }
+    assert(e.getMessage.contains("JDBC"), e.getMessage)
+    // the Access trap spellings stay loud rather than frozen wrong
+    intercept[IllegalArgumentException] {
+      translate("WHERE x LIKE \"a[]b\"")
+    }
+    intercept[IllegalArgumentException] {
+      translate("WHERE x LIKE \"a[!]b\"")
     }
   }
 
@@ -343,8 +415,8 @@ class JetSqlSpec extends AnyFunSuite {
   }
 
   test("TOP scoping: a subquery's TOP becomes THAT subquery's LIMIT " +
-    "(paren groups are their own emit scope); a second TOP in one " +
-    "scope rejects") {
+    "(paren groups are their own emit scope); ANY TOP sharing a " +
+    "scope with a depth-0 UNION rejects") {
     assert(translate("SELECT a FROM t WHERE x = " +
       "(SELECT TOP 1 y FROM u ORDER BY z)") ==
       "SELECT a FROM t WHERE x = (SELECT y FROM u ORDER BY z LIMIT 1)")
@@ -352,10 +424,25 @@ class JetSqlSpec extends AnyFunSuite {
       "(SELECT TOP 10 a FROM t ORDER BY b) ORDER BY a") ==
       "SELECT a FROM (SELECT a FROM t ORDER BY b LIMIT 10) " +
         "ORDER BY a LIMIT 2")
+    // Access applies TOP per SELECT branch; a trailing LIMIT would
+    // bind to the COMBINED union result — so even a SINGLE TOP in a
+    // union scope must reject, not silently limit the wrong thing
+    // (the round-9 advice finding: only the second TOP was caught)
     val e = intercept[IllegalArgumentException] {
+      translate("SELECT TOP 1 a FROM t UNION SELECT b FROM u")
+    }
+    assert(e.getMessage.contains("UNION"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      translate("SELECT a FROM t UNION SELECT TOP 2 b FROM u")
+    }
+    intercept[IllegalArgumentException] {
       translate("SELECT TOP 1 a FROM t UNION SELECT TOP 2 b FROM u")
     }
-    assert(e.getMessage.contains("second TOP"))
+    // the cure works: parenthesized branches limit independently
+    assert(translate("(SELECT TOP 1 a FROM t ORDER BY a) UNION ALL " +
+      "(SELECT TOP 2 b FROM u ORDER BY b)") ==
+      "(SELECT a FROM t ORDER BY a LIMIT 1) UNION ALL " +
+        "(SELECT b FROM u ORDER BY b LIMIT 2)")
   }
 
   test("First/Last reject (storage-order-dependent); StDev/Var family " +
@@ -384,6 +471,14 @@ class JetSqlSpec extends AnyFunSuite {
     assert(graft.sources.JetSql.translateForJdbc(
       "INSERT INTO [Order Log] ([order_id]) SELECT [id] FROM [Old Log]") ==
       "INSERT INTO order_log (\"order_id\") SELECT \"id\" FROM old_log")
+    // a [Table].[col] QUALIFIER stays bare like table position: the
+    // table was created under an unquoted case-folded name, so a
+    // quoted case-exact qualifier would not resolve (r9 advice)
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT [Order Log].[order_id] FROM [Order Log] " +
+        "WHERE [Order Log].[amount] > 5") ==
+      "SELECT order_log.\"order_id\" FROM order_log " +
+        "WHERE order_log.\"amount\" > 5")
   }
 
   test("action queries: DELETE * drops the designer star, UPDATE…JOIN " +

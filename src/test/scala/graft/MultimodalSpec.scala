@@ -26,6 +26,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown container"), e.getMessage)
   }
 
+  test("sniffCodec terminates on a corrupt huge PNG chunk length " +
+    "instead of overflowing the offset") {
+    // PNG signature + one chunk whose declared length is large enough
+    // that `off + 12 + len` overflows Int (0x7FFFFFF8): the walk must
+    // end as "png" (the decoder rejects the stream downstream), not
+    // throw ArrayIndexOutOfBoundsException on a negative index
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0D, 0x0A, 0x1A, 0x0A)
+    val chunk = Array[Byte](0x7F, 0xFF.toByte, 0xFF.toByte, 0xF8.toByte,
+      'f', 'a', 'K', 'e') ++ new Array[Byte](16)
+    assert(Multimodal.sniffCodec(sig ++ chunk) == "png")
+  }
+
   test("media table carries BinaryType payload + metadata that " +
     "matches the real encoding") {
     val media = Multimodal.mediaTable(spark, sfDir)
