@@ -654,6 +654,38 @@ object EtlQueries {
       .orderBy(c("o_orderkey"))
   }
 
+  /** Third translated saved query — the round-10 translations under
+    * the driver hash gate at once: a Jet charlist LIKE (→ anchored
+    * RLIKE; the oracle recomputes with DuckDB's own regexp_matches,
+    * so the regex mapping itself is hash-pinned), the Access-designer
+    * default DISTINCTROW on a single table (→ dropped, Access's own
+    * semantics), and TOP n PERCENT (→ the tie-aware RANK ≤
+    * CEILING(pct of COUNT) form). The ORDER BY key is
+    * o_orderpriority, so the 10% boundary lands INSIDE a tie group
+    * and Access semantics require the WHOLE group back — a plain
+    * LIMIT would cut it mid-group and hash-mismatch. */
+  val qJetSqlSaved3: QDef = QDef(
+    "q_jetsql_saved3",
+    """SELECT o_orderkey, o_orderpriority FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    RANK() OVER (ORDER BY o_orderpriority) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders
+      |  WHERE regexp_matches(o_orderpriority, '^[12]-.*$')
+      |    AND regexp_matches(o_orderstatus, '^[^P]$')
+      |) WHERE rk <= CEILING(n * 10 / 100.0)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT DISTINCTROW TOP 10 PERCENT [o_orderkey], [o_orderpriority]",
+      "FROM orders",
+      "WHERE [o_orderpriority] LIKE \"[12]-*\"",
+      "  AND [o_orderstatus] LIKE \"[!P]\"",
+      "ORDER BY [o_orderpriority]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** An Access CROSSTAB (TRANSFORM … PIVOT) saved query ported through
     * the translator and EXECUTED: Jet crosstabs become ANSI conditional
     * aggregation (one `agg(CASE WHEN pivotExpr = v THEN arg END)`
@@ -945,7 +977,8 @@ object EtlQueries {
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
-    qJetSqlSaved, qJetSqlSaved2, qJetSqlCrosstab, qJetSqlParams,
+    qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
+    qJetSqlParams,
     qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetSqlDomainAgg,
     qJetTopPercent)
 }

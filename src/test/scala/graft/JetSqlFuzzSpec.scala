@@ -378,6 +378,101 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("400 random Jet LIKE patterns (charlist ranges, negation, #, " +
+    "*/?) executed through the translation match an independent " +
+    "matcher") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(77113355L)
+    val alpha = "abc012"
+    sealed trait P
+    case object Star extends P
+    case object Any1 extends P
+    case object Digit extends P
+    final case class Lit(c: Char) extends P
+    final case class Cls(neg: Boolean, lo: Char, hi: Char,
+      extra: Option[Char]) extends P
+    def genP(): Seq[P] = Seq.fill(r.nextInt(5) + 1)(r.nextInt(6) match {
+      case 0 => Star
+      case 1 => Any1
+      case 2 => Digit
+      case 3 => Lit(alpha(r.nextInt(alpha.length)))
+      case 4 =>
+        val lo = ('a' + r.nextInt(3)).toChar
+        Cls(r.nextBoolean(), lo, 'c', None)
+      case _ => Cls(r.nextBoolean(), '0', '2',
+        Some(('a' + r.nextInt(3)).toChar))
+    })
+    def jetText(ps: Seq[P]): String = ps.map {
+      case Star => "*"
+      case Any1 => "?"
+      case Digit => "#"
+      case Lit(c) => c.toString
+      case Cls(neg, lo, hi, ex) =>
+        "[" + (if (neg) "!" else "") + s"$lo-$hi" +
+          ex.fold("")(_.toString) + "]"
+    }.mkString
+    // independent Jet-LIKE semantics: anchored, charwise, recursive
+    def matches(ps: Seq[P], s: String): Boolean = ps match {
+      case Seq() => s.isEmpty
+      case Star +: rest =>
+        (0 to s.length).exists(k => matches(rest, s.drop(k)))
+      case p +: rest => s.nonEmpty && (p match {
+        case Any1 => true
+        case Digit => s.head.isDigit
+        case Lit(c) => s.head == c
+        case Cls(neg, lo, hi, ex) =>
+          val in = (s.head >= lo && s.head <= hi) || ex.contains(s.head)
+          if (neg) !in else in
+        case Star => true
+      }) && matches(rest, s.tail)
+    }
+    def randSubject(): String =
+      Seq.fill(r.nextInt(7))(alpha(r.nextInt(alpha.length))).mkString
+    val cases = Vector.fill(400) {
+      val (ps, subj) = (genP(), randSubject())
+      (ps, subj, matches(ps, subj))
+    }
+    cases.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val cols = batch.zipWithIndex.map { case ((ps, subj, _), i) =>
+        s"""IIf("$subj" LIKE "${jetText(ps)}", 1, 0) AS c$i"""
+      }
+      val row = spark.sql(translate("SELECT " + cols.mkString(", ")))
+        .collect()(0)
+      batch.zipWithIndex.foreach { case ((ps, subj, want), i) =>
+        val got = row.getInt(i) == 1
+        assert(got == want,
+          s"batch $bi col $i: '$subj' LIKE '${jetText(ps)}' → " +
+            s"got $got want $want")
+      }
+    }
+  }
+
+  test("40 random TOP n PERCENT queries: the tie-aware windowed " +
+    "rewrite matches a direct reference (ceil cutoff, whole boundary " +
+    "group included, both directions)") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val r = new scala.util.Random(9090909L)
+    (0 until 40).foreach { k =>
+      val n = r.nextInt(40) + 1
+      val vs = Seq.fill(n)(r.nextInt(8)) // duplicates force ties
+      val pct = r.nextInt(100) + 1
+      val desc = r.nextBoolean()
+      vs.toDF("v").createOrReplaceTempView("tp_fuzz")
+      val dir = if (desc) " DESC" else ""
+      val got = spark.sql(translate(
+        s"SELECT TOP $pct PERCENT [v] FROM tp_fuzz ORDER BY [v]$dir"))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val sorted =
+        if (desc) vs.sorted(Ordering[Int].reverse) else vs.sorted
+      val cut = math.ceil(n * pct / 100.0).toInt
+      // rank(v) = first index of v + 1; Access keeps rank ≤ cut,
+      // which pulls in EVERY member of the group straddling the cut
+      val want = sorted.filter(v => sorted.indexOf(v) < cut).sorted.toSeq
+      assert(got == want, s"case $k n=$n pct=$pct desc=$desc vs=$vs")
+    }
+  }
+
   test("500 random expressions: Spark executing the translation " +
     "matches the independent interpreter (seeded)") {
     val spark = TestSpark.session
