@@ -351,17 +351,54 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Transitive corpus dedup: minhash candidate pairs → connected
-    * components → keep min doc_id per cluster (etl.DedupPipeline).
-    * No oracle — the pair set derives from the engine-specific xxhash64
-    * minhash family; ConnectedComponentsSpec and DedupPipelineSpec
-    * assert the clustering semantics. */
-  val qDedupTransitive: QDef =
-    QDef.noOracle("q_dedup_transitive") { (s, d) =>
-      graft.etl.DedupPipeline.dropNearDuplicatesTransitive(s, d)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-    }
+  /** Transitive corpus dedup UNDER THE DRIVER HASH GATE: the
+    * oracle-green exact n-gram Jaccard pair set (q_dedup_ngram_jaccard,
+    * threshold 0.05) → distributed connected components (min-label
+    * propagation, etl.ConnectedComponents) → keep the min-doc_id
+    * survivor per cluster. The DuckDB oracle recomputes the SAME
+    * clustering as a recursive-CTE transitive closure over the same
+    * pair SQL, so the CC operator itself is hash-pinned — until round
+    * 10 this row was no_oracle because its pairs came from the
+    * engine-specific minhash family; that corpus-scale path lives on
+    * in [[graft.etl.DedupPipeline.dropNearDuplicatesTransitive]]
+    * (ConnectedComponentsSpec / DedupPipelineSpec). CC is the same
+    * operator either way — only the pair source differs (banded
+    * minhash at 100 TB, the guarded exact twin here). */
+  val qDedupTransitive: QDef = QDef(
+    "q_dedup_transitive",
+    """WITH RECURSIVE t AS (SELECT doc_id, source, lang,
+      |    string_split(text, ' ') AS l FROM documents),
+      |s AS (SELECT doc_id, source, lang,
+      |    list_distinct(list_transform(range(3, len(l) + 1),
+      |      i -> l[i-2] || ' ' || l[i-1] || ' ' || l[i])) AS s
+      |  FROM t WHERE len(l) >= 3),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b
+      |    ON a.source = b.source AND a.lang = b.lang
+      |    AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      |      >= 0.05),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (SELECT u, u AS r
+      |    FROM (SELECT DISTINCT u FROM edges) t0
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |lbl AS (SELECT u, MIN(r) AS root FROM reach GROUP BY u)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id NOT IN (SELECT u FROM lbl WHERE u <> root)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val losers = graft.etl.ConnectedComponents
+      .dedupGroups(pairs, "doc_a", "doc_b")
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    documents(s, d)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Fuzzy name matching: part-name pairs within levenshtein 1..3,
     * BLOCKED on (brand, first letter) — the standard entity-resolution
@@ -545,9 +582,10 @@ object DedupQueries {
     * multi-name clusters are emitted (singletons are not resolutions).
     * Scale: same blocked sub-quadratic candidate stage as the JW pair
     * query, then min-label propagation whose per-round cost is one
-    * join+agg on the (tiny) name-pair graph. No oracle — transitive
-    * closure is not SQL-expressible; RoundSixSpec replays the
-    * clustering with an independent union-find over the same pairs. */
+    * join+agg on the (tiny) name-pair graph. Oracle since round 10:
+    * a recursive-CTE transitive closure (see qErClusters below);
+    * RoundSixSpec additionally replays the clustering with an
+    * independent union-find over the same pairs. */
   /** Edge budget below which the resolution graph clusters
     * driver-side: the graph is VOCABULARY-sized (distinct names after
     * blocking + threshold), not data-sized, so even catalog-scale
@@ -624,7 +662,40 @@ object DedupQueries {
       .orderBy(col("cluster_id"))
   }
 
-  val qErClusters: QDef = QDef.noOracle("q_er_clusters") { (s, d) =>
+  /** Entity-resolution cluster report under the driver hash gate
+    * (round 10; previously no_oracle): the blocked Jaro-Winkler ≥ 0.92
+    * name graph — whose similarity function DuckDB shares, already
+    * pinned by q_fuzzy_jw_pairs — clustered by transitive closure.
+    * The oracle recomputes the SAME clusters with a recursive CTE, so
+    * both the JW edge set and the union-find/min-label component
+    * labeling sit under the hash gate. Nodes without any edge are
+    * outside the report on both sides (the engine joins components,
+    * which only cover edge-participating vertices). */
+  val qErClusters: QDef = QDef(
+    "q_er_clusters",
+    """WITH RECURSIVE nodes AS (
+      |  SELECT p_brand, p_type, p_name, MIN(p_partkey) AS node_id,
+      |    COUNT(*) AS n_parts
+      |  FROM part GROUP BY p_brand, p_type, p_name),
+      |edges0 AS (
+      |  SELECT a.node_id AS src, b.node_id AS dst
+      |  FROM nodes a JOIN nodes b
+      |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |    AND a.p_name < b.p_name
+      |  WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+      |    >= 0.92),
+      |edges AS (SELECT src AS u, dst AS v FROM edges0
+      |  UNION SELECT dst AS u, src AS v FROM edges0),
+      |reach AS (SELECT u, u AS r
+      |    FROM (SELECT DISTINCT u FROM edges) t0
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |lbl AS (SELECT u, MIN(r) AS root FROM reach GROUP BY u)
+      |SELECT l.root AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_names,
+      |  CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+      |FROM lbl l JOIN nodes n ON n.node_id = l.u
+      |GROUP BY l.root
+      |ORDER BY cluster_id""".stripMargin) { (s, d) =>
     val (nodes, edges) = erGraph(s, d)
     erClustersFrom(s, nodes, edges)
   }
@@ -874,12 +945,61 @@ object DedupQueries {
     * The interval merge and reassembly are pure codegen
     * higher-order-function expressions (aggregate/zip_with/transform
     * over the per-doc position array — bounded by len/subS entries, so
-    * per-row state is small and there is no UDF in the path). No
-    * oracle: the span arithmetic is not reasonably SQL-expressible in
-    * DuckDB; DedupSubstringSpec property-tests the cut (dup pair →
-    * later copy nearly empty; partial borrower loses exactly the
-    * borrowed span; first doc and independents untouched). */
-  val qDedupSpanCut: QDef = QDef.noOracle("q_dedup_span_cut") { (s, d) =>
+    * per-row state is small and there is no UDF in the path).
+    *
+    * Oracle (round 10; previously no_oracle): the same span arithmetic
+    * IS SQL-expressible — with ascending positions and FIXED width the
+    * fold's merge test `p <= prev_end` reduces to `p <= lag(p) + W`,
+    * so intervals fall out of a lag-window + running-sum interval-id,
+    * and the reassembly is a string_agg of the gap substrings. Drift
+    * in the HOF fold (off-by-one span ends, missed adjacent-merge)
+    * now fails the driver hash gate; DedupSubstringSpec keeps the
+    * property lens (dup pair → later copy nearly empty; partial
+    * borrower loses exactly the borrowed span). */
+  val qDedupSpanCut: QDef = QDef(
+    "q_dedup_span_cut",
+    s"""$subOracleCtes,
+      |hits AS (
+      |  SELECT DISTINCT a.a_doc AS doc_id, a.a_pos AS p
+      |  FROM a JOIN keep ON a.g = keep.g
+      |  JOIN b ON a.g = b.g AND b.b_doc < a.a_doc),
+      |marks AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p > COALESCE(lag(p) OVER
+      |        (PARTITION BY doc_id ORDER BY p) + $subW, 0)
+      |      THEN 1 ELSE 0 END AS is_start
+      |  FROM hits),
+      |iv0 AS (
+      |  SELECT doc_id, p, SUM(is_start) OVER
+      |    (PARTITION BY doc_id ORDER BY p) AS iv_id
+      |  FROM marks),
+      |iv AS (
+      |  SELECT doc_id, iv_id, MIN(p) AS s, MAX(p) + $subW AS e
+      |  FROM iv0 GROUP BY doc_id, iv_id),
+      |cut AS (SELECT doc_id, SUM(e - s) AS n_cut FROM iv
+      |  GROUP BY doc_id),
+      |pieces AS (
+      |  SELECT doc_id, COALESCE(lag(e) OVER
+      |      (PARTITION BY doc_id ORDER BY s), 1) AS gs, s AS ge
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT doc_id, MAX(e) AS gs, NULL AS ge FROM iv
+      |  GROUP BY doc_id),
+      |rebuilt AS (
+      |  SELECT p.doc_id,
+      |    string_agg(substr(d.text, CAST(p.gs AS INTEGER),
+      |      CAST(COALESCE(p.ge, d.len + 1) - p.gs AS INTEGER)),
+      |      '' ORDER BY p.gs) AS clean_text
+      |  FROM pieces p JOIN docs d ON p.doc_id = d.doc_id
+      |  GROUP BY p.doc_id)
+      |SELECT r.doc_id, CAST(d.len AS INTEGER) AS orig_len,
+      |  CAST(c.n_cut AS BIGINT) AS n_cut,
+      |  CAST(length(r.clean_text) AS BIGINT) AS clean_len,
+      |  r.clean_text
+      |FROM rebuilt r
+      |JOIN docs d ON r.doc_id = d.doc_id
+      |JOIN cut c ON r.doc_id = c.doc_id
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     val cutPos = subHits(s, d)
       .where(col("b_doc") < col("a_doc"))
       .groupBy(col("a_doc").as("doc_id"))

@@ -473,14 +473,51 @@ object MlEvalQueries {
     * post-hoc calibrator every scored-model pipeline fits after the
     * binned diagnostic: Spark ML's IsotonicRegression pools adjacent
     * violating bins (weighted by bin size) into a monotone
-    * non-decreasing mapping score → calibrated rate. PAV is EXACT and
-    * deterministic, but not SQL-expressible — no oracle;
-    * IsotonicCalibrationSpec re-implements textbook PAV independently
-    * and asserts equality, monotonicity, and weighted-mean
-    * preservation. The model fits over 10 pre-aggregated rows — the
-    * 100 TB scan cost is the binning aggregate, not the fit. */
-  val qCalibrationIsotonic: QDef =
-    QDef.noOracle("q_calibration_isotonic") { (s, d) =>
+    * non-decreasing mapping score → calibrated rate. The model fits
+    * over 10 pre-aggregated rows — the 100 TB scan cost is the
+    * binning aggregate, not the fit.
+    *
+    * Oracle (round 10; previously no_oracle): over n ordered points
+    * PAV's solution has the closed minimax form fitted(i) =
+    * max,,j≤i,, min,,k≥i,, weightedMean(pos_rate over bins j..k) —
+    * O(n³) joins, trivial for the 10 fixed bins, and the segment
+    * means multiply pos_rate×n exactly like Spark ML's weighted
+    * pooling, so the 6dp-rounded outputs agree bit-for-bit. The PAV
+    * algebra itself is now under the driver hash gate;
+    * IsotonicCalibrationSpec keeps the independent textbook-PAV lens
+    * (equality, monotonicity, weighted-mean preservation). */
+  val qCalibrationIsotonic: QDef = QDef(
+    "q_calibration_isotonic",
+    """WITH s AS (
+      |  SELECT LEAST(value / 600, CAST(1.0 AS DOUBLE)) AS p,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |bq AS (
+      |  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+      |    CAST(FLOOR(p * 1e6) AS BIGINT) AS pq, y
+      |  FROM s),
+      |bins AS (
+      |  SELECT bin, COUNT(*) AS n,
+      |    CAST(SUM(pq) AS DOUBLE) / 1e6 / COUNT(*) AS mean_score,
+      |    CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+      |  FROM bq GROUP BY bin),
+      |seg AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    SUM(m.pos_rate * m.n) / SUM(m.n) AS avgv
+      |  FROM bins j JOIN bins k ON j.bin <= k.bin
+      |  JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+      |  GROUP BY j.bin, k.bin),
+      |inmin AS (
+      |  SELECT i.bin AS bin, sg.j AS j, MIN(sg.avgv) AS v
+      |  FROM bins i JOIN seg sg ON sg.j <= i.bin AND sg.k >= i.bin
+      |  GROUP BY i.bin, sg.j),
+      |fit AS (SELECT bin, MAX(v) AS iso FROM inmin GROUP BY bin)
+      |SELECT CAST(b.bin AS INT) AS bin, CAST(b.n AS BIGINT) AS n,
+      |  ROUND(b.mean_score, 6) AS mean_score,
+      |  ROUND(b.pos_rate, 6) AS pos_rate,
+      |  ROUND(f.iso, 6) AS iso_rate
+      |FROM bins b JOIN fit f ON b.bin = f.bin
+      |ORDER BY bin""".stripMargin) { (s, d) =>
       // memoize (10-row checkpointed bins, fitted model): fit +
       // transform would otherwise each re-run the full events binning
       // scan, and the fit is session-lifetime setup like the

@@ -29,6 +29,16 @@ class GoldenParitySpec extends AnyFunSuite {
         // DuckDB COPY writes RFC4180 CSV (embedded quotes doubled);
         // Spark's default escape is backslash — align to RFC4180
         .option("escape", "\"")
+        // DuckDB encodes '' as a QUOTED empty field and NULL as a bare
+        // empty field. Spark folds both to null: the parser yields ""
+        // for the quoted form, and the default nullValue="" then nulls
+        // it. emptyValue keeps the quoted form as "", and a sentinel
+        // nullValue (never emitted by DuckDB COPY) stops the fold —
+        // bare-empty fields still parse to null natively
+        // (q_dedup_span_cut's fully-cut doc has a genuinely empty
+        // clean_text that must NOT equal null)
+        .option("emptyValue", "")
+        .option("nullValue", "__null__")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(url.getPath)
