@@ -20,6 +20,11 @@ import graft.sources.jetmdb.JetMdbFormat._
   * (catalog page rebuilt, relationships folded into the existing
   * MSysRelationships), so multi-table `.mdb` files — real FK pairs
   * included — build incrementally, one table per write.
+  * `.option("version", "jet3")` writes the Access-97 format instead
+  * (2048-byte pages, CP1252 text, 255-byte rows — see [[Jet3Write]]
+  * for the profile and its honest scope rejections); fresh AND
+  * append both dispatch on the option, and a version/file mismatch
+  * on append fails loudly in either direction.
   *
   * Topology: a `.mdb` is a SINGLE file with an internal catalog, so
   * the two-phase commit stages per-task ROW BLOBS (a trivial
@@ -384,13 +389,33 @@ private[jetmdb] final class JetMdbWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schema = info.schema()
+      // version: jet4 (default) or jet3 — the Access-97 export path
+      val version = Option(info.options.get("version"))
+        .map(_.toLowerCase).getOrElse("jet4")
+      require(version == "jet4" || version == "jet3",
+        s"jetmdb: unknown version '$version' (jet4 | jet3)")
+      val jet3 = version == "jet3"
       val memoCols = Option(info.options.get("memocolumns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty[String])
       memoCols.foreach(c => require(schema.fieldNames.contains(c),
         s"jetmdb: memoColumns names unknown column '$c'"))
-      // plan-time validation
-      schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols))
+      // plan-time validation (per version — Jet3 has no MEMO/OLE/
+      // NUMERIC and its reader skips index sections, so the metadata
+      // options reject rather than write what cannot round-trip)
+      if (jet3) {
+        require(memoCols.isEmpty,
+          "jetmdb/jet3: memoColumns — Jet3 MEMO uses long-value " +
+            "pointer forms outside the documented profile; write Jet4")
+        Seq("indexes", "relationships", "autonumber").foreach { opt =>
+          require(info.options.get(opt) == null,
+            s"jetmdb/jet3: .option(\"$opt\", …) — the Jet3 profile " +
+              "carries no index/relationship metadata (its reader " +
+              "skips those sections, so a write could not be " +
+              "verified); write Jet4 for metadata-bearing exports")
+        }
+        schema.fields.foreach(Jet3Write.jetCode3)
+      } else schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols))
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
@@ -419,7 +444,7 @@ private[jetmdb] final class JetMdbWriteBuilder(
           s"jetmdb: autonumber column '$c' must be LONG (IntegerType)")
       }
       JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
-        autoNums, overwrite,
+        autoNums, overwrite, jet3,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -435,13 +460,14 @@ private[jetmdb] final case class JetMdbBatchWrite(
     relationships: Seq[(String, String, String, String, Int, Int, Int)],
     autoNumbers: Set[String],
     overwrite: Boolean,
+    jet3: Boolean,
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    JetMdbWriterFactory(path, stagingName, schema, memoCols, conf)
+    JetMdbWriterFactory(path, stagingName, schema, memoCols, jet3, conf)
 
   private val relSchema = StructType(Seq(
     StructField("ccolumn", IntegerType),
@@ -478,7 +504,9 @@ private[jetmdb] final case class JetMdbBatchWrite(
     val fs = new Path(path).getFileSystem(conf.value)
     val parent = new Path(path).getParent
     val staging = new Path(parent, stagingName)
-    val codes = schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
+    val codes =
+      if (jet3) schema.fields.map(Jet3Write.jetCode3)
+      else schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
     val parts = messages.collect {
       case m: JetMdbCommit if m.file != null => m
     }
@@ -486,16 +514,47 @@ private[jetmdb] final case class JetMdbBatchWrite(
     val tmpOut = new Path(parent, s"$stagingName.mdb")
     val out = fs.create(tmpOut, true)
     var pageCount = 0
+    val maxPages =
+      if (jet3) Jet3Write.MaxPages3 else JetMdbWrite.MaxPages
     def writePage(p: Array[Byte]): Unit = {
-      if (pageCount >= JetMdbWrite.MaxPages)
+      if (pageCount >= maxPages)
         throw new java.io.IOException(
-          "jetmdb: output exceeds Jet's 2 GB database cap — this sink " +
-            "is for bounded interchange tables (use parquet/JDBC)")
+          (if (jet3) "jetmdb/jet3: output exceeds Jet3's 1 GB " +
+            "database cap"
+          else "jetmdb: output exceeds Jet's 2 GB database cap") +
+            " — this sink is for bounded interchange tables " +
+            "(use parquet/JDBC)")
       out.write(p); pageCount += 1
     }
     val appending = !overwrite && fs.exists(new Path(path))
     try {
-      if (appending) {
+      if (jet3) {
+        val blobs = parts.iterator.flatMap { m =>
+          JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
+        }
+        val rows = math.min(numRows, Int.MaxValue.toLong).toInt
+        if (appending) {
+          val st = fs.getFileStatus(new Path(path))
+          require(st.getLen % Jet3Format.PageSize == 0,
+            s"jetmdb/jet3 append: $path is not 2048-page-aligned " +
+              s"(${st.getLen} bytes)")
+          val oldCount = (st.getLen / Jet3Format.PageSize).toInt
+          val pages = new Array[Array[Byte]](oldCount)
+          val in = fs.open(new Path(path))
+          try {
+            var n = 0
+            while (n < oldCount) {
+              val pg = new Array[Byte](Jet3Format.PageSize)
+              in.readFully(n.toLong * Jet3Format.PageSize, pg)
+              pages(n) = pg
+              n += 1
+            }
+          } finally in.close()
+          Jet3Write.appendPages3(pages, table, schema, codes, rows,
+            blobs, writePage)
+        } else Jet3Write.freshPages3(table, schema, codes, rows, blobs,
+          writePage)
+      } else if (appending) {
         appendPages(fs, staging, codes, parts, numRows, writePage)
       } else freshPages(fs, staging, codes, parts, numRows, writePage)
     } finally out.close()
@@ -538,8 +597,8 @@ private[jetmdb] final case class JetMdbBatchWrite(
     } finally in.close()
     checkHeader(pages(0))
     require(u8(pages(0), 0x14) == 0x01,
-      "jetmdb append: only Jet4 files can be appended to (Jet3 is " +
-        "read-only scope)")
+      "jetmdb append: target is not a Jet4 file — append to a Jet3 " +
+        "database with .option(\"version\", \"jet3\")")
     val sysTdef = parseTdef(pages(2), 2)
     require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
       ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
@@ -759,12 +818,13 @@ private[jetmdb] final case class JetMdbWriterFactory(
     stagingName: String,
     schema: StructType,
     memoCols: Set[String],
+    jet3: Boolean,
     conf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JetMdbDataWriter(path, stagingName, schema, memoCols, conf.value,
-      partitionId, taskId)
+    new JetMdbDataWriter(path, stagingName, schema, memoCols, jet3,
+      conf.value, partitionId, taskId)
 }
 
 private[jetmdb] final class JetMdbDataWriter(
@@ -772,6 +832,7 @@ private[jetmdb] final class JetMdbDataWriter(
     stagingName: String,
     schema: StructType,
     memoCols: Set[String],
+    jet3: Boolean,
     hconf: Configuration,
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
@@ -781,11 +842,15 @@ private[jetmdb] final class JetMdbDataWriter(
   private val part = new Path(new Path(parent, stagingName), fileName)
   private val fs = part.getFileSystem(hconf)
   private val out = fs.create(part, true)
-  private val codes = schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
+  private val codes =
+    if (jet3) schema.fields.map(Jet3Write.jetCode3)
+    else schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    val bytes = JetMdbWrite.encodeRow(row, schema, codes)
+    val bytes =
+      if (jet3) Jet3Write.encodeRow3(row, schema, codes)
+      else JetMdbWrite.encodeRow(row, schema, codes)
     out.write((bytes.length >> 8) & 0xFF)
     out.write(bytes.length & 0xFF)
     out.write(bytes)
