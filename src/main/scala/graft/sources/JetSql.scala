@@ -30,14 +30,22 @@ import org.apache.spark.sql.SparkSession
   *     precedence (arithmetic and Mod bind tighter; comparisons and
   *     clause keywords bound the chain); a LIKE pattern built by `&`
   *     rejects — its wildcards could no longer be translated;
-  *   - `SELECT TOP n …` → trailing `LIMIT n`; a TOP in a scope that
+  *   - `SELECT TOP n …` → trailing `LIMIT n`. DOCUMENTED DEVIATION:
+  *     when the nth row TIES on the ORDER BY keys Access returns the
+  *     whole tie group and LIMIT cuts it — exact only when the ORDER
+  *     BY prefix is unique (add a key column, or use TOP n PERCENT's
+  *     windowed form for tie-exact ports). A TOP in a scope that
   *     also holds a depth-0 UNION REJECTS (Access applies TOP per
   *     SELECT branch, but a trailing LIMIT would silently bind to
   *     the COMBINED result — parenthesize the branch); `TOP n
   *     PERCENT` → Access's tie-aware windowed form on the engine
   *     target (`RANK() ≤ CEILING(pct of COUNT)` over the statement's
   *     own ORDER BY, boundary ties included — LIMIT is not
-  *     equivalent), still rejected for JDBC targets;
+  *     equivalent), still rejected for JDBC targets; the windowed
+  *     form resolves its ORDER BY against the statement's OUTPUT
+  *     columns, so a PERCENT query ordered by a non-output source
+  *     column fails loudly at analysis rather than silently
+  *     reordering;
   *   - LIKE patterns: Jet wildcards `*`/`?` → `%`/`_` (only inside
   *     the string literal FOLLOWING a LIKE, never elsewhere); Jet's
   *     `[charlist]` and `#` (single digit) wildcards — which ANSI
