@@ -94,11 +94,73 @@ object PipelineExtQueries {
     * count rollup as q_transition_matrix (one user_id shuffle); the
     * collected transition table is ≤ |types|² rows, and the
     * (I−Q)-system solve is a driver-side Gaussian elimination over a
-    * 4×4 matrix — the IVF-centroid bounded-state justification. No
-    * oracle (a linear-system solve is not SQL-expressible);
-    * PipelineExtSpec asserts h ∈ [0,1], h ≥ the direct one-step
-    * probability, and the defining residual (I−Q)h − r ≈ 0. */
-  val qAbsorptionProb: QDef = QDef.noOracle("q_absorption_prob") { (s, d) =>
+    * 4×4 matrix — the IVF-centroid bounded-state justification.
+    *
+    * Oracle (round 10; previously no_oracle as "a linear-system solve
+    * is not SQL-expressible"): for a FIXED small state set it is —
+    * Cramer's rule is a closed form, and the oracle below carries the
+    * full 24-term 4×4 determinant expansions (generated, not
+    * hand-typed) over a one-row matrix CTE, h_i = det(A with column i
+    * replaced by r) / det(A). The fixture corpus's transient states
+    * are pinned by name (click/error/signup/view — the oracle
+    * diverges loudly if the generator ever changes them), while the
+    * ENGINE side stays data-derived. Cramer and the engine's pivoted
+    * elimination agree to ~1e-15 relatively; both sides round at 6dp.
+    * PipelineExtSpec keeps the algebraic lens (h ∈ [0,1], h ≥ direct,
+    * residual (I−Q)h − r ≈ 0). */
+  val qAbsorptionProb: QDef = {
+    val states = Seq("click", "error", "signup", "view")
+    val k = states.length
+    val perms = (0 until k).toList.permutations.toList
+    def sign(p: List[Int]): Int = {
+      val inv = (for {
+        i <- p.indices; j <- i + 1 until p.length
+        if p(i) > p(j)
+      } yield 1).sum
+      if (inv % 2 == 0) 1 else -1
+    }
+    // det over cell names; colOf(j)(i) = the cell at row i, column j
+    def det(colOf: Int => Int => String): String = perms.map { p =>
+      val term = (0 until k).map(i => colOf(p(i))(i)).mkString(" * ")
+      (if (sign(p) > 0) "+ " else "- ") + term
+    }.mkString(" ")
+    val base: Int => Int => String = j => i => s"a$i$j"
+    def repl(r: Int): Int => Int => String =
+      j => i => if (j == r) s"r$i" else s"a$i$j"
+    val cellDefs = (for {
+      i <- 0 until k; j <- 0 until k
+    } yield {
+      val id = if (i == j) "1.0" else "0.0"
+      s"$id - COALESCE(MAX(CASE WHEN f = '${states(i)}' AND " +
+        s"tt = '${states(j)}' THEN p END), 0.0) AS a$i$j"
+    }) ++ (0 until k).map { i =>
+      s"COALESCE(MAX(CASE WHEN f = '${states(i)}' AND " +
+        s"tt = 'purchase' THEN p END), 0.0) AS r$i"
+    }
+    val outRows = (0 until k).map { i =>
+      s"SELECT '${states(i)}' AS state, " +
+        s"CAST((SELECT tn FROM tot WHERE f = '${states(i)}') " +
+        "AS BIGINT) AS n_out, " +
+        s"ROUND((SELECT r$i FROM m), 6) AS p_direct, " +
+        s"ROUND((SELECT (${det(repl(i))}) / (${det(base)}) FROM m), 6)" +
+        " AS p_reach_purchase"
+    }.mkString("\n|", "\n|UNION ALL\n|", "\n|")
+    QDef(
+      "q_absorption_prob",
+      s"""WITH s AS (
+        |  SELECT event_type AS f, COALESCE(LEAD(event_type) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id), '__end__') AS tt
+        |  FROM events),
+        |t AS (SELECT f, tt, COUNT(*) AS n FROM s
+        |  WHERE f <> 'purchase' GROUP BY f, tt),
+        |tot AS (SELECT f, SUM(n) AS tn FROM t GROUP BY f),
+        |p AS (SELECT t.f, t.tt, CAST(t.n AS DOUBLE) / tot.tn AS p
+        |  FROM t JOIN tot ON t.f = tot.f),
+        |m AS (SELECT
+        |  ${cellDefs.mkString(",\n|  ")}
+        |FROM p)$outRows
+        |ORDER BY state""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val trans = events(s, d)
@@ -167,6 +229,7 @@ object PipelineExtQueries {
           .toDouble)
     }.toDF("state", "n_out", "p_direct", "p_reach_purchase")
       .orderBy(col("state"))
+    }
   }
 
   /** Per-user Shannon entropy of the event-type distribution — the

@@ -84,7 +84,17 @@ class RegistryPlanSpec extends AnyFunSuite {
       // frame — |sources| = 20 rows at every scale factor, a domain
       // constant; the per-document rank window IS partitioned (by
       // source) and the frame joins back broadcast
-      "q_curriculum_mix")
+      "q_curriculum_mix",
+      // translated Jet TOP n PERCENT: the RANK + COUNT OVER ()
+      // windows are the operation's NATURE (a global percentile
+      // needs a global order), and the translator path is
+      // interchange-scale BY CONTRACT — any table a saved Access
+      // query ran over fits Jet's own 2 GB database cap, so the
+      // global window's input is format-bounded, not data-scaled
+      // (the engine-side q_jet_top_percent carries the same audited
+      // shape; corpus-scale percentile cuts go through
+      // approx-percentile, not a saved-query port)
+      "q_jetsql_saved3")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>
