@@ -389,12 +389,14 @@ object JetSql {
     }
   }
 
-  /** True when this scope's depth-0 FROM clause draws from more than
-    * one table — a JOIN keyword or a comma-separated table list
-    * before the next clause keyword. Subqueries in FROM are one
+  /** True when the depth-0 FROM clause FOLLOWING `from` (a token
+    * index — pass the SELECT keyword's position so a UNION's later
+    * branch checks its OWN FROM, not the first branch's) draws from
+    * more than one table — a JOIN keyword or a comma-separated table
+    * list before the next clause keyword. Subqueries in FROM are one
     * "table" here (their own scope decides for themselves). */
-  private def fromIsMultiTable(toks: Vector[Tok]): Boolean = {
-    val fromIdx = depth0Word(toks, "from")
+  private def fromIsMultiTable(toks: Vector[Tok], from: Int): Boolean = {
+    val fromIdx = depth0Word(toks, "from", from)
     if (fromIdx < 0) return false
     val endWords =
       Set("where", "group", "order", "having", "union", "limit")
@@ -700,8 +702,10 @@ object JetSql {
         // rejection a ported .mdb app used to hit first. Single-table:
         // drop the keyword (plain row semantics, exactly Access).
         // Multi-table: still rejected — eliminating duplicates over
-        // non-output source fields has no ANSI equivalent.
-        if (fromIsMultiTable(toks))
+        // non-output source fields has no ANSI equivalent. The scan
+        // starts AT this token so a UNION's later branch is judged by
+        // its OWN FROM clause, never the first branch's.
+        if (fromIsMultiTable(toks, i))
           fail("DISTINCTROW over a join or multi-table FROM (its " +
             "duplicate elimination is over underlying records, not " +
             "output columns)")
@@ -985,10 +989,23 @@ object JetSql {
         put("%")
         i += 1
       } else if (isWord(t, "like")) {
-        // translate the wildcards of the literal that follows
+        // translate the wildcards of the literal that follows — a Jet
+        // string token OR a bound Text PARAMETER (substituteParams
+        // already rendered it as a raw '…' SQL literal); both carry
+        // Jet wildcards that would otherwise pass through and
+        // silently match literal */?/[ characters
         val litIdx = nextNonWs(i + 1)
-        if (litIdx < toks.length && toks(litIdx).kind == "string") {
-          val pat = toks(litIdx).text
+        val litPat: Option[String] =
+          if (litIdx >= toks.length) None
+          else if (toks(litIdx).kind == "string") Some(toks(litIdx).text)
+          else if (toks(litIdx).kind == "raw" && {
+            val rt = toks(litIdx).text
+            rt.length >= 2 && rt.head == '\'' && rt.last == '\''
+          }) Some(toks(litIdx).text.substring(1,
+            toks(litIdx).text.length - 1).replace("''", "'"))
+          else None
+        if (litPat.isDefined) {
+          val pat = litPat.get
           if (pat.contains("[") || pat.contains("#")) {
             // [charlist] / # (single digit) have no ANSI LIKE
             // equivalent but map EXACTLY onto a regex — on the engine

@@ -183,6 +183,15 @@ class JetSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       translate("SELECT a, DISTINCTROW b FROM t")
     }
+    // a UNION's later branch is judged by its OWN FROM clause — a
+    // multi-table DISTINCTROW in branch 2 must not slip through
+    // because branch 1 was single-table (round-10 review finding)
+    intercept[IllegalArgumentException] {
+      translate("SELECT a FROM t UNION " +
+        "SELECT DISTINCTROW u.b FROM u, w WHERE u.k = w.k")
+    }
+    assert(translate("SELECT a FROM t UNION SELECT DISTINCTROW b FROM u")
+      == "SELECT a FROM t UNION SELECT b FROM u")
   }
 
   test("Jet LIKE charlist and # digit wildcards translate to an " +
@@ -219,6 +228,18 @@ class JetSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       translate("WHERE x LIKE \"a[!]b\"")
     }
+    // a bound Text PARAMETER after LIKE is a pattern too: its Jet
+    // wildcards must translate exactly like a literal's (round-10
+    // review finding — the raw substituted literal used to pass
+    // through and match a literal '*')
+    assert(graft.sources.JetSql.translate(
+      "PARAMETERS [pat] Text; SELECT a FROM t WHERE nm LIKE [pat]",
+      Map("pat" -> "Sm*th's")) ==
+      "SELECT a FROM t WHERE nm LIKE 'Sm%th''s'")
+    assert(graft.sources.JetSql.translate(
+      "PARAMETERS [pat] Text; SELECT a FROM t WHERE nm LIKE [pat]",
+      Map("pat" -> "Sm[iy]th")) ==
+      "SELECT a FROM t WHERE nm RLIKE '^Sm[iy]th$'")
   }
 
   test("numeric helpers: Int floors, Fix truncates toward zero, Sgn, " +
