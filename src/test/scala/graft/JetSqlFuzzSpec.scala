@@ -473,6 +473,141 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("60 random whole STATEMENTS (DISTINCT/DISTINCTROW x TOP/TOP " +
+    "PERCENT x charlist-LIKE WHERE x UNION x ORDER BY) translate and " +
+    "execute to the same multiset as an independent relational " +
+    "evaluator — or reject loudly") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val r = new scala.util.Random(60431188L)
+    // base relation: unique id, tied v, small-alphabet s
+    val n = 40
+    val rows: Seq[(Int, Int, String)] = (1 to n).map { i =>
+      (i, r.nextInt(5), Seq.fill(3)("abc01"(r.nextInt(5))).mkString)
+    }
+    rows.toDF("id", "v", "s").createOrReplaceTempView("stmt_fuzz")
+    // Jet-LIKE reference over the tiny alphabet (subset of lane 6:
+    // literal / ? / * / # / one charlist)
+    def likeMatches(pat: String, s: String): Boolean = {
+      def m(pi: Int, si: Int): Boolean =
+        if (pi == pat.length) si == s.length
+        else pat(pi) match {
+          case '*' => (si to s.length).exists(k => m(pi + 1, k))
+          case '?' => si < s.length && m(pi + 1, si + 1)
+          case '#' => si < s.length && s(si).isDigit && m(pi + 1, si + 1)
+          case '[' =>
+            val close = pat.indexOf(']', pi + 1)
+            val body0 = pat.substring(pi + 1, close)
+            val neg = body0.startsWith("!")
+            val body = if (neg) body0.tail else body0
+            si < s.length && {
+              val in =
+                if (body.length == 3 && body(1) == '-')
+                  s(si) >= body(0) && s(si) <= body(2)
+                else body.contains(s(si))
+              (in != neg) && m(close + 1, si + 1)
+            }
+          case c => si < s.length && s(si) == c && m(pi + 1, si + 1)
+        }
+      m(0, 0)
+    }
+    val likePats = Seq("a*", "*1*", "?b*", "[a-b]*", "[!a]*", "*#", "a?c")
+    (0 until 60).foreach { k =>
+      // projected tuple as (String keys) for multiset compare
+      val proj: Seq[String] = r.nextInt(3) match {
+        case 0 => Seq("v")
+        case 1 => Seq("s", "v")
+        case _ => Seq("id", "v")
+      }
+      val prefix = r.nextInt(3) match {
+        case 0 => ""
+        case 1 => "DISTINCT "
+        case _ => "DISTINCTROW " // single table: Access ignores it
+      }
+      val wherePat =
+        if (r.nextBoolean()) Some(likePats(r.nextInt(likePats.length)))
+        else None
+      val whereSql = wherePat
+        .map(p => s""" WHERE [s] LIKE "$p"""").getOrElse("")
+      val union = r.nextInt(3) // 0 none, 1 UNION, 2 UNION ALL
+      // TOP only without UNION (in-scope TOP+UNION rejects by design)
+      val top = if (union == 0) r.nextInt(3) else 0
+      val desc = r.nextBoolean()
+      // plain TOP orders by the UNIQUE id prefix (the documented
+      // LIMIT translation is exact only then); PERCENT orders by the
+      // tied v and must return WHOLE boundary groups
+      val (topSql, orderSql) = top match {
+        case 1 if proj.contains("id") =>
+          val c = r.nextInt(n) + 1
+          (s"TOP $c ", s" ORDER BY [id]${if (desc) " DESC" else ""}")
+        case 2 =>
+          val p = r.nextInt(100) + 1
+          (s"TOP $p PERCENT ", s" ORDER BY [v]${if (desc) " DESC" else ""}")
+        case _ => ("", "")
+      }
+      val selList = proj.map(c => s"[$c]").mkString(", ")
+      val sql =
+        if (union == 0)
+          s"SELECT $prefix$topSql$selList FROM stmt_fuzz$whereSql$orderSql"
+        else {
+          val u = if (union == 1) "UNION" else "UNION ALL"
+          s"SELECT $prefix$selList FROM stmt_fuzz$whereSql $u " +
+            s"SELECT $selList FROM stmt_fuzz WHERE [v] > 2"
+        }
+      // independent evaluation over the Scala rows
+      def project(t: (Int, Int, String)): Seq[Any] = proj.map {
+        case "id" => t._1
+        case "v" => t._2
+        case "s" => t._3
+      }
+      val base0 = rows
+        .filter(t => wherePat.forall(p => likeMatches(p, t._3)))
+        .map(project)
+      val base =
+        if (prefix.startsWith("DISTINCT ")) base0.distinct else base0
+      val expected: Seq[Seq[Any]] =
+        // branch 1 keeps its own DISTINCT under UNION ALL (`base`,
+        // not `base0` — the first draft of this lane got that wrong
+        // and the ENGINE's answer exposed it)
+        if (union == 1) (base ++ rows.filter(_._2 > 2).map(project))
+          .distinct
+        else if (union == 2) base ++ rows.filter(_._2 > 2).map(project)
+        else top match {
+          case 1 if topSql.nonEmpty =>
+            val c = topSql.trim.split(" ")(1).toInt
+            val key = proj.indexOf("id")
+            val sorted = base.sortBy(t => t(key).asInstanceOf[Int])
+            (if (desc) sorted.reverse else sorted).take(c)
+          case 2 =>
+            val p = topSql.trim.split(" ")(1).toInt
+            val key = proj.indexOf("v")
+            val ord = base.map(t => t(key).asInstanceOf[Int])
+            val sorted = if (desc) ord.sorted.reverse else ord.sorted
+            if (sorted.isEmpty) Seq.empty
+            else {
+              val cut = math.ceil(sorted.length * p / 100.0).toInt
+              val boundary = sorted(cut - 1)
+              base.filter { t =>
+                val v = t(key).asInstanceOf[Int]
+                if (desc) v >= boundary else v <= boundary
+              }
+            }
+          case _ => base
+        }
+      val got = spark.sql(translate(sql)).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val want = expected
+        .map(_.map(String.valueOf).mkString("|")).sorted
+      assert(got == want, s"case $k:\n  $sql\n  got ${got.size} " +
+        s"want ${want.size}\n  got=$got\n  want=$want")
+    }
+    // the rejection contract holds for the shapes this lane avoids
+    intercept[IllegalArgumentException] {
+      translate("SELECT TOP 3 [v] FROM stmt_fuzz UNION " +
+        "SELECT [v] FROM stmt_fuzz ORDER BY [v]")
+    }
+  }
+
   test("500 random expressions: Spark executing the translation " +
     "matches the independent interpreter (seeded)") {
     val spark = TestSpark.session
