@@ -37,6 +37,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(0L) && cc.size == 31)
   }
 
+  test("runAuto path equivalence: the driver union-find (under budget) " +
+    "and the distributed propagation (forced by budget 0) label " +
+    "identically — including a long chain and a seeded random graph") {
+    val r = new scala.util.Random(271828L)
+    val random = Seq.fill(120)((r.nextInt(60).toLong,
+      r.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val chain = (100L until 118L).map(i => (i, i + 1))
+    val edges = (random ++ chain).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaDriver = toMap(ConnectedComponents.runAuto(edges))
+    val viaDistributed = toMap(
+      ConnectedComponents.runAuto(edges, edgeBudget = 0))
+    assert(viaDriver == viaDistributed)
+    // labels are component minima (the run() contract)
+    assert(viaDriver.forall { case (v, c) => c <= v })
+  }
+
   test("dedupGroups marks one canonical survivor per transitive cluster") {
     // pairs as a near-dup detector emits them: (a<b), transitive via 5
     val pairs = Seq((3L, 5L), (5L, 9L), (40L, 41L)).toDF("doc_a", "doc_b")
