@@ -146,6 +146,34 @@ class Jet3WriteSpec extends AnyFunSuite {
     assert(chain(e2).contains("not a Jet3"), chain(e2))
   }
 
+  test("full circle: engine tables → jet3 .mdb (exportToJetMdb) → " +
+    "one-call migrateJetMdb into Derby") {
+    import spark.implicits._
+    val dir = tmp()
+    val mdb = dir.resolve("app97.mdb").toString
+    val t1 = Seq((1, "ann", 10.5), (2, "bob", 20.25))
+      .toDF("id", "nm", "amt")
+    val t2 = Seq((1, 100), (2, 200), (1, 300)).toDF("cust", "total")
+    graft.etl.MigrationPipeline.exportToJetMdb(
+      Seq("Customers 97" -> t1, "Orders 97" -> t2), mdb,
+      version = "jet3")
+    // the exported file IS Access 97
+    assert(graft.sources.jetmdb.Jet3Format.isJet3(
+      Files.readAllBytes(java.nio.file.Paths.get(mdb)).take(2048)))
+    // …and the whole-database migration path consumes it end-to-end
+    // (catalog walk, typed specs, binary read, Derby load) — the
+    // lifecycle a real Access-97 archive goes through
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = graft.etl.MigrationPipeline.migrateJetMdb(
+      spark, mdb, graft.etl.MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map("Customers 97" -> 2L, "Orders 97" -> 3L))
+    val back = graft.sources.JdbcConnector
+      .read(spark, url, "customers_97", props = props)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, "ann", 10.5), Seq(2, "bob", 20.25)))
+  }
+
   test("jet3 scope rejections are loud: BIGINT, non-Currency decimal, " +
     "binary, metadata options, non-CP1252 text, oversize rows") {
     import spark.implicits._
