@@ -550,14 +550,27 @@ object JetMdbFormat {
   def oleDateToMicros(days: Double): java.lang.Long = {
     val day = if (days < 0) math.ceil(days) else math.floor(days)
     val frac = math.abs(days - day)
+    // day arithmetic in EXACT integers; only the time-of-day fraction
+    // multiplies as a double. The earlier single-expression form
+    // `round((day - 25569 + frac) * 86400e6)` rounded a ~10^15-µs
+    // product whose ulp reaches 1 µs for dates decades from 1899, so
+    // second-granularity values came back ±1 µs — microsecond values
+    // now round-trip exactly up to the OLE double's own time-of-day
+    // quantization (±0.5 µs at year 2083, i.e. still exact for µs
+    // inputs).
     java.lang.Long.valueOf(
-      math.round((day - 25569.0 + frac) * 86400.0 * 1e6))
+      (day.toLong - 25569L) * 86400000000L +
+        math.round(frac * 86400000000.0))
   }
 
   def microsToOleDate(micros: Long): Double = {
-    val linear = micros / 86400.0 / 1e6 + 25569.0
-    val day = math.floor(linear)
-    val frac = linear - day // time of day in [0, 1)
+    // split epoch-micros into exact day index + time-of-day BEFORE
+    // any double arithmetic (the single-division form quantized the
+    // day part too); sign-magnitude assembly matches OLE's convention
+    // (-1.5 = 1899-12-29 12:00) and oleDateToMicros' inverse
+    val day = Math.floorDiv(micros, 86400000000L) + 25569L
+    val frac = Math.floorMod(micros, 86400000000L).toDouble /
+      86400000000.0
     if (day >= 0) day + frac else day - frac
   }
 
