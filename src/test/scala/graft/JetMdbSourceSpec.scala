@@ -403,4 +403,97 @@ class JetMdbSourceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("unsupported Jet version"))
   }
+
+  test("20 random schemas round-trip the jet4 writer: bool/int/long/" +
+    "money/NUMERIC(p,s)/float/double/timestamp/TEXT/MEMO/OLE, ~20% " +
+    "nulls, Unicode text incl. a BOM-prefixed value (seeded)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val r = new scala.util.Random(46464646L)
+    val dir = java.nio.file.Files.createTempDirectory("jetmdb_rt_fuzz")
+    val alphabet = "ab c'\"é→Ж,0"
+    def randS(max: Int): String = {
+      val s = Seq.fill(r.nextInt(max) + 1)(
+        alphabet.charAt(r.nextInt(alphabet.length))).mkString
+      // occasionally exercise the BOM/compression-marker path
+      if (r.nextInt(8) == 0) "\uFEFF" + s else s
+    }
+    // (type, isMemo) — memo designation rides the memocolumns option
+    def randType(): (DataType, Boolean) = r.nextInt(10) match {
+      case 0 => (BooleanType, false)
+      case 1 => (ShortType, false)
+      case 2 => (IntegerType, false)
+      case 3 => (DecimalType(19, 4), false)
+      case 4 =>
+        val p = r.nextInt(24) + 5
+        (DecimalType(p, r.nextInt(math.min(p, 10) + 1)), false)
+      case 5 => (FloatType, false)
+      case 6 => (DoubleType, false)
+      case 7 => (TimestampType, false)
+      case 8 => (BinaryType, false)
+      case _ => (StringType, r.nextBoolean())
+    }
+    (0 until 20).foreach { k =>
+      val nCols = r.nextInt(6) + 1
+      val colTypes = (0 until nCols).map(_ => randType())
+      val fields = StructField("rid", IntegerType, nullable = false) +:
+        colTypes.zipWithIndex.map { case ((dt, _), i) =>
+          StructField(s"c$i", dt, nullable = true)
+        }
+      val schema = StructType(fields)
+      val memoCols = colTypes.zipWithIndex.collect {
+        case ((StringType, true), i) => s"c$i"
+      }
+      def value(dt: DataType): Any =
+        if (dt != BooleanType && r.nextInt(5) == 0) null
+        else dt match {
+          case BooleanType => r.nextBoolean()
+          case ShortType => (r.nextInt(65536) - 32768).toShort
+          case IntegerType => r.nextInt()
+          case d: DecimalType if d.precision == 19 && d.scale == 4 =>
+            new java.math.BigDecimal(
+              BigInt(r.nextLong(2000000001L) - 1000000000L).bigInteger, 4)
+          case d: DecimalType =>
+            // unscaled value within the declared precision
+            val digits = math.min(d.precision, 15)
+            val bound = math.pow(10, digits.toDouble).toLong
+            new java.math.BigDecimal(
+              BigInt(r.nextLong(2 * bound - 1) - (bound - 1)).bigInteger,
+              d.scale)
+          case FloatType => r.nextFloat() * 1e4f
+          case DoubleType => r.nextDouble() * 1e8
+          case TimestampType => new java.sql.Timestamp(
+            (r.nextLong(3155760000L)) * 1000L) // 1970..2070, seconds
+          case BinaryType =>
+            val b = new Array[Byte](r.nextInt(50)); r.nextBytes(b); b
+          case StringType => randS(30)
+        }
+      val nRows = r.nextInt(25)
+      val rows = (0 until nRows).map { i =>
+        Row.fromSeq(i +: fields.tail.map(f => value(f.dataType)))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+      val p = dir.resolve(s"rt$k.mdb").toString
+      var w = df.write.mode("overwrite").format("jetmdb")
+        .option("table", "t")
+      if (memoCols.nonEmpty)
+        w = w.option("memocolumns", memoCols.mkString(","))
+      w.save(p)
+      val back = spark.read.format("jetmdb").option("table", "t").load(p)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        schema.map(f => (f.name, f.dataType)), s"case $k schema")
+      // Array[Byte] compares by reference inside Row — normalize
+      def norm(xs: Seq[Any]): Seq[Any] = xs.map {
+        case a: Array[Byte] => a.toSeq
+        case v => v
+      }
+      val got = back.orderBy("rid").collect().map(x => norm(x.toSeq))
+        .toSeq
+      val want = df.orderBy("rid").collect().map(x => norm(x.toSeq))
+        .toSeq
+      assert(got == want, s"case $k (${schema.simpleString}, " +
+        s"memo=$memoCols)\ngot=${got.take(3)}\nwant=${want.take(3)}")
+    }
+  }
 }
