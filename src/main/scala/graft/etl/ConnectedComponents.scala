@@ -107,6 +107,87 @@ object ConnectedComponents {
     labels
   }
 
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — the public
+    * formulation [[run]]'s scaladoc points at): converges in O(log n)
+    * rounds regardless of component DIAMETER, where min-label
+    * propagation needs diameter-many rounds and [[run]]'s maxIter
+    * guard turns a long chain into an explicit error. Each round is
+    * two grouped-min + join passes over the canonical (larger →
+    * smaller) edge set:
+    *   - LARGE-STAR around every center c: connect each neighbor
+    *     LARGER than c to m = min(N(c) ∪ {c}) — long tails fold onto
+    *     small labels;
+    *   - SMALL-STAR around every center u over its smaller neighbors:
+    *     re-point them all at their minimum and keep (u, min) —
+    *     shallow stars flatten.
+    * Fixpoint = the canonical edge SET is unchanged (exact count +
+    * except-emptiness test, never a hash heuristic); at fixpoint the
+    * edges form one star per component, every vertex pointing at its
+    * component minimum — the same (v, cc) contract [[run]] returns.
+    * Same checkpoint discipline as [[run]]: each round's edge set is
+    * eagerly localCheckpoint'ed and the previous round's blocks are
+    * released once the comparison is done. */
+  def runStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var chk: DataFrame = null
+    var converged = false
+    try {
+      chk = edges
+        .select(col("src").cast("bigint").as("a"),
+          col("dst").cast("bigint").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      var curCount = chk.count()
+      var round = 0
+      while (!converged) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"star contraction did not converge in $maxRounds rounds")
+        val cur = chk
+        // LARGE-STAR over the symmetrized neighborhoods
+        val symm = cur.select(col("u").as("c"), col("v").as("n"))
+          .union(cur.select(col("v").as("c"), col("u").as("n")))
+        val lmin = symm.groupBy("c").agg(min(col("n")).as("mn"))
+          .select(col("c"), least(col("mn"), col("c")).as("m"))
+        val ls = symm.join(lmin, "c")
+          .filter(col("n") > col("c"))
+          // n > c ≥ m keeps the (larger → smaller) canonical form
+          .select(col("n").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        // SMALL-STAR over the smaller-neighbor lists
+        val smin = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val ss = ls.join(smin, "u")
+          .filter(col("v") =!= col("m"))
+          // v > m within the group (m is its minimum), canonical again
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smin.select(col("u"), col("m").as("v")))
+          .distinct()
+        val next = ss.localCheckpoint(true)
+        val nextCount = next.count()
+        // exact fixpoint on distinct canonical sets: equal size and
+        // an empty one-sided difference ⇒ identical
+        converged = nextCount == curCount &&
+          next.except(cur).limit(1).count() == 0
+        graft.plans.Checkpoints.unpersist(cur)
+        chk = next
+        curCount = nextCount
+        round += 1
+      }
+      // at fixpoint every edge is (vertex, component-min): labels are
+      // the star edges plus a self-label per root
+      chk.select(col("u").as("v"), col("v").as("cc"))
+        .union(chk.select(col("v"), col("v")).distinct())
+        .distinct()
+    } finally {
+      if (!converged && chk != null)
+        graft.plans.Checkpoints.unpersist(chk)
+    }
+  }
+
   /** Budget-guarded components: near-dup pair graphs are CLUSTER-
     * sized (docs similar to shared templates), not corpus-sized, so
     * they usually fit one bounded limit-collect — and min-label
@@ -122,7 +203,11 @@ object ConnectedComponents {
     val fetched = edges
       .select(col("src").cast("bigint"), col("dst").cast("bigint"))
       .limit(edgeBudget + 1).collect()
-    if (fetched.length > edgeBudget) run(edges)
+    // past the budget the graph's diameter is unknown too — the star
+    // contraction's O(log n) rounds make no diameter assumption,
+    // where run()'s maxIter would turn a long duplicate-chain into an
+    // error at exactly the scale that matters
+    if (fetched.length > edgeBudget) runStar(edges)
     else {
       val es = fetched.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]

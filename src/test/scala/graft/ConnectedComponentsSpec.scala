@@ -55,6 +55,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(viaDriver.forall { case (v, c) => c <= v })
   }
 
+  test("runStar equals run() on seeded random graphs and handles a " +
+    "chain whose diameter exceeds run()'s round budget") {
+    val r = new scala.util.Random(16180339L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (0 until 5).foreach { k =>
+      val edges = Seq.fill(80)(
+        (r.nextInt(50).toLong, r.nextInt(50).toLong))
+        .filter(p => p._1 != p._2).toDF("src", "dst")
+      val viaStar = toMap(ConnectedComponents.runStar(edges))
+      val viaProp = toMap(ConnectedComponents.run(edges))
+      assert(viaStar == viaProp, s"case $k")
+    }
+    // a 120-link chain: diameter 120 >> run()'s default 25 rounds —
+    // min-label propagation errors loudly, star contraction converges
+    // in O(log n) rounds to the same min-vertex labels
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain)
+    }
+    val cc = toMap(ConnectedComponents.runStar(chain))
+    assert(cc.size == 121 && cc.values.toSet == Set(0L))
+    // runAuto's distributed fallback rides the star variant: the same
+    // chain past a zero budget no longer depends on its diameter
+    val auto = toMap(ConnectedComponents.runAuto(chain, edgeBudget = 0))
+    assert(auto == cc)
+  }
+
   test("dedupGroups marks one canonical survivor per transitive cluster") {
     // pairs as a near-dup detector emits them: (a<b), transitive via 5
     val pairs = Seq((3L, 5L), (5L, 9L), (40L, 41L)).toDF("doc_a", "doc_b")
