@@ -17,11 +17,12 @@ import org.apache.spark.storage.StorageLevel
   * is bounded by the component diameter, which for near-dup clusters
   * (docs similar to a shared template) is small; the `maxIter` guard
   * turns a pathological chain into an explicit error rather than an
-  * endless job. For adversarial long-chain graphs at extreme scale the
-  * large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce") drops rounds to O(log n) — same join/agg shapes, more
-  * of them per round; this implementation favors the simple form whose
-  * per-round cost is minimal.
+  * endless job. For adversarial long-chain graphs at extreme scale
+  * [[runStar]] implements the large-star/small-star variant (Kiveris
+  * et al., "Connected Components in MapReduce") — O(log n) rounds
+  * independent of diameter — and [[runAuto]]'s distributed fallback
+  * rides it; [[run]] stays the minimal-per-round form for the
+  * bounded-diameter graphs dedup actually produces.
   */
 object ConnectedComponents {
 
@@ -70,8 +71,8 @@ object ConnectedComponents {
         if (iter >= maxIter)
           throw new IllegalStateException(
             s"connected components did not converge in $maxIter rounds " +
-              "(component diameter too large — use the large-star/" +
-              "small-star variant for chain-shaped graphs)")
+              "(component diameter too large — use runStar, the " +
+              "large-star/small-star variant, for chain-shaped graphs)")
         // min label among neighbors, per vertex
         val nbrMin = sym
           .join(labels, sym("dst") === labels("v"))
