@@ -537,6 +537,20 @@ class JetSqlSpec extends AnyFunSuite {
         "Orphan" -> "SELECT x FROM [No Such View]"))
     }
     assert(e.getMessage.contains("Orphan"))
+    // the round-10 translations register as views too: a TOP n
+    // PERCENT saved query (the * EXCEPT windowed form under CREATE
+    // TEMP VIEW) feeding a dependent view through the fixpoint, with
+    // a charlist LIKE in the chain
+    val names2 = graft.sources.JetSql.registerSavedQueries(spark, Seq(
+      "Pct Top" -> ("SELECT DISTINCTROW TOP 40 PERCENT [id], [v] " +
+        "FROM sq_base WHERE [grp] LIKE \"[ab]\" ORDER BY [v] DESC"),
+      "Pct Sum" -> "SELECT Sum([v]) AS sv FROM [Pct Top]"))
+    assert(names2 == Seq("pct_top", "pct_sum"))
+    // 3 rows, 40% → ceil(1.2) = 2 ranks by v DESC → v ∈ {20, 10}
+    assert(spark.sql("SELECT sv FROM pct_sum").collect()(0)
+      .getLong(0) == 30L)
+    assert(spark.sql("SELECT * FROM pct_top").columns.toSeq ==
+      Seq("id", "v"))
   }
 
   test("PARAMETERS + TRANSFORM compose: a parameterized crosstab " +
