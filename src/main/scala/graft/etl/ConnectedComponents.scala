@@ -39,6 +39,7 @@ object ConnectedComponents {
         dst.cast("bigint").as("dst"))
       .union(edges.select(dst.cast("bigint").as("src"),
         src.cast("bigint").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (not just persist) each round: an iterative
@@ -132,6 +133,19 @@ object ConnectedComponents {
   def runStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     var chk: DataFrame = null
     var converged = false
+    // Vertices whose ONLY edges are self-loops (x,x) must still come
+    // out labeled (x → x): run() symmetrizes (x,x) into the vertex set
+    // and runAuto's driver union-find emits them, so the star path
+    // unions them back as singletons below — otherwise dedupGroups
+    // output would differ across the edge-budget gate for degenerate
+    // self-pairs. (Null endpoints fall out of the === just like they
+    // fall out of the =!= canonical filter.)
+    val selfVerts = edges
+      .select(col("src").cast("bigint").as("a"),
+        col("dst").cast("bigint").as("b"))
+      .filter(col("a") === col("b"))
+      .select(col("a").as("v"))
+      .distinct()
     try {
       chk = edges
         .select(col("src").cast("bigint").as("a"),
@@ -179,10 +193,15 @@ object ConnectedComponents {
         round += 1
       }
       // at fixpoint every edge is (vertex, component-min): labels are
-      // the star edges plus a self-label per root
-      chk.select(col("u").as("v"), col("v").as("cc"))
+      // the star edges plus a self-label per root, plus singleton
+      // labels for self-loop-only vertices (anti-joined so a vertex
+      // with BOTH a self-loop and real edges keeps its star label)
+      val starLabels = chk.select(col("u").as("v"), col("v").as("cc"))
         .union(chk.select(col("v"), col("v")).distinct())
         .distinct()
+      starLabels.union(
+        selfVerts.join(starLabels.select(col("v")), Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("cc")))
     } finally {
       if (!converged && chk != null)
         graft.plans.Checkpoints.unpersist(chk)
@@ -201,8 +220,13 @@ object ConnectedComponents {
     * (component = min vertex id) — ConnectedComponentsSpec pins path
     * equivalence. */
   def runAuto(edges: DataFrame, edgeBudget: Int = 100000): DataFrame = {
+    // null endpoints are dropped here exactly as the distributed paths
+    // drop them (null fails both =!= and === filters) — without the
+    // filter, Row.getLong silently reads null as 0 and the driver path
+    // would invent phantom edges to vertex 0
     val fetched = edges
       .select(col("src").cast("bigint"), col("dst").cast("bigint"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .limit(edgeBudget + 1).collect()
     // past the budget the graph's diameter is unknown too — the star
     // contraction's O(log n) rounds make no diameter assumption,

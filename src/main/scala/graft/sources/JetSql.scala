@@ -1006,18 +1006,25 @@ object JetSql {
           else None
         if (litPat.isDefined) {
           val pat = litPat.get
-          if (pat.contains("[") || pat.contains("#")) {
+          if (pat.contains("[") || pat.contains("#") ||
+            pat.contains("%") || pat.contains("_")) {
             // [charlist] / # (single digit) have no ANSI LIKE
             // equivalent but map EXACTLY onto a regex — on the engine
             // target the whole pattern becomes an anchored RLIKE
             // (`NOT LIKE` stays correct: the NOT token already
             // emitted, and Spark parses `x NOT RLIKE p`). JDBC
             // targets keep the rejection: regex operators are
-            // dialect-specific there (Derby has none).
+            // dialect-specific there (Derby has none). Literal '%' /
+            // '_' take the same route: they are PLAIN CHARACTERS in a
+            // Jet pattern but wildcards in ANSI LIKE, so passing them
+            // through would silently widen the match (Jet "100%*" ≠
+            // LIKE '100%%'); jetLikeRegex emits them as regex
+            // literals, preserving Jet semantics exactly.
             if (jdbc)
-              fail("Jet LIKE [charlist]/# digit wildcards on a JDBC " +
-                "target (regex operators are dialect-specific; " +
-                "rewrite with the target's regexp_like)")
+              fail("Jet LIKE [charlist]/#/literal-'%'/'_' wildcards " +
+                "on a JDBC target (regex operators are " +
+                "dialect-specific; rewrite with the target's " +
+                "regexp_like or an ESCAPE clause)")
             put("RLIKE")
             lastWord = "rlike"
             pendingSpace = true

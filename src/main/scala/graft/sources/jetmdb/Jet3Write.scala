@@ -302,7 +302,14 @@ object Jet3Write {
   /** APPEND a table to an existing Jet3 database: copy its pages, add
     * the new TDEF + data pages, rebuild the single catalog data page,
     * patch MSysObjects' TDEF row count (@12 in Jet3). Same-named
-    * tables are rejected, never replaced. */
+    * tables are rejected, never replaced.
+    *
+    * DRIVER-MEMORY BOUND: `pages` is the ENTIRE existing database
+    * buffered in driver heap — up to Jet3's 1 GB format cap — and a
+    * repeated multi-table append re-reads and re-writes the whole file
+    * each time (O(file size) per append). That is the deliberate
+    * interchange-scale contract of this sink (see the commit()
+    * scaladoc); bulk data belongs in parquet/JDBC, not `.mdb`. */
   def appendPages3(
       pages: Array[Array[Byte]], table: String, schema: StructType,
       codes: Array[Int], numRows: Int, blobs: Iterator[Array[Byte]],

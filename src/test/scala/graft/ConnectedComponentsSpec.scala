@@ -83,6 +83,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(auto == cc)
   }
 
+  test("self-loop-only vertices come out as singletons on ALL three " +
+    "paths, and null endpoints are dropped identically (no phantom " +
+    "vertex 0 from the driver path)") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 7 has ONLY a self-loop; 3-5 a real component; 5 also self-loops
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (7L, 7L), (3L, 5L), (5L, 5L),
+      (null, 9L), (9L, null)).toDF("src", "dst")
+    val want = Map(7L -> 7L, 3L -> 3L, 5L -> 3L)
+    assert(toMap(ConnectedComponents.run(edges)) == want)
+    assert(toMap(ConnectedComponents.runStar(edges)) == want)
+    assert(toMap(ConnectedComponents.runAuto(edges)) == want)
+    assert(toMap(ConnectedComponents.runAuto(edges, edgeBudget = 0))
+      == want)
+  }
+
   test("dedupGroups marks one canonical survivor per transitive cluster") {
     // pairs as a near-dup detector emits them: (a<b), transitive via 5
     val pairs = Seq((3L, 5L), (5L, 9L), (40L, 41L)).toDF("doc_a", "doc_b")

@@ -383,7 +383,11 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     "matcher") {
     val spark = TestSpark.session
     val r = new scala.util.Random(77113355L)
-    val alpha = "abc012"
+    // '%' and '_' are PLAIN characters in a Jet pattern (Jet's
+    // wildcards are * ? # [..]) but ANSI LIKE wildcards — including
+    // them here exercises the literal-%/_ → anchored-RLIKE route the
+    // translator takes to keep them literal
+    val alpha = "abc012%_"
     sealed trait P
     case object Star extends P
     case object Any1 extends P

@@ -242,6 +242,25 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE nm RLIKE '^Sm[iy]th$'")
   }
 
+  test("literal '%' / '_' in a Jet LIKE pattern stay literal: engine " +
+    "routes through anchored RLIKE, JDBC rejects loudly") {
+    // Jet "100%*" means literal '100%' then anything — ANSI LIKE
+    // '100%%' would also match '1001'
+    assert(translate("SELECT a FROM t WHERE nm LIKE \"100%*\"") ==
+      "SELECT a FROM t WHERE nm RLIKE '^100%.*$'")
+    assert(translate("SELECT a FROM t WHERE nm LIKE \"a_b\"") ==
+      "SELECT a FROM t WHERE nm RLIKE '^a_b$'")
+    val spark = TestSpark.session
+    val row = spark.sql(translate(
+      "SELECT IIf(\"100%\" LIKE \"100%*\", 1, 0) AS yes, " +
+        "IIf(\"1001\" LIKE \"100%*\", 1, 0) AS no")).collect()(0)
+    assert(row.getInt(0) == 1 && row.getInt(1) == 0)
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "SELECT a FROM t WHERE nm LIKE \"100%*\"")
+    }
+  }
+
   test("numeric helpers: Int floors, Fix truncates toward zero, Sgn, " +
     "Sqr, CStr, CCur — and a bare `AS INT` cast target is untouched") {
     assert(translate("SELECT Int(x), Fix(x), Sgn(x), Sqr(x) FROM t") ==
