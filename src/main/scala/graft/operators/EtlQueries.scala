@@ -613,7 +613,13 @@ object EtlQueries {
       "WHERE [o_orderdate] >= #1/1/1995#",
       "  AND [o_orderpriority] LIKE \"1-*\"",
       "ORDER BY [o_orderkey]").mkString(" ")
-    s.sql(graft.sources.JetSql.translate(saved))
+    // o_orderkey is orders' primary key: declaring it unique keeps
+    // the tie-faithful TOP n translation on its LIMIT fast path
+    // (TakeOrdered, no global window) — the declaration a real
+    // migration derives from the .mdb's own index catalog via
+    // MigrationPipeline.uniqueKeysFromSpecs
+    s.sql(graft.sources.JetSql.translate(saved, Map.empty,
+      Map("orders" -> Seq(Set("o_orderkey")))))
   }
 
   /** Second translated saved query, exercising the translator
@@ -972,6 +978,30 @@ object EtlQueries {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
   }
 
+  /** Tie-faithful plain `TOP n` — the translated saved-query form with
+    * the cut INSIDE a boundary tie group: nation ordered by its (tied)
+    * region key, TOP 7 → Access returns the WHOLE rank-6 tie group
+    * (10 rows, regions 0 and 1), where a LIMIT would cut at 7. With no
+    * uniqueKeys declared for the ORDER BY prefix the translator emits
+    * the RANK() ≤ n windowed form, and the oracle recomputes the same
+    * cut in DuckDB — the rewrite's OUTPUT sits under the hash gate,
+    * not just its text. The deterministic presentation order is added
+    * OUTSIDE the translated statement: putting n_name into the Jet
+    * ORDER BY would move the cut off the tie group. */
+  val qJetTopTies: QDef = QDef(
+    "q_jet_top_ties",
+    """SELECT n_regionkey, n_name FROM (
+      |  SELECT n_regionkey, n_name,
+      |    rank() OVER (ORDER BY n_regionkey) AS rk
+      |  FROM nation) t WHERE rk <= 7
+      |ORDER BY n_regionkey, n_name""".stripMargin) { (s, d) =>
+    nation(s, d).createOrReplaceTempView("nation")
+    val saved = "SELECT TOP 7 [n_regionkey], [n_name] FROM nation " +
+      "ORDER BY [n_regionkey]"
+    s.sql(graft.sources.JetSql.translate(saved))
+      .orderBy(col("n_regionkey"), col("n_name"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
@@ -980,5 +1010,5 @@ object EtlQueries {
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
     qJetSqlParams,
     qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetSqlDomainAgg,
-    qJetTopPercent)
+    qJetTopPercent, qJetTopTies)
 }

@@ -30,13 +30,23 @@ import org.apache.spark.sql.SparkSession
   *     precedence (arithmetic and Mod bind tighter; comparisons and
   *     clause keywords bound the chain); a LIKE pattern built by `&`
   *     rejects — its wildcards could no longer be translated;
-  *   - `SELECT TOP n …` → trailing `LIMIT n`. DOCUMENTED DEVIATION:
-  *     when the nth row TIES on the ORDER BY keys Access returns the
-  *     whole tie group and LIMIT cuts it — exact only when the ORDER
-  *     BY prefix is unique (add a key column, or use TOP n PERCENT's
-  *     windowed form for tie-exact ports). A TOP in a scope that
-  *     also holds a depth-0 UNION REJECTS (Access applies TOP per
-  *     SELECT branch, but a trailing LIMIT would silently bind to
+  *   - `SELECT TOP n …` is TIE-FAITHFUL: when the nth row ties on
+  *     the ORDER BY keys Access returns the WHOLE tie group, so with
+  *     an ORDER BY whose keys are not provably duplicate-free the
+  *     translation is the tie-aware windowed form (`RANK() ≤ n` over
+  *     the statement's own ORDER BY — LIMIT would cut the group).
+  *     The trailing-`LIMIT n` FAST PATH (TakeOrdered on the engine,
+  *     no global window) applies exactly when ties are impossible:
+  *     no ORDER BY at all (an arbitrary slice either way), or a
+  *     caller-declared unique key of the scope's single table among
+  *     the ORDER BY columns (`uniqueKeys` — derived from the .mdb's
+  *     own unique indexes by
+  *     `MigrationPipeline.uniqueKeysFromSpecs`). Like TOP PERCENT,
+  *     the windowed form resolves its ORDER BY against the
+  *     statement's OUTPUT columns and is engine-only (JDBC targets
+  *     reject unless the fast path proves unique). A TOP in a scope
+  *     that also holds a depth-0 UNION REJECTS (Access applies TOP
+  *     per SELECT branch, but a trailing LIMIT would silently bind to
   *     the COMBINED result — parenthesize the branch); `TOP n
   *     PERCENT` → Access's tie-aware windowed form on the engine
   *     target (`RANK() ≤ CEILING(pct of COUNT)` over the statement's
@@ -416,6 +426,84 @@ object JetSql {
     false
   }
 
+  /** Sanitized-lowercase key for uniqueKeys lookups (tables and
+    * columns both migrate through [[JetTypes.sanitizeName]]; Jet
+    * resolves names case-insensitively). */
+  private def skey(s: String): String =
+    JetTypes.sanitizeName(s).toLowerCase
+
+  /** The sole table of this scope's depth-0 FROM with its alias, when
+    * the FROM is a single bare table reference — None for multi-table,
+    * subquery, db-qualified, or absent FROMs. */
+  private def singleFromTable(toks: Vector[Tok])
+      : Option[(String, Option[String])] = {
+    if (fromIsMultiTable(toks, 0)) return None
+    val fromIdx = depth0Word(toks, "from", 0)
+    if (fromIdx < 0) return None
+    val endWords =
+      Set("where", "group", "order", "having", "union", "limit")
+    val names = Vector.newBuilder[String]
+    var i = fromIdx + 1
+    var done = false
+    while (i < toks.length && !done) {
+      val u = toks(i)
+      if (u.kind == "punct" && (u.text == "(" || u.text == "."))
+        return None // subquery / db-qualified reference
+      else if (u.kind == "word" && endWords.contains(u.text.toLowerCase))
+        done = true
+      else if (u.kind == "word" || u.kind == "ident") names += u.text
+      i += 1
+    }
+    names.result() match {
+      case Vector(t) => Some((t, None))
+      case Vector(t, a) if !a.equalsIgnoreCase("as") => Some((t, Some(a)))
+      case Vector(t, as0, a) if as0.equalsIgnoreCase("as") =>
+        Some((t, Some(a)))
+      case _ => None
+    }
+  }
+
+  /** Whether a TOP scope's ORDER BY is PROVABLY duplicate-free: the
+    * scope reads ONE bare table, and some caller-declared unique key
+    * of that table (e.g. its primary key, from the .mdb TDEF's index
+    * section) is contained in the ORDER BY's bare column set — then no
+    * two output rows can tie on all keys and `LIMIT n` ≡ Access `TOP
+    * n` exactly. The proof survives DISTINCT (projection keeps a
+    * unique column's values distinct) and GROUP BY (a bare unique
+    * column in ORDER BY must be a group key to analyze, making groups
+    * unique on it); a JOIN voids it (a join can repeat a key value),
+    * so any multi-table FROM answers false and takes the windowed
+    * form. */
+  private def topOrderUnique(toks: Vector[Tok], keyToks: Vector[Tok],
+      uniqueKeys: Map[String, Seq[Set[String]]]): Boolean =
+    singleFromTable(toks) match {
+      case Some((t, alias)) =>
+        val sets = uniqueKeys.getOrElse(skey(t), Nil)
+        sets.nonEmpty && {
+          val quals = Set(skey(t)) ++ alias.map(skey)
+          val cols: Set[String] = splitArgs(keyToks).flatMap { key0 =>
+            val ks = key0.filter(_.kind != "ws")
+            val key =
+              if (ks.nonEmpty && (isWord(ks.last, "asc") ||
+                isWord(ks.last, "desc"))) ks.init
+              else ks
+            key match {
+              case Vector(c) if c.kind == "word" || c.kind == "ident" =>
+                Some(skey(c.text))
+              case Vector(q, d, c)
+                if (q.kind == "word" || q.kind == "ident") &&
+                  d.kind == "punct" && d.text == "." &&
+                  (c.kind == "word" || c.kind == "ident") &&
+                  quals.contains(skey(q.text)) =>
+                Some(skey(c.text))
+              case _ => None
+            }
+          }.toSet
+          sets.exists(ks => ks.nonEmpty && ks.map(skey).subsetOf(cols))
+        }
+      case None => false
+    }
+
   /** Jet LIKE pattern → ANCHORED Java regex (Jet LIKE matches the
     * whole string). `*`→`.*`, `?`→`.`, `#`→`[0-9]`, `[charlist]`
     * passes through as a regex class (`[!…]` negation → `[^…]`,
@@ -597,9 +685,10 @@ object JetSql {
     * pending-separator flag), so a multi-space run inside a translated
     * STRING LITERAL survives — a string-level whitespace collapse
     * would corrupt literal content. */
-  private def emit(toks0: Vector[Tok], jdbc: Boolean = false): String = {
+  private def emit(toks0: Vector[Tok], jdbc: Boolean = false,
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val toks = ampRewrite(toks0, jdbc)
-    def em(ts: Vector[Tok]): String = emit(ts, jdbc)
+    def em(ts: Vector[Tok]): String = emit(ts, jdbc, uniqueKeys)
     val sb = new StringBuilder
     var pendingSpace = false
     def put(text: String): Unit = {
@@ -644,6 +733,19 @@ object JetSql {
           if (topIdx < toks.length) nextNonWs(topIdx + 1) else toks.length
         val pIdx =
           if (nIdx < toks.length) nextNonWs(nIdx + 1) else toks.length
+        // shared by both TOP rewrites: a depth-0 bare number in the
+        // keys would be POSITIONAL in Access but a CONSTANT inside
+        // RANK's OVER in Spark — a silent semantics flip; reject
+        def rejectPositionalKeys(keyToks: Vector[Tok]): Unit = {
+          var kd = 0
+          keyToks.foreach { u =>
+            if (u.kind == "punct" && u.text == "(") kd += 1
+            else if (u.kind == "punct" && u.text == ")") kd -= 1
+            else if (kd == 0 && u.kind == "number")
+              fail("a tie-aware TOP with a positional/arithmetic " +
+                "ORDER BY key (spell the column name)")
+          }
+        }
         if (topIdx < toks.length && isWord(toks(topIdx), "top") &&
           nIdx < toks.length && toks(nIdx).kind == "number" &&
           pIdx < toks.length && isWord(toks(pIdx), "percent")) {
@@ -667,17 +769,7 @@ object JetSql {
           require(byIdx < toks.length && isWord(toks(byIdx), "by"),
             "jetsql: ORDER without BY")
           val keyToks = toks.drop(byIdx + 1)
-          // a depth-0 bare number in the keys would be POSITIONAL in
-          // Access but a CONSTANT inside RANK's OVER in Spark — a
-          // silent semantics flip; reject instead
-          var kd = 0
-          keyToks.foreach { u =>
-            if (u.kind == "punct" && u.text == "(") kd += 1
-            else if (u.kind == "punct" && u.text == ")") kd -= 1
-            else if (kd == 0 && u.kind == "number")
-              fail("TOP n PERCENT with a positional/arithmetic " +
-                "ORDER BY key (spell the column name)")
-          }
+          rejectPositionalKeys(keyToks)
           val keys = em(keyToks)
           val inner =
             em(toks.slice(0, topIdx) ++ toks.slice(pIdx + 1, orderIdx))
@@ -685,6 +777,46 @@ object JetSql {
             s"*, RANK() OVER (ORDER BY $keys) AS __jet_rk, COUNT(*) " +
             s"OVER () AS __jet_n FROM ($inner)) WHERE __jet_rk <= " +
             s"CEILING(__jet_n * $pct / 100.0) ORDER BY $keys"
+        } else if (topIdx < toks.length && isWord(toks(topIdx), "top") &&
+          nIdx < toks.length && toks(nIdx).kind == "number" &&
+          !hasDepth0Union(toks)) {
+          // --- plain TOP n: Access includes the WHOLE boundary tie
+          // group (the nth row's full ORDER BY key tuple), which LIMIT
+          // cuts — so with an ORDER BY whose keys are NOT provably
+          // duplicate-free this emits the same tie-aware RANK() ≤ n
+          // windowed form as TOP n PERCENT. The LIMIT fast path (a
+          // trailing LIMIT, TakeOrdered on the engine — no global
+          // window) is kept exactly when ties are impossible: no ORDER
+          // BY at all (Access returns an arbitrary slice; LIMIT is as
+          // faithful), or a caller-declared unique key of the scope's
+          // single table inside the ORDER BY columns (uniqueKeys —
+          // migrateJetMdbApp derives it from the .mdb's own unique
+          // indexes). A UNION scope falls through to the main loop's
+          // rejection.
+          val orderIdx = depth0Word(toks, "order", nIdx + 1)
+          if (orderIdx >= 0) {
+            val byIdx = nextNonWs(orderIdx + 1)
+            require(byIdx < toks.length && isWord(toks(byIdx), "by"),
+              "jetsql: ORDER without BY")
+            val keyToks = toks.drop(byIdx + 1)
+            if (!topOrderUnique(toks, keyToks, uniqueKeys)) {
+              if (jdbc)
+                fail("TOP n over a not-provably-unique ORDER BY on a " +
+                  "JDBC target (Access keeps whole boundary tie " +
+                  "groups; the tie-aware rewrite needs RANK()/SELECT " +
+                  "* EXCEPT — declare the table's unique key via " +
+                  "uniqueKeys, add a unique key column to the ORDER " +
+                  "BY, or port through the engine)")
+              rejectPositionalKeys(keyToks)
+              val n = toks(nIdx).text
+              val keys = em(keyToks)
+              val inner = em(
+                toks.slice(0, topIdx) ++ toks.slice(nIdx + 1, orderIdx))
+              return s"SELECT * EXCEPT (__jet_rk) FROM (SELECT *, " +
+                s"RANK() OVER (ORDER BY $keys) AS __jet_rk FROM " +
+                s"($inner)) WHERE __jet_rk <= $n ORDER BY $keys"
+            }
+          }
         }
       }
     }
@@ -1300,12 +1432,21 @@ object JetSql {
 
   /** Translate with PARAMETERS bindings (keys matched after the same
     * name sanitization the migration applies, so `"Start Date"` and
-    * `"start_date"` both bind `[Start Date]`). */
-  def translate(jetSql: String, params: Map[String, Any]): String = {
+    * `"start_date"` both bind `[Start Date]`).
+    *
+    * `uniqueKeys` (sanitized table name → the column sets its unique
+    * indexes cover, both case-insensitive) feeds the tie-faithful TOP
+    * n translation: an ORDER BY containing a declared unique key of
+    * the scope's single table keeps the `LIMIT n` fast path; anything
+    * else gets Access's tie-aware windowed form.
+    * [[graft.etl.MigrationPipeline.uniqueKeysFromSpecs]] derives the
+    * map from an `.mdb`'s own index catalog. */
+  def translate(jetSql: String, params: Map[String, Any],
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks = substituteParams(body, decls, params)
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
-    else emit(actionQueryRewrites(toks))
+    else emit(actionQueryRewrites(toks), uniqueKeys = uniqueKeys)
   }
 
   /** Translate for a JDBC TARGET database (the action-query path):
@@ -1321,7 +1462,8 @@ object JetSql {
     * references as a matter of style, which is exactly the lexical
     * marker this needs. */
   def translateForJdbc(jetSql: String,
-      params: Map[String, Any] = Map.empty): String = {
+      params: Map[String, Any] = Map.empty,
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks0 = actionQueryRewrites(substituteParams(body, decls, params))
     val tablePos = Set("from", "into", "update", "join")
@@ -1346,7 +1488,7 @@ object JetSql {
     }
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None,
       jdbc = true)
-    else emit(toks, jdbc = true)
+    else emit(toks, jdbc = true, uniqueKeys = uniqueKeys)
   }
 
   /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the
@@ -1378,14 +1520,15 @@ object JetSql {
     * when no IN list is present, everything else through the pure-text
     * path. The one entry point view registration needs. */
   def translateAny(spark: SparkSession, jetSql: String,
-      params: Map[String, Any] = Map.empty): String = {
+      params: Map[String, Any] = Map.empty,
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks = substituteParams(body, decls, params)
     if (isCrosstab(toks)) {
       val ct = parseCrosstab(toks)
       if (ct.items.isDefined) emitCrosstab(ct, None)
       else translateCrosstab(spark, jetSql, params)
-    } else emit(toks)
+    } else emit(toks, uniqueKeys = uniqueKeys)
   }
 
   /** Register Access SAVED QUERIES as Spark temporary views — the
@@ -1406,7 +1549,9 @@ object JetSql {
     * order. */
   def registerSavedQueries(spark: SparkSession,
       queries: Seq[(String, String)],
-      params: Map[String, Any] = Map.empty): Seq[String] = {
+      params: Map[String, Any] = Map.empty,
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty)
+      : Seq[String] = {
     var pending = queries.toVector
     val done = Vector.newBuilder[String]
     var progress = true
@@ -1417,7 +1562,7 @@ object JetSql {
         val name = JetTypes.sanitizeName(rawName)
         try {
           spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
-            translateAny(spark, jetSql, params))
+            translateAny(spark, jetSql, params, uniqueKeys))
           done += name
           progress = true
         } catch {

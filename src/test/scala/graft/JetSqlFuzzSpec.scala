@@ -535,11 +535,13 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         .map(p => s""" WHERE [s] LIKE "$p"""").getOrElse("")
       val union = r.nextInt(3) // 0 none, 1 UNION, 2 UNION ALL
       // TOP only without UNION (in-scope TOP+UNION rejects by design)
-      val top = if (union == 0) r.nextInt(3) else 0
+      val top = if (union == 0) r.nextInt(4) else 0
       val desc = r.nextBoolean()
-      // plain TOP orders by the UNIQUE id prefix (the documented
-      // LIMIT translation is exact only then); PERCENT orders by the
-      // tied v and must return WHOLE boundary groups
+      // plain TOP over the unique id exercises BOTH translations
+      // (declared unique → LIMIT fast path; undeclared → windowed —
+      // same rows either way since id cannot tie); TOP over the TIED
+      // v and TOP PERCENT must return WHOLE boundary groups
+      val declareUnique = r.nextBoolean()
       val (topSql, orderSql) = top match {
         case 1 if proj.contains("id") =>
           val c = r.nextInt(n) + 1
@@ -547,6 +549,9 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         case 2 =>
           val p = r.nextInt(100) + 1
           (s"TOP $p PERCENT ", s" ORDER BY [v]${if (desc) " DESC" else ""}")
+        case 3 if proj.contains("v") =>
+          val c = r.nextInt(n) + 1
+          (s"TOP $c ", s" ORDER BY [v]${if (desc) " DESC" else ""}")
         case _ => ("", "")
       }
       val selList = proj.map(c => s"[$c]").mkString(", ")
@@ -582,6 +587,22 @@ class JetSqlFuzzSpec extends AnyFunSuite {
             val key = proj.indexOf("id")
             val sorted = base.sortBy(t => t(key).asInstanceOf[Int])
             (if (desc) sorted.reverse else sorted).take(c)
+          case 3 if topSql.nonEmpty =>
+            // tie-aware plain TOP over the tied v: Access keeps the
+            // WHOLE boundary group — rank ≤ c, exactly the PERCENT
+            // rule with a row count instead of a percentage
+            val c = topSql.trim.split(" ")(1).toInt
+            val key = proj.indexOf("v")
+            val ord = base.map(t => t(key).asInstanceOf[Int])
+            val sorted = if (desc) ord.sorted.reverse else ord.sorted
+            if (sorted.isEmpty) Seq.empty
+            else {
+              val boundary = sorted(math.min(c, sorted.length) - 1)
+              base.filter { t =>
+                val v = t(key).asInstanceOf[Int]
+                if (desc) v >= boundary else v <= boundary
+              }
+            }
           case 2 =>
             val p = topSql.trim.split(" ")(1).toInt
             val key = proj.indexOf("v")
@@ -598,7 +619,16 @@ class JetSqlFuzzSpec extends AnyFunSuite {
             }
           case _ => base
         }
-      val got = spark.sql(translate(sql)).collect()
+      // id IS unique in the data: declaring it flips the id-ordered
+      // TOP onto the LIMIT fast path (same rows — no ties possible);
+      // for the v-ordered TOP the declaration doesn't cover the keys
+      // and the tie-aware form must still be chosen
+      val uk: Map[String, Seq[Set[String]]] =
+        if (declareUnique) Map("stmt_fuzz" -> Seq(Set("id")))
+        else Map.empty
+      val got = spark
+        .sql(graft.sources.JetSql.translate(sql, Map.empty, uk))
+        .collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val want = expected
         .map(_.map(String.valueOf).mkString("|")).sorted

@@ -39,12 +39,49 @@ class JetSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("context-dependent"))
   }
 
-  test("TOP n floats to a trailing LIMIT; SELECT DISTINCT TOP also " +
-    "lands in keyword position") {
-    assert(translate("SELECT TOP 5 a FROM t ORDER BY a") ==
+  test("plain TOP n is tie-aware by default (RANK windowed form); a " +
+    "declared unique ORDER BY key or no ORDER BY keeps the LIMIT " +
+    "fast path") {
+    val uk = Map("t" -> Seq(Set("a")))
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 5 a FROM t ORDER BY a", Map.empty, uk) ==
       "SELECT a FROM t ORDER BY a LIMIT 5")
-    assert(translate("SELECT DISTINCT TOP 5 a FROM t ORDER BY a") ==
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCT TOP 5 a FROM t ORDER BY a", Map.empty, uk) ==
       "SELECT DISTINCT a FROM t ORDER BY a LIMIT 5")
+    // qualified and aliased key references still prove unique
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 5 a FROM t ORDER BY t.a DESC", Map.empty, uk) ==
+      "SELECT a FROM t ORDER BY t.a DESC LIMIT 5")
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 5 a FROM t AS x ORDER BY x.a, b", Map.empty, uk) ==
+      "SELECT a FROM t AS x ORDER BY x.a, b LIMIT 5")
+    // no ORDER BY: an arbitrary slice either way — LIMIT stays
+    assert(translate("SELECT TOP 5 a FROM t") ==
+      "SELECT a FROM t LIMIT 5")
+    // no declaration → Access keeps the whole boundary tie group →
+    // the same RANK machinery as TOP n PERCENT
+    assert(translate("SELECT TOP 5 a FROM t ORDER BY a") ==
+      "SELECT * EXCEPT (__jet_rk) FROM (SELECT *, RANK() OVER " +
+        "(ORDER BY a) AS __jet_rk FROM (SELECT a FROM t)) " +
+        "WHERE __jet_rk <= 5 ORDER BY a")
+    // a unique key of the WRONG table, a multi-table FROM, or a key
+    // set not covered by the ORDER BY all stay tie-aware
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 5 a FROM t ORDER BY b", Map.empty, uk)
+      .contains("__jet_rk"))
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 2 t.a FROM t INNER JOIN u ON t.k = u.k " +
+        "ORDER BY t.a", Map.empty, uk).contains("__jet_rk"))
+    // EXECUTES with Access tie semantics: TOP 2 over (1,2,2,3) is 3
+    // rows — the boundary tie group comes along
+    val spark = TestSpark.session
+    spark.sql("SELECT * FROM VALUES (1),(2),(2),(3) AS top_ties(a)")
+      .createOrReplaceTempView("top_ties")
+    val got = spark.sql(translate(
+      "SELECT TOP 2 a FROM top_ties ORDER BY a"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 2, 2))
   }
 
   test("TOP n PERCENT translates to the tie-aware windowed form and " +
@@ -173,8 +210,16 @@ class JetSqlSpec extends AnyFunSuite {
     "multi-table and out-of-position forms reject") {
     assert(translate("SELECT DISTINCTROW a, b FROM t WHERE a > 1") ==
       "SELECT a, b FROM t WHERE a > 1")
-    // the designer default composes with TOP (keyword position holds)
+    // the designer default composes with TOP (keyword position holds;
+    // the undeclared ORDER BY key makes it the tie-aware form, and the
+    // single-table DISTINCTROW drops inside the inner scope)
     assert(translate("SELECT DISTINCTROW TOP 3 a FROM t ORDER BY a") ==
+      "SELECT * EXCEPT (__jet_rk) FROM (SELECT *, RANK() OVER " +
+        "(ORDER BY a) AS __jet_rk FROM (SELECT a FROM t)) " +
+        "WHERE __jet_rk <= 3 ORDER BY a")
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW TOP 3 a FROM t ORDER BY a", Map.empty,
+      Map("t" -> Seq(Set("a")))) ==
       "SELECT a FROM t ORDER BY a LIMIT 3")
     // comma-list FROM is multi-table even without a JOIN keyword
     intercept[IllegalArgumentException] {
@@ -457,13 +502,25 @@ class JetSqlSpec extends AnyFunSuite {
   test("TOP scoping: a subquery's TOP becomes THAT subquery's LIMIT " +
     "(paren groups are their own emit scope); ANY TOP sharing a " +
     "scope with a depth-0 UNION rejects") {
-    assert(translate("SELECT a FROM t WHERE x = " +
-      "(SELECT TOP 1 y FROM u ORDER BY z)") ==
+    val uk = Map("t" -> Seq(Set("b")), "u" -> Seq(Set("z")))
+    assert(graft.sources.JetSql.translate("SELECT a FROM t WHERE x = " +
+      "(SELECT TOP 1 y FROM u ORDER BY z)", Map.empty, uk) ==
       "SELECT a FROM t WHERE x = (SELECT y FROM u ORDER BY z LIMIT 1)")
-    assert(translate("SELECT TOP 2 a FROM " +
-      "(SELECT TOP 10 a FROM t ORDER BY b) ORDER BY a") ==
-      "SELECT a FROM (SELECT a FROM t ORDER BY b LIMIT 10) " +
-        "ORDER BY a LIMIT 2")
+    // the same subquery without the unique declaration goes tie-aware
+    // inside ITS OWN parens
+    assert(translate("SELECT a FROM t WHERE x = " +
+      "(SELECT TOP 1 y FROM u ORDER BY z)")
+      .contains("(SELECT * EXCEPT (__jet_rk)"))
+    // nested scopes decide independently: the inner TOP keeps LIMIT
+    // (unique b), the outer FROM is a SUBQUERY so its uniqueness is
+    // unprovable and it goes tie-aware
+    assert(graft.sources.JetSql.translate("SELECT TOP 2 a FROM " +
+      "(SELECT TOP 10 a FROM t ORDER BY b) ORDER BY a", Map.empty,
+      uk) ==
+      "SELECT * EXCEPT (__jet_rk) FROM (SELECT *, RANK() OVER " +
+        "(ORDER BY a) AS __jet_rk FROM (SELECT a FROM " +
+        "(SELECT a FROM t ORDER BY b LIMIT 10))) " +
+        "WHERE __jet_rk <= 2 ORDER BY a")
     // Access applies TOP per SELECT branch; a trailing LIMIT would
     // bind to the COMBINED union result — so even a SINGLE TOP in a
     // union scope must reject, not silently limit the wrong thing
@@ -479,8 +536,11 @@ class JetSqlSpec extends AnyFunSuite {
       translate("SELECT TOP 1 a FROM t UNION SELECT TOP 2 b FROM u")
     }
     // the cure works: parenthesized branches limit independently
-    assert(translate("(SELECT TOP 1 a FROM t ORDER BY a) UNION ALL " +
-      "(SELECT TOP 2 b FROM u ORDER BY b)") ==
+    // (unique keys declared so each branch keeps the LIMIT fast path)
+    assert(graft.sources.JetSql.translate(
+      "(SELECT TOP 1 a FROM t ORDER BY a) UNION ALL " +
+        "(SELECT TOP 2 b FROM u ORDER BY b)", Map.empty,
+      Map("t" -> Seq(Set("a")), "u" -> Seq(Set("b")))) ==
       "(SELECT a FROM t ORDER BY a LIMIT 1) UNION ALL " +
         "(SELECT b FROM u ORDER BY b LIMIT 2)")
   }

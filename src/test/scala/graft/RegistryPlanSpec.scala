@@ -94,7 +94,14 @@ class RegistryPlanSpec extends AnyFunSuite {
       // (the engine-side q_jet_top_percent carries the same audited
       // shape; corpus-scale percentile cuts go through
       // approx-percentile, not a saved-query port)
-      "q_jetsql_saved3")
+      "q_jetsql_saved3",
+      // tie-faithful plain TOP n demo: the RANK() OVER (ORDER BY)
+      // global window runs over NATION — a 25-row dimension table at
+      // every scale factor — and the translator path shares
+      // q_jetsql_saved3's Jet-2 GB-cap boundedness argument; TOP over
+      // a DECLARED-unique ORDER BY keeps the LIMIT fast path instead
+      // (q_jetsql_saved pins that: no window at all)
+      "q_jet_top_ties")
 
   test("every declared query resolves and physically plans") {
     val failures = SparkEntry.registry.flatMap { q =>
