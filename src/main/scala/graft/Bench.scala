@@ -46,6 +46,17 @@ import org.apache.spark.sql.SparkSession
   * these let a slow driver artifact be attributed — GC pressure vs
   * checkpoint leak vs cache eviction vs host contention vs plan
   * change — without a same-HEAD rerun, the r6-r9 diagnosability gap.
+  * Round 11 additions: each run also records `"store_mb"` (BlockManager
+  * storage memory in use — the session-state growth curve), and the
+  * sweep SELF-ADJUDICATES: every query >3× committed with steal below
+  * 20% of its timed wall is re-measured solo at sweep end (max 8,
+  * worst first) and the probe — median, vs_committed, raw runs — lands
+  * under `"probes"` in BENCH_FULL.json (`"probed"` count on the compact
+  * line). A flat probe closes the entry as sweep-positional; a slow
+  * probe with rising store_mb names session-state eviction; a slow
+  * probe with flat store names a real plan regression. Subset sweeps
+  * (SPARK_GRAFT_BENCH_ONLY) write their full-precision line to
+  * BENCH_PROBE.json so manual adjudications keep their telemetry.
   *
   * Default runs = 4 (1 warm-up + 3 timed): a TRUE 3-run median. The
   * earlier default of 3 left the median a mean-of-two — one bad run
@@ -75,12 +86,26 @@ object Bench {
     * at run end (localCheckpoint leak visibility across a session). */
   private final case class RunStat(
       t: Double, gcMs: Long, swept: Int, hit: Long, miss: Long,
-      load: Double, stealMs: Long, iowaitMs: Long, rdds: Int) {
+      load: Double, stealMs: Long, iowaitMs: Long, rdds: Int,
+      storeMb: Long) {
     def render(dp: Int): String =
       s"""{"t":${fmt(t, dp)},"gc_ms":$gcMs,"swept":$swept,""" +
         s""""hit":$hit,"miss":$miss,"load":${fmt(load, 2)},""" +
-        s""""steal_ms":$stealMs,"iowait_ms":$iowaitMs,"rdds":$rdds}"""
+        s""""steal_ms":$stealMs,"iowait_ms":$iowaitMs,"rdds":$rdds,""" +
+        s""""store_mb":$storeMb}"""
   }
+
+  /** BlockManager storage memory in use (MB), summed over executors —
+    * the session-state growth curve the r10 verdict asked for: the two
+    * zero-steal monotonic escalations (q_sequence_match 0.58→10.32 s,
+    * q_scd2_status 1.76→6.23 s) were suspected to be session-lifetime
+    * caches (media/IVF/PQ/substring frames) evicting executor memory
+    * late in the 363-query sweep, and nothing in the artifact could
+    * confirm or refute it. */
+  private def storageUsedMb(spark: SparkSession): Long =
+    try spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+    catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** 1-minute load average, or -1 when /proc is unreadable. */
   private def loadAvg1(): Double =
@@ -130,6 +155,18 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** One auto-probe outcome: solo re-measurement of a query whose
+    * sweep median exceeded 3× committed without in-artifact steal to
+    * blame (the r9/r10 "zero-steal escalation" class that twice needed
+    * a judge-side rerun to adjudicate). */
+  private final case class Probe(
+      median: Double, vsCommitted: Double, raw: Seq[RunStat]) {
+    def render(dp: Int): String =
+      s"""{"median":${fmt(median, dp)},""" +
+        s""""vs_committed":${fmt(vsCommitted, 2)},""" +
+        raw.map(_.render(dp)).mkString(""""raw_runs":[""", ",", "]}")
+  }
+
   private def renderLine(
       total: Double,
       entries: Seq[(String, Double)],
@@ -141,7 +178,9 @@ object Bench {
       slowVsCommitted: Int,
       cpus: String,
       rawRuns: Option[Map[String, Seq[RunStat]]] = None,
-      vsCommitted: Option[Map[String, Double]] = None): String = {
+      vsCommitted: Option[Map[String, Double]] = None,
+      probes: Option[Seq[(String, Probe)]] = None,
+      probedCount: Int = 0): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
@@ -169,7 +208,95 @@ object Bench {
         s""","vs_committed":$body"""
       case _ => ""
     }
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"slow_vs_committed":$slowVsCommitted,"cpus":$cpus,"queries":$qs$omit$vsc$raw,"sf":$sf}"""
+    // end-of-sweep auto-probe results (BENCH_FULL.json only); the
+    // compact line carries just the count so the parse window holds
+    val prb = probes match {
+      case Some(ps) if ps.nonEmpty =>
+        val body = ps.map { case (k, p) => "\"" + k + "\":" + p.render(dp) }
+          .mkString("{", ",", "}")
+        s""","probes":$body"""
+      case _ => ""
+    }
+    val prbN = if (probedCount > 0) s""","probed":$probedCount""" else ""
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"slow_vs_committed":$slowVsCommitted$prbN,"cpus":$cpus,"queries":$qs$omit$vsc$raw$prb,"sf":$sf}"""
+  }
+
+  /** Measure one query: `runs` executions (first timed run = warm-up
+    * when runs ≥ 2, dropped from the median), full RunStat telemetry
+    * per run, between-run checkpoint sweep outside the timing. Shared
+    * by the main sweep and the end-of-sweep auto-probes so the two
+    * measurements are methodologically identical.
+    *
+    * Warm-up rationale: Janino codegen + AQE settling are
+    * session-lifetime one-time costs (the baseline's median
+    * methodology measures warm steady state; a cold run times the
+    * compiler, not the query). With runs ≥ 2 the FIRST TIMED RUN is
+    * the warm-up and is dropped from the median — a separate untimed
+    * execution would add ~35% wall to the full-registry sweep for
+    * nothing. Only runs = 1 keeps the dedicated untimed warm-up (its
+    * single timed run must be warm). NonFatal only — an OOM must
+    * crash, not poison the timed runs. */
+  private def measure(
+      spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      runs: Int): (Double, Seq[RunStat]) = {
+    if (runs == 1) {
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] $name warm-up failed: ${e.getMessage}")
+      }
+      // the untimed warm-up's checkpoint garbage must not land on
+      // the single timed run
+      graft.plans.Checkpoints.sweep(spark)
+    }
+    // a failed run records -1, never its time-to-failure (a fast
+    // crash must not report as a fast query)
+    val stats = (1 to runs).map { _ =>
+      val gc0 = gcMillis()
+      val (hit0, miss0) = graft.sources.SessionCache.stats
+      val (steal0, iowait0) = cpuStealIowaitMs()
+      val t0 = System.nanoTime()
+      val t =
+        try {
+          // noop sink, not .count(): counting lets Catalyst prune the
+          // output projection and drop terminal sorts, under-measuring
+          // queries whose cost lives there; the noop write pays for
+          // every produced row exactly like a real consumer.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      val gcDelta = gcMillis() - gc0
+      val (hit1, miss1) = graft.sources.SessionCache.stats
+      val (steal1, iowait1) = cpuStealIowaitMs()
+      // between-run checkpoint sweep (OUTSIDE the timing): release
+      // the localCheckpoint blocks this run left behind — pinned
+      // session-lifetime caches excluded — so every timed run pays
+      // its own checkpoint cost and none inherits eviction/GC
+      // pressure from a neighbor's leaked history (the r6/r7 spike
+      // mechanism: 185 s driver artifact vs 125 s committed at one
+      // HEAD, concentrated in the checkpoint-heavy query cluster)
+      val swept = graft.plans.Checkpoints.sweep(spark).size
+      RunStat(t, gcDelta, swept, hit1 - hit0, miss1 - miss0,
+        loadAvg1(), steal1 - steal0, iowait1 - iowait0,
+        spark.sparkContext.getPersistentRDDs.size,
+        storageUsedMb(spark))
+    }
+    val times = stats.map(_.t)
+    val warm = if (runs >= 2) times.drop(1) else times
+    val ok = warm.filter(_ >= 0).sorted
+    // true median: mean of the two middle values when n is even (the
+    // round-2 driver ran n=2 and ok(n/2) silently reported the MAX)
+    val med =
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    (med, stats)
   }
 
   /** Total JVM GC milliseconds so far, summed over collectors. */
@@ -264,72 +391,8 @@ object Bench {
     }
     // registry order (stable across rounds), not Map hash order
     val perQuery: Seq[(String, Double, Seq[RunStat])] = selected.map { qd =>
-      val (name, fn) = (qd.name, qd.fn)
-      // warm-up: Janino codegen + AQE settling are session-lifetime
-      // one-time costs (the baseline's median methodology measures
-      // warm steady state; a cold run times the compiler, not the
-      // query). With runs ≥ 2 the FIRST TIMED RUN is the warm-up and
-      // is dropped from the median — a separate untimed execution
-      // would add ~35% wall to the full-registry sweep for nothing.
-      // Only runs = 1 keeps the dedicated untimed warm-up (its single
-      // timed run must be warm). NonFatal only — an OOM must crash,
-      // not poison the timed runs.
-      if (runs == 1) {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[bench] $name warm-up failed: ${e.getMessage}")
-        }
-        // the untimed warm-up's checkpoint garbage must not land on
-        // the single timed run
-        graft.plans.Checkpoints.sweep(spark)
-      }
-      // a failed run records -1, never its time-to-failure (a fast
-      // crash must not report as a fast query)
-      val stats = (1 to runs).map { _ =>
-        val gc0 = gcMillis()
-        val (hit0, miss0) = graft.sources.SessionCache.stats
-        val (steal0, iowait0) = cpuStealIowaitMs()
-        val t0 = System.nanoTime()
-        val t =
-          try {
-            // noop sink, not .count(): counting lets Catalyst prune the
-            // output projection and drop terminal sorts, under-measuring
-            // queries whose cost lives there; the noop write pays for
-            // every produced row exactly like a real consumer.
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0
-          }
-        val gcDelta = gcMillis() - gc0
-        val (hit1, miss1) = graft.sources.SessionCache.stats
-        val (steal1, iowait1) = cpuStealIowaitMs()
-        // between-run checkpoint sweep (OUTSIDE the timing): release
-        // the localCheckpoint blocks this run left behind — pinned
-        // session-lifetime caches excluded — so every timed run pays
-        // its own checkpoint cost and none inherits eviction/GC
-        // pressure from a neighbor's leaked history (the r6/r7 spike
-        // mechanism: 185 s driver artifact vs 125 s committed at one
-        // HEAD, concentrated in the checkpoint-heavy query cluster)
-        val swept = graft.plans.Checkpoints.sweep(spark).size
-        RunStat(t, gcDelta, swept, hit1 - hit0, miss1 - miss0,
-          loadAvg1(), steal1 - steal0, iowait1 - iowait0,
-          spark.sparkContext.getPersistentRDDs.size)
-      }
-      val times = stats.map(_.t)
-      val warm = if (runs >= 2) times.drop(1) else times
-      val ok = warm.filter(_ >= 0).sorted
-      // true median: mean of the two middle values when n is even (the
-      // round-2 driver ran n=2 and ok(n/2) silently reported the MAX)
-      val med =
-        if (ok.isEmpty) -1.0
-        else if (ok.size % 2 == 1) ok(ok.size / 2)
-        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-      (name, med, stats)
+      val (med, stats) = measure(spark, sfDir, qd.name, qd.fn, runs)
+      (qd.name, med, stats)
     }
     val results: Seq[(String, Double)] =
       perQuery.map { case (n, m, _) => n -> m }
@@ -364,6 +427,41 @@ object Bench {
         n -> m / committed(n)
     }.toMap
     val slowVsCommitted = vsCommitted.count(_._2 > 3.0)
+    // end-of-sweep AUTO-PROBE (r10 verdict item 1): any query whose
+    // sweep median exceeded 3× its committed median WITHOUT enough
+    // in-artifact steal to blame gets re-measured solo (same
+    // methodology: 1 warm-up + 3 timed), and the probe lands in
+    // BENCH_FULL.json next to the sweep runs. Interpretation:
+    //   probe flat (≈committed)       → sweep-positional; transient
+    //     contention or a neighbor's state, not this query's plan;
+    //   probe still slow + store_mb high → session-state eviction
+    //     (the r10 suspicion for q_sequence_match/q_scd2_status);
+    //   probe still slow + store_mb flat → genuine plan regression.
+    // High-steal slow queries are NOT probed — their cause is already
+    // an artifact fact. Capped at 8 probes (worst ratios first): a
+    // fully contended host would otherwise double the sweep.
+    val probes: Seq[(String, Probe)] =
+      if (only.nonEmpty) Seq.empty
+      else vsCommitted.toSeq
+        .filter { case (n, ratio) =>
+          ratio > 3.0 && {
+            val timed = rawRuns.getOrElse(n, Nil).drop(1).filter(_.t >= 0)
+            val wallMs = timed.map(_.t).sum * 1000
+            val stealMs = timed.map(_.stealMs).sum
+            wallMs > 0 && stealMs < 0.2 * wallMs
+          }
+        }
+        .sortBy { case (_, ratio) => -ratio }
+        .take(8)
+        .map { case (n, _) =>
+          val qd = SparkEntry.registry.find(_.name == n).get
+          val (med, stats) = measure(spark, sfDir, n, qd.fn, 4)
+          val ratio =
+            if (med > 0 && committed.getOrElse(n, 0.0) > 0)
+              med / committed(n)
+            else -1.0
+          n -> Probe(med, ratio, stats)
+        }
     // full precision for humans + judge: a repo file only. Round 3
     // printed this line to stderr too, but sbt's logger merges forked
     // stderr into the same stdout the driver tails — the 2000-char tail
@@ -372,11 +470,16 @@ object Bench {
     // merges into it) must hold exactly one '{'-line: the compact one.
     val full =
       renderLine(total, results, sfJson, 6, 0, runs, spikes,
-        slowVsCommitted, cpus, Some(rawRuns), Some(vsCommitted))
-    // subset runs are dev-only probes — never clobber the full record
-    if (only.isEmpty)
-      try Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
-      catch { case scala.util.control.NonFatal(_) => () }
+        slowVsCommitted, cpus, Some(rawRuns), Some(vsCommitted),
+        Some(probes), probes.size)
+    // subset runs are dev-only probes — never clobber the full record,
+    // but DO keep their full-precision raw runs (BENCH_PROBE.json):
+    // the r10 solo-probe adjudication of q_sequence_match lost its
+    // per-run telemetry because subset sweeps wrote nothing
+    try Files.writeString(
+      Paths.get(if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PROBE.json"),
+      full + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     // compact stdout line: all queries at 2dp if that fits the window;
     // otherwise slowest-first prefix that fits, with omitted count.
     // 2000-char window − ~80-char sbt success line − generous margin
@@ -384,7 +487,7 @@ object Bench {
     // warnings): a cut-off line HEAD is unparseable, slack is cheap
     val budget = 1500
     val all2dp = renderLine(total, results, sfJson, 2, 0, runs, spikes,
-      slowVsCommitted, cpus)
+      slowVsCommitted, cpus, probedCount = probes.size)
     val line =
       if (all2dp.length <= budget) all2dp
       else {
@@ -397,11 +500,12 @@ object Bench {
           val mid = (lo + hi + 1) / 2
           val len = renderLine(total, bySlowest.take(mid), sfJson, 2,
             bySlowest.size - mid, runs, spikes, slowVsCommitted,
-            cpus).length
+            cpus, probedCount = probes.size).length
           if (len <= budget) lo = mid else hi = mid - 1
         }
         renderLine(total, bySlowest.take(lo), sfJson, 2,
-          bySlowest.size - lo, runs, spikes, slowVsCommitted, cpus)
+          bySlowest.size - lo, runs, spikes, slowVsCommitted, cpus,
+          probedCount = probes.size)
       }
     // ERROR level for the shutdown: if the driver merges stderr into
     // the tail it reads, a stray WARN after the metric line must not
