@@ -355,6 +355,116 @@ case class HashedShingles(child: Expression, k: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Row-at-a-time worker behind [[Md5Shingles]], shared verbatim by the
+  * interpreted eval and the generated code (one static call per ROW —
+  * the per-element loop stays inside, so codegen pays no virtual
+  * dispatch per shingle). Kept outside the expression because
+  * generated classes cannot call methods on a Scala case class
+  * reference without reflection. */
+object Md5ShingleUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val SPACE = Array[Byte](' ')
+
+  /** Sorted distinct 60-bit md5-prefix hashes of the space-joined
+    * k-grams of `toks` — numerically identical to
+    * `conv(substring(md5(gram), 1, 15), 16, 10)` per gram (the first
+    * 15 hex chars are the top 60 bits of the big-endian digest
+    * prefix), which is what lets a DuckDB oracle recompute the exact
+    * same sets via `CAST(('0x' || substr(md5(gram), 1, 15)) AS
+    * BIGINT)`. */
+  def shingles(toks: ArrayData, k: Int): Array[Long] = {
+    val n = toks.numElements()
+    if (n < k) return Array.emptyLongArray
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) =
+        if (toks.isNullAt(i)) Array.emptyByteArray
+        else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val m = n - k + 1
+    val sh = new Array[Long](m)
+    val digest = md.get()
+    i = 0
+    while (i < m) {
+      digest.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) digest.update(SPACE)
+        digest.update(tb(i + j))
+        j += 1
+      }
+      val d = digest.digest()
+      var v64 = 0L
+      j = 0
+      while (j < 8) {
+        v64 = (v64 << 8) | (d(j) & 0xFFL)
+        j += 1
+      }
+      sh(i) = v64 >>> 4 // top 60 bits = first 15 hex chars
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+      i += 1
+    }
+    if (w == m) sh else java.util.Arrays.copyOf(sh, w)
+  }
+}
+
+/** PORTABLE-hash twin of [[HashedShingles]]: distinct word k-shingles
+  * hashed to the top 60 bits of md5 (first 15 hex chars — positive,
+  * overflow-free in ANSI Long AND DuckDB BIGINT arithmetic). This is
+  * the hash that puts the whole MinHash/LSH dedup path under a
+  * cross-engine oracle (md5 is the one hash both engines share —
+  * SURVEY §0 fact 4); the xxhash64 [[HashedShingles]] stays available
+  * for hash-CPU-bound corpora where oracle portability doesn't matter
+  * (md5 costs roughly 5× more per gram — at 100 TB that's a real
+  * knob, swapped with one constructor call).
+  *
+  * Unlike the string-materializing composed form, grams are digested
+  * directly from token bytes (one MessageDigest update chain per
+  * gram) — no shingle strings are ever allocated.
+  */
+case class Md5Shingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_shingles expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Md5ShingleUtil.shingles(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.Md5ShingleUtil.shingles($toks, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** All MinHash signature lanes in ONE fused loop: for a doc's array of
   * shingle hashes (masked to 31 bits internally), compute min over
   * elements of `(h*a_j + b_j) mod p` for every lane j, returning
@@ -454,6 +564,11 @@ object VectorExpressions {
     * token array column. */
   def hashedShingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), k))
+
+  /** Portable-hash twin: sorted distinct 60-bit md5-prefix k-shingles
+    * (oracle-reproducible in DuckDB; see [[Md5Shingles]]). */
+  def md5Shingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(Md5Shingles(ColumnBridge.expression(tokens), k))
 
   /** Fused MinHash lanes: min of (h*a_j+b_j) mod p per lane over a
     * hash array column, each hash masked to 31 bits in the loop

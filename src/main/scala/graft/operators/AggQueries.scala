@@ -288,15 +288,29 @@ object AggQueries {
   }
 
   /** Sketch-based percentile (the 100 TB path: no global sort, a
-    * KLL/GK-style summary per partition merged at the driver). No
-    * oracle — sketches are engine-specific; ApproxDistinctSpec-style
-    * bound asserted in AggApproxSpec. */
-  val qAggApproxPercentile: QDef = QDef.noOracle("q_agg_approx_percentile") {
+    * GK-style summary per partition merged associatively).
+    * ORACLE-GATED since round 11 (r10 verdict #6, the
+    * q_freq_sketch_topk precedent): with accuracy = 50000 the GK rank
+    * error bound ε·N = N/50000 stays under 0.5 ranks at both gate
+    * scales (sf0.01 ≈ 3k rows/group, sf0.1 ≈ 30k), so the sketch
+    * answer is PROVABLY the exact discrete quantile — which equals
+    * DuckDB's quantile_disc (smallest element with rank ≥ ⌈p·n⌉;
+    * fuzz-verified over 240 random group×percentile cases including
+    * duplicate-heavy and n=1 groups). The genuinely-approximate
+    * purge regime — the actual 100 TB operating point, where ε·N > 1
+    * and no oracle can follow — is bound-pinned in AggApproxSpec. */
+  val qAggApproxPercentile: QDef = QDef(
+    "q_agg_approx_percentile",
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_disc(o_totalprice, 0.5), 2) AS approx_median
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) {
     (s, d) =>
       orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(50000)),
             2).as("approx_median"))
         .orderBy(col("o_orderpriority"))
   }

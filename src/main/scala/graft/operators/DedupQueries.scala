@@ -61,7 +61,11 @@ object DedupQueries {
   /** Per-doc distinct HASHED shingle sets for an ARBITRARY
     * (doc_id, text) frame — the reusable building block behind both
     * the corpus-bound cache below and the incremental batch path
-    * (DedupPipeline.dedupIncremental). */
+    * (DedupPipeline.dedupIncremental). Hash = 60-bit md5 prefix
+    * ([[graft.functions.Md5Shingles]]): portable, so the ENTIRE
+    * minhash pipeline downstream of this set sits under the DuckDB
+    * hash gate; swap in `hashedShingles` (xxhash64) when hash CPU
+    * dominates and no oracle is needed. */
   def shingleSetsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens.as("l"))
@@ -69,7 +73,7 @@ object DedupQueries {
       .select(
         col("doc_id"),
         graft.functions.VectorExpressions
-          .hashedShingles(col("l"), 3).as("sh"))
+          .md5Shingles(col("l"), 3).as("sh"))
 
   /** MinHash signatures (32 perms) over any shingle-set frame: all 32
     * affine minima in the fused MinHashSignature codegen loop. */
@@ -121,10 +125,61 @@ object DedupQueries {
     *
     * Pipeline: shingle → 32 minwise hashes → 8 band keys → explode +
     * self-join on (band_idx, band_key) for candidates → exact Jaccard on
-    * the candidate pairs only. No oracle (the signature permutations are
-    * engine-internal); DedupSpec property-tests candidate recall on
-    * seeded near-duplicates. */
-  val qDedupMinhash: QDef = QDef.noOracle("q_dedup_minhash") { (s, d) =>
+    * the candidate pairs only.
+    *
+    * ORACLE-GATED since round 11 (r10 verdict #6): the md5-prefix
+    * shingle hash and the affine mod-p lane arithmetic are both
+    * DuckDB-expressible, so the oracle recomputes the identical
+    * signatures, bands, candidates, and verified pairs. The one
+    * deliberate asymmetry: Spark's band key is xxhash64 over the
+    * band's 4 lanes (8-byte shuffle key — the 100 TB shape) while the
+    * oracle joins on the raw 4-lane list; they differ only if two
+    * DISTINCT lane tuples xxhash64-collide inside one band
+    * (≈ n²/2^64 — the same w.h.p. class as hashed-shingle
+    * distinctness), and such a phantom candidate still has to pass
+    * the exact-Jaccard filter to reach the output. DedupSpec
+    * property-tests candidate recall on seeded near-duplicates. */
+  val qDedupMinhash: QDef = QDef(
+    "q_dedup_minhash", {
+      val coefRows = minhashCoeffs.zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}, ${b})" }
+        .mkString(", ")
+      s"""WITH coef(j, a, b) AS (VALUES $coefRows),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(range(3, len(l) + 1),
+         |      i -> CAST(('0x' || substr(
+         |        md5(l[i-2] || ' ' || l[i-1] || ' ' || l[i]), 1, 15))
+         |        AS BIGINT)))) AS sh
+         |  FROM tok WHERE len(l) >= 3),
+         |hs AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |lanes AS (
+         |  SELECT hs.doc_id, c.j,
+         |    MIN(((hs.h & 2147483647) * c.a + c.b) % 2147483647) AS lane
+         |  FROM hs CROSS JOIN coef c
+         |  GROUP BY hs.doc_id, c.j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band_idx,
+         |    list(lane ORDER BY j) AS bk
+         |  FROM lanes GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bk = b.bk
+         |      AND a.doc_id < b.doc_id),
+         |vj AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |        - len(list_intersect(sa.sh, sb.sh))) AS jac
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+         |FROM vj WHERE jac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
     // band keys only — the heavy shingle arrays do NOT ride the
     // explode/join; candidates re-join them for verification below
     val banded = bandKeysOf(minhashSignatures(s, d))
@@ -156,10 +211,17 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document from xxhash64(token) weighted by term
-    * frequency — one pass through the custom SimHashAgg
-    * TypedImperativeAggregate (512-byte buffer per doc, partial/final
-    * split like any built-in sketch). */
+  /** 60-bit SimHash per document from the md5-prefix token hash
+    * weighted by term frequency — one pass through the custom
+    * SimHashAgg TypedImperativeAggregate (512-byte buffer per doc,
+    * partial/final split like any built-in sketch). The token hash is
+    * `conv(substr(md5(w),1,15),16,10)` — 60 bits, positive, exactly
+    * reproducible in DuckDB — which is what moved q_dedup_simhash
+    * under the hash gate in round 11; the top 4 SimHashAgg lanes see
+    * a constant 0 bit and vote themselves to 0, so the aggregate
+    * needs no change. (xxhash64 gave 64 bits but no oracle; 60 bits
+    * changes nothing material — random-pair Hamming is ~30 either
+    * way, against a band threshold of 8.) */
   def simhashes(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(tokens).as("w"))
@@ -167,26 +229,70 @@ object DedupQueries {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(
-        graft.functions.SimHashAgg(xxhash64(col("w")), col("cnt"))
+        graft.functions.SimHashAgg(
+          conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint"),
+          col("cnt"))
           .as("simhash"))
 
-  /** SimHash near-dup pairs: 4 × 16-bit bands for candidates, Hamming
+  /** SimHash near-dup pairs: 4 × 15-bit bands for candidates, Hamming
     * distance ≤ 8 verified with bit_count(xor). Recall guarantee is
     * pigeonhole over the bands: a pair with Hamming ≤ 3 ALWAYS shares
     * an intact band; pairs at distance 4..8 are surfaced best-effort
     * (only when their differing bits cluster outside one band) — the
     * standard banding trade-off; more bands buy recall with more
-    * shuffle volume. No oracle (xxhash64 is engine-internal); DedupSpec
-    * covers behavior on seeded dups. */
-  val qDedupSimhash: QDef = QDef.noOracle("q_dedup_simhash") { (s, d) =>
+    * shuffle volume. ORACLE-GATED since round 11: the md5-prefix
+    * token hash (see [[simhashes]]) lets DuckDB rebuild the identical
+    * 60-bit simhashes bit by bit (per-bit weighted votes, strict
+    * `vote > 0` tie rule matching SimHashAgg), the same 4 × 15-bit
+    * bands, and the same verified pairs. DedupSpec covers recall on
+    * seeded dups. */
+  val qDedupSimhash: QDef = QDef(
+    "q_dedup_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY doc_id, w),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h, cnt
+      |  FROM tf),
+      |bits AS (
+      |  SELECT doc_id, k.k AS k,
+      |    SUM(CASE WHEN ((h >> k.k) & 1) = 1 THEN cnt ELSE -cnt END)
+      |      AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS k) k
+      |  GROUP BY doc_id, k.k),
+      |sim AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k)
+      |      ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, simhash, b.b AS band_idx,
+      |    (simhash >> (b.b * 15)) & 32767 AS band_key
+      |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS sim_a, b.simhash AS sim_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |      AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sim_a, sim_b)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val sh = simhashes(s, d)
     val banded = sh.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(
           lit(b).as("band_idx"),
-          shiftright(col("simhash"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("band_key"))
+          shiftright(col("simhash"), b * 15)
+            .bitwiseAND(lit(0x7FFFL)).as("band_key"))
       }: _*)).as("band"))
       .select(
         col("doc_id"), col("simhash"),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{HashedShingles, VectorExpressions}
+import graft.functions.{HashedShingles, Md5Shingles, VectorExpressions}
 
 /** The fused HashedShingles expression must be a faithful (injective
   * w.h.p.) image of the string-shingle pipeline it replaced: same set
@@ -50,6 +50,39 @@ class HashedShinglesSpec extends AnyFunSuite {
       assert(hashInter == strInter,
         s"intersection mismatch for ($a,$b): $hashInter vs $strInter")
     }
+  }
+
+  test("Md5Shingles equals the portable composed form " +
+    "conv(substr(md5(gram),1,15),16,10) — the DuckDB oracle contract") {
+    val rng = new scala.util.Random(23)
+    val rows = (0L until 25L).map { i =>
+      (i, Seq.fill(3 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size))))
+    }
+    val out = rows.toDF("id", "l")
+      .select(col("id"), VectorExpressions.md5Shingles(col("l"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toMap
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def md5Prefix60(s: String): Long = {
+      digest.reset()
+      val d = digest.digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    rows.foreach { case (id, toks) =>
+      val expected = toks.sliding(3).filter(_.size == 3)
+        .map(g => md5Prefix60(g.mkString(" ")))
+        .toSeq.distinct.sorted
+      assert(out(id) == expected, s"md5 shingle mismatch for id=$id")
+    }
+    // eval/codegen parity + n < k edge for the md5 variant
+    val lit3 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("alpha", "bravo"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    assert(Md5Shingles(lit3, 3).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
   }
 
   test("eval (interpreted) matches the codegen path and handles n < k") {
