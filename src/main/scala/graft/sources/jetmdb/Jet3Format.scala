@@ -40,12 +40,18 @@ import graft.sources.jetmdb.JetMdbFormat._
   *
   * SCOPE (honest rejections, never misparses): rows larger than 255
   * bytes (the u8 var-offset form — longer rows use Jet3's jump-table
-  * extension, out of profile), MEMO/OLE/GUID/NUMERIC columns (NUMERIC
-  * did not exist in Jet3; long values use a different pointer form),
-  * and the index section (skipped, not parsed). Every rejection names
-  * the jetcsv escape route: `mdb-export` any Jet3 file to CSV and
-  * read it with `spark.read.format("jetcsv")` — the export path old
-  * tooling already supports.
+  * extension, out of profile), OLE/GUID/NUMERIC columns (NUMERIC did
+  * not exist in Jet3; OLE objects carry no text schema worth
+  * migrating), and the index section (skipped, not parsed). MEMO is
+  * IN profile since round 11 — Access 97 databases with Memo fields
+  * are the common migration case: the same 12-byte in-row header and
+  * three LVAL storage forms as Jet4 (inline / single-LVAL / chained
+  * type-2), with Jet3 page geometry (2048-byte pages, row directory
+  * at @8/@10) and CP1252 payloads (no UCS-2, no compression flag —
+  * both postdate Jet3). Every rejection names the jetcsv escape
+  * route: `mdb-export` any Jet3 file to CSV and read it with
+  * `spark.read.format("jetcsv")` — the export path old tooling
+  * already supports.
   */
 object Jet3Format {
 
@@ -79,9 +85,10 @@ object Jet3Format {
     var i = 0
     while (i < numCols) {
       val t = u8(page, off)
-      // NUMERIC (0x10) postdates Jet3; MEMO/OLE/GUID use long-value
-      // pointers this profile does not cover
-      if (t == T_NUMERIC || t == T_MEMO || t == T_OLE || t == T_GUID)
+      // NUMERIC (0x10) postdates Jet3; OLE/GUID remain out of profile
+      // (MEMO long values are in profile since round 11 — all three
+      // LVAL forms, like the Jet4 reader)
+      if (t == T_NUMERIC || t == T_OLE || t == T_GUID)
         throw new UnsupportedOperationException(
           escape(f"column type 0x$t%02x"))
       val colNum = u16(page, off + 1)
@@ -134,12 +141,84 @@ object Jet3Format {
     out.result()
   }
 
+  /** Extent [start, end) of row `rowIdx` on a Jet3 page regardless of
+    * owner — the LVAL lookup path (a memo pointer addresses a specific
+    * row on a long-value page). Jet3 data pages keep the row count at
+    * @8 and offsets from @10 (vs Jet4's @12/@14). */
+  def rowExtent(page: Array[Byte], rowIdx: Int): (Int, Int) = {
+    val nRows = u16(page, 8)
+    require(rowIdx < nRows,
+      s"jetmdb/jet3: LVAL row $rowIdx out of range ($nRows rows)")
+    val start = u16(page, 10 + 2 * rowIdx) & 0x1FFF
+    val end =
+      if (rowIdx == 0) PageSize
+      else u16(page, 10 + 2 * (rowIdx - 1)) & 0x1FFF
+    (start, end)
+  }
+
+  /** Resolve a Jet3 memo 12-byte in-row value to its payload bytes —
+    * the same three storage forms as the Jet4 reader
+    * ([[JetMdbFormat.resolveMemo]]): inline (flag 0x80, payload after
+    * the header), single-LVAL (flag 0x40, one row on an "LVAL"-owned
+    * page), and chained type-2 (flag 0x00, [next-pointer][chunk] rows
+    * walked until the declared length is collected). Only the page
+    * geometry differs (2048-byte pages, row directory at @8/@10). */
+  def resolveMemo(
+      page: Array[Byte], s: Int, e: Int,
+      lval: Int => Array[Byte]): Array[Byte] = {
+    require(e - s >= 12,
+      s"jetmdb/jet3: memo header truncated (${e - s} bytes)")
+    val hdr = i32(page, s)
+    val len = hdr & 0xFFFFFF
+    val flags = (hdr >>> 24) & 0xFF
+    if ((flags & MemoInline) != 0) {
+      require(s + 12 + len <= e, "jetmdb/jet3: inline memo overruns its row")
+      java.util.Arrays.copyOfRange(page, s + 12, s + 12 + len)
+    } else if ((flags & MemoSingleLval) != 0) {
+      require(lval != null,
+        "jetmdb/jet3: LVAL memo encountered but no page fetcher supplied")
+      val ptr = i32(page, s + 4)
+      val lvalPage = lval(ptr & 0xFFFFFF)
+      require(i32(lvalPage, 4) == LvalOwner,
+        s"jetmdb/jet3: memo pointer targets a non-LVAL page ${ptr & 0xFFFFFF}")
+      val (ls, le) = rowExtent(lvalPage, (ptr >>> 24) & 0xFF)
+      require(le - ls >= len, "jetmdb/jet3: LVAL row shorter than memo length")
+      java.util.Arrays.copyOfRange(lvalPage, ls, ls + len)
+    } else {
+      require(lval != null,
+        "jetmdb/jet3: LVAL memo encountered but no page fetcher supplied")
+      val out = new java.io.ByteArrayOutputStream(len)
+      var ptr = i32(page, s + 4)
+      var remaining = len
+      var hops = 0
+      while (remaining > 0) {
+        require(ptr != 0,
+          s"jetmdb/jet3: chained LVAL ended $remaining bytes short")
+        hops += 1
+        require(hops <= len + 1, "jetmdb/jet3: chained LVAL pointer cycle")
+        val lvalPage = lval(ptr & 0xFFFFFF)
+        require(i32(lvalPage, 4) == LvalOwner,
+          s"jetmdb/jet3: chain pointer targets a non-LVAL page ${ptr & 0xFFFFFF}")
+        val (ls, le) = rowExtent(lvalPage, (ptr >>> 24) & 0xFF)
+        require(le - ls >= 4, "jetmdb/jet3: chained LVAL row too short")
+        val chunk = math.min(le - ls - 4, remaining)
+        out.write(lvalPage, ls + 4, chunk)
+        remaining -= chunk
+        ptr = i32(lvalPage, ls)
+      }
+      out.toByteArray
+    }
+  }
+
   /** Decode one Jet3 row (u8 column count, u8 var offsets — the
     * ≤255-byte row profile; larger rows are rejected, never
-    * misparsed). `wanted` prunes decode like the Jet4 path. */
+    * misparsed). `wanted` prunes decode like the Jet4 path — for MEMO
+    * that skips the LVAL page fetches entirely; `lval` fetches a page
+    * by number for memo indirection (null → inline-only). */
   def decodeRow(
       page: Array[Byte], start: Int, end: Int,
       tdef: JetTableDef,
+      lval: Int => Array[Byte] = null,
       wanted: Array[Boolean] = null): Array[Any] = {
     if (end - start > 255)
       throw new UnsupportedOperationException(
@@ -177,7 +256,11 @@ object Jet3Format {
         else if (c.fixed) decodeFixed(page, fixedBase + c.offsetF, c)
         else {
           val (s, e) = varExtent(c.offsetV)
-          new String(page, s, e - s, cp1252)
+          if (c.typeCode == T_MEMO)
+            // Jet3 memo payload is single-byte CP1252 (no UCS-2, no
+            // compression flag — both postdate Jet3)
+            new String(resolveMemo(page, s, e, lval), cp1252)
+          else new String(page, s, e - s, cp1252)
         }
       i += 1
     }

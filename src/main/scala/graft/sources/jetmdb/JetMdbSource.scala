@@ -245,7 +245,7 @@ object JetMdbSource {
               else dataRowExtents(page, entry.tdefPage)
             extents.map { case (s, e) =>
               val row =
-                if (jet3) Jet3Format.decodeRow(page, s, e, tdef)
+                if (jet3) Jet3Format.decodeRow(page, s, e, tdef, lval)
                 else decodeRow(page, s, e, tdef, lval)
               JetRelationshipRow(
                 String.valueOf(row(iName)), String.valueOf(row(iObj)),
@@ -432,7 +432,8 @@ private[jetmdb] final class JetMdbPartitionReader(
       } else {
         val (s, e) = rows.next()
         val decoded =
-          if (part.jet3) Jet3Format.decodeRow(page, s, e, tdef, wanted)
+          if (part.jet3)
+            Jet3Format.decodeRow(page, s, e, tdef, lvalFetch, wanted)
           else decodeRow(page, s, e, tdef, lvalFetch, wanted)
         val values = new Array[Any](colIdx.length)
         var i = 0

@@ -29,6 +29,99 @@ object Jet3Fixture {
   final case class Table(name: String, cols: Seq[Col], rows: Seq[Seq[Any]],
       deleted: Set[Int] = Set.empty)
 
+  /** Memo (0x0C) cell values: a bare String emits the INLINE form
+    * (payload after the 12-byte header, inside the row); these two
+    * force the LVAL forms the reader must also cover. */
+  final case class MemoLval(text: String)
+  final case class MemoChain(text: String, chunk: Int)
+
+  /** Pre-encoded var cell (internal): memo cells are resolved to
+    * header(+pointer) bytes before row encoding, once their LVAL rows
+    * have page numbers. */
+  private final case class RawVar(bytes: Array[Byte])
+
+  /** Packs LVAL rows into Jet3-geometry pages (type 0x01, owner
+    * "LVAL" at @4, row count @8, u16 offsets from @10) and hands back
+    * (page, row) pointers; pages are appended AFTER the fixture knows
+    * its own start page, so pointers are exact with no patch pass. */
+  private final class LvalAlloc(startPage: Int) {
+    private val pageRows = ArrayBuffer(ArrayBuffer.empty[Array[Byte]])
+    private var used = 10
+
+    def addRow(bytes: Array[Byte]): (Int, Int) = {
+      require(bytes.length <= PageSize - 12, "jet3 fixture: LVAL row too big")
+      if (used + 2 + bytes.length > PageSize) {
+        pageRows += ArrayBuffer.empty[Array[Byte]]
+        used = 10
+      }
+      used += 2 + bytes.length
+      val rows = pageRows.last
+      rows += bytes
+      (startPage + pageRows.length - 1, rows.length - 1)
+    }
+
+    def render(): Seq[Array[Byte]] =
+      pageRows.filter(_.nonEmpty).map { rows =>
+        val p = new Array[Byte](PageSize)
+        val b = le(p)
+        p(0) = 0x01; p(1) = 0x01
+        b.putInt(4, 'L' | ('V' << 8) | ('A' << 16) | ('L' << 24))
+        b.putShort(8, rows.length.toShort)
+        var top = PageSize
+        rows.zipWithIndex.foreach { case (r, i) =>
+          top -= r.length
+          System.arraycopy(r, 0, p, top, r.length)
+          b.putShort(10 + 2 * i, top.toShort)
+        }
+        b.putShort(2, (top - (10 + 2 * rows.length)).toShort)
+        p
+      }.toSeq
+  }
+
+  private def ptr(page: Int, row: Int): Int = (row << 24) | page
+
+  /** Resolve one memo cell to its in-row bytes (12-byte header, plus
+    * the payload for the inline form), allocating LVAL rows as
+    * needed. */
+  private def memoCell(v: Any, alloc: LvalAlloc): Array[Byte] = v match {
+    case s: String =>
+      val payload = s.getBytes(cp1252)
+      val out = new Array[Byte](12 + payload.length)
+      le(out).putInt(0, payload.length | (0x80 << 24))
+      System.arraycopy(payload, 0, out, 12, payload.length)
+      out
+    case MemoLval(text) =>
+      val payload = text.getBytes(cp1252)
+      val (pg, row) = alloc.addRow(payload)
+      val out = new Array[Byte](12)
+      val b = le(out)
+      b.putInt(0, payload.length | (0x40 << 24))
+      b.putInt(4, ptr(pg, row))
+      out
+    case MemoChain(text, chunk) =>
+      require(chunk > 0, "jet3 fixture: chain chunk must be positive")
+      val payload = text.getBytes(cp1252)
+      // allocate chunk rows first, then write each row's next pointer
+      // (rows are shared arrays, so the patch lands in the page render)
+      val chunks = payload.grouped(chunk).toSeq
+      val rows = chunks.map { c =>
+        val r = new Array[Byte](4 + c.length)
+        System.arraycopy(c, 0, r, 4, c.length)
+        r
+      }
+      val ptrs = rows.map(alloc.addRow)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val next = if (i + 1 < ptrs.length) ptr(ptrs(i + 1)._1, ptrs(i + 1)._2) else 0
+        le(r).putInt(0, next)
+      }
+      val out = new Array[Byte](12)
+      val b = le(out)
+      b.putInt(0, payload.length) // flags 0x00 = chained
+      b.putInt(4, ptr(ptrs.head._1, ptrs.head._2))
+      out
+    case other => sys.error(s"jet3 fixture: bad memo value $other")
+  }
+
   private def le(bytes: Array[Byte]) =
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -45,7 +138,8 @@ object Jet3Fixture {
     case other => sys.error(f"jet3 fixture: no fixed length for 0x$other%02x")
   }
 
-  private def isVar(c: Col): Boolean = c.code == 0x0A && c.fixedLen == 0
+  private def isVar(c: Col): Boolean =
+    (c.code == 0x0A && c.fixedLen == 0) || c.code == 0x0C
   private def isBool(c: Col): Boolean = c.code == 0x01
 
   private def tdefPageBytes(
@@ -98,6 +192,7 @@ object Jet3Fixture {
     val varBytes = varIdxs.map { i =>
       row(i) match {
         case null => Array.emptyByteArray
+        case RawVar(b) => b
         case s: String => s.getBytes(cp1252)
         case other => sys.error(s"jet3 fixture: bad var value $other")
       }
@@ -213,9 +308,23 @@ object Jet3Fixture {
     val catalogRows = ArrayBuffer[Seq[Any]](
       Seq(Integer.valueOf(2), 3.toShort, "MSysObjects"))
     tables.foreach { t =>
+      // LVAL pages first (their numbers are known before row
+      // encoding, so memo pointers need no patch pass), then TDEF,
+      // then data pages
+      val memoIdxs = t.cols.indices.filter(i => t.cols(i).code == 0x0C)
+      val alloc = new LvalAlloc(pages.length)
+      val rows =
+        if (memoIdxs.isEmpty) t.rows
+        else t.rows.map { r =>
+          r.zipWithIndex.map { case (v, i) =>
+            if (memoIdxs.contains(i) && v != null) RawVar(memoCell(v, alloc))
+            else v
+          }
+        }
+      alloc.render().foreach(pages += _)
       val tdefPage = pages.length
       pages += tdefPageBytes(t, t.rows.length, system = false)
-      dataPages(tdefPage, t.rows.map(encodeRow(t, _)), t.deleted)
+      dataPages(tdefPage, rows.map(encodeRow(t, _)), t.deleted)
         .foreach(pages += _)
       catalogRows += Seq(Integer.valueOf(tdefPage), 1.toShort, t.name)
     }

@@ -86,13 +86,51 @@ class Jet3SourceSpec extends AnyFunSuite {
       300L * 301 / 2)
   }
 
+  test("jet3 memo round-trips all three LVAL forms (inline, single, " +
+    "chained) plus null, with CP1252 payloads") {
+    spark.sparkContext
+    val path = s"${tmp()}/memo97.mdb"
+    val longText = ("Lorem ipsum dolor sit amet — Köln/München £§ " * 12)
+      .trim // ~540 bytes: must leave the row (rows cap at 255)
+    val hugeText = (1 to 400)
+      .map(i => s"chunk$i café").mkString(" ") // ~5KB: spans LVAL pages
+    Jet3Fixture.write(path, Seq(
+      Jet3Fixture.Table(
+        "Notes",
+        Seq(
+          Jet3Fixture.Col("ID", 0x04),
+          Jet3Fixture.Col("Body", 0x0C)),
+        Seq(
+          Seq(Integer.valueOf(1), "short inline memo é"),
+          Seq(Integer.valueOf(2), Jet3Fixture.MemoLval(longText)),
+          Seq(Integer.valueOf(3),
+            Jet3Fixture.MemoChain(hugeText, chunk = 700)),
+          Seq(Integer.valueOf(4), null),
+          Seq(Integer.valueOf(5),
+            Jet3Fixture.MemoChain(longText, chunk = 40)))))) // many hops
+    val df = spark.read.format("jetmdb")
+      .option("table", "Notes").load(path)
+    val rows = df.orderBy(col("ID")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(rows(0).getString(1) == "short inline memo é")
+    assert(rows(1).getString(1) == longText)
+    assert(rows(2).getString(1) == hugeText)
+    assert(rows(3).isNullAt(1))
+    assert(rows(4).getString(1) == longText)
+    // pruning still skips memo I/O: selecting only ID must not touch
+    // LVAL pages (decode-time wanted mask) — just assert it works
+    assert(spark.read.format("jetmdb").option("table", "Notes")
+      .load(path).select("ID").count() == 5)
+  }
+
   test("jet3 rejections: out-of-profile column types name the " +
     "jetcsv escape route") {
     val page = new Array[Byte](Jet3Format.PageSize)
     page(0) = 0x02; page(1) = 0x01
-    // num_cols = 1 @25, no indexes; one MEMO (0x0C) descriptor @43
+    // num_cols = 1 @25, no indexes; one OLE (0x0B) descriptor @43
+    // (MEMO is in profile since round 11 — OLE/GUID/NUMERIC remain out)
     page(25) = 1
-    page(43) = 0x0C
+    page(43) = 0x0B
     val e = intercept[UnsupportedOperationException] {
       Jet3Format.parseTdef(page, 7)
     }
