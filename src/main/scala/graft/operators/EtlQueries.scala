@@ -1002,6 +1002,31 @@ object EtlQueries {
       .orderBy(col("n_regionkey"), col("n_name"))
   }
 
+  /** Multi-table DISTINCTROW, round-11 subset translation: output
+    * columns all from `nation` (its unique key declared but NOT in
+    * the output), joined to `customer` purely as a filter — the
+    * Access-designer shape. The translator emits the
+    * GROUP BY output+key form; the oracle states the SEMANTICS
+    * independently as an EXISTS semi-join (one row per nation RECORD
+    * with ≥ 1 customer), so the rewrite's row multiset — not its
+    * text — sits under the hash gate. Deterministic presentation
+    * order added OUTSIDE the translated statement. */
+  val qJetDistinctrow: QDef = QDef(
+    "q_jet_distinctrow",
+    """SELECT n_name, n_regionkey FROM nation n
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey)
+      |ORDER BY n_name, n_regionkey""".stripMargin) { (s, d) =>
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    val saved = "SELECT DISTINCTROW [nation].[n_name], " +
+      "[nation].[n_regionkey] FROM nation INNER JOIN customer " +
+      "ON [nation].[n_nationkey] = [customer].[c_nationkey]"
+    s.sql(graft.sources.JetSql.translate(saved, Map.empty,
+      Map("nation" -> Seq(Set("n_nationkey")))))
+      .orderBy(col("n_name"), col("n_regionkey"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
@@ -1010,5 +1035,5 @@ object EtlQueries {
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
     qJetSqlParams,
     qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetSqlDomainAgg,
-    qJetTopPercent, qJetTopTies)
+    qJetTopPercent, qJetTopTies, qJetDistinctrow)
 }

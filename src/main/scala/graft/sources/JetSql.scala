@@ -126,9 +126,15 @@ import org.apache.spark.sql.SparkSession
   *     elimination is over underlying RECORDS, and a one-table
   *     query's records are its rows), and the Access designer emits
   *     it by default, so this is the construct a ported legacy app
-  *     hits first; the multi-table form still rejects (eliminating
-  *     duplicates over non-output source fields has no ANSI
-  *     equivalent);
+  *     hits first; the multi-table form whose OUTPUT columns all come
+  *     from one table (the designer's filter-join shape) translates
+  *     to record-identity dedup — SELECT DISTINCT when a declared
+  *     unique key rides in the output, GROUP BY output+key otherwise
+  *     (both plain ANSI, kept on JDBC targets); only the general
+  *     form (output fields from several tables) still rejects
+  *     (eliminating duplicates over non-output source records has no
+  *     ANSI equivalent), as does the keyed form without a declared
+  *     unique key (record identity unprovable);
   *   - anything it cannot translate faithfully (e.g. DLOOKUP — it
   *     returns an ORDER-UNDEFINED matching row's value) is REJECTED
   *     with the construct named — a saved query ports correctly or
@@ -820,6 +826,103 @@ object JetSql {
         }
       }
     }
+    // --- DISTINCTROW translatable-subset pre-pass: multi-table
+    // DISTINCTROW whose OUTPUT columns all come from ONE table is the
+    // common Access-designer shape (the other tables only
+    // join-filter), and IS expressible — dedup on the output table's
+    // RECORD identity:
+    //   * the output carries a declared unique key of that table
+    //     (`t.*`, or the key columns listed) → SELECT DISTINCT
+    //     (output-level dedup equals record-level dedup once a key
+    //     rides along);
+    //   * otherwise, with a unique key declared via uniqueKeys →
+    //     GROUP BY output-columns + key (one row per matched record;
+    //     plain ANSI, so JDBC targets keep it too);
+    //   * no declared key → reject (record identity is unprovable —
+    //     DISTINCT could merge two records that agree on the output
+    //     columns, a silent row-count change).
+    // The general form (output fields drawn from several tables)
+    // falls through to the main loop's rejection: eliminating
+    // duplicates over non-output source records has no ANSI twin.
+    {
+      val selIdx = nextNonWs(0)
+      val dIdx =
+        if (selIdx < toks.length && isWord(toks(selIdx), "select"))
+          nextNonWs(selIdx + 1)
+        else toks.length
+      if (dIdx < toks.length && isWord(toks(dIdx), "distinctrow") &&
+        fromIsMultiTable(toks, 0) && !hasDepth0Union(toks) &&
+        depth0Word(toks, "group", dIdx + 1) < 0 &&
+        depth0Word(toks, "having", dIdx + 1) < 0) {
+        val fromIdx = depth0Word(toks, "from", dIdx + 1)
+        require(fromIdx > dIdx, "jetsql: SELECT without FROM")
+        val items = splitArgs(toks.slice(dIdx + 1, fromIdx))
+          .map(_.filter(_.kind != "ws"))
+        def colRef(ts: Vector[Tok]): Option[(Tok, Option[Tok])] =
+          ts match {
+            // q.c | q.c AS a | q.c a  (alias irrelevant to grouping)
+            // | q.*  — q and c words or sanitized idents
+            case Vector(q, d, c)
+              if (q.kind == "word" || q.kind == "ident") &&
+                d.kind == "punct" && d.text == "." =>
+              if (c.kind == "word" || c.kind == "ident") Some((q, Some(c)))
+              else if (c.kind == "punct" && c.text == "*") Some((q, None))
+              else None
+            case Vector(q, d, c, a)
+              if (q.kind == "word" || q.kind == "ident") &&
+                d.kind == "punct" && d.text == "." &&
+                (c.kind == "word" || c.kind == "ident") &&
+                (a.kind == "word" || a.kind == "ident") &&
+                !a.text.equalsIgnoreCase("as") => Some((q, Some(c)))
+            case Vector(q, d, c, as0, a)
+              if (q.kind == "word" || q.kind == "ident") &&
+                d.kind == "punct" && d.text == "." &&
+                (c.kind == "word" || c.kind == "ident") &&
+                as0.kind == "word" && as0.text.equalsIgnoreCase("as") &&
+                (a.kind == "word" || a.kind == "ident") => Some((q, Some(c)))
+            case _ => None
+          }
+        val refs = items.map(colRef)
+        val quals = refs.flatten.map(r => skey(r._1.text)).distinct
+        if (refs.forall(_.isDefined) && quals.size == 1) {
+          val qText = refs.head.get._1.text
+          val sets = uniqueKeys.getOrElse(quals.head, Nil)
+            .filter(_.nonEmpty)
+          val hasStar = refs.flatten.exists(_._2.isEmpty)
+          val outCols = refs.flatten.flatMap(_._2).map(c => skey(c.text))
+            .toSet
+          val keyInOutput = (hasStar && sets.nonEmpty) ||
+            sets.exists(_.subsetOf(outCols))
+          if (keyInOutput) {
+            // output dedup == record dedup: plain DISTINCT
+            return em(toks.updated(dIdx, Tok("word", "DISTINCT")))
+          } else if (sets.nonEmpty) {
+            // one row per matched record: group on output cols + key
+            val orderIdx = depth0Word(toks, "order", dIdx + 1)
+            val bodyEnd = if (orderIdx < 0) toks.length else orderIdx
+            val body = em(
+              toks.slice(0, dIdx) ++ toks.slice(dIdx + 1, bodyEnd))
+            val outExprs = refs.flatten.collect {
+              case (q, Some(c)) =>
+                s"${quoteIdent(q.text)}.${quoteIdent(c.text)}"
+            }.distinct
+            val key = sets.minBy(_.size)
+            val keyExprs = key.toSeq.sorted
+              .filterNot(outCols.contains)
+              .map(k => s"${quoteIdent(qText)}.${quoteIdent(k)}")
+            val orderPart =
+              if (orderIdx < 0) "" else " " + em(toks.drop(orderIdx))
+            return s"$body GROUP BY " +
+              (outExprs ++ keyExprs).mkString(", ") + orderPart
+          } else
+            fail("multi-table DISTINCTROW without a declared unique " +
+              "key for its output table (record-level dedup needs " +
+              "record identity — declare the table's unique key via " +
+              "uniqueKeys; migrateJetMdbApp derives it from the " +
+              ".mdb's own unique indexes)")
+        }
+      }
+    }
     while (i < toks.length) {
       val t = toks(i)
       if (t.kind == "ws") { pendingSpace = true; i += 1 }
@@ -838,9 +941,16 @@ object JetSql {
         // starts AT this token so a UNION's later branch is judged by
         // its OWN FROM clause, never the first branch's.
         if (fromIsMultiTable(toks, i))
-          fail("DISTINCTROW over a join or multi-table FROM (its " +
-            "duplicate elimination is over underlying records, not " +
-            "output columns)")
+          // the translatable subset (all output columns from one
+          // table, unique key declared) was already rewritten by the
+          // pre-pass; reaching here means output fields from several
+          // tables, an expression in the select list, or a UNION /
+          // GROUP BY scope
+          fail("DISTINCTROW over a multi-table FROM with output " +
+            "fields from several tables or non-column expressions " +
+            "(its duplicate elimination is over underlying records, " +
+            "not output columns; the one-output-table subset " +
+            "translates when the table's unique key is declared)")
         // dropped; lastWord stays "select" so a following TOP still
         // lands in keyword position
         i += 1

@@ -642,6 +642,85 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("80 random multi-table DISTINCTROW queries: the record-" +
+    "identity rewrite (DISTINCT or GROUP BY output+key) executes to " +
+    "the same multiset as an independent record-level evaluator — " +
+    "or rejects when identity is unprovable") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val r = new scala.util.Random(77310991L)
+    // left table: unique id, TIED attrs a/b (the values DISTINCT
+    // would wrongly merge without record identity); right table: fk
+    // with duplicate matches and unmatched keys both ways
+    val n = 30
+    val left: Seq[(Int, Int, String)] =
+      (1 to n).map(i => (i, r.nextInt(4), "xy"(r.nextInt(2)).toString))
+    val right: Seq[(Int, Int)] =
+      (1 to 50).map(_ => (r.nextInt(n + 10) + 1, r.nextInt(3)))
+    left.toDF("id", "a", "b").createOrReplaceTempView("dr_l")
+    right.toDF("k", "w").createOrReplaceTempView("dr_r")
+    (0 until 80).foreach { case0 =>
+      val outCols: Seq[String] = r.nextInt(4) match {
+        case 0 => Seq("a") // key NOT in output → GROUP BY path
+        case 1 => Seq("a", "b") // GROUP BY path, two tied cols
+        case 2 => Seq("id", "a") // key in output → DISTINCT path
+        case _ => Seq("*") // star → DISTINCT path
+      }
+      val whereKind = r.nextInt(3)
+      val joinForm = r.nextBoolean()
+      val fromSql =
+        if (joinForm) "dr_l INNER JOIN dr_r ON dr_l.id = dr_r.k"
+        else "dr_l, dr_r"
+      val conds =
+        (if (joinForm) Nil else Seq("dr_l.id = dr_r.k")) ++
+          (whereKind match {
+            case 1 => Seq("dr_l.a > 1")
+            case 2 => Seq("dr_r.w > 0") // filter on the OTHER table
+            case _ => Nil
+          })
+      val whereSql =
+        if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
+      val orderSql =
+        if (outCols != Seq("*") && r.nextBoolean())
+          s" ORDER BY dr_l.${outCols.head}"
+        else ""
+      val sel = outCols
+        .map(c => if (c == "*") "dr_l.*" else s"dr_l.$c").mkString(", ")
+      val sql = s"SELECT DISTINCTROW $sel FROM $fromSql$whereSql$orderSql"
+      if (r.nextBoolean()) {
+        // record identity unprovable without the declared key — even
+        // with the key column in the output list
+        intercept[IllegalArgumentException] { translate(sql) }
+      } else {
+        val uk = Map("dr_l" -> Seq(Set("id")))
+        // independent record-level evaluation: ONE row per left
+        // RECORD that passes its own filter and matches ≥1 right row
+        // passing the right-side filter — never merged with another
+        // record agreeing on the output columns
+        val expected: Seq[Seq[Any]] = left
+          .filter(l => whereKind != 1 || l._2 > 1)
+          .filter(l => right.exists(rr =>
+            rr._1 == l._1 && (whereKind != 2 || rr._2 > 0)))
+          .map { l =>
+            outCols.flatMap {
+              case "*" => Seq[Any](l._1, l._2, l._3)
+              case "id" => Seq[Any](l._1)
+              case "a" => Seq[Any](l._2)
+              case "b" => Seq[Any](l._3)
+            }
+          }
+        val got = spark
+          .sql(graft.sources.JetSql.translate(sql, Map.empty, uk))
+          .collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val want = expected
+          .map(_.map(String.valueOf).mkString("|")).sorted
+        assert(got == want, s"case $case0:\n  $sql\n  got ${got.size} " +
+          s"want ${want.size}\n  got=$got\n  want=$want")
+      }
+    }
+  }
+
   test("500 random expressions: Spark executing the translation " +
     "matches the independent interpreter (seeded)") {
     val spark = TestSpark.session

@@ -221,7 +221,8 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT DISTINCTROW TOP 3 a FROM t ORDER BY a", Map.empty,
       Map("t" -> Seq(Set("a")))) ==
       "SELECT a FROM t ORDER BY a LIMIT 3")
-    // comma-list FROM is multi-table even without a JOIN keyword
+    // comma-list FROM is multi-table even without a JOIN keyword;
+    // without a declared unique key, record identity is unprovable
     intercept[IllegalArgumentException] {
       translate("SELECT DISTINCTROW t.a FROM t, u WHERE t.k = u.k")
     }
@@ -237,6 +238,51 @@ class JetSqlSpec extends AnyFunSuite {
     }
     assert(translate("SELECT a FROM t UNION SELECT DISTINCTROW b FROM u")
       == "SELECT a FROM t UNION SELECT b FROM u")
+  }
+
+  test("multi-table DISTINCTROW with one output table translates to " +
+    "record-identity dedup when the unique key is declared") {
+    val uk = Map("t" -> Seq(Set("pk")))
+    def tr(sql: String) =
+      graft.sources.JetSql.translate(sql, Map.empty, uk)
+    // key NOT in output: GROUP BY output + key (one row per matched
+    // t-record; two records agreeing on a must NOT merge)
+    assert(tr("SELECT DISTINCTROW t.a FROM t INNER JOIN u ON t.k = u.k")
+      == "SELECT t.a FROM t INNER JOIN u ON t.k = u.k GROUP BY t.a, t.pk")
+    // WHERE stays ahead of the appended GROUP BY; ORDER BY stays behind
+    assert(tr("SELECT DISTINCTROW t.a, t.b FROM t, u " +
+      "WHERE t.k = u.k ORDER BY t.a")
+      == "SELECT t.a, t.b FROM t, u WHERE t.k = u.k " +
+        "GROUP BY t.a, t.b, t.pk ORDER BY t.a")
+    // key IN the output (or t.*): output dedup == record dedup, so
+    // plain DISTINCT suffices
+    assert(tr("SELECT DISTINCTROW t.pk, t.a FROM t INNER JOIN u " +
+      "ON t.k = u.k")
+      == "SELECT DISTINCT t.pk, t.a FROM t INNER JOIN u ON t.k = u.k")
+    assert(tr("SELECT DISTINCTROW t.* FROM t INNER JOIN u ON t.k = u.k")
+      == "SELECT DISTINCT t.* FROM t INNER JOIN u ON t.k = u.k")
+    // aliases on output columns group by the underlying column
+    assert(tr("SELECT DISTINCTROW t.a AS x FROM t INNER JOIN u " +
+      "ON t.k = u.k")
+      == "SELECT t.a AS x FROM t INNER JOIN u ON t.k = u.k " +
+        "GROUP BY t.a, t.pk")
+    // no declared key -> loud rejection pointing at uniqueKeys
+    val e = intercept[IllegalArgumentException] {
+      translate("SELECT DISTINCTROW t.a FROM t INNER JOIN u ON t.k = u.k")
+    }
+    assert(e.getMessage.contains("uniqueKeys"), e.getMessage)
+    // output fields from SEVERAL tables keep the general rejection
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translate(
+        "SELECT DISTINCTROW t.a, u.b FROM t INNER JOIN u ON t.k = u.k",
+        Map.empty, uk)
+    }
+    // expressions in the select list keep the rejection too
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translate(
+        "SELECT DISTINCTROW t.a + 1 FROM t INNER JOIN u ON t.k = u.k",
+        Map.empty, uk)
+    }
   }
 
   test("Jet LIKE charlist and # digit wildcards translate to an " +
