@@ -1575,8 +1575,9 @@ object JetSql {
       params: Map[String, Any] = Map.empty,
       uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks0 = actionQueryRewrites(substituteParams(body, decls, params))
-    val tablePos = Set("from", "into", "update", "join")
+    val toks0 = actionQueryRewrites(substituteParams(body, decls, params),
+      jdbc = true)
+    val tablePos = Set("from", "into", "update", "join", "using")
     var lastMeaning = ""
     val toks = toks0.zipWithIndex.map { case (t, idx) =>
       // a TABLE QUALIFIER in [Table].[col] must also stay bare: the
@@ -1603,10 +1604,20 @@ object JetSql {
 
   /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the
     * Access designer writes) drops the star — ANSI DELETE takes no
-    * select list. `UPDATE a INNER JOIN b … SET` has NO ANSI
-    * equivalent (it is a MERGE) and rejects; plain UPDATE/DELETE/
-    * INSERT…SELECT pass through the normal token rewrites. */
-  private def actionQueryRewrites(toks: Vector[Tok]): Vector[Tok] = {
+    * select list. `UPDATE a INNER JOIN b ON … SET` is a MERGE in
+    * ANSI: on JDBC targets the two-table INNER-JOIN single-target
+    * form rewrites to `MERGE INTO target USING source ON … WHEN
+    * MATCHED [AND where] THEN UPDATE SET …` (the target is whichever
+    * joined table the qualified SET lhs names — Access's own rule;
+    * the server raises its standard cardinality error when a target
+    * row matches several source rows, where Access would silently
+    * update repeatedly: ports correctly or loudly). The engine
+    * target still rejects — Spark SQL has no in-place UPDATE at all.
+    * Outer joins, join chains, aliases, and unqualified SET lhs
+    * reject. Plain UPDATE/DELETE/INSERT…SELECT pass through the
+    * normal token rewrites. */
+  private def actionQueryRewrites(toks: Vector[Tok],
+      jdbc: Boolean = false): Vector[Tok] = {
     val first = toks.indexWhere(_.kind != "ws")
     if (first < 0) return toks
     if (isWord(toks(first), "delete")) {
@@ -1619,11 +1630,94 @@ object JetSql {
     } else if (isWord(toks(first), "update")) {
       val joinIdx = depth0Word(toks, "join", first + 1)
       val setIdx = depth0Word(toks, "set", first + 1)
-      if (joinIdx >= 0 && (setIdx < 0 || joinIdx < setIdx))
-        fail("UPDATE … JOIN (a multi-table update is a MERGE on the " +
-          "target system — see q_merge_upsert)")
+      if (joinIdx >= 0 && (setIdx < 0 || joinIdx < setIdx)) {
+        if (!jdbc)
+          fail("UPDATE … JOIN on the engine target (Spark SQL has no " +
+            "in-place UPDATE — run it through runActionQueries on the " +
+            "JDBC target, where it becomes an ANSI MERGE; see " +
+            "q_merge_upsert for the DataFrame-side equivalent)")
+        return updateJoinToMerge(toks, first, setIdx)
+      }
       toks
     } else toks
+  }
+
+  /** `UPDATE a INNER JOIN b ON cond SET lhs = rhs, … [WHERE w]` →
+    * MERGE tokens (JDBC path; see [[actionQueryRewrites]]). */
+  private def updateJoinToMerge(
+      toks: Vector[Tok], first: Int, setIdx: Int): Vector[Tok] = {
+    def word(s: String) = Tok("word", s)
+    val ws = Tok("ws", " ")
+    def nonWs(ts: Vector[Tok]) = ts.filter(_.kind != "ws")
+    def isName(t: Tok) = t.kind == "word" || t.kind == "ident"
+    // --- FROM-ish segment: t1 INNER JOIN t2 ON cond
+    val seg = toks.slice(first + 1, setIdx)
+    val joinRel = depth0Word(seg, "join", 0)
+    for (outer <- Seq("left", "right", "outer"))
+      if (depth0Word(seg, outer, 0) >= 0 && depth0Word(seg, outer, 0) < joinRel)
+        fail("UPDATE … OUTER JOIN (MERGE's WHEN MATCHED only models " +
+          "the inner form; an outer update-join has no ANSI twin)")
+    val onRel = depth0Word(seg, "on", 0)
+    require(joinRel >= 0 && onRel > joinRel, "jetsql: UPDATE JOIN without ON")
+    if (depth0Word(seg, "join", joinRel + 1) >= 0)
+      fail("UPDATE across a JOIN chain (only the two-table " +
+        "UPDATE … INNER JOIN … ON form rewrites to MERGE)")
+    val leftToks = nonWs(seg.slice(0, joinRel))
+      .filterNot(t => isWord(t, "inner"))
+    val rightToks = nonWs(seg.slice(joinRel + 1, onRel))
+    (leftToks, rightToks) match {
+      case (Vector(l), Vector(rt)) if isName(l) && isName(rt) =>
+        val onToks = seg.slice(onRel + 1, seg.length)
+        // --- SET assignments: every lhs must be q.c with ONE q
+        val whereIdx = depth0Word(toks, "where", setIdx + 1)
+        val setEnd = if (whereIdx < 0) toks.length else whereIdx
+        val items = splitArgs(toks.slice(setIdx + 1, setEnd))
+        val parsed = items.map { item =>
+          val ts = item.dropWhile(_.kind == "ws")
+          ts.filter(_.kind != "ws") match {
+            case q +: d +: c +: eq +: _
+              if isName(q) && d.kind == "punct" && d.text == "." &&
+                isName(c) && eq.kind == "punct" && eq.text == "=" =>
+              // rhs keeps original spacing: everything after the '='
+              val eqPos = ts.indexWhere(t =>
+                t.kind == "punct" && t.text == "=")
+              (q, c, ts.drop(eqPos + 1))
+            case _ =>
+              fail("UPDATE … JOIN with an unqualified or non-column " +
+                "SET target (the MERGE rewrite needs `table.column = " +
+                "expr` to pick the target table)")
+          }
+        }
+        val targets = parsed.map(p => skey(p._1.text)).distinct
+        if (targets.size != 1)
+          fail("UPDATE … JOIN assigning into BOTH tables (MERGE " +
+            "updates one target — split into two action queries)")
+        val (target, source) =
+          if (targets.head == skey(l.text)) (l, rt)
+          else if (targets.head == skey(rt.text)) (rt, l)
+          else fail("UPDATE … JOIN whose SET target is neither joined " +
+            "table")
+        val setOut = parsed.zipWithIndex.flatMap { case ((_, c, rhs), k) =>
+          val sep: Vector[Tok] =
+            if (k == 0) Vector.empty
+            else Vector(Tok("punct", ","), ws)
+          sep ++ Vector(c, ws, Tok("punct", "="), ws) ++ rhs
+        }
+        val matched: Vector[Tok] =
+          if (whereIdx < 0) Vector.empty
+          else Vector(ws, word("AND"), ws, Tok("punct", "(")) ++
+            toks.slice(whereIdx + 1, toks.length) :+ Tok("punct", ")")
+        Vector(word("MERGE"), ws, word("INTO"), ws, target, ws,
+          word("USING"), ws, source, ws, word("ON")) ++
+          Vector(ws) ++ onToks ++
+          Vector(ws, word("WHEN"), ws, word("MATCHED")) ++ matched ++
+          Vector(ws, word("THEN"), ws, word("UPDATE"), ws, word("SET"),
+            ws) ++ setOut
+      case _ =>
+        fail("UPDATE … JOIN with aliased or compound table " +
+          "references (only bare two-table UPDATE … INNER JOIN " +
+          "rewrites to MERGE)")
+    }
   }
 
   /** Translate EITHER form: crosstabs route through the heading probe

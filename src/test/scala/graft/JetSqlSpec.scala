@@ -644,6 +644,36 @@ class JetSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MERGE"))
   }
 
+  test("UPDATE … INNER JOIN becomes ANSI MERGE on the JDBC target; " +
+    "the target table is the one the SET lhs names") {
+    def forJdbc(s: String) = graft.sources.JetSql.translateForJdbc(s)
+    assert(forJdbc("UPDATE a INNER JOIN b ON [a].[k] = [b].[k] " +
+      "SET [a].[x] = [b].[y] + 1 WHERE [b].[z] > 0") ==
+      "MERGE INTO a USING b ON a.\"k\" = b.\"k\" " +
+        "WHEN MATCHED AND (b.\"z\" > 0) " +
+        "THEN UPDATE SET \"x\" = b.\"y\" + 1")
+    // SET lhs naming the RIGHT table flips target and source
+    assert(forJdbc("UPDATE a INNER JOIN b ON [a].[k] = [b].[k] " +
+      "SET [b].[x] = 1, [b].[y] = 2") ==
+      "MERGE INTO b USING a ON a.\"k\" = b.\"k\" " +
+        "WHEN MATCHED THEN UPDATE SET \"x\" = 1, \"y\" = 2")
+    // rejections: outer join, join chain, both-table SET, bare lhs
+    for (bad <- Seq(
+      "UPDATE a LEFT JOIN b ON a.k = b.k SET a.x = 1",
+      "UPDATE a INNER JOIN b ON a.k = b.k INNER JOIN c ON b.j = c.j " +
+        "SET a.x = 1",
+      "UPDATE a INNER JOIN b ON a.k = b.k SET a.x = 1, b.y = 2",
+      "UPDATE a INNER JOIN b ON a.k = b.k SET x = 1")) {
+      val ex = intercept[IllegalArgumentException] { forJdbc(bad) }
+      assert(ex.getMessage.contains("jetsql:"), s"$bad → ${ex.getMessage}")
+    }
+    // the engine target still rejects, pointing at the JDBC path
+    val ee = intercept[IllegalArgumentException] {
+      translate("UPDATE a INNER JOIN b ON a.k = b.k SET a.x = b.y")
+    }
+    assert(ee.getMessage.contains("runActionQueries"), ee.getMessage)
+  }
+
   test("registerSavedQueries resolves view-on-view chains by fixpoint " +
     "and fails loudly on unresolvable references") {
     val spark = TestSpark.session

@@ -94,6 +94,39 @@ class MigrationPipelineSpec extends AnyFunSuite {
       e.getMessage.contains("DELETE FROM no_such_table"))
   }
 
+  test("UPDATE … INNER JOIN action query mutates the Derby target " +
+    "through the MERGE rewrite") {
+    val dbDir = Files.createTempDirectory("graft_derby_uj").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val tierSpec = TableSpec(
+      "Credit Tiers",
+      _ => Seq(("1", "gold")).toDF("Customer ID", "Tier Name"),
+      Seq("Customer ID" -> LongInteger, "Tier Name" -> ShortText))
+    MigrationPipeline.migrate(
+      spark, specs.take(1) :+ tierSpec,
+      MigrationPipeline.JdbcSink(url), props)
+    // the Access-designer form: two tables, equi-join, single target,
+    // a source column in the SET expression, a WHERE refinement
+    val applied = MigrationPipeline.runActionQueries(url, Seq(
+      "Apply Tier" ->
+        ("UPDATE [Customer List] INNER JOIN [Credit Tiers] ON " +
+          "[Customer List].[Customer ID] = " +
+          "[Credit Tiers].[Customer ID] " +
+          "SET [Customer List].[Full Name] = " +
+          "[Credit Tiers].[Tier Name] & \" \" & " +
+          "[Customer List].[Full Name] " +
+          "WHERE [Credit Tiers].[Tier Name] = \"gold\"")), props = props)
+    assert(applied == Seq("Apply Tier" -> 1))
+    val back = graft.sources.JdbcConnector
+      .read(spark, url, "customer_list", props = props)
+      .orderBy("customer_id")
+      .select("customer_id", "full_name").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(
+      (1, "gold Ann Smith"), // matched + refined: updated via MERGE
+      (2, "Bo Chen"))) // no tier row: untouched
+  }
+
   test("migrateJetMdbApp: one call ports the whole Access app — " +
     "binary tables, action queries ON the target, saved-query views " +
     "reading the post-action state") {
