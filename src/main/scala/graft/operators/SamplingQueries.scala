@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QDef
@@ -79,21 +80,53 @@ object SamplingQueries {
       .limit(50)
   }
 
-  /** Seeded per-stratum sampling (`sampleBy` on lang): Bernoulli per
-    * row with per-stratum fractions. Deterministic for a fixed seed +
-    * partitioning but engine-internal → no oracle; SamplingSpec
-    * asserts reproducibility and per-stratum proportions. */
-  val qSampleStratified: QDef = QDef.noOracle("q_sample_stratified") {
-    (s, d) =>
-      documents(s, d)
-        .stat.sampleBy(
-          "lang",
-          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25,
-            "zh" -> 0.1),
-          seed = 42L)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+  private val stratFractions = Seq(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1)
+
+  /** Per-stratum sampling on lang, KEY-DETERMINISTIC: a row is kept
+    * iff the 60-bit md5 prefix of its doc_id falls under the
+    * stratum's integer threshold ⌊frac·2^60⌋. This is the shape a
+    * 100 TB pipeline actually wants — membership is a pure function
+    * of the key, so the sample reproduces across reruns, engines,
+    * partitionings, and incremental batches (a re-ingested doc lands
+    * on the same side), where `sampleBy`'s seeded Bernoulli depends
+    * on engine RNG state and row order. ORACLE-GATED since round 11
+    * (r10 verdict #6): thresholds are integer literals on both
+    * sides — no float boundary can disagree. `sampleBy` itself stays
+    * spec-covered (SamplingSpec pins its seeded reproducibility). */
+  val qSampleStratified: QDef = QDef(
+    "q_sample_stratified", {
+      val fRows = stratFractions.map { case (l, f) =>
+        s"('$l', ${(f * (1L << 60)).toLong})"
+      }.mkString(", ")
+      s"""WITH f(lang, thr) AS (VALUES $fRows)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN f ON d.lang = f.lang
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |    1, 15)) AS BIGINT) < f.thr
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+    val thr = stratFractions.foldLeft(lit(-1L)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit((f * (1L << 60)).toLong)).otherwise(acc)
+    }
+    val h = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("bigint")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .filter(h < thr)
+      .orderBy(col("doc_id"))
   }
+
+  /** The seeded-Bernoulli API surface (`df.stat.sampleBy`), kept as a
+    * library entry for callers who want uniform-random rather than
+    * key-deterministic strata; SamplingSpec pins fixed-seed
+    * reproducibility and proportions. */
+  def sampleByLang(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .stat.sampleBy("lang", stratFractions.toMap, seed = 42L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
 
   val defs: Seq[QDef] = Seq(qSplitHash, qSampleWeighted, qSampleStratified)
 }

@@ -37,12 +37,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("stratified sample is seeded-reproducible with sane proportions") {
+  test("stratified sample is key-deterministic with sane proportions; " +
+    "the seeded sampleBy surface reproduces under a fixed seed") {
     val s1 = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
       .collect().toSeq
     val s2 = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
       .collect().toSeq
-    assert(s1 == s2, "sampleBy with fixed seed must reproduce")
+    assert(s1 == s2, "key-deterministic sample must reproduce exactly")
+    // membership is a pure function of doc_id: a REPARTITIONED rerun
+    // must agree row-for-row (the property seeded Bernoulli lacks)
+    val s3 = graft.operators.SamplingQueries.qSampleStratified
+      .fn(spark, sfDir).repartition(7).orderBy("doc_id").collect().toSeq
+    assert(s1 == s3, "sample must not depend on partitioning")
+    val b1 = graft.operators.SamplingQueries.sampleByLang(spark, sfDir)
+      .collect().toSeq
+    val b2 = graft.operators.SamplingQueries.sampleByLang(spark, sfDir)
+      .collect().toSeq
+    assert(b1 == b2, "sampleBy with fixed seed must reproduce")
     val total = TableLoader.documents(spark, sfDir)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
