@@ -182,6 +182,27 @@ object SimilarityQueries {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** PORTABLE sign-LSH planes: Rademacher ±1 coefficients derived
+    * from md5 — w(p, i) = +1 iff the first md5 nibble of "pl{p}_{i}"
+    * is odd — so a DuckDB oracle can rebuild the identical plane
+    * matrix from its own md5 (the same cross-engine anchor as the
+    * dedup family). Sign random projections with ±1 entries are the
+    * standard cheap variant of the Gaussian family (Achlioptas-style
+    * sparse/signed projections): collision probability stays
+    * monotone in the angle, banding analysis unchanged to first
+    * order, and at 100 TB the multiply per element becomes a sign
+    * flip. */
+  def rademacherPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        md.reset()
+        val d = md.digest(s"pl${p}_${i}".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
   /** Sign-random-projection signature: bit j = (v · plane_j) > 0,
     * packed into a BIGINT. */
   def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
@@ -275,9 +296,13 @@ object SimilarityQueries {
       vecs: DataFrame,
       threshold: Double = 0.9,
       nBands: Int = 10,
-      bitsPerBand: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBands * bitsPerBand, dim, seed)
+      bitsPerBand: Int = 12): DataFrame = {
+    // md5-derived ±1 planes (rademacherPlanes): the whole candidate
+    // pipeline — planes, dots, signs, band keys — is reproducible in
+    // DuckDB, which is what put q_dedup_embedding_lsh under the hash
+    // gate in round 11; dot products are strictly sequential i=0..63
+    // in both engines, so even their rounding is bit-identical
+    val planes = rademacherPlanes(nBands * bitsPerBand, dim)
       .flatten.toArray
     // all band keys in ONE fused codegen loop (BandedSignKeys) — the
     // composed per-plane Column form measured 15× slower at 120 planes
@@ -318,10 +343,50 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Declared query form (no oracle — the plane RNG is engine-internal;
-    * AnnSpec asserts recall on seeded near-dups, exactness of the
-    * verify step, and determinism across runs). */
-  val qDedupEmbeddingLsh: QDef = QDef.noOracle("q_dedup_embedding_lsh") {
+  /** Declared query form. ORACLE-GATED since round 11: the ±1 planes
+    * are md5-derived ([[rademacherPlanes]]), so DuckDB rebuilds the
+    * identical plane matrix, the identical sequential ±v[i] dot sums
+    * (every product is EXACT — float→double then a sign flip — and
+    * the addition sequence matches BandedSignKeys' i=0..63 loop), the
+    * same 10 × 12-bit band keys, candidates, and cosine-verified
+    * pairs. AnnSpec still asserts recall on seeded near-dups and
+    * exactness of the verify step. */
+  val qDedupEmbeddingLsh: QDef = QDef(
+    "q_dedup_embedding_lsh",
+    s"""$oracleNorms,
+       |pw AS (
+       |  SELECT p.p AS p,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN (CAST(('0x' || substr(
+       |          md5('pl' || p.p || '_' || (i - 1)), 1, 1)) AS INT)
+       |          & 1) = 1
+       |        THEN 1.0 ELSE -1.0 END) AS wv
+       |  FROM (SELECT unnest(range(120)) AS p) p),
+       |dots AS (
+       |  SELECT n.vec_id, pw.p,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> n.v[i] * pw.wv[i])) AS dp
+       |  FROM n CROSS JOIN pw),
+       |bands AS (
+       |  SELECT vec_id, p // 12 AS band_idx,
+       |    SUM(CASE WHEN dp > 0
+       |      THEN (CAST(1 AS BIGINT) << (p % 12)) ELSE 0 END) AS band_key
+       |  FROM dots GROUP BY vec_id, p // 12),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |      AND a.vec_id < b.vec_id),
+       |vf AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) AS raw_cos
+       |  FROM cand c
+       |  JOIN n na ON na.vec_id = c.vec_a
+       |  JOIN n nb ON nb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, ROUND(raw_cos, 4) AS cos
+       |FROM vf WHERE raw_cos >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin) {
     (s, d) => embeddingNearDupPairs(embeddings(s, d))
   }
 
