@@ -218,10 +218,47 @@ object SimilarityQueries {
     * a candidate if it shares ANY band with the query (multi-probe
     * banding), then exact cosine re-ranks the candidate set. At 100 TB
     * the band join is a shuffle on (band_idx, band_key) — candidates
-    * per bucket ~ n/2^bits, never O(n²). No oracle: the candidate set
-    * depends on the plane RNG; AnnSpec asserts determinism + exactness
-    * of the re-rank against brute force. */
-  val qAnnLsh: QDef = QDef.noOracle("q_ann_lsh") { (s, d) =>
+    * per bucket ~ n/2^bits, never O(n²). ORACLE-GATED since round 11:
+    * the planes are md5-derived ±1 ([[rademacherPlanes]]), so DuckDB
+    * rebuilds the identical signatures, bands, candidate set, and
+    * re-ranked top-k; AnnSpec keeps the planted-neighbor recall and
+    * brute-force-exactness assertions. */
+  val qAnnLsh: QDef = QDef(
+    "q_ann_lsh",
+    s"""$oracleNorms,
+       |pw AS (
+       |  SELECT p.p AS p,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN (CAST(('0x' || substr(
+       |          md5('pl' || p.p || '_' || (i - 1)), 1, 1)) AS INT)
+       |          & 1) = 1
+       |        THEN 1.0 ELSE -1.0 END) AS wv
+       |  FROM (SELECT unnest(range(8)) AS p) p),
+       |dots AS (
+       |  SELECT n.vec_id, pw.p,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> n.v[i] * pw.wv[i])) AS dp
+       |  FROM n CROSS JOIN pw),
+       |bands AS (
+       |  SELECT vec_id, p // 4 AS band_idx,
+       |    SUM(CASE WHEN dp > 0
+       |      THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END) AS band_key
+       |  FROM dots GROUP BY vec_id, p // 4),
+       |qb AS (SELECT band_idx, band_key FROM bands WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |  JOIN qb ON b.band_idx = qb.band_idx
+       |    AND b.band_key = qb.band_key
+       |  WHERE b.vec_id <> 0),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> na.v[i] * q.v[i])) / (na.nrm * q.nrm), 4) AS cos
+       |  FROM cand c
+       |  JOIN n na ON na.vec_id = c.vec_id
+       |  JOIN n q ON q.vec_id = 0)
+       |SELECT vec_id, cos FROM scored
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     annTopK(s, d, queryVecId = 0L, k = 10)
   }
 
@@ -241,7 +278,9 @@ object SimilarityQueries {
   /** As [[annTopK]] but over any (vec_id, embedding) corpus. */
   def annTopKFrom(corpus: DataFrame, queryVecId: Long, k: Int)
       : DataFrame = {
-    val planes = hyperplanes(nPlanes = 8, dim = 64)
+    // md5-derived ±1 planes: cross-engine-reproducible signatures
+    // (see rademacherPlanes; the q_ann_lsh oracle rebuilds them)
+    val planes = rademacherPlanes(8, 64)
     val nBands = 2
     val bitsPerBand = 4
     val e = corpus
