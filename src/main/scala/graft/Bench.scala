@@ -445,7 +445,12 @@ object Bench {
       else vsCommitted.toSeq
         .filter { case (n, ratio) =>
           ratio > 3.0 && {
-            val timed = rawRuns.getOrElse(n, Nil).drop(1).filter(_.t >= 0)
+            val all = rawRuns.getOrElse(n, Nil)
+            // same warm-up convention as the median: with runs=1 the
+            // single run IS timed, so dropping it would silently
+            // disable probing in the cheap-sweep configuration
+            val timed =
+              (if (runs >= 2) all.drop(1) else all).filter(_.t >= 0)
             val wallMs = timed.map(_.t).sum * 1000
             val stealMs = timed.map(_.stealMs).sum
             wallMs > 0 && stealMs < 0.2 * wallMs

@@ -290,9 +290,11 @@ object AggQueries {
   /** Sketch-based percentile (the 100 TB path: no global sort, a
     * GK-style summary per partition merged associatively).
     * ORACLE-GATED since round 11 (r10 verdict #6, the
-    * q_freq_sketch_topk precedent): with accuracy = 50000 the GK rank
-    * error bound ε·N = N/50000 stays under 0.5 ranks at both gate
-    * scales (sf0.01 ≈ 3k rows/group, sf0.1 ≈ 30k), so the sketch
+    * q_freq_sketch_topk precedent): with accuracy = 500000 the GK rank
+    * error bound ε·N = N/500000 stays under 0.5 ranks with a 8×+
+    * margin at both gate scales (sf0.01 ≈ 3k rows/group → 0.006,
+    * sf0.1 ≈ 30k → 0.06; exactness holds to 250k rows/group), so the
+    * sketch
     * answer is PROVABLY the exact discrete quantile — which equals
     * DuckDB's quantile_disc (smallest element with rank ≥ ⌈p·n⌉;
     * fuzz-verified over 240 random group×percentile cases including
@@ -310,7 +312,7 @@ object AggQueries {
       orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(50000)),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(500000)),
             2).as("approx_median"))
         .orderBy(col("o_orderpriority"))
   }

@@ -348,8 +348,14 @@ object JetSql {
     "y" -> "DAY", "w" -> "DAY", "ww" -> "WEEK", "h" -> "HOUR",
     "n" -> "MINUTE", "s" -> "SECOND")
 
+  /** KEYWORD match: bare words only. A bracketed `[Order]` tokenizes
+    * as an ident — in Jet, bracketing is exactly how a user ESCAPES a
+    * reserved word into an identifier, so an ident must never match a
+    * keyword position (r11 review: `WHERE [Order] > 3` tripping the
+    * TOP pre-pass's ORDER-without-BY check; hasDepth0Union already
+    * guarded itself locally for the same reason). */
   private def isWord(t: Tok, w: String): Boolean =
-    (t.kind == "word" || t.kind == "ident") && t.text.equalsIgnoreCase(w)
+    t.kind == "word" && t.text.equalsIgnoreCase(w)
 
   /** Render one token back to SQL text. */
   private def render(t: Tok): String = t.kind match {
@@ -487,28 +493,193 @@ object JetSql {
         val sets = uniqueKeys.getOrElse(skey(t), Nil)
         sets.nonEmpty && {
           val quals = Set(skey(t)) ++ alias.map(skey)
-          val cols: Set[String] = splitArgs(keyToks).flatMap { key0 =>
-            val ks = key0.filter(_.kind != "ws")
-            val key =
-              if (ks.nonEmpty && (isWord(ks.last, "asc") ||
-                isWord(ks.last, "desc"))) ks.init
-              else ks
-            key match {
-              case Vector(c) if c.kind == "word" || c.kind == "ident" =>
-                Some(skey(c.text))
-              case Vector(q, d, c)
-                if (q.kind == "word" || q.kind == "ident") &&
-                  d.kind == "punct" && d.text == "." &&
-                  (c.kind == "word" || c.kind == "ident") &&
-                  quals.contains(skey(q.text)) =>
-                Some(skey(c.text))
+          // (name, wasBare): Access resolves a BARE ORDER BY name to
+          // a select-list ALIAS first — an alias shadowing a unique-
+          // key column name would fake the proof (r11 review:
+          // `SELECT TOP 3 region AS pk … ORDER BY pk` actually sorts
+          // the tying region), so any bare key colliding with an
+          // alias voids the whole proof. A qualified `t.pk` cannot be
+          // shadowed.
+          val aliasNames = selectOutputs(toks)._2
+          val parsed: Vector[Option[(String, Boolean)]] =
+            orderKeys(keyToks).map {
+              case (Vector(c), _) if nameOf(c).isDefined =>
+                Some((skey(nameOf(c).get), true))
+              case (Vector(q, d, c), _)
+                if nameOf(q).isDefined && d.kind == "punct" &&
+                  d.text == "." && nameOf(c).isDefined &&
+                  quals.contains(skey(nameOf(q).get)) =>
+                Some((skey(nameOf(c).get), false))
               case _ => None
             }
-          }.toSet
-          sets.exists(ks => ks.nonEmpty && ks.map(skey).subsetOf(cols))
+          val shadowed = parsed.flatten
+            .exists { case (n, bare) => bare && aliasNames.contains(n) }
+          !shadowed && {
+            val cols = parsed.flatten.map(_._1).toSet
+            sets.exists(ks => ks.nonEmpty && ks.map(skey).subsetOf(cols))
+          }
         }
       case None => false
     }
+
+  /** Identifier text of a token in NAME position: bare words,
+    * sanitized `[idents]`, and the JDBC pass's pre-quoted raw idents
+    * (`"a"` — translateForJdbc quotes BEFORE emit, so the TOP /
+    * DISTINCTROW analyses must see through the quoting; r11 review). */
+  private def nameOf(t: Tok): Option[String] = t.kind match {
+    case "word" | "ident" => Some(t.text)
+    case "raw"
+      if t.text.length >= 2 && t.text.head == '"' &&
+        t.text.last == '"' &&
+        !t.text.substring(1, t.text.length - 1).contains('"') =>
+      Some(t.text.substring(1, t.text.length - 1))
+    case _ => None
+  }
+
+  /** ORDER BY keys as (expression tokens, rendered direction). */
+  private def orderKeys(keyToks: Vector[Tok])
+      : Vector[(Vector[Tok], String)] =
+    splitArgs(keyToks).map { k0 =>
+      val ks = k0.filter(_.kind != "ws")
+      if (ks.nonEmpty && isWord(ks.last, "asc")) (ks.init, "")
+      else if (ks.nonEmpty && isWord(ks.last, "desc")) (ks.init, " DESC")
+      else (ks, "")
+    }
+
+  /** Token range of the scope's select list — after `SELECT
+    * [DISTINCT|DISTINCTROW] [TOP n [PERCENT]]`, up to the depth-0
+    * FROM (or scope end). None when the scope is not a SELECT. */
+  private def selectListRange(toks: Vector[Tok]): Option[(Int, Int)] = {
+    def next(j: Int): Int = {
+      var i = j
+      while (i < toks.length && toks(i).kind == "ws") i += 1
+      i
+    }
+    val sel = next(0)
+    if (sel >= toks.length || !isWord(toks(sel), "select")) return None
+    var i = next(sel + 1)
+    if (i < toks.length && (isWord(toks(i), "distinct") ||
+      isWord(toks(i), "distinctrow"))) i = next(i + 1)
+    if (i < toks.length && isWord(toks(i), "top")) {
+      val n = next(i + 1)
+      if (n < toks.length && toks(n).kind == "number") {
+        val p = next(n + 1)
+        i =
+          if (p < toks.length && isWord(toks(p), "percent")) next(p + 1)
+          else next(n + 1)
+      }
+    }
+    val fromIdx = depth0Word(toks, "from", i)
+    Some((i, if (fromIdx < 0) toks.length else fromIdx))
+  }
+
+  /** Statically-derivable facts about a scope's select list:
+    * (output column names, the AS-alias subset — Access's ORDER BY
+    * resolves aliases FIRST, so they shadow table columns —, whether
+    * a `*` item makes every table column an output). All names skey'd;
+    * an expression item without AS contributes no static name. */
+  private def selectOutputs(toks: Vector[Tok])
+      : (Set[String], Set[String], Boolean) =
+    selectListRange(toks) match {
+      case None => (Set.empty, Set.empty, false)
+      case Some((s, e)) =>
+        val items =
+          splitArgs(toks.slice(s, e)).map(_.filter(_.kind != "ws"))
+        var outs = Set.empty[String]
+        var aliases = Set.empty[String]
+        var star = false
+        items.foreach { ts =>
+          if (ts.length >= 3 && isWord(ts(ts.length - 2), "as") &&
+            nameOf(ts.last).isDefined) {
+            val a = skey(nameOf(ts.last).get)
+            outs += a
+            aliases += a
+          } else ts match {
+            case Vector(c) if nameOf(c).isDefined =>
+              outs += skey(nameOf(c).get)
+            case Vector(q, d, c)
+              if nameOf(q).isDefined && d.kind == "punct" &&
+                d.text == "." && nameOf(c).isDefined =>
+              outs += skey(nameOf(c).get)
+            case Vector(st) if st.kind == "punct" && st.text == "*" =>
+              star = true
+            case Vector(q, d, st)
+              if nameOf(q).isDefined && d.kind == "punct" &&
+                d.text == "." && st.kind == "punct" && st.text == "*" =>
+              star = true
+            case _ => () // expression without alias: no static name
+          }
+        }
+        (outs, aliases, star)
+    }
+
+  /** skey(alias-or-table) → skey(table) for the depth-0 FROM clause's
+    * table references (joins and comma lists included, parenthesized
+    * join groups walked; each table also maps to itself). ON-clause
+    * column refs are skipped; subqueries and db-qualified references
+    * contribute nothing. A reference the scanner cannot classify is
+    * simply absent — callers fall back to the unmapped name. */
+  private def fromAliases(toks: Vector[Tok]): Map[String, String] = {
+    val fromIdx = depth0Word(toks, "from", 0)
+    if (fromIdx < 0) return Map.empty
+    val endWords =
+      Set("where", "group", "order", "having", "union", "limit")
+    val joinWords = Set("inner", "left", "right", "full", "outer",
+      "cross", "join", "on", "as", "and", "or", "not",
+      // a subquery's own keywords must never read as table names
+      "select", "distinct", "distinctrow", "top", "from")
+    val out = Map.newBuilder[String, String]
+    def next(j: Int): Int = {
+      var i = j
+      while (i < toks.length && toks(i).kind == "ws") i += 1
+      i
+    }
+    var i = fromIdx + 1
+    var prev = "from" // last meaningful lower-cased text
+    var inOn = false
+    var depth = 0
+    while (i < toks.length && !(depth == 0 && toks(i).kind == "word" &&
+      endWords.contains(toks(i).text.toLowerCase))) {
+      val t = toks(i)
+      if (t.kind == "punct" && t.text == "(") { depth += 1; prev = "(" }
+      else if (t.kind == "punct" && t.text == ")") {
+        depth -= 1
+        if (depth < 0) return out.result() // FROM was inside a group
+        prev = ")"
+      } else if (t.kind == "punct" && t.text == ",") {
+        prev = ","; inOn = false
+      } else if (isWord(t, "on")) { inOn = true; prev = "on" }
+      else if (isWord(t, "join")) { inOn = false; prev = "join" }
+      else if (t.kind != "ws") {
+        val tablePos = prev == "from" || prev == "join" ||
+          prev == "," || prev == "("
+        if (!inOn && tablePos && nameOf(t).isDefined &&
+          !joinWords.contains(t.text.toLowerCase)) {
+          val dotted = next(i + 1) < toks.length && {
+            val d = toks(next(i + 1))
+            d.kind == "punct" && d.text == "."
+          }
+          if (!dotted) {
+            val table = skey(nameOf(t).get)
+            out += table -> table
+            // optional [AS] alias
+            var j = next(i + 1)
+            if (j < toks.length && isWord(toks(j), "as")) j = next(j + 1)
+            if (j < toks.length && nameOf(toks(j)).isDefined &&
+              !joinWords.contains(toks(j).text.toLowerCase) &&
+              !endWords.contains(toks(j).text.toLowerCase) &&
+              toks(j).kind != "punct") {
+              out += skey(nameOf(toks(j)).get) -> table
+              i = j // skip past the alias
+            }
+          }
+        }
+        prev = t.text.toLowerCase
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   /** Jet LIKE pattern → ANCHORED Java regex (Jet LIKE matches the
     * whole string). `*`→`.*`, `?`→`.`, `#`→`[0-9]`, `[charlist]`
@@ -719,6 +890,100 @@ object JetSql {
         Some((open, close, splitArgs(toks.slice(open + 1, close))))
       } else None
     }
+    // --- Scope rebasing for the SELECT pre-passes: an INSERT INTO …
+    // SELECT action query carries the same TOP / DISTINCTROW
+    // semantics on its SELECT as a standalone one (Access treats the
+    // SELECT identically in both positions — r11 review: the append
+    // form silently kept the tie-cutting LIMIT and skipped the JDBC
+    // uniqueness check), so both pre-passes operate on the
+    // statement's leading depth-0 SELECT scope and the INSERT header
+    // is re-emitted in front of any rewrite.
+    val scopeStart: Int = {
+      val first = nextNonWs(0)
+      if (first < toks.length && isWord(toks(first), "insert")) {
+        val s = depth0Word(toks, "select", first + 1)
+        if (s >= 0) s else toks.length
+      } else 0
+    }
+    val ptoks = toks.drop(scopeStart)
+    def pfx: String =
+      if (scopeStart == 0) "" else em(toks.take(scopeStart)) + " "
+    def pnext(from: Int): Int = {
+      var j = from
+      while (j < ptoks.length && ptoks(j).kind == "ws") j += 1
+      j
+    }
+    // select-list facts of the scope, for the tie-aware TOP rewrites
+    // (computed lazily — most statements never reach that path)
+    lazy val scopeOutputs = selectOutputs(ptoks)
+    // an ORDER BY key the WRAPPING query can reference: a bare name
+    // that is an output column of the scope (or the scope projects *)
+    def outerResolvable(expr: Vector[Tok]): Boolean = expr match {
+      case Vector(c) => nameOf(c).exists(n =>
+        scopeOutputs._3 || scopeOutputs._1.contains(skey(n)))
+      case _ => false
+    }
+    // Access's tie-aware TOP: rank the scope's rows on the ORDER BY
+    // keys, keep rank ≤ bound — boundary tie groups come whole. A key
+    // that is an output column ranks in a plain wrapper; anything
+    // else (a qualified ref, a non-projected column, an expression)
+    // is projected into the inner scope as __jet_kN so it resolves
+    // where Access resolved it — IN the original scope (a bare
+    // wrapper loses table qualifiers and non-output columns: r11
+    // review, `ORDER BY t.a` broke at view registration). DISTINCT
+    // scopes cannot grow their select list (that would change the
+    // dedup), so there the keys must already BE output columns — a
+    // single-table qualifier is stripped (q.c ≡ c when q is the
+    // scope's only table), anything else rejects loudly.
+    def tieAwareTop(keyToks: Vector[Tok], topIdx: Int, afterTop: Int,
+        orderIdx: Int, hasDistinct: Boolean, needCount: Boolean,
+        bound: String): String = {
+      val keys = orderKeys(keyToks)
+      require(keys.nonEmpty && keys.forall(_._1.nonEmpty),
+        "jetsql: empty ORDER BY key in a tie-aware TOP")
+      val resolved: Vector[(Vector[Tok], String)] =
+        if (!hasDistinct) keys
+        else keys.map {
+          case (e, dir) if outerResolvable(e) => (e, dir)
+          case (Vector(q, dot, c), dir)
+            if dot.kind == "punct" && dot.text == "." &&
+              nameOf(q).isDefined && nameOf(c).isDefined &&
+              singleFromTable(ptoks).exists { case (t, a) =>
+                val qs = skey(nameOf(q).get)
+                qs == skey(t) || a.exists(x => skey(x) == qs)
+              } && outerResolvable(Vector(c)) =>
+            (Vector(c), dir)
+          case _ =>
+            fail("a tie-aware DISTINCT TOP whose ORDER BY key is " +
+              "not an output column (Access requires DISTINCT's " +
+              "ORDER BY fields in the select list; spell the output " +
+              "name, or declare the table's unique key via uniqueKeys)")
+        }
+      val bodyToks =
+        ptoks.slice(0, topIdx) ++ ptoks.slice(afterTop, orderIdx)
+      val extended = resolved.zipWithIndex
+        .filterNot { case ((e, _), _) => outerResolvable(e) }
+      val inner =
+        if (extended.isEmpty) em(bodyToks)
+        else {
+          val fIdx = depth0Word(bodyToks, "from", 0)
+          require(fIdx > 0, "jetsql: tie-aware TOP without a FROM")
+          em(bodyToks.take(fIdx)) +
+            extended.map { case ((e, _), ix) =>
+              s", ${em(e)} AS __jet_k$ix"
+            }.mkString +
+            " " + em(bodyToks.drop(fIdx))
+        }
+      val keyRefs = resolved.zipWithIndex.map { case ((e, dir), ix) =>
+        (if (outerResolvable(e)) em(e) else s"__jet_k$ix") + dir
+      }.mkString(", ")
+      val except = (extended.map { case (_, ix) => s"__jet_k$ix" } :+
+        "__jet_rk") ++ (if (needCount) Seq("__jet_n") else Nil)
+      s"SELECT * EXCEPT (${except.mkString(", ")}) FROM (SELECT *, " +
+        s"RANK() OVER (ORDER BY $keyRefs) AS __jet_rk" +
+        (if (needCount) ", COUNT(*) OVER () AS __jet_n" else "") +
+        s" FROM ($inner)) WHERE __jet_rk <= $bound ORDER BY $keyRefs"
+    }
     // --- TOP n PERCENT pre-pass: a scope-leading `SELECT [DISTINCT]
     // TOP n PERCENT` restructures the WHOLE scope into Access's
     // tie-aware form — rank ≤ ceil(pct of count), boundary ties
@@ -729,16 +994,18 @@ object JetSql {
     // global order); the engine-side q_jet_top_percent operator is
     // the scale path for big inputs.
     {
-      val selIdx = nextNonWs(0)
-      if (selIdx < toks.length && isWord(toks(selIdx), "select")) {
-        val d = nextNonWs(selIdx + 1)
-        val hasDistinct = d < toks.length &&
-          (isWord(toks(d), "distinct") || isWord(toks(d), "distinctrow"))
-        val topIdx = if (hasDistinct) nextNonWs(d + 1) else d
+      val selIdx = pnext(0)
+      if (selIdx < ptoks.length && isWord(ptoks(selIdx), "select")) {
+        val d = pnext(selIdx + 1)
+        val hasDistinct = d < ptoks.length &&
+          (isWord(ptoks(d), "distinct") ||
+            isWord(ptoks(d), "distinctrow"))
+        val topIdx = if (hasDistinct) pnext(d + 1) else d
         val nIdx =
-          if (topIdx < toks.length) nextNonWs(topIdx + 1) else toks.length
+          if (topIdx < ptoks.length) pnext(topIdx + 1)
+          else ptoks.length
         val pIdx =
-          if (nIdx < toks.length) nextNonWs(nIdx + 1) else toks.length
+          if (nIdx < ptoks.length) pnext(nIdx + 1) else ptoks.length
         // shared by both TOP rewrites: a depth-0 bare number in the
         // keys would be POSITIONAL in Access but a CONSTANT inside
         // RANK's OVER in Spark — a silent semantics flip; reject
@@ -752,40 +1019,36 @@ object JetSql {
                 "ORDER BY key (spell the column name)")
           }
         }
-        if (topIdx < toks.length && isWord(toks(topIdx), "top") &&
-          nIdx < toks.length && toks(nIdx).kind == "number" &&
-          pIdx < toks.length && isWord(toks(pIdx), "percent")) {
+        if (topIdx < ptoks.length && isWord(ptoks(topIdx), "top") &&
+          nIdx < ptoks.length && ptoks(nIdx).kind == "number" &&
+          pIdx < ptoks.length && isWord(ptoks(pIdx), "percent")) {
           if (jdbc)
             fail("TOP n PERCENT on a JDBC target (the tie-aware " +
               "rewrite needs RANK()/SELECT * EXCEPT — port through " +
               "the engine, or apply q_jet_top_percent's windowed " +
               "form in the target's dialect)")
-          if (hasDepth0Union(toks))
+          if (hasDepth0Union(ptoks))
             fail("TOP n PERCENT in a scope containing UNION " +
               "(parenthesize the branch so the rewrite has its own " +
               "single-SELECT scope)")
-          val pct = toks(nIdx).text
+          val pct = ptoks(nIdx).text
           require(pct.toDouble >= 0 && pct.toDouble <= 100,
             s"jetsql: TOP $pct PERCENT is outside Access's 0..100")
-          val orderIdx = depth0Word(toks, "order", pIdx + 1)
+          val orderIdx = depth0Word(ptoks, "order", pIdx + 1)
           if (orderIdx < 0)
             fail("TOP n PERCENT without ORDER BY (Access would " +
               "return an arbitrary slice)")
-          val byIdx = nextNonWs(orderIdx + 1)
-          require(byIdx < toks.length && isWord(toks(byIdx), "by"),
+          val byIdx = pnext(orderIdx + 1)
+          require(byIdx < ptoks.length && isWord(ptoks(byIdx), "by"),
             "jetsql: ORDER without BY")
-          val keyToks = toks.drop(byIdx + 1)
+          val keyToks = ptoks.drop(byIdx + 1)
           rejectPositionalKeys(keyToks)
-          val keys = em(keyToks)
-          val inner =
-            em(toks.slice(0, topIdx) ++ toks.slice(pIdx + 1, orderIdx))
-          return s"SELECT * EXCEPT (__jet_rk, __jet_n) FROM (SELECT " +
-            s"*, RANK() OVER (ORDER BY $keys) AS __jet_rk, COUNT(*) " +
-            s"OVER () AS __jet_n FROM ($inner)) WHERE __jet_rk <= " +
-            s"CEILING(__jet_n * $pct / 100.0) ORDER BY $keys"
-        } else if (topIdx < toks.length && isWord(toks(topIdx), "top") &&
-          nIdx < toks.length && toks(nIdx).kind == "number" &&
-          !hasDepth0Union(toks)) {
+          return pfx + tieAwareTop(keyToks, topIdx, pIdx + 1, orderIdx,
+            hasDistinct, needCount = true,
+            bound = s"CEILING(__jet_n * $pct / 100.0)")
+        } else if (topIdx < ptoks.length && isWord(ptoks(topIdx), "top") &&
+          nIdx < ptoks.length && ptoks(nIdx).kind == "number" &&
+          !hasDepth0Union(ptoks)) {
           // --- plain TOP n: Access includes the WHOLE boundary tie
           // group (the nth row's full ORDER BY key tuple), which LIMIT
           // cuts — so with an ORDER BY whose keys are NOT provably
@@ -799,13 +1062,13 @@ object JetSql {
           // migrateJetMdbApp derives it from the .mdb's own unique
           // indexes). A UNION scope falls through to the main loop's
           // rejection.
-          val orderIdx = depth0Word(toks, "order", nIdx + 1)
+          val orderIdx = depth0Word(ptoks, "order", nIdx + 1)
           if (orderIdx >= 0) {
-            val byIdx = nextNonWs(orderIdx + 1)
-            require(byIdx < toks.length && isWord(toks(byIdx), "by"),
+            val byIdx = pnext(orderIdx + 1)
+            require(byIdx < ptoks.length && isWord(ptoks(byIdx), "by"),
               "jetsql: ORDER without BY")
-            val keyToks = toks.drop(byIdx + 1)
-            if (!topOrderUnique(toks, keyToks, uniqueKeys)) {
+            val keyToks = ptoks.drop(byIdx + 1)
+            if (!topOrderUnique(ptoks, keyToks, uniqueKeys)) {
               if (jdbc)
                 fail("TOP n over a not-provably-unique ORDER BY on a " +
                   "JDBC target (Access keeps whole boundary tie " +
@@ -814,13 +1077,9 @@ object JetSql {
                   "uniqueKeys, add a unique key column to the ORDER " +
                   "BY, or port through the engine)")
               rejectPositionalKeys(keyToks)
-              val n = toks(nIdx).text
-              val keys = em(keyToks)
-              val inner = em(
-                toks.slice(0, topIdx) ++ toks.slice(nIdx + 1, orderIdx))
-              return s"SELECT * EXCEPT (__jet_rk) FROM (SELECT *, " +
-                s"RANK() OVER (ORDER BY $keys) AS __jet_rk FROM " +
-                s"($inner)) WHERE __jet_rk <= $n ORDER BY $keys"
+              val n = ptoks(nIdx).text
+              return pfx + tieAwareTop(keyToks, topIdx, nIdx + 1,
+                orderIdx, hasDistinct, needCount = false, bound = n)
             }
           }
         }
@@ -845,74 +1104,91 @@ object JetSql {
     // falls through to the main loop's rejection: eliminating
     // duplicates over non-output source records has no ANSI twin.
     {
-      val selIdx = nextNonWs(0)
+      val selIdx = pnext(0)
       val dIdx =
-        if (selIdx < toks.length && isWord(toks(selIdx), "select"))
-          nextNonWs(selIdx + 1)
-        else toks.length
-      if (dIdx < toks.length && isWord(toks(dIdx), "distinctrow") &&
-        fromIsMultiTable(toks, 0) && !hasDepth0Union(toks) &&
-        depth0Word(toks, "group", dIdx + 1) < 0 &&
-        depth0Word(toks, "having", dIdx + 1) < 0) {
-        val fromIdx = depth0Word(toks, "from", dIdx + 1)
+        if (selIdx < ptoks.length && isWord(ptoks(selIdx), "select"))
+          pnext(selIdx + 1)
+        else ptoks.length
+      if (dIdx < ptoks.length && isWord(ptoks(dIdx), "distinctrow") &&
+        fromIsMultiTable(ptoks, 0) && !hasDepth0Union(ptoks) &&
+        depth0Word(ptoks, "group", dIdx + 1) < 0 &&
+        depth0Word(ptoks, "having", dIdx + 1) < 0) {
+        val fromIdx = depth0Word(ptoks, "from", dIdx + 1)
         require(fromIdx > dIdx, "jetsql: SELECT without FROM")
-        val items = splitArgs(toks.slice(dIdx + 1, fromIdx))
+        val items = splitArgs(ptoks.slice(dIdx + 1, fromIdx))
           .map(_.filter(_.kind != "ws"))
+        // q and c: words, sanitized idents, or (JDBC path) pre-quoted
+        // raw idents — nameOf sees through all three (r11 review: the
+        // JDBC quoting pass ran before emit, so bracketed columns
+        // never matched here and the declared-uniqueKeys remedy could
+        // not work on JDBC targets)
         def colRef(ts: Vector[Tok]): Option[(Tok, Option[Tok])] =
           ts match {
             // q.c | q.c AS a | q.c a  (alias irrelevant to grouping)
-            // | q.*  — q and c words or sanitized idents
+            // | q.*
             case Vector(q, d, c)
-              if (q.kind == "word" || q.kind == "ident") &&
+              if nameOf(q).isDefined &&
                 d.kind == "punct" && d.text == "." =>
-              if (c.kind == "word" || c.kind == "ident") Some((q, Some(c)))
+              if (nameOf(c).isDefined) Some((q, Some(c)))
               else if (c.kind == "punct" && c.text == "*") Some((q, None))
               else None
             case Vector(q, d, c, a)
-              if (q.kind == "word" || q.kind == "ident") &&
+              if nameOf(q).isDefined &&
                 d.kind == "punct" && d.text == "." &&
-                (c.kind == "word" || c.kind == "ident") &&
-                (a.kind == "word" || a.kind == "ident") &&
+                nameOf(c).isDefined && nameOf(a).isDefined &&
                 !a.text.equalsIgnoreCase("as") => Some((q, Some(c)))
             case Vector(q, d, c, as0, a)
-              if (q.kind == "word" || q.kind == "ident") &&
+              if nameOf(q).isDefined &&
                 d.kind == "punct" && d.text == "." &&
-                (c.kind == "word" || c.kind == "ident") &&
+                nameOf(c).isDefined &&
                 as0.kind == "word" && as0.text.equalsIgnoreCase("as") &&
-                (a.kind == "word" || a.kind == "ident") => Some((q, Some(c)))
+                nameOf(a).isDefined => Some((q, Some(c)))
             case _ => None
           }
         val refs = items.map(colRef)
-        val quals = refs.flatten.map(r => skey(r._1.text)).distinct
+        val quals = refs.flatten.map(r => skey(nameOf(r._1).get)).distinct
         if (refs.forall(_.isDefined) && quals.size == 1) {
-          val qText = refs.head.get._1.text
-          val sets = uniqueKeys.getOrElse(quals.head, Nil)
+          val qTok = refs.head.get._1
+          // the output qualifier may be a table ALIAS — the unique-key
+          // catalog is keyed by TABLE name, so resolve through the
+          // FROM clause (r11 review: `FROM t AS x … SELECT
+          // DISTINCTROW x.a` rejected despite t's declared key)
+          val tblKey = fromAliases(ptoks).getOrElse(quals.head, quals.head)
+          val sets = uniqueKeys.getOrElse(tblKey, Nil)
             .filter(_.nonEmpty)
           val hasStar = refs.flatten.exists(_._2.isEmpty)
-          val outCols = refs.flatten.flatMap(_._2).map(c => skey(c.text))
-            .toSet
+          val outCols = refs.flatten.flatMap(_._2)
+            .map(c => skey(nameOf(c).get)).toSet
           val keyInOutput = (hasStar && sets.nonEmpty) ||
-            sets.exists(_.subsetOf(outCols))
+            sets.exists(_.map(skey).subsetOf(outCols))
+          // name emission: raw tokens are already quoted for the JDBC
+          // target; everything else gets the engine's backtick rule
+          def colSql(t: Tok): String =
+            if (t.kind == "raw") t.text else quoteIdent(t.text)
           if (keyInOutput) {
             // output dedup == record dedup: plain DISTINCT
-            return em(toks.updated(dIdx, Tok("word", "DISTINCT")))
+            return pfx + em(ptoks.updated(dIdx, Tok("word", "DISTINCT")))
           } else if (sets.nonEmpty) {
             // one row per matched record: group on output cols + key
-            val orderIdx = depth0Word(toks, "order", dIdx + 1)
-            val bodyEnd = if (orderIdx < 0) toks.length else orderIdx
+            val orderIdx = depth0Word(ptoks, "order", dIdx + 1)
+            val bodyEnd = if (orderIdx < 0) ptoks.length else orderIdx
             val body = em(
-              toks.slice(0, dIdx) ++ toks.slice(dIdx + 1, bodyEnd))
+              ptoks.slice(0, dIdx) ++ ptoks.slice(dIdx + 1, bodyEnd))
             val outExprs = refs.flatten.collect {
-              case (q, Some(c)) =>
-                s"${quoteIdent(q.text)}.${quoteIdent(c.text)}"
+              case (q, Some(c)) => s"${colSql(q)}.${colSql(c)}"
             }.distinct
             val key = sets.minBy(_.size)
+            // appended key columns: the JDBC target's migrated tables
+            // carry quoted case-exact column names (see
+            // translateForJdbc), so quote there; backtick rule on the
+            // engine
             val keyExprs = key.toSeq.sorted
-              .filterNot(outCols.contains)
-              .map(k => s"${quoteIdent(qText)}.${quoteIdent(k)}")
+              .filterNot(k => outCols.contains(skey(k)))
+              .map(k => s"${colSql(qTok)}." +
+                (if (jdbc) "\"" + k + "\"" else quoteIdent(k)))
             val orderPart =
-              if (orderIdx < 0) "" else " " + em(toks.drop(orderIdx))
-            return s"$body GROUP BY " +
+              if (orderIdx < 0) "" else " " + em(ptoks.drop(orderIdx))
+            return pfx + s"$body GROUP BY " +
               (outExprs ++ keyExprs).mkString(", ") + orderPart
           } else
             fail("multi-table DISTINCTROW without a declared unique " +

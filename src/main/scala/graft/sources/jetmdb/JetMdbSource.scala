@@ -230,7 +230,7 @@ object JetMdbSource {
           var lvalNum = -1
           var lvalPage: Array[Byte] = null
           val lval: Int => Array[Byte] = { n =>
-            if (n != lvalNum) { lvalPage = readPage(in, n); lvalNum = n }
+            if (n != lvalNum) { lvalPage = readPage(in, n, ps); lvalNum = n }
             lvalPage
           }
           def asInt(v: Any): Int = v match {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Error-bound checks for the approximate percentile. The declared
-  * query runs in the PROVABLY-EXACT regime (accuracy 50000 ≫ group
+  * query runs in the PROVABLY-EXACT regime (accuracy 500000 ≫ group
   * sizes at gate scales — that's what put it under the DuckDB hash
   * gate in round 11); the purge regime the 100 TB operating point
   * actually hits is pinned here directly: a deliberately tiny

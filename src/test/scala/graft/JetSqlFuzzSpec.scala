@@ -642,6 +642,84 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("60 random tie-aware plain-TOP queries with QUALIFIED, " +
+    "NON-PROJECTED, ALIASED, alias-SHADOWING, and EXPRESSION ORDER " +
+    "BY keys match an independent tie-aware evaluator (the r11 " +
+    "review shapes: every key resolves IN the original scope)") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val r = new scala.util.Random(71230981L)
+    val n = 30
+    val rows: Seq[(Int, Int, String)] = (1 to n).map { i =>
+      (i, r.nextInt(4), "x" + (i % 7))
+    }
+    rows.toDF("id", "v", "s").createOrReplaceTempView("tie_fuzz")
+    val uk = Map("tie_fuzz" -> Seq(Set("id")))
+    (0 until 60).foreach { k =>
+      val c = r.nextInt(n) + 1
+      val desc = r.nextBoolean()
+      val dir = if (desc) " DESC" else ""
+      val shape = r.nextInt(6)
+      // (sql, projected cols, tie-aware sort key on the SOURCE row,
+      // expect the windowed form?) — zero-padded string keys give one
+      // comparable ordering for int and string sorts alike
+      val (sql, proj, keyFn, windowed) = shape match {
+        case 0 => // qualified tied key
+          (s"SELECT [id], [v] FROM tie_fuzz ORDER BY tie_fuzz.[v]$dir",
+            Seq("id", "v"), (t: (Int, Int, String)) => f"${t._2}%03d",
+            true)
+        case 1 => // non-projected tied key
+          (s"SELECT [id] FROM tie_fuzz ORDER BY [v]$dir",
+            Seq("id"), (t: (Int, Int, String)) => f"${t._2}%03d", true)
+        case 2 => // ORDER BY select-list alias of the tied v
+          (s"SELECT [id], [v] AS w FROM tie_fuzz ORDER BY w$dir",
+            Seq("id", "v"), (t: (Int, Int, String)) => f"${t._2}%03d",
+            true)
+        case 3 => // alias SHADOWING the declared unique key name:
+          // Access sorts the tied v, so the LIMIT fast path would cut
+          // a tie group — the proof must refuse it
+          (s"SELECT [v] AS id FROM tie_fuzz ORDER BY id$dir",
+            Seq("v"), (t: (Int, Int, String)) => f"${t._2}%03d", true)
+        case 4 => // qualified UNIQUE key: the LIMIT fast path, exact
+          (s"SELECT [id], [v] FROM tie_fuzz ORDER BY tie_fuzz.[id]$dir",
+            Seq("id", "v"), (t: (Int, Int, String)) => f"${t._1}%03d",
+            false)
+        case _ => // expression key (ties via the 7-value alphabet)
+          (s"SELECT [id], [s] FROM tie_fuzz ORDER BY UCase([s])$dir",
+            Seq("id", "s"),
+            (t: (Int, Int, String)) => t._3.toUpperCase, true)
+      }
+      val tr = graft.sources.JetSql.translate(
+        s"SELECT TOP $c " + sql.stripPrefix("SELECT "), Map.empty, uk)
+      assert(tr.contains("__jet_rk") == windowed, s"case $k: $tr")
+      def project(t: (Int, Int, String)): Seq[Any] = proj.map {
+        case "id" => t._1
+        case "v" => t._2
+        case "s" => t._3
+      }
+      val sortedKeys = {
+        val ks = rows.map(keyFn).sorted
+        if (desc) ks.reverse else ks
+      }
+      val expected: Seq[Seq[Any]] =
+        if (!windowed) { // unique sort: exact first-c rows
+          val sorted = rows.sortBy(keyFn)
+          (if (desc) sorted.reverse else sorted).take(c).map(project)
+        } else { // whole boundary tie group
+          val boundary = sortedKeys(math.min(c, n) - 1)
+          rows.filter { t =>
+            if (desc) keyFn(t) >= boundary else keyFn(t) <= boundary
+          }.map(project)
+        }
+      val got = spark.sql(tr).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val want = expected
+        .map(_.map(String.valueOf).mkString("|")).sorted
+      assert(got == want,
+        s"case $k:\n  $sql TOP $c\n  $tr\n  got=$got\n  want=$want")
+    }
+  }
+
   test("80 random multi-table DISTINCTROW queries: the record-" +
     "identity rewrite (DISTINCT or GROUP BY output+key) executes to " +
     "the same multiset as an independent record-level evaluator — " +

@@ -195,6 +195,136 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT top, a FROM t WHERE top > 3")
   }
 
+  test("bracketed reserved words are identifiers EVERYWHERE — " +
+    "[Order]/[Group] in a TOP query must not read as keywords") {
+    // r11 review: depth0Word matched the ident [Order] as the ORDER
+    // keyword and the TOP pre-pass then failed 'ORDER without BY'
+    assert(translate("SELECT TOP 5 a FROM t WHERE [Order] > 3") ==
+      "SELECT a FROM t WHERE order > 3 LIMIT 5")
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 2 [Order] FROM t ORDER BY [Order]", Map.empty,
+      Map("t" -> Seq(Set("Order")))) ==
+      "SELECT order FROM t ORDER BY order LIMIT 2")
+    assert(translate("SELECT a, [Group] FROM t WHERE [Group] = 1") ==
+      "SELECT a, group FROM t WHERE group = 1")
+  }
+
+  test("INSERT INTO … SELECT TOP n gets the same tie-aware treatment " +
+    "as a standalone SELECT (the Access append-query form)") {
+    val uk = Map("t" -> Seq(Set("a")))
+    // provably-unique key → LIMIT fast path, INSERT header intact
+    assert(graft.sources.JetSql.translate(
+      "INSERT INTO x SELECT TOP 2 a FROM t ORDER BY a", Map.empty, uk)
+      == "INSERT INTO x SELECT a FROM t ORDER BY a LIMIT 2")
+    // not provably unique → the windowed form, behind the header
+    assert(translate(
+      "INSERT INTO x SELECT TOP 2 a FROM t ORDER BY a") ==
+      "INSERT INTO x SELECT * EXCEPT (__jet_rk) FROM (SELECT *, " +
+        "RANK() OVER (ORDER BY a) AS __jet_rk FROM (SELECT a FROM " +
+        "t)) WHERE __jet_rk <= 2 ORDER BY a")
+    // JDBC target without a declared key → the loud uniqueness
+    // rejection, no longer bypassed by the INSERT header
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "INSERT INTO x SELECT TOP 2 a FROM t ORDER BY a")
+    }
+    assert(e.getMessage.contains("uniqueKeys"), e.getMessage)
+    // DISTINCTROW subset rides behind an INSERT header too
+    assert(graft.sources.JetSql.translate(
+      "INSERT INTO x SELECT DISTINCTROW t.pk, t.a FROM t INNER " +
+        "JOIN u ON t.k = u.k", Map.empty, Map("t" -> Seq(Set("pk"))))
+      == "INSERT INTO x SELECT DISTINCT t.pk, t.a FROM t INNER " +
+        "JOIN u ON t.k = u.k")
+    // INSERT … VALUES is untouched by the pre-passes
+    assert(translate("INSERT INTO x (a) VALUES (1)") ==
+      "INSERT INTO x (a) VALUES (1)")
+  }
+
+  test("a select-list alias SHADOWING a unique-key name voids the " +
+    "LIMIT fast path (Access resolves ORDER BY aliases first)") {
+    val uk = Map("t" -> Seq(Set("pk")))
+    // ORDER BY pk binds to the alias (= region, which can tie) — the
+    // r11 review's fake-proof case; must go tie-aware
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 3 region AS pk FROM t ORDER BY pk", Map.empty, uk)
+      .contains("__jet_rk"))
+    // a QUALIFIED t.pk cannot be shadowed — fast path holds
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 3 region AS pk, t.pk AS realpk FROM t " +
+        "ORDER BY t.pk", Map.empty, uk).endsWith("LIMIT 3"))
+  }
+
+  test("tie-aware TOP keys resolve IN the original scope: qualified " +
+    "refs, non-projected columns, and GROUP BY aliases all execute") {
+    val spark = TestSpark.session
+    spark.sql("SELECT * FROM VALUES (1, 10), (2, 20), (2, 30), (3, 40)" +
+      " AS jt(a, b)").createOrReplaceTempView("jt")
+    // qualified key over a single table (designer-emitted style)
+    val q1 = spark.sql(translate(
+      "SELECT TOP 2 a FROM jt ORDER BY jt.a"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(q1 == Seq(1, 2, 2), q1) // boundary tie group included
+    // non-projected ORDER BY column (legal in Access outside DISTINCT)
+    val q2 = spark.sql(translate(
+      "SELECT TOP 1 a FROM jt ORDER BY b DESC"))
+    assert(q2.columns.toSeq == Seq("a")) // helper cols must not leak
+    assert(q2.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // GROUP BY scope ordering on an aggregate alias
+    val q3 = spark.sql(translate(
+      "SELECT TOP 1 a, Count(*) AS n FROM jt GROUP BY a ORDER BY n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(q3 == Seq((1, 1L), (3, 1L)), q3) // n=1 ties: both kept
+    // DISTINCT + single-table-qualified output key: qualifier strips
+    val q4 = spark.sql(translate(
+      "SELECT DISTINCT TOP 2 a FROM jt ORDER BY jt.a"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(q4 == Seq(1, 2), q4)
+    // DISTINCT + non-output key rejects loudly (Access requires
+    // DISTINCT's ORDER BY fields in the select list)
+    intercept[IllegalArgumentException] {
+      translate("SELECT DISTINCT TOP 2 a FROM jt ORDER BY b")
+    }
+  }
+
+  test("DISTINCTROW output qualifier may be a table ALIAS — the " +
+    "unique key resolves through the FROM clause") {
+    val uk = Map("t" -> Seq(Set("pk")))
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW x.a FROM t AS x INNER JOIN u ON x.k = u.k",
+      Map.empty, uk) ==
+      "SELECT x.a FROM t AS x INNER JOIN u ON x.k = u.k " +
+        "GROUP BY x.a, x.pk")
+    // implicit (no-AS) alias form
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW x.pk, x.a FROM t x, u WHERE x.k = u.k",
+      Map.empty, uk) ==
+      "SELECT DISTINCT x.pk, x.a FROM t x, u WHERE x.k = u.k")
+  }
+
+  test("translateForJdbc sees through its own quoting: bracketed " +
+    "columns still prove TOP uniqueness and drive the DISTINCTROW " +
+    "subset") {
+    val uk = Map("t" -> Seq(Set("a")), "tt" -> Seq(Set("pk")))
+    // r11 review: the quoting pass ran before emit, so [a] became a
+    // raw token the uniqueness proof could not see — the documented
+    // uniqueKeys remedy could never work on the JDBC path
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT TOP 5 [a] FROM t ORDER BY [a]", Map.empty, uk) ==
+      "SELECT \"a\" FROM t ORDER BY \"a\" LIMIT 5")
+    // DISTINCTROW DISTINCT path with bracketed columns on JDBC
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT DISTINCTROW tt.[pk], tt.[a] FROM tt INNER JOIN u " +
+        "ON tt.[k] = u.[k]", Map.empty, uk) ==
+      "SELECT DISTINCT tt.\"pk\", tt.\"a\" FROM tt INNER JOIN u " +
+        "ON tt.\"k\" = u.\"k\"")
+    // GROUP BY path: appended key column is quoted case-exact
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT DISTINCTROW tt.[a] FROM tt INNER JOIN u ON tt.k = u.k",
+      Map.empty, uk) ==
+      "SELECT tt.\"a\" FROM tt INNER JOIN u ON tt.k = u.k " +
+        "GROUP BY tt.\"a\", tt.\"pk\"")
+  }
+
   test("untranslatable constructs reject loudly, never silently wrong") {
     for (bad <- Seq(
       "TRANSFORM Sum(x) SELECT a FROM t PIVOT b", // no IN list
@@ -553,10 +683,15 @@ class JetSqlSpec extends AnyFunSuite {
       "(SELECT TOP 1 y FROM u ORDER BY z)", Map.empty, uk) ==
       "SELECT a FROM t WHERE x = (SELECT y FROM u ORDER BY z LIMIT 1)")
     // the same subquery without the unique declaration goes tie-aware
-    // inside ITS OWN parens
+    // inside ITS OWN parens — and z, not being projected by the
+    // subquery, rides inside it as a __jet_k helper column (the bare
+    // wrapper would reference an unresolvable z; r11 review)
     assert(translate("SELECT a FROM t WHERE x = " +
       "(SELECT TOP 1 y FROM u ORDER BY z)")
-      .contains("(SELECT * EXCEPT (__jet_rk)"))
+      .contains("(SELECT * EXCEPT (__jet_k0, __jet_rk) FROM (SELECT " +
+        "*, RANK() OVER (ORDER BY __jet_k0) AS __jet_rk FROM " +
+        "(SELECT y, z AS __jet_k0 FROM u)) WHERE __jet_rk <= 1 " +
+        "ORDER BY __jet_k0)"))
     // nested scopes decide independently: the inner TOP keeps LIMIT
     // (unique b), the outer FROM is a SUBQUERY so its uniqueness is
     // unprovable and it goes tie-aware
