@@ -41,21 +41,20 @@ import org.apache.spark.sql.SparkSession
   *     caller-declared unique key of the scope's single table among
   *     the ORDER BY columns (`uniqueKeys` — derived from the .mdb's
   *     own unique indexes by
-  *     `MigrationPipeline.uniqueKeysFromSpecs`). Like TOP PERCENT,
-  *     the windowed form resolves its ORDER BY against the
-  *     statement's OUTPUT columns and is engine-only (JDBC targets
-  *     reject unless the fast path proves unique). A TOP in a scope
-  *     that also holds a depth-0 UNION REJECTS (Access applies TOP
-  *     per SELECT branch, but a trailing LIMIT would silently bind to
-  *     the COMBINED result — parenthesize the branch); `TOP n
-  *     PERCENT` → Access's tie-aware windowed form on the engine
-  *     target (`RANK() ≤ CEILING(pct of COUNT)` over the statement's
-  *     own ORDER BY, boundary ties included — LIMIT is not
-  *     equivalent), still rejected for JDBC targets; the windowed
-  *     form resolves its ORDER BY against the statement's OUTPUT
-  *     columns, so a PERCENT query ordered by a non-output source
-  *     column fails loudly at analysis rather than silently
-  *     reordering;
+  *     `MigrationPipeline.uniqueKeysFromSpecs`). The windowed form
+  *     resolves every ORDER BY key IN the original scope: a key that
+  *     is an output column ranks in a plain wrapper, while qualified
+  *     refs, non-projected source columns, and expressions ride
+  *     inside the scope as `__jet_kN` helper columns (stripped from
+  *     the output again) — only a DISTINCT scope restricts keys to
+  *     output columns, as Access itself does. Engine-only (JDBC
+  *     targets reject unless the fast path proves unique). A TOP in
+  *     a scope that also holds a depth-0 UNION REJECTS (Access
+  *     applies TOP per SELECT branch, but a trailing LIMIT would
+  *     silently bind to the COMBINED result — parenthesize the
+  *     branch); `TOP n PERCENT` → the same tie-aware windowed form
+  *     with `RANK() ≤ CEILING(pct of COUNT)`, boundary ties included
+  *     — LIMIT is not equivalent — still rejected for JDBC targets;
   *   - LIKE patterns: Jet wildcards `*`/`?` → `%`/`_` (only inside
   *     the string literal FOLLOWING a LIKE, never elsewhere); Jet's
   *     `[charlist]` and `#` (single digit) wildcards — which ANSI
@@ -156,10 +155,12 @@ object JetSql {
         "crosstab headings via translateCrosstab)")
 
   /** Token: (kind, text). Kinds: word, ident ([bracketed] — arrives
-    * pre-sanitized; matches keywords like a word everywhere, but its
-    * bracketed-ness survives so JDBC-target emission can quote it),
-    * string ('…' already ANSI), number, punct, ws, date (#…# body),
-    * raw (pre-rendered SQL text — bound parameter literals). */
+    * pre-sanitized; NEVER matches a keyword position, because
+    * bracketing is exactly how Jet escapes a reserved word into an
+    * identifier, and its bracketed-ness survives so JDBC-target
+    * emission can quote it), string ('…' already ANSI), number,
+    * punct, ws, date (#…# body), raw (pre-rendered SQL text — bound
+    * parameter literals and the JDBC pass's pre-quoted idents). */
   private final case class Tok(kind: String, text: String)
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -638,11 +639,28 @@ object JetSql {
     var prev = "from" // last meaningful lower-cased text
     var inOn = false
     var depth = 0
+    // paren depth at which a SUBQUERY opened (-1 = not inside one):
+    // a derived table's inner references must not leak into the
+    // outer alias map — its records are NOT the base table's, so its
+    // alias must not inherit the base table's unique keys (r11
+    // review: FROM (SELECT … FROM t AS sub) AS sub silently lent
+    // t's key to the derived table). Parenthesized JOIN groups (no
+    // leading SELECT) still register normally.
+    var subqDepth = -1
     while (i < toks.length && !(depth == 0 && toks(i).kind == "word" &&
       endWords.contains(toks(i).text.toLowerCase))) {
       val t = toks(i)
-      if (t.kind == "punct" && t.text == "(") { depth += 1; prev = "(" }
-      else if (t.kind == "punct" && t.text == ")") {
+      if (t.kind == "punct" && t.text == "(") {
+        depth += 1
+        if (subqDepth < 0) {
+          var j = i + 1
+          while (j < toks.length && toks(j).kind == "ws") j += 1
+          if (j < toks.length && isWord(toks(j), "select"))
+            subqDepth = depth
+        }
+        prev = "("
+      } else if (t.kind == "punct" && t.text == ")") {
+        if (depth == subqDepth) subqDepth = -1
         depth -= 1
         if (depth < 0) return out.result() // FROM was inside a group
         prev = ")"
@@ -653,7 +671,7 @@ object JetSql {
       else if (t.kind != "ws") {
         val tablePos = prev == "from" || prev == "join" ||
           prev == "," || prev == "("
-        if (!inOn && tablePos && nameOf(t).isDefined &&
+        if (!inOn && subqDepth < 0 && tablePos && nameOf(t).isDefined &&
           !joinWords.contains(t.text.toLowerCase)) {
           val dotted = next(i + 1) < toks.length && {
             val d = toks(next(i + 1))
@@ -997,10 +1015,20 @@ object JetSql {
       val selIdx = pnext(0)
       if (selIdx < ptoks.length && isWord(ptoks(selIdx), "select")) {
         val d = pnext(selIdx + 1)
-        val hasDistinct = d < ptoks.length &&
+        // keyword present vs DISTINCT semantics: Access IGNORES
+        // DISTINCTROW over a single-table FROM (the main loop drops
+        // it), so only multi-table DISTINCTROW restricts the
+        // tie-aware ORDER BY keys the way DISTINCT does (r11 review:
+        // the single-table designer-default shape was wrongly
+        // rejected for a non-output key)
+        val hasDedupKw = d < ptoks.length &&
           (isWord(ptoks(d), "distinct") ||
             isWord(ptoks(d), "distinctrow"))
-        val topIdx = if (hasDistinct) pnext(d + 1) else d
+        val hasDistinct = d < ptoks.length &&
+          (isWord(ptoks(d), "distinct") ||
+            (isWord(ptoks(d), "distinctrow") &&
+              fromIsMultiTable(ptoks, 0)))
+        val topIdx = if (hasDedupKw) pnext(d + 1) else d
         val nIdx =
           if (topIdx < ptoks.length) pnext(topIdx + 1)
           else ptoks.length
@@ -1115,7 +1143,28 @@ object JetSql {
         depth0Word(ptoks, "having", dIdx + 1) < 0) {
         val fromIdx = depth0Word(ptoks, "from", dIdx + 1)
         require(fromIdx > dIdx, "jetsql: SELECT without FROM")
-        val items = splitArgs(ptoks.slice(dIdx + 1, fromIdx))
+        // the select list begins PAST any TOP n (r11 review: TOP
+        // tokens in the first item made colRef fail, so the subset
+        // pre-pass silently never fired and the error blamed
+        // multi-table output fields)
+        val selStart = selectListRange(ptoks).map(_._1).getOrElse(dIdx + 1)
+        // TOP n in a surviving multi-table DISTINCTROW scope implies
+        // NO depth-0 ORDER BY (a tie-aware TOP was already rewritten
+        // by the pre-pass above; a provably-unique one needs a
+        // single-table FROM, which this scope is not) — Access
+        // semantics are dedup-then-arbitrary-n, so the LIMIT must
+        // land AFTER the appended GROUP BY, not where the main loop
+        // would put it
+        val topN: Option[String] = {
+          val ts = ptoks.slice(dIdx + 1, selStart)
+            .filter(_.kind != "ws")
+          ts match {
+            case Vector(t, n) if isWord(t, "top") && n.kind == "number" =>
+              Some(n.text)
+            case _ => None
+          }
+        }
+        val items = splitArgs(ptoks.slice(selStart, fromIdx))
           .map(_.filter(_.kind != "ws"))
         // q and c: words, sanitized idents, or (JDBC path) pre-quoted
         // raw idents — nameOf sees through all three (r11 review: the
@@ -1172,8 +1221,10 @@ object JetSql {
             // one row per matched record: group on output cols + key
             val orderIdx = depth0Word(ptoks, "order", dIdx + 1)
             val bodyEnd = if (orderIdx < 0) ptoks.length else orderIdx
+            // drop the DISTINCTROW keyword AND any TOP n (re-appended
+            // as a trailing LIMIT below, after the GROUP BY)
             val body = em(
-              ptoks.slice(0, dIdx) ++ ptoks.slice(dIdx + 1, bodyEnd))
+              ptoks.slice(0, dIdx) ++ ptoks.slice(selStart, bodyEnd))
             val outExprs = refs.flatten.collect {
               case (q, Some(c)) => s"${colSql(q)}.${colSql(c)}"
             }.distinct
@@ -1189,7 +1240,8 @@ object JetSql {
             val orderPart =
               if (orderIdx < 0) "" else " " + em(ptoks.drop(orderIdx))
             return pfx + s"$body GROUP BY " +
-              (outExprs ++ keyExprs).mkString(", ") + orderPart
+              (outExprs ++ keyExprs).mkString(", ") + orderPart +
+              topN.map(n => s" LIMIT $n").getOrElse("")
           } else
             fail("multi-table DISTINCTROW without a declared unique " +
               "key for its output table (record-level dedup needs " +
@@ -1830,9 +1882,23 @@ object JetSql {
   def translate(jetSql: String, params: Map[String, Any],
       uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks = substituteParams(body, decls, params)
+    val toks = stripTrailingSemi(substituteParams(body, decls, params))
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
     else emit(actionQueryRewrites(toks), uniqueKeys = uniqueKeys)
+  }
+
+  /** Drop a trailing statement-terminating ';' (the standard Access
+    * saved-query form) plus surrounding ws: it is not part of the
+    * statement, and left in place it rides into the last clause's
+    * tokens — the r11 review caught it landing INSIDE ORDER BY keys,
+    * defeating the unique-key proof and corrupting the tie-aware
+    * rewrite's emitted SQL. */
+  private def stripTrailingSemi(toks: Vector[Tok]): Vector[Tok] = {
+    var e = toks.length
+    while (e > 0 && toks(e - 1).kind == "ws") e -= 1
+    if (e > 0 && toks(e - 1).kind == "punct" && toks(e - 1).text == ";")
+      toks.take(e - 1)
+    else toks
   }
 
   /** Translate for a JDBC TARGET database (the action-query path):
@@ -1851,7 +1917,8 @@ object JetSql {
       params: Map[String, Any] = Map.empty,
       uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks0 = actionQueryRewrites(substituteParams(body, decls, params),
+    val toks0 = actionQueryRewrites(
+      stripTrailingSemi(substituteParams(body, decls, params)),
       jdbc = true)
     val tablePos = Set("from", "into", "update", "join", "using")
     var lastMeaning = ""
@@ -2003,7 +2070,7 @@ object JetSql {
       params: Map[String, Any] = Map.empty,
       uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks = substituteParams(body, decls, params)
+    val toks = stripTrailingSemi(substituteParams(body, decls, params))
     if (isCrosstab(toks)) {
       val ct = parseCrosstab(toks)
       if (ct.items.isDefined) emitCrosstab(ct, None)
@@ -2078,7 +2145,7 @@ object JetSql {
       params: Map[String, Any] = Map.empty,
       maxHeadings: Int = 64): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks = substituteParams(body, decls, params)
+    val toks = stripTrailingSemi(substituteParams(body, decls, params))
     require(isCrosstab(toks),
       "jetsql: translateCrosstab expects a TRANSFORM statement")
     val ct = parseCrosstab(toks)

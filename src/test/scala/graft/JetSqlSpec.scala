@@ -301,6 +301,73 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT DISTINCT x.pk, x.a FROM t x, u WHERE x.k = u.k")
   }
 
+  test("a trailing semicolon (the Access saved-query terminator) is " +
+    "stripped before any analysis — it must not ride into ORDER BY " +
+    "keys or the DISTINCTROW rewrite") {
+    val uk = Map("t" -> Seq(Set("pk")))
+    // r11 review wave 2: the ';' swept into the key tokens, defeating
+    // the unique proof and emitting 'pk; AS __jet_k0'
+    assert(graft.sources.JetSql.translate(
+      "SELECT TOP 2 a FROM t ORDER BY pk;", Map.empty, uk) ==
+      "SELECT a FROM t ORDER BY pk LIMIT 2")
+    assert(graft.sources.JetSql.translateForJdbc(
+      "SELECT TOP 2 a FROM t ORDER BY pk;", Map.empty, uk) ==
+      "SELECT a FROM t ORDER BY pk LIMIT 2")
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW x.a FROM t AS x INNER JOIN u ON x.k = u.k;",
+      Map.empty, uk) ==
+      "SELECT x.a FROM t AS x INNER JOIN u ON x.k = u.k " +
+        "GROUP BY x.a, x.pk")
+    assert(translate("SELECT a FROM t;") == "SELECT a FROM t")
+  }
+
+  test("a derived table's alias must NOT inherit the base table's " +
+    "unique keys through fromAliases") {
+    val uk = Map("t" -> Seq(Set("pk")))
+    // r11 review wave 2: the inner 't AS sub' leaked sub->t into the
+    // outer map, silently lending t's record identity to a subquery
+    // whose records need not be t's — the correct behavior is the
+    // loud no-declared-key rejection
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translate(
+        "SELECT DISTINCTROW sub.a FROM (SELECT pk, a, k FROM t AS " +
+          "sub) AS sub INNER JOIN u ON sub.k = u.k", Map.empty, uk)
+    }
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    // a parenthesized JOIN GROUP (no leading SELECT) still resolves
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW x.a FROM (t AS x INNER JOIN u ON x.k = " +
+        "u.k) INNER JOIN w ON x.k = w.k", Map.empty, uk) ==
+      "SELECT x.a FROM (t AS x INNER JOIN u ON x.k = u.k) INNER " +
+        "JOIN w ON x.k = w.k GROUP BY x.a, x.pk")
+  }
+
+  test("single-table DISTINCTROW TOP with a non-output ORDER BY key " +
+    "translates (Access ignores DISTINCTROW there); multi-table " +
+    "DISTINCTROW TOP n without ORDER BY gets LIMIT after GROUP BY") {
+    // r11 review wave 2: the tie-aware path treated the ignored
+    // DISTINCTROW like DISTINCT and rejected the designer-default
+    // shape with a false message
+    val tr = translate("SELECT DISTINCTROW TOP 5 a FROM t ORDER BY b")
+    assert(tr.contains("__jet_k0"), tr)
+    assert(tr.contains("FROM (SELECT a, b AS __jet_k0 FROM t))"), tr)
+    // multi-table DISTINCTROW + TOP n (no ORDER BY): the TOP tokens
+    // must not poison the select-list parse, and the LIMIT lands
+    // after the appended GROUP BY
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW TOP 5 x.a FROM t AS x INNER JOIN u ON " +
+        "x.k = u.k", Map.empty, Map("t" -> Seq(Set("pk")))) ==
+      "SELECT x.a FROM t AS x INNER JOIN u ON x.k = u.k " +
+        "GROUP BY x.a, x.pk LIMIT 5")
+    // ... and on the DISTINCT branch (key in output) em's own LIMIT
+    // placement is already right
+    assert(graft.sources.JetSql.translate(
+      "SELECT DISTINCTROW TOP 5 x.pk, x.a FROM t AS x INNER JOIN u " +
+        "ON x.k = u.k", Map.empty, Map("t" -> Seq(Set("pk")))) ==
+      "SELECT DISTINCT x.pk, x.a FROM t AS x INNER JOIN u ON " +
+        "x.k = u.k LIMIT 5")
+  }
+
   test("translateForJdbc sees through its own quoting: bracketed " +
     "columns still prove TOP uniqueness and drive the DISTINCTROW " +
     "subset") {
