@@ -113,19 +113,32 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** (steal, iowait) jiffies from /proc/stat's aggregate cpu line,
-    * converted to milliseconds (USER_HZ = 100 on Linux). (0,0) when
-    * unreadable — a missing /proc must not kill the bench. */
+  /** (steal, iowait) jiffies from /proc/stat's aggregate cpu line —
+    * summed over ALL cores — converted to milliseconds (USER_HZ = 100
+    * on Linux). (-1,-1) when unreadable: a missing /proc must not
+    * kill the bench, but a ZERO fallback paired with a successful
+    * read at the other end of a run would turn the delta into
+    * cumulative-since-boot steal (r11 review) — the sentinel lets
+    * the delta site drop the pair instead. Files.readString (not a
+    * Source, which leaks its fd until finalization — ~2800 calls per
+    * sweep). */
   private def cpuStealIowaitMs(): (Long, Long) =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      val cpu = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator
         .find(_.startsWith("cpu ")).getOrElse("")
       val f = cpu.trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal ...
       val iowait = if (f.length > 5) f(5).toLong * 10 else 0L
       val steal = if (f.length > 8) f(8).toLong * 10 else 0L
       (steal, iowait)
-    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** End-minus-start counter delta, or 0 when either endpoint was an
+    * unreadable (-1) sentinel — never a since-boot total, never
+    * negative. */
+  private def ctrDelta(start: Long, end: Long): Long =
+    if (start < 0 || end < 0) 0L else math.max(0L, end - start)
 
   /** Per-query medians of the COMMITTED BENCH_FULL.json (the previous
     * round's driver-or-local record), for the in-artifact
@@ -283,7 +296,7 @@ object Bench {
       // HEAD, concentrated in the checkpoint-heavy query cluster)
       val swept = graft.plans.Checkpoints.sweep(spark).size
       RunStat(t, gcDelta, swept, hit1 - hit0, miss1 - miss0,
-        loadAvg1(), steal1 - steal0, iowait1 - iowait0,
+        loadAvg1(), ctrDelta(steal0, steal1), ctrDelta(iowait0, iowait1),
         spark.sparkContext.getPersistentRDDs.size,
         storageUsedMb(spark))
     }
@@ -325,13 +338,37 @@ object Bench {
     // whole round loses its bench artifact to a timeout. Subset probes
     // (SPARK_GRAFT_BENCH_ONLY) may run up to 16 — that's how the
     // escalation experiments (one query × n=8) are driven.
-    val requestedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
-    val runs = math.min(requestedRuns, if (only.isDefined) 16 else 4)
+    // tolerate garbage in the env var (default + stderr note) and
+    // clamp BELOW to 1: runs=0 would execute nothing yet still
+    // overwrite BENCH_FULL.json with an all--1 sweep, destroying the
+    // committed-medians baseline every later round compares against
+    val requestedRuns =
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
+        .getOrElse {
+          sys.env.get("SPARK_GRAFT_BENCH_RUNS").foreach(v =>
+            System.err.println(
+              s"[bench] SPARK_GRAFT_BENCH_RUNS='$v' unparseable; using 4"))
+          4
+        }
+    val runs = math.max(1,
+      math.min(requestedRuns, if (only.isDefined) 16 else 4))
     // make the clamp visible in the artifact's stderr: a requested n=5
     // silently running as n=3 would otherwise mislabel the methodology
     if (runs != requestedRuns)
       System.err.println(
         s"[bench] SPARK_GRAFT_BENCH_RUNS=$requestedRuns clamped to $runs")
+    // a subset filter naming ZERO known queries (empty string, typo'd
+    // name) would pay the full multi-minute warm-up and then measure
+    // nothing, writing an empty artifact with no diagnostic — fail
+    // fast with the unknown names instead
+    only.foreach { names =>
+      val known = SparkEntry.registry.map(_.name).toSet
+      val unknown = names.diff(known)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"[bench] SPARK_GRAFT_BENCH_ONLY names no runnable queries — " +
+          (if (names.isEmpty) "the list is empty"
+           else s"unknown: ${unknown.toSeq.sorted.mkString(", ")}"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$rawCpus]")
       .config("spark.sql.shuffle.partitions", rawCpus)
@@ -350,22 +387,35 @@ object Bench {
     // not query cost — the minhash shingle persist and the IVF k-means
     // index would otherwise land inside the first timed run (13.7 s /
     // 8.4 s outliers in the round-1 driver bench).
-    graft.sources.TableLoader.warm(spark, sfDir)
-    graft.operators.DedupQueries.shingleSets(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    graft.operators.IvfAnn.build(spark, sfDir).assigned
-      .write.mode("overwrite").format("noop").save()
-    graft.operators.PqAnn.build(spark, sfDir).encoded
-      .write.mode("overwrite").format("noop").save()
-    graft.operators.PqAnn.topKIvfPq(spark, sfDir, 0L, 1)
-      .write.mode("overwrite").format("noop").save() // ivfpq combined cache
+    // one failing session build must not destroy the whole round's
+    // artifact before a single query is measured (r11 review): the
+    // affected family still records its own -1s / cold-start cost in
+    // its entries, everything else measures normally
+    def warmUp(what: String)(body: => Unit): Unit =
+      try body
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[bench] warm-up '$what' failed: ${e.getMessage}")
+      }
+    warmUp("tables")(graft.sources.TableLoader.warm(spark, sfDir))
+    warmUp("shingles")(graft.operators.DedupQueries.shingleSets(spark, sfDir)
+      .write.mode("overwrite").format("noop").save())
+    warmUp("ivf")(graft.operators.IvfAnn.build(spark, sfDir).assigned
+      .write.mode("overwrite").format("noop").save())
+    warmUp("pq")(graft.operators.PqAnn.build(spark, sfDir).encoded
+      .write.mode("overwrite").format("noop").save())
+    warmUp("ivfpq")(graft.operators.PqAnn.topKIvfPq(spark, sfDir, 0L, 1)
+      .write.mode("overwrite").format("noop").save()) // combined cache
     // substring-dedup inverted gram index: the localCheckpoint build is
     // eager; the hot-gram set still needs one materializing pass
-    graft.operators.DedupQueries.substringGramIndex(spark, sfDir)
-      ._2.write.mode("overwrite").format("noop").save()
+    warmUp("gram-index")(
+      graft.operators.DedupQueries.substringGramIndex(spark, sfDir)
+        ._2.write.mode("overwrite").format("noop").save())
     // FP-Growth basket model (q_freq_itemsets) — fit is setup cost
-    graft.operators.StatExtQueries.fpGrowthModel(spark, sfDir)
-    graft.operators.SequenceQueries.prefixSpanPatterns(spark, sfDir)
+    warmUp("fpgrowth")(
+      graft.operators.StatExtQueries.fpGrowthModel(spark, sfDir))
+    warmUp("prefixspan")(
+      graft.operators.SequenceQueries.prefixSpanPatterns(spark, sfDir))
     // graph session caches: the co-purchase edge list, the support-≥2
     // backbone and its symmetric/degree views are session-lifetime
     // builds shared by the pagerank/triangle/jaccard/clustering/
@@ -373,18 +423,21 @@ object Bench {
     // registry order hits first absorbs the whole build (the round-5
     // driver artifact recorded q_jaccard_neighbors at 5.45 s vs 0.53 s
     // committed, purely from this attribution flap)
-    graft.operators.GraphQueries.copurchaseEdges(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    graft.operators.GraphQueries.copurchaseNodeCount(spark, sfDir)
-    graft.operators.GraphQueries.triangleEdges(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    val (sym, deg) = graft.operators.GraphQueries.symBackbone(spark, sfDir)
-    sym.write.mode("overwrite").format("noop").save()
-    deg.write.mode("overwrite").format("noop").save()
+    warmUp("graph")({
+      graft.operators.GraphQueries.copurchaseEdges(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      graft.operators.GraphQueries.copurchaseNodeCount(spark, sfDir)
+      graft.operators.GraphQueries.triangleEdges(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      val (sym, deg) =
+        graft.operators.GraphQueries.symBackbone(spark, sfDir)
+      sym.write.mode("overwrite").format("noop").save()
+      deg.write.mode("overwrite").format("noop").save()
+    })
     // BPE vocab training (bounded histogram collect + driver-side merge
     // loop) is session-lifetime setup shared by the four q_bpe_*
     // queries — warm it like the shingle/IVF/graph caches above
-    graft.operators.BpeQueries.bpeVocab(spark, sfDir)
+    warmUp("bpe")(graft.operators.BpeQueries.bpeVocab(spark, sfDir))
     val selected = only match {
       case Some(names) => SparkEntry.registry.filter(q => names(q.name))
       case None        => SparkEntry.registry
@@ -453,7 +506,17 @@ object Bench {
               (if (runs >= 2) all.drop(1) else all).filter(_.t >= 0)
             val wallMs = timed.map(_.t).sum * 1000
             val stealMs = timed.map(_.stealMs).sum
-            wallMs > 0 && stealMs < 0.2 * wallMs
+            // stealMs sums over ALL host cores (/proc/stat aggregate),
+            // so the budget is a fraction of TOTAL capacity (wall ×
+            // cores) — the old `< 0.2·wall` compared machine-wide
+            // jiffies against one process-second, ~cores× stricter
+            // than intended, silently suppressing probes under mild
+            // contention (r11 review). 5% of host capacity is where
+            // contention starts plausibly explaining multi-× medians;
+            // probes are capped at 8, so erring toward probing is
+            // cheap.
+            val hostCores = Runtime.getRuntime.availableProcessors
+            wallMs > 0 && stealMs < 0.05 * wallMs * hostCores
           }
         }
         .sortBy { case (_, ratio) => -ratio }
@@ -481,9 +544,30 @@ object Bench {
     // but DO keep their full-precision raw runs (BENCH_PROBE.json):
     // the r10 solo-probe adjudication of q_sequence_match lost its
     // per-run telemetry because subset sweeps wrote nothing
-    try Files.writeString(
-      Paths.get(if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PROBE.json"),
-      full + "\n")
+    // never clobber the canonical committed record with a sweep at a
+    // DIFFERENT scale factor: the read side (committedMedians) already
+    // refuses cross-sf comparison, but the write side would destroy
+    // the committed sf0.1 baseline that vs_committed/auto-probing
+    // depend on (r11 review) — divert to BENCH_DEV.json instead
+    val fullTarget =
+      if (only.nonEmpty) "BENCH_PROBE.json"
+      else {
+        val committedSf =
+          try {
+            val p = Paths.get("BENCH_FULL.json")
+            if (!Files.exists(p)) None
+            else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(Files.readString(p)).get("sf")).map(_.asText())
+          } catch { case scala.util.control.NonFatal(_) => None }
+        if (committedSf.exists(_ != sfJson.replace("\"", ""))) {
+          System.err.println(
+            s"[bench] sweep sf $sfJson != committed sf " +
+              s"${committedSf.get}: writing BENCH_DEV.json " +
+              "(BENCH_FULL.json preserved)")
+          "BENCH_DEV.json"
+        } else "BENCH_FULL.json"
+      }
+    try Files.writeString(Paths.get(fullTarget), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     // compact stdout line: all queries at 2dp if that fits the window;
     // otherwise slowest-first prefix that fits, with omitted count.
@@ -496,7 +580,13 @@ object Bench {
     val line =
       if (all2dp.length <= budget) all2dp
       else {
-        val bySlowest = results.sortBy { case (_, v) => -v }
+        // failures (-1) pin to the FRONT: they would otherwise sort
+        // past every real median and be the first entries trimmed,
+        // hiding a crashed query from the driver's parse window —
+        // the opposite of the visible-as--1 contract (r11 review)
+        val bySlowest = results.sortBy { case (_, v) =>
+          if (v < 0) Double.MinValue else -v
+        }
         // binary-search the largest slowest-first prefix that renders
         // within budget (render length is monotone in prefix size)
         var lo = 1
