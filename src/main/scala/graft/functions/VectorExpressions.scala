@@ -36,11 +36,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // elementsMayBeNull: ArrayData primitive getters silently read a
+  // null element as 0 — a plausible wrong dot product (r11 review).
+  // The check compiles in ONLY when the input type admits null
+  // elements; parquet-sourced embeddings with containsNull=false pay
+  // nothing.
+  private lazy val leftNullable = left.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+  private lazy val rightNullable = right.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+
   // Length mismatch raises instead of silently truncating: a 32-dim
   // query joined against 64-dim embeddings is a data bug that a
   // plausible-looking partial dot product would mask (and l2/cosine
   // inherit the mask). Matches zip_with-style strictness in spirit;
   // an error beats a null here because a mismatch is never valid data.
+  // A NULL ELEMENT raises for the same reason: the getter would read
+  // it as 0.0 and silently zero that term.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,6 +65,11 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if ((leftNullable && x.isNullAt(i)) ||
+        (rightNullable && y.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"dotp: null element at index $i (a null embedding " +
+            "component is never valid data)")
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -63,6 +82,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (leftNullable || rightNullable)
+          s"""
+             |if (${if (leftNullable) s"$a.isNullAt($i)" else "false"} ||
+             |    ${if (rightNullable) s"$b.isNullAt($i)" else "false"}) {
+             |  throw new IllegalArgumentException(
+             |    "dotp: null element at index " + $i);
+             |}
+           """.stripMargin
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -72,6 +101,7 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $sum;
@@ -104,6 +134,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // null elements would read as 0 through getLong, violating the
+  // sorted-ascending precondition (array_sort puts nulls LAST) and
+  // silently mis-counting (r11 review) — raise instead; compiled in
+  // only when the input type admits null elements
+  private lazy val leftNullable = left.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+  private lazy val rightNullable = right.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -111,6 +152,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < x.numElements() && j < y.numElements()) {
+      if ((leftNullable && x.isNullAt(i)) ||
+        (rightNullable && y.isNullAt(j)))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null element (inputs must be " +
+            "sorted duplicate-free non-null long arrays)")
       val xi = x.getLong(i)
       val yj = y.getLong(j)
       if (xi == yj) { c += 1; i += 1; j += 1 }
@@ -128,9 +174,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xi = ctx.freshName("xi")
       val yj = ctx.freshName("yj")
+      val nullCheck =
+        if (leftNullable || rightNullable)
+          s"""
+             |if (${if (leftNullable) s"$a.isNullAt($i)" else "false"} ||
+             |    ${if (rightNullable) s"$b.isNullAt($j)" else "false"}) {
+             |  throw new IllegalArgumentException(
+             |    "sorted_intersect_count: null element");
+             |}
+           """.stripMargin
+        else ""
       s"""
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  $nullCheck
          |  long $xi = $a.getLong($i);
          |  long $yj = $b.getLong($j);
          |  if ($xi == $yj) { $c++; $i++; $j++; }
@@ -166,6 +223,12 @@ case class BandedSignKeys(
     bitsPerBand: Int)
     extends UnaryExpression {
 
+  require(nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+    // Java long shifts mask the amount mod 64: bitsPerBand > 64 would
+    // silently ALIAS high plane signs onto low key bits, collapsing
+    // LSH buckets with no diagnostic (r11 review)
+    s"bitsPerBand must be in 1..64 (got $bitsPerBand; a BIGINT band " +
+      "key holds at most 64 sign bits)")
   require(planes.length == nBands * bitsPerBand * dim,
     s"plane matrix must be (nBands*bitsPerBand)x$dim row-major")
 
@@ -177,18 +240,51 @@ case class BandedSignKeys(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Array fields get reference equals on a case class — two
+  // expressions over content-equal plane matrices must still compare
+  // equal or Catalyst loses subexpression elimination and
+  // exchange-reuse across them (r11 review)
+  override def equals(o: Any): Boolean = o match {
+    case b: BandedSignKeys =>
+      child == b.child && dim == b.dim && nBands == b.nBands &&
+        bitsPerBand == b.bitsPerBand &&
+        java.util.Arrays.equals(planes, b.planes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim),
+      Integer.valueOf(nBands), Integer.valueOf(bitsPerBand),
+      Integer.valueOf(java.util.Arrays.hashCode(planes)))
+
+  private lazy val elemNullable = child.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim)
       throw new IllegalArgumentException(
         s"banded_sign_keys: dimension mismatch (${v.numElements()} vs $dim)")
+    // hoist the vector into a local: the plane loop re-reads every
+    // element nBands*bitsPerBand times — one ArrayData virtual call
+    // per element TOTAL instead of per plane (r11 review; this is the
+    // hottest loop of the near-dup pipeline)
+    val local = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (elemNullable && v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"banded_sign_keys: null element at index $i")
+      local(i) = v.getFloat(i).toDouble
+      i += 1
+    }
     val out = new Array[Long](nBands)
     var p = 0
     while (p < nBands * bitsPerBand) {
       var s = 0.0
-      var i = 0
       val off = p * dim
-      while (i < dim) { s += v.getFloat(i) * planes(off + i); i += 1 }
+      i = 0
+      while (i < dim) { s += local(i) * planes(off + i); i += 1 }
       if (s > 0) out(p / bitsPerBand) |= 1L << (p % bitsPerBand)
       p += 1
     }
@@ -204,18 +300,33 @@ case class BandedSignKeys(
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
+      val local = ctx.freshName("vec")
+      val nullCheck =
+        if (elemNullable)
+          s"""
+             |if ($v.isNullAt($i)) {
+             |  throw new IllegalArgumentException(
+             |    "banded_sign_keys: null element at index " + $i);
+             |}
+           """.stripMargin
+        else ""
       s"""
          |if ($v.numElements() != $dim) {
          |  throw new IllegalArgumentException(
          |    "banded_sign_keys: dimension mismatch (" + $v.numElements()
          |      + " vs " + $dim + ")");
          |}
+         |double[] $local = new double[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $nullCheck
+         |  $local[$i] = (double) $v.getFloat($i);
+         |}
          |long[] $out = new long[$nBands];
          |for (int $p = 0; $p < ${nBands * bitsPerBand}; $p++) {
          |  double $s = 0.0;
          |  int $off = $p * $dim;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    $s += ((double) $v.getFloat($i)) * $planesRef[$off + $i];
+         |    $s += $local[$i] * $planesRef[$off + $i];
          |  }
          |  if ($s > 0) { $out[$p / $bitsPerBand] |= 1L << ($p % $bitsPerBand); }
          |}
@@ -263,96 +374,68 @@ case class HashedShingles(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val out =
-      if (n < k) Array.emptyLongArray
-      else {
-        val th = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
-          th(i) =
-            if (t == null) 0L
-            else org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUTF8String(t, 42L)
-          i += 1
-        }
-        val m = n - k + 1
-        val sh = new Array[Long](m)
-        i = 0
-        while (i < m) {
-          var h = 42L
-          var j = 0
-          while (j < k) {
-            h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashLong(th(i + j), h)
-            j += 1
-          }
-          sh(i) = h
-          i += 1
-        }
-        java.util.Arrays.sort(sh)
-        var w = 0
-        i = 0
-        while (i < m) {
-          if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
-          i += 1
-        }
-        if (w == m) sh else java.util.Arrays.copyOf(sh, w)
-      }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashedShingleUtil.shingles(input.asInstanceOf[ArrayData], k))
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, toks => {
-      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
-      val n = ctx.freshName("n")
-      val th = ctx.freshName("tokHashes")
-      val sh = ctx.freshName("shingles")
-      val t = ctx.freshName("tok")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val m = ctx.freshName("m")
-      val h = ctx.freshName("h")
-      val w = ctx.freshName("w")
       s"""
-         |int $n = $toks.numElements();
-         |long[] $sh;
-         |if ($n < $k) {
-         |  $sh = new long[0];
-         |} else {
-         |  long[] $th = new long[$n];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    org.apache.spark.unsafe.types.UTF8String $t =
-         |      $toks.isNullAt($i) ? null : $toks.getUTF8String($i);
-         |    $th[$i] = $t == null ? 0L : $xxh.hashUTF8String($t, 42L);
-         |  }
-         |  int $m = $n - $k + 1;
-         |  $sh = new long[$m];
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    long $h = 42L;
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      $h = $xxh.hashLong($th[$i + $j], $h);
-         |    }
-         |    $sh[$i] = $h;
-         |  }
-         |  java.util.Arrays.sort($sh);
-         |  int $w = 0;
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    if ($w == 0 || $sh[$i] != $sh[$w - 1]) { $sh[$w++] = $sh[$i]; }
-         |  }
-         |  if ($w != $m) { $sh = java.util.Arrays.copyOf($sh, $w); }
-         |}
          |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sh);
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.HashedShingleUtil.shingles($toks, $k));
        """.stripMargin
     })
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Row-at-a-time worker behind [[HashedShingles]], shared by the
+  * interpreted eval and the generated code — the same one-static-call
+  * pattern [[Md5ShingleUtil]] uses, so the algorithm exists ONCE (the
+  * r11 review found it triplicated: eval, codegen, and the md5 twin
+  * each carried a hand-synced copy of the sort/dedup tail). A null
+  * token hashes to the sentinel 0L (distinct from xxh64("") w.h.p.) —
+  * documented here because the md5 twin REJECTS nulls instead (its
+  * oracle identity claim cannot survive them). */
+object HashedShingleUtil {
+  def shingles(toks: ArrayData, k: Int): Array[Long] = {
+    val n = toks.numElements()
+    if (n < k) return Array.emptyLongArray
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (toks.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    val m = n - k + 1
+    val sh = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < k) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(th(i + j), h)
+        j += 1
+      }
+      sh(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+      i += 1
+    }
+    if (w == m) sh else java.util.Arrays.copyOf(sh, w)
+  }
 }
 
 /** Row-at-a-time worker behind [[Md5Shingles]], shared verbatim by the
@@ -375,16 +458,24 @@ object Md5ShingleUtil {
     * 15 hex chars are the top 60 bits of the big-endian digest
     * prefix), which is what lets a DuckDB oracle recompute the exact
     * same sets via `CAST(('0x' || substr(md5(gram), 1, 15)) AS
-    * BIGINT)`. */
+    * BIGINT)`. A NULL token raises: the concat_ws form this claims
+    * numeric identity with SKIPS nulls while a silent empty-bytes
+    * substitute would keep the separator (md5("a  b") ≠ md5("a b") —
+    * r11 review), so the identity claim only survives by rejecting
+    * the case loudly (split() tokenizations never produce null
+    * tokens). */
   def shingles(toks: ArrayData, k: Int): Array[Long] = {
     val n = toks.numElements()
     if (n < k) return Array.emptyLongArray
     val tb = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      tb(i) =
-        if (toks.isNullAt(i)) Array.emptyByteArray
-        else toks.getUTF8String(i).getBytes
+      if (toks.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"md5_shingles: null token at index $i (the oracle's " +
+            "concat_ws twin skips nulls — drop or fill nulls before " +
+            "shingling)")
+      tb(i) = toks.getUTF8String(i).getBytes
       i += 1
     }
     val m = n - k + 1
@@ -485,9 +576,34 @@ case class MinHashSignature(
     extends UnaryExpression {
 
   require(coeffsA.length == coeffsB.length && coeffsA.nonEmpty)
-  require(coeffsA.forall(a => a > 0 && a < prime + 1) &&
-    coeffsB.forall(b => b >= 0 && b < prime + 1),
-    "coefficients must fit in 31 bits (62-bit product bound)")
+  // the overflow bound comes from PRIME, not the coefficients alone:
+  // h < 2^31 and a < prime ≤ 2^31-1 keep h*a+b < 2^62 (r11 review —
+  // the old guard checked a against prime+1 without bounding prime,
+  // so a caller-supplied 33-bit prime silently wrapped Long negative).
+  // a ≡ 0 (mod p) — including a == prime — is also rejected: that
+  // lane would be the constant b_j, never a permutation.
+  require(prime > 1 && prime <= 2147483647L,
+    s"prime must be in (1, 2^31-1] (got $prime; the 62-bit product " +
+      "bound of h*a+b needs a 31-bit modulus)")
+  require(coeffsA.forall(a => a > 0 && a < prime) &&
+    coeffsB.forall(b => b >= 0 && b < prime),
+    "coefficients must lie in [1, prime) / [0, prime) (a ≡ 0 mod p " +
+      "is a constant lane; larger values overflow the 62-bit bound)")
+
+  // structural equality over the Array fields (reference equals would
+  // defeat Catalyst subexpression elimination across content-equal
+  // coefficient sets; r11 review)
+  override def equals(o: Any): Boolean = o match {
+    case m: MinHashSignature =>
+      child == m.child && prime == m.prime &&
+        java.util.Arrays.equals(coeffsA, m.coeffsA) &&
+        java.util.Arrays.equals(coeffsB, m.coeffsB)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Long.valueOf(prime),
+      Integer.valueOf(java.util.Arrays.hashCode(coeffsA)),
+      Integer.valueOf(java.util.Arrays.hashCode(coeffsB)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
