@@ -41,22 +41,36 @@ object DedupPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Verified near-dup candidate pairs at `threshold`, memoized and
-    * persisted per (session, sfDir, threshold): both dedup policies
-    * (greedy + transitive) and repeated invocations consume the same
-    * pair set, so the banded self-join + Jaccard verify runs once per
-    * session — the pair set is an INDEX, like the shingle cache it is
-    * derived from. */
+  /** Verified near-dup candidate pairs at `threshold`. The BASE pair
+    * set (all pairs at the ≥ 0.5 verification floor) is memoized and
+    * persisted once per (session, sfDir) — it is threshold-independent,
+    * so distinct thresholds share one build and one persisted copy
+    * (r11 review: keying the cache by threshold re-ran the banded
+    * self-join per threshold); the threshold filter applies OUTSIDE
+    * the cache, on the retained `jaccard` column.
+    *
+    * `threshold` must be ≥ 0.5: the candidate generator hard-verifies
+    * at 0.5 (qDedupMinhash's own floor), so a looser threshold would
+    * SILENTLY return a corpus deduped at 0.5 — reject loudly instead.
+    * The jaccard column is rounded to 4dp (the oracle contract of
+    * qDedupMinhash), so thresholds compare against that rounding —
+    * [[dedupIncremental]] rounds identically so the two entry points
+    * agree at threshold boundaries. */
   def verifiedPairs(
-      s: SparkSession, d: String, threshold: Double): DataFrame =
-    graft.sources.SessionCache.getOrElseUpdate(
-      s, ("neardup_pairs", d, threshold)) {
+      s: SparkSession, d: String, threshold: Double): DataFrame = {
+    require(threshold >= 0.5,
+      s"near-dup threshold $threshold is below the 0.5 candidate " +
+        "verification floor (pairs under 0.5 Jaccard are never " +
+        "generated; a looser threshold would silently dedup at 0.5)")
+    val base = graft.sources.SessionCache.getOrElseUpdate(
+      s, ("neardup_pairs", d)) {
       val p = DedupQueries.qDedupMinhash.fn(s, d)
-        .filter(col("jaccard") >= threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count() // materialize once, at cache-fill time
       p
     }
+    base.filter(col("jaccard") >= threshold)
+  }
 
   /** Incremental dedup: clean a NEW batch of documents against an
     * already-ingested corpus WITHOUT ever re-comparing the corpus to
@@ -78,16 +92,33 @@ object DedupPipeline {
   def dedupIncremental(
       s: SparkSession, batch: DataFrame, d: String,
       threshold: Double = 0.5): DataFrame = {
-    // exact vs corpus + in-batch (one md5 derivation, reused)
-    val bh = batch.withColumn("h", md5(col("text").cast("binary")))
+    require(threshold >= 0.5,
+      s"near-dup threshold $threshold is below the 0.5 candidate " +
+        "verification floor (see verifiedPairs)")
+    // exact vs corpus + in-batch (one md5 derivation, reused).
+    // Collision-proof temp name: a batch column literally named "h"
+    // would be REPLACED by withColumn and the later by-name reselect
+    // would return the hash instead of the data (r11 review)
+    val tmpH = "__graft_md5"
+    require(!batch.columns.contains(tmpH),
+      s"dedupIncremental: the batch already carries a $tmpH column")
+    val cols = batch.columns.toSeq
+    val bh = batch.withColumn(tmpH, md5(col("text").cast("binary")))
     val corpusH = corpusExactIndex(s, d)
+      .select(col("h").as(tmpH))
     val exactClean = bh
-      .join(corpusH, Seq("h"), "left_anti")
+      .join(corpusH, Seq(tmpH), "left_anti")
     val keepIds = exactClean
-      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col(tmpH)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // eager checkpoint: afterExact feeds the shingle build AND the
+    // final anti-join — without it the corpus-sized exact anti-join
+    // re-executes at output materialization (r11 review); the blocks
+    // are per-batch garbage the caller's post-batch Checkpoints.sweep
+    // releases (see StreamSinks.foreachBatchDedupParquet)
     val afterExact = exactClean.join(keepIds, "doc_id")
-      .select(batch.columns.map(batch(_)): _*)
+      .select(cols.map(col): _*)
+      .localCheckpoint()
     // near: batch signatures vs the session-cached corpus index
     val bShingles = DedupQueries.shingleSetsOf(afterExact)
       .localCheckpoint()
@@ -106,7 +137,11 @@ object DedupPipeline {
       val jac = inter.cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - inter)
       cands.join(shA, "doc_a").join(shB, "doc_b")
-        .filter(jac >= threshold)
+        // 4dp rounding matches verifiedPairs' jaccard column, so the
+        // batch and whole-corpus entry points agree at threshold
+        // boundaries (r11 review: this compared raw jac, verifiedPairs
+        // the rounded column)
+        .filter(round(jac, 4) >= threshold)
         .select(col("doc_a"))
     }
     // vs corpus: any corpus match kills the batch doc
@@ -192,16 +227,11 @@ object DedupPipeline {
     * contamination (a licence block, a copied paragraph) those
     * doc-level signatures miss. */
   def substringOverlapIncremental(
-      s: SparkSession, batch: DataFrame, d: String): DataFrame = {
-    val (index, hot) = DedupQueries.substringGramIndex(s, d)
-    DedupQueries.gridGramsOf(batch)
-      .join(hot.hint("shuffle_hash"), Seq("g"), "left_anti")
-      .hint("shuffle_hash")
-      .join(index, "g")
+      s: SparkSession, batch: DataFrame, d: String): DataFrame =
+    DedupQueries.subHitsOf(s, d, DedupQueries.gridGramsOf(batch))
       .groupBy(col("a_doc").as("doc_id"))
       .agg(
         countDistinct(col("a_pos")).as("n_matched_grid"),
         countDistinct(col("b_doc")).as("n_corpus_docs"))
       .orderBy(col("doc_id"))
-  }
 }

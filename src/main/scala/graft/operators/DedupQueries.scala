@@ -979,9 +979,18 @@ object DedupQueries {
     * broadcast, never sorted (PlanSpec pins this). The output is
     * unique per (a_doc, a_pos, b_doc): (a_doc, a_pos) has exactly one
     * gram and the index is distinct per (g, doc). */
-  private def subHits(s: SparkSession, d: String): DataFrame = {
+  private def subHits(s: SparkSession, d: String): DataFrame =
+    subHitsOf(s, d, subASide(s, d))
+
+  /** The same guarded join for an ARBITRARY probe-side gram frame
+    * (columns g, a_doc, a_pos) — the incremental batch audit rides the
+    * identical hint choreography as the corpus queries, so a future
+    * tuning of the guard or hints applies to both (r11 review: the
+    * recipe was duplicated in DedupPipeline). */
+  private[graft] def subHitsOf(
+      s: SparkSession, d: String, aSide: DataFrame): DataFrame = {
     val (bDist, hot) = substringGramIndex(s, d)
-    subASide(s, d)
+    aSide
       .join(hot.hint("shuffle_hash"), Seq("g"), "left_anti")
       .hint("shuffle_hash")
       .join(bDist, "g")

@@ -54,6 +54,13 @@ object StreamSinks {
           .dedupIncremental(batch.sparkSession, batch.toDF(),
             corpusDir, threshold)
         cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        // release THIS batch's localCheckpoint blocks (afterExact +
+        // bShingles in dedupIncremental) now that the output is on
+        // disk — without the sweep every micro-batch leaks its blocks
+        // for the session lifetime (r11 review); the pinned corpus
+        // indexes survive by contract
+        graft.plans.Checkpoints.sweep(batch.sparkSession)
+        ()
       }
       .start()
 

@@ -43,6 +43,29 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(out == Set(10003L), s"survivors: $out")
   }
 
+  test("guards: a sub-floor threshold and an 'h'-colliding batch " +
+    "column both reject loudly; a column named h rides through") {
+    import spark.implicits._
+    val batch = Seq((30001L, "alpha beta gamma", 7))
+      .toDF("doc_id", "text", "h")
+    // a user column named plain "h" must SURVIVE (the md5 temp rides
+    // under a reserved name now — r11 review: it was silently replaced
+    // and the reselect then threw)
+    val out = DedupPipeline.dedupIncremental(spark, batch, sfDir)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "h"))
+    assert(out.select(col("h")).collect().map(_.getInt(0)).toSeq
+      == Seq(7))
+    val e = intercept[IllegalArgumentException] {
+      DedupPipeline.dedupIncremental(spark, batch, sfDir,
+        threshold = 0.3)
+    }
+    assert(e.getMessage.contains("0.5"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupPipeline.verifiedPairs(spark, sfDir, 0.4)
+    }
+    assert(e2.getMessage.contains("floor"), e2.getMessage)
+  }
+
   test("a clean batch passes through untouched") {
     import spark.implicits._
     val batch = Seq(
