@@ -190,6 +190,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("running-total fold: sub-millisecond ordering, null ts " +
+    "tolerance, and exact cents accumulation (r11 review)") {
+    import spark.implicits._
+    // two events in the SAME millisecond, microsecond order OPPOSITE
+    // to event_id order — getTime()-keyed sorting folded id order
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    t1.setNanos(123456000)
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    t2.setNanos(123999000)
+    val ev = Seq(
+      StatefulOps.Ev(5, t1, 7, 10.0), // earlier micros, higher id
+      StatefulOps.Ev(2, t2, 7, 1.0), // later micros, lower id
+      StatefulOps.Ev(9, null, 7, 0.5) // null ts folds FIRST (SQL order)
+    ).toDS()
+    val got = StatefulOps.runningTotals(ev).collect()
+      .map(r => r.event_id -> r.running).toMap
+    assert(got == Map(9L -> 0.5, 5L -> 10.5, 2L -> 11.5), got.toString)
+    // exact decimal accumulation: 0.1 summed 100 times is exactly
+    // 10.0 in cents arithmetic (raw doubles give 9.99999...)
+    val drift = (1 to 100)
+      .map(i => StatefulOps.Ev(i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-01 00:${i / 60}%02d:${i % 60}%02d"),
+        8, 0.1)).toDS()
+    val last = StatefulOps.runningTotals(drift).collect()
+      .maxBy(_.event_id).running
+    assert(last == 10.0, s"expected exactly 10.0, got $last")
+  }
+
   test("stateful running totals persist across micro-batches") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[StatefulOps.Ev]
