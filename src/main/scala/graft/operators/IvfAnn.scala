@@ -48,13 +48,38 @@ object IvfAnn {
         .fit(vecs)
       // the inverted lists ARE the index — a materialized structure,
       // persisted like any ANN index (at 100 TB: written out partitioned
-      // by `cluster` so each list is a co-located shard)
+      // by `cluster` so each list is a co-located shard). Only the
+      // columns consumers read (vec_id, embedding, cluster) are cached:
+      // the label column rode along unread, inflating the session
+      // cache (r11 review).
       val assigned = model.transform(vecs)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          col("cluster"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Index(assigned, model.clusterCenters)
     }
+
+  /** The query vector fetched driver-side ONCE (one row — collecting
+    * it IS the broadcast): (raw floats, L2 norm, normalized doubles).
+    * A zero-norm query rejects loudly — it has no cosine
+    * neighbourhood, and the old fallback routed centroid probing by
+    * meaningless magnitude (r11 review). Shared by the IVF, PQ, and
+    * IVF-PQ query paths, which previously re-scanned the embeddings
+    * source a second time per query to rebuild this same row. */
+  private[operators] def fetchQuery(
+      s: SparkSession, d: String, queryVecId: Long)
+      : (Array[Float], Double, Array[Double]) = {
+    val qRows = embeddings(s, d)
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=$queryVecId not found in $d/embeddings")
+    val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).toArray
+    val qn = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    require(qn > 0,
+      s"query vector vec_id=$queryVecId has zero norm — no cosine " +
+        "neighbourhood is defined for it")
+    (raw, qn, raw.map(_.toDouble / qn))
+  }
 
   /** The `nprobe` centroid ids nearest (squared euclidean in the
     * normalized space) to a normalized query — the driver-side routing
@@ -76,31 +101,26 @@ object IvfAnn {
       s: SparkSession, d: String, queryVecId: Long, k: Int,
       nprobe: Int = 2, nClusters: Int = 16): DataFrame = {
     val idx = build(s, d, nClusters)
-    // the query vector is one row — collecting it IS the broadcast
-    val qRows = embeddings(s, d)
-      .filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head(1)
-    require(qRows.nonEmpty,
-      s"query vector vec_id=$queryVecId not found in $d/embeddings")
-    val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
     // centroids live in the normalized space (see build) — the probe
-    // distance must compare against the normalized query
-    val qn = math.sqrt(raw.map(x => x * x).sum)
-    val q = if (qn > 0) raw.map(_ / qn) else raw
-    val probes = nearestCentroids(idx.centroids, q.toArray, nprobe)
-    val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
-      .select(
-        col("embedding").as("qv"),
-        SimilarityQueries.l2norm(col("embedding")).as("qnrm"))
+    // distance compares against the normalized query; the raw floats
+    // become the literal query column (no second embeddings scan)
+    val (qRaw, qn, q) = fetchQuery(s, d, queryVecId)
+    val probes = nearestCentroids(idx.centroids, q, nprobe)
+    val qvLit = array(qRaw.toIndexedSeq.map(lit(_)): _*)
     idx.assigned
       .filter(col("cluster").isin(probes.map(Integer.valueOf): _*)
         && col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(qv))
+      // zero-norm corpus vectors (tolerated by the index build) have
+      // no defined cosine — under Spark's default ANSI mode the
+      // division would throw DIVIDE_BY_ZERO mid-query (r11 review:
+      // the PQ twin guarded this, the IVF path did not)
+      .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
+      .where(col("nrm") > 0)
       .select(
         col("vec_id"), col("cluster"),
         round(
-          SimilarityQueries.dot(col("embedding"), col("qv"))
-            / (SimilarityQueries.l2norm(col("embedding")) * col("qnrm")),
+          SimilarityQueries.dot(col("embedding"), qvLit)
+            / (col("nrm") * lit(qn)),
           4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

@@ -44,7 +44,7 @@ object PqAnn {
   val ksub = 16 // centroids per subspace (4-bit codes)
 
   final case class Index(
-      encoded: DataFrame, // vec_id, embedding, codes: array<int>[m]
+      encoded: DataFrame, // vec_id, codes: array<int>[m] — CODES ONLY
       codebooks: Array[Array[Array[Double]]]) // m × ksub × dsub
 
   /** Fit (and memoize) the PQ index: m per-subspace codebooks + the
@@ -55,13 +55,17 @@ object PqAnn {
       // norm computed ONCE per row into a column — embedding it inside
       // the per-element transform lambda would re-evaluate the 64-dim
       // norm for every element (O(d²) per row, the IvfAnn.build lesson)
+      // persisted for the build's lifetime: each of the m k-means fits
+      // and the encode pass otherwise re-reads the source and re-runs
+      // the normalization — 9 redundant scans per build (r11 review)
       val vecs = embeddings(s, d)
         .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"),
           when(col("nrm") > 0,
             transform(col("embedding"), x => x.cast("double") / col("nrm")))
             .otherwise(transform(col("embedding"), x => x.cast("double")))
             .as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one k-means per subspace over that subspace's 8-dim slice;
       // each fit is a distributed ML job, the model (16×8 doubles) is
       // the only driver-side state — the IVF-centroid pattern
@@ -79,29 +83,18 @@ object PqAnn {
         df.withColumn(s"f$j",
           array_to_vector(slice(col("nv"), j * dsub + 1, dsub)))
       }
+      // codes ONLY: after the ADC/rerank split nothing reads an
+      // embedding column from the index, and caching the raw floats
+      // next to 8 codes would make the dead column dominate the cache
+      // footprint — defeating the 64x-compression point (r11 review)
       val enc = models.foldLeft(withSlices)((df, mod) => mod.transform(df))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"),
           array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count() // materialize so the build-scoped vecs can release
+      vecs.unpersist()
       Index(enc, models.map(_.clusterCenters.map(_.toArray)).toArray)
     }
-
-  /** The query vector, L2-normalized, fetched driver-side (one row —
-    * collecting it IS the broadcast). */
-  private def normalizedQuery(
-      s: SparkSession, d: String, queryVecId: Long): Array[Double] = {
-    val qRows = embeddings(s, d)
-      .filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head(1)
-    require(qRows.nonEmpty,
-      s"query vector vec_id=$queryVecId not found in $d/embeddings")
-    val raw = qRows(0).getAs[scala.collection.Seq[Float]](0).map(_.toDouble)
-    val qn = math.sqrt(raw.map(x => x * x).sum)
-    require(qn > 0,
-      s"query vector vec_id=$queryVecId has zero norm — no cosine " +
-        "neighbourhood is defined for it")
-    raw.map(_ / qn).toArray
-  }
 
   /** ADC column for a normalized query: the per-query m×ksub lookup
     * table of exact query-slice-to-centroid squared distances is
@@ -132,12 +125,12 @@ object PqAnn {
     * exact pass. Zero-norm corpus vectors (tolerated by the index
     * build) are excluded here — they have no defined cosine. */
   private def rerankExact(
-      s: SparkSession, d: String, queryVecId: Long, k: Int,
+      s: SparkSession, d: String, qRaw: Array[Float], qn: Double, k: Int,
       rerank: Int, ranked: DataFrame): DataFrame = {
-    val qv = embeddings(s, d).filter(col("vec_id") === queryVecId)
-      .select(
-        col("embedding").as("qv"),
-        SimilarityQueries.l2norm(col("embedding")).as("qnrm"))
+    // the query rides as LITERALS from the one already-collected row —
+    // the old crossJoin(broadcast(qv)) re-scanned the embeddings
+    // source a second time per query just to rebuild it (r11 review)
+    val qvLit = array(qRaw.toIndexedSeq.map(lit(_)): _*)
     val cands = ranked
       .orderBy(col("adc"), col("vec_id")) // TakeOrderedAndProject, not a sort
       .limit(rerank)
@@ -146,12 +139,11 @@ object PqAnn {
       .join(broadcast(cands), "vec_id")
       .withColumn("nrm", SimilarityQueries.l2norm(col("embedding")))
       .where(col("nrm") > 0)
-      .crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
         round(
-          SimilarityQueries.dot(col("embedding"), col("qv"))
-            / (col("nrm") * col("qnrm")),
+          SimilarityQueries.dot(col("embedding"), qvLit)
+            / (col("nrm") * lit(qn)),
           4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -163,8 +155,8 @@ object PqAnn {
       s: SparkSession, d: String, queryVecId: Long, k: Int,
       rerank: Int = 64): DataFrame = {
     val idx = build(s, d)
-    val q = normalizedQuery(s, d, queryVecId)
-    rerankExact(s, d, queryVecId, k, rerank,
+    val (qRaw, qn, q) = IvfAnn.fetchQuery(s, d, queryVecId)
+    rerankExact(s, d, qRaw, qn, k, rerank,
       idx.encoded
         .filter(col("vec_id") =!= queryVecId)
         .select(col("vec_id"), adcColumn(idx.codebooks, q).as("adc")))
@@ -190,9 +182,9 @@ object PqAnn {
           .join(pq.encoded, "vec_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    val q = normalizedQuery(s, d, queryVecId)
+    val (qRaw, qn, q) = IvfAnn.fetchQuery(s, d, queryVecId)
     val probed = IvfAnn.nearestCentroids(ivf.centroids, q, nprobe)
-    rerankExact(s, d, queryVecId, k, rerank,
+    rerankExact(s, d, qRaw, qn, k, rerank,
       combined
         .filter(col("cluster").isin(probed.map(Integer.valueOf): _*)
           && col("vec_id") =!= queryVecId)
@@ -209,7 +201,10 @@ object PqAnn {
 
   /** Declared query: IVF-PQ top-10 (no oracle; PqAnnSpec asserts the
     * candidate set is the probed-lists ∩ ADC ranking, recall vs brute
-    * force, and monotonicity in nprobe). */
+    * force, and nprobe monotonicity AT A FULL RERANK BUDGET — probed
+    * lists are nested in nprobe, but at a FIXED budget more lists can
+    * evict a true neighbor from the ADC top-N, so fixed-budget recall
+    * is not guaranteed monotone). */
   val qAnnIvfPq: QDef = QDef.noOracle("q_ann_ivf_pq") { (s, d) =>
     topKIvfPq(s, d, queryVecId = 0L, k = 10)
   }

@@ -83,11 +83,19 @@ class PqAnnSpec extends AnyFunSuite {
       s"recall ${(brute & got).size}/10 probing 4/16 lists over PQ codes")
   }
 
-  test("IVF-PQ recall is non-decreasing in nprobe") {
+  test("IVF-PQ recall is non-decreasing in nprobe AT A FULL RERANK " +
+    "BUDGET (nested probed lists; a FIXED budget does not guarantee " +
+    "it — more lists can evict a true neighbor from the ADC top-N)") {
     val brute = SparkEntry.queries("q_sim_query_topk")(spark, sfDir)
       .limit(10).collect().map(_.getLong(0)).toSet
+    // rerank >= corpus: the exact pass sees EVERY probed candidate, so
+    // nprobe growth (nearestCentroids takes prefixes of one sorted
+    // centroid order -> nested candidate pools) provably cannot lose a
+    // neighbor — the r11 review showed the old fixed-64 form asserted
+    // an unguaranteed property
     val recalls = Seq(2, 4, 8, 16).map { np =>
-      val got = PqAnn.topKIvfPq(spark, sfDir, 0L, 10, nprobe = np)
+      val got = PqAnn.topKIvfPq(spark, sfDir, 0L, 10, nprobe = np,
+        rerank = 1000000)
         .collect().map(_.getLong(0)).toSet
       (brute & got).size
     }
