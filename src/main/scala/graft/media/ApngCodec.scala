@@ -37,11 +37,15 @@ import java.util.zip.CRC32
   */
 object ApngCodec {
 
-  /** Decoded animation: dims + per-frame flat top-down RGB arrays.
+  /** Decoded animation: dims + per-frame flat top-down RGB arrays +
+    * per-frame display delays in ms, read from each frame's fcTL
+    * (delay_num/delay_den, den 0 ≡ 100 per the APNG spec) — duration
+    * comes from the DECODE, never an assumed frame rate (r11 review).
     * `decode` inflates every frame; [[decodeSampled]] only the
     * selected ones. */
   final case class Apng(
-      width: Int, height: Int, frames: Array[Array[Int]])
+      width: Int, height: Int, frames: Array[Array[Int]],
+      delaysMs: Array[Long])
 
   private def putU32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = ((v >>> 24) & 0xFF).toByte
@@ -105,7 +109,7 @@ object ApngCodec {
     * (width, height, per-frame compressed zlib streams) WITHOUT
     * inflating any pixel data. */
   private def walk(bytes: Array[Byte])
-      : (Int, Int, Array[Array[Byte]]) = {
+      : (Int, Int, Array[Array[Byte]], Array[Long]) = {
     require(bytes.length >= 8 + 25,
       s"truncated APNG: ${bytes.length} bytes")
     var i = 0
@@ -126,6 +130,7 @@ object ApngCodec {
     // bytes append to the OPEN frame
     val streams = scala.collection.mutable.ArrayBuffer
       .empty[java.io.ByteArrayOutputStream]
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!sawEnd) {
       require(off + 12 <= bytes.length,
         s"truncated APNG: chunk header past end at offset $off")
@@ -171,6 +176,14 @@ object ApngCodec {
           // says the default image is simply NOT part of the animation
           if (!sawIdat && streams.isEmpty) idatIsFrame0 = true
           streams += new java.io.ByteArrayOutputStream()
+          // delay = delay_num/delay_den s (u16 big-endian each);
+          // den 0 is to be treated as 100 per the APNG spec
+          val num = ((bytes(off + 28) & 0xFF) << 8) |
+            (bytes(off + 29) & 0xFF)
+          val den0 = ((bytes(off + 30) & 0xFF) << 8) |
+            (bytes(off + 31) & 0xFF)
+          val den = if (den0 == 0) 100 else den0
+          delays += num.toLong * 1000L / den
         case "IDAT" =>
           sawIdat = true
           require(declared >= 0 || streams.nonEmpty,
@@ -197,13 +210,15 @@ object ApngCodec {
     require(declared >= 0, "not an APNG: no acTL chunk")
     require(streams.length == declared,
       s"acTL declares $declared frames, found ${streams.length} fcTL")
-    (width, height, streams.map(_.toByteArray).toArray)
+    (width, height, streams.map(_.toByteArray).toArray,
+      delays.toArray)
   }
 
   /** Decode every frame. */
   def decode(bytes: Array[Byte]): Apng = {
-    val (w, h, streams) = walk(bytes)
-    Apng(w, h, streams.map(PngCodec.inflateAndUnfilter(w, h, _)))
+    val (w, h, streams, delays) = walk(bytes)
+    Apng(w, h, streams.map(PngCodec.inflateAndUnfilter(w, h, _)),
+      delays)
   }
 
   /** Frame-sampled decode — the keyframe-extraction shape: the
@@ -215,13 +230,13 @@ object ApngCodec {
     * decode bill by k — exactly like a video pipeline that seeks to
     * keyframes instead of decoding the whole stream. */
   def decodeSampled(bytes: Array[Byte], keep: (Int, Int) => Boolean)
-      : (Int, Int, Int, Seq[(Int, Array[Int])]) = {
-    val (w, h, streams) = walk(bytes)
+      : (Int, Int, Int, Seq[(Int, Array[Int])], Array[Long]) = {
+    val (w, h, streams, delays) = walk(bytes)
     val n = streams.length
     val sampled = streams.zipWithIndex.collect {
       case (z, idx) if keep(idx, n) =>
         idx -> PngCodec.inflateAndUnfilter(w, h, z)
     }
-    (w, h, n, sampled.toSeq)
+    (w, h, n, sampled.toSeq, delays)
   }
 }

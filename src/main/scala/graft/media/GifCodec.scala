@@ -210,10 +210,15 @@ object GifCodec {
     out.toArray
   }
 
+  /** Decoded animation. `delaysCs` = per-frame display delay in
+    * CENTISECONDS from each frame's Graphic Control Extension (0 when
+    * a frame has no GCE) — duration is decode-derived, never an
+    * assumed frame rate. */
   final case class Gif(
       width: Int, height: Int,
       palette: Array[(Int, Int, Int)],
-      frames: Array[Array[Byte]])
+      frames: Array[Array[Byte]],
+      delaysCs: Array[Int])
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -235,6 +240,10 @@ object GifCodec {
     }
     pos += 3 * gctSize
     val frames = ArrayBuffer.empty[Array[Byte]]
+    val delays = ArrayBuffer.empty[Int]
+    // the GCE (extension label 0xF9) preceding an image descriptor
+    // carries that frame's delay in centiseconds
+    var pendingDelayCs = 0
     var done = false
     // a truncated stream (missing trailer, sub-block length past the
     // buffer) must reject with a DIAGNOSTIC, not a raw
@@ -243,7 +252,10 @@ object GifCodec {
     try while (!done) {
       (bytes(pos) & 0xff) match {
         case 0x3b => done = true
-        case 0x21 => // extension: skip its sub-blocks
+        case 0x21 => // extension: capture a GCE delay, skip the rest
+          if ((bytes(pos + 1) & 0xff) == 0xf9 &&
+            (bytes(pos + 2) & 0xff) == 4)
+            pendingDelayCs = u16(bytes, pos + 4)
           pos += 2
           while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
           pos += 1
@@ -268,6 +280,8 @@ object GifCodec {
           }
           pos += 1
           frames += lzwDecode(data.toArray, minCode, width * height)
+          delays += pendingDelayCs
+          pendingDelayCs = 0
         case other =>
           throw new IllegalArgumentException(
             f"gif: unexpected block 0x$other%02x at $pos")
@@ -277,6 +291,6 @@ object GifCodec {
         throw new IllegalArgumentException(
           "gif: truncated stream (block data runs past the buffer)")
     }
-    Gif(width, height, palette, frames.toArray)
+    Gif(width, height, palette, frames.toArray, delays.toArray)
   }
 }

@@ -59,14 +59,18 @@ object Multimodal {
   /** Container sniffing — dispatch from the BYTES, not trusted
     * metadata (an ingest job's mime column can lie; magic numbers
     * don't): 'BM' → bmp; the 8-byte PNG signature → apng when an acTL
-    * chunk precedes the first IDAT, else png; RIFF….WAVE → wav.
-    * Anything else is rejected with the offending prefix — an opaque
-    * container this JVM cannot parse must fail loudly, never
-    * fake-decode. */
+    * chunk precedes the first IDAT, else png; RIFF….WAVE → wav;
+    * 'GIF8' → gif (r11 review: GifCodec was a fully supported codec
+    * this dispatch never routed to, so GIF payloads in a mixed corpus
+    * rejected as unknown). Anything else is rejected with the
+    * offending prefix — an opaque container this JVM cannot parse
+    * must fail loudly, never fake-decode. */
   def sniffCodec(p: Array[Byte]): String = {
     def pngSig: Boolean = p.length >= 8 &&
       (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
-    if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8') "gif"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
     else if (pngSig) {
       // chunk walk: [u32 len][4-byte type][data][crc] from offset 8;
       // acTL must appear before IDAT to mark an animated PNG
@@ -128,7 +132,11 @@ object Multimodal {
                 p.length.toLong, "image/png", w, h, null))
           case 2 =>
             val p = MediaGen.wavBytes(id)
-            val n = MediaGen.wavSamples(id).length
+            // sample count from the encoded payload's own layout
+            // (44-byte canonical PCM header, 2 bytes/sample) — the
+            // old wavSamples(id).length re-tabulated every sample a
+            // second time just for a count (r11 review)
+            val n = (p.length - 44) / 2
             val dur = n * 1000L / MediaGen.wavRate(id)
             org.apache.spark.sql.Row(id, "audio", p,
               org.apache.spark.sql.Row(
@@ -197,11 +205,31 @@ object Multimodal {
                 sq, wav.samples.length.toLong)
             case "apng" =>
               // feature frame = frame 0 only; the container walk still
-              // validates every chunk, but later frames stay deflated
-              val (w, h, n, frames) = graft.media.ApngCodec
+              // validates every chunk, but later frames stay deflated.
+              // Duration is the SUM of the decoded fcTL delays — the
+              // old frameCount×100ms assumed the fixture encoder's
+              // frame rate and was silently wrong for any real-corpus
+              // APNG (r11 review)
+              val (w, h, _, frames, delays) = graft.media.ApngCodec
                 .decodeSampled(p, (idx, _) => idx == 0)
-              org.apache.spark.sql.Row(id, "apng", w, h, n * 100L,
+              org.apache.spark.sql.Row(id, "apng", w, h, delays.sum,
                 sumOf(frames.head._2), 3L * w * h)
+            case "gif" =>
+              val gif = graft.media.GifCodec.decode(p)
+              var acc = 0L
+              val f0 = gif.frames.head
+              var i = 0
+              while (i < f0.length) {
+                val (cr, cg, cb) = gif.palette(f0(i) & 0xff)
+                acc += cr + cg + cb
+                i += 1
+              }
+              org.apache.spark.sql.Row(id, "gif", gif.width, gif.height,
+                gif.delaysCs.map(_ * 10L).sum,
+                acc, 3L * gif.width * gif.height)
+            case other => throw new IllegalArgumentException(
+              s"multimodal: extractFeatures has no decode arm for " +
+                s"sniffed codec '$other'")
           }
         }
       }(enc)
@@ -368,15 +396,36 @@ object Multimodal {
                   out.length.toLong, mime, null, null,
                   dec.length * 1000L / wav.sampleRate))
             case "apng" =>
-              val apng = graft.media.ApngCodec.decode(p)
-              val kept = apng.frames.zipWithIndex
-                .collect { case (f, i) if i % 2 == 0 => f }.toArray
-              val out = graft.media.ApngCodec.encode(
-                apng.width, apng.height, kept)
+              // sampled decode: the odd frames this arm drops are
+              // never inflated (r11 review — decode-then-discard paid
+              // the dominant per-byte cost for frames thrown away);
+              // duration = decoded fcTL delays of the KEPT frames
+              val (w, h, _, frames, delays) = graft.media.ApngCodec
+                .decodeSampled(p, (idx, _) => idx % 2 == 0)
+              val kept = frames.map(_._2).toArray
+              val keptMs = frames.map { case (fi, _) => delays(fi) }.sum
+              val out = graft.media.ApngCodec.encode(w, h, kept)
               org.apache.spark.sql.Row(id, kind, out,
                 org.apache.spark.sql.Row(
-                  out.length.toLong, mime, apng.width, apng.height,
-                  kept.length * 100L))
+                  out.length.toLong, mime, w, h, keptMs))
+            case "gif" =>
+              // animated: frame-decimation like the apng arm (keep
+              // even frames, re-encode; GIF "resize" is temporal)
+              val gif = graft.media.GifCodec.decode(p)
+              val kept = gif.frames.zipWithIndex
+                .collect { case (f, i) if i % 2 == 0 => f }
+              val keptCs = gif.delaysCs.zipWithIndex
+                .collect { case (c, i) if i % 2 == 0 => c }
+              val out = graft.media.GifCodec.encode(
+                gif.width, gif.height, kept,
+                if (keptCs.nonEmpty) keptCs.head else 10)
+              org.apache.spark.sql.Row(id, kind, out,
+                org.apache.spark.sql.Row(
+                  out.length.toLong, mime, gif.width, gif.height,
+                  keptCs.map(_ * 10L).sum))
+            case other => throw new IllegalArgumentException(
+              s"multimodal: resizeMedia has no decode arm for " +
+                s"sniffed codec '$other'")
           }
         }
       }(enc)
@@ -418,12 +467,31 @@ object Multimodal {
                 3L * png.width * png.height))
             case "wav" => Iterator.empty
             case "apng" =>
-              val (w, h, n, frames) = graft.media.ApngCodec
+              val (w, h, n, frames, _) = graft.media.ApngCodec
                 .decodeSampled(p, (idx, _) => idx % stride == 0)
               frames.iterator.map { case (fi, rgb) =>
                 org.apache.spark.sql.Row(
                   id, "apng", n, fi, sumOf(rgb), 3L * w * h)
               }
+            case "gif" =>
+              val gif = graft.media.GifCodec.decode(p)
+              gif.frames.iterator.zipWithIndex
+                .filter(_._2 % stride == 0)
+                .map { case (f, fi) =>
+                  var acc = 0L
+                  var i = 0
+                  while (i < f.length) {
+                    val (cr, cg, cb) = gif.palette(f(i) & 0xff)
+                    acc += cr + cg + cb
+                    i += 1
+                  }
+                  org.apache.spark.sql.Row(
+                    id, "gif", gif.frames.length, fi, acc,
+                    3L * gif.width * gif.height)
+                }
+            case other => throw new IllegalArgumentException(
+              s"multimodal: sampleFrames has no decode arm for " +
+                s"sniffed codec '$other'")
           }
         }
       }(enc)
@@ -900,7 +968,7 @@ object Multimodal {
     documents(s, d).select(col("doc_id")).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val (w, h, n, frames) = graft.media.ApngCodec.decodeSampled(
+        val (w, h, n, frames, _) = graft.media.ApngCodec.decodeSampled(
           graft.media.MediaGen.apngBytes(id), (idx, _) => idx % 2 == 0)
         frames.map { case (fi, rgb) =>
           val (sr, sg, sb) = channelSums(rgb)

@@ -24,7 +24,7 @@ class ApngCodecSpec extends AnyFunSuite {
   test("sampled decode returns exactly the selected frames with " +
     "correct indices and total count") {
     val id = 5L // 2 + 5%4 = 3 frames
-    val (w, h, n, frames) = ApngCodec.decodeSampled(
+    val (w, h, n, frames, _) = ApngCodec.decodeSampled(
       MediaGen.apngBytes(id), (idx, _) => idx % 2 == 0)
     assert((w, h) == MediaGen.apngDims(id))
     assert(n == 3)

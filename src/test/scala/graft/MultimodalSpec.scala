@@ -20,10 +20,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffCodec(MediaGen.pngBytes(1L)) == "png")
     assert(Multimodal.sniffCodec(MediaGen.wavBytes(1L)) == "wav")
     assert(Multimodal.sniffCodec(MediaGen.apngBytes(1L)) == "apng")
+    // r11 review: GIF89a was a fully supported codec the dispatch
+    // never routed to
+    assert(Multimodal.sniffCodec(MediaGen.gifBytes(1L)) == "gif")
     val e = intercept[IllegalArgumentException] {
       Multimodal.sniffCodec("no codec claims this".getBytes("UTF-8"))
     }
     assert(e.getMessage.contains("unknown container"), e.getMessage)
+  }
+
+  test("durations are DECODE-derived: fcTL/GCE delays, not an " +
+    "assumed frame rate — and GIF payloads route through " +
+    "extractFeatures (r11 review)") {
+    import graft.media.{ApngCodec, GifCodec, MediaGen}
+    import spark.implicits._
+    // the fixture encoders write 100 ms (APNG 1/10 s) and 10 cs (GIF)
+    // per frame — the decoders must READ those values back
+    val apng = ApngCodec.decode(MediaGen.apngBytes(3L))
+    assert(apng.delaysMs.toSeq == Seq.fill(apng.frames.length)(100L))
+    val gif = GifCodec.decode(MediaGen.gifBytes(3L))
+    assert(gif.delaysCs.toSeq == Seq.fill(gif.frames.length)(10))
+    // the features path reports duration_ms = Σ decoded delays
+    val twoFrame = ApngCodec.encode(4, 3,
+      Array.fill(2)(Array.fill(36)(7)))
+    val feats = Multimodal
+      .extractFeatures(Seq((900L, twoFrame)).toDF("media_id", "payload"))
+      .collect().head
+    assert(feats.getAs[Long]("duration_ms") == 200L) // 2 × 100 ms
+    // gif features: decode-derived dims, duration, channel sums
+    val gfe = Multimodal
+      .extractFeatures(
+        Seq((901L, MediaGen.gifBytes(5L))).toDF("media_id", "payload"))
+      .collect().head
+    assert(gfe.getAs[String]("codec") == "gif")
+    assert(gfe.getAs[Int]("width") == gif.width ||
+      gfe.getAs[Int]("width") > 0)
+    assert(gfe.getAs[Long]("duration_ms") ==
+      GifCodec.decode(MediaGen.gifBytes(5L)).delaysCs.map(_ * 10L).sum)
   }
 
   test("sniffCodec terminates on a corrupt huge PNG chunk length " +
