@@ -52,13 +52,21 @@ object Checkpoints {
       case _              => None
     }
 
-  /** Release a checkpointed frame's blocks. Safe on any Dataset (no-op
-    * when the plan is not a checkpoint scan). `blocking = true` makes
-    * the release synchronous — harness code between timed runs wants
-    * deterministic memory state, not an async race with the next
-    * measurement. */
+  /** Release a checkpointed frame's blocks. Safe on any Dataset: a
+    * non-checkpoint plan is a no-op, and a PINNED session-lifetime
+    * checkpoint (a SessionCache-memoized frame passed here by
+    * mistake) is skipped — its truncated lineage could never
+    * recompute, so honoring the pin contract here is what makes the
+    * "never a wrong unpersist" claim true (r11 review). `blocking =
+    * true` makes the release synchronous — harness code between timed
+    * runs wants deterministic memory state, not an async race with
+    * the next measurement. */
   def unpersist(df: Dataset[_], blocking: Boolean = false): Unit =
-    rddOf(df).foreach(_.unpersist(blocking))
+    rddOf(df).foreach { r =>
+      if (!graft.sources.SessionCache
+        .pinnedRddIds(df.sparkSession).contains(r.id))
+        r.unpersist(blocking)
+    }
 
   /** Iterative-loop step: eagerly checkpoint `next`, THEN release
     * `prev`'s blocks — the materialize-before-release order is what
@@ -78,12 +86,37 @@ object Checkpoints {
     * ids, so callers can log what a query run leaked. Never touches
     * CacheManager buffers (`isCheckpointed == false`) or pinned
     * session-lifetime checkpoints. */
-  def sweep(session: SparkSession): Seq[Int] = {
-    val pinned = graft.sources.SessionCache.pinnedRddIds(session)
-    val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
-      case (id, rdd) if rdd.isCheckpointed && !pinned(id) => (id, rdd)
+  def sweep(session: SparkSession): Seq[Int] =
+    // the shared lock excludes the scan+release from the window
+    // between a memoized build's persist and its pin registration —
+    // without it a sweep racing a build could release a freshly
+    // materialized checkpoint and poison the cached frame for the
+    // session lifetime (r11 review)
+    graft.sources.SessionCache.buildSweepLock.synchronized {
+      val pinned = graft.sources.SessionCache.pinnedRddIds(session)
+      val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
+        case (id, rdd) if rdd.isCheckpointed && !pinned(id) => (id, rdd)
+      }
+      victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
+      victims.map(_._1)
     }
-    victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
-    victims.map(_._1)
-  }
+
+  /** Scoped sweep for callers that run CONCURRENTLY with other
+    * queries (the streaming dedup sink): release only checkpointed,
+    * unpinned RDDs whose ids are NOT in `before` — i.e. what this
+    * unit of work created — so another in-flight query's transient
+    * loop checkpoints are never touched (the global [[sweep]] is a
+    * harness tool with a single-threaded contract; r11 review). */
+  def sweepCreatedSince(
+      session: SparkSession, before: Set[Int]): Seq[Int] =
+    graft.sources.SessionCache.buildSweepLock.synchronized {
+      val pinned = graft.sources.SessionCache.pinnedRddIds(session)
+      val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
+        case (id, rdd)
+          if rdd.isCheckpointed && !pinned(id) && !before(id) =>
+          (id, rdd)
+      }
+      victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
+      victims.map(_._1)
+    }
 }

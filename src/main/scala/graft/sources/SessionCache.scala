@@ -2,10 +2,11 @@ package graft.sources
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.SparkSession
 
-/** Per-SparkSession memoization keyed on the session OBJECT, with
-  * eviction of stopped sessions on every access.
+/** Memoization keyed on the underlying SPARKCONTEXT object, with
+  * eviction of stopped contexts on every access.
   *
   * The round-1 identity-hash keying had two defects: entries for a
   * stopped session were never evicted (persisted DataFrames leaked for
@@ -14,83 +15,94 @@ import org.apache.spark.sql.SparkSession
   * DataFrames bound to the stopped session. Object-identity keys cannot
   * collide while alive, which fixes the correctness defect outright.
   *
+  * CONTEXT, not session (r11 review): Structured Streaming's
+  * foreachBatch hands the user a CLONED session (`MicroBatchExecution`
+  * runs each batch under `sparkSession.cloneSession()`), and
+  * session-identity keys made every clone (a) rebuild and re-persist
+  * each corpus index — two full copies in the one shared BlockManager,
+  * exactly the r6 eviction pressure — and (b) see the driver session's
+  * pinned checkpoints as UNPINNED, so the clone's post-batch sweep
+  * released blocks whose truncated lineage could never recompute.
+  * RDD blocks and the CacheManager are context-scoped, so the cache
+  * and pin scope must be too.
+  *
   * The leak is fixed by purging, NOT by weak references: cached values
-  * (DataFrames) strongly reference their own SparkSession through
-  * `Dataset.sparkSession`, so a WeakHashMap entry would keep its key
-  * strongly reachable via its own value and never collect (the classic
-  * WeakHashMap value→key pitfall). Instead, every access drops entries
-  * whose underlying SparkContext has stopped — the cached plans are
-  * useless the moment the session dies, and with them gone the session
-  * object itself becomes collectable.
+  * (DataFrames) strongly reference their SparkSession, and a session
+  * strongly references its context, so a WeakHashMap entry would keep
+  * its key strongly reachable via its own value and never collect (the
+  * classic WeakHashMap value→key pitfall). Instead, every access drops
+  * entries whose SparkContext has stopped — the cached plans are
+  * useless the moment the context dies.
   */
 object SessionCache {
 
-  private val perSession =
-    new java.util.IdentityHashMap[SparkSession, TrieMap[Any, Any]]()
+  /** Per-context state: the memo cells and the pinned RDD ids — one
+    * record, one purge loop (they drifted as two parallel maps with
+    * copy-pasted eviction; r11 review). */
+  private final class Entry {
+    val cache: TrieMap[Any, Any] = TrieMap.empty
+    val pins: TrieMap[Int, Unit] = TrieMap.empty
+  }
 
-  /** RDD ids persisted DURING a memoized build — the session-lifetime
-    * caches (persisted shingle sets, checkpointed gram index, graph
-    * backbones, ML-model internals). [[graft.plans.Checkpoints.sweep]]
-    * (the harness sweep Bench runs between timed runs) releases exactly
-    * the persistent RDDs that are checkpointed AND not in this set —
-    * CacheManager buffers behind `.persist`/`.cache` are excluded by
-    * the `isCheckpointed` test, so pinning only needs to protect the
-    * memoized `localCheckpoint`s, whose truncated lineage cannot
-    * recompute released blocks (later reuse would throw). Keyed like
-    * [[perSession]]. */
-  private val pinned =
-    new java.util.IdentityHashMap[SparkSession, TrieMap[Int, Unit]]()
+  private val perContext =
+    new java.util.IdentityHashMap[SparkContext, Entry]()
 
-  private def map(s: SparkSession): TrieMap[Any, Any] =
-    perSession.synchronized {
-      val it = perSession.keySet().iterator()
+  /** Monitor held by memoized BUILDS for their whole evaluation and by
+    * [[graft.plans.Checkpoints.sweep]] for its victim scan+release:
+    * without it a sweep racing a build could release a freshly
+    * materialized localCheckpoint in the window between persist and
+    * pin registration, poisoning the cached frame for the session
+    * lifetime (r11 review). Builds are seconds; a sweep blocking
+    * behind one is the cheap side of that trade. */
+  private[graft] val buildSweepLock = new Object
+
+  private def entry(sc: SparkContext): Entry =
+    perContext.synchronized {
+      val it = perContext.keySet().iterator()
       while (it.hasNext) {
-        if (it.next().sparkContext.isStopped) it.remove()
+        if (it.next().isStopped) it.remove()
       }
-      perSession.computeIfAbsent(s, _ => TrieMap.empty[Any, Any])
+      perContext.computeIfAbsent(sc, _ => new Entry)
     }
 
-  private def pinSet(s: SparkSession): TrieMap[Int, Unit] =
-    pinned.synchronized {
-      val it = pinned.keySet().iterator()
-      while (it.hasNext) {
-        if (it.next().sparkContext.isStopped) it.remove()
-      }
-      pinned.computeIfAbsent(s, _ => TrieMap.empty[Int, Unit])
-    }
-
-  /** RDD ids that memoized builds have persisted in this session —
-    * the set a cleanup sweep must never unpersist. */
+  /** RDD ids that memoized builds have persisted in this context —
+    * the set a cleanup sweep must never unpersist. Context-scoped:
+    * every session sharing the context (foreachBatch clones,
+    * newSession) sees the same pins. */
   def pinnedRddIds(session: SparkSession): Set[Int] =
-    pinSet(session).keySet.toSet
+    entry(session.sparkContext).pins.keySet.toSet
 
   /** A published-before-evaluated memo cell: `lazy val` gives
     * exactly-once, mutual-exclusion evaluation, so no duplicate build
     * ever runs and there are never orphaned RDDs to clean up. A build
     * that THROWS is not cached (lazy val re-evaluates on next access),
-    * so transient failures don't poison the key. */
-  private final class Cell(session: SparkSession, thunk: () => Any) {
-    lazy val value: Any = {
+    * so transient failures don't poison the key. The thunk reference
+    * is dropped after evaluation so the call site's captured scope
+    * does not stay reachable for the session lifetime. */
+  private final class Cell(session: SparkSession, thunk0: () => Any) {
+    private var thunk: () => Any = thunk0
+    lazy val value: Any = SessionCache.buildSweepLock.synchronized {
       val sc = session.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val v = thunk()
+      thunk = null
       val created = sc.getPersistentRDDs.keySet.diff(before)
       if (created.nonEmpty) {
-        val p = pinSet(session)
+        val p = entry(sc).pins
         created.foreach(id => p.put(id, ()))
       }
       v
     }
   }
 
-  /** Memoize `value` under `key` within `session`'s cache. The cell is
-    * PUBLISHED (putIfAbsent) before it is EVALUATED, so under a race
-    * both threads resolve to the same cell and its `lazy val` runs the
-    * build exactly once — the earlier losing-build-unpersists-winner
-    * hazard (the loser's snapshot window necessarily overlapped the
-    * winner's freshly-persisted RDDs, so "cleanup" destroyed the very
-    * checkpoint being returned) cannot occur because no losing build
-    * exists.
+  /** Memoize `value` under `key` within the session's CONTEXT cache.
+    * The cell is PUBLISHED (putIfAbsent) before it is EVALUATED, so
+    * under a race both threads resolve to the same cell and its `lazy
+    * val` runs the build exactly once — the earlier
+    * losing-build-unpersists-winner hazard (the loser's snapshot
+    * window necessarily overlapped the winner's freshly-persisted
+    * RDDs, so "cleanup" destroyed the very checkpoint being returned)
+    * cannot occur because no losing build exists.
     *
     * Any RDD that becomes persistent while `value` is computed is
     * recorded in [[pinnedRddIds]]. Eager builds (localCheckpoint,
@@ -98,10 +110,15 @@ object SessionCache {
     * marks register at least the intent (the CacheManager entry
     * materializes its buffer RDD later, but those buffers belong to
     * the CacheManager, which sweeps never touch). Over-pinning (a
-    * parallel query's RDD landing in the build's window) is harmless —
-    * a pin only ever makes a sweep skip an RDD. */
+    * parallel query's RDD landing in the build's window) only ever
+    * makes a sweep SKIP an RDD — but note the pin is permanent for
+    * the context lifetime, so a transient checkpoint caught in the
+    * window stays unsweepable; builds run under [[buildSweepLock]],
+    * which keeps the window free of sweep races, and concurrent
+    * checkpoint-creating queries during warm-up builds are the one
+    * (accepted, documented) source of such strays. */
   def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V = {
-    val m = map(session)
+    val m = entry(session.sparkContext).cache
     val cell = m.get(key) match {
       case Some(c) => hitCount.incrementAndGet(); c
       case None =>

@@ -50,16 +50,24 @@ object StreamSinks {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // note: batch.sparkSession is the stream's CLONED session —
+        // SessionCache/pins are context-keyed exactly so the clone
+        // shares the driver's corpus indexes and respects its pins
+        val before = batch.sparkSession.sparkContext
+          .getPersistentRDDs.keySet.toSet
         val cleaned = graft.etl.DedupPipeline
           .dedupIncremental(batch.sparkSession, batch.toDF(),
             corpusDir, threshold)
         cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // release THIS batch's localCheckpoint blocks (afterExact +
         // bShingles in dedupIncremental) now that the output is on
-        // disk — without the sweep every micro-batch leaks its blocks
-        // for the session lifetime (r11 review); the pinned corpus
-        // indexes survive by contract
-        graft.plans.Checkpoints.sweep(batch.sparkSession)
+        // disk — without it every micro-batch leaks its blocks for
+        // the session lifetime. SCOPED to what the batch created: a
+        // global sweep from this concurrent stream thread could
+        // release an in-flight driver query's transient loop
+        // checkpoints (r11 review)
+        graft.plans.Checkpoints
+          .sweepCreatedSince(batch.sparkSession, before)
         ()
       }
       .start()

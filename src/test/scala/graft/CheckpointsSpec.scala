@@ -134,6 +134,59 @@ class CheckpointsSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("caches and pins are CONTEXT-scoped: a same-context session " +
+    "(foreachBatch's clone shape) shares memoized builds and cannot " +
+    "sweep the base session's pinned checkpoints (r11 review)") {
+    val clone = spark.newSession()
+    val key = ("ctx-scope-spec", System.nanoTime())
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val base = SessionCache.getOrElseUpdate(spark, key) {
+      builds.incrementAndGet()
+      freshFrame(30).localCheckpoint(true)
+    }
+    val viaClone = SessionCache.getOrElseUpdate(clone, key) {
+      builds.incrementAndGet()
+      freshFrame(30).localCheckpoint(true)
+    }
+    assert(builds.get() == 1, "clone rebuilt a context-shared cache")
+    assert(viaClone eq base)
+    val id = Checkpoints.rddOf(base).get.id
+    assert(SessionCache.pinnedRddIds(clone).contains(id),
+      "clone does not see the base session's pin")
+    // a sweep issued FROM the clone must spare the pinned checkpoint
+    Checkpoints.sweep(clone)
+    assert(persistentIds.contains(id),
+      "clone-issued sweep released a pinned checkpoint")
+    assert(base.count() == 30)
+  }
+
+  test("sweepCreatedSince releases only the delta; Checkpoints." +
+    "unpersist skips pinned frames (r11 review)") {
+    // pre-existing transient checkpoint (another query's in-flight
+    // frontier, from the scoped caller's perspective)
+    val preexisting = freshFrame(10).localCheckpoint(true)
+    val preId = Checkpoints.rddOf(preexisting).get.id
+    val before = persistentIds
+    val mine = freshFrame(20).localCheckpoint(true)
+    val myId = Checkpoints.rddOf(mine).get.id
+    val released = Checkpoints.sweepCreatedSince(spark, before)
+    assert(released.contains(myId) && !released.contains(preId),
+      s"scoped sweep released $released (pre=$preId mine=$myId)")
+    assert(persistentIds.contains(preId))
+    assert(preexisting.count() == 10)
+    Checkpoints.unpersist(preexisting, blocking = true) // cleanup
+    // unpersist honors pins: a memoized frame passed by mistake stays
+    val pinnedDf = SessionCache.getOrElseUpdate(
+      spark, ("unpersist-pin-spec", System.nanoTime())) {
+      freshFrame(15).localCheckpoint(true)
+    }
+    val pinnedId = Checkpoints.rddOf(pinnedDf).get.id
+    Checkpoints.unpersist(pinnedDf, blocking = true)
+    assert(persistentIds.contains(pinnedId),
+      "unpersist destroyed a pinned session-lifetime checkpoint")
+    assert(pinnedDf.count() == 15)
+  }
+
   test("sweep after an iterative query leaves only pinned state behind") {
     // simulate a bench run: an iterative loop using replacing leaks
     // exactly its final frame; a sweep reclaims it
