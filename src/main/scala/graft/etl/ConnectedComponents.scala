@@ -27,7 +27,11 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** Compute components of the undirected graph given by `edges`
-    * (columns `src`, `dst`; vertices of any orderable numeric type).
+    * (columns `src`, `dst`; vertices of any numeric type that CASTS
+    * LOSSLESSLY to bigint — ids are canonicalized through
+    * `cast("bigint")`, and a value that nulls under the cast, e.g. a
+    * decimal(38,0) 128-bit hash past Long range, is dropped with the
+    * null-endpoint edges: fold such ids to 64 bits first).
     * Returns (vertex, component) where component = min vertex id in the
     * component. Isolated vertices (no edges) are absent — callers union
     * them back with component = self if needed. */
@@ -132,29 +136,46 @@ object ConnectedComponents {
     * released once the comparison is done. */
   def runStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     var chk: DataFrame = null
+    // the round in flight's PREDECESSOR: released after the fixpoint
+    // compare on the success path, released by the finally on a failed
+    // round — reassigning chk to next before the round's jobs (so a
+    // failure releases NEXT's fresh blocks) must not orphan the
+    // previous round's blocks instead (r11 review: the old ordering
+    // leaked whichever frame chk was NOT pointing at when a count()
+    // or except() job failed)
+    var prev: DataFrame = null
     var converged = false
+    // ONE materialization of the upstream edge plan: the canonical
+    // set, the self-loop vertex list, and the returned frame's
+    // deferred scans all derive from this checkpoint instead of
+    // re-executing the (possibly expensive similarity-join) edge plan
+    // once per consumer (r11 review: three executions, plus one per
+    // further caller action)
+    val prepped = edges
+      .select(col("src").cast("bigint").as("a"),
+        col("dst").cast("bigint").as("b"))
+      .localCheckpoint(true)
     // Vertices whose ONLY edges are self-loops (x,x) must still come
     // out labeled (x → x): run() symmetrizes (x,x) into the vertex set
     // and runAuto's driver union-find emits them, so the star path
     // unions them back as singletons below — otherwise dedupGroups
     // output would differ across the edge-budget gate for degenerate
     // self-pairs. (Null endpoints fall out of the === just like they
-    // fall out of the =!= canonical filter.)
-    val selfVerts = edges
-      .select(col("src").cast("bigint").as("a"),
-        col("dst").cast("bigint").as("b"))
+    // fall out of the =!= canonical filter.) Checkpointed (tiny) so
+    // `prepped` can release before the loop runs.
+    val selfVerts = prepped
       .filter(col("a") === col("b"))
       .select(col("a").as("v"))
       .distinct()
+      .localCheckpoint(true)
     try {
-      chk = edges
-        .select(col("src").cast("bigint").as("a"),
-          col("dst").cast("bigint").as("b"))
+      chk = prepped
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct()
         .localCheckpoint(true)
+      graft.plans.Checkpoints.unpersist(prepped)
       var curCount = chk.count()
       var round = 0
       while (!converged) {
@@ -169,9 +190,10 @@ object ConnectedComponents {
           .select(col("c"), least(col("mn"), col("c")).as("m"))
         val ls = symm.join(lmin, "c")
           .filter(col("n") > col("c"))
-          // n > c ≥ m keeps the (larger → smaller) canonical form
+          // n > c ≥ m keeps the (larger → smaller) canonical form —
+          // and makes u = n > m = v on every row, so no u = v filter
+          // is needed (one was here; provably dead)
           .select(col("n").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v"))
           .distinct()
         // SMALL-STAR over the smaller-neighbor lists
         val smin = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -182,13 +204,15 @@ object ConnectedComponents {
           .union(smin.select(col("u"), col("m").as("v")))
           .distinct()
         val next = ss.localCheckpoint(true)
+        prev = cur
+        chk = next
         val nextCount = next.count()
         // exact fixpoint on distinct canonical sets: equal size and
         // an empty one-sided difference ⇒ identical
         converged = nextCount == curCount &&
           next.except(cur).limit(1).count() == 0
         graft.plans.Checkpoints.unpersist(cur)
-        chk = next
+        prev = null
         curCount = nextCount
         round += 1
       }
@@ -203,8 +227,11 @@ object ConnectedComponents {
         selfVerts.join(starLabels.select(col("v")), Seq("v"), "left_anti")
           .select(col("v"), col("v").as("cc")))
     } finally {
+      graft.plans.Checkpoints.unpersist(prepped)
+      if (prev != null) graft.plans.Checkpoints.unpersist(prev)
       if (!converged && chk != null)
         graft.plans.Checkpoints.unpersist(chk)
+      if (!converged) graft.plans.Checkpoints.unpersist(selfVerts)
     }
   }
 
@@ -220,6 +247,12 @@ object ConnectedComponents {
     * (component = min vertex id) — ConnectedComponentsSpec pins path
     * equivalence. */
   def runAuto(edges: DataFrame, edgeBudget: Int = 100000): DataFrame = {
+    // The budget counts RAW rows (the limit-collect gate is one cheap
+    // short-circuiting job; a distinct() first would force a full
+    // dedup shuffle just to decide the path): an emitter producing
+    // heavy duplicate pairs can route a driver-sized distinct graph
+    // to the distributed path — conservative (correct either way,
+    // just slower); pre-distinct the pairs if that matters.
     // null endpoints are dropped here exactly as the distributed paths
     // drop them (null fails both =!= and === filters) — without the
     // filter, Row.getLong silently reads null as 0 and the driver path

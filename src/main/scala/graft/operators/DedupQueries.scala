@@ -727,40 +727,18 @@ object DedupQueries {
   private[graft] def erClustersFrom(
       s: SparkSession, nodes: DataFrame, edges: DataFrame,
       forceDistributed: Boolean = false): DataFrame = {
-    // ONE bounded job decides the path AND fetches the small graph: a
-    // budget+1 limit-collect never materializes more than ~1.6 MB on
-    // the driver, and avoids a separate count() job re-running the
-    // blocked similarity join
-    val fetched =
-      if (forceDistributed) Array.empty[org.apache.spark.sql.Row]
-      else edges.limit(erEdgeBudget.toInt + 1).collect()
-    val useDistributed =
-      forceDistributed || fetched.length > erEdgeBudget
+    // budget gate + driver union-find live in ConnectedComponents
+    // .runAuto — this site used to carry a drifted inline copy whose
+    // over-budget path still routed to the diameter-bounded run(), so
+    // a long similarity CHAIN past the budget threw at maxIter where
+    // runStar converges (r11 review; the copies had also diverged on
+    // null filtering). The measured driver-path win (3.2 s → 0.5 s at
+    // sf0.1) is runAuto's own scaladoc'd contract; labels identical
+    // either way (RoundSixSpec pins path equivalence).
     val cc: DataFrame =
-      if (useDistributed) graft.etl.ConnectedComponents.run(edges)
-      else {
-        // vocabulary-sized graph: one collect + union-find beats ~5
-        // rounds of join/agg/checkpoint jobs (measured 3.2 s → 0.5 s
-        // at sf0.1); the SAME edges produce the SAME components either
-        // way (RoundSixSpec pins path equivalence)
-        val es = fetched.map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = parent.getOrElseUpdate(x, x)
-          while (parent(r) != r) r = parent(r)
-          parent(x) = r
-          r
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        // component label = MIN vertex id (the ConnectedComponents
-        // contract) — the union rule above keeps roots minimal
-        import s.implicits._
-        parent.keys.toSeq.map(v => (v, find(v)))
-          .toDF("v", "cc")
-      }
+      if (forceDistributed) graft.etl.ConnectedComponents.runStar(edges)
+      else graft.etl.ConnectedComponents
+        .runAuto(edges, erEdgeBudget.toInt)
     nodes.join(cc, nodes("node_id") === cc("v"))
       .groupBy(col("cc").as("cluster_id"))
       .agg(count(lit(1)).as("n_names"),
