@@ -29,9 +29,12 @@ object ConnectedComponents {
   /** Compute components of the undirected graph given by `edges`
     * (columns `src`, `dst`; vertices of any numeric type that CASTS
     * LOSSLESSLY to bigint — ids are canonicalized through
-    * `cast("bigint")`, and a value that nulls under the cast, e.g. a
-    * decimal(38,0) 128-bit hash past Long range, is dropped with the
-    * null-endpoint edges: fold such ids to 64 bits first).
+    * `try_cast("bigint")`, and a value past Long range, e.g. a
+    * decimal(38,0) 128-bit hash, nulls under try_cast and is dropped
+    * with the null-endpoint edges: fold such ids to 64 bits first.
+    * try_cast, not cast (r12 advice): under Spark's default ANSI mode
+    * a plain cast THROWS on overflow, so the documented silent-drop
+    * contract needs the try_ form).
     * Returns (vertex, component) where component = min vertex id in the
     * component. Isolated vertices (no edges) are absent — callers union
     * them back with component = self if needed. */
@@ -39,10 +42,10 @@ object ConnectedComponents {
     val src: Column = col("src")
     val dst: Column = col("dst")
     // symmetrize once; persist — every round joins against it
-    val sym = edges.select(src.cast("bigint").as("src"),
-        dst.cast("bigint").as("dst"))
-      .union(edges.select(dst.cast("bigint").as("src"),
-        src.cast("bigint").as("dst")))
+    val sym = edges.select(src.try_cast("bigint").as("src"),
+        dst.try_cast("bigint").as("dst"))
+      .union(edges.select(dst.try_cast("bigint").as("src"),
+        src.try_cast("bigint").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -152,8 +155,8 @@ object ConnectedComponents {
     // once per consumer (r11 review: three executions, plus one per
     // further caller action)
     val prepped = edges
-      .select(col("src").cast("bigint").as("a"),
-        col("dst").cast("bigint").as("b"))
+      .select(col("src").try_cast("bigint").as("a"),
+        col("dst").try_cast("bigint").as("b"))
       .localCheckpoint(true)
     // Vertices whose ONLY edges are self-loops (x,x) must still come
     // out labeled (x → x): run() symmetrizes (x,x) into the vertex set
@@ -258,7 +261,7 @@ object ConnectedComponents {
     // filter, Row.getLong silently reads null as 0 and the driver path
     // would invent phantom edges to vertex 0
     val fetched = edges
-      .select(col("src").cast("bigint"), col("dst").cast("bigint"))
+      .select(col("src").try_cast("bigint"), col("dst").try_cast("bigint"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .limit(edgeBudget + 1).collect()
     // past the budget the graph's diameter is unknown too — the star

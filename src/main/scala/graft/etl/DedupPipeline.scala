@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.DedupQueries
@@ -91,7 +91,20 @@ object DedupPipeline {
     * rescan beyond the one-time index build. */
   def dedupIncremental(
       s: SparkSession, batch: DataFrame, d: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    dedupIncrementalTracked(s, batch, d, threshold)._1
+
+  /** As [[dedupIncremental]], additionally returning the checkpointed
+    * frames THIS CALL created (the post-exact batch + its shingle
+    * sets), so a caller that runs CONCURRENTLY with other queries —
+    * the streaming dedup sink — can release exactly those blocks once
+    * its output is on disk. The previous contract (release every
+    * unpinned checkpoint created after a timestamp snapshot) swept up
+    * other in-flight queries' transient loop checkpoints, whose
+    * truncated lineage cannot recompute (r12 advice). */
+  def dedupIncrementalTracked(
+      s: SparkSession, batch: DataFrame, d: String,
+      threshold: Double = 0.5): (DataFrame, Seq[Dataset[_]]) = {
     require(threshold >= 0.5,
       s"near-dup threshold $threshold is below the 0.5 candidate " +
         "verification floor (see verifiedPairs)")
@@ -167,7 +180,8 @@ object DedupPipeline {
       bShingles)
     val losers = vsCorpus.unionAll(inBatch)
       .select(col("doc_a").as("doc_id")).distinct()
-    afterExact.join(losers, Seq("doc_id"), "left_anti")
+    (afterExact.join(losers, Seq("doc_id"), "left_anti"),
+      Seq(afterExact, bShingles))
   }
 
   /** Corpus exact-hash set, built and persisted once per (session,

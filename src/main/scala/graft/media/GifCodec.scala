@@ -164,11 +164,24 @@ object GifCodec {
   // ---------------------------------------------------------------
 
   /** Encode full-size frames of palette indices as an animated
-    * GIF89a with the deterministic global 16-color table. */
+    * GIF89a with the deterministic global 16-color table, one uniform
+    * per-frame delay. */
   def encode(
       width: Int, height: Int, frames: Array[Array[Byte]],
-      delayCs: Int = 10): Array[Byte] = {
+      delayCs: Int = 10): Array[Byte] =
+    encode(width, height, frames, Array.fill(frames.length)(delayCs))
+
+  /** Per-frame-delay variant (r12 advice): resize/decimation paths
+    * re-encode frames KEEPING each frame's decoded delay, so the
+    * payload's real duration equals the reported metadata even for
+    * variable-delay GIFs — the uniform-delay overload silently
+    * stamped every frame with frame 0's delay. */
+  def encode(
+      width: Int, height: Int, frames: Array[Array[Byte]],
+      delaysCs: Array[Int]): Array[Byte] = {
     require(frames.nonEmpty, "gif: at least one frame")
+    require(delaysCs.length == frames.length,
+      s"gif: ${delaysCs.length} delays for ${frames.length} frames")
     frames.foreach(f => require(f.length == width * height,
       "gif: frame pixel count must be width*height"))
     val out = ArrayBuffer.empty[Byte]
@@ -183,11 +196,11 @@ object GifCodec {
       val (r, g, b) = paletteColor(c)
       out += r.toByte; out += g.toByte; out += b.toByte
     }
-    for (f <- frames) {
+    for ((f, fi) <- frames.zipWithIndex) {
       // graphic control extension (delay only; no transparency)
       out += 0x21.toByte; out += 0xf9.toByte; out += 4
       out += 0 // packed: no disposal, no transparency
-      putU16(out, delayCs)
+      putU16(out, delaysCs(fi))
       out += 0 // transparent color index (unused)
       out += 0 // terminator
       // image descriptor: full frame, no local table, no interlace

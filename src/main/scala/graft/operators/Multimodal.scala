@@ -416,9 +416,13 @@ object Multimodal {
                 .collect { case (f, i) if i % 2 == 0 => f }
               val keptCs = gif.delaysCs.zipWithIndex
                 .collect { case (c, i) if i % 2 == 0 => c }
+              // per-frame delays survive the re-encode, so the
+              // payload's real duration equals the metadata below
+              // even for variable-delay GIFs (r12 advice — the old
+              // uniform-head-delay encode diverged from the reported
+              // keptCs sum)
               val out = graft.media.GifCodec.encode(
-                gif.width, gif.height, kept,
-                if (keptCs.nonEmpty) keptCs.head else 10)
+                gif.width, gif.height, kept, keptCs)
               org.apache.spark.sql.Row(id, kind, out,
                 org.apache.spark.sql.Row(
                   out.length.toLong, mime, gif.width, gif.height,

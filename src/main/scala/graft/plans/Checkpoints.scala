@@ -87,36 +87,34 @@ object Checkpoints {
     * CacheManager buffers (`isCheckpointed == false`) or pinned
     * session-lifetime checkpoints. */
   def sweep(session: SparkSession): Seq[Int] =
-    // the shared lock excludes the scan+release from the window
-    // between a memoized build's persist and its pin registration —
-    // without it a sweep racing a build could release a freshly
-    // materialized checkpoint and poison the cached frame for the
-    // session lifetime (r11 review)
-    graft.sources.SessionCache.buildSweepLock.synchronized {
+    // sweepLock serializes sweeps against each other only. Build-vs-
+    // sweep safety (the r11 hazard: releasing a memoized build's
+    // freshly materialized checkpoint before its pin registers) comes
+    // from the active-build snapshots, NOT from blocking builds — the
+    // r11 whole-thunk lock deadlocked against nested builds (r12
+    // advice). READ ORDER IS THE PROOF: persistent RDDs first, active
+    // builds second, pins last. An RDD created by a build still active
+    // at the second read is absent from that build's snapshot → the
+    // forall skips it; a build that finished BEFORE the second read
+    // registered its pins before deregistering, so the LATER pins read
+    // covers its creations. Either way no unpinned-but-needed
+    // checkpoint is ever a victim.
+    graft.sources.SessionCache.sweepLock.synchronized {
+      val persistent = session.sparkContext.getPersistentRDDs.toSeq
+      val active = graft.sources.SessionCache.activeBuildSnapshots
       val pinned = graft.sources.SessionCache.pinnedRddIds(session)
-      val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
-        case (id, rdd) if rdd.isCheckpointed && !pinned(id) => (id, rdd)
+      val victims = persistent.collect {
+        case (id, rdd) if rdd.isCheckpointed && !pinned(id) &&
+          active.forall(_.contains(id)) => (id, rdd)
       }
       victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
       victims.map(_._1)
     }
 
-  /** Scoped sweep for callers that run CONCURRENTLY with other
-    * queries (the streaming dedup sink): release only checkpointed,
-    * unpinned RDDs whose ids are NOT in `before` — i.e. what this
-    * unit of work created — so another in-flight query's transient
-    * loop checkpoints are never touched (the global [[sweep]] is a
-    * harness tool with a single-threaded contract; r11 review). */
-  def sweepCreatedSince(
-      session: SparkSession, before: Set[Int]): Seq[Int] =
-    graft.sources.SessionCache.buildSweepLock.synchronized {
-      val pinned = graft.sources.SessionCache.pinnedRddIds(session)
-      val victims = session.sparkContext.getPersistentRDDs.toSeq.collect {
-        case (id, rdd)
-          if rdd.isCheckpointed && !pinned(id) && !before(id) =>
-          (id, rdd)
-      }
-      victims.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
-      victims.map(_._1)
-    }
+  // r12: the scoped `sweepCreatedSince(before)` variant is GONE — a
+  // created-after-snapshot set-diff is not actually scoped under
+  // concurrency (it released any other in-flight query's transient
+  // loop checkpoint born inside the window). Concurrent callers must
+  // hold the exact Dataset handles they checkpointed and release them
+  // via [[unpersist]] (see DedupPipeline.dedupIncrementalTracked).
 }

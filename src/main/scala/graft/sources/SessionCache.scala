@@ -47,14 +47,34 @@ object SessionCache {
   private val perContext =
     new java.util.IdentityHashMap[SparkContext, Entry]()
 
-  /** Monitor held by memoized BUILDS for their whole evaluation and by
-    * [[graft.plans.Checkpoints.sweep]] for its victim scan+release:
-    * without it a sweep racing a build could release a freshly
-    * materialized localCheckpoint in the window between persist and
-    * pin registration, poisoning the cached frame for the session
-    * lifetime (r11 review). Builds are seconds; a sweep blocking
-    * behind one is the cheap side of that trade. */
-  private[graft] val buildSweepLock = new Object
+  /** Monitor held by [[graft.plans.Checkpoints]] sweeps for their
+    * victim scan+release — sweep-vs-sweep serialization only. Builds
+    * do NOT take it (r12 review): the r11 design held it for the whole
+    * memoized thunk, and the lazy-val cell monitor + global lock pair
+    * inverted — a NESTED build (verifiedPairs→shingleSets etc.) held
+    * the lock wanting an inner cell's monitor while a concurrent cold
+    * build of that inner cell held its monitor wanting the lock — a
+    * permanent deadlock under exactly the foreachBatch-vs-driver
+    * concurrency the streaming sink creates. Build-vs-sweep safety now
+    * comes from [[activeBuildSnapshots]]: a sweep skips any RDD id
+    * that is not in EVERY in-flight build's start snapshot (it may be
+    * that build's not-yet-pinned checkpoint). Builds hold only their
+    * own cell monitors, whose order follows the acyclic build
+    * dependency DAG — no cycle, no deadlock. */
+  private[graft] val sweepLock = new Object
+
+  /** In-flight memoized builds: token → the persistent-RDD-id snapshot
+    * taken at build start. A persistent RDD absent from some entry's
+    * snapshot may have been created by that still-running build and is
+    * not yet pinned; sweeps must leave it alone. Read-ordering
+    * contract for sweeps (proof in Checkpoints.sweep): snapshot
+    * persistent RDDs FIRST, this set SECOND, pins LAST — a build that
+    * deregistered before the second read registered its pins before
+    * deregistering, so the later pins read covers its creations. */
+  private val activeBuilds = TrieMap[AnyRef, Set[Int]]()
+
+  private[graft] def activeBuildSnapshots: Seq[Set[Int]] =
+    activeBuilds.values.toSeq
 
   private def entry(sc: SparkContext): Entry =
     perContext.synchronized {
@@ -81,17 +101,28 @@ object SessionCache {
     * does not stay reachable for the session lifetime. */
   private final class Cell(session: SparkSession, thunk0: () => Any) {
     private var thunk: () => Any = thunk0
-    lazy val value: Any = SessionCache.buildSweepLock.synchronized {
+    lazy val value: Any = {
       val sc = session.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val v = thunk()
-      thunk = null
-      val created = sc.getPersistentRDDs.keySet.diff(before)
-      if (created.nonEmpty) {
-        val p = entry(sc).pins
-        created.foreach(id => p.put(id, ()))
-      }
-      v
+      // register as in-flight BEFORE running the thunk: from here to
+      // the `finally`, sweeps skip everything this build creates (ids
+      // outside `before`); pins are registered before deregistration,
+      // so there is no window in which a fresh checkpoint is neither
+      // active-covered nor pinned (r12: replaces holding the global
+      // sweep lock for the whole thunk, which deadlocked — see
+      // sweepLock's doc)
+      val token = new Object
+      SessionCache.activeBuilds.put(token, before.toSet)
+      try {
+        val v = thunk()
+        thunk = null
+        val created = sc.getPersistentRDDs.keySet.diff(before)
+        if (created.nonEmpty) {
+          val p = entry(sc).pins
+          created.foreach(id => p.put(id, ()))
+        }
+        v
+      } finally SessionCache.activeBuilds.remove(token)
     }
   }
 
@@ -113,10 +144,11 @@ object SessionCache {
     * parallel query's RDD landing in the build's window) only ever
     * makes a sweep SKIP an RDD — but note the pin is permanent for
     * the context lifetime, so a transient checkpoint caught in the
-    * window stays unsweepable; builds run under [[buildSweepLock]],
-    * which keeps the window free of sweep races, and concurrent
-    * checkpoint-creating queries during warm-up builds are the one
-    * (accepted, documented) source of such strays. */
+    * window stays unsweepable; builds register in
+    * [[activeBuildSnapshots]], which keeps the window free of sweep
+    * races, and concurrent checkpoint-creating queries during warm-up
+    * builds are the one (accepted, documented) source of such
+    * strays. */
   def getOrElseUpdate[V](session: SparkSession, key: Any)(value: => V): V = {
     val m = entry(session.sparkContext).cache
     val cell = m.get(key) match {

@@ -53,22 +53,19 @@ object StreamSinks {
         // note: batch.sparkSession is the stream's CLONED session —
         // SessionCache/pins are context-keyed exactly so the clone
         // shares the driver's corpus indexes and respects its pins
-        val before = batch.sparkSession.sparkContext
-          .getPersistentRDDs.keySet.toSet
-        val cleaned = graft.etl.DedupPipeline
-          .dedupIncremental(batch.sparkSession, batch.toDF(),
+        val (cleaned, ckpts) = graft.etl.DedupPipeline
+          .dedupIncrementalTracked(batch.sparkSession, batch.toDF(),
             corpusDir, threshold)
         cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        // release THIS batch's localCheckpoint blocks (afterExact +
-        // bShingles in dedupIncremental) now that the output is on
-        // disk — without it every micro-batch leaks its blocks for
-        // the session lifetime. SCOPED to what the batch created: a
-        // global sweep from this concurrent stream thread could
-        // release an in-flight driver query's transient loop
-        // checkpoints (r11 review)
-        graft.plans.Checkpoints
-          .sweepCreatedSince(batch.sparkSession, before)
-        ()
+        // release THIS batch's localCheckpoint blocks now that the
+        // output is on disk — without it every micro-batch leaks its
+        // blocks for the session lifetime. EXACT handles, not a
+        // created-since set-diff: the diff form released any
+        // concurrent driver query's transient loop checkpoint that
+        // happened to be created inside the batch window, and a
+        // released localCheckpoint cannot recompute (r12 advice)
+        ckpts.foreach(c =>
+          graft.plans.Checkpoints.unpersist(c, blocking = true))
       }
       .start()
 

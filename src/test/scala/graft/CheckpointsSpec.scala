@@ -160,18 +160,19 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(base.count() == 30)
   }
 
-  test("sweepCreatedSince releases only the delta; Checkpoints." +
-    "unpersist skips pinned frames (r11 review)") {
+  test("exact-handle release (the r12 concurrent-caller contract) " +
+    "spares other frames; Checkpoints.unpersist skips pinned frames") {
     // pre-existing transient checkpoint (another query's in-flight
-    // frontier, from the scoped caller's perspective)
+    // frontier, from the concurrent caller's perspective). The r11
+    // created-since set-diff sweep would have released a concurrent
+    // checkpoint born in the window; exact handles cannot.
     val preexisting = freshFrame(10).localCheckpoint(true)
     val preId = Checkpoints.rddOf(preexisting).get.id
-    val before = persistentIds
     val mine = freshFrame(20).localCheckpoint(true)
     val myId = Checkpoints.rddOf(mine).get.id
-    val released = Checkpoints.sweepCreatedSince(spark, before)
-    assert(released.contains(myId) && !released.contains(preId),
-      s"scoped sweep released $released (pre=$preId mine=$myId)")
+    Checkpoints.unpersist(mine, blocking = true)
+    assert(!persistentIds.contains(myId),
+      "exact-handle release left my checkpoint resident")
     assert(persistentIds.contains(preId))
     assert(preexisting.count() == 10)
     Checkpoints.unpersist(preexisting, blocking = true) // cleanup
@@ -199,5 +200,76 @@ class CheckpointsSpec extends AnyFunSuite {
     val released = Checkpoints.sweep(spark)
     assert(released.contains(lastId))
     assert(!persistentIds.contains(lastId))
+  }
+
+  test("nested memoized build does not deadlock against a concurrent " +
+    "cold build of the inner cell (r12 advice: lock-order inversion)") {
+    // r11 held the global sweep lock for the whole thunk: thread A
+    // (outer build) held the LOCK wanting the inner cell's MONITOR,
+    // thread B (cold inner build) held the MONITOR wanting the LOCK —
+    // permanent hang. The interleave is forced: B starts only once A
+    // is inside its outer thunk, and A recurses into the inner cell
+    // only once B is inside the inner thunk — under the r11 locking B
+    // could never reach the inner thunk, so the latch timeout fails
+    // the test instead of hanging it.
+    val nonce = System.nanoTime()
+    val innerKey = ("deadlock-inner", nonce)
+    val aInOuter = new java.util.concurrent.CountDownLatch(1)
+    val bInInner = new java.util.concurrent.CountDownLatch(1)
+    @volatile var innerBuilds = 0
+    def buildInner(): Int = SessionCache.getOrElseUpdate(
+      spark, innerKey) {
+      innerBuilds += 1
+      bInInner.countDown()
+      Thread.sleep(100) // keep B inside the thunk while A recurses
+      41
+    }
+    @volatile var aResult = -1
+    @volatile var bResult = -1
+    val a = new Thread(() => {
+      aResult = SessionCache.getOrElseUpdate(
+        spark, ("deadlock-outer", nonce)) {
+        aInOuter.countDown()
+        assert(bInInner.await(
+          30, java.util.concurrent.TimeUnit.SECONDS),
+          "B never entered the inner thunk — the build lock is " +
+            "held across thunks again (r11 deadlock shape)")
+        buildInner() + 1
+      }
+    })
+    val b = new Thread(() => {
+      aInOuter.await()
+      bResult = buildInner()
+    })
+    a.start(); b.start()
+    a.join(60000); b.join(60000)
+    assert(!a.isAlive && !b.isAlive, "nested-build threads deadlocked")
+    assert(aResult == 42 && bResult == 41)
+    assert(innerBuilds == 1, "inner cell built more than once")
+  }
+
+  test("sweep during an in-flight build spares the build's fresh, " +
+    "not-yet-pinned checkpoint (active-build snapshot contract)") {
+    // a transient left around from before the build IS fair game
+    val stale = freshFrame(5).localCheckpoint(true)
+    val staleId = Checkpoints.rddOf(stale).get.id
+    val built = SessionCache.getOrElseUpdate(
+      spark, ("sweep-mid-build", System.nanoTime())) {
+      val fresh = freshFrame(25).localCheckpoint(true)
+      val freshId = Checkpoints.rddOf(fresh).get.id
+      // concurrent sweep while the build is active and the pin is not
+      // yet registered — the r11 hazard window
+      val t = new Thread(() => { Checkpoints.sweep(spark); () })
+      t.start(); t.join(60000)
+      assert(!t.isAlive, "sweep blocked behind an in-flight build")
+      assert(persistentIds.contains(freshId),
+        "sweep released an active build's unpinned checkpoint")
+      fresh
+    }
+    assert(!persistentIds.contains(staleId),
+      "mid-build sweep failed to release a pre-build transient")
+    val builtId = Checkpoints.rddOf(built).get.id
+    assert(SessionCache.pinnedRddIds(spark).contains(builtId))
+    assert(built.count() == 25)
   }
 }

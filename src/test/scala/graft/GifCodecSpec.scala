@@ -26,6 +26,18 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("per-frame delays round-trip (r12 advice: variable-delay " +
+    "re-encode must preserve each frame's timing)") {
+    val frames = Array.tabulate(4)(f =>
+      Array.fill(9)((f % GifCodec.PaletteSize).toByte))
+    val delays = Array(0, 7, 120, 33)
+    val gif = GifCodec.decode(GifCodec.encode(3, 3, frames, delays))
+    assert(gif.delaysCs.toSeq == delays.toSeq)
+    // and the uniform overload still stamps every frame the same
+    val uni = GifCodec.decode(GifCodec.encode(3, 3, frames, 25))
+    assert(uni.delaysCs.toSeq == Seq(25, 25, 25, 25))
+  }
+
   test("LZW survives dictionary growth to 12-bit codes and CLEAR reset") {
     // 120x120 = 14 400 px of slowly-varying data: the dictionary blows
     // past every code-width boundary and the 4096 cap (forcing the
