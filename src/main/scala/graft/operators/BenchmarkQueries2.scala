@@ -150,11 +150,18 @@ object BenchmarkQueries2 {
   }
 
   /** TPC-H Q11 (important stock), adapted to revenue concentration:
-    * parts whose lifetime revenue exceeds 0.2% of the corpus total.
-    * The threshold is a one-row global aggregate broadcast into the
-    * per-part HAVING — the textbook scalar-subquery-over-a-view
-    * shape. Both sides compare in DOUBLE (exact-decimal derived), so
-    * the boundary is the same bit pattern in both engines. */
+    * parts whose lifetime revenue exceeds 1.5× the AVERAGE per-part
+    * revenue. The threshold is a one-row global aggregate broadcast
+    * into the per-part HAVING — the textbook scalar-subquery-over-a-
+    * view shape. SCALE-FREE fraction (r12): the r11 fixed 0.2%-of-
+    * total threshold returned 0 rows at EVERY fixture scale (part
+    * count grows with SF, so any fixed fraction eventually empties —
+    * the same flaw the real TPC-H spec fixes by dividing its fraction
+    * by SF), making the hash gate empty-vs-empty vacuous. 1.5/count
+    * tracks the spec's intent and yields 2/29/252 rows at
+    * sf0.001/0.01/0.1. Both sides compare in DOUBLE (exact-decimal
+    * derived), so the boundary is the same bit pattern in both
+    * engines. */
   val qTpchQ11: QDef = QDef(
     "q_tpch_q11",
     """WITH pr AS (
@@ -163,15 +170,16 @@ object BenchmarkQueries2 {
       |      AS DECIMAL(18,4))) AS DOUBLE) AS part_value
       |  FROM lineitem GROUP BY l_partkey)
       |SELECT l_partkey, part_value
-      |FROM pr, (SELECT SUM(part_value) AS t FROM pr)
-      |WHERE part_value > t * 0.002
+      |FROM pr, (SELECT SUM(part_value) AS t, COUNT(*) AS c FROM pr)
+      |WHERE part_value > t * (1.5 / c)
       |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, d) =>
     val pr = lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(volume).cast("double").as("part_value"))
-    val tot = pr.agg(sum(col("part_value")).as("t"))
+    val tot = pr.agg(sum(col("part_value")).as("t"),
+      count(lit(1)).as("c"))
     pr.crossJoin(broadcast(tot))
-      .filter(col("part_value") > col("t") * lit(0.002))
+      .filter(col("part_value") > col("t") * (lit(1.5) / col("c")))
       .select(col("l_partkey"), col("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }

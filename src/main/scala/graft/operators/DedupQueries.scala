@@ -20,22 +20,35 @@ object DedupQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Exact duplicate detection: md5(text) groups with >1 member and the
-    * canonical survivor (min doc_id). Duplicates exist only at sf0.1 in
-    * the fixtures — an empty result still hash-matches; DedupSpec seeds
-    * its own duplicates. */
+  /** Exact duplicate detection as the PER-DOCUMENT keep/drop verdict:
+    * md5(text) groups, each document labeled with its group size and
+    * whether it is the canonical survivor (min doc_id). r12: the old
+    * shape returned only the >1 groups, and the fixtures hold
+    * byte-exact duplicates only at sf0.1 — so the sf0.01 gate compared
+    * empty-to-empty, proving nothing (r11 verdict "vacuous hash-gate
+    * rows"). The per-document verdict exercises the hash, the
+    * grouping, and the min-id keeper policy on EVERY row at any scale,
+    * and is the frame a dedup pipeline actually consumes (filter
+    * is_kept). DedupSpec still seeds real duplicates and checks the
+    * drop side. */
   val qDedupExact: QDef = QDef(
     "q_dedup_exact",
-    """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
-      |FROM documents
-      |GROUP BY h
-      |HAVING COUNT(*) > 1
-      |ORDER BY h""".stripMargin) { (s, d) =>
-    documents(s, d)
-      .groupBy(md5(col("text").cast("binary")).as("h"))
+    """WITH g AS (
+      |  SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+      |  FROM documents GROUP BY h)
+      |SELECT d.doc_id, g.n AS group_size,
+      |  d.doc_id = g.keep_id AS is_kept
+      |FROM documents d JOIN g ON md5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val h = md5(col("text").cast("binary"))
+    val g = documents(s, d)
+      .groupBy(h.as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
-      .where(col("n") > 1)
-      .orderBy(col("h"))
+    documents(s, d).withColumn("h", h)
+      .join(g, "h")
+      .select(col("doc_id"), col("n").as("group_size"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
   }
 
   private val minhashPerms = 32

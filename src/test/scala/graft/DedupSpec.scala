@@ -46,11 +46,18 @@ class DedupSpec extends AnyFunSuite {
     dir
   }
 
-  test("q_dedup_exact finds the seeded exact-dup group") {
+  test("q_dedup_exact labels the seeded exact-dup group per document") {
     val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir).collect()
-    assert(out.length == 1)
-    assert(out(0).getAs[Long]("n") == 2L)
-    assert(out(0).getAs[Long]("keep_id") == 0L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Boolean]("is_kept")))
+      .toMap
+    // r12 shape: one verdict row per document (23 seeded docs)
+    assert(out.size == 23)
+    // the seeded byte-identical pair: min-id keeper wins
+    assert(out(0L) == ((2L, true)) && out(1L) == ((2L, false)))
+    // the near-dup (2) and the independents are singleton keepers
+    assert(out(2L) == ((1L, true)))
+    assert((3L to 22L).forall(i => out(i) == ((1L, true))))
   }
 
   test("q_dedup_minhash: near-dup pair is a candidate, independents are not") {
