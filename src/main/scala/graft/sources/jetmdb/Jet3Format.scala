@@ -40,15 +40,18 @@ import graft.sources.jetmdb.JetMdbFormat._
   *
   * SCOPE (honest rejections, never misparses): rows larger than 255
   * bytes (the u8 var-offset form — longer rows use Jet3's jump-table
-  * extension, out of profile), OLE/GUID/NUMERIC columns (NUMERIC did
-  * not exist in Jet3; OLE objects carry no text schema worth
-  * migrating), and the index section (skipped, not parsed). MEMO is
-  * IN profile since round 11 — Access 97 databases with Memo fields
-  * are the common migration case: the same 12-byte in-row header and
-  * three LVAL storage forms as Jet4 (inline / single-LVAL / chained
-  * type-2), with Jet3 page geometry (2048-byte pages, row directory
-  * at @8/@10) and CP1252 payloads (no UCS-2, no compression flag —
-  * both postdate Jet3). Every rejection names the jetcsv escape
+  * extension, out of profile), GUID/NUMERIC columns (NUMERIC did not
+  * exist in Jet3; GUID arrived with replication), and the index
+  * section (skipped, not parsed). MEMO is IN profile since round 11 —
+  * Access 97 databases with Memo fields are the common migration
+  * case: the same 12-byte in-row header and three LVAL storage forms
+  * as Jet4 (inline / single-LVAL / chained type-2), with Jet3 page
+  * geometry (2048-byte pages, row directory at @8/@10) and CP1252
+  * payloads (no UCS-2, no compression flag — both postdate Jet3).
+  * OLE is IN profile since round 12 — embedded objects are the next
+  * most common Jet3 payload after Memo (they feed the multimodal
+  * layer): identical header + LVAL machinery, payload surfaced as
+  * raw bytes. Every rejection names the jetcsv escape
   * route: `mdb-export` any Jet3 file to CSV and read it with
   * `spark.read.format("jetcsv")` — the export path old tooling
   * already supports.
@@ -85,10 +88,13 @@ object Jet3Format {
     var i = 0
     while (i < numCols) {
       val t = u8(page, off)
-      // NUMERIC (0x10) postdates Jet3; OLE/GUID remain out of profile
-      // (MEMO long values are in profile since round 11 — all three
-      // LVAL forms, like the Jet4 reader)
-      if (t == T_NUMERIC || t == T_OLE || t == T_GUID)
+      // NUMERIC (0x10) postdates Jet3; GUID remains out of profile.
+      // MEMO long values are in profile since round 11, OLE since
+      // round 12 — both ride the same 12-byte header + three LVAL
+      // storage forms ([[resolveMemo]]), OLE just skips the CP1252
+      // decode and surfaces raw bytes (BinaryType), feeding the
+      // multimodal layer the way the Jet4 reader's OLE does
+      if (t == T_NUMERIC || t == T_GUID)
         throw new UnsupportedOperationException(
           escape(f"column type 0x$t%02x"))
       val colNum = u16(page, off + 1)
@@ -260,6 +266,10 @@ object Jet3Format {
             // Jet3 memo payload is single-byte CP1252 (no UCS-2, no
             // compression flag — both postdate Jet3)
             new String(resolveMemo(page, s, e, lval), cp1252)
+          else if (c.typeCode == T_OLE)
+            // OLE: same 12-byte header + LVAL forms as memo, payload
+            // surfaced as raw bytes (r12 — BinaryType downstream)
+            resolveMemo(page, s, e, lval)
           else new String(page, s, e - s, cp1252)
         }
       i += 1

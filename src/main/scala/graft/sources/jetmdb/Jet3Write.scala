@@ -31,9 +31,10 @@ import graft.sources.jetmdb.JetMdbFormat._
   *     a value with characters outside CP1252 REJECTS with the
   *     column named — transcoding lossily would corrupt a migration.
   *
-  * Honest scope rejections (each names its escape route): MEMO/OLE/
-  * NUMERIC columns (the types postdate Jet3 or use long-value
-  * pointer forms outside the profile), index/relationship/autonumber
+  * Honest scope rejections (each names its escape route): MEMO/OLE
+  * columns (this writer emits no long-value pages; the Jet3 READER
+  * accepts both) and NUMERIC (postdates Jet3), index/relationship/
+  * autonumber
   * metadata (the Jet3 reader skips index sections, so round-tripping
   * them is unverifiable — write Jet4 for metadata-bearing exports),
   * and BIGINT as in Jet4 (Jet has no 64-bit integer).
@@ -62,8 +63,9 @@ object Jet3Write {
     case TimestampType | TimestampNTZType => T_DATETIME
     case StringType => T_TEXT
     case BinaryType => throw new IllegalArgumentException(
-      s"jetmdb/jet3: column ${f.name}: OLE payloads use Jet3 " +
-        "long-value pointer forms outside the documented profile — " +
+      s"jetmdb/jet3: column ${f.name}: this writer does not emit " +
+        "Jet3 long-value (LVAL) pages, so OLE columns cannot be " +
+        "written (the Jet3 READER accepts them since r12) — " +
         "write Jet4, or export binary columns separately")
     case other => throw new IllegalArgumentException(
       s"jetmdb/jet3: column ${f.name}: $other has no Jet3 rendering " +

@@ -35,6 +35,12 @@ object Jet3Fixture {
   final case class MemoLval(text: String)
   final case class MemoChain(text: String, chunk: Int)
 
+  /** OLE (0x0B) cell values (r12): a bare Array[Byte] emits the
+    * INLINE form; these two force the LVAL forms — same 12-byte
+    * header + storage shapes as memo, binary payload. */
+  final case class OleLval(bytes: Array[Byte])
+  final case class OleChain(bytes: Array[Byte], chunk: Int)
+
   /** Pre-encoded var cell (internal): memo cells are resolved to
     * header(+pointer) bytes before row encoding, once their LVAL rows
     * have page numbers. */
@@ -80,46 +86,61 @@ object Jet3Fixture {
 
   private def ptr(page: Int, row: Int): Int = (row << 24) | page
 
-  /** Resolve one memo cell to its in-row bytes (12-byte header, plus
-    * the payload for the inline form), allocating LVAL rows as
-    * needed. */
+  /** Resolve one memo/OLE cell to its in-row bytes (12-byte header,
+    * plus the payload for the inline form), allocating LVAL rows as
+    * needed. Memo payloads are CP1252 text; OLE payloads are raw
+    * bytes — the header and LVAL shapes are identical. */
   private def memoCell(v: Any, alloc: LvalAlloc): Array[Byte] = v match {
-    case s: String =>
-      val payload = s.getBytes(cp1252)
-      val out = new Array[Byte](12 + payload.length)
-      le(out).putInt(0, payload.length | (0x80 << 24))
-      System.arraycopy(payload, 0, out, 12, payload.length)
-      out
-    case MemoLval(text) =>
-      val payload = text.getBytes(cp1252)
-      val (pg, row) = alloc.addRow(payload)
-      val out = new Array[Byte](12)
-      val b = le(out)
-      b.putInt(0, payload.length | (0x40 << 24))
-      b.putInt(4, ptr(pg, row))
-      out
+    case s: String => inlineCell(s.getBytes(cp1252))
+    case bs: Array[Byte] => inlineCell(bs)
+    case MemoLval(text) => lvalCell(text.getBytes(cp1252), alloc)
+    case OleLval(bytes) => lvalCell(bytes, alloc)
     case MemoChain(text, chunk) =>
-      require(chunk > 0, "jet3 fixture: chain chunk must be positive")
-      val payload = text.getBytes(cp1252)
-      // allocate chunk rows first, then write each row's next pointer
-      // (rows are shared arrays, so the patch lands in the page render)
-      val chunks = payload.grouped(chunk).toSeq
-      val rows = chunks.map { c =>
-        val r = new Array[Byte](4 + c.length)
-        System.arraycopy(c, 0, r, 4, c.length)
-        r
-      }
-      val ptrs = rows.map(alloc.addRow)
-      rows.zipWithIndex.foreach { case (r, i) =>
-        val next = if (i + 1 < ptrs.length) ptr(ptrs(i + 1)._1, ptrs(i + 1)._2) else 0
-        le(r).putInt(0, next)
-      }
-      val out = new Array[Byte](12)
-      val b = le(out)
-      b.putInt(0, payload.length) // flags 0x00 = chained
-      b.putInt(4, ptr(ptrs.head._1, ptrs.head._2))
-      out
-    case other => sys.error(s"jet3 fixture: bad memo value $other")
+      chainCell(text.getBytes(cp1252), chunk, alloc)
+    case OleChain(bytes, chunk) => chainCell(bytes, chunk, alloc)
+    case other => sys.error(s"jet3 fixture: bad memo/OLE value $other")
+  }
+
+  private def inlineCell(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + payload.length)
+    le(out).putInt(0, payload.length | (0x80 << 24))
+    System.arraycopy(payload, 0, out, 12, payload.length)
+    out
+  }
+
+  private def lvalCell(
+      payload: Array[Byte], alloc: LvalAlloc): Array[Byte] = {
+    val (pg, row) = alloc.addRow(payload)
+    val out = new Array[Byte](12)
+    val b = le(out)
+    b.putInt(0, payload.length | (0x40 << 24))
+    b.putInt(4, ptr(pg, row))
+    out
+  }
+
+  private def chainCell(
+      payload: Array[Byte], chunk: Int, alloc: LvalAlloc): Array[Byte] = {
+    require(chunk > 0, "jet3 fixture: chain chunk must be positive")
+    // allocate chunk rows first, then write each row's next pointer
+    // (rows are shared arrays, so the patch lands in the page render)
+    val chunks = payload.grouped(chunk).toSeq
+    val rows = chunks.map { c =>
+      val r = new Array[Byte](4 + c.length)
+      System.arraycopy(c, 0, r, 4, c.length)
+      r
+    }
+    val ptrs = rows.map(alloc.addRow)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val next =
+        if (i + 1 < ptrs.length) ptr(ptrs(i + 1)._1, ptrs(i + 1)._2)
+        else 0
+      le(r).putInt(0, next)
+    }
+    val out = new Array[Byte](12)
+    val b = le(out)
+    b.putInt(0, payload.length) // flags 0x00 = chained
+    b.putInt(4, ptr(ptrs.head._1, ptrs.head._2))
+    out
   }
 
   private def le(bytes: Array[Byte]) =
@@ -139,7 +160,8 @@ object Jet3Fixture {
   }
 
   private def isVar(c: Col): Boolean =
-    (c.code == 0x0A && c.fixedLen == 0) || c.code == 0x0C
+    (c.code == 0x0A && c.fixedLen == 0) || c.code == 0x0C ||
+      c.code == 0x0B
   private def isBool(c: Col): Boolean = c.code == 0x01
 
   private def tdefPageBytes(
@@ -311,7 +333,8 @@ object Jet3Fixture {
       // LVAL pages first (their numbers are known before row
       // encoding, so memo pointers need no patch pass), then TDEF,
       // then data pages
-      val memoIdxs = t.cols.indices.filter(i => t.cols(i).code == 0x0C)
+      val memoIdxs = t.cols.indices.filter(i =>
+        t.cols(i).code == 0x0C || t.cols(i).code == 0x0B)
       val alloc = new LvalAlloc(pages.length)
       val rows =
         if (memoIdxs.isEmpty) t.rows

@@ -123,18 +123,65 @@ class Jet3SourceSpec extends AnyFunSuite {
       .load(path).select("ID").count() == 5)
   }
 
+  test("jet3 OLE round-trips all three LVAL forms (inline, single, " +
+    "chained) plus null, as raw BinaryType bytes") {
+    spark.sparkContext
+    val path = s"${tmp()}/ole97.mdb"
+    // non-CP1252-decodable bytes on purpose: OLE must come back
+    // byte-exact with no charset pass (0x81/0x8D/0x8F/0x90/0x9D are
+    // CP1252 holes)
+    def blob(n: Int, seed: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 31 + seed) % 256).toByte)
+    val small = blob(40, 1)
+    val big = blob(900, 2)     // must leave the row (rows cap at 255)
+    val huge = blob(5000, 3)   // spans LVAL pages
+    Jet3Fixture.write(path, Seq(
+      Jet3Fixture.Table(
+        "Attachments",
+        Seq(
+          Jet3Fixture.Col("ID", 0x04),
+          Jet3Fixture.Col("Payload", 0x0B)),
+        Seq(
+          Seq(Integer.valueOf(1), small),
+          Seq(Integer.valueOf(2), Jet3Fixture.OleLval(big)),
+          Seq(Integer.valueOf(3),
+            Jet3Fixture.OleChain(huge, chunk = 700)),
+          Seq(Integer.valueOf(4), null),
+          Seq(Integer.valueOf(5),
+            Jet3Fixture.OleChain(big, chunk = 40)))))) // many hops
+    val df = spark.read.format("jetmdb")
+      .option("table", "Attachments").load(path)
+    assert(df.schema("Payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rows = df.orderBy(col("ID")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(rows(0).getAs[Array[Byte]](1).toSeq == small.toSeq)
+    assert(rows(1).getAs[Array[Byte]](1).toSeq == big.toSeq)
+    assert(rows(2).getAs[Array[Byte]](1).toSeq == huge.toSeq)
+    assert(rows(3).isNullAt(1))
+    assert(rows(4).getAs[Array[Byte]](1).toSeq == big.toSeq)
+    // pruning still skips OLE I/O (decode-time wanted mask)
+    assert(spark.read.format("jetmdb").option("table", "Attachments")
+      .load(path).select("ID").count() == 5)
+    // the multimodal hook: OLE payloads are first-class binary columns
+    assert(df.select(length(col("Payload")).as("n")).orderBy(col("n"))
+      .collect().flatMap(r => Option(r.get(0))).map(_.toString.toInt)
+      .toSeq == Seq(40, 900, 900, 5000))
+  }
+
   test("jet3 rejections: out-of-profile column types name the " +
-    "jetcsv escape route") {
-    val page = new Array[Byte](Jet3Format.PageSize)
-    page(0) = 0x02; page(1) = 0x01
-    // num_cols = 1 @25, no indexes; one OLE (0x0B) descriptor @43
-    // (MEMO is in profile since round 11 — OLE/GUID/NUMERIC remain out)
-    page(25) = 1
-    page(43) = 0x0B
-    val e = intercept[UnsupportedOperationException] {
-      Jet3Format.parseTdef(page, 7)
+    "jetcsv escape route (narrowed to GUID/NUMERIC in r12)") {
+    for (code <- Seq(0x0F, 0x10)) { // GUID, NUMERIC
+      val page = new Array[Byte](Jet3Format.PageSize)
+      page(0) = 0x02; page(1) = 0x01
+      // num_cols = 1 @25, no indexes; one descriptor @43
+      page(25) = 1
+      page(43) = code.toByte
+      val e = intercept[UnsupportedOperationException] {
+        Jet3Format.parseTdef(page, 7)
+      }
+      assert(e.getMessage.contains("jetcsv"), e.getMessage)
     }
-    assert(e.getMessage.contains("jetcsv"), e.getMessage)
   }
 
   test("jet3 rejects oversized rows (u8-offset profile) honestly") {
