@@ -937,6 +937,58 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The four r12 translator scalar edges executed over real data,
+    * each recomputed independently in the DuckDB oracle:
+    * DatePart("ww") under the default Sunday/Jan-1 numbering (DuckDB
+    * rebuilds it from its own 0-based dayofweek), the accepted
+    * default-valued firstdayofweek/firstweekofyear trailing
+    * arguments, 4-arg InStr in both deterministic compare modes
+    * (strpos vs lowered strpos), and the numeric Format masks
+    * (printf for the plain form, fmt-grouping for #,##0). */
+  val qJetSqlScalarEdges: QDef = QDef(
+    "q_jetsql_scalar_edges",
+    """SELECT o_orderkey,
+      |  CAST(FLOOR((dayofyear(o_orderdate)
+      |    + dayofweek(date_trunc('year', o_orderdate)) - 1) / 7)
+      |    AS INT) + 1 AS wk,
+      |  CAST(FLOOR((dayofyear(o_orderdate)
+      |    + dayofweek(date_trunc('year', o_orderdate)) - 1) / 7)
+      |    AS INT) + 1 AS wk_args,
+      |  CAST(strpos(lower(o_orderpriority), 'r') AS INT) AS pos_txt,
+      |  CAST(strpos(o_orderpriority, 'R') AS INT) AS pos_bin,
+      |  printf('%.2f', o_totalprice) AS amt,
+      |  format('{:,}', CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      // 100) || '.' ||
+      |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      % 100 AS VARCHAR), 2, '0') AS amt_grp,
+      |  CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS VARCHAR)
+      |    AS amt_whole
+      |FROM orders
+      |WHERE o_orderkey % 17 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [o_orderkey],",
+      "  DatePart(\"ww\", [o_orderdate]) AS wk,",
+      "  DatePart(\"ww\", [o_orderdate], 1, 1) AS wk_args,",
+      "  InStr(1, [o_orderpriority], \"r\", 1) AS pos_txt,",
+      "  InStr(1, [o_orderpriority], \"R\", 0) AS pos_bin,",
+      "  Format([o_totalprice], \"0.00\") AS amt,",
+      "  Format([o_totalprice], \"#,##0.00\") AS amt_grp,",
+      "  Format([o_totalprice], \"0\") AS amt_whole",
+      "FROM orders",
+      "WHERE [o_orderkey] Mod 17 = 0",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("o_orderkey"),
+        col("wk").cast("int").as("wk"),
+        col("wk_args").cast("int").as("wk_args"),
+        col("pos_txt").cast("int").as("pos_txt"),
+        col("pos_bin").cast("int").as("pos_bin"),
+        col("amt"), col("amt_grp"), col("amt_whole"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -1034,6 +1086,7 @@ object EtlQueries {
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
     qJetSqlParams,
-    qJetSqlDateFuncs, qJetSqlViews, qJetSqlFormat, qJetSqlDomainAgg,
+    qJetSqlDateFuncs, qJetSqlScalarEdges, qJetSqlViews, qJetSqlFormat,
+    qJetSqlDomainAgg,
     qJetTopPercent, qJetTopTies, qJetDistinctrow)
 }

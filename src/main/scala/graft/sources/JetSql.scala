@@ -339,6 +339,33 @@ object JetSql {
     out.toString
   }
 
+  /** Access Format() NUMERIC masks → Spark SQL, for the deterministic
+    * subset (r12 — numeric masks were a blanket rejection):
+    *   - `0`, `0.0…`       → format_string("%.<d>f", x): fixed
+    *     decimals, no grouping;
+    *   - `#,##0`, `#,##0.0…` → format_number(x, d): comma grouping.
+    * Both render half AWAY FROM ZERO (Java %f and Spark FormatNumber
+    * are RoundingMode.HALF_UP), matching VB Format's arithmetic
+    * rounding. The quirky corners stay rejections rather than silent
+    * approximations: bare-# integer parts (Format(0, "#") renders the
+    * EMPTY string), `#` decimal digits (trailing-zero trimming),
+    * multi-`0` zero-pad widths (pad interacts with the sign), and
+    * percent/scientific/multi-section masks. */
+  private val numericMask = "^(#,##)?0(\\.(0+))?$".r
+
+  private def numericFormatSql(expr: String, mask: String): String =
+    mask match {
+      case numericMask(group, _, decs) =>
+        val d = if (decs == null) 0 else decs.length
+        if (group != null) s"format_number(CAST($expr AS DOUBLE), $d)"
+        else s"format_string('%.${d}f', CAST($expr AS DOUBLE))"
+      case _ =>
+        fail(s"FORMAT numeric mask \"$mask\" (deterministic subset: " +
+          "\"0\", \"0.0…\", \"#,##0\", \"#,##0.0…\" — bare-# integer " +
+          "parts render empty zeros, # decimals trim, zero-pad " +
+          "widths clash with the sign)")
+    }
+
   // Jet interval codes (DatePart/DateAdd/DateDiff first argument).
   private val partFns = Map(
     "yyyy" -> "year", "q" -> "quarter", "m" -> "month", "d" -> "day",
@@ -357,6 +384,18 @@ object JetSql {
     * guarded itself locally for the same reason). */
   private def isWord(t: Tok, w: String): Boolean =
     t.kind == "word" && t.text.equalsIgnoreCase(w)
+
+  /** Trailing firstdayofweek / firstweekofyear argument check (r12):
+    * ACCEPT the literal defaults — 0 (vbUseSystem, which resolves to
+    * the US defaults the rest of this translator already assumes) and
+    * 1 (the explicit defaults vbSunday / vbFirstJan1) — and only
+    * them. Any other value renumbers weeks, and a silently shifted
+    * week key corrupts a report, so those still reject. */
+  private def isDefaultWeekArg(arg: Vector[Tok]): Boolean = {
+    val ts = arg.filter(_.kind != "ws")
+    ts.length == 1 && ts.head.kind == "number" &&
+      (ts.head.text == "0" || ts.head.text == "1")
+  }
 
   /** Render one token back to SQL text. */
   private def render(t: Tok): String = t.kind match {
@@ -1328,26 +1367,47 @@ object JetSql {
         i = close + 1
       } else if (isWord(t, "weekday") && callAt(i).isDefined) {
         // Access Weekday: 1 = Sunday … 7 = Saturday — exactly Spark's
-        // dayofweek. The 2-arg firstdayofweek form renumbers; reject.
+        // dayofweek. A 2-arg firstdayofweek form is accepted when it
+        // names the DEFAULT (0/1 — r12); other anchors renumber and
+        // reject.
         val (_, close, args) = callAt(i).get
-        if (args.length != 1)
-          fail("WEEKDAY with a firstdayofweek argument")
+        if (args.length == 2 && !isDefaultWeekArg(args(1)))
+          fail("WEEKDAY with a non-default firstdayofweek argument")
+        if (args.length > 2)
+          fail(s"WEEKDAY with ${args.length} arguments")
         put("dayofweek(" + em(args(0)) + ")")
         lastWord = "dayofweek"
         i = close + 1
       } else if (isWord(t, "datepart") && callAt(i).isDefined) {
+        // DatePart(code, d [, firstdayofweek [, firstweekofyear]]):
+        // the trailing arguments are accepted at their defaults only
+        // (r12 — isDefaultWeekArg); non-default anchors renumber "w"/
+        // "ww" results and reject.
         val (_, close, args) = callAt(i).get
-        if (args.length != 2)
-          fail("DATEPART with firstdayofweek/firstweekofyear arguments")
+        if (args.length < 2 || args.length > 4)
+          fail(s"DATEPART with ${args.length} arguments")
+        if (!args.drop(2).forall(isDefaultWeekArg))
+          fail("DATEPART with non-default firstdayofweek/" +
+            "firstweekofyear arguments")
         val code = intervalCode(args(0), "DatePart")
-        if (code == "ww")
-          fail("DATEPART(\"ww\") (Access week-of-year numbering " +
-            "follows firstweekofyear rules)")
-        val fn = partFns.getOrElse(code,
-          fail(s"DATEPART interval code \"$code\""))
-        put(s"$fn(" + em(args(1)) + ")")
-        lastWord = fn
-        i = close + 1
+        if (code == "ww") {
+          // Access week-of-year under the DEFAULT rules (vbSunday +
+          // vbFirstJan1): week 1 is the Sun..Sat week containing
+          // Jan 1, so ww = floor((doy + dowOfJan1 - 2) / 7) + 1 with
+          // dayofweek's Sunday=1 numbering (r12 — was a rejection).
+          val d = em(args(1))
+          put("(CAST(FLOOR((dayofyear(" + d + ") + dayofweek(" +
+            "date_trunc('YEAR', CAST(" + d + " AS DATE))) - 2) / 7) " +
+            "AS INT) + 1)")
+          lastWord = "ww"
+          i = close + 1
+        } else {
+          val fn = partFns.getOrElse(code,
+            fail(s"DATEPART interval code \"$code\""))
+          put(s"$fn(" + em(args(1)) + ")")
+          lastWord = fn
+          i = close + 1
+        }
       } else if (isWord(t, "dateadd") && callAt(i).isDefined) {
         val (_, close, args) = callAt(i).get
         require(args.length == 3,
@@ -1360,9 +1420,14 @@ object JetSql {
         lastWord = "timestampadd"
         i = close + 1
       } else if (isWord(t, "datediff") && callAt(i).isDefined) {
+        // DateDiff(code, a, b [, firstdayofweek [, firstweekofyear]]):
+        // trailing arguments accepted at their defaults only (r12)
         val (_, close, args) = callAt(i).get
-        if (args.length != 3)
-          fail("DATEDIFF with firstdayofweek/firstweekofyear arguments")
+        if (args.length < 3 || args.length > 5)
+          fail(s"DATEDIFF with ${args.length} arguments")
+        if (!args.drop(3).forall(isDefaultWeekArg))
+          fail("DATEDIFF with non-default firstdayofweek/" +
+            "firstweekofyear arguments")
         val code = intervalCode(args(0), "DateDiff")
         val a = em(args(1))
         val b = em(args(2))
@@ -1441,7 +1506,6 @@ object JetSql {
         callAt(i).get._3.length == 3) {
         // 3-arg InStr(start, s1, s2) → locate(s2, s1, start): same
         // 1-based position, same 0-if-absent, same search-from-start.
-        // (The 4-arg compare form is locale-sensitive and rejects.)
         val (_, close, args) = callAt(i).get
         put("locate(" + em(args(2)) + ", " + em(args(1)) + ", " +
           em(args(0)) + ")")
@@ -1449,8 +1513,34 @@ object JetSql {
         i = close + 1
       } else if (isWord(t, "instr") && callAt(i).isDefined &&
         callAt(i).get._3.length == 4) {
-        fail("4-argument INSTR (the compare argument is locale/" +
-          "text-mode sensitive)")
+        // 4-arg InStr(start, s1, s2, compare) — r12: the two
+        // deterministic compare modes translate; vbDatabaseCompare
+        // (2) and vbUseCompareOption (-1) depend on module/database
+        // settings this translator cannot see and still reject.
+        //   0 = vbBinaryCompare → locate (byte-exact, like 3-arg);
+        //   1 = vbTextCompare   → case-insensitive via lower() on
+        //       both sides (the deterministic core of Jet's text
+        //       mode; its locale tier — accent folding — is not
+        //       portable and is NOT emulated: documented subset).
+        val (_, close, args) = callAt(i).get
+        val cmp = args(3).filter(_.kind != "ws")
+        val mode =
+          if (cmp.length == 1 && cmp.head.kind == "number") cmp.head.text
+          else "?"
+        mode match {
+          case "0" =>
+            put("locate(" + em(args(2)) + ", " + em(args(1)) + ", " +
+              em(args(0)) + ")")
+          case "1" =>
+            put("locate(lower(" + em(args(2)) + "), lower(" +
+              em(args(1)) + "), " + em(args(0)) + ")")
+          case _ =>
+            fail("4-argument INSTR with a compare argument other " +
+              "than 0 (binary) or 1 (text) — database/option modes " +
+              "depend on settings outside the SQL text")
+        }
+        lastWord = "locate"
+        i = close + 1
       } else if (isWord(t, "switch") && callAt(i).isDefined) {
         // Switch(c1, v1, c2, v2, …) → CASE WHEN c1 THEN v1 … END
         // (first true pair wins in Access too; no match → Null = ANSI)
@@ -1476,18 +1566,25 @@ object JetSql {
         lastWord = "end"
         i = close + 1
       } else if (isWord(t, "format") && callAt(i).isDefined) {
-        // Deterministic DATE-pattern subset only; everything else
-        // (1-arg general Format, numeric masks, named months) rejects.
+        // Deterministic DATE-pattern and NUMERIC-mask subsets (r12 —
+        // numeric was a blanket rejection); everything else (1-arg
+        // general Format, named months, multi-section masks) rejects.
         val (_, close, args) = callAt(i).get
         if (args.length != 2)
           fail(s"${args.length}-argument FORMAT (only the 2-argument " +
-            "date-pattern form is deterministic)")
+            "pattern form is deterministic)")
         val ps = args(1).filter(_.kind != "ws")
         if (ps.length != 1 || ps.head.kind != "string")
           fail("FORMAT with a non-literal pattern")
-        put("date_format(" + em(args(0)) + ", '" +
-          formatPattern(ps.head.text) + "')")
-        lastWord = "date_format"
+        val mask = ps.head.text
+        if (mask.exists(c => c == '0' || c == '#')) {
+          put(numericFormatSql(em(args(0)), mask))
+          lastWord = "format"
+        } else {
+          put("date_format(" + em(args(0)) + ", '" +
+            formatPattern(mask) + "')")
+          lastWord = "date_format"
+        }
         i = close + 1
       } else if (isWord(t, "ccur") && callAt(i).isDefined) {
         // Currency: exact 4-decimal fixed point, banker's-rounded on

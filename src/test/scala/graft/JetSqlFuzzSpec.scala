@@ -819,4 +819,155 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("300 random DatePart(\"ww\") / default-week-argument calls " +
+    "(lane 11, r12): the Sunday+Jan-1 week numbering matches an " +
+    "independent Sunday-anchor reference; non-default anchors still " +
+    "reject") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val spark = TestSpark.session
+    val r = new scala.util.Random(41217L)
+    def randD(): LocalDate = LocalDate.of(
+      2015 + r.nextInt(10), 1 + r.nextInt(12), 1 + r.nextInt(28))
+    def jetLit(d: LocalDate): String =
+      s"#${d.getMonthValue}/${d.getDayOfMonth}/${d.getYear}#"
+    // independent reference: ww = Sunday-anchored weeks between the
+    // week containing Jan 1 and the week containing d, plus 1 — NOT
+    // the doy/dow closed form the translator emits
+    def anchor(d: LocalDate): LocalDate =
+      d.minusDays(d.getDayOfWeek.getValue % 7)
+    def refWw(d: LocalDate): Long = ChronoUnit.DAYS.between(
+      anchor(d.withDayOfYear(1)), anchor(d)) / 7 + 1
+    // trailing default args in every accepted spelling
+    val tails = Seq("", ", 0", ", 1", ", 1, 1", ", 0, 1", ", 1, 0")
+    val built = Vector.fill(300) {
+      val d = randD()
+      r.nextInt(3) match {
+        case 0 =>
+          (s"DatePart(\"ww\", ${jetLit(d)}${tails(r.nextInt(6))})",
+            refWw(d).toString)
+        case 1 => // defaults on w/weekday paths too
+          val w = (d.getDayOfWeek.getValue % 7 + 1).toString
+          if (r.nextBoolean())
+            (s"Weekday(${jetLit(d)}${tails(r.nextInt(3))})", w)
+          else
+            (s"DatePart(\"w\", ${jetLit(d)}${tails(r.nextInt(3))})", w)
+        case _ => // DateDiff ww with trailing defaults
+          val b = randD()
+          val diff = ChronoUnit.DAYS.between(anchor(d), anchor(b)) / 7
+          (s"DateDiff(\"ww\", ${jetLit(d)}, ${jetLit(b)}" +
+            s"${tails(r.nextInt(6))})", diff.toString)
+      }
+    }
+    built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val row = spark.sql(translate("SELECT " +
+        batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      batch.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+    // non-default anchors still reject, loudly
+    for (bad <- Seq(
+      "SELECT DatePart(\"ww\", #1/5/2020#, 2)",
+      "SELECT DatePart(\"ww\", #1/5/2020#, 1, 2)",
+      "SELECT Weekday(#1/5/2020#, 3)",
+      "SELECT DateDiff(\"ww\", #1/1/2020#, #2/1/2020#, 2)")) {
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.toLowerCase.contains("default") ||
+        e.getMessage.toLowerCase.contains("argument"), e.getMessage)
+    }
+  }
+
+  test("300 random 4-arg InStr and numeric Format masks (lane 12, " +
+    "r12): binary/text compare and mask rendering match independent " +
+    "references; quirky masks still reject") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(90412L)
+    def randS(): String = Seq.fill(r.nextInt(7) + 1)(
+      "aAbBcC xyZ"(r.nextInt(10))).mkString
+    def lit(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+    // independent grouping reference: BigDecimal HALF_UP + manual
+    // 3-digit comma insertion (not DecimalFormat, not String.format)
+    def refNum(x: Double, d: Int, group: Boolean): String = {
+      val s = new java.math.BigDecimal(x)
+        .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
+      if (!group) s
+      else {
+        val neg = s.startsWith("-")
+        val body = if (neg) s.substring(1) else s
+        val dot = body.indexOf('.')
+        val ip = if (dot < 0) body else body.substring(0, dot)
+        val fp = if (dot < 0) "" else body.substring(dot)
+        val grouped = ip.reverse.grouped(3).mkString(",").reverse
+        (if (neg) "-" else "") + grouped + fp
+      }
+    }
+    val built = Vector.fill(300) {
+      r.nextInt(3) match {
+        case 0 => // InStr compare 0 (binary) / 1 (text)
+          val s = randS()
+          val nee = randS().take(r.nextInt(2) + 1)
+          val st = r.nextInt(s.length) + 1
+          if (r.nextBoolean())
+            (s"InStr($st, ${lit(s)}, ${lit(nee)}, 0)",
+              (s.indexOf(nee, st - 1) + 1).toString)
+          else
+            (s"InStr($st, ${lit(s)}, ${lit(nee)}, 1)",
+              (s.toLowerCase.indexOf(nee.toLowerCase, st - 1) + 1)
+                .toString)
+        case 1 => // plain 0-masks: fixed decimals, no grouping
+          val d = r.nextInt(4)
+          // |x| >= 1; all digits past position d come from ONE non-5
+          // rounding digit, so neither engine's double handling can
+          // land on a signed zero or an exact .5 tie
+          val scale = math.pow(10, d)
+          val base = (r.nextInt(2000000) + math.max(1, scale.toInt)) /
+            scale
+          val extra = (r.nextInt(9) + 1) match {
+            case 5 => 4
+            case k => k
+          }
+          val x = (if (r.nextBoolean()) 1 else -1) *
+            (base + extra / (scale * 10))
+          val mask = if (d == 0) "0" else "0." + "0" * d
+          (s"Format($x, ${lit(mask)})", refNum(x, d, group = false))
+        case _ => // grouped #,##0 masks
+          val d = r.nextInt(3)
+          val scale = math.pow(10, d)
+          val base = (r.nextInt(200000000) + 100000 * scale.toInt) /
+            scale
+          val extra = (r.nextInt(9) + 1) match {
+            case 5 => 4
+            case k => k
+          }
+          val x = (if (r.nextBoolean()) 1 else -1) *
+            (base + extra / (scale * 10))
+          val mask = if (d == 0) "#,##0" else "#,##0." + "0" * d
+          (s"Format($x, ${lit(mask)})", refNum(x, d, group = true))
+      }
+    }
+    built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val row = spark.sql(translate("SELECT " +
+        batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      batch.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+    // the quirky corners stay loud rejections
+    for (bad <- Seq(
+      "SELECT Format(0.5, \"#.##\")",   // trailing-zero trimming
+      "SELECT Format(0, \"#\")",        // empty-zero quirk
+      "SELECT Format(3, \"000\")",      // zero-pad width vs sign
+      "SELECT Format(0.5, \"0%\")",     // percent scaling
+      "SELECT InStr(1, \"a\", \"A\", 2)", // database compare
+      "SELECT InStr(1, \"a\", \"A\", -1)")) { // option compare
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.nonEmpty)
+    }
+  }
 }

@@ -177,7 +177,8 @@ class JetSqlSpec extends AnyFunSuite {
   }
 
   test("UNION saved queries pass through with per-branch rewrites; " +
-    "3-arg InStr maps to locate, 4-arg rejects") {
+    "3-arg InStr maps to locate, 4-arg compare 0/1 translate (r12), " +
+    "database/option compare rejects") {
     assert(translate(
       "SELECT [a], UCase([b]) FROM t WHERE [a] > 1 " +
         "UNION ALL SELECT [a], Nz([b], \"?\") FROM u") ==
@@ -185,8 +186,15 @@ class JetSqlSpec extends AnyFunSuite {
         "UNION ALL SELECT a, COALESCE(b, '?') FROM u")
     assert(translate("SELECT InStr(3, nm, \"-\") FROM t") ==
       "SELECT locate('-', nm, 3) FROM t")
+    assert(translate("SELECT InStr(3, nm, \"-\", 0) FROM t") ==
+      "SELECT locate('-', nm, 3) FROM t")
+    assert(translate("SELECT InStr(3, nm, \"X\", 1) FROM t") ==
+      "SELECT locate(lower('X'), lower(nm), 3) FROM t")
     intercept[IllegalArgumentException] {
-      translate("SELECT InStr(3, nm, \"-\", 1) FROM t")
+      translate("SELECT InStr(3, nm, \"-\", 2) FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT InStr(3, nm, \"-\", -1) FROM t")
     }
   }
 
@@ -566,8 +574,9 @@ class JetSqlSpec extends AnyFunSuite {
     assert(r.getDecimal(2).toPlainString == "2.5000")
   }
 
-  test("DatePart/Weekday: Jet interval codes; ww and firstdayofweek " +
-    "forms reject") {
+  test("DatePart/Weekday: Jet interval codes; ww translates under " +
+    "the default Sunday/Jan-1 numbering (r12), non-default " +
+    "firstdayofweek forms reject") {
     assert(translate("SELECT DatePart(\"q\", d), Weekday(d) FROM t") ==
       "SELECT quarter(d), dayofweek(d) FROM t")
     val spark = TestSpark.session
@@ -576,11 +585,20 @@ class JetSqlSpec extends AnyFunSuite {
         "Weekday(#1/5/2020#) AS wd, " + // 2020-01-05 is a Sunday
         "DatePart(\"y\", #2/1/2020#) AS doy")).collect()(0)
     assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getInt(2) == 32)
-    intercept[IllegalArgumentException] {
-      translate("SELECT DatePart(\"ww\", d) FROM t")
-    }
+    // ww: 2020 opens on a Wednesday, so week 1 is Jan 1(Wed)–Jan 4
+    // (Sat); Jan 5 (Sunday) starts week 2; Dec 31 lands in week 53
+    val w = spark.sql(translate(
+      "SELECT DatePart(\"ww\", #1/1/2020#) AS w1, " +
+        "DatePart(\"ww\", #1/4/2020#) AS w1b, " +
+        "DatePart(\"ww\", #1/5/2020#) AS w2, " +
+        "DatePart(\"ww\", #12/31/2020#, 1, 1) AS w53")).collect()(0)
+    assert(w.getInt(0) == 1 && w.getInt(1) == 1 &&
+      w.getInt(2) == 2 && w.getInt(3) == 53)
     intercept[IllegalArgumentException] {
       translate("SELECT Weekday(d, 2) FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT DatePart(\"ww\", d, 2) FROM t")
     }
   }
 
@@ -691,10 +709,16 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT Format(#3/7/2020 9:05#, \"yyyy-mm-dd hh:nn\") AS x"))
       .collect()(0)
     assert(r.getString(0) == "2020-03-07 09:05")
+    // numeric masks translate since r12 (deterministic subset)
+    assert(translate("SELECT Format(n, \"0.00\") FROM t") ==
+      "SELECT format_string('%.2f', CAST(n AS DOUBLE)) FROM t")
+    assert(translate("SELECT Format(n, \"#,##0.0\") FROM t") ==
+      "SELECT format_number(CAST(n AS DOUBLE), 1) FROM t")
     for (bad <- Seq(
       "SELECT Format(d, \"mmm yyyy\")", // month names: locale
       "SELECT Format(d, \"hh:mm\")",    // Jet reads this m as MINUTES
-      "SELECT Format(n, \"0.00\")",     // numeric mask
+      "SELECT Format(n, \"#.##\")",     // trimming mask: quirky corner
+      "SELECT Format(n, \"00\")",       // zero-pad width vs sign
       "SELECT Format(d, p)"))           // non-literal pattern
       intercept[IllegalArgumentException] { translate(bad) }
   }
