@@ -31,11 +31,14 @@ object JetTypes {
   case object OleObject extends JetType("ole")
   case object Hyperlink extends JetType("hyperlink")
   case object ReplicationId extends JetType("guid")
+  /** ACE 2016 "Large Number" (r12): little-endian int64, the one new
+    * SCALAR storage type the `.accdb` era added. */
+  case object BigNumber extends JetType("bignumber")
 
   val all: Seq[JetType] = Seq(
     YesNo, JetByte, JetInteger, LongInteger, Single, JetDouble, Currency,
     Numeric(28, 6), DateTime, ShortText, Memo, OleObject, Hyperlink,
-    ReplicationId)
+    ReplicationId, BigNumber)
 
   /** Jet → Spark type (total). */
   def toSpark(t: JetType): DataType = t match {
@@ -51,6 +54,7 @@ object JetTypes {
     case ShortText | Memo | Hyperlink => StringType
     case OleObject => BinaryType // -> multimodal column (§2.9)
     case ReplicationId => StringType // canonical 36-char GUID
+    case BigNumber => LongType
   }
 
   /** Ingest-side value normalization for the Jet encodings that don't
@@ -78,6 +82,7 @@ object JetTypes {
     case Memo | Hyperlink => "TEXT"
     case OleObject => "BYTEA"
     case ReplicationId => "UUID"
+    case BigNumber => "BIGINT"
   }
 
   /** Column-name sanitization for the target system: lower-case,

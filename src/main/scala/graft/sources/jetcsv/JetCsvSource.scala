@@ -112,6 +112,7 @@ private[jetcsv] object JetCsv {
         case "memo" => Memo
         case "hyperlink" => Hyperlink
         case "guid" => ReplicationId
+        case "bignumber" => BigNumber // ACE 2016 Large Number (r12)
         case other =>
           throw new IllegalArgumentException(s"jetcsv: unknown type $other")
       }
@@ -180,6 +181,7 @@ private[jetcsv] object JetCsv {
         UTF8String.fromString(raw)
       case OleObject =>
         java.util.Base64.getDecoder.decode(raw)
+      case BigNumber => raw.toLong // ACE 2016 Large Number (r12)
     }
 }
 

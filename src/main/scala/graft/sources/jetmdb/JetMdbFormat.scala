@@ -12,11 +12,16 @@ import graft.sources.JetTypes._
   * HACKING format notes); no code is taken from any implementation.
   *
   * Scope (documented, honest): Jet4 (4096-byte pages, version byte
-  * 0x01), unencrypted databases, single-page TDEFs, inline
-  * column types (BOOL/BYTE/INT/LONG/MONEY/SINGLE/DOUBLE/DATETIME/
-  * TEXT/GUID) plus MEMO/OLE long values in all three storage forms —
+  * 0x01) AND — since r12 — ACE `.accdb` (magic "Standard ACE DB",
+  * version 0x02–0x05), which publicly shares the Jet4 page geometry
+  * and is read by this same parser; unencrypted databases,
+  * single-page TDEFs, inline column types (BOOL/BYTE/INT/LONG/MONEY/
+  * SINGLE/DOUBLE/DATETIME/TEXT/GUID, plus the ACE 2016 BIGINT "Large
+  * Number") plus MEMO/OLE long values in all three storage forms —
   * inline, single "LVAL"-row, and chained multi-page (type-2) LVAL
-  * chains. Jet3 (Access 97) files are DISPATCHED by the source layer
+  * chains. ACE COMPLEX (multi-value/attachment, 0x12) and extended
+  * date/time (0x14) columns reject with named escape routes. Jet3
+  * (Access 97) files are DISPATCHED by the source layer
   * to the scope-bounded [[Jet3Format]] profile (2048-byte pages,
   * CP1252 text, u8 row offsets). Validated
   * against generated fixtures (no real `.mdb` exists in this offline
@@ -56,6 +61,9 @@ object JetMdbFormat {
 
   val PageSize = 4096
   val Magic = "Standard Jet DB"
+  /** ACE (`.accdb`) page-0 magic — same length as [[Magic]], same
+    * offset 4, version byte 0x02+ at 0x14. */
+  val MagicAce = "Standard ACE DB"
 
   final case class JetColumn(
       name: String,
@@ -111,6 +119,13 @@ object JetMdbFormat {
   val T_MEMO = 0x0C
   val T_GUID = 0x0F
   val T_NUMERIC = 0x10
+  // ACE-era codes (r12): COMPLEX backs multi-value/attachment fields
+  // (a u32 key into hidden side tables — no portable row rendering),
+  // BIGINT is Access 2016's "Large Number" (plain le int64), DATEXT
+  // is the 2019 extended date/time (SQL datetime2-style encoding).
+  val T_COMPLEX = 0x12
+  val T_BIGINT = 0x13
+  val T_DATEXT = 0x14
 
   def toJetType(code: Int, len: Int, prec: Int = 0, scale: Int = 0)
       : JetType = code match {
@@ -130,6 +145,18 @@ object JetMdbFormat {
       require(prec >= 1 && prec <= 28 && scale >= 0 && scale <= prec,
         s"jetmdb: NUMERIC($prec,$scale) outside Jet's 1..28 range")
       Numeric(prec, scale)
+    case T_BIGINT => BigNumber // ACE 2016 Large Number: le int64
+    case T_COMPLEX =>
+      throw new UnsupportedOperationException(
+        "jetmdb: ACE complex column (multi-value/attachment field, " +
+          "type 0x12) is out of scope — its values live in hidden " +
+          "side tables with no portable row rendering; flatten the " +
+          "field in Access or export the table to CSV (jetcsv)")
+    case T_DATEXT =>
+      throw new UnsupportedOperationException(
+        "jetmdb: ACE extended date/time (type 0x14) is out of " +
+          "scope — convert the column to classic Date/Time in " +
+          "Access, or export the table to CSV (jetcsv)")
     case T_BINARY =>
       throw new UnsupportedOperationException(
         f"jetmdb: column type 0x$code%02x (raw fixed binary) " +
@@ -166,19 +193,43 @@ object JetMdbFormat {
     java.lang.Double.longBitsToDouble(i64(p, off))
 
   /** Validate page 0; returns unit or throws with a precise reason.
-    * Accepts Jet4 (0x01) and Jet3 (0x00 — dispatched to
-    * [[Jet3Format]] by the source layer). */
+    * Accepts Jet4 (0x01), Jet3 (0x00 — dispatched to [[Jet3Format]]
+    * by the source layer), and — since r12 — ACE `.accdb` versions
+    * 0x02 (Access 2007) through 0x05, which publicly share the Jet4
+    * page geometry (4096-byte pages, same TDEF/data/row layouts; the
+    * mdbtools format notes drive accdb through the Jet4 offsets) and
+    * are therefore read by the SAME Jet4 parser, with the ACE-only
+    * column types handled in [[toJetType]]. The magic string and the
+    * version byte must AGREE — a Jet magic with an ACE version (or
+    * vice versa) is a corrupt or adversarial header, rejected. */
   def checkHeader(page0: Array[Byte]): Unit = {
     require(page0.length >= 0x15, "jetmdb: truncated header page")
     require(u8(page0, 0) == 0x00 && u8(page0, 1) == 0x01,
-      "jetmdb: not a Jet database (bad page-0 signature)")
+      "jetmdb: not a Jet/ACE database (bad page-0 signature)")
     val magic = new String(page0, 4, Magic.length, StandardCharsets.US_ASCII)
-    require(magic == Magic, s"jetmdb: bad magic '$magic'")
     val ver = u8(page0, 0x14)
-    require(ver == 0x01 || ver == 0x00,
-      f"jetmdb: unsupported Jet version 0x$ver%02x " +
-        "(0x00 = Jet3, 0x01 = Jet4)")
+    magic match {
+      case Magic =>
+        require(ver == 0x01 || ver == 0x00,
+          f"jetmdb: Jet magic with unsupported version 0x$ver%02x " +
+            "(0x00 = Jet3, 0x01 = Jet4; 0x02+ is ACE and carries " +
+            "the ACE magic)")
+      case MagicAce =>
+        require(ver >= 0x02 && ver <= 0x05,
+          f"jetmdb: ACE magic with unsupported version 0x$ver%02x " +
+            "(0x02 = Access 2007 … 0x05)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"jetmdb: bad magic '$other'")
+    }
   }
+
+  /** ACE (`.accdb`) header? Callers only need this for diagnostics —
+    * dispatch is shared with Jet4 (same page geometry). */
+  def isAce(page0: Array[Byte]): Boolean =
+    page0.length > 0x14 &&
+      new String(page0, 4, MagicAce.length,
+        StandardCharsets.US_ASCII) == MagicAce
 
   /** Parse a TDEF page into column metadata. Single-page TDEFs only
     * (next-page pointer must be 0) — ~80 columns fit comfortably. */
@@ -465,6 +516,8 @@ object JetMdbFormat {
       case T_BYTE => (u8(p, off)).toShort // Jet byte is unsigned
       case T_INT => i16(p, off)
       case T_LONG => java.lang.Integer.valueOf(i32(p, off))
+      case T_BIGINT => // ACE 2016 Large Number: plain le int64 (r12)
+        java.lang.Long.valueOf(i64(p, off))
       case T_MONEY =>
         java.math.BigDecimal.valueOf(i64(p, off), 4)
       case T_FLOAT => java.lang.Float.valueOf(f32(p, off))

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.JetMdbFixture.{Col, Table}
+import graft.sources.jetmdb.JetMdbFormat
+
+/** ACE (`.accdb`, Access 2007+) read support (r12): the `jetmdb`
+  * format auto-dispatches page-0 versions 0x02–0x05 (magic
+  * "Standard ACE DB") through the Jet4 parser — ACE publicly shares
+  * the 4096-byte-page TDEF/data/row geometry — with the ACE-era
+  * BIGINT (Large Number, 0x13) decoded as LongType and the
+  * non-portable ACE types (COMPLEX 0x12, extended date/time 0x14)
+  * rejected with named escape routes. Fixtures come from the
+  * independent test-side layout writer with an ACE header. */
+class AccdbSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def tmpDb(name: String): String =
+    Files.createTempDirectory("accdb").resolve(name).toString
+
+  private val allTypes = Seq(
+    Col("flag", 0x01), Col("b", 0x02), Col("i", 0x03), Col("l", 0x04),
+    Col("big", 0x13), Col("price", 0x05), Col("f", 0x06),
+    Col("d", 0x07), Col("ts", 0x08), Col("uid", 0x0F),
+    Col("name", 0x0A))
+
+  private val ts1 = 981173106000000L // 2001-02-03 04:05:06 UTC
+
+  private def row(
+      flag: Boolean, b: Int, i: Int, l: Int, big: Long, price: String,
+      f: Float, d: Double, ts: Long, uid: String,
+      name: String): Seq[Any] =
+    Seq(java.lang.Boolean.valueOf(flag),
+      java.lang.Short.valueOf(b.toShort),
+      java.lang.Short.valueOf(i.toShort), Integer.valueOf(l),
+      java.lang.Long.valueOf(big),
+      if (price == null) null else new java.math.BigDecimal(price),
+      java.lang.Float.valueOf(f), java.lang.Double.valueOf(d),
+      java.lang.Long.valueOf(ts), uid, name)
+
+  test("accdb auto-dispatch: every non-LOB type round-trips exactly, " +
+    "including the ACE-only BIGINT Large Number, for versions " +
+    "0x02 and 0x03") {
+    for (ver <- Seq(0x02, 0x03)) {
+      val path = tmpDb(s"t$ver.accdb")
+      JetMdbFixture.write(path, Seq(Table("typed", allTypes, Seq(
+        row(flag = true, 200, -12345, 7654321,
+          // past Int range both ways: the value LongInteger cannot hold
+          9007199254740993L, "19.9900", 1.5f, 2.25, ts1,
+          "0102aabb-ccdd-eeff-0011-223344556677", "alice"),
+        row(flag = false, 0, 42, -1, -1234567890123456789L, "-0.0001",
+          -3.5f, 1e10, 0L,
+          "00000000-0000-0000-0000-000000000001", "bob")))),
+        aceVersion = ver)
+      val df = spark.read.format("jetmdb")
+        .option("table", "typed").load(path)
+      assert(df.schema("big").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val rows = df.orderBy(desc("flag")).collect()
+      assert(rows.length == 2)
+      val r0 = rows(0)
+      assert(r0.getBoolean(0) && r0.getShort(1) == 200 &&
+        r0.getShort(2) == -12345 && r0.getInt(3) == 7654321)
+      assert(r0.getLong(4) == 9007199254740993L)
+      assert(r0.getDecimal(5) == new java.math.BigDecimal("19.9900"))
+      assert(r0.getFloat(6) == 1.5f && r0.getDouble(7) == 2.25)
+      assert(r0.getTimestamp(8).toInstant.toEpochMilli == ts1 / 1000)
+      assert(r0.getString(9) == "0102aabb-ccdd-eeff-0011-223344556677")
+      assert(r0.getString(10) == "alice")
+      val r1 = rows(1)
+      assert(r1.getLong(4) == -1234567890123456789L)
+    }
+  }
+
+  test("accdb BIGINT nulls round-trip; pruning and filters still " +
+    "reach the reader") {
+    val path = tmpDb("n.accdb")
+    JetMdbFixture.write(path, Seq(Table("nully",
+      Seq(Col("id", 0x04), Col("big", 0x13)),
+      Seq(
+        Seq(Integer.valueOf(1), java.lang.Long.valueOf(5L)),
+        Seq(Integer.valueOf(2), null),
+        Seq(Integer.valueOf(3),
+          java.lang.Long.valueOf(Long.MaxValue - 5L))))),
+      aceVersion = 0x04)
+    val df = spark.read.format("jetmdb").option("table", "nully")
+      .load(path)
+    assert(df.filter(col("big").isNull).select("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(df.select(sum(col("big"))).collect()(0).getLong(0) ==
+      Long.MaxValue)
+  }
+
+  test("accdb memo/OLE long values ride the shared Jet4 LVAL " +
+    "machinery unchanged") {
+    val longText = "ACE memo that must leave the row — " + ("x" * 600)
+    val blob = Array.tabulate(700)(i => (i % 251).toByte)
+    val path = tmpDb("lob.accdb")
+    JetMdbFixture.write(path, Seq(Table("lobs",
+      Seq(Col("id", 0x04), Col("body", 0x0C), Col("payload", 0x0B)),
+      Seq(Seq(Integer.valueOf(1), longText, blob)),
+      lvalCols = Set("body", "payload"))),
+      aceVersion = 0x02)
+    val r = spark.read.format("jetmdb").option("table", "lobs")
+      .load(path).collect()(0)
+    assert(r.getString(1) == longText)
+    assert(r.getAs[Array[Byte]](2).toSeq == blob.toSeq)
+  }
+
+  test("ACE complex and extended-date columns reject with named " +
+    "escape routes; header magic and version must agree") {
+    for ((code, hint) <- Seq(0x12 -> "complex", 0x14 -> "extended")) {
+      val path = tmpDb(s"c$code.accdb")
+      JetMdbFixture.write(path, Seq(Table("t",
+        Seq(Col("id", 0x04), Col("x", code)),
+        Seq())), aceVersion = 0x02)
+      val e = intercept[Exception] {
+        spark.read.format("jetmdb").option("table", "t").load(path)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains(hint) && m.contains("jet")),
+        msgs(e).mkString(" | "))
+    }
+    // corrupt/adversarial headers: magic and version must agree
+    val good = tmpDb("good.accdb")
+    JetMdbFixture.write(good,
+      Seq(Table("t", Seq(Col("id", 0x04)), Seq())), aceVersion = 0x02)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(good))
+    val jetMagicAceVer = bytes.clone()
+    System.arraycopy("Standard Jet DB".getBytes("US-ASCII"), 0,
+      jetMagicAceVer, 4, 15)
+    intercept[IllegalArgumentException] {
+      JetMdbFormat.checkHeader(jetMagicAceVer)
+    }
+    val aceMagicJetVer = bytes.clone()
+    aceMagicJetVer(0x14) = 0x01
+    intercept[IllegalArgumentException] {
+      JetMdbFormat.checkHeader(aceMagicJetVer)
+    }
+  }
+
+  test("version sniffing serves accdb, Jet4, and Jet3 files side by " +
+    "side through the same reader code path") {
+    spark.sparkContext
+    val dir = Files.createTempDirectory("accmix").toString
+    val pA = s"$dir/a.accdb"
+    val p4 = s"$dir/b.mdb"
+    val p3 = s"$dir/c97.mdb"
+    JetMdbFixture.write(pA, Seq(Table(
+      "t", Seq(Col("n", 0x13)),
+      Seq(Seq(java.lang.Long.valueOf(40L))))), aceVersion = 0x03)
+    JetMdbFixture.write(p4, Seq(Table(
+      "t", Seq(Col("n", 0x04)), Seq(Seq(Integer.valueOf(41))))))
+    Jet3Fixture.write(p3, Seq(Jet3Fixture.Table(
+      "t", Seq(Jet3Fixture.Col("n", 0x04)),
+      Seq(Seq(Integer.valueOf(42))))))
+    def one(p: String): Long =
+      spark.read.format("jetmdb").option("table", "t").load(p)
+        .select(col("n").cast("long")).collect()(0).getLong(0)
+    assert(one(pA) == 40L && one(p4) == 41L && one(p3) == 42L)
+  }
+}

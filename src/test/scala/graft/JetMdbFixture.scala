@@ -65,6 +65,9 @@ object JetMdbFixture {
     case 0x08 => 8
     case 0x0F => 16
     case 0x10 => 17 // NUMERIC: sign byte + 16-byte mantissa
+    case 0x13 => 8 // ACE 2016 BIGINT (Large Number)
+    case 0x12 => 4 // ACE COMPLEX: u32 side-table key (reject tests)
+    case 0x14 => 8 // ACE extended date/time (reject tests)
     case 0x0A => c.fixedLen // fixed text only when fixedLen > 0
     case other => sys.error(f"fixture: no fixed length for 0x$other%02x")
   }
@@ -232,6 +235,7 @@ object JetMdbFixture {
             case 0x02 => r(fOff) = (v.asInstanceOf[Short] & 0xFF).toByte
             case 0x03 => b.putShort(fOff, v.asInstanceOf[Short])
             case 0x04 => b.putInt(fOff, v.asInstanceOf[Int])
+            case 0x13 => b.putLong(fOff, v.asInstanceOf[Long])
             case 0x05 =>
               val d = v.asInstanceOf[java.math.BigDecimal]
               b.putLong(fOff, d.movePointRight(4).longValueExact())
@@ -370,14 +374,22 @@ object JetMdbFixture {
   }
 
   /** Write a Jet4 database file holding `tables`. */
-  def write(path: String, tables: Seq[Table]): Unit = {
+  def write(path: String, tables: Seq[Table]): Unit =
+    write(path, tables, aceVersion = 0)
+
+  /** As [[write]]; `aceVersion` 0 emits a Jet4 header, 0x02–0x05 an
+    * ACE (`.accdb`) header — magic "Standard ACE DB" + that version
+    * byte (r12). Everything past page 0 is byte-identical to Jet4,
+    * which is exactly the public ACE profile the reader rides. */
+  def write(path: String, tables: Seq[Table], aceVersion: Int): Unit = {
     val pages = ArrayBuffer.empty[Array[Byte]]
     // page 0: header
     val hdr = new Array[Byte](PageSize)
     hdr(0) = 0x00; hdr(1) = 0x01
-    val magic = "Standard Jet DB".getBytes(StandardCharsets.US_ASCII)
+    val magic = (if (aceVersion == 0) "Standard Jet DB"
+      else "Standard ACE DB").getBytes(StandardCharsets.US_ASCII)
     System.arraycopy(magic, 0, hdr, 4, magic.length)
-    hdr(0x14) = 0x01 // Jet4
+    hdr(0x14) = (if (aceVersion == 0) 0x01 else aceVersion).toByte
     pages += hdr
     // page 1: global usage bitmap (placeholder; reader never parses it)
     val usage = new Array[Byte](PageSize)

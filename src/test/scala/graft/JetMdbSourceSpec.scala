@@ -401,7 +401,10 @@ class JetMdbSourceSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       JetMdbSource.listTables(fx.toString)
     }
-    assert(e2.getMessage.contains("unsupported Jet version"))
+    // r12: version 0x02 with the JET magic is a magic/version
+    // mismatch (0x02+ carries the ACE magic)
+    assert(e2.getMessage.contains("unsupported version") &&
+      e2.getMessage.contains("ACE"))
   }
 
   test("20 random schemas round-trip the jet4 writer: bool/int/long/" +
