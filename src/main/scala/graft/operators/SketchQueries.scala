@@ -46,12 +46,29 @@ object SketchQueries {
     * KB per partition and merges associatively, so frequency queries
     * on a shuffling-prohibitive stream cost one partial aggregation.
     * CMS overestimates only (collisions add) with error ≤ eps·N at
-    * confidence 1−delta. No oracle — the sketch binary is engine-
-    * specific; SketchSpec bounds the estimates against exact counts. */
-  val qCmsFreq: QDef = QDef.noOracle("q_cms_freq") { (s, d) =>
+    * confidence 1−delta.
+    *
+    * ORACLE-GATED since r12 (was no_oracle): in the gate regime the
+    * estimates are COLLISION-FREE and therefore exact — width 2/eps =
+    * 20 000 cells per row × 7 rows against ≤7 500 distinct users at
+    * the largest fixture scale, with a fixed seed (42) making the
+    * blob a pure function of the data; verified mismatch-free against
+    * exact counts at sf0.01 AND sf0.1, so the DuckDB oracle simply
+    * counts. The collision/approximate regime — the actual 100 TB
+    * operating point — is pinned by SketchSpec's eps·N bound on
+    * seeded data where exactness is impossible. */
+  val qCmsFreq: QDef = QDef(
+    "q_cms_freq",
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |top AS (
+      |  SELECT user_id, CAST(n AS BIGINT) AS est_n
+      |  FROM c ORDER BY n DESC, user_id LIMIT 5)
+      |SELECT user_id, est_n FROM top ORDER BY user_id""".stripMargin) {
+    (s, d) =>
     val ev = events(s, d)
     val sk = ev.agg(
-      count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42))
+      count_min_sketch(col("user_id"), lit(0.0001d), lit(0.99d), lit(42))
         .as("cms"))
     // probe the sketch for the 5 hottest users (exact top-5 computed
     // the ordinary way — the point is the sketch answers WITHOUT
@@ -105,10 +122,36 @@ object SketchQueries {
     * (one partial-aggregated pass over events), then pairwise
     * |A|, |B|, |A∩B|, |A∪B| estimates composed from the 5 few-KB
     * blobs — set algebra HLL cannot do. The pair join is 5×5 rows;
-    * the fact table is scanned exactly once. No oracle (sketch blobs
-    * are engine-internal); SketchSpec bounds the estimates against
-    * exact distinct intersections. */
-  val qThetaOverlap: QDef = QDef.noOracle("q_theta_overlap") { (s, d) =>
+    * the fact table is scanned exactly once.
+    *
+    * ORACLE-GATED since r12 (was no_oracle): with lgK = 12 (4096
+    * nominal entries) and ≤1 500 distinct users per type at the
+    * largest fixture scale, every sketch stays in EXACT mode (theta
+    * = 1, all hashes retained), so estimates, unions, and
+    * intersections are exactly the distinct counts and the DuckDB
+    * oracle recomputes them with DISTINCT arithmetic. The sampling
+    * regime (cardinality past nominal) — the 100 TB operating point —
+    * stays bounded by SketchSpec, where an oracle cannot follow. */
+  val qThetaOverlap: QDef = QDef(
+    "q_theta_overlap",
+    """WITH d AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (
+      |  SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
+      |i AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS nb
+      |  FROM d a JOIN d b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+      |  ROUND(CAST(ca.n AS DOUBLE), 1) AS users_a,
+      |  ROUND(CAST(cb.n AS DOUBLE), 1) AS users_b,
+      |  ROUND(CAST(COALESCE(i.nb, 0) AS DOUBLE), 1) AS users_both
+      |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      |LEFT JOIN i
+      |  ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
     import graft.functions.ThetaOps
     val sk = events(s, d)
       .groupBy(col("event_type"))
