@@ -573,9 +573,39 @@ object Bench {
     // 1.86–2.41 s) gets corrected one round later, when the inflated
     // ratio triggers the probe and the probe median lands here —
     // instead of making slow_vs_committed cry wolf every round.
+    // Guard rails on the refresh (r12 review):
+    //   - a probe whose OWN runs were contention-hit (steal above the
+    //     same 5%-of-capacity budget the sweep filter uses) must not
+    //     write its inflated median into the baseline — keep the
+    //     sweep median and leave the probe as evidence;
+    //   - a refresh that ADOPTS a still->2× probe is a REBASELINE of
+    //     a confirmed slowdown (new honest steady state, or a real
+    //     plan regression that round-N's probe record documents) —
+    //     surface those names on stderr so the adoption is a loud
+    //     artifact fact, never a silent vanishing from next round's
+    //     slow_vs_committed.
+    val hostCores = Runtime.getRuntime.availableProcessors
     val refreshed: Map[String, Double] =
-      probes.collect { case (n, p) if p.median > 0 => n -> p.median }
-        .toMap
+      probes.collect {
+        case (n, p) if p.median > 0 && {
+          val timed = p.raw.drop(1).filter(_.t >= 0)
+          val wallMs = timed.map(_.t).sum * 1000
+          wallMs > 0 &&
+            timed.map(_.stealMs).sum < 0.05 * wallMs * hostCores
+        } => n -> p.median
+      }.toMap
+    probes.collect {
+      case (n, p) if refreshed.contains(n) && p.vsCommitted > 2.0 =>
+        (n, p.vsCommitted)
+    } match {
+      case Nil => ()
+      case adopted => System.err.println(
+        "[bench] REBASELINED still-slow probes into the committed " +
+          "medians (plan regression or honest steady state — see " +
+          "their probe records): " +
+          adopted.map { case (n, r) => f"$n ($r%.2fx)" }
+            .mkString(", "))
+    }
     val resultsOut = results.map { case (n, m) =>
       n -> refreshed.getOrElse(n, m)
     }

@@ -127,8 +127,12 @@ object DedupPipeline {
     // eager checkpoint: afterExact feeds the shingle build AND the
     // final anti-join — without it the corpus-sized exact anti-join
     // re-executes at output materialization (r11 review); the blocks
-    // are per-batch garbage the caller's post-batch Checkpoints.sweep
-    // releases (see StreamSinks.foreachBatchDedupParquet)
+    // are per-batch garbage released by EXACT HANDLE — this frame is
+    // one of the two dedupIncrementalTracked returns, and concurrent
+    // callers (StreamSinks.foreachBatchDedupParquet) unpersist exactly
+    // those after the output lands (r12: the old created-since
+    // set-diff sweep could release other in-flight queries'
+    // checkpoints and is gone)
     val afterExact = exactClean.join(keepIds, "doc_id")
       .select(cols.map(col): _*)
       .localCheckpoint()

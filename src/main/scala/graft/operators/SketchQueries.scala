@@ -42,9 +42,13 @@ object SketchQueries {
 
   /** Count-Min-Sketch frequency estimation: one pass builds a fixed-
     * size CMS over user_id, then hot-key frequencies are read from the
-    * sketch. The heavy-hitters pattern at 100 TB: the sketch is a few
-    * KB per partition and merges associatively, so frequency queries
-    * on a shuffling-prohibitive stream cost one partial aggregation.
+    * sketch. The heavy-hitters pattern at 100 TB: the sketch is FIXED
+    * SIZE per partition — ~1.1 MB in THIS query's gate configuration
+    * (20 000 × 7 × 8 B; the r12 eps=1e-4 that buys the collision-free
+    * gate regime below), a few KB at the coarser eps a production
+    * stream would choose — and merges associatively, so frequency
+    * queries on a shuffling-prohibitive stream cost one partial
+    * aggregation whose payload never scales with the data.
     * CMS overestimates only (collisions add) with error ≤ eps·N at
     * confidence 1−delta.
     *

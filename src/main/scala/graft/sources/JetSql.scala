@@ -1522,6 +1522,11 @@ object JetSql {
         //       both sides (the deterministic core of Jet's text
         //       mode; its locale tier — accent folding — is not
         //       portable and is NOT emulated: documented subset).
+        //       Position caveat (r12 review): the returned index is
+        //       computed in the LOWERCASED haystack, so the rare
+        //       length-changing case maps (U+0130 → i + combining
+        //       dot) can shift it by the expansion — part of the same
+        //       documented non-locale subset.
         val (_, close, args) = callAt(i).get
         val cmp = args(3).filter(_.kind != "ws")
         val mode =

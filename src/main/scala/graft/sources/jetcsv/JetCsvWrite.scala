@@ -43,9 +43,14 @@ object JetCsvWrite {
     case TimestampType | TimestampNTZType => DateTime
     case StringType => ShortText
     case BinaryType => OleObject
+    // ACE 2016 Large Number (r12): without this, the 'export to CSV
+    // (jetcsv)' escape route named by the jetmdb COMPLEX/DATEXT
+    // rejections dead-ended for any .accdb table that also carries a
+    // Large Number column
+    case LongType => BigNumber
     case other => throw new IllegalArgumentException(
       s"jetcsv: column ${f.name}: $other has no Jet rendering " +
-        "(Jet has no 64-bit integer — cast BIGINT to INT or DOUBLE)")
+        "(array/struct/map need the parquet sink)")
   }
 
   def sidecarText(schema: StructType): String =

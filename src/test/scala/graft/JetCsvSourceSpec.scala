@@ -137,13 +137,23 @@ class JetCsvSourceSpec extends AnyFunSuite {
     assert(residue.isEmpty, residue.mkString(","))
   }
 
-  test("BIGINT is rejected at plan time with a cast hint " +
-    "(Jet has no 64-bit integer)") {
+  test("BIGINT round-trips as the ACE Large Number sidecar type " +
+    "(r12 — the jetmdb COMPLEX/DATEXT escape route must not " +
+    "dead-end); arrays still reject at plan time") {
     import spark.implicits._
-    val out = Files.createTempDirectory("jetcsv_rej").toString
+    val out = Files.createTempDirectory("jetcsv_big").toString
+    Seq((9007199254740993L, "a"), (-1L, "b"))
+      .toDF("big", "v")
+      .write.format("jetcsv").mode("append").save(out)
+    val back = spark.read.format("jetcsv").load(out)
+    assert(back.schema("big").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.orderBy("big").collect().map(_.getLong(0)).toSeq ==
+      Seq(-1L, 9007199254740993L))
     val e = intercept[Exception] {
-      Seq((1L, "a")).toDF("id", "v")
-        .write.format("jetcsv").mode("append").save(out)
+      Seq((Seq(1, 2), "a")).toDF("xs", "v")
+        .write.format("jetcsv").mode("append")
+        .save(Files.createTempDirectory("jetcsv_rej").toString)
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil
