@@ -344,21 +344,42 @@ object JetSql {
     *   - `0`, `0.0…`       → format_string("%.<d>f", x): fixed
     *     decimals, no grouping;
     *   - `#,##0`, `#,##0.0…` → format_number(x, d): comma grouping.
-    * Both render half AWAY FROM ZERO (Java %f and Spark FormatNumber
-    * are RoundingMode.HALF_UP), matching VB Format's arithmetic
-    * rounding. The quirky corners stay rejections rather than silent
-    * approximations: bare-# integer parts (Format(0, "#") renders the
-    * EMPTY string), `#` decimal digits (trailing-zero trimming),
-    * multi-`0` zero-pad widths (pad interacts with the sign), and
-    * percent/scientific/multi-section masks. */
+    * Both render half AWAY FROM ZERO on the double's SHORTEST decimal
+    * representation: ONE %f rendering (java.util.Formatter rounds the
+    * FormattedFloatingDecimal digits HALF_UP — 1.005 renders "1.01",
+    * 2.5 renders "3"), with the grouped form adding commas via a
+    * lookahead regexp over that same string (r12 review:
+    * format_number rides DecimalFormat's HALF_EVEN default — it would
+    * render Format(2.5, "#,##0") as "2" — so the grouped branch must
+    * not round independently at all). This matches VB Format's
+    * arithmetic rounding. PRECISION BOUND (documented subset): the operand is
+    * rendered at double precision, so Currency/NUMERIC values needing
+    * more than ~15 significant digits format with double-rounded
+    * digits; Format is a report-formatting surface, and exact
+    * wide-decimal rendering belongs to CStr/casts. The quirky corners
+    * stay rejections rather than silent approximations: bare-#
+    * integer parts (Format(0, "#") renders the EMPTY string), `#`
+    * decimal digits (trailing-zero trimming), multi-`0` zero-pad
+    * widths (pad interacts with the sign), and percent/scientific/
+    * multi-section masks. */
   private val numericMask = "^(#,##)?0(\\.(0+))?$".r
 
   private def numericFormatSql(expr: String, mask: String): String =
     mask match {
       case numericMask(group, _, decs) =>
         val d = if (decs == null) 0 else decs.length
-        if (group != null) s"format_number(CAST($expr AS DOUBLE), $d)"
-        else s"format_string('%.${d}f', CAST($expr AS DOUBLE))"
+        // ONE rounding path for both mask families: java Formatter's
+        // %f (HALF_UP on the double's shortest decimal repr). The
+        // grouped form is the SAME rendering with commas inserted by
+        // a lookahead regex — NOT format_number, which rides
+        // DecimalFormat's HALF_EVEN default (Spark 4's FormatNumber
+        // never calls setRoundingMode: format_number(2.5, 0) renders
+        // "2" where %f and VB render "3"). r12 review.
+        val plain = s"format_string('%.${d}f', CAST($expr AS DOUBLE))"
+        if (group == null) plain
+        else
+          s"regexp_replace($plain, " +
+            """'(\\d)(?=(\\d{3})+($|\\.))', '$1,')"""
       case _ =>
         fail(s"FORMAT numeric mask \"$mask\" (deterministic subset: " +
           "\"0\", \"0.0…\", \"#,##0\", \"#,##0.0…\" — bare-# integer " +

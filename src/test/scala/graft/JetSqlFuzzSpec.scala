@@ -889,10 +889,15 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     def randS(): String = Seq.fill(r.nextInt(7) + 1)(
       "aAbBcC xyZ"(r.nextInt(10))).mkString
     def lit(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
-    // independent grouping reference: BigDecimal HALF_UP + manual
-    // 3-digit comma insertion (not DecimalFormat, not String.format)
+    // independent grouping reference: BigDecimal-of-SHORTEST-REPR
+    // HALF_UP + manual 3-digit comma insertion (not DecimalFormat,
+    // not String.format). valueOf, not new BigDecimal(x): Java's %f
+    // rounds on the double's shortest decimal representation (the
+    // FormattedFloatingDecimal digits), not its exact binary
+    // expansion — 1.005 renders "1.01" even though the exact
+    // expansion sits just below the tie.
     def refNum(x: Double, d: Int, group: Boolean): String = {
-      val s = new java.math.BigDecimal(x)
+      val s = java.math.BigDecimal.valueOf(x)
         .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
       if (!group) s
       else {
@@ -905,8 +910,19 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         (if (neg) "-" else "") + grouped + fp
       }
     }
+    // Both mask families render through ONE %f pass (HALF_UP on the
+    // shortest decimal repr — r12 review replaced format_number,
+    // whose HALF_EVEN DecimalFormat default broke exact ties), and
+    // refNum is shortest-repr HALF_UP too, so the generator needs
+    // NO tie avoidance: any digit 1-9 at the rounding position —
+    // including 5 — and explicit exact-binary ties (odd/2^(d+1):
+    // x.5 at d=0, x.25/x.75 at d=1, x.125… at d=2) are all fair.
+    def tieFrac(r0: scala.util.Random, d: Int): Double = {
+      val den = 1 << (d + 1)
+      (2 * r0.nextInt(1 << d) + 1).toDouble / den
+    }
     val built = Vector.fill(300) {
-      r.nextInt(3) match {
+      r.nextInt(4) match {
         case 0 => // InStr compare 0 (binary) / 1 (text)
           val s = randS()
           val nee = randS().take(r.nextInt(2) + 1)
@@ -920,33 +936,33 @@ class JetSqlFuzzSpec extends AnyFunSuite {
                 .toString)
         case 1 => // plain 0-masks: fixed decimals, no grouping
           val d = r.nextInt(4)
-          // |x| >= 1; all digits past position d come from ONE non-5
-          // rounding digit, so neither engine's double handling can
-          // land on a signed zero or an exact .5 tie
           val scale = math.pow(10, d)
           val base = (r.nextInt(2000000) + math.max(1, scale.toInt)) /
             scale
-          val extra = (r.nextInt(9) + 1) match {
-            case 5 => 4
-            case k => k
-          }
+          val extra = r.nextInt(9) + 1
           val x = (if (r.nextBoolean()) 1 else -1) *
             (base + extra / (scale * 10))
           val mask = if (d == 0) "0" else "0." + "0" * d
           (s"Format($x, ${lit(mask)})", refNum(x, d, group = false))
-        case _ => // grouped #,##0 masks
+        case 2 => // grouped #,##0 masks
           val d = r.nextInt(3)
           val scale = math.pow(10, d)
           val base = (r.nextInt(200000000) + 100000 * scale.toInt) /
             scale
-          val extra = (r.nextInt(9) + 1) match {
-            case 5 => 4
-            case k => k
-          }
+          val extra = r.nextInt(9) + 1
           val x = (if (r.nextBoolean()) 1 else -1) *
             (base + extra / (scale * 10))
           val mask = if (d == 0) "#,##0" else "#,##0." + "0" * d
           (s"Format($x, ${lit(mask)})", refNum(x, d, group = true))
+        case _ => // EXACT binary ties: round half away from zero
+          val d = r.nextInt(3)
+          val group = r.nextBoolean()
+          val mag = (if (group) r.nextInt(2000000) + 1000
+            else r.nextInt(5000) + 1) + tieFrac(r, d)
+          val x = (if (r.nextBoolean()) 1 else -1) * mag
+          val mask = (if (group) "#,##0" else "0") +
+            (if (d == 0) "" else "." + "0" * d)
+          (s"Format($x, ${lit(mask)})", refNum(x, d, group))
       }
     }
     built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>

@@ -709,11 +709,22 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT Format(#3/7/2020 9:05#, \"yyyy-mm-dd hh:nn\") AS x"))
       .collect()(0)
     assert(r.getString(0) == "2020-03-07 09:05")
-    // numeric masks translate since r12 (deterministic subset)
+    // numeric masks translate since r12 (deterministic subset):
+    // ONE %f rendering; grouping is a regex over that same string
+    // (format_number would HALF_EVEN exact ties — r12 review)
     assert(translate("SELECT Format(n, \"0.00\") FROM t") ==
       "SELECT format_string('%.2f', CAST(n AS DOUBLE)) FROM t")
-    assert(translate("SELECT Format(n, \"#,##0.0\") FROM t") ==
-      "SELECT format_number(CAST(n AS DOUBLE), 1) FROM t")
+    assert(translate("SELECT Format(n, \"#,##0.0\") FROM t")
+      .contains("regexp_replace(format_string('%.1f', " +
+        "CAST(n AS DOUBLE))"))
+    // exact binary ties round half AWAY FROM ZERO in BOTH families
+    val spark2 = TestSpark.session
+    val tie = spark2.sql(translate(
+      "SELECT Format(2.5, \"#,##0\") AS a, Format(2.5, \"0\") AS b, " +
+        "Format(1250.5, \"#,##0\") AS c, " +
+        "Format((0 - 2.5), \"0\") AS d")).collect()(0)
+    assert(tie.getString(0) == "3" && tie.getString(1) == "3" &&
+      tie.getString(2) == "1,251" && tie.getString(3) == "-3")
     for (bad <- Seq(
       "SELECT Format(d, \"mmm yyyy\")", // month names: locale
       "SELECT Format(d, \"hh:mm\")",    // Jet reads this m as MINUTES
