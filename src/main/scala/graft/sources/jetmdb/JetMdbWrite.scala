@@ -40,7 +40,10 @@ import graft.sources.jetmdb.JetMdbFormat._
   * header, usage placeholder, MSysObjects TDEF + data, table TDEF,
   * data pages. Rows must fit one page (Jet's own rule) — oversize
   * rows fail with the column to shorten; BIGINT fails at plan time
-  * (Jet has no 64-bit integer), exactly like the jetcsv sink.
+  * for Jet4 targets (Jet has no 64-bit integer) and writes as the
+  * ACE Large Number under `.option("version", "ace")`, which emits
+  * an `.accdb` header (ACE magic, version 0x02) over the same page
+  * layout (r12).
   */
 object JetMdbWrite {
 
@@ -49,7 +52,9 @@ object JetMdbWrite {
     * (the write is inline-only: payloads share the row's page, so a
     * value caps at ~4000 bytes — the READER additionally understands
     * single-page LVAL indirection produced by real Jet writers). */
-  def jetCode(f: StructField, memoCols: Set[String] = Set.empty): Int =
+  def jetCode(
+      f: StructField, memoCols: Set[String] = Set.empty,
+      ace: Boolean = false): Int =
     f.dataType match {
       case BooleanType => T_BOOL
       case ShortType => T_INT
@@ -65,10 +70,17 @@ object JetMdbWrite {
       case StringType =>
         if (memoCols.contains(f.name)) T_MEMO else T_TEXT
       case BinaryType => T_OLE
+      // ACE 2016 Large Number: a plain le int64 column (r12) — only
+      // the .accdb header family carries the type, so Jet4 writes
+      // keep the loud rejection below
+      case LongType if ace => T_BIGINT
+      case LongType => throw new IllegalArgumentException(
+        s"jetmdb: column ${f.name}: Jet4 has no 64-bit integer — " +
+          "cast BIGINT to INT or DOUBLE, or write an ACE file with " +
+          ".option(\"version\", \"ace\") (Large Number)")
       case other => throw new IllegalArgumentException(
         s"jetmdb: column ${f.name}: $other has no Jet rendering " +
-          "(Jet has no 64-bit integer — cast BIGINT to INT or DOUBLE; " +
-          "array/struct need the parquet sink)")
+          "(array/struct need the parquet sink)")
     }
 
   private def isVarCode(c: Int): Boolean =
@@ -125,6 +137,7 @@ object JetMdbWrite {
     case T_FLOAT => 4
     case T_DOUBLE => 8
     case T_DATETIME => 8
+    case T_BIGINT => 8 // ACE Large Number (r12)
     case T_NUMERIC => 17
     case _ => 0
   }
@@ -173,6 +186,7 @@ object JetMdbWrite {
           code match {
             case T_INT => b.putShort(off, row.getShort(i))
             case T_LONG => b.putInt(off, row.getInt(i))
+            case T_BIGINT => b.putLong(off, row.getLong(i))
             case T_MONEY => b.putLong(off,
               row.getDecimal(i, 19, 4).toJavaBigDecimal
                 .movePointRight(4).longValueExact())
@@ -389,12 +403,16 @@ private[jetmdb] final class JetMdbWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val schema = info.schema()
-      // version: jet4 (default) or jet3 — the Access-97 export path
+      // version: jet4 (default), jet3 (Access 97), or ace (.accdb,
+      // Access 2007+ — same page geometry as Jet4, ACE magic +
+      // version byte 0x02, BIGINT Large Number columns allowed; r12)
       val version = Option(info.options.get("version"))
         .map(_.toLowerCase).getOrElse("jet4")
-      require(version == "jet4" || version == "jet3",
-        s"jetmdb: unknown version '$version' (jet4 | jet3)")
+      require(version == "jet4" || version == "jet3" ||
+        version == "ace",
+        s"jetmdb: unknown version '$version' (jet4 | jet3 | ace)")
       val jet3 = version == "jet3"
+      val ace = version == "ace"
       val memoCols = Option(info.options.get("memocolumns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty[String])
@@ -415,7 +433,7 @@ private[jetmdb] final class JetMdbWriteBuilder(
               "verified); write Jet4 for metadata-bearing exports")
         }
         schema.fields.foreach(Jet3Write.jetCode3)
-      } else schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols))
+      } else schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols, ace))
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
@@ -444,7 +462,7 @@ private[jetmdb] final class JetMdbWriteBuilder(
           s"jetmdb: autonumber column '$c' must be LONG (IntegerType)")
       }
       JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
-        autoNums, overwrite, jet3,
+        autoNums, overwrite, jet3, ace,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
     }
@@ -461,13 +479,15 @@ private[jetmdb] final case class JetMdbBatchWrite(
     autoNumbers: Set[String],
     overwrite: Boolean,
     jet3: Boolean,
+    ace: Boolean,
     conf: SerializableConfiguration) extends BatchWrite {
 
   private val stagingName = s".staging-${UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    JetMdbWriterFactory(path, stagingName, schema, memoCols, jet3, conf)
+    JetMdbWriterFactory(path, stagingName, schema, memoCols, jet3,
+      ace, conf)
 
   private val relSchema = StructType(Seq(
     StructField("ccolumn", IntegerType),
@@ -506,7 +526,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     val staging = new Path(parent, stagingName)
     val codes =
       if (jet3) schema.fields.map(Jet3Write.jetCode3)
-      else schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
+      else schema.fields.map(JetMdbWrite.jetCode(_, memoCols, ace))
     val parts = messages.collect {
       case m: JetMdbCommit if m.file != null => m
     }
@@ -596,7 +616,17 @@ private[jetmdb] final case class JetMdbBatchWrite(
       }
     } finally in.close()
     checkHeader(pages(0))
-    require(u8(pages(0), 0x14) == 0x01,
+    // the requested version must MATCH the file on disk: appending
+    // Jet4-declared tables into an .accdb (or vice versa) would leave
+    // a file whose new columns lie about their format family (r12)
+    require(JetMdbFormat.isAce(pages(0)) == ace,
+      if (ace)
+        "jetmdb append: .option(\"version\", \"ace\") targets a " +
+          "Jet4 file — drop the option, or overwrite"
+      else
+        "jetmdb append: target is an ACE (.accdb) file — append " +
+          "with .option(\"version\", \"ace\")")
+    require(ace || u8(pages(0), 0x14) == 0x01,
       "jetmdb append: target is not a Jet4 file — append to a Jet3 " +
         "database with .option(\"version\", \"jet3\")")
     val sysTdef = parseTdef(pages(2), 2)
@@ -693,12 +723,14 @@ private[jetmdb] final case class JetMdbBatchWrite(
       codes: Array[Int], parts: Array[JetMdbCommit], numRows: Long,
       writePage: Array[Byte] => Unit): Unit = {
     {
-      // pages 0-1: header + usage placeholder
+      // pages 0-1: header + usage placeholder (ACE: its magic +
+      // version 0x02 — everything past page 0 is the Jet4 layout)
       val hdr = new Array[Byte](PageSize)
       hdr(0) = 0x00; hdr(1) = 0x01
-      val magic = Magic.getBytes(StandardCharsets.US_ASCII)
+      val magic = (if (ace) MagicAce else Magic)
+        .getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(magic, 0, hdr, 4, magic.length)
-      hdr(0x14) = 0x01
+      hdr(0x14) = (if (ace) 0x02 else 0x01).toByte
       writePage(hdr)
       val usage = new Array[Byte](PageSize)
       usage(0) = 0x05; usage(1) = 0x01
@@ -819,12 +851,13 @@ private[jetmdb] final case class JetMdbWriterFactory(
     schema: StructType,
     memoCols: Set[String],
     jet3: Boolean,
+    ace: Boolean,
     conf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JetMdbDataWriter(path, stagingName, schema, memoCols, jet3,
-      conf.value, partitionId, taskId)
+      ace, conf.value, partitionId, taskId)
 }
 
 private[jetmdb] final class JetMdbDataWriter(
@@ -833,6 +866,7 @@ private[jetmdb] final class JetMdbDataWriter(
     schema: StructType,
     memoCols: Set[String],
     jet3: Boolean,
+    ace: Boolean,
     hconf: Configuration,
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
@@ -844,7 +878,7 @@ private[jetmdb] final class JetMdbDataWriter(
   private val out = fs.create(part, true)
   private val codes =
     if (jet3) schema.fields.map(Jet3Write.jetCode3)
-    else schema.fields.map(JetMdbWrite.jetCode(_, memoCols))
+    else schema.fields.map(JetMdbWrite.jetCode(_, memoCols, ace))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {

@@ -146,6 +146,62 @@ class AccdbSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("ACE WRITE path (r12): version=ace emits an .accdb header " +
+    "over the Jet4 layout, Large Number round-trips, appends are " +
+    "version-checked both ways") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("w.accdb")
+    Seq((1, 9007199254740993L, "a"), (2, -7L, "b"))
+      .toDF("id", "big", "v")
+      .write.format("jetmdb").option("table", "T")
+      .option("version", "ace").mode("overwrite").save(path)
+    // header bytes: ACE magic + version 0x02
+    val head = Files.readAllBytes(java.nio.file.Paths.get(path))
+      .take(32)
+    assert(new String(head.slice(4, 19), "US-ASCII") ==
+      "Standard ACE DB")
+    assert(head(0x14) == 0x02)
+    val back = spark.read.format("jetmdb").option("table", "T")
+      .load(path).orderBy(col("id")).collect()
+    assert(back.map(_.getLong(1)).toSeq ==
+      Seq(9007199254740993L, -7L))
+    assert(back.map(_.getString(2)).toSeq == Seq("a", "b"))
+    // append a second table — must carry the ace option
+    Seq((10L, "x")).toDF("k", "w")
+      .write.format("jetmdb").option("table", "U")
+      .option("version", "ace").mode("append").save(path)
+    assert(spark.read.format("jetmdb").option("table", "U")
+      .load(path).collect()(0).getLong(0) == 10L)
+    // version mismatch on append rejects, both directions
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception] {
+      Seq((1, "y")).toDF("k", "w")
+        .write.format("jetmdb").option("table", "V")
+        .mode("append").save(path) // jet4 append into .accdb
+    }
+    assert(msgs(e1).exists(_.contains("ACE")), msgs(e1).mkString("|"))
+    val p4 = tmpDb("plain.mdb")
+    Seq((1, "y")).toDF("k", "w")
+      .write.format("jetmdb").option("table", "V")
+      .mode("overwrite").save(p4)
+    val e2 = intercept[Exception] {
+      Seq((2, "z")).toDF("k", "w")
+        .write.format("jetmdb").option("table", "W")
+        .option("version", "ace").mode("append").save(p4)
+    }
+    assert(msgs(e2).exists(_.contains("Jet4")), msgs(e2).mkString("|"))
+    // BIGINT without the ace option still rejects loudly, naming it
+    val e3 = intercept[Exception] {
+      Seq((1L, "y")).toDF("k", "w")
+        .write.format("jetmdb").option("table", "X")
+        .mode("overwrite").save(tmpDb("rej.mdb"))
+    }
+    assert(msgs(e3).exists(_.contains("ace")), msgs(e3).mkString("|"))
+  }
+
   test("version sniffing serves accdb, Jet4, and Jet3 files side by " +
     "side through the same reader code path") {
     spark.sparkContext

@@ -262,8 +262,8 @@ class JetMdbSourceSpec extends AnyFunSuite {
       Seq(1L).toDF("big").write.mode("overwrite").format("jetmdb")
         .option("table", "t").save(dir.resolve("x.mdb").toString)
     }
-    assert(e.getMessage.contains("no Jet rendering") ||
-      Option(e.getCause).exists(_.getMessage.contains("no Jet rendering")))
+    assert(e.getMessage.contains("64-bit integer") ||
+      Option(e.getCause).exists(_.getMessage.contains("64-bit integer")))
     val p = dir.resolve("n.mdb").toString
     Seq((1, Some("a")), (2, None), (3, Some("")))
       .toDF("k", "v")
