@@ -15,7 +15,8 @@ import graft.sources.JetTypes._
   * 0x01) AND — since r12 — ACE `.accdb` (magic "Standard ACE DB",
   * version 0x02–0x05), which publicly shares the Jet4 page geometry
   * and is read by this same parser; unencrypted databases,
-  * single-page TDEFs, inline column types (BOOL/BYTE/INT/LONG/MONEY/
+  * single-page AND chained multi-page TDEFs (r12 — wide tables up to
+  * Access's own 255-column cap), inline column types (BOOL/BYTE/INT/LONG/MONEY/
   * SINGLE/DOUBLE/DATETIME/TEXT/GUID, plus the ACE 2016 BIGINT "Large
   * Number") plus MEMO/OLE long values in all three storage forms —
   * inline, single "LVAL"-row, and chained multi-page (type-2) LVAL
@@ -231,14 +232,55 @@ object JetMdbFormat {
       new String(page0, 4, MagicAce.length,
         StandardCharsets.US_ASCII) == MagicAce
 
-  /** Parse a TDEF page into column metadata. Single-page TDEFs only
-    * (next-page pointer must be 0) — ~80 columns fit comfortably. */
+  /** Parse a single-page TDEF. Callers holding a page fetcher should
+    * prefer [[parseTdefChained]], which also accepts the multi-page
+    * chains wide tables produce (r12). */
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
+    require(page.length < 2 * PageSize && i32(page, 4) == 0,
+      s"jetmdb: multi-page TDEF at $pageNum needs the chained parse " +
+        "path (parseTdefChained)")
+    parseTdefBuffer(page, pageNum)
+  }
+
+  /** Assemble a (possibly multi-page) TDEF into one logical buffer
+    * and parse it: the HEAD page contributes all its bytes; each
+    * continuation page (type 0x02, next pointer @4) contributes the
+    * bytes past its 8-byte page header — the public concatenation
+    * profile (mdbtools copies continuation content from offset 8).
+    * Every parse offset is relative to the head page start exactly as
+    * in the single-page case, so the same buffer parser serves both.
+    * Wide tables (Access allows 255 columns; 25-byte descriptors +
+    * UCS-2 names overflow 4096 bytes past ~110 columns) need this —
+    * the r11 reader rejected them. */
+  def parseTdefChained(
+      pageNum: Int, pages: Int => Array[Byte]): JetTableDef = {
+    val head = pages(pageNum)
+    var next = i32(head, 4)
+    if (next == 0) parseTdefBuffer(head, pageNum)
+    else {
+      val out = new java.io.ByteArrayOutputStream(2 * head.length)
+      out.write(head, 0, head.length)
+      var hops = 0
+      while (next != 0) {
+        hops += 1
+        require(hops <= 64,
+          s"jetmdb: TDEF chain from page $pageNum exceeds 64 pages " +
+            "(cyclic next pointers?)")
+        val p = pages(next)
+        require(u8(p, 0) == 0x02,
+          s"jetmdb: TDEF continuation page $next has type " +
+            f"0x${u8(p, 0)}%02x, not TDEF")
+        out.write(p, 8, p.length - 8)
+        next = i32(p, 4)
+      }
+      parseTdefBuffer(out.toByteArray, pageNum)
+    }
+  }
+
+  private def parseTdefBuffer(
+      page: Array[Byte], pageNum: Int): JetTableDef = {
     require(u8(page, 0) == 0x02,
       s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
-    val nextPage = i32(page, 4)
-    require(nextPage == 0,
-      s"jetmdb: multi-page TDEF at $pageNum unsupported (minimal reader)")
     // Jet4 table header, offsets relative to page start:
     //   @8  u32 tdef_len, @12 u32 unknown, @16 u32 num_rows,
     //   @20 u32 autonumber, @24 4 unknown, @28 4 unknown,

@@ -156,10 +156,12 @@ object JetMdbSource {
     val in = h.open(new Path(path))
     val ps = if (jet3) Jet3Format.PageSize else PageSize
     try {
-      val page = readPage(in, entry.tdefPage, ps)
       val tdef =
-        if (jet3) Jet3Format.parseTdef(page, entry.tdefPage)
-        else parseTdef(page, entry.tdefPage)
+        if (jet3)
+          Jet3Format.parseTdef(
+            readPage(in, entry.tdefPage, ps), entry.tdefPage)
+        // chained (r12): wide tables spill their TDEF across pages
+        else parseTdefChained(entry.tdefPage, readPage(in, _, ps))
       val schema = StructType(tdef.jetTypes.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
       })
@@ -213,10 +215,12 @@ object JetMdbSource {
         val in = h.open(new Path(path))
         val ps = if (jet3) Jet3Format.PageSize else PageSize
         try {
-          val tpage = readPage(in, entry.tdefPage, ps)
           val tdef =
-            if (jet3) Jet3Format.parseTdef(tpage, entry.tdefPage)
-            else parseTdef(tpage, entry.tdefPage)
+            if (jet3)
+              Jet3Format.parseTdef(
+                readPage(in, entry.tdefPage, ps), entry.tdefPage)
+            else parseTdefChained(
+              entry.tdefPage, readPage(in, _, ps))
           def idx(n: String): Int = {
             val i = tdef.columns.indexWhere(_.name.equalsIgnoreCase(n))
             require(i >= 0,
@@ -381,10 +385,13 @@ private[jetmdb] final class JetMdbPartitionReader(
   // close(), and each failed task attempt would strand a descriptor.
   private val (tdef, colIdx, colType, wanted) =
     try {
-      val tp = JetMdbSource.readPage(in, part.tdefPage, pageSize)
       val t =
-        if (part.jet3) Jet3Format.parseTdef(tp, part.tdefPage)
-        else parseTdef(tp, part.tdefPage)
+        if (part.jet3)
+          Jet3Format.parseTdef(
+            JetMdbSource.readPage(in, part.tdefPage, pageSize),
+            part.tdefPage)
+        else parseTdefChained(part.tdefPage,
+          JetMdbSource.readPage(in, _, pageSize))
       val jetTypes = t.jetTypes.toMap
       val idx: Array[Int] =
         required.fieldNames.map(n => t.columns.indexWhere(_.name == n))

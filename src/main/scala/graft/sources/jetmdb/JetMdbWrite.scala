@@ -249,12 +249,60 @@ object JetMdbWrite {
     * index page = 0): the section carries the SCHEMA surface (`mdb-
     * schema`'s PRIMARY KEY / CREATE INDEX output), which is what a
     * migration consumes; Jet itself rebuilds trees on compact. */
+  /** Single-page TDEF (callers that must stay single-page: the
+      catalog). Wide schemas spill via [[tdefPages]]. */
   def tdefPage(
       schema: StructType, codes: Array[Int], numRows: Int,
       system: Boolean,
       indexes: Seq[JetMdbFormat.JetIndex] = Nil,
       autoNumbers: Set[String] = Set.empty): Array[Byte] = {
-    val p = new Array[Byte](PageSize)
+    val buf = tdefBuffer(schema, codes, numRows, system, indexes,
+      autoNumbers)
+    require(buf.length <= PageSize,
+      "jetmdb: schema too wide for a single TDEF page")
+    buf
+  }
+
+  /** TDEF as head + continuation pages starting at `headPage` — the
+    * multi-page chain the (r12) reader reassembles: head keeps its
+    * first 4096 bytes with the next pointer patched at @4; each
+    * continuation carries an 8-byte header (type 0x02, next @4) and
+    * the following buffer slice. Single-page schemas come back as one
+    * unmodified page. Wide DataFrames (Access allows 255 columns;
+    * 25-byte descriptors + UCS-2 names overflow 4096 past ~110
+    * columns) need this — the r11 writer rejected them. */
+  def tdefPages(
+      schema: StructType, codes: Array[Int], numRows: Int,
+      system: Boolean, indexes: Seq[JetMdbFormat.JetIndex],
+      autoNumbers: Set[String], headPage: Int): Seq[Array[Byte]] = {
+    val buf = tdefBuffer(schema, codes, numRows, system, indexes,
+      autoNumbers)
+    if (buf.length <= PageSize) Seq(buf)
+    else {
+      val chunk = PageSize - 8
+      val nCont = (buf.length - PageSize + chunk - 1) / chunk
+      val head = java.util.Arrays.copyOfRange(buf, 0, PageSize)
+      ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, headPage + 1)
+      head +: (0 until nCont).map { k =>
+        val pg = new Array[Byte](PageSize)
+        pg(0) = 0x02; pg(1) = 0x01
+        ByteBuffer.wrap(pg).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(4, if (k == nCont - 1) 0 else headPage + 2 + k)
+        val from = PageSize + k * chunk
+        System.arraycopy(buf, from, pg, 8,
+          math.min(chunk, buf.length - from))
+        pg
+      }
+    }
+  }
+
+  private def tdefBuffer(
+      schema: StructType, codes: Array[Int], numRows: Int,
+      system: Boolean,
+      indexes: Seq[JetMdbFormat.JetIndex],
+      autoNumbers: Set[String]): Array[Byte] = {
+    val p = new Array[Byte](PageSize * 8)
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     p(0) = 0x02; p(1) = 0x01
     b.putInt(16, numRows)
@@ -333,9 +381,10 @@ object JetMdbWrite {
       System.arraycopy(nb, 0, p, off + 2, nb.length)
       off += 2 + nb.length
     }
-    require(off <= PageSize,
-      s"jetmdb: schema too wide for a single TDEF page")
-    p
+    require(off <= p.length,
+      s"jetmdb: TDEF exceeds ${p.length / PageSize} pages")
+    // trim to the logical length (never below one page)
+    java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
   }
 
   /** Parse the writer's `.option("indexes", …)` spec:
@@ -659,11 +708,16 @@ private[jetmdb] final case class JetMdbBatchWrite(
     val existingRelTdef = oldCat
       .find(_._3.equalsIgnoreCase("MSysRelationships")).map(_._1)
     val newTdefPage = oldCount
+    // wide schemas chain TDEF continuation pages behind the head
+    // (r12) — the rel TDEF page shifts past the whole chain
+    val newTableTdef = JetMdbWrite.tdefPages(schema, codes,
+      math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
+      indexes, autoNumbers, headPage = newTdefPage)
     // a fresh MSysRelationships TDEF lands right after the new table's
-    // TDEF when relationships are declared and none exists yet
+    // TDEF chain when relationships are declared and none exists yet
     val newRelTdefPage =
       if (relationships.nonEmpty && existingRelTdef.isEmpty)
-        Some(newTdefPage + 1)
+        Some(newTdefPage + newTableTdef.length)
       else None
     val sysSchema = StructType(Seq(
       StructField("Id", IntegerType), StructField("Type", ShortType),
@@ -700,9 +754,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     // optional new rel TDEF, new rel data pages, new table data pages
     pages(catPageNum) = newCatPages.head
     pages.foreach(writePage)
-    writePage(JetMdbWrite.tdefPage(schema, codes,
-      math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
-      indexes, autoNumbers))
+    newTableTdef.foreach(writePage)
     newRelTdefPage.foreach { _ =>
       writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
         relationships.size, system = true))
@@ -744,7 +796,14 @@ private[jetmdb] final case class JetMdbBatchWrite(
         StructField("Name", StringType)))
       val sysCodes = Array(T_LONG, T_INT, T_TEXT)
       writePage(JetMdbWrite.tdefPage(sysSchema, sysCodes, 2, system = true))
-      val relTdefPage = 5
+      // page 4: user TDEF head (wide schemas chain continuation
+      // pages right behind it — r12), so the rel TDEF page number
+      // must be computed from the chain length BEFORE the catalog
+      // row that names it is written
+      val userTdef = JetMdbWrite.tdefPages(schema, codes,
+        math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
+        indexes, autoNumbers, headPage = 4)
+      val relTdefPage = 4 + userTdef.length
       val catRows = (Seq(
         IRow(2, 3.toShort, UTF8String.fromString("MSysObjects")),
         IRow(4, 1.toShort, UTF8String.fromString(table))) ++
@@ -756,13 +815,10 @@ private[jetmdb] final case class JetMdbBatchWrite(
       val catPages = JetMdbPagePacker.pack(catRows.iterator, 2).toSeq
       require(catPages.size == 1, "jetmdb: catalog must fit one page")
       catPages.foreach(writePage)
-      // page 4: user TDEF (with its index section), then — if
-      // declared — the MSysRelationships TDEF + data (owner = 5),
-      // then the user data pages (owner = 4). Owners make page order
-      // irrelevant to the reader's extent walk.
-      writePage(JetMdbWrite.tdefPage(schema, codes,
-        math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
-        indexes, autoNumbers))
+      // user TDEF chain, then — if declared — the MSysRelationships
+      // TDEF + data, then the user data pages (owner = 4, the chain
+      // HEAD). Owners make page order irrelevant to the extent walk.
+      userTdef.foreach(writePage)
       if (relationships.nonEmpty) {
         writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
           relationships.size, system = true))

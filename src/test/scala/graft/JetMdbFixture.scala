@@ -93,10 +93,13 @@ object JetMdbFixture {
       case _ => sys.error("payloadOf: not a memo/ole column")
     }
 
-  /** TDEF page bytes for a table at `tdefPage`. */
+  /** TDEF page bytes for a table at `tdefPage`. Builds the LOGICAL
+    * buffer (head-page offsets) in one oversized array; callers split
+    * wide tables into continuation pages via [[tdefPagesChained]]
+    * (r12 — the reader's multi-page concatenation profile). */
   private def tdefPageBytes(
       t: Table, numRows: Int, system: Boolean): Array[Byte] = {
-    val p = new Array[Byte](PageSize)
+    val p = new Array[Byte](PageSize * 8)
     val b = le(p)
     p(0) = 0x02; p(1) = 0x01
     b.putInt(4, 0) // single-page TDEF
@@ -167,8 +170,40 @@ object JetMdbFixture {
       System.arraycopy(nb, 0, p, off + 2, nb.length)
       off += 2 + nb.length
     }
-    require(off <= PageSize, s"fixture: TDEF overflow for ${t.name}")
-    p
+    require(off <= p.length, s"fixture: TDEF overflow for ${t.name}")
+    // trim to the logical length (header stays at the front)
+    java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
+  }
+
+  /** Split a logical TDEF buffer into the head page + continuation
+    * pages starting at `headPage`: head keeps its first 4096 bytes
+    * with the next pointer patched in; each continuation carries an
+    * 8-byte header (type 0x02, next pointer @4) and the following
+    * slice of the buffer — the exact concatenation profile the
+    * production reader reassembles. */
+  private def tdefPagesChained(
+      t: Table, numRows: Int, system: Boolean,
+      headPage: Int): Seq[Array[Byte]] = {
+    val buf = tdefPageBytes(t, numRows, system)
+    if (buf.length <= PageSize) Seq(buf)
+    else {
+      val chunk = PageSize - 8
+      val restLen = buf.length - PageSize
+      val nCont = (restLen + chunk - 1) / chunk
+      val head = java.util.Arrays.copyOfRange(buf, 0, PageSize)
+      le(head).putInt(4, headPage + 1)
+      val conts = (0 until nCont).map { k =>
+        val pg = new Array[Byte](PageSize)
+        pg(0) = 0x02; pg(1) = 0x01
+        le(pg).putInt(4,
+          if (k == nCont - 1) 0 else headPage + 2 + k)
+        val from = PageSize + k * chunk
+        val len = math.min(chunk, buf.length - from)
+        System.arraycopy(buf, from, pg, 8, len)
+        pg
+      }
+      head +: conts
+    }
   }
 
   private def encodeText(s: String, compress: Boolean): Array[Byte] =
@@ -463,7 +498,8 @@ object JetMdbFixture {
           })
       }
       val dps = dataPages(tdefPage, encoded, t.deleted)
-      pages += tdefPageBytes(t, t.rows.length, system = false)
+      tdefPagesChained(t, t.rows.length, system = false,
+        headPage = pages.length).foreach(pages += _)
       dps.foreach(pages += _)
       catalogRows += Seq(Integer.valueOf(tdefPage),
         java.lang.Short.valueOf(if (t.system) 3.toShort else 1.toShort),
@@ -474,7 +510,10 @@ object JetMdbFixture {
       "MSysObjects",
       Seq(Col("Id", 0x04), Col("Type", 0x03), Col("Name", 0x0A)),
       catalogRows.toSeq)
-    pages(2) = tdefPageBytes(sysTable, catalogRows.length, system = true)
+    val catTdef = tdefPagesChained(sysTable, catalogRows.length,
+      system = true, headPage = 2)
+    require(catTdef.length == 1, "fixture: catalog TDEF must fit one page")
+    pages(2) = catTdef.head
     val catData = dataPages(2, catalogRows.toSeq.map(encodeRow(sysTable, _)),
       Set.empty)
     require(catData.length == 1, "fixture: catalog must fit one page")

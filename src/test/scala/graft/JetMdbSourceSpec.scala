@@ -499,4 +499,75 @@ class JetMdbSourceSpec extends AnyFunSuite {
         s"memo=$memoCols)\ngot=${got.take(3)}\nwant=${want.take(3)}")
     }
   }
+
+  test("multi-page TDEF chains (r12): a 200-column table reads " +
+    "through the fixture and round-trips the writer, fresh and " +
+    "append, jet4 and ace") {
+    val spark2 = spark
+    import spark2.implicits._
+    // --- read path: independent fixture emits the chain ---
+    val nCols = 200
+    val p1 = tmpMdb()
+    val cols = (0 until nCols).map(i => Col(s"col_number_$i", 0x04))
+    val rows = (0 until 7).map(r =>
+      (0 until nCols).map(c => Integer.valueOf(r * 1000 + c): Any))
+    JetMdbFixture.write(p1, Seq(Table("wide", cols, rows)))
+    val df = spark.read.format("jetmdb").option("table", "wide").load(p1)
+    assert(df.schema.length == nCols)
+    assert(df.schema.fieldNames.toSeq ==
+      (0 until nCols).map(i => s"col_number_$i"))
+    val got = df.orderBy("col_number_0").collect()
+    assert(got.length == 7)
+    (0 until 7).foreach { r =>
+      (0 until nCols).foreach { c =>
+        assert(got(r).getInt(c) == r * 1000 + c, s"row $r col $c")
+      }
+    }
+    // pruning still works against a chained TDEF
+    assert(df.select("col_number_150").orderBy("col_number_150")
+      .collect().map(_.getInt(0)).toSeq ==
+      (0 until 7).map(_ * 1000 + 150))
+    // --- write path: 200-column DataFrame -> jet4 -> read back ---
+    val p2 = tmpMdb()
+    val wideDf = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 5).map(r =>
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until nCols).map(c => r * 100 + c)))),
+      org.apache.spark.sql.types.StructType((0 until nCols).map(i =>
+        org.apache.spark.sql.types.StructField(
+          s"w$i", org.apache.spark.sql.types.IntegerType))))
+    wideDf.write.format("jetmdb").option("table", "w")
+      .mode("overwrite").save(p2)
+    val back = spark.read.format("jetmdb").option("table", "w").load(p2)
+    assert(back.schema.length == nCols)
+    assert(back.orderBy("w0").collect().map(_.getInt(199)).toSeq ==
+      (0 until 5).map(_ * 100 + 199))
+    // --- append a second wide table; both stay readable ---
+    Seq((1, "x")).toDF("id", "v").write.format("jetmdb")
+      .option("table", "narrow").mode("append").save(p2)
+    wideDf.write.format("jetmdb").option("table", "w2")
+      .mode("append").save(p2)
+    assert(spark.read.format("jetmdb").option("table", "w")
+      .load(p2).count() == 5)
+    assert(spark.read.format("jetmdb").option("table", "w2")
+      .load(p2).count() == 5)
+    assert(spark.read.format("jetmdb").option("table", "narrow")
+      .load(p2).collect()(0).getString(1) == "x")
+    // --- ace variant with a Large Number column in the wide chain ---
+    val p3 = tmpMdb()
+    val aceDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until nCols - 1).map(c => c: Any) :+ 1234567890123L))),
+      org.apache.spark.sql.types.StructType(
+        (0 until nCols - 1).map(i =>
+          org.apache.spark.sql.types.StructField(
+            s"a$i", org.apache.spark.sql.types.IntegerType)) :+
+          org.apache.spark.sql.types.StructField("big",
+            org.apache.spark.sql.types.LongType)))
+    aceDf.write.format("jetmdb").option("table", "t")
+      .option("version", "ace").mode("overwrite").save(p3)
+    assert(spark.read.format("jetmdb").option("table", "t").load(p3)
+      .collect()(0).getLong(nCols - 1) == 1234567890123L)
+  }
 }
