@@ -72,12 +72,49 @@ object Jet3Format {
   def isJet3(page0: Array[Byte]): Boolean =
     page0.length > 0x14 && u8(page0, 0x14) == 0x00
 
-  /** Parse a Jet3 TDEF page (single-page only, like the Jet4 path). */
+  /** Parse a single-page Jet3 TDEF. Callers holding a page fetcher
+    * should prefer [[parseTdefChained]] (r12 — wide Access-97 tables
+    * spill their TDEF exactly like Jet4's). */
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
+    require(page.length < 2 * PageSize && i32(page, 4) == 0,
+      s"jetmdb/jet3: multi-page TDEF at $pageNum needs the chained " +
+        "parse path (parseTdefChained)")
+    parseTdefBuffer(page, pageNum)
+  }
+
+  /** Multi-page TDEF chains, Jet3 geometry: head page whole, each
+    * continuation (type 0x02, next pointer @4) contributes the bytes
+    * past its 8-byte header — the same public concatenation profile
+    * as [[JetMdbFormat.parseTdefChained]], at 2048-byte pages. */
+  def parseTdefChained(
+      pageNum: Int, pages: Int => Array[Byte]): JetTableDef = {
+    val head = pages(pageNum)
+    var next = i32(head, 4)
+    if (next == 0) parseTdefBuffer(head, pageNum)
+    else {
+      val out = new java.io.ByteArrayOutputStream(2 * head.length)
+      out.write(head, 0, head.length)
+      var hops = 0
+      while (next != 0) {
+        hops += 1
+        require(hops <= 64,
+          s"jetmdb/jet3: TDEF chain from page $pageNum exceeds 64 " +
+            "pages (cyclic next pointers?)")
+        val p = pages(next)
+        require(u8(p, 0) == 0x02,
+          s"jetmdb/jet3: TDEF continuation page $next has type " +
+            f"0x${u8(p, 0)}%02x, not TDEF")
+        out.write(p, 8, p.length - 8)
+        next = i32(p, 4)
+      }
+      parseTdefBuffer(out.toByteArray, pageNum)
+    }
+  }
+
+  private def parseTdefBuffer(
+      page: Array[Byte], pageNum: Int): JetTableDef = {
     require(u8(page, 0) == 0x02,
       s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
-    require(i32(page, 4) == 0,
-      s"jetmdb/jet3: multi-page TDEF at $pageNum unsupported")
     val numRows = i32(page, 12)
     val tableType = u8(page, 20)
     val numVarCols = u16(page, 23)

@@ -156,11 +156,11 @@ object JetMdbSource {
     val in = h.open(new Path(path))
     val ps = if (jet3) Jet3Format.PageSize else PageSize
     try {
+      // chained (r12): wide tables spill their TDEF across pages
       val tdef =
         if (jet3)
-          Jet3Format.parseTdef(
-            readPage(in, entry.tdefPage, ps), entry.tdefPage)
-        // chained (r12): wide tables spill their TDEF across pages
+          Jet3Format.parseTdefChained(
+            entry.tdefPage, readPage(in, _, ps))
         else parseTdefChained(entry.tdefPage, readPage(in, _, ps))
       val schema = StructType(tdef.jetTypes.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
@@ -217,8 +217,8 @@ object JetMdbSource {
         try {
           val tdef =
             if (jet3)
-              Jet3Format.parseTdef(
-                readPage(in, entry.tdefPage, ps), entry.tdefPage)
+              Jet3Format.parseTdefChained(
+                entry.tdefPage, readPage(in, _, ps))
             else parseTdefChained(
               entry.tdefPage, readPage(in, _, ps))
           def idx(n: String): Int = {
@@ -387,9 +387,8 @@ private[jetmdb] final class JetMdbPartitionReader(
     try {
       val t =
         if (part.jet3)
-          Jet3Format.parseTdef(
-            JetMdbSource.readPage(in, part.tdefPage, pageSize),
-            part.tdefPage)
+          Jet3Format.parseTdefChained(part.tdefPage,
+            JetMdbSource.readPage(in, _, pageSize))
         else parseTdefChained(part.tdefPage,
           JetMdbSource.readPage(in, _, pageSize))
       val jetTypes = t.jetTypes.toMap

@@ -166,7 +166,7 @@ object Jet3Fixture {
 
   private def tdefPageBytes(
       t: Table, numRows: Int, system: Boolean): Array[Byte] = {
-    val p = new Array[Byte](PageSize)
+    val p = new Array[Byte](PageSize * 8)
     val b = le(p)
     p(0) = 0x02; p(1) = 0x01
     b.putInt(4, 0) // single-page TDEF
@@ -201,8 +201,34 @@ object Jet3Fixture {
       System.arraycopy(nb, 0, p, off + 1, nb.length)
       off += 1 + nb.length
     }
-    require(off <= PageSize, s"jet3 fixture: TDEF overflow for ${t.name}")
-    p
+    require(off <= p.length,
+      s"jet3 fixture: TDEF overflow for ${t.name}")
+    java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
+  }
+
+  /** Split a logical TDEF buffer into head + continuation pages (8-byte
+    * header, next pointer @4) from `headPage` — the same concatenation
+    * profile the production Jet3 reader reassembles (r12). */
+  private def tdefPagesChained(
+      t: Table, numRows: Int, system: Boolean,
+      headPage: Int): Seq[Array[Byte]] = {
+    val buf = tdefPageBytes(t, numRows, system)
+    if (buf.length <= PageSize) Seq(buf)
+    else {
+      val chunk = PageSize - 8
+      val nCont = (buf.length - PageSize + chunk - 1) / chunk
+      val head = java.util.Arrays.copyOfRange(buf, 0, PageSize)
+      le(head).putInt(4, headPage + 1)
+      head +: (0 until nCont).map { k =>
+        val pg = new Array[Byte](PageSize)
+        pg(0) = 0x02; pg(1) = 0x01
+        le(pg).putInt(4, if (k == nCont - 1) 0 else headPage + 2 + k)
+        val from = PageSize + k * chunk
+        System.arraycopy(buf, from, pg, 8,
+          math.min(chunk, buf.length - from))
+        pg
+      }
+    }
   }
 
   private def encodeRow(t: Table, row: Seq[Any]): Array[Byte] = {
@@ -346,7 +372,8 @@ object Jet3Fixture {
         }
       alloc.render().foreach(pages += _)
       val tdefPage = pages.length
-      pages += tdefPageBytes(t, t.rows.length, system = false)
+      tdefPagesChained(t, t.rows.length, system = false,
+        headPage = tdefPage).foreach(pages += _)
       dataPages(tdefPage, rows.map(encodeRow(t, _)), t.deleted)
         .foreach(pages += _)
       catalogRows += Seq(Integer.valueOf(tdefPage), 1.toShort, t.name)
@@ -355,7 +382,11 @@ object Jet3Fixture {
       "MSysObjects",
       Seq(Col("Id", 0x04), Col("Type", 0x03), Col("Name", 0x0A)),
       catalogRows.toSeq)
-    pages(2) = tdefPageBytes(sysTable, catalogRows.length, system = true)
+    val catTdef = tdefPagesChained(sysTable, catalogRows.length,
+      system = true, headPage = 2)
+    require(catTdef.length == 1,
+      "jet3 fixture: catalog TDEF must fit one page")
+    pages(2) = catTdef.head
     val catData = dataPages(2, catalogRows.toSeq.map(encodeRow(sysTable, _)),
       Set.empty)
     require(catData.length == 1, "jet3 fixture: catalog must fit one page")

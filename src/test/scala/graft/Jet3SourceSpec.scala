@@ -184,6 +184,41 @@ class Jet3SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("jet3 multi-page TDEF chains (r12): an 80-column Access-97 " +
+    "table reads with exact values and pruning") {
+    spark.sparkContext
+    val path = s"${tmp()}/wide97.mdb"
+    // 70 BOOLs + 10 INTs: a TDEF of 80 18-byte descriptors + names
+    // (~2.8 KB) spills the 2048-byte page, while the ROWS stay well
+    // under Jet3's 255-byte u8-offset cap
+    val cols = (0 until 70).map(i =>
+      Jet3Fixture.Col(s"flag_col_$i", 0x01)) ++
+      (0 until 10).map(i => Jet3Fixture.Col(s"int_col_$i", 0x03))
+    val rows = (0 until 5).map { r =>
+      (0 until 70).map(c =>
+        java.lang.Boolean.valueOf((r + c) % 2 == 0): Any) ++
+        (0 until 10).map(c =>
+          java.lang.Short.valueOf((r * 100 + c).toShort): Any)
+    }
+    Jet3Fixture.write(path, Seq(Jet3Fixture.Table("wide", cols, rows)))
+    val df = spark.read.format("jetmdb").option("table", "wide")
+      .load(path)
+    assert(df.schema.length == 80)
+    val got = df.orderBy(col("int_col_0")).collect()
+    assert(got.length == 5)
+    (0 until 5).foreach { r =>
+      (0 until 70).foreach(c =>
+        assert(got(r).getBoolean(c) == ((r + c) % 2 == 0),
+          s"row $r flag $c"))
+      (0 until 10).foreach(c =>
+        assert(got(r).getShort(70 + c) == (r * 100 + c).toShort,
+          s"row $r int $c"))
+    }
+    assert(df.select("int_col_7").orderBy("int_col_7")
+      .collect().map(_.getShort(0).toInt).toSeq ==
+      (0 until 5).map(_ * 100 + 7))
+  }
+
   test("jet3 rejects oversized rows (u8-offset profile) honestly") {
     val tdef = graft.sources.jetmdb.JetMdbFormat.JetTableDef(
       5, 1, 0x4e, Seq(graft.sources.jetmdb.JetMdbFormat.JetColumn(
