@@ -76,40 +76,25 @@ object Jet3Format {
     * should prefer [[parseTdefChained]] (r12 — wide Access-97 tables
     * spill their TDEF exactly like Jet4's). */
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
+    // type check FIRST: a non-TDEF page must say so, not claim a
+    // chain exists (r12 review)
+    require(u8(page, 0) == 0x02,
+      s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     require(page.length < 2 * PageSize && i32(page, 4) == 0,
       s"jetmdb/jet3: multi-page TDEF at $pageNum needs the chained " +
         "parse path (parseTdefChained)")
     parseTdefBuffer(page, pageNum)
   }
 
-  /** Multi-page TDEF chains, Jet3 geometry: head page whole, each
-    * continuation (type 0x02, next pointer @4) contributes the bytes
-    * past its 8-byte header — the same public concatenation profile
-    * as [[JetMdbFormat.parseTdefChained]], at 2048-byte pages. */
+  /** Multi-page TDEF chains, Jet3 geometry — the chain walk itself is
+    * geometry-independent and SHARED with the Jet4/ACE path
+    * ([[JetMdbFormat.chainTdefBuffer]]; r12 review de-duplicated the
+    * two verbatim copies). */
   def parseTdefChained(
-      pageNum: Int, pages: Int => Array[Byte]): JetTableDef = {
-    val head = pages(pageNum)
-    var next = i32(head, 4)
-    if (next == 0) parseTdefBuffer(head, pageNum)
-    else {
-      val out = new java.io.ByteArrayOutputStream(2 * head.length)
-      out.write(head, 0, head.length)
-      var hops = 0
-      while (next != 0) {
-        hops += 1
-        require(hops <= 64,
-          s"jetmdb/jet3: TDEF chain from page $pageNum exceeds 64 " +
-            "pages (cyclic next pointers?)")
-        val p = pages(next)
-        require(u8(p, 0) == 0x02,
-          s"jetmdb/jet3: TDEF continuation page $next has type " +
-            f"0x${u8(p, 0)}%02x, not TDEF")
-        out.write(p, 8, p.length - 8)
-        next = i32(p, 4)
-      }
-      parseTdefBuffer(out.toByteArray, pageNum)
-    }
-  }
+      pageNum: Int, pages: Int => Array[Byte]): JetTableDef =
+    parseTdefBuffer(
+      JetMdbFormat.chainTdefBuffer(pageNum, pages, "jetmdb/jet3"),
+      pageNum)
 
   private def parseTdefBuffer(
       page: Array[Byte], pageNum: Int): JetTableDef = {
@@ -334,7 +319,7 @@ object Jet3Format {
     * contract as Jet4. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    val sysTdef = parseTdef(pages(2), 2)
+    val sysTdef = parseTdefChained(2, pages)
     require(
       Seq("Name", "Id", "Type").forall(n => sysTdef.columns.exists(
         _.name == n)),

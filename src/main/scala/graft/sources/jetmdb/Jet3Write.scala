@@ -228,6 +228,9 @@ object Jet3Write {
     }
     require(off <= P3,
       "jetmdb/jet3: schema too wide for a single TDEF page")
+    // tdef_len @8: the documented logical length (r12 review — the
+    // reader ignores it, but external tooling sizes TDEFs by it)
+    b.putInt(8, off)
     p
   }
 
@@ -321,7 +324,7 @@ object Jet3Write {
     require(Jet3Format.isJet3(pages(0)),
       "jetmdb/jet3 append: target file is not a Jet3 database " +
         "(Jet4 targets append with the default version)")
-    val sysTdef = Jet3Format.parseTdef(pages(2), 2)
+    val sysTdef = Jet3Format.parseTdefChained(2, pages(_))
     require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
       ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
       "jetmdb/jet3 append: page-2 catalog TDEF is not the " +

@@ -236,10 +236,45 @@ object JetMdbFormat {
     * prefer [[parseTdefChained]], which also accepts the multi-page
     * chains wide tables produce (r12). */
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
+    // type check FIRST: a non-TDEF page must say so, not claim a
+    // chain exists (r12 review)
+    require(u8(page, 0) == 0x02,
+      s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     require(page.length < 2 * PageSize && i32(page, 4) == 0,
       s"jetmdb: multi-page TDEF at $pageNum needs the chained parse " +
         "path (parseTdefChained)")
     parseTdefBuffer(page, pageNum)
+  }
+
+  /** Walk a TDEF chain into one logical buffer (shared by the Jet4/
+    * ACE and Jet3 paths — the concatenation is geometry-independent):
+    * head page whole, each continuation past its 8-byte header. */
+  private[jetmdb] def chainTdefBuffer(
+      pageNum: Int, pages: Int => Array[Byte],
+      prefix: String): Array[Byte] = {
+    val head = pages(pageNum)
+    require(u8(head, 0) == 0x02,
+      s"$prefix: page $pageNum is not a TDEF (type ${u8(head, 0)})")
+    var next = i32(head, 4)
+    if (next == 0) head
+    else {
+      val out = new java.io.ByteArrayOutputStream(2 * head.length)
+      out.write(head, 0, head.length)
+      var hops = 0
+      while (next != 0) {
+        hops += 1
+        require(hops <= 64,
+          s"$prefix: TDEF chain from page $pageNum exceeds 64 pages " +
+            "(cyclic next pointers?)")
+        val p = pages(next)
+        require(u8(p, 0) == 0x02,
+          s"$prefix: TDEF continuation page $next has type " +
+            f"0x${u8(p, 0)}%02x, not TDEF")
+        out.write(p, 8, p.length - 8)
+        next = i32(p, 4)
+      }
+      out.toByteArray
+    }
   }
 
   /** Assemble a (possibly multi-page) TDEF into one logical buffer
@@ -253,29 +288,9 @@ object JetMdbFormat {
     * UCS-2 names overflow 4096 bytes past ~110 columns) need this —
     * the r11 reader rejected them. */
   def parseTdefChained(
-      pageNum: Int, pages: Int => Array[Byte]): JetTableDef = {
-    val head = pages(pageNum)
-    var next = i32(head, 4)
-    if (next == 0) parseTdefBuffer(head, pageNum)
-    else {
-      val out = new java.io.ByteArrayOutputStream(2 * head.length)
-      out.write(head, 0, head.length)
-      var hops = 0
-      while (next != 0) {
-        hops += 1
-        require(hops <= 64,
-          s"jetmdb: TDEF chain from page $pageNum exceeds 64 pages " +
-            "(cyclic next pointers?)")
-        val p = pages(next)
-        require(u8(p, 0) == 0x02,
-          s"jetmdb: TDEF continuation page $next has type " +
-            f"0x${u8(p, 0)}%02x, not TDEF")
-        out.write(p, 8, p.length - 8)
-        next = i32(p, 4)
-      }
-      parseTdefBuffer(out.toByteArray, pageNum)
-    }
-  }
+      pageNum: Int, pages: Int => Array[Byte]): JetTableDef =
+    parseTdefBuffer(
+      chainTdefBuffer(pageNum, pages, "jetmdb"), pageNum)
 
   private def parseTdefBuffer(
       page: Array[Byte], pageNum: Int): JetTableDef = {
@@ -687,7 +702,7 @@ object JetMdbFormat {
     * of its Id. `pages` is a by-number page accessor. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    val sysTdef = parseTdef(pages(2), 2)
+    val sysTdef = parseTdefChained(2, pages)
     val byName = sysTdef.columns.map(c => c.name -> c).toMap
     require(byName.contains("Name") && byName.contains("Id") &&
       byName.contains("Type"),

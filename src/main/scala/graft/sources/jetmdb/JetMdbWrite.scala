@@ -301,6 +301,22 @@ object JetMdbWrite {
       schema: StructType, codes: Array[Int], numRows: Int,
       system: Boolean,
       indexes: Seq[JetMdbFormat.JetIndex],
+      autoNumbers: Set[String]): Array[Byte] =
+    try tdefBuffer0(schema, codes, numRows, system, indexes,
+      autoNumbers)
+    catch {
+      // name/descriptor writes bound-check before the final require
+      // can fire — surface the budget, not a raw AIOOBE (r12 review)
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          "jetmdb: TDEF (descriptors + column/index names) exceeds " +
+            "the writer's 8-page budget — shorten column/index names")
+    }
+
+  private def tdefBuffer0(
+      schema: StructType, codes: Array[Int], numRows: Int,
+      system: Boolean,
+      indexes: Seq[JetMdbFormat.JetIndex],
       autoNumbers: Set[String]): Array[Byte] = {
     val p = new Array[Byte](PageSize * 8)
     val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
@@ -383,6 +399,10 @@ object JetMdbWrite {
     }
     require(off <= p.length,
       s"jetmdb: TDEF exceeds ${p.length / PageSize} pages")
+    // tdef_len @8: the documented logical length — external tooling
+    // sizes multi-page TDEFs by it (r12 review; the reader follows
+    // next pointers and checks it nowhere)
+    b.putInt(8, off)
     // trim to the logical length (never below one page)
     java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
   }
@@ -486,6 +506,13 @@ private[jetmdb] final class JetMdbWriteBuilder(
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
+      // Jet's own hard limit: 255 fields per table (all versions) —
+      // without this the chained-TDEF writer would happily emit a
+      // wide file real Access cannot open (r12 review)
+      require(schema.fields.length <= 255,
+        s"jetmdb: ${schema.fields.length} columns exceed Jet's " +
+          "255-fields-per-table limit — split the table or use the " +
+          "parquet/JDBC sink")
       // index/relationship metadata: parsed (and so validated) at
       // plan time, carried to the driver-side commit
       val indexes = Option(info.options.get("indexes"))
@@ -678,7 +705,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     require(ace || u8(pages(0), 0x14) == 0x01,
       "jetmdb append: target is not a Jet4 file — append to a Jet3 " +
         "database with .option(\"version\", \"jet3\")")
-    val sysTdef = parseTdef(pages(2), 2)
+    val sysTdef = parseTdefChained(2, pages(_))
     require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
       ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
       "jetmdb append: page-2 catalog TDEF is not the (Id, Type, Name) " +

@@ -203,6 +203,7 @@ object Jet3Fixture {
     }
     require(off <= p.length,
       s"jet3 fixture: TDEF overflow for ${t.name}")
+    b.putInt(8, off) // tdef_len: documented logical length (r12)
     java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
   }
 

@@ -171,6 +171,7 @@ object JetMdbFixture {
       off += 2 + nb.length
     }
     require(off <= p.length, s"fixture: TDEF overflow for ${t.name}")
+    b.putInt(8, off) // tdef_len: documented logical length (r12)
     // trim to the logical length (header stays at the front)
     java.util.Arrays.copyOfRange(p, 0, math.max(off, PageSize))
   }
