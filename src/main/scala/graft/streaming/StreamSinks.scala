@@ -56,15 +56,17 @@ object StreamSinks {
         val (cleaned, ckpts) = graft.etl.DedupPipeline
           .dedupIncrementalTracked(batch.sparkSession, batch.toDF(),
             corpusDir, threshold)
-        cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        // release THIS batch's localCheckpoint blocks now that the
-        // output is on disk — without it every micro-batch leaks its
-        // blocks for the session lifetime. EXACT handles, not a
-        // created-since set-diff: the diff form released any
-        // concurrent driver query's transient loop checkpoint that
-        // happened to be created inside the batch window, and a
-        // released localCheckpoint cannot recompute (r12 advice)
-        ckpts.foreach(c =>
+        // release THIS batch's localCheckpoint blocks once the output
+        // is on disk — without it every micro-batch leaks its blocks
+        // for the session lifetime. EXACT handles, not a created-since
+        // set-diff: the diff form released any concurrent driver
+        // query's transient loop checkpoint that happened to be
+        // created inside the batch window, and a released
+        // localCheckpoint cannot recompute (r12 advice). finally: a
+        // FAILED batch write must release them too (the replay
+        // rebuilds fresh frames), or every retry leaks a pair.
+        try cleaned.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        finally ckpts.foreach(c =>
           graft.plans.Checkpoints.unpersist(c, blocking = true))
       }
       .start()

@@ -229,4 +229,32 @@ class MigrationPipelineSpec extends AnyFunSuite {
     assert(reread.toSeq.map(_.toList) ==
       norm.orderBy("customer_id").collect().map(_.toSeq.toList).toSeq)
   }
+
+  test("accdb end-to-end (r12): Large Number survives .accdb -> " +
+    "migrateJetMdb -> Derby BIGINT -> values exact") {
+    import graft.JetMdbFixture.{Col, Table}
+    val acc = Files.createTempDirectory("mig-ace")
+      .resolve("inventory.accdb")
+    JetMdbFixture.write(acc.toString, Seq(Table("Stock Counts",
+      Seq(Col("Item ID", 0x04), Col("Lifetime Units", 0x13),
+        Col("Item Name", 0x0A)),
+      Seq(
+        Seq[Any](Integer.valueOf(1),
+          java.lang.Long.valueOf(9007199254740993L), "widget"),
+        Seq[Any](Integer.valueOf(2),
+          java.lang.Long.valueOf(-42L), "gadget")))),
+      aceVersion = 0x02)
+    val dbDir = Files.createTempDirectory("mig-ace-db").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = MigrationPipeline.migrateJetMdb(
+      spark, acc.toString, MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map("Stock Counts" -> 2L))
+    val back = graft.sources.JdbcConnector
+      .read(spark, url, "stock_counts", props = props)
+      .orderBy("item_id").collect()
+    assert(back(0).getAs[Long]("lifetime_units") == 9007199254740993L)
+    assert(back(1).getAs[Long]("lifetime_units") == -42L)
+    assert(back(0).getAs[String]("item_name") == "widget")
+  }
 }
