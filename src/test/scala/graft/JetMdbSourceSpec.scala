@@ -409,7 +409,9 @@ class JetMdbSourceSpec extends AnyFunSuite {
 
   test("20 random schemas round-trip the jet4 writer: bool/int/long/" +
     "money/NUMERIC(p,s)/float/double/timestamp/TEXT/MEMO/OLE, ~20% " +
-    "nulls, Unicode text incl. a BOM-prefixed value (seeded)") {
+    "nulls, Unicode text incl. a BOM-prefixed value; r12: every 4th " +
+    "case writes ACE (Large Number columns in the pool), every 5th " +
+    "is WIDE (120-160 columns, chained TDEF) (seeded)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val r = new scala.util.Random(46464646L)
@@ -422,7 +424,9 @@ class JetMdbSourceSpec extends AnyFunSuite {
       if (r.nextInt(8) == 0) "\uFEFF" + s else s
     }
     // (type, isMemo) — memo designation rides the memocolumns option
-    def randType(): (DataType, Boolean) = r.nextInt(10) match {
+    def randType(ace: Boolean): (DataType, Boolean) =
+      r.nextInt(if (ace) 11 else 10) match {
+      case 10 => (LongType, false) // ACE Large Number
       case 0 => (BooleanType, false)
       case 1 => (ShortType, false)
       case 2 => (IntegerType, false)
@@ -437,8 +441,10 @@ class JetMdbSourceSpec extends AnyFunSuite {
       case _ => (StringType, r.nextBoolean())
     }
     (0 until 20).foreach { k =>
-      val nCols = r.nextInt(6) + 1
-      val colTypes = (0 until nCols).map(_ => randType())
+      val ace = k % 4 == 3
+      val wide = k % 5 == 4
+      val nCols = if (wide) 120 + r.nextInt(41) else r.nextInt(6) + 1
+      val colTypes = (0 until nCols).map(_ => randType(ace))
       val fields = StructField("rid", IntegerType, nullable = false) +:
         colTypes.zipWithIndex.map { case ((dt, _), i) =>
           StructField(s"c$i", dt, nullable = true)
@@ -469,7 +475,8 @@ class JetMdbSourceSpec extends AnyFunSuite {
             (r.nextLong(3155760000L)) * 1000L) // 1970..2070, seconds
           case BinaryType =>
             val b = new Array[Byte](r.nextInt(50)); r.nextBytes(b); b
-          case StringType => randS(30)
+          case LongType => r.nextLong()
+          case StringType => randS(if (wide) 4 else 30)
         }
       val nRows = r.nextInt(25)
       val rows = (0 until nRows).map { i =>
@@ -477,9 +484,11 @@ class JetMdbSourceSpec extends AnyFunSuite {
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 2), schema)
-      val p = dir.resolve(s"rt$k.mdb").toString
+      val p = dir.resolve(
+        if (ace) s"rt$k.accdb" else s"rt$k.mdb").toString
       var w = df.write.mode("overwrite").format("jetmdb")
         .option("table", "t")
+      if (ace) w = w.option("version", "ace")
       if (memoCols.nonEmpty)
         w = w.option("memocolumns", memoCols.mkString(","))
       w.save(p)
