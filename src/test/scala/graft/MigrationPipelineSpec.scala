@@ -242,7 +242,9 @@ class MigrationPipelineSpec extends AnyFunSuite {
         Seq[Any](Integer.valueOf(1),
           java.lang.Long.valueOf(9007199254740993L), "widget"),
         Seq[Any](Integer.valueOf(2),
-          java.lang.Long.valueOf(-42L), "gadget")))),
+          java.lang.Long.valueOf(-42L), "gadget")),
+      indexes = Seq(JetMdbFixture.IndexDef(
+        "PrimaryKey", Seq("Item ID"), unique = true, primary = true)))),
       aceVersion = 0x02)
     val dbDir = Files.createTempDirectory("mig-ace-db").resolve("db")
     val url = s"jdbc:derby:$dbDir;create=true"
@@ -256,5 +258,18 @@ class MigrationPipelineSpec extends AnyFunSuite {
     assert(back(0).getAs[Long]("lifetime_units") == 9007199254740993L)
     assert(back(1).getAs[Long]("lifetime_units") == -42L)
     assert(back(0).getAs[String]("item_name") == "widget")
+    // the ACE TDEF's PK arrived through the shared index section and
+    // is ENFORCED on the target
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val dup = intercept[java.sql.SQLException] {
+          st.execute(
+            "INSERT INTO stock_counts VALUES (1, 5, 'dup')")
+        }
+        assert(dup.getSQLState.startsWith("23"), dup.getMessage)
+      } finally st.close()
+    } finally conn.close()
   }
 }
