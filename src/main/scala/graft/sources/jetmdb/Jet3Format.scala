@@ -319,7 +319,18 @@ object Jet3Format {
     * contract as Jet4. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    val sysTdef = parseTdefChained(2, pages)
+    // encrypted-database hint, as in the Jet4 catalog walk (r12)
+    val sysTdef =
+      try parseTdefChained(2, pages)
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("is not a TDEF") =>
+          throw new IllegalArgumentException(e.getMessage +
+            " — if this database is password-protected/encrypted, " +
+            "its pages are RC4-obfuscated and out of this reader's " +
+            "scope: remove the password in Access first", e)
+      }
     require(
       Seq("Name", "Id", "Type").forall(n => sysTdef.columns.exists(
         _.name == n)),

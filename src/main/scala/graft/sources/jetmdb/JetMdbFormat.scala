@@ -702,7 +702,23 @@ object JetMdbFormat {
     * of its Id. `pages` is a by-number page accessor. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    val sysTdef = parseTdefChained(2, pages)
+    // a password-protected/encrypted database has a VALID page-0
+    // header but RC4-obfuscated pages from page 1 on — page 2's type
+    // byte then reads as noise. Name the likely cause instead of the
+    // bare type diagnostic (r12; decryption is documented out of
+    // scope: the page-0 key field is itself scrambled by a constant
+    // this offline environment cannot verify).
+    val sysTdef =
+      try parseTdefChained(2, pages)
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("is not a TDEF") =>
+          throw new IllegalArgumentException(e.getMessage +
+            " — if this database is password-protected/encrypted, " +
+            "its pages are RC4-obfuscated and out of this reader's " +
+            "scope: remove the password in Access first", e)
+      }
     val byName = sysTdef.columns.map(c => c.name -> c).toMap
     require(byName.contains("Name") && byName.contains("Id") &&
       byName.contains("Type"),

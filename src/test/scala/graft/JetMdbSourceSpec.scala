@@ -405,6 +405,20 @@ class JetMdbSourceSpec extends AnyFunSuite {
     // mismatch (0x02+ carries the ACE magic)
     assert(e2.getMessage.contains("unsupported version") &&
       e2.getMessage.contains("ACE"))
+    // encrypted-database diagnostic: a valid header whose page 2 is
+    // ciphertext-noise names the likely cause (r12)
+    val enc = new Array[Byte](4096 * 3)
+    enc(0) = 0x00; enc(1) = 0x01
+    System.arraycopy("Standard Jet DB".getBytes("US-ASCII"), 0, enc, 4, 15)
+    enc(0x14) = 0x01
+    val rnd = new scala.util.Random(7L)
+    (4096 until enc.length).foreach(i => enc(i) = rnd.nextInt().toByte)
+    val fe = dir.resolve("enc.mdb")
+    Files.write(fe, enc)
+    val e3 = intercept[IllegalArgumentException] {
+      JetMdbSource.listTables(fe.toString)
+    }
+    assert(e3.getMessage.contains("password-protected"), e3.getMessage)
   }
 
   test("20 random schemas round-trip the jet4 writer: bool/int/long/" +
