@@ -217,6 +217,36 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  /** ACE (`.accdb`) twin of [[qScanJetMdb]] (r12): documents
+    * round-trip through the ACE writer/reader — version byte 0x02 on
+    * page 0, plus a BIGINT Large Number column whose values exceed
+    * double precision (doc_id · 10^15-scale prime + n_chars), so the
+    * int64 path is exact end-to-end — putting the `.accdb` surface
+    * under the driver hash gate rather than spec-only evidence. */
+  val qScanAccdb: QDef = QDef(
+    "q_scan_accdb",
+    """SELECT CAST(doc_id AS INT) AS doc_id, lang,
+      |  CAST(n_chars AS INT) AS n_chars,
+      |  CAST(doc_id * 1000000000000037 + n_chars AS BIGINT) AS big_id
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "accdb")) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}.accdb"
+        documents(s, d)
+          .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
+            col("n_chars").cast("int").as("n_chars"),
+            (col("doc_id") * lit(1000000000000037L) + col("n_chars"))
+              .cast("bigint").as("big_id"))
+          .write.mode("overwrite").format("jetmdb")
+          .option("version", "ace")
+          .option("table", "documents").save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .orderBy("doc_id")
+  }
+
   /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number
     * return NULL where the strict form would raise — the policy layer a
     * migration needs when source data is dirty but the job must not
@@ -1081,7 +1111,8 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qTryFuncs, qSnapshotDiff,
+    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb, qTryFuncs,
+    qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
