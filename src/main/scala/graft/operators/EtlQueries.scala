@@ -247,6 +247,33 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  /** Jet3 (Access 97) twin (r12): the same documents round-trip
+    * through the Jet3 writer/reader — 2048-byte pages, CP1252 text,
+    * u8 row offsets — putting the Access-97 binary path under the
+    * driver hash gate next to its Jet4 (q_scan_jetmdb) and ACE
+    * (q_scan_accdb) siblings. Values stay inside the Jet3 profile:
+    * int32 ids, short single-byte text, ≤255-byte rows. */
+  val qScanJet3: QDef = QDef(
+    "q_scan_jet3",
+    """SELECT CAST(doc_id AS INT) AS doc_id, lang, source,
+      |  CAST(n_chars AS INT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "jet3")) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}_97.mdb"
+        documents(s, d)
+          .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
+            col("source"), col("n_chars").cast("int").as("n_chars"))
+          .write.mode("overwrite").format("jetmdb")
+          .option("version", "jet3")
+          .option("table", "documents").save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .orderBy("doc_id")
+  }
+
   /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number
     * return NULL where the strict form would raise — the policy layer a
     * migration needs when source data is dirty but the job must not
@@ -1111,7 +1138,8 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb, qTryFuncs,
+    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb, qScanJet3,
+    qTryFuncs,
     qSnapshotDiff,
     qProfileTable,
     qTableChecksum, qCdcApply, qMigrationDdl, qMigrationConstraints,
