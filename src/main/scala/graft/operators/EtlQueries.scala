@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -198,53 +199,61 @@ object EtlQueries {
       |  CAST(CAST(n_chars * 1.25 AS DECIMAL(15,2)) AS DOUBLE) AS amount
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val file = graft.sources.SessionCache
-      .getOrElseUpdate(s, ("ingest", d, "jetmdb")) {
-        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}.mdb"
-        documents(s, d)
-          .select(col("doc_id").cast("int"), col("lang"),
-            col("source"), col("n_chars").cast("int"),
-            // NUMERIC column: rides the 17-byte scaled-decimal path
-            // through the binary write+read, hash-checked vs the oracle
-            (col("n_chars") * lit(1.25)).cast("decimal(15,2)")
-              .as("amount"))
-          .write.mode("overwrite").format("jetmdb")
-          .option("table", "documents").save(out)
-        out
-      }
-    s.read.format("jetmdb").option("table", "documents").load(file)
+    jetRoundtrip(s, d, "jetmdb", ".mdb", None, Seq(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("source"), col("n_chars").cast("int").as("n_chars"),
+      // NUMERIC column: rides the 17-byte scaled-decimal path
+      // through the binary write+read, hash-checked vs the oracle
+      (col("n_chars") * lit(1.25)).cast("decimal(15,2)")
+        .as("amount")))
       .withColumn("amount", col("amount").cast("double"))
       .orderBy("doc_id")
   }
+  /** Memoized BINARY round-trip scaffold shared by the three Access
+    * scan gates (r12 review: Jet4/ACE/Jet3 carried three copies):
+    * write the projected documents once per (session, sfDir, key) to
+    * /tmp through the jetmdb writer at `version`, read the table
+    * back, order by doc_id. */
+  private def jetRoundtrip(
+      s: SparkSession, d: String, key: String, suffix: String,
+      version: Option[String], cols: Seq[Column]): DataFrame = {
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, key)) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}$suffix"
+        var w = documents(s, d).select(cols: _*)
+          .write.mode("overwrite").format("jetmdb")
+          .option("table", "documents")
+        version.foreach(v => w = w.option("version", v))
+        w.save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .orderBy("doc_id")
+  }
+
 
   /** ACE (`.accdb`) twin of [[qScanJetMdb]] (r12): documents
     * round-trip through the ACE writer/reader — version byte 0x02 on
-    * page 0, plus a BIGINT Large Number column whose values exceed
-    * double precision (doc_id · 10^15-scale prime + n_chars), so the
-    * int64 path is exact end-to-end — putting the `.accdb` surface
-    * under the driver hash gate rather than spec-only evidence. */
+    * page 0, plus a BIGINT Large Number column whose EVERY value
+    * exceeds double precision (2^53 + doc_id·1000003 + n_chars —
+    * overflow-safe even at 10^12 documents, r12 review: the first
+    * draft's 10^15-scale multiplier overflowed int64 at the
+    * FIXTURES.md-documented sf0.1 row count), so the int64 path is
+    * exact end-to-end — putting the `.accdb` surface under the
+    * driver hash gate rather than spec-only evidence. */
   val qScanAccdb: QDef = QDef(
     "q_scan_accdb",
     """SELECT CAST(doc_id AS INT) AS doc_id, lang,
       |  CAST(n_chars AS INT) AS n_chars,
-      |  CAST(doc_id * 1000000000000037 + n_chars AS BIGINT) AS big_id
+      |  CAST(9007199254740993 + doc_id * 1000003 + n_chars
+      |    AS BIGINT) AS big_id
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val file = graft.sources.SessionCache
-      .getOrElseUpdate(s, ("ingest", d, "accdb")) {
-        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}.accdb"
-        documents(s, d)
-          .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
-            col("n_chars").cast("int").as("n_chars"),
-            (col("doc_id") * lit(1000000000000037L) + col("n_chars"))
-              .cast("bigint").as("big_id"))
-          .write.mode("overwrite").format("jetmdb")
-          .option("version", "ace")
-          .option("table", "documents").save(out)
-        out
-      }
-    s.read.format("jetmdb").option("table", "documents").load(file)
-      .orderBy("doc_id")
+    jetRoundtrip(s, d, "accdb", ".accdb", Some("ace"), Seq(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"),
+      (lit(9007199254740993L) + col("doc_id") * lit(1000003L) +
+        col("n_chars")).cast("bigint").as("big_id")))
   }
 
   /** Jet3 (Access 97) twin (r12): the same documents round-trip
@@ -259,19 +268,9 @@ object EtlQueries {
       |  CAST(n_chars AS INT) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val file = graft.sources.SessionCache
-      .getOrElseUpdate(s, ("ingest", d, "jet3")) {
-        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}_97.mdb"
-        documents(s, d)
-          .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
-            col("source"), col("n_chars").cast("int").as("n_chars"))
-          .write.mode("overwrite").format("jetmdb")
-          .option("version", "jet3")
-          .option("table", "documents").save(out)
-        out
-      }
-    s.read.format("jetmdb").option("table", "documents").load(file)
-      .orderBy("doc_id")
+    jetRoundtrip(s, d, "jet3", "_97.mdb", Some("jet3"), Seq(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("source"), col("n_chars").cast("int").as("n_chars")))
   }
 
   /** ANSI-safe ingestion scalars: try_cast / try_divide / try_to_number

@@ -78,8 +78,9 @@ object Jet3Format {
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
     // type check FIRST: a non-TDEF page must say so, not claim a
     // chain exists (r12 review)
-    require(u8(page, 0) == 0x02,
-      s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
+    if (u8(page, 0) != 0x02)
+      throw new JetMdbFormat.NotATdefException(
+        s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     require(page.length < 2 * PageSize && i32(page, 4) == 0,
       s"jetmdb/jet3: multi-page TDEF at $pageNum needs the chained " +
         "parse path (parseTdefChained)")
@@ -98,8 +99,9 @@ object Jet3Format {
 
   private def parseTdefBuffer(
       page: Array[Byte], pageNum: Int): JetTableDef = {
-    require(u8(page, 0) == 0x02,
-      s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
+    if (u8(page, 0) != 0x02)
+      throw new JetMdbFormat.NotATdefException(
+        s"jetmdb/jet3: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     val numRows = i32(page, 12)
     val tableType = u8(page, 20)
     val numVarCols = u16(page, 23)
@@ -319,18 +321,8 @@ object Jet3Format {
     * contract as Jet4. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    // encrypted-database hint, as in the Jet4 catalog walk (r12)
     val sysTdef =
-      try parseTdefChained(2, pages)
-      catch {
-        case e: IllegalArgumentException
-          if e.getMessage != null &&
-            e.getMessage.contains("is not a TDEF") =>
-          throw new IllegalArgumentException(e.getMessage +
-            " — if this database is password-protected/encrypted, " +
-            "its pages are RC4-obfuscated and out of this reader's " +
-            "scope: remove the password in Access first", e)
-      }
+      JetMdbFormat.withEncryptedHint(parseTdefChained(2, pages))
     require(
       Seq("Name", "Id", "Type").forall(n => sysTdef.columns.exists(
         _.name == n)),

@@ -166,6 +166,31 @@ object JetMdbFormat {
       throw new IllegalArgumentException(f"jetmdb: unknown type 0x$other%02x")
   }
 
+  /** Typed "this page is not a TDEF" signal (r12 review): the
+    * encrypted-database hint keys on the TYPE, not on message
+    * substrings a reword would silently stop matching. Subclasses
+    * IllegalArgumentException so existing intercepts keep passing. */
+  final class NotATdefException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Catalog-walk wrapper SHARED by the Jet4/ACE and Jet3 paths (r12
+    * review de-duplicated the two copies): a password-protected/
+    * encrypted database has a VALID page-0 header but RC4-obfuscated
+    * pages from page 1 on, so the page-2 catalog TDEF's type byte
+    * reads as noise — name the likely cause instead of the bare type
+    * diagnostic. Decryption is documented out of scope (the page-0
+    * key field is itself scrambled by a constant this offline
+    * environment cannot verify). */
+  private[jetmdb] def withEncryptedHint[A](parse: => A): A =
+    try parse
+    catch {
+      case e: NotATdefException =>
+        throw new IllegalArgumentException(e.getMessage +
+          " — if this database is password-protected/encrypted, " +
+          "its pages are RC4-obfuscated and out of this reader's " +
+          "scope: remove the password in Access first", e)
+    }
+
   /** ASCII "LVAL" in a data page's owner field marks a long-value
     * page (memo/OLE payload rows) instead of a TDEF pointer. */
   val LvalOwner: Int = 'L' | ('V' << 8) | ('A' << 16) | ('L' << 24)
@@ -238,8 +263,9 @@ object JetMdbFormat {
   def parseTdef(page: Array[Byte], pageNum: Int): JetTableDef = {
     // type check FIRST: a non-TDEF page must say so, not claim a
     // chain exists (r12 review)
-    require(u8(page, 0) == 0x02,
-      s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
+    if (u8(page, 0) != 0x02)
+      throw new NotATdefException(
+        s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     require(page.length < 2 * PageSize && i32(page, 4) == 0,
       s"jetmdb: multi-page TDEF at $pageNum needs the chained parse " +
         "path (parseTdefChained)")
@@ -253,8 +279,9 @@ object JetMdbFormat {
       pageNum: Int, pages: Int => Array[Byte],
       prefix: String): Array[Byte] = {
     val head = pages(pageNum)
-    require(u8(head, 0) == 0x02,
-      s"$prefix: page $pageNum is not a TDEF (type ${u8(head, 0)})")
+    if (u8(head, 0) != 0x02)
+      throw new NotATdefException(
+        s"$prefix: page $pageNum is not a TDEF (type ${u8(head, 0)})")
     var next = i32(head, 4)
     if (next == 0) head
     else {
@@ -267,9 +294,10 @@ object JetMdbFormat {
           s"$prefix: TDEF chain from page $pageNum exceeds 64 pages " +
             "(cyclic next pointers?)")
         val p = pages(next)
-        require(u8(p, 0) == 0x02,
-          s"$prefix: TDEF continuation page $next has type " +
-            f"0x${u8(p, 0)}%02x, not TDEF")
+        if (u8(p, 0) != 0x02)
+          throw new NotATdefException(
+            s"$prefix: TDEF continuation page $next has type " +
+              f"0x${u8(p, 0)}%02x, not TDEF")
         out.write(p, 8, p.length - 8)
         next = i32(p, 4)
       }
@@ -294,8 +322,9 @@ object JetMdbFormat {
 
   private def parseTdefBuffer(
       page: Array[Byte], pageNum: Int): JetTableDef = {
-    require(u8(page, 0) == 0x02,
-      s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
+    if (u8(page, 0) != 0x02)
+      throw new NotATdefException(
+        s"jetmdb: page $pageNum is not a TDEF (type ${u8(page, 0)})")
     // Jet4 table header, offsets relative to page start:
     //   @8  u32 tdef_len, @12 u32 unknown, @16 u32 num_rows,
     //   @20 u32 autonumber, @24 4 unknown, @28 4 unknown,
@@ -702,23 +731,7 @@ object JetMdbFormat {
     * of its Id. `pages` is a by-number page accessor. */
   def readCatalog(
       pageCount: Int, pages: Int => Array[Byte]): Seq[CatalogEntry] = {
-    // a password-protected/encrypted database has a VALID page-0
-    // header but RC4-obfuscated pages from page 1 on — page 2's type
-    // byte then reads as noise. Name the likely cause instead of the
-    // bare type diagnostic (r12; decryption is documented out of
-    // scope: the page-0 key field is itself scrambled by a constant
-    // this offline environment cannot verify).
-    val sysTdef =
-      try parseTdefChained(2, pages)
-      catch {
-        case e: IllegalArgumentException
-          if e.getMessage != null &&
-            e.getMessage.contains("is not a TDEF") =>
-          throw new IllegalArgumentException(e.getMessage +
-            " — if this database is password-protected/encrypted, " +
-            "its pages are RC4-obfuscated and out of this reader's " +
-            "scope: remove the password in Access first", e)
-      }
+    val sysTdef = withEncryptedHint(parseTdefChained(2, pages))
     val byName = sysTdef.columns.map(c => c.name -> c).toMap
     require(byName.contains("Name") && byName.contains("Id") &&
       byName.contains("Type"),

@@ -413,12 +413,28 @@ class JetMdbSourceSpec extends AnyFunSuite {
     enc(0x14) = 0x01
     val rnd = new scala.util.Random(7L)
     (4096 until enc.length).foreach(i => enc(i) = rnd.nextInt().toByte)
+    if (enc(2 * 4096) == 0x02) enc(2 * 4096) = 0x7f // force non-TDEF
     val fe = dir.resolve("enc.mdb")
     Files.write(fe, enc)
     val e3 = intercept[IllegalArgumentException] {
       JetMdbSource.listTables(fe.toString)
     }
     assert(e3.getMessage.contains("password-protected"), e3.getMessage)
+    // same hint on the Jet3 catalog walk (r12 review: the Jet3 copy
+    // had no test)
+    val enc3 = new Array[Byte](2048 * 3)
+    enc3(0) = 0x00; enc3(1) = 0x01
+    System.arraycopy(
+      "Standard Jet DB".getBytes("US-ASCII"), 0, enc3, 4, 15)
+    enc3(0x14) = 0x00 // Jet3
+    (2048 until enc3.length).foreach(i => enc3(i) = rnd.nextInt().toByte)
+    if (enc3(2 * 2048) == 0x02) enc3(2 * 2048) = 0x7f // force non-TDEF
+    val fe3 = dir.resolve("enc97.mdb")
+    Files.write(fe3, enc3)
+    val e4 = intercept[IllegalArgumentException] {
+      JetMdbSource.listTables(fe3.toString)
+    }
+    assert(e4.getMessage.contains("password-protected"), e4.getMessage)
   }
 
   test("20 random schemas round-trip the jet4 writer: bool/int/long/" +
