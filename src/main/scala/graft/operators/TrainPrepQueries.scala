@@ -270,7 +270,107 @@ object TrainPrepQueries {
       .orderBy(col("source"))
   }
 
+  /** T5/UL2-style SPAN CORRUPTION prep (r12): turn each document into
+    * a (input_text, target_text) denoising pair — ~12.5% of tokens
+    * masked by a DETERMINISTIC md5 coin per (doc_id, token index),
+    * consecutive masked tokens collapsed into one `<extra_id_k>`
+    * sentinel in the input, and the targets spelling each sentinel's
+    * span back out — the standard denoising-objective data layout,
+    * produced relationally: one posexplode, two partitioned windows
+    * (run starts → run ids), one sort-deterministic string
+    * aggregation. Scale shape: everything is per-document (window
+    * partition = doc_id), so the operator is embarrassingly parallel
+    * across the corpus with map-side-only rendering after one
+    * shuffle on doc_id. The md5 coin makes the DuckDB oracle rebuild
+    * the identical masks, runs, sentinels, and strings. */
+  val qSpanCorrupt: QDef = QDef(
+    "q_span_corrupt",
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_transform(range(1, len(p) + 1),
+      |      i -> struct_pack(idx := i - 1, tk := p[i]))) AS u
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS p
+      |        FROM documents WHERE doc_id % 5 = 0)),
+      |m AS (
+      |  SELECT doc_id, u.idx AS idx, u.tk AS tk,
+      |    substr(md5(doc_id || '-' || u.idx), 1, 1) IN ('0', '1')
+      |      AS msk
+      |  FROM tk),
+      |r AS (
+      |  SELECT doc_id, idx, tk, msk,
+      |    CASE WHEN msk AND NOT COALESCE(
+      |        lag(msk) OVER (PARTITION BY doc_id ORDER BY idx), FALSE)
+      |      THEN 1 ELSE 0 END AS run_start
+      |  FROM m),
+      |g AS (
+      |  SELECT doc_id, idx, tk, msk, run_start,
+      |    SUM(run_start) OVER (PARTITION BY doc_id ORDER BY idx)
+      |      AS run_id
+      |  FROM r),
+      |pieces AS (
+      |  SELECT doc_id, idx, msk, run_id,
+      |    CASE WHEN NOT msk THEN tk
+      |         WHEN run_start = 1
+      |           THEN '<extra_id_' || (run_id - 1) || '>' END
+      |      AS in_piece,
+      |    CASE WHEN msk AND run_start = 1
+      |           THEN '<extra_id_' || (run_id - 1) || '> ' || tk
+      |         WHEN msk THEN tk END AS tg_piece
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_masked,
+      |  CAST(MAX(run_id) AS BIGINT) AS n_spans,
+      |  string_agg(in_piece, ' ' ORDER BY idx) AS input_text,
+      |  COALESCE(string_agg(tg_piece, ' ' ORDER BY idx), '')
+      |    AS target_text
+      |FROM pieces
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val tk = documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "tk")))
+    val m = tk.withColumn("msk",
+      substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+        col("idx").cast("string")).cast("binary")), 1, 1)
+        .isin("0", "1"))
+    val r = m.withColumn("run_start",
+      (col("msk") &&
+        !coalesce(lag(col("msk"), 1).over(w), lit(false))).cast("int"))
+    val g = r.withColumn("run_id", sum(col("run_start")).over(w))
+    val sentinel =
+      concat(lit("<extra_id_"), (col("run_id") - 1).cast("string"),
+        lit(">"))
+    val pieces = g
+      .withColumn("in_piece",
+        when(!col("msk"), col("tk"))
+          .when(col("run_start") === 1, sentinel))
+      .withColumn("tg_piece",
+        when(col("msk") && col("run_start") === 1,
+          concat(sentinel, lit(" "), col("tk")))
+          .when(col("msk"), col("tk")))
+    // sort-deterministic string aggregation (the q_agg_string_agg
+    // idiom): collect (idx, piece) structs, sort by idx, join —
+    // array_join drops the null pieces exactly as string_agg skips
+    // NULL inputs in DuckDB
+    def agg(piece: String) = array_join(
+      transform(
+        array_sort(collect_list(struct(col("idx"), col(piece)))),
+        x => x.getField(piece)),
+      " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("msk").cast("int")).as("n_masked"),
+        max(col("run_id")).as("n_spans"),
+        agg("in_piece").as("input_text"),
+        agg("tg_piece").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qPackSequences, qTokenTruncate, qCurationFunnel, qChunkOverlap,
-    qTemperatureMix, qDedupChunk)
+    qTemperatureMix, qDedupChunk, qSpanCorrupt)
 }
