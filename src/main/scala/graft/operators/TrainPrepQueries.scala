@@ -370,7 +370,64 @@ object TrainPrepQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FIM (fill-in-the-middle) pretraining transform (r12; the
+    * public Bavarian et al. recipe): split each document at two
+    * DETERMINISTIC hash-chosen character cuts into prefix / middle /
+    * suffix and emit the PSM rearrangement
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the layout that teaches
+    * infilling. Cuts come from two md5 draws mod (len+1), ordered by
+    * least/greatest, so the split needs no RNG and the oracle
+    * reproduces it exactly. Pure map-side (no shuffle at all): the
+    * 100 TB shape is a projection. */
+  val qFimSplit: QDef = QDef(
+    "q_fim_split",
+    """WITH c AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CAST(('0x' || substr(md5(doc_id || '-a'), 1, 6)) AS BIGINT)
+      |      % (length(text) + 1) AS u1,
+      |    CAST(('0x' || substr(md5(doc_id || '-b'), 1, 6)) AS BIGINT)
+      |      % (length(text) + 1) AS u2
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |k AS (
+      |  SELECT doc_id, text, n,
+      |    LEAST(u1, u2) AS lo, GREATEST(u1, u2) AS hi FROM c)
+      |SELECT doc_id, CAST(lo AS INT) AS cut_a, CAST(hi AS INT) AS cut_b,
+      |  CAST(n AS INT) AS n_chars,
+      |  '<PRE>' || substr(text, 1, CAST(lo AS INT)) ||
+      |  '<SUF>' || substr(text, CAST(hi AS INT) + 1) ||
+      |  '<MID>' || substr(text, CAST(lo AS INT) + 1,
+      |    CAST(hi - lo AS INT)) AS fim_text
+      |FROM k
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def draw(tag: String) =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s"-$tag")).cast("binary")), 1, 6), 16, 10)
+        .cast("bigint") % (length(col("text")) + 1)
+    val c = documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n"),
+        draw("a").as("u1"), draw("b").as("u2"))
+    val k = c.select(col("doc_id"), col("text"), col("n"),
+      least(col("u1"), col("u2")).as("lo"),
+      greatest(col("u1"), col("u2")).as("hi"))
+    k.select(
+      col("doc_id"),
+      col("lo").cast("int").as("cut_a"),
+      col("hi").cast("int").as("cut_b"),
+      col("n").cast("int").as("n_chars"),
+      concat(
+        lit("<PRE>"),
+        substring(col("text"), lit(1), col("lo").cast("int")),
+        lit("<SUF>"),
+        col("text").substr(col("hi").cast("int") + 1,
+          col("n").cast("int")),
+        lit("<MID>"),
+        col("text").substr(col("lo").cast("int") + 1,
+          (col("hi") - col("lo")).cast("int"))).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
     qPackSequences, qTokenTruncate, qCurationFunnel, qChunkOverlap,
-    qTemperatureMix, qDedupChunk, qSpanCorrupt)
+    qTemperatureMix, qDedupChunk, qSpanCorrupt, qFimSplit)
 }
