@@ -377,8 +377,9 @@ object TrainPrepQueries {
     * `<PRE>prefix<SUF>suffix<MID>middle` — the layout that teaches
     * infilling. Cuts come from two md5 draws mod (len+1), ordered by
     * least/greatest, so the split needs no RNG and the oracle
-    * reproduces it exactly. Pure map-side (no shuffle at all): the
-    * 100 TB shape is a projection. */
+    * reproduces it exactly. Map-side until the output sort (the
+    * orderBy exists only for the deterministic gate): the 100 TB
+    * shape is a projection. */
   val qFimSplit: QDef = QDef(
     "q_fim_split",
     """WITH c AS (
