@@ -141,7 +141,22 @@ object GraftExtensions {
           "freq_estimate(blob, item) - struct(est, lb, ub) count " +
             "bounds for item from a frequent-items sketch blob"),
         (es: Seq[Expression]) =>
-          graft.functions.FreqEstimate(es(0), es(1))))
+          graft.functions.FreqEstimate(es(0), es(1))),
+      (FunctionIdentifier("jet_weeknum"),
+        info("jet_weeknum",
+          "jet_weeknum(date, fdow, fwoy) - Access DatePart(\"ww\") " +
+            "week-of-year under any documented firstdayofweek (0-7) / " +
+            "firstweekofyear (0-3) anchor, including VB's " +
+            "within-year numbering for late December (KB 200299)"),
+        (es: Seq[Expression]) =>
+          graft.functions.JetWeekNum(es(0), es(1), es(2))),
+      (FunctionIdentifier("jet_weekstart"),
+        info("jet_weekstart",
+          "jet_weekstart(date, fdow) - date of the firstdayofweek-" +
+            "anchored week start containing the date (Access " +
+            "DateDiff(\"ww\") counts these boundaries)"),
+        (es: Seq[Expression]) =>
+          graft.functions.JetWeekStart(es(0), es(1))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -981,6 +981,8 @@ object EtlQueries {
       "WHERE [o_orderkey] Mod 13 = 0",
       "  AND [o_orderdate] < #7/1/1997#",
       "ORDER BY [o_orderkey]").mkString(" ")
+    // DateDiff("ww") emits jet_weekstart (r13) — session-registered
+    graft.GraftExtensions.register(s)
     s.sql(graft.sources.JetSql.translate(saved))
       .select(col("o_orderkey"),
         col("qtr").cast("int").as("qtr"),
@@ -993,14 +995,22 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** The four r12 translator scalar edges executed over real data,
-    * each recomputed independently in the DuckDB oracle:
+  /** The translator scalar edges executed over real data, each
+    * recomputed independently in the DuckDB oracle:
     * DatePart("ww") under the default Sunday/Jan-1 numbering (DuckDB
     * rebuilds it from its own 0-based dayofweek), the accepted
     * default-valued firstdayofweek/firstweekofyear trailing
     * arguments, 4-arg InStr in both deterministic compare modes
     * (strpos vs lowered strpos), and the numeric Format masks
-    * (printf for the plain form, fmt-grouping for #,##0). */
+    * (printf for the plain form, fmt-grouping for #,##0).
+    *
+    * r13 adds the NON-default anchors under the same hash gate:
+    * `wk_mon4` = DatePart("ww", d, vbMonday, vbFirstFourDays), which
+    * DuckDB rebuilds from its ISO week machinery — the two agree
+    * except that VB numbers late-December days within their own
+    * calendar year (KB 200299), so when isoyear > year the oracle
+    * steps back one week and adds 1; `wd_tue` = Weekday(d, vbTuesday),
+    * a pure rotation of DuckDB's 0-based dayofweek. */
   val qJetSqlScalarEdges: QDef = QDef(
     "q_jetsql_scalar_edges",
     """SELECT o_orderkey,
@@ -1010,6 +1020,10 @@ object EtlQueries {
       |  CAST(FLOOR((dayofyear(o_orderdate)
       |    + dayofweek(date_trunc('year', o_orderdate)) - 1) / 7)
       |    AS INT) + 1 AS wk_args,
+      |  CAST(CASE WHEN isoyear(o_orderdate) > year(o_orderdate)
+      |    THEN weekofyear(o_orderdate - INTERVAL 7 DAY) + 1
+      |    ELSE weekofyear(o_orderdate) END AS INT) AS wk_mon4,
+      |  CAST((dayofweek(o_orderdate) + 5) % 7 + 1 AS INT) AS wd_tue,
       |  CAST(strpos(lower(o_orderpriority), 'r') AS INT) AS pos_txt,
       |  CAST(strpos(o_orderpriority, 'R') AS INT) AS pos_bin,
       |  printf('%.2f', o_totalprice) AS amt,
@@ -1027,6 +1041,8 @@ object EtlQueries {
       "SELECT [o_orderkey],",
       "  DatePart(\"ww\", [o_orderdate]) AS wk,",
       "  DatePart(\"ww\", [o_orderdate], 1, 1) AS wk_args,",
+      "  DatePart(\"ww\", [o_orderdate], 2, 2) AS wk_mon4,",
+      "  Weekday([o_orderdate], 3) AS wd_tue,",
       "  InStr(1, [o_orderpriority], \"r\", 1) AS pos_txt,",
       "  InStr(1, [o_orderpriority], \"R\", 0) AS pos_bin,",
       "  Format([o_totalprice], \"0.00\") AS amt,",
@@ -1035,10 +1051,14 @@ object EtlQueries {
       "FROM orders",
       "WHERE [o_orderkey] Mod 17 = 0",
       "ORDER BY [o_orderkey]").mkString(" ")
+    // DatePart("ww") emits jet_weeknum (r13) — session-registered
+    graft.GraftExtensions.register(s)
     s.sql(graft.sources.JetSql.translate(saved))
       .select(col("o_orderkey"),
         col("wk").cast("int").as("wk"),
         col("wk_args").cast("int").as("wk_args"),
+        col("wk_mon4").cast("int").as("wk_mon4"),
+        col("wd_tue").cast("int").as("wd_tue"),
         col("pos_txt").cast("int").as("pos_txt"),
         col("pos_bin").cast("int").as("pos_bin"),
         col("amt"), col("amt_grp"), col("amt_whole"))

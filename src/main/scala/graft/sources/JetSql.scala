@@ -77,17 +77,27 @@ import org.apache.spark.sql.SparkSession
   *   - the Access date-arithmetic trio, with Jet's BOUNDARY-COUNT
   *     semantics (not elapsed-unit counts — DateDiff("h", 1:59, 2:01)
   *     is 1 in Access because an hour boundary was crossed):
-  *     `DatePart(i, d)` → year/quarter/month/day/dayofyear/dayofweek/
-  *     hour/minute/second by interval code ("ww" is rejected: Access
-  *     week-of-year numbering follows firstweekofyear rules ANSI
-  *     functions don't reproduce); `DateAdd(i, n, d)` →
+  *     `DatePart(i, d[, fdow[, fwoy]])` → year/quarter/month/day/
+  *     dayofyear/dayofweek/hour/minute/second by interval code; "w"
+  *     renumbers under any literal firstdayofweek (pmod shift), "ww"
+  *     emits the registered `jet_weeknum` expression (r13 — every
+  *     documented firstdayofweek 0-7 / firstweekofyear 0-3 anchor,
+  *     VB's within-year late-December numbering per KB 200299, date
+  *     argument spliced exactly ONCE so Now() can't straddle a week
+  *     boundary between two copies); non-LITERAL anchor arguments
+  *     still reject (a data-driven renumbering has no static SQL);
+  *     `DateAdd(i, n, d)` →
   *     `timestampadd(UNIT, n, d)` (month-end clamping matches Access:
-  *     Jan 31 + 1 month = Feb 29); `DateDiff(i, a, b)` → calendar
+  *     Jan 31 + 1 month = Feb 29); `DateDiff(i, a, b[, fdow[, fwoy]])`
+  *     → calendar
   *     boundary counts: yyyy/q/m as year/quarter/month-index
   *     differences, d/y as `datediff`, w as whole-7-day periods
-  *     (truncated toward zero, Access's Fix), ww as SUNDAY week-start
-  *     boundaries crossed (Access firstdayofweek default), h/n/s as
-  *     truncated-clock differences;
+  *     (truncated toward zero, Access's Fix), ww as fdow week-start
+  *     boundaries crossed via `jet_weekstart` (fwoy is accepted and
+  *     ignored, as VB does — week-of-YEAR rules never affect a week
+  *     boundary COUNT), h/n/s as truncated-clock differences; the
+  *     "ww"/non-default-"w" emissions need GraftExtensions registered
+  *     on the executing session (other emissions are stock Spark SQL);
   *   - `PARAMETERS [name] Type, …;` headers: declarations are parsed
   *     and every use of a declared parameter is replaced by a literal
   *     rendered from the caller's binding map per the DECLARED type
@@ -377,9 +387,19 @@ object JetSql {
         // "2" where %f and VB render "3"). r12 review.
         val plain = s"format_string('%.${d}f', CAST($expr AS DOUBLE))"
         if (group == null) plain
-        else
-          s"regexp_replace($plain, " +
-            """'(\\d)(?=(\\d{3})+($|\\.))', '$1,')"""
+        else {
+          // d is known at translation time, so anchor the grouping
+          // lookahead to THIS mask's shape: with decimals the commas
+          // may only land left of the '.', without them only left of
+          // end-of-string. The r12 `($|\.)` alternation also matched
+          // FRACTION digits whose suffix length was a multiple of 3 —
+          // Format(1234.5678, "#,##0.0000") rendered "1,234.5,678"
+          // (r13 ADVICE). An anchored lookahead can't cross the dot.
+          val look =
+            if (d > 0) """'(\\d)(?=(\\d{3})+\\.)', '$1,')"""
+            else """'(\\d)(?=(\\d{3})+$)', '$1,')"""
+          s"regexp_replace($plain, " + look
+        }
       case _ =>
         fail(s"FORMAT numeric mask \"$mask\" (deterministic subset: " +
           "\"0\", \"0.0…\", \"#,##0\", \"#,##0.0…\" — bare-# integer " +
@@ -406,16 +426,23 @@ object JetSql {
   private def isWord(t: Tok, w: String): Boolean =
     t.kind == "word" && t.text.equalsIgnoreCase(w)
 
-  /** Trailing firstdayofweek / firstweekofyear argument check (r12):
-    * ACCEPT the literal defaults — 0 (vbUseSystem, which resolves to
-    * the US defaults the rest of this translator already assumes) and
-    * 1 (the explicit defaults vbSunday / vbFirstJan1) — and only
-    * them. Any other value renumbers weeks, and a silently shifted
-    * week key corrupts a report, so those still reject. */
-  private def isDefaultWeekArg(arg: Vector[Tok]): Boolean = {
+  /** Trailing firstdayofweek / firstweekofyear arguments (r13 — r12
+    * accepted only the literal defaults 0/1): any LITERAL value in
+    * the documented range translates, resolved here (0 = vbUseSystem
+    * → the US defaults this translator assumes throughout: Sunday /
+    * week-with-Jan-1). A non-literal anchor would renumber weeks per
+    * ROW — no static SQL exists for that, so it stays a loud
+    * rejection rather than a silently-Sunday approximation. */
+  private def weekAnchorArg(arg: Vector[Tok], what: String,
+      max: Int): Int = {
     val ts = arg.filter(_.kind != "ws")
-    ts.length == 1 && ts.head.kind == "number" &&
-      (ts.head.text == "0" || ts.head.text == "1")
+    if (ts.length != 1 || ts.head.kind != "number" ||
+        !ts.head.text.forall(_.isDigit))
+      fail(s"$what must be an integer literal (a data-driven week " +
+        "anchor renumbers per row)")
+    val v = ts.head.text.toInt
+    if (v > max) fail(s"$what $v outside 0..$max")
+    if (v == 0) 1 else v
   }
 
   /** Render one token back to SQL text. */
@@ -1387,40 +1414,52 @@ object JetSql {
         lastWord = "coalesce"
         i = close + 1
       } else if (isWord(t, "weekday") && callAt(i).isDefined) {
-        // Access Weekday: 1 = Sunday … 7 = Saturday — exactly Spark's
-        // dayofweek. A 2-arg firstdayofweek form is accepted when it
-        // names the DEFAULT (0/1 — r12); other anchors renumber and
-        // reject.
+        // Access Weekday(d[, fdow]): 1 = the anchor day … 7. With the
+        // default Sunday anchor that is exactly Spark's dayofweek;
+        // any other literal anchor is the same numbering rotated —
+        // ((dayofweek - fdow) mod 7) + 1 (r13; r12 rejected
+        // non-defaults). The date is spliced once either way.
         val (_, close, args) = callAt(i).get
-        if (args.length == 2 && !isDefaultWeekArg(args(1)))
-          fail("WEEKDAY with a non-default firstdayofweek argument")
         if (args.length > 2)
           fail(s"WEEKDAY with ${args.length} arguments")
-        put("dayofweek(" + em(args(0)) + ")")
-        lastWord = "dayofweek"
+        val f = if (args.length == 2)
+          weekAnchorArg(args(1), "WEEKDAY firstdayofweek", 7) else 1
+        if (f == 1) {
+          put("dayofweek(" + em(args(0)) + ")")
+          lastWord = "dayofweek"
+        } else {
+          put(s"(pmod(dayofweek(" + em(args(0)) + s") - $f, 7) + 1)")
+          lastWord = "pmod"
+        }
         i = close + 1
       } else if (isWord(t, "datepart") && callAt(i).isDefined) {
         // DatePart(code, d [, firstdayofweek [, firstweekofyear]]):
-        // the trailing arguments are accepted at their defaults only
-        // (r12 — isDefaultWeekArg); non-default anchors renumber "w"/
-        // "ww" results and reject.
+        // every documented LITERAL anchor value translates (r13; r12
+        // accepted only the defaults). Anchors affect only "w"
+        // (weekday renumbering) and "ww" (week-of-year) — the other
+        // codes accept-and-ignore them exactly as VB does.
         val (_, close, args) = callAt(i).get
         if (args.length < 2 || args.length > 4)
           fail(s"DATEPART with ${args.length} arguments")
-        if (!args.drop(2).forall(isDefaultWeekArg))
-          fail("DATEPART with non-default firstdayofweek/" +
-            "firstweekofyear arguments")
+        val f = if (args.length >= 3)
+          weekAnchorArg(args(2), "DATEPART firstdayofweek", 7) else 1
+        val w = if (args.length >= 4)
+          weekAnchorArg(args(3), "DATEPART firstweekofyear", 3) else 1
         val code = intervalCode(args(0), "DatePart")
         if (code == "ww") {
-          // Access week-of-year under the DEFAULT rules (vbSunday +
-          // vbFirstJan1): week 1 is the Sun..Sat week containing
-          // Jan 1, so ww = floor((doy + dowOfJan1 - 2) / 7) + 1 with
-          // dayofweek's Sunday=1 numbering (r12 — was a rejection).
-          val d = em(args(1))
-          put("(CAST(FLOOR((dayofyear(" + d + ") + dayofweek(" +
-            "date_trunc('YEAR', CAST(" + d + " AS DATE))) - 2) / 7) " +
-            "AS INT) + 1)")
-          lastWord = "ww"
+          // jet_weeknum (functions/JetWeek.scala) carries the full
+          // anchor semantics — including VB's within-year numbering
+          // for late December (KB 200299) and previous-year carry for
+          // early January under fwoy 2/3 — and splices the date
+          // argument exactly once (r13 ADVICE: the r12 inline formula
+          // evaluated it twice, so Now() near New Year midnight could
+          // mis-number the week).
+          put("jet_weeknum(CAST(" + em(args(1)) + s" AS DATE), $f, $w)")
+          lastWord = "jet_weeknum"
+          i = close + 1
+        } else if (code == "w" && f != 1) {
+          put("(pmod(dayofweek(" + em(args(1)) + s") - $f, 7) + 1)")
+          lastWord = "pmod"
           i = close + 1
         } else {
           val fn = partFns.getOrElse(code,
@@ -1446,9 +1485,14 @@ object JetSql {
         val (_, close, args) = callAt(i).get
         if (args.length < 3 || args.length > 5)
           fail(s"DATEDIFF with ${args.length} arguments")
-        if (!args.drop(3).forall(isDefaultWeekArg))
-          fail("DATEDIFF with non-default firstdayofweek/" +
-            "firstweekofyear arguments")
+        // Any documented literal anchor translates (r13). Only "ww"
+        // uses firstdayofweek; firstweekofyear never affects a week
+        // boundary COUNT (VB accepts and ignores it here) — it is
+        // validated for range and dropped.
+        val fdow = if (args.length >= 4)
+          weekAnchorArg(args(3), "DATEDIFF firstdayofweek", 7) else 1
+        if (args.length >= 5)
+          weekAnchorArg(args(4), "DATEDIFF firstweekofyear", 3)
         val code = intervalCode(args(0), "DateDiff")
         val a = em(args(1))
         val b = em(args(2))
@@ -1463,14 +1507,13 @@ object JetSql {
           case "d" | "y" => s"datediff($b, $a)"
           // "w": whole 7-day periods, truncated toward zero (Fix).
           case "w" => s"CAST(datediff($b, $a) / 7 AS BIGINT)"
-          // "ww": Sunday week-start boundaries crossed (default
-          // firstdayofweek). Anchor both ends to their week's Sunday
-          // (dayofweek is 1 on Sunday), then the day gap is an exact
-          // multiple of 7.
+          // "ww": fdow week-start boundaries crossed. Anchor both
+          // ends to their week's start (jet_weekstart — one splice
+          // per side, any documented firstdayofweek), then the day
+          // gap is an exact multiple of 7.
           case "ww" =>
-            s"CAST(datediff(date_sub(CAST($b AS DATE), dayofweek($b) " +
-              s"- 1), date_sub(CAST($a AS DATE), dayofweek($a) - 1)) " +
-              "/ 7 AS BIGINT)"
+            s"CAST(datediff(jet_weekstart(CAST($b AS DATE), $fdow), " +
+              s"jet_weekstart(CAST($a AS DATE), $fdow)) / 7 AS BIGINT)"
           case "h" =>
             s"CAST((unix_timestamp(date_trunc('HOUR', $b)) - " +
               s"unix_timestamp(date_trunc('HOUR', $a))) / 3600 AS BIGINT)"

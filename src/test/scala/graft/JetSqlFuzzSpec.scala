@@ -820,44 +820,87 @@ class JetSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("300 random DatePart(\"ww\") / default-week-argument calls " +
-    "(lane 11, r12): the Sunday+Jan-1 week numbering matches an " +
-    "independent Sunday-anchor reference; non-default anchors still " +
-    "reject") {
+  test("400 random DatePart(\"ww\")/Weekday/DateDiff(\"ww\") calls " +
+    "over EVERY documented firstdayofweek (0-7) and firstweekofyear " +
+    "(0-3) anchor (lane 11, r13): week numbering matches an " +
+    "independent date-walk reference; non-literal/out-of-range " +
+    "anchors reject") {
     import java.time.LocalDate
     import java.time.temporal.ChronoUnit
     val spark = TestSpark.session
+    GraftExtensions.register(spark) // ww emits jet_weeknum/jet_weekstart
     val r = new scala.util.Random(41217L)
     def randD(): LocalDate = LocalDate.of(
       2015 + r.nextInt(10), 1 + r.nextInt(12), 1 + r.nextInt(28))
+    // year-boundary days are where the anchor rules actually differ —
+    // force half the draws into Dec 26..Jan 8
+    def randEdgeD(): LocalDate =
+      if (r.nextBoolean()) randD()
+      else {
+        val y = 2015 + r.nextInt(10)
+        if (r.nextBoolean()) LocalDate.of(y, 12, 26 + r.nextInt(6))
+        else LocalDate.of(y, 1, 1 + r.nextInt(8))
+      }
     def jetLit(d: LocalDate): String =
       s"#${d.getMonthValue}/${d.getDayOfMonth}/${d.getYear}#"
-    // independent reference: ww = Sunday-anchored weeks between the
-    // week containing Jan 1 and the week containing d, plus 1 — NOT
-    // the doy/dow closed form the translator emits
-    def anchor(d: LocalDate): LocalDate =
-      d.minusDays(d.getDayOfWeek.getValue % 7)
-    def refWw(d: LocalDate): Long = ChronoUnit.DAYS.between(
-      anchor(d.withDayOfYear(1)), anchor(d)) / 7 + 1
-    // trailing default args in every accepted spelling
-    val tails = Seq("", ", 0", ", 1", ", 1, 1", ", 0, 1", ", 1, 0")
-    val built = Vector.fill(300) {
-      val d = randD()
-      r.nextInt(3) match {
-        case 0 =>
-          (s"DatePart(\"ww\", ${jetLit(d)}${tails(r.nextInt(6))})",
-            refWw(d).toString)
-        case 1 => // defaults on w/weekday paths too
-          val w = (d.getDayOfWeek.getValue % 7 + 1).toString
+    // independent reference, date-WALK style (LocalDate stepping),
+    // not the epoch-day floorMod arithmetic JetWeek uses
+    def dow1(d: LocalDate): Int = d.getDayOfWeek.getValue % 7 + 1
+    def weekStartRef(d: LocalDate, f: Int): LocalDate = {
+      var x = d
+      while (dow1(x) != f) x = x.minusDays(1)
+      x
+    }
+    def week1StartRef(y: Int, f: Int, w: Int): LocalDate = {
+      val j = LocalDate.of(y, 1, 1)
+      val ws = weekStartRef(j, f)
+      w match {
+        case 1 => ws
+        case 2 => if (ChronoUnit.DAYS.between(ws, j) <= 3) ws
+          else ws.plusWeeks(1)
+        case _ => if (ws == j) j else ws.plusWeeks(1)
+      }
+    }
+    def refWw(d: LocalDate, f0: Int, w0: Int): Long = {
+      val f = if (f0 == 0) 1 else f0
+      val w = if (w0 == 0) 1 else w0
+      val w1 = week1StartRef(d.getYear, f, w)
+      val a = if (!d.isBefore(w1)) w1
+        else week1StartRef(d.getYear - 1, f, w)
+      ChronoUnit.DAYS.between(a, d) / 7 + 1
+    }
+    def refWd(d: LocalDate, f0: Int): Int = {
+      val f = if (f0 == 0) 1 else f0
+      Math.floorMod(dow1(d) - f, 7) + 1
+    }
+    def fdow(): Int = r.nextInt(8)   // 0..7
+    def fwoy(): Int = r.nextInt(4)   // 0..3
+    val built = Vector.fill(400) {
+      val d = randEdgeD()
+      r.nextInt(4) match {
+        case 0 => // bare-default spellings keep their own lane
+          (s"DatePart(\"ww\", ${jetLit(d)})", refWw(d, 1, 1).toString)
+        case 1 =>
+          val (f, w) = (fdow(), fwoy())
+          (s"DatePart(\"ww\", ${jetLit(d)}, $f, $w)",
+            refWw(d, f, w).toString)
+        case 2 =>
+          val f = fdow()
           if (r.nextBoolean())
-            (s"Weekday(${jetLit(d)}${tails(r.nextInt(3))})", w)
+            (s"Weekday(${jetLit(d)}, $f)", refWd(d, f).toString)
           else
-            (s"DatePart(\"w\", ${jetLit(d)}${tails(r.nextInt(3))})", w)
-        case _ => // DateDiff ww with trailing defaults
-          val b = randD()
-          val diff = ChronoUnit.DAYS.between(anchor(d), anchor(b)) / 7
-          (s"DateDiff(\"ww\", ${jetLit(d)}, ${jetLit(b)}" +
-            s"${tails(r.nextInt(6))})", diff.toString)
+            (s"DatePart(\"w\", ${jetLit(d)}, $f, ${fwoy()})",
+              refWd(d, f).toString)
+        case _ => // DateDiff ww: fdow shifts the counted boundary;
+          // fwoy is accepted and ignored (VB semantics)
+          val b = randEdgeD()
+          val f = fdow()
+          val ff = if (f == 0) 1 else f
+          val diff = ChronoUnit.DAYS.between(
+            weekStartRef(d, ff), weekStartRef(b, ff)) / 7
+          val tail = if (r.nextBoolean()) s", $f" else s", $f, ${fwoy()}"
+          (s"DateDiff(\"ww\", ${jetLit(d)}, ${jetLit(b)}$tail)",
+            diff.toString)
       }
     }
     built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
@@ -869,15 +912,15 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
       }
     }
-    // non-default anchors still reject, loudly
+    // non-literal or out-of-range anchors still reject, loudly
     for (bad <- Seq(
-      "SELECT DatePart(\"ww\", #1/5/2020#, 2)",
-      "SELECT DatePart(\"ww\", #1/5/2020#, 1, 2)",
-      "SELECT Weekday(#1/5/2020#, 3)",
-      "SELECT DateDiff(\"ww\", #1/1/2020#, #2/1/2020#, 2)")) {
+      "SELECT DatePart(\"ww\", #1/5/2020#, 8)",
+      "SELECT DatePart(\"ww\", #1/5/2020#, 1, 4)",
+      "SELECT Weekday(#1/5/2020#, [k])",
+      "SELECT DateDiff(\"ww\", #1/1/2020#, #2/1/2020#, 1 + 1)")) {
       val e = intercept[IllegalArgumentException] { translate(bad) }
-      assert(e.getMessage.toLowerCase.contains("default") ||
-        e.getMessage.toLowerCase.contains("argument"), e.getMessage)
+      assert(e.getMessage.toLowerCase.contains("literal") ||
+        e.getMessage.toLowerCase.contains("outside"), e.getMessage)
     }
   }
 
@@ -944,14 +987,17 @@ class JetSqlFuzzSpec extends AnyFunSuite {
             (base + extra / (scale * 10))
           val mask = if (d == 0) "0" else "0." + "0" * d
           (s"Format($x, ${lit(mask)})", refNum(x, d, group = false))
-        case 2 => // grouped #,##0 masks
-          val d = r.nextInt(3)
+        case 2 => // grouped #,##0 masks — d up to 5: the r12 grouping
+          // regex's `($|\.)` alternation inserted commas INTO the
+          // fraction once its length hit a multiple of 3
+          // (Format(1234.5678, "#,##0.0000") → "1,234.5,678" — r13
+          // ADVICE), a shape d<=2 can never generate
+          val d = r.nextInt(6)
           val scale = math.pow(10, d)
-          val base = (r.nextInt(200000000) + 100000 * scale.toInt) /
-            scale
-          val extra = r.nextInt(9) + 1
+          val ip = r.nextInt(2000000) + 100000
+          val extra = r.nextInt(math.max(1, scale.toInt - 1)) + 1
           val x = (if (r.nextBoolean()) 1 else -1) *
-            (base + extra / (scale * 10))
+            (ip + extra / scale)
           val mask = if (d == 0) "#,##0" else "#,##0." + "0" * d
           (s"Format($x, ${lit(mask)})", refNum(x, d, group = true))
         case _ => // EXACT binary ties: round half away from zero
@@ -974,6 +1020,11 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
       }
     }
+    // pinned ADVICE-r13 reproducer: a 4-decimal grouped mask must not
+    // comma-split the fraction ("1,234.5,678")
+    assert(spark.sql(translate(
+      "SELECT Format(1234.5678, \"#,##0.0000\") AS c"))
+      .collect()(0).getString(0) == "1,234.5678")
     // the quirky corners stay loud rejections
     for (bad <- Seq(
       "SELECT Format(0.5, \"#.##\")",   // trailing-zero trimming

@@ -575,11 +575,12 @@ class JetSqlSpec extends AnyFunSuite {
   }
 
   test("DatePart/Weekday: Jet interval codes; ww translates under " +
-    "the default Sunday/Jan-1 numbering (r12), non-default " +
-    "firstdayofweek forms reject") {
+    "EVERY documented firstdayofweek/firstweekofyear anchor (r13), " +
+    "non-literal anchors reject") {
     assert(translate("SELECT DatePart(\"q\", d), Weekday(d) FROM t") ==
       "SELECT quarter(d), dayofweek(d) FROM t")
     val spark = TestSpark.session
+    GraftExtensions.register(spark) // ww emits jet_weeknum (r13)
     val r = spark.sql(translate(
       "SELECT DatePart(\"q\", #5/15/2020#) AS q, " +
         "Weekday(#1/5/2020#) AS wd, " + // 2020-01-05 is a Sunday
@@ -594,11 +595,41 @@ class JetSqlSpec extends AnyFunSuite {
         "DatePart(\"ww\", #12/31/2020#, 1, 1) AS w53")).collect()(0)
     assert(w.getInt(0) == 1 && w.getInt(1) == 1 &&
       w.getInt(2) == 2 && w.getInt(3) == 53)
+    // non-default anchors (r13): Weekday rotates; ww follows VB's
+    // anchor rules. 2020-01-05 is a Sunday → under vbMonday(2) it is
+    // day 7; Jan 1 2021 is a Friday → under (Monday, FirstFourDays)
+    // ISO numbering applies: week 53 of 2020. Dec 28 1998 (Monday)
+    // stays 53 under the same anchors — VB never rolls late December
+    // forward into next year's week 1 (KB 200299), and matching
+    // Access means matching that.
+    val nd = spark.sql(translate(
+      "SELECT Weekday(#1/5/2020#, 2) AS wd_mon, " +
+        "Weekday(#1/5/2020#, 7) AS wd_sat, " +
+        "DatePart(\"w\", #1/5/2020#, 3) AS w_tue, " +
+        "DatePart(\"ww\", #1/1/2021#, 2, 2) AS iso_jan, " +
+        "DatePart(\"ww\", #12/28/1998#, 2, 2) AS kb200299, " +
+        "DatePart(\"ww\", #1/1/2020#, 1, 3) AS fullweek, " +
+        "DateDiff(\"ww\", #1/5/2020#, #1/6/2020#, 2) AS mon_cross"))
+      .collect()(0)
+    assert(nd.getInt(0) == 7)   // Sunday is day 7 of a Monday week
+    assert(nd.getInt(1) == 2)   // ... and day 2 of a Saturday week
+    assert(nd.getInt(2) == 6)   // ... and day 6 of a Tuesday week
+    assert(nd.getInt(3) == 53)  // ISO-consistent early-January carry
+    assert(nd.getInt(4) == 53)  // VB quirk pinned, not "fixed"
+    // vbFirstFullWeek: Jan 1 2020 (Wed) is not a week start → week 1
+    // begins Sun Jan 5; Jan 1 carries the PREVIOUS year's numbering
+    // (week 1 of 2019 began Sun Jan 6 under the same rule → Jan 1
+    // 2020 is in its 52nd week)
+    assert(nd.getInt(5) == 52)
+    assert(nd.getLong(6) == 1L) // Sun→Mon crosses a Monday week start
     intercept[IllegalArgumentException] {
-      translate("SELECT Weekday(d, 2) FROM t")
+      translate("SELECT Weekday(d, x) FROM t") // non-literal anchor
     }
     intercept[IllegalArgumentException] {
-      translate("SELECT DatePart(\"ww\", d, 2) FROM t")
+      translate("SELECT DatePart(\"ww\", d, 8) FROM t") // out of range
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT DatePart(\"ww\", d, 1, 4) FROM t")
     }
   }
 
