@@ -870,11 +870,15 @@ object EtlQueries {
     * the GROUP BY key — the single most common Jet reporting idiom.
     * Format's deterministic date-pattern subset translates to
     * date_format; the oracle recomputes the key with DuckDB's own
-    * strftime, so the pattern mapping itself is hash-pinned. */
+    * strftime, so the pattern mapping itself is hash-pinned. r13 adds
+    * a NAME-mask label (weekday + abbreviated month — the masks the
+    * r12 translator rejected) rebuilt by DuckDB's %A/%b, pinning the
+    * en-US name tables Spark's Locale.US rendering assumes. */
   val qJetSqlFormat: QDef = QDef(
     "q_jetsql_format",
     """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
       |  COUNT(*) AS n,
+      |  min(strftime(o_orderdate, '%A, %b %-d')) AS first_lbl,
       |  ROUND(CAST(SUM(CAST(roundbankers(o_totalprice, 4)
       |    AS DECIMAL(19,4))) AS DOUBLE), 2) AS tot
       |FROM orders
@@ -885,13 +889,14 @@ object EtlQueries {
     val saved = Seq(
       "SELECT Format([o_orderdate], \"yyyy-mm\") AS ym,",
       "  Count(*) AS n,",
+      "  Min(Format([o_orderdate], \"dddd, mmm d\")) AS first_lbl,",
       "  Sum(CCur([o_totalprice])) AS tot",
       "FROM orders",
       "WHERE [o_orderdate] < #1/1/1997#",
       "GROUP BY Format([o_orderdate], \"yyyy-mm\")",
       "ORDER BY [ym]").mkString(" ")
     s.sql(graft.sources.JetSql.translate(saved))
-      .select(col("ym"), col("n"),
+      .select(col("ym"), col("n"), col("first_lbl"),
         round(col("tot").cast("double"), 2).as("tot"))
       .orderBy(col("ym"))
   }

@@ -114,11 +114,13 @@ import org.apache.spark.sql.SparkSession
   *     data; `translate` rejects that form (pure text cannot), and
   *     [[translateCrosstab]] reproduces it with a bounded DISTINCT
   *     probe (≤ maxHeadings, deterministic ordering);
-  *   - `FORMAT(d, "pattern")` for the DETERMINISTIC date subset
-  *     (numeric y/q/m/d/h/n/s runs and separators) → `date_format`;
-  *     locale-dependent patterns (month/day names, AM/PM), numeric
-  *     masks, the 1-arg form, and Jet's m-after-h-means-minutes
-  *     context rule all REJECT;
+  *   - `FORMAT(d, "pattern")` date masks → `date_format`: numeric
+  *     y/q/m/d/h/n/s runs, separators, en-US month/day NAMES
+  *     (mmm/mmmm/ddd/dddd — r13; Spark's fixed Locale.US matches the
+  *     US assumptions the translator already makes), the uppercase
+  *     `AM/PM` marker (flips h-runs to 12-hour), and Jet's
+  *     m-after-h-means-minutes context rule; case-variant AM/PM
+  *     spellings and the 1-arg general form still REJECT;
   *   - domain aggregates `DSum/DCount/DAvg/DMin/DMax("expr",
   *     "domain"[, "criteria"])` → uncorrelated scalar subqueries —
   *     each string argument is itself a Jet-SQL fragment and recurses
@@ -301,20 +303,47 @@ object JetSql {
     "dsum" -> "SUM", "dcount" -> "COUNT", "davg" -> "AVG",
     "dmin" -> "MIN", "dmax" -> "MAX")
 
-  /** Access Format() DATE patterns → Spark date_format patterns, for
-    * the deterministic subset only (numeric runs and separators). The
-    * locale-dependent forms — month/day NAMES (mmm/dddd), AM/PM,
-    * 2-digit-year pivot — and Jet's context rules (an m-run right
-    * after an h-run silently means MINUTES) reject: a silently
-    * locale-shifted group key corrupts a report. Jet minutes are
-    * spelled `n`/`nn` here, exactly the unambiguous Access spelling. */
+  /** Access Format() DATE patterns → Spark date_format patterns.
+    *
+    * r13 widened the subset with the three masks every legacy Access
+    * report uses (r12 verdict "What's missing" #2):
+    *   - month/day NAMES — mmm/mmmm → MMM/MMMM, ddd/dddd → EEE/EEEE.
+    *     Spark renders datetime text through `Locale.US`
+    *     (TimestampFormatter's fixed default), which is exactly the
+    *     en-US rendering the rest of this translator already assumes
+    *     (US m/d/yyyy date order, US week defaults); a session whose
+    *     ACCESS locale differed would have differed in those too.
+    *   - `AM/PM` (the exact uppercase spelling) → `a`, and its
+    *     presence ANYWHERE in the mask switches every h-run to
+    *     12-hour rendering (h/hh clock-hour 1..12, noon and midnight
+    *     both "12"), exactly VB's rule. The case-variant spellings
+    *     still reject: Access renders `am/pm` lowercase and `A/P`
+    *     single-letter, and Spark's `a` pattern has no lowercase or
+    *     single-letter form — a silently re-cased report string is
+    *     worse than a loud rejection.
+    *   - an m-run of 1-2 IMMEDIATELY after an h-run (separators
+    *     don't reset the context) means MINUTES — Jet's documented
+    *     context rule, previously a rejection. mmm after h is still a
+    *     month name (the rule covers m/mm only).
+    * 2-digit-year pivot masks stay out (yy is a RENDER-only run and
+    * translates; it's the parse direction that pivots). */
   private def formatPattern(pat: String): String = {
+    // pass 1: a 12-hour marker anywhere flips every h-run
+    val amPm = pat.toUpperCase.contains("AM/PM")
     val out = new StringBuilder
     var i = 0
     var lastLetter = ' '
     while (i < pat.length) {
       val c = pat.charAt(i).toLower
-      if (c.isLetter) {
+      if (pat.regionMatches(true, i, "AM/PM", 0, 5)) {
+        if (!pat.regionMatches(false, i, "AM/PM", 0, 5))
+          fail("FORMAT with a case-variant AM/PM marker (Access " +
+            "renders am/pm lowercase; Spark's 'a' has no lowercase " +
+            "form — spell it AM/PM)")
+        out.append('a')
+        lastLetter = 'a'
+        i += 5
+      } else if (c.isLetter) {
         var j = i
         while (j < pat.length && pat.charAt(j).toLower == c) j += 1
         val run = j - i
@@ -322,15 +351,21 @@ object JetSql {
           case ('y', 4) => "yyyy"
           case ('y', 2) => "yy"
           case ('q', 1) => "Q"
-          case ('m', 1) | ('m', 2) =>
-            if (lastLetter == 'h')
-              fail("FORMAT with an m-run after an h-run (Jet silently " +
-                "reads it as minutes — spell minutes n/nn)")
-            if (run == 1) "M" else "MM"
+          case ('m', 1) | ('m', 2) if lastLetter == 'h' =>
+            // Jet context rule: minutes, not month (r13 — was a
+            // rejection). Track as 'n' so a SECOND m-run reverts to
+            // month, exactly VB ("h:m:m" = hour:minute:month).
+            if (run == 1) "m" else "mm"
+          case ('m', 1) => "M"
+          case ('m', 2) => "MM"
+          case ('m', 3) => "MMM"
+          case ('m', 4) => "MMMM"
           case ('d', 1) => "d"
           case ('d', 2) => "dd"
-          case ('h', 1) => "H"
-          case ('h', 2) => "HH"
+          case ('d', 3) => "EEE"
+          case ('d', 4) => "EEEE"
+          case ('h', 1) => if (amPm) "h" else "H"
+          case ('h', 2) => if (amPm) "hh" else "HH"
           case ('n', 1) => "m"
           case ('n', 2) => "mm"
           case ('s', 1) => "s"
@@ -339,9 +374,10 @@ object JetSql {
             "(locale-dependent or out of the deterministic date subset)")
         }
         out.append(mapped)
-        lastLetter = c
+        lastLetter =
+          if (c == 'm' && run <= 2 && lastLetter == 'h') 'n' else c
         i = j
-      } else if ("-/:. _".contains(c)) {
+      } else if ("-/:. _,".contains(c)) {
         out.append(pat.charAt(i))
         i += 1
       } else fail(s"FORMAT pattern character '$c'")

@@ -1037,4 +1037,94 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       assert(e.getMessage.nonEmpty)
     }
   }
+
+  test("300 random date Format masks incl. month/day names, AM/PM " +
+    "12-hour flip, and m-after-h minutes (lane 13, r13): rendering " +
+    "matches a FIELD-LEVEL reference (name tables + arithmetic, no " +
+    "formatter library); case-variant AM/PM still rejects") {
+    import java.time.LocalDateTime
+    val spark = TestSpark.session
+    val r = new scala.util.Random(130713L)
+    // field-level en-US reference: renders each component straight
+    // from the integer fields and these name tables — shares no code
+    // with java.time's formatter OR the translator's pattern mapping
+    val moAbbr = Vector("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    val moFull = Vector("January", "February", "March", "April",
+      "May", "June", "July", "August", "September", "October",
+      "November", "December")
+    val dayAbbr = Vector("Sun", "Mon", "Tue", "Wed", "Thu", "Fri",
+      "Sat")
+    val dayFull = Vector("Sunday", "Monday", "Tuesday", "Wednesday",
+      "Thursday", "Friday", "Saturday")
+    def randT(): LocalDateTime = LocalDateTime.of(
+      2015 + r.nextInt(10), 1 + r.nextInt(12), 1 + r.nextInt(28),
+      r.nextInt(24), r.nextInt(60), r.nextInt(60))
+    def jetLit(t: LocalDateTime): String =
+      s"#${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear} " +
+        s"${t.getHour}:${t.getMinute}:${t.getSecond}#"
+    def p2(v: Int): String = f"$v%02d"
+    // component pool: (jet run, render(t, amPm))
+    val comps: Vector[(String, (LocalDateTime, Boolean) => String)] =
+      Vector(
+        ("yyyy", (t, _) => t.getYear.toString),
+        ("yy", (t, _) => p2(t.getYear % 100)),
+        ("q", (t, _) => ((t.getMonthValue + 2) / 3).toString),
+        ("m", (t, _) => t.getMonthValue.toString),
+        ("mm", (t, _) => p2(t.getMonthValue)),
+        ("mmm", (t, _) => moAbbr(t.getMonthValue - 1)),
+        ("mmmm", (t, _) => moFull(t.getMonthValue - 1)),
+        ("d", (t, _) => t.getDayOfMonth.toString),
+        ("dd", (t, _) => p2(t.getDayOfMonth)),
+        ("ddd", (t, _) => dayAbbr(t.getDayOfWeek.getValue % 7)),
+        ("dddd", (t, _) => dayFull(t.getDayOfWeek.getValue % 7)),
+        ("h", (t, am) => (if (am) (t.getHour + 11) % 12 + 1
+          else t.getHour).toString),
+        ("hh", (t, am) => p2(if (am) (t.getHour + 11) % 12 + 1
+          else t.getHour)),
+        ("n", (t, _) => t.getMinute.toString),
+        ("nn", (t, _) => p2(t.getMinute)),
+        ("s", (t, _) => t.getSecond.toString),
+        ("ss", (t, _) => p2(t.getSecond)))
+    val seps = Vector("-", "/", ":", ".", " ", ", ")
+    val built = Vector.fill(300) {
+      val t = randT()
+      val n = 2 + r.nextInt(4)
+      var picks = Vector.fill(n)(comps(r.nextInt(comps.length)))
+      // half the masks with an hour run gain an AM/PM marker
+      val hasH = picks.exists(_._1.startsWith("h"))
+      val withAmPm = hasH && r.nextBoolean()
+      if (withAmPm)
+        picks = picks :+ (("AM/PM",
+          (u: LocalDateTime, _: Boolean) =>
+            if (u.getHour < 12) "AM" else "PM"))
+      val sep = seps(r.nextInt(seps.length))
+      val mask = picks.map(_._1).mkString(sep)
+      // Jet context rule in the REFERENCE too: an m/mm run directly
+      // after an h-run renders minutes (separators don't reset)
+      val parts = picks.zipWithIndex.map { case ((runTxt, f), k) =>
+        val prevH = k > 0 && picks(k - 1)._1.startsWith("h")
+        if (prevH && runTxt == "m") t.getMinute.toString
+        else if (prevH && runTxt == "mm") p2(t.getMinute)
+        else f(t, withAmPm)
+      }
+      (s"Format(${jetLit(t)}, \"$mask\")", parts.mkString(sep))
+    }
+    built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val row = spark.sql(translate("SELECT " +
+        batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      batch.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+    for (bad <- Seq(
+      "SELECT Format(#1/5/2020#, \"h:nn am/pm\")", // lowercase render
+      "SELECT Format(#1/5/2020#, \"A/P\")",        // single-letter
+      "SELECT Format(#1/5/2020#, \"mmmmm\")")) {   // 5-run
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.nonEmpty)
+    }
+  }
 }

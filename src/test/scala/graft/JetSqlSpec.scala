@@ -756,9 +756,31 @@ class JetSqlSpec extends AnyFunSuite {
         "Format((0 - 2.5), \"0\") AS d")).collect()(0)
     assert(tie.getString(0) == "3" && tie.getString(1) == "3" &&
       tie.getString(2) == "1,251" && tie.getString(3) == "-3")
+    // r13: month/day names, AM/PM 12-hour flip, m-after-h minutes
+    assert(translate("SELECT Format(d, \"mmm yyyy\") FROM t") ==
+      "SELECT date_format(d, 'MMM yyyy') FROM t")
+    assert(translate("SELECT Format(d, \"dddd, mmmm d, yyyy\") FROM t")
+      == "SELECT date_format(d, 'EEEE, MMMM d, yyyy') FROM t")
+    // m directly after h is MINUTES (Jet context rule); a SECOND
+    // m-run reverts to month, exactly VB
+    assert(translate("SELECT Format(d, \"hh:mm\") FROM t") ==
+      "SELECT date_format(d, 'HH:mm') FROM t")
+    assert(translate("SELECT Format(d, \"h:m:m\") FROM t") ==
+      "SELECT date_format(d, 'H:m:M') FROM t")
+    // AM/PM anywhere flips every h-run to 12-hour clock
+    assert(translate("SELECT Format(d, \"hh:nn AM/PM\") FROM t") ==
+      "SELECT date_format(d, 'hh:mm a') FROM t")
+    val amr = spark.sql(translate(
+      "SELECT Format(#3/7/2020 14:05#, \"mmm d yyyy hh:mm AM/PM\") " +
+        "AS x, Format(#3/7/2020 0:30#, \"h:nn AM/PM\") AS mid, " +
+        "Format(#7/4/1995#, \"dddd\") AS dow")).collect()(0)
+    assert(amr.getString(0) == "Mar 7 2020 02:05 PM")
+    assert(amr.getString(1) == "12:30 AM") // midnight is 12 AM
+    assert(amr.getString(2) == "Tuesday")
     for (bad <- Seq(
-      "SELECT Format(d, \"mmm yyyy\")", // month names: locale
-      "SELECT Format(d, \"hh:mm\")",    // Jet reads this m as MINUTES
+      "SELECT Format(d, \"am/pm h\")",  // lowercase renders lowercase
+      "SELECT Format(d, \"mmmmm\")",    // 5-run: out of subset
+      "SELECT Format(d, \"ddddd\")",    // VB short-date shorthand
       "SELECT Format(n, \"#.##\")",     // trimming mask: quirky corner
       "SELECT Format(n, \"00\")",       // zero-pad width vs sign
       "SELECT Format(d, p)"))           // non-literal pattern
