@@ -34,11 +34,33 @@ object JetTypes {
   /** ACE 2016 "Large Number" (r12): little-endian int64, the one new
     * SCALAR storage type the `.accdb` era added. */
   case object BigNumber extends JetType("bignumber")
+  /** ACE COMPLEX column (Access 2007+ attachment / multi-valued /
+    * version-history fields, r13): the main row stores a u32
+    * complex-value key; the VALUES live in a hidden flat side table
+    * (one row per element, keyed by that u32). `payload` is the flat
+    * table's value-column schema — (FileName, FileType, FileData, …)
+    * for attachments, a single (Value, t) for multi-valued fields —
+    * so the Spark rendering is `ArrayType(StructType(payload))`,
+    * exactly SURVEY §1.2's mapping. The format layer emits this with
+    * an EMPTY payload (the flat schema needs the MSysComplexColumns
+    * catalog); the source layer resolves it before building the
+    * Spark schema. */
+  final case class ComplexValues(payload: Seq[(String, JetType)])
+    extends JetType("complex")
+  /** ACE "Date/Time Extended" (Access 2019+, r13): SQL datetime2-
+    * range timestamp, 100 ns resolution, year 1..9999. Maps to Spark
+    * TimestampType (microseconds — the 100 ns fraction truncates; a
+    * lossless rendering would need a decimal column, and 1 µs is
+    * already beyond Access's own classic Date/Time precision). */
+  case object DateTimeExtended extends JetType("datext")
 
   val all: Seq[JetType] = Seq(
     YesNo, JetByte, JetInteger, LongInteger, Single, JetDouble, Currency,
     Numeric(28, 6), DateTime, ShortText, Memo, OleObject, Hyperlink,
-    ReplicationId, BigNumber)
+    ReplicationId, BigNumber, DateTimeExtended)
+  // ComplexValues is deliberately NOT in `all`: it is the one type
+  // with no scalar DDL rendering (toPostgres throws by design), and
+  // `all` feeds the totality property tests for the scalar surface
 
   /** Jet → Spark type (total). */
   def toSpark(t: JetType): DataType = t match {
@@ -55,6 +77,10 @@ object JetTypes {
     case OleObject => BinaryType // -> multimodal column (§2.9)
     case ReplicationId => StringType // canonical 36-char GUID
     case BigNumber => LongType
+    case ComplexValues(payload) => ArrayType(StructType(payload.map {
+      case (n, pt) => StructField(n, toSpark(pt), nullable = true)
+    }), containsNull = false)
+    case DateTimeExtended => TimestampType // truncated to micros
   }
 
   /** Ingest-side value normalization for the Jet encodings that don't
@@ -83,6 +109,18 @@ object JetTypes {
     case OleObject => "BYTEA"
     case ReplicationId => "UUID"
     case BigNumber => "BIGINT"
+    // Date/Time Extended is EXACTLY Postgres timestamp territory
+    // (datetime2 range; Postgres stores micros, same truncation as
+    // the Spark mapping)
+    case DateTimeExtended => "TIMESTAMP"
+    // a complex column has no scalar DDL rendering — the honest
+    // migration is a CHILD TABLE (it already IS one in the .accdb);
+    // rejecting here keeps the JDBC boundary loud, the Spark-side
+    // read of the same column works (ArrayType)
+    case ComplexValues(_) => throw new UnsupportedOperationException(
+      "jet: COMPLEX (attachment/multi-valued) column has no scalar " +
+        "SQL type — migrate the hidden flat table as its own child " +
+        "table, or explode the array column Spark-side first")
   }
 
   /** Column-name sanitization for the target system: lower-case,

@@ -182,6 +182,13 @@ private[jetcsv] object JetCsv {
       case OleObject =>
         java.util.Base64.getDecoder.decode(raw)
       case BigNumber => raw.toLong // ACE 2016 Large Number (r12)
+      // the jetcsv dialect mirrors mdb-export, which renders neither
+      // ACE complex columns (it has no flat-table join) nor Date/Time
+      // Extended — a schema naming them is a schema error, not data
+      case ComplexValues(_) | DateTimeExtended =>
+        throw new UnsupportedOperationException(
+          s"jetcsv: type '${t.name}' has no mdb-export CSV " +
+            "rendering — read the .accdb directly (jetmdb)")
     }
 }
 

@@ -20,8 +20,12 @@ import graft.sources.JetTypes._
   * SINGLE/DOUBLE/DATETIME/TEXT/GUID, plus the ACE 2016 BIGINT "Large
   * Number") plus MEMO/OLE long values in all three storage forms —
   * inline, single "LVAL"-row, and chained multi-page (type-2) LVAL
-  * chains. ACE COMPLEX (multi-value/attachment, 0x12) and extended
-  * date/time (0x14) columns reject with named escape routes. Jet3
+  * chains. ACE COMPLEX (multi-value/attachment, 0x12) columns decode
+  * to their u32 complex-value key here and are resolved into
+  * `ArrayType(StructType(...))` by the source layer via the
+  * MSysComplexColumns catalog (r13 — was a rejection); ACE Date/Time
+  * Extended (0x14) decodes under the documented 9:5:7 ASCII-digit
+  * profile ([[extDateToMicros]], r13). Jet3
   * (Access 97) files are DISPATCHED by the source layer
   * to the scope-bounded [[Jet3Format]] profile (2048-byte pages,
   * CP1252 text, u8 row offsets). Validated
@@ -105,6 +109,15 @@ object JetMdbFormat {
     def isSystem: Boolean = (objType & 0x7F) != 1
   }
 
+  /** VALUE columns of a COMPLEX flat side table: everything except
+    * the u32 complex-value KEY (the flat table's own type-0x12
+    * column, per the public notes) and bookkeeping AutoNumber pks.
+    * Shared by the driver (schema resolution) and the executors
+    * (index build) so the two can never disagree on the payload. */
+  def complexPayloadCols(flat: JetTableDef): Seq[JetColumn] =
+    flat.columns.filterNot(c =>
+      c.typeCode == T_COMPLEX || c.autoNumber)
+
   // Jet column type codes (public)
   val T_BOOL = 0x01
   val T_BYTE = 0x02
@@ -148,16 +161,14 @@ object JetMdbFormat {
       Numeric(prec, scale)
     case T_BIGINT => BigNumber // ACE 2016 Large Number: le int64
     case T_COMPLEX =>
-      throw new UnsupportedOperationException(
-        "jetmdb: ACE complex column (multi-value/attachment field, " +
-          "type 0x12) is out of scope — its values live in hidden " +
-          "side tables with no portable row rendering; flatten the " +
-          "field in Access or export the table to CSV (jetcsv)")
-    case T_DATEXT =>
-      throw new UnsupportedOperationException(
-        "jetmdb: ACE extended date/time (type 0x14) is out of " +
-          "scope — convert the column to classic Date/Time in " +
-          "Access, or export the table to CSV (jetcsv)")
+      // r13 (was a rejection): the raw page value is a u32 complex-
+      // value key; the VALUE schema lives behind the
+      // MSysComplexColumns catalog, which only the source layer can
+      // walk — it resolves this empty payload into the flat table's
+      // value columns before any Spark schema is built
+      // (JetMdbSource.resolveComplex). decodeRow yields the raw key.
+      ComplexValues(Nil)
+    case T_DATEXT => DateTimeExtended // ACE 2019 Date/Time Extended
     case T_BINARY =>
       throw new UnsupportedOperationException(
         f"jetmdb: column type 0x$code%02x (raw fixed binary) " +
@@ -604,6 +615,11 @@ object JetMdbFormat {
       case T_LONG => java.lang.Integer.valueOf(i32(p, off))
       case T_BIGINT => // ACE 2016 Large Number: plain le int64 (r12)
         java.lang.Long.valueOf(i64(p, off))
+      case T_COMPLEX => // r13: the u32 complex-value key; the source
+        // layer joins it against the hidden flat table
+        java.lang.Integer.valueOf(i32(p, off))
+      case T_DATEXT => // r13: epoch micros (truncating the 100ns digit)
+        java.lang.Long.valueOf(extDateToMicros(p, off))
       case T_MONEY =>
         java.math.BigDecimal.valueOf(i64(p, off), 4)
       case T_FLOAT => java.lang.Float.valueOf(f32(p, off))
@@ -675,6 +691,52 @@ object JetMdbFormat {
       }
       sb.toString
     } else new String(p, s, e - s, StandardCharsets.UTF_16LE)
+  }
+
+  /** ACE "Date/Time Extended" (type 0x14) fixed field width. */
+  val ExtDateLen = 42
+
+  /** Epoch day of 0001-01-01, the Date/Time Extended base date
+    * (LocalDate.of(1,1,1).toEpochDay — pinned as a constant so the
+    * decoder stays pure byte arithmetic). */
+  private val ExtDateBaseEpochDay = -719162L
+
+  /** ACE Date/Time Extended → microseconds since the epoch.
+    *
+    * PROFILE (documented — the honest-uncertainty discipline the
+    * NUMERIC decoder established): Date/Time Extended is a fixed
+    * 42-byte field; per the public format notes (the jackcess
+    * project's extended-date support) the LEADING 23 bytes are ASCII
+    * digits in three ':'-separated groups — 9 digits of days since
+    * 0001-01-01 (proleptic Gregorian), 5 digits of seconds within the
+    * day, 7 digits of 100 ns units within the second (the SQL
+    * datetime2 resolution). The REMAINING 19 bytes are not decoded
+    * (public sources don't pin them beyond padding/flags); the
+    * fixture writer zero-fills them, and no real `.accdb` exists in
+    * this offline environment to cross-check. Spark TimestampType is
+    * microseconds, so the last 100 ns digit truncates. */
+  def extDateToMicros(p: Array[Byte], off: Int): Long = {
+    def digits(s: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val c = p(off + s + i)
+        require(c >= '0' && c <= '9',
+          f"jetmdb: Date/Time Extended byte 0x$c%02x at digit " +
+            s"position ${s + i} is not ASCII numeric")
+        v = v * 10 + (c - '0')
+        i += 1
+      }
+      v
+    }
+    require(p(off + 9) == ':' && p(off + 15) == ':',
+      "jetmdb: Date/Time Extended separators missing (not the " +
+        "documented 9:5:7 ASCII layout)")
+    val days = digits(0, 9)
+    val secs = digits(10, 5)
+    val ticks100 = digits(16, 7)
+    (days + ExtDateBaseEpochDay) * 86_400_000_000L +
+      secs * 1_000_000L + ticks100 / 10L
   }
 
   /** OLE automation date → microseconds since the epoch, as Spark's

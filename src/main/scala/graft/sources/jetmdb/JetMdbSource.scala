@@ -144,9 +144,110 @@ object JetMdbSource {
   def listTables(path: String): Seq[(String, Int)] =
     catalogOf(path)._1.filter(!_.isSystem).map(e => e.name -> e.tdefPage)
 
-  /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?). */
-  def tableDefV(path: String, table: String)
-      : (JetTableDef, StructType, Int, Boolean) = {
+  /** Raw decoded Jet value → Catalyst internal value. Shared by the
+    * main-row reader and the COMPLEX flat-table index build so the
+    * two renderings can never diverge. */
+  private[jetmdb] def toCatalystValue(
+      v: Any, t: JetTypes.JetType): Any =
+    if (v == null) null
+    else t match {
+      case JetTypes.ShortText | JetTypes.Memo | JetTypes.Hyperlink |
+          JetTypes.ReplicationId =>
+        UTF8String.fromString(String.valueOf(v))
+      case JetTypes.Currency =>
+        org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal], 19, 4)
+      case JetTypes.Numeric(p, sc) =>
+        org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal], p, sc)
+      case _ => v // primitives already land as their Catalyst repr
+    }
+
+  /** Per-executor COMPLEX flat-table index: complex-value key → the
+    * Catalyst array of payload structs, built by one scan over the
+    * file's pages owned by the flat TDEF (child rows ordered by the
+    * flat table's AutoNumber pk — Access's insertion order — when it
+    * has one, file order otherwise). Cached per (path, len, mtime,
+    * flatPage): every partition of a complex table needs the SAME
+    * index, and without the memo a file split into 512 page-range
+    * tasks would rebuild it 512×. Memory is bounded by the format
+    * itself — one `.mdb`/`.accdb` caps at 2 GB, so at 100 TB the unit
+    * of scale is many files, each with its own bounded index, and
+    * the cache clears wholesale past 16 entries. */
+  private val complexIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long, Int),
+      Map[Int, org.apache.spark.sql.catalyst.util.GenericArrayData]]()
+
+  private[jetmdb] def complexIndexOf(
+      path: String, hconf: org.apache.hadoop.conf.Configuration,
+      flatPage: Int, pageCount: Int)
+      : Map[Int, org.apache.spark.sql.catalyst.util.GenericArrayData] = {
+    val h = new Path(path).getFileSystem(hconf)
+    val st = h.getFileStatus(new Path(path))
+    val key = (path, st.getLen, st.getModificationTime, flatPage)
+    val hit = complexIndexCache.get(key)
+    if (hit != null) return hit
+    val in = h.open(new Path(path))
+    try {
+      val flatT = parseTdefChained(flatPage, readPage(in, _, PageSize))
+      val payload = complexPayloadCols(flatT)
+      val payloadIdx = payload.map(pc =>
+        flatT.columns.indexWhere(_.name == pc.name)).toArray
+      val payloadT = payload.map(pc =>
+        toJetType(pc.typeCode, pc.length, pc.prec, pc.scale)).toArray
+      val fkIdx = flatT.columns.indexWhere(_.typeCode == T_COMPLEX)
+      val pkIdx = flatT.columns.indexWhere(_.autoNumber)
+      require(fkIdx >= 0, s"jetmdb: flat table at page $flatPage " +
+        "lacks the type-0x12 complex-value key column")
+      var lvalNum = -1
+      var lvalPage: Array[Byte] = null
+      val lval: Int => Array[Byte] = { n =>
+        if (n != lvalNum) {
+          lvalPage = readPage(in, n, PageSize); lvalNum = n
+        }
+        lvalPage
+      }
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, InternalRow)]
+      var pn = 1
+      while (pn < pageCount) {
+        val page = readPage(in, pn, PageSize)
+        dataRowExtents(page, flatPage).foreach { case (s0, e0) =>
+          val r = decodeRow(page, s0, e0, flatT, lval)
+          if (r(fkIdx) != null) {
+            val vs = new Array[Any](payloadIdx.length)
+            var i = 0
+            while (i < payloadIdx.length) {
+              vs(i) = toCatalystValue(r(payloadIdx(i)), payloadT(i))
+              i += 1
+            }
+            val pk = if (pkIdx < 0) rows.length
+              else r(pkIdx).asInstanceOf[Integer].intValue()
+            rows += ((r(fkIdx).asInstanceOf[Integer].intValue(), pk,
+              new GenericInternalRow(vs)))
+          }
+        }
+        pn += 1
+      }
+      val built = rows.groupBy(_._1).map { case (fk, grp) =>
+        fk -> new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          grp.sortBy(_._2).map(_._3).toArray[Any])
+      }
+      if (complexIndexCache.size > 16) complexIndexCache.clear()
+      complexIndexCache.put(key, built)
+      built
+    } finally in.close()
+  }
+
+  /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?,
+    * COMPLEX column name → flat side-table TDEF page). The last map
+    * is empty for every table without ACE COMPLEX columns; when one
+    * exists, its `ComplexValues(Nil)` placeholder from the format
+    * layer is resolved here into the flat table's value-column
+    * schema via the MSysComplexColumns catalog (r13). */
+  def tableDefFull(path: String, table: String)
+      : (JetTableDef, StructType, Int, Boolean, Map[String, Int]) = {
     val (cat, count, jet3) = catalogOf(path)
     val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
       .getOrElse(throw new IllegalArgumentException(
@@ -162,10 +263,105 @@ object JetMdbSource {
           Jet3Format.parseTdefChained(
             entry.tdefPage, readPage(in, _, ps))
         else parseTdefChained(entry.tdefPage, readPage(in, _, ps))
-      val schema = StructType(tdef.jetTypes.map { case (n, t) =>
+      val (types, flatPages) =
+        if (!tdef.columns.exists(_.typeCode == T_COMPLEX))
+          (tdef.jetTypes, Map.empty[String, Int])
+        else {
+          val links = complexCatalogOf(path, cat, count)
+          val fp = scala.collection.mutable.LinkedHashMap[String, Int]()
+          val resolved = tdef.columns.map { c =>
+            if (c.typeCode != T_COMPLEX)
+              c.name -> toJetType(c.typeCode, c.length, c.prec, c.scale)
+            else {
+              val flat = links.getOrElse((tdef.tdefPage, c.colNum),
+                throw new UnsupportedOperationException(
+                  s"jetmdb: COMPLEX column '${c.name}' of '$table' " +
+                    s"has no MSysComplexColumns row (ConceptualTableID" +
+                    s"=${tdef.tdefPage}, ColumnID=${c.colNum}) — the " +
+                    "hidden flat side table cannot be located; " +
+                    "flatten the field in Access or export to CSV"))
+              val flatT = parseTdefChained(flat, readPage(in, _, ps))
+              require(flatT.columns.exists(_.typeCode == T_COMPLEX),
+                s"jetmdb: flat table at page $flat for COMPLEX " +
+                  s"column '${c.name}' lacks the type-0x12 key column")
+              fp(c.name) = flat
+              c.name -> JetTypes.ComplexValues(
+                complexPayloadCols(flatT).map(pc =>
+                  pc.name -> toJetType(pc.typeCode, pc.length,
+                    pc.prec, pc.scale)))
+            }
+          }
+          (resolved, fp.toMap)
+        }
+      val schema = StructType(types.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
       })
-      (tdef, schema, count, jet3)
+      (tdef, schema, count, jet3, flatPages)
+    } finally in.close()
+  }
+
+  /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?). */
+  def tableDefV(path: String, table: String)
+      : (JetTableDef, StructType, Int, Boolean) = {
+    val (tdef, schema, count, jet3, _) = tableDefFull(path, table)
+    (tdef, schema, count, jet3)
+  }
+
+  /** MSysComplexColumns walk: (ConceptualTableID, ColumnID) →
+    * FlatTableID, i.e. (main TDEF page, column number) → the hidden
+    * flat table's TDEF page — the column names the public format
+    * notes document for the complex-column catalog. Requires the
+    * catalog table to exist (callers guard). Cached per
+    * (path, len, mtime): the walk reads every page of the file, the
+    * same full-scan cost [[relationships]] pays, but this one sits on
+    * the READ path of every complex table. */
+  private val complexCatalogCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), Map[(Int, Int), Int]]()
+
+  private def complexCatalogOf(
+      path: String, cat: Seq[CatalogEntry], count: Int)
+      : Map[(Int, Int), Int] = {
+    val h = fs(path)
+    val st = h.getFileStatus(new Path(path))
+    val key = (path, st.getLen, st.getModificationTime)
+    val hit = complexCatalogCache.get(key)
+    if (hit != null) return hit
+    val sysE = cat.find(_.name.equalsIgnoreCase("MSysComplexColumns"))
+      .getOrElse(throw new UnsupportedOperationException(
+        "jetmdb: the database declares a COMPLEX column but has no " +
+          "MSysComplexColumns catalog table — the flat side tables " +
+          "cannot be located; flatten the field in Access or export " +
+          "to CSV (jetcsv)"))
+    val in = h.open(new Path(path))
+    try {
+      val sysT = parseTdefChained(sysE.tdefPage, readPage(in, _, PageSize))
+      def idxOf(n: String): Int = {
+        val i = sysT.columns.indexWhere(_.name.equalsIgnoreCase(n))
+        require(i >= 0, s"jetmdb: MSysComplexColumns lacks column '$n'")
+        i
+      }
+      val (iTab, iCol, iFlat) =
+        (idxOf("ConceptualTableID"), idxOf("ColumnID"),
+          idxOf("FlatTableID"))
+      def asInt(v: Any): Int = v match {
+        case i: Integer => i.intValue()
+        case s: java.lang.Short => s.intValue()
+        case other => String.valueOf(other).toInt
+      }
+      // table IDs carry the TDEF page in their low 3 bytes, exactly
+      // like MSysObjects Id (readCatalog applies the same mask)
+      val links = (1 until count).flatMap { pn =>
+        val page = readPage(in, pn, PageSize)
+        dataRowExtents(page, sysE.tdefPage).map { case (s0, e0) =>
+          val r = decodeRow(page, s0, e0, sysT)
+          (asInt(r(iTab)) & 0x00FFFFFF, asInt(r(iCol))) ->
+            (asInt(r(iFlat)) & 0x00FFFFFF)
+        }
+      }.toMap
+      if (complexCatalogCache.size > 256) complexCatalogCache.clear()
+      complexCatalogCache.put(key, links)
+      links
     } finally in.close()
   }
 
@@ -330,12 +526,13 @@ private[jetmdb] final case class JetMdbScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (tdef, _, pageCount, jet3) = JetMdbSource.tableDefV(path, table)
+    val (tdef, _, pageCount, jet3, complexFlat) =
+      JetMdbSource.tableDefFull(path, table)
     // partition 0 starts at page 1 (page 0 is the header)
     (1 until pageCount by PagesPerSplit).map { start =>
       JetMdbInputPartition(
         start, math.min(start + PagesPerSplit, pageCount),
-        tdef.tdefPage, jet3): InputPartition
+        tdef.tdefPage, jet3, pageCount, complexFlat): InputPartition
     }.toArray
   }
 
@@ -347,7 +544,12 @@ private[jetmdb] final case class JetMdbScan(
 
 private[jetmdb] final case class JetMdbInputPartition(
     fromPage: Int, untilPage: Int, tdefPage: Int,
-    jet3: Boolean) extends InputPartition
+    jet3: Boolean,
+    // whole-file page count + COMPLEX column → flat TDEF page: the
+    // flat side table's rows live anywhere in the file, not inside
+    // this partition's page range, so the index build needs both
+    pageCount: Int,
+    complexFlat: Map[String, Int]) extends InputPartition
 
 private[jetmdb] final case class JetMdbReaderFactory(
     path: String,
@@ -383,7 +585,7 @@ private[jetmdb] final class JetMdbPartitionReader(
   // Initialization after the stream is open must not LEAK it: a
   // corrupt TDEF would throw before Spark ever holds a reader to
   // close(), and each failed task attempt would strand a descriptor.
-  private val (tdef, colIdx, colType, wanted) =
+  private val (tdef, colIdx, colType, wanted, complexMaps) =
     try {
       val t =
         if (part.jet3)
@@ -399,7 +601,21 @@ private[jetmdb] final class JetMdbPartitionReader(
       // (for MEMO/OLE that skips their LVAL page I/O entirely)
       val w = new Array[Boolean](t.columns.length)
       idx.foreach(i => if (i >= 0) w(i) = true)
-      (t, idx, typ, w)
+      // COMPLEX columns (r13): a REQUIRED complex column gets its
+      // flat-table index (complex-value key → array of payload
+      // structs) — executor-cached, so the per-partition cost is one
+      // map lookup. Pruned-away complex columns cost nothing.
+      val cm = new Array[Map[Int,
+        org.apache.spark.sql.catalyst.util.GenericArrayData]](idx.length)
+      var ci = 0
+      while (ci < idx.length) {
+        val name = required.fieldNames(ci)
+        if (idx(ci) >= 0 && part.complexFlat.contains(name))
+          cm(ci) = JetMdbSource.complexIndexOf(
+            path, hconf, part.complexFlat(name), part.pageCount)
+        ci += 1
+      }
+      (t, idx, typ, w, cm)
     } catch {
       case e: Throwable =>
         try in.close() catch { case _: Throwable => () }
@@ -444,7 +660,19 @@ private[jetmdb] final class JetMdbPartitionReader(
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {
-          values(i) = toCatalyst(decoded(colIdx(i)), colType(i))
+          values(i) =
+            if (complexMaps(i) != null) {
+              // complex column: the decoded value is the u32 key;
+              // a NULL key is a null column, a key with no child
+              // rows is an EMPTY array (an attachment field whose
+              // attachments were all removed keeps its key)
+              val fk = decoded(colIdx(i))
+              if (fk == null) null
+              else complexMaps(i).getOrElse(
+                fk.asInstanceOf[Integer].intValue(),
+                JetMdbPartitionReader.EmptyArray)
+            } else
+              JetMdbSource.toCatalystValue(decoded(colIdx(i)), colType(i))
           i += 1
         }
         if (evals.forall(_(values)))
@@ -454,23 +682,14 @@ private[jetmdb] final class JetMdbPartitionReader(
     true
   }
 
-  /** Raw decode value → Catalyst internal value. */
-  private def toCatalyst(v: Any, t: JetTypes.JetType): Any =
-    if (v == null) null
-    else t match {
-      case JetTypes.ShortText | JetTypes.Memo | JetTypes.Hyperlink |
-          JetTypes.ReplicationId =>
-        UTF8String.fromString(String.valueOf(v))
-      case JetTypes.Currency =>
-        org.apache.spark.sql.types.Decimal(
-          v.asInstanceOf[java.math.BigDecimal], 19, 4)
-      case JetTypes.Numeric(p, sc) =>
-        org.apache.spark.sql.types.Decimal(
-          v.asInstanceOf[java.math.BigDecimal], p, sc)
-      case _ => v // primitives already land as their Catalyst repr
-    }
-
   override def get(): InternalRow = current
 
   override def close(): Unit = in.close()
+}
+
+private[jetmdb] object JetMdbPartitionReader {
+  /** Shared empty array value for complex keys with no child rows. */
+  val EmptyArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
 }

@@ -111,23 +111,120 @@ class AccdbSourceSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]](2).toSeq == blob.toSeq)
   }
 
-  test("ACE complex and extended-date columns reject with named " +
-    "escape routes; header magic and version must agree") {
-    for ((code, hint) <- Seq(0x12 -> "complex", 0x14 -> "extended")) {
-      val path = tmpDb(s"c$code.accdb")
-      JetMdbFixture.write(path, Seq(Table("t",
-        Seq(Col("id", 0x04), Col("x", code)),
-        Seq())), aceVersion = 0x02)
-      val e = intercept[Exception] {
-        spark.read.format("jetmdb").option("table", "t").load(path)
-          .collect()
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil
-        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(m => m.contains(hint) && m.contains("jet")),
-        msgs(e).mkString(" | "))
+  test("ACE attachment column (COMPLEX) reads as array<struct<...>> " +
+    "through the hidden flat table: values, pk ordering, empty-set " +
+    "vs null keys, and explode all work") {
+    val path = tmpDb("att.accdb")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val txt = Array.tabulate(500)(i => (i % 251).toByte) // LVAL-sized
+    JetMdbFixture.write(path, Seq(
+      Table("docs",
+        Seq(Col("id", 0x04), Col("att", 0x12)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(100)),
+          Seq(Integer.valueOf(2), Integer.valueOf(200)), // no children
+          Seq(Integer.valueOf(3), null)), // null key
+        complexCols = Map("att" -> "docs_att_flat")),
+      // flat side table: bookkeeping AutoNumber pk + type-0x12 key +
+      // the attachment payload columns, inserted OUT of pk order so
+      // the reader's insertion-order (pk) sort is observable
+      Table("docs_att_flat",
+        Seq(Col("pk", 0x04, auto = true), Col("fk", 0x12),
+          Col("FileName", 0x0A), Col("FileType", 0x0A),
+          Col("FileData", 0x0B)),
+        Seq(
+          Seq(Integer.valueOf(2), Integer.valueOf(100),
+            "b.bin", "bin", txt),
+          Seq(Integer.valueOf(1), Integer.valueOf(100),
+            "a.png", "png", png)),
+        system = true, lvalCols = Set("FileData"))),
+      aceVersion = 0x02)
+    val df = spark.read.format("jetmdb").option("table", "docs")
+      .load(path)
+    val at = df.schema("att").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val st = at.elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq ==
+      Seq("FileName", "FileType", "FileData"))
+    assert(st("FileData").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rows = df.orderBy(col("id")).collect()
+    val a1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a1.map(_.getString(0)) == Seq("a.png", "b.bin")) // pk order
+    assert(a1(0).getAs[Array[Byte]]("FileData").toSeq == png.toSeq)
+    assert(a1(1).getAs[Array[Byte]]("FileData").toSeq == txt.toSeq)
+    assert(rows(1).getSeq[Any](1).isEmpty) // key with no children
+    assert(rows(2).isNullAt(1)) // null key
+    // the idiomatic downstream shape: explode into one row per file
+    val ex = df.select(col("id"), explode(col("att")).as("f"))
+      .select(col("id"), col("f.FileName"))
+      .orderBy(col("id"), col("FileName")).collect()
+    assert(ex.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a.png"), (1, "b.bin")))
+    // pruning away the complex column must not touch the flat table
+    assert(df.select("id").orderBy(col("id")).collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("ACE multi-valued field (COMPLEX, single Value payload) and " +
+    "Date/Time Extended (0x14) round-trip; DATEXT is micros-exact " +
+    "across the 0001 epoch") {
+    val path = tmpDb("mvf.accdb")
+    val t1 = 981173106123456L // 2001-02-03 04:05:06.123456 UTC
+    val t2 = -30610224000000000L + 987L // 1000-01-01 + 987 µs
+    JetMdbFixture.write(path, Seq(
+      Table("tagged",
+        Seq(Col("id", 0x04), Col("tags", 0x12), Col("dt", 0x14)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(7),
+            java.lang.Long.valueOf(t1)),
+          Seq(Integer.valueOf(2), Integer.valueOf(8),
+            java.lang.Long.valueOf(t2))),
+        complexCols = Map("tags" -> "tagged_tags_flat")),
+      Table("tagged_tags_flat",
+        Seq(Col("pk", 0x04, auto = true), Col("fk", 0x12),
+          Col("Value", 0x0A)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(7), "red"),
+          Seq(Integer.valueOf(2), Integer.valueOf(7), "blue"),
+          Seq(Integer.valueOf(3), Integer.valueOf(8), "green")),
+        system = true)),
+      aceVersion = 0x03)
+    val df = spark.read.format("jetmdb").option("table", "tagged")
+      .load(path)
+    assert(df.schema("dt").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)) == Seq("red", "blue"))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)) == Seq("green"))
+    // micros-exact timestamps, including pre-1970 / year-1000
+    val micros = df.orderBy(col("id"))
+      .select(expr("unix_micros(dt)"))
+      .collect().map(_.getLong(0))
+    assert(micros.toSeq == Seq(t1, t2))
+    // the flat tables stay hidden from the user-table listing
+    assert(graft.sources.jetmdb.JetMdbSource.listTables(path)
+      .map(_._1) == Seq("tagged"))
+  }
+
+  test("ACE complex column without an MSysComplexColumns row still " +
+    "rejects loudly; header magic and version must agree") {
+    val path = tmpDb("noreg.accdb")
+    JetMdbFixture.write(path, Seq(Table("t",
+      Seq(Col("id", 0x04), Col("x", 0x12)),
+      Seq())), aceVersion = 0x02)
+    val e = intercept[Exception] {
+      spark.read.format("jetmdb").option("table", "t").load(path)
+        .collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("MSysComplexColumns")),
+      msgs(e).mkString(" | "))
     // corrupt/adversarial headers: magic and version must agree
     val good = tmpDb("good.accdb")
     JetMdbFixture.write(good,

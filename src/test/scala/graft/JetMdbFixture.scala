@@ -25,7 +25,10 @@ object JetMdbFixture {
   val PageSize = 4096
 
   final case class Col(name: String, code: Int, fixedLen: Int = 0,
-      prec: Int = 0, scale: Int = 0)
+      prec: Int = 0, scale: Int = 0,
+      // descriptor flag 0x04: AutoNumber (complex flat tables use it
+      // to mark their bookkeeping pk)
+      auto: Boolean = false)
 
   /** Index declaration for the TDEF index section (same documented
     * profile the production reader parses). */
@@ -45,6 +48,10 @@ object JetMdbFixture {
       // memo/OLE columns named here store their payload on shared
       // LVAL pages (single-page type); others store inline
       lvalCols: Set[String] = Set.empty,
+      // COMPLEX (0x12) column name → flat side-table NAME: the writer
+      // emits the matching MSysComplexColumns rows once every table's
+      // TDEF page is known (r13)
+      complexCols: Map[String, String] = Map.empty,
       // columns stored as CHAINED (type-2) LVALs: payload split into
       // chainChunk-byte rows, each prefixed with a 4-byte pointer to
       // the next chunk's (row << 24 | page) location
@@ -66,8 +73,8 @@ object JetMdbFixture {
     case 0x0F => 16
     case 0x10 => 17 // NUMERIC: sign byte + 16-byte mantissa
     case 0x13 => 8 // ACE 2016 BIGINT (Large Number)
-    case 0x12 => 4 // ACE COMPLEX: u32 side-table key (reject tests)
-    case 0x14 => 8 // ACE extended date/time (reject tests)
+    case 0x12 => 4 // ACE COMPLEX: u32 complex-value key
+    case 0x14 => 42 // ACE Date/Time Extended: 9:5:7 ASCII + 19 pad
     case 0x0A => c.fixedLen // fixed text only when fixedLen > 0
     case other => sys.error(f"fixture: no fixed length for 0x$other%02x")
   }
@@ -123,9 +130,10 @@ object JetMdbFixture {
         p(off + 11) = c.prec.toByte
         p(off + 12) = c.scale.toByte
       }
-      // flags: 0x01 fixed, 0x02 nullable
+      // flags: 0x01 fixed, 0x02 nullable, 0x04 AutoNumber
       val fixed = !isVar(c)
-      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02).toByte
+      p(off + 17) = ((if (fixed) 0x01 else 0x00) | 0x02 |
+        (if (c.auto) 0x04 else 0x00)).toByte
       if (fixed && !isBool(c)) {
         b.putShort(off + 19, fixedOff.toShort)
         fixedOff += fixedLenOf(c)
@@ -271,7 +279,18 @@ object JetMdbFixture {
             case 0x02 => r(fOff) = (v.asInstanceOf[Short] & 0xFF).toByte
             case 0x03 => b.putShort(fOff, v.asInstanceOf[Short])
             case 0x04 => b.putInt(fOff, v.asInstanceOf[Int])
+            case 0x12 => b.putInt(fOff, v.asInstanceOf[Int]) // complex key
             case 0x13 => b.putLong(fOff, v.asInstanceOf[Long])
+            case 0x14 => // Date/Time Extended: micros → 9:5:7 ASCII
+              // digits (days since 0001-01-01, seconds-in-day, 100ns
+              // units), 19 zero bytes of undecoded tail
+              val micros = v.asInstanceOf[Long]
+              val epochDay = Math.floorDiv(micros, 86400000000L)
+              val rem = Math.floorMod(micros, 86400000000L)
+              val s42 = f"${epochDay + 719162L}%09d:" +
+                f"${rem / 1000000L}%05d:${(rem % 1000000L) * 10L}%07d"
+              val ab = s42.getBytes(StandardCharsets.US_ASCII)
+              System.arraycopy(ab, 0, r, fOff, ab.length)
             case 0x05 =>
               val d = v.asInstanceOf[java.math.BigDecimal]
               b.putLong(fOff, d.movePointRight(4).longValueExact())
@@ -436,6 +455,7 @@ object JetMdbFixture {
     val catalogRows = ArrayBuffer[Seq[Any]](
       Seq(Integer.valueOf(2), java.lang.Short.valueOf(3.toShort),
         "MSysObjects"))
+    val tdefPageByName = scala.collection.mutable.Map.empty[String, Int]
     tables.foreach { t =>
       // LVAL payload pages first (several payloads per page, so the
       // reader's row-index lookup is exercised), then TDEF + data
@@ -505,6 +525,34 @@ object JetMdbFixture {
       catalogRows += Seq(Integer.valueOf(tdefPage),
         java.lang.Short.valueOf(if (t.system) 3.toShort else 1.toShort),
         t.name)
+      tdefPageByName(t.name) = tdefPage
+    }
+    // MSysComplexColumns (r13): once every TDEF page is known, emit
+    // one row per declared COMPLEX column linking (main TDEF page,
+    // column ordinal) → flat table's TDEF page — the catalog schema
+    // the production reader resolves flat tables through
+    val complexRows = tables.flatMap { t =>
+      t.complexCols.toSeq.map { case (colName, flatName) =>
+        val colId = t.cols.indexWhere(_.name == colName)
+        require(colId >= 0, s"fixture: no column '$colName' in ${t.name}")
+        Seq(Integer.valueOf(tdefPageByName(t.name)),
+          Integer.valueOf(colId),
+          Integer.valueOf(tdefPageByName(flatName)),
+          Integer.valueOf(0)): Seq[Any]
+      }
+    }
+    if (complexRows.nonEmpty) {
+      val sysCc = Table("MSysComplexColumns",
+        Seq(Col("ConceptualTableID", 0x04), Col("ColumnID", 0x04),
+          Col("FlatTableID", 0x04), Col("ComplexTypeObjectID", 0x04)),
+        complexRows, system = true)
+      val ccTdefPage = pages.length
+      tdefPagesChained(sysCc, complexRows.length, system = true,
+        headPage = ccTdefPage).foreach(pages += _)
+      dataPages(ccTdefPage, complexRows.map(encodeRow(sysCc, _)),
+        Set.empty).foreach(pages += _)
+      catalogRows += Seq(Integer.valueOf(ccTdefPage),
+        java.lang.Short.valueOf(3.toShort), "MSysComplexColumns")
     }
     // catalog: MSysObjects at page 2 (Id LONG, Type INT, Name TEXT)
     val sysTable = Table(
