@@ -59,7 +59,19 @@ import org.apache.spark.sql.SparkSession
   * plan regression. r12: probed queries' artifact medians are
   * REFRESHED from their probes before the write, so a stale committed
   * denominator (fluke-fast or fluke-slow) self-corrects within one
-  * round instead of making slow_vs_committed cry wolf. Subset sweeps
+  * round instead of making slow_vs_committed cry wolf. r13: the
+  * refresh is guarded three ways (the r12 cure re-created the r11
+  * defect in the opposite direction) — a probe whose own runs spread
+  * >3× disqualifies itself (min-of-runs is the tell: contention only
+  * ADDS time); a FAST adoption (<0.8× committed) needs a SECOND
+  * independent probe agreeing within 1.5× and adopts the SLOWER of
+  * the two; a slow REBASELINE (>2×) requires even the probe's
+  * fastest run to exceed 2× committed. Guard-failed probes keep the
+  * COMMITTED median in the artifact (the sweep median shared the
+  * contaminated window) with the probe record as audit trail. The
+  * committed-median comparison also refuses cross-WIDTH artifacts
+  * (`cpus` must match, read side and write side) exactly as it
+  * refuses cross-sf. Subset sweeps
   * (SPARK_GRAFT_BENCH_ONLY) write their full-precision line to
   * BENCH_PROBE.json so manual adjudications keep their telemetry.
   *
@@ -152,7 +164,8 @@ object Bench {
     * at a DIFFERENT scale factor than this sweep (a dev subset probe
     * at sf0.01 against a committed sf0.1 record would mark everything
     * slow or fast for scale reasons, not regression reasons). */
-  private def committedMedians(sfJson: String): Map[String, Double] =
+  private def committedMedians(
+      sfJson: String, cpus: String): Map[String, Double] =
     try {
       val p = Paths.get("BENCH_FULL.json")
       if (!Files.exists(p)) Map.empty
@@ -161,6 +174,15 @@ object Bench {
           .readTree(Files.readString(p))
         val sfNode = root.get("sf")
         if (sfNode == null || sfNode.asText() != sfJson.replace("\"", ""))
+          return Map.empty
+        // cross-WIDTH comparison is as meaningless as cross-sf (r13:
+        // a dev sweep at local[4] against the driver's local[32]
+        // medians read 2-5× FAST on overhead-dominated queries and
+        // would have rebaselined 20+ of them downward) — a sweep at a
+        // different width gets no committed denominators at all
+        val cpuNode = root.get("cpus")
+        if (cpuNode == null ||
+            cpuNode.asText() != cpus.replace("\"", ""))
           return Map.empty
         val qs = root.get("queries")
         if (qs == null) Map.empty
@@ -487,7 +509,7 @@ object Bench {
     // counts queries over 3× their committed median — the uniform-
     // slow-session blindness the intra-sweep `spikes` counter can't
     // see (r9: spikes=2 while 9 queries ran >3× committed).
-    val committed = committedMedians(sfJson)
+    val committed = committedMedians(sfJson, cpus)
     val vsCommitted: Map[String, Double] = results.collect {
       case (n, m) if m > 0 && committed.getOrElse(n, 0.0) > 0 =>
         n -> m / committed(n)
@@ -561,39 +583,100 @@ object Bench {
             else -1.0
           n -> Probe(med, ratio, stats)
         }
-    // COMMITTED-MEDIAN INTEGRITY (r12 verdict #1): the probe is the
-    // better-measured number — solo, post-sweep, same 1-warm-up
-    // methodology — so probed queries' ARTIFACT medians are refreshed
-    // from their probes before the write. This heals stale committed
-    // denominators in BOTH directions: a sweep median that was a
-    // positional fluke (contention) is replaced by the honest solo
-    // number now, and a committed median that was unrepresentatively
-    // FAST (the r11 closing sweep recorded q_kneser_ney at 0.114 s vs
-    // 0.505 s solo; q_label_prop 0.528 s vs its own in-code A/B's
-    // 1.86–2.41 s) gets corrected one round later, when the inflated
-    // ratio triggers the probe and the probe median lands here —
-    // instead of making slow_vs_committed cry wolf every round.
-    // Guard rails on the refresh (r12 review):
-    //   - a probe whose OWN runs were contention-hit (steal above the
-    //     same 5%-of-capacity budget the sweep filter uses) must not
-    //     write its inflated median into the baseline — keep the
-    //     sweep median and leave the probe as evidence;
-    //   - a refresh that ADOPTS a still->2× probe is a REBASELINE of
-    //     a confirmed slowdown (new honest steady state, or a real
-    //     plan regression that round-N's probe record documents) —
-    //     surface those names on stderr so the adoption is a loud
-    //     artifact fact, never a silent vanishing from next round's
-    //     slow_vs_committed.
+    // COMMITTED-MEDIAN INTEGRITY (r12 verdict #1, guards hardened
+    // r13): the probe is the better-measured number — solo,
+    // post-sweep, same 1-warm-up methodology — so probed queries'
+    // ARTIFACT medians are refreshed from their probes before the
+    // write, healing stale committed denominators in BOTH directions.
+    // The r12 refresh re-created the r11 defect in the opposite
+    // direction (fluke-FAST warm-tail probes became committed
+    // medians; a contaminated probe window wrote 12.5 s over
+    // q_user_holdout's honest 0.23 s), so adoption now passes THREE
+    // guards (r13 verdict #1):
+    //   1. STEAL: a probe whose own runs were contention-hit (steal
+    //      above the same 5%-of-capacity budget the sweep filter
+    //      uses) never writes its median anywhere.
+    //   2. SPREAD: a probe whose own timed runs spread more than 3×
+    //      measured two different machines — q_user_holdout's probe
+    //      ran 12.5/14.5/0.596 s, and the FAST run is the tell (only
+    //      contention ADDS time, so min-of-runs estimates true plan
+    //      cost) — it disqualifies itself entirely.
+    //   3. DIRECTION-SPECIFIC CONFIRMATION:
+    //      - FAST (probe < 0.8× committed): a single warm-tail solo
+    //        median must not lower the baseline — a SECOND
+    //        independent probe runs, both must agree within 1.5×,
+    //        and the SLOWER of the two medians is adopted.
+    //      - SLOW REBASELINE (probe > 2× committed): even the
+    //        probe's most favorable run must confirm the slowdown
+    //        (min-of-runs > 2× committed), else the probe is mixed
+    //        evidence and nothing is adopted.
+    // A probed query whose probe fails the guards keeps the
+    // COMMITTED median in the artifact (not the equally-suspect
+    // sweep median): the baseline only moves on clean evidence, and
+    // the probe record stays in BENCH_FULL.json as the audit trail.
     val hostCores = Runtime.getRuntime.availableProcessors
-    val refreshed: Map[String, Double] =
-      probes.collect {
-        case (n, p) if p.median > 0 && {
-          val timed = p.raw.drop(1).filter(_.t >= 0)
-          val wallMs = timed.map(_.t).sum * 1000
-          wallMs > 0 &&
-            timed.map(_.stealMs).sum < 0.05 * wallMs * hostCores
-        } => n -> p.median
-      }.toMap
+    def timedRuns(p: Probe): Seq[Double] =
+      p.raw.drop(1).filter(_.t >= 0).map(_.t)
+    def cleanSteal(p: Probe): Boolean = {
+      val timed = p.raw.drop(1).filter(_.t >= 0)
+      val wallMs = timed.map(_.t).sum * 1000
+      wallMs > 0 &&
+        timed.map(_.stealMs).sum < 0.05 * wallMs * hostCores
+    }
+    def spreadOk(p: Probe): Boolean = {
+      val ts = timedRuns(p)
+      ts.nonEmpty && ts.min > 0 && ts.max / ts.min <= 3.0
+    }
+    def minRun(p: Probe): Double = {
+      val ts = timedRuns(p)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
+    // second independent measurement for FAST-direction candidates
+    // (bounded by the 24-probe cap; only fast probes pay it)
+    val confirm: Map[String, Probe] = probes.collect {
+      case (n, p) if p.median > 0 && cleanSteal(p) && spreadOk(p) &&
+          committed.getOrElse(n, 0.0) > 0 &&
+          p.median < 0.8 * committed(n) =>
+        val qd = SparkEntry.registry.find(_.name == n).get
+        val (med2, stats2) = measure(spark, sfDir, n, qd.fn, 4)
+        n -> Probe(med2,
+          if (committed(n) > 0) med2 / committed(n) else -1.0, stats2)
+    }.toMap
+    val refreshed: Map[String, Double] = probes.flatMap { case (n, p) =>
+      val comm = committed.getOrElse(n, 0.0)
+      if (p.median <= 0 || !cleanSteal(p)) None
+      else if (!spreadOk(p)) {
+        System.err.println(f"[bench] probe DISQUALIFIED (own runs " +
+          f"spread ${timedRuns(p).max / math.max(timedRuns(p).min, 1e-9)}%.1fx): " +
+          s"$n — committed median retained")
+        None
+      } else if (comm > 0 && p.median < 0.8 * comm) {
+        confirm.get(n) match {
+          case Some(p2) if p2.median > 0 && cleanSteal(p2) &&
+              spreadOk(p2) &&
+              math.max(p.median, p2.median) /
+                math.min(p.median, p2.median) <= 1.5 =>
+            val adopted = math.max(p.median, p2.median)
+            System.err.println(f"[bench] FAST rebaseline confirmed " +
+              f"twice: $n ${comm}%.3f -> $adopted%.3f s")
+            Some(n -> adopted)
+          case second =>
+            System.err.println(f"[bench] FAST probe unconfirmed: $n " +
+              f"(probe ${p.median}%.3f s vs committed $comm%.3f s; " +
+              s"second ${second.map(s => f"${s.median}%.3f s")
+                .getOrElse("n/a")}) — committed retained")
+            None
+        }
+      } else if (comm > 0 && p.vsCommitted > 2.0) {
+        if (minRun(p) > 2.0 * comm) Some(n -> p.median)
+        else {
+          System.err.println(f"[bench] SLOW probe mixed (min run " +
+            f"${minRun(p)}%.3f s <= 2x committed $comm%.3f s): $n — " +
+            "committed median retained")
+          None
+        }
+      } else Some(n -> p.median)
+    }.toMap
     probes.collect {
       case (n, p) if refreshed.contains(n) && p.vsCommitted > 2.0 =>
         (n, p.vsCommitted)
@@ -606,8 +689,14 @@ object Bench {
           adopted.map { case (n, r) => f"$n ($r%.2fx)" }
             .mkString(", "))
     }
+    val probedNames = probes.map(_._1).toSet
     val resultsOut = results.map { case (n, m) =>
-      n -> refreshed.getOrElse(n, m)
+      n -> refreshed.getOrElse(n,
+        // guard-failed probes: the sweep median is as suspect as the
+        // probe (same contaminated window) — keep the baseline
+        if (probedNames(n) && committed.getOrElse(n, 0.0) > 0)
+          committed(n)
+        else m)
     }
     val totalOut =
       resultsOut.collect { case (_, v) if v >= 0 => v }.sum
@@ -640,10 +729,27 @@ object Bench {
             else Option(new com.fasterxml.jackson.databind.ObjectMapper()
               .readTree(Files.readString(p)).get("sf")).map(_.asText())
           } catch { case scala.util.control.NonFatal(_) => None }
+        val committedCpus =
+          try {
+            val p = Paths.get("BENCH_FULL.json")
+            if (!Files.exists(p)) None
+            else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(Files.readString(p)).get("cpus")).map(_.asText())
+          } catch { case scala.util.control.NonFatal(_) => None }
         if (committedSf.exists(_ != sfJson.replace("\"", ""))) {
           System.err.println(
             s"[bench] sweep sf $sfJson != committed sf " +
               s"${committedSf.get}: writing BENCH_DEV.json " +
+              "(BENCH_FULL.json preserved)")
+          "BENCH_DEV.json"
+        } else if (committedCpus.exists(_ != cpus.replace("\"", ""))) {
+          // same r11 cross-sf lesson, width edition (r13): a local[4]
+          // dev sweep must never overwrite the driver's local[32]
+          // medians - the fluke-FAST adoptions it would write are the
+          // exact defect the probe guards exist to prevent
+          System.err.println(
+            s"[bench] sweep cpus $cpus != committed cpus " +
+              s"${committedCpus.get}: writing BENCH_DEV.json " +
               "(BENCH_FULL.json preserved)")
           "BENCH_DEV.json"
         } else "BENCH_FULL.json"

@@ -267,6 +267,11 @@ object JetMdbSource {
         if (!tdef.columns.exists(_.typeCode == T_COMPLEX))
           (tdef.jetTypes, Map.empty[String, Int])
         else {
+          // COMPLEX postdates Jet3 by a decade; a 0x12 code in a Jet3
+          // TDEF is corruption, and the catalog walk below assumes
+          // Jet4 page geometry — fail before reading garbage
+          require(!jet3, s"jetmdb: COMPLEX column type 0x12 in a " +
+            s"Jet3 (Access 97) file — corrupt TDEF for '$table'")
           val links = complexCatalogOf(path, cat, count)
           val fp = scala.collection.mutable.LinkedHashMap[String, Int]()
           val resolved = tdef.columns.map { c =>
