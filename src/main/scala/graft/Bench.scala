@@ -646,9 +646,15 @@ object Bench {
       val comm = committed.getOrElse(n, 0.0)
       if (p.median <= 0 || !cleanSteal(p)) None
       else if (!spreadOk(p)) {
+        // spread rendered defensively: spreadOk is also false when
+        // every timed run FAILED (empty list — .max would throw and
+        // take the whole sweep's artifact with it)
+        val ts = timedRuns(p)
+        val spread =
+          if (ts.isEmpty || ts.min <= 0) Double.NaN
+          else ts.max / ts.min
         System.err.println(f"[bench] probe DISQUALIFIED (own runs " +
-          f"spread ${timedRuns(p).max / math.max(timedRuns(p).min, 1e-9)}%.1fx): " +
-          s"$n — committed median retained")
+          f"spread $spread%.1fx): $n — committed median retained")
         None
       } else if (comm > 0 && p.median < 0.8 * comm) {
         confirm.get(n) match {

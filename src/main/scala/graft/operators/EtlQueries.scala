@@ -256,6 +256,45 @@ object EtlQueries {
         col("n_chars")).cast("bigint").as("big_id")))
   }
 
+  /** ACE COMPLEX round-trip (r13): every document's text is split
+    * into two 40-char chunk structs, written as an attachment-style
+    * `array<struct<k,piece>>` column through the production complex
+    * writer (main table stores the u32 key; chunks land in the
+    * hidden flat side table linked via MSysComplexColumns), read
+    * back through the flat-table resolver, and EXPLODED to scalar
+    * rows for the hash gate — the oracle rebuilds the chunks with
+    * plain substr over documents, so the whole key-assignment /
+    * flat-table / element-order machinery is value-pinned, not just
+    * spec-pinned. Chunks past a short text render as '' on both
+    * engines (substr past length), never NULL. */
+  val qScanAccdbComplex: QDef = QDef(
+    "q_scan_accdb_complex",
+    """SELECT CAST(doc_id AS INT) AS doc_id, CAST(ks.k AS INT) AS k,
+      |  substr(text, 1 + ks.k * 40, 40) AS piece
+      |FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |ORDER BY doc_id, k""".stripMargin) { (s, d) =>
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "accdb_cx")) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}_cx.accdb"
+        documents(s, d).select(
+          col("doc_id").cast("int").as("doc_id"),
+          array(
+            struct(lit(0).as("k"),
+              substring(col("text"), 1, 40).as("piece")),
+            struct(lit(1).as("k"),
+              substring(col("text"), 41, 40).as("piece"))).as("chunks"))
+          .write.mode("overwrite").format("jetmdb")
+          .option("table", "documents").option("version", "ace")
+          .save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.k").as("k"),
+        col("c.piece").as("piece"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   /** Jet3 (Access 97) twin (r12): the same documents round-trip
     * through the Jet3 writer/reader — 2048-byte pages, CP1252 text,
     * u8 row offsets — putting the Access-97 binary path under the
@@ -1162,7 +1201,8 @@ object EtlQueries {
 
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
-    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb, qScanJet3,
+    qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb,
+    qScanAccdbComplex, qScanJet3,
     qTryFuncs,
     qSnapshotDiff,
     qProfileTable,

@@ -222,7 +222,10 @@ object JetMdbSource {
               vs(i) = toCatalystValue(r(payloadIdx(i)), payloadT(i))
               i += 1
             }
-            val pk = if (pkIdx < 0) rows.length
+            // file order when the flat table has no AutoNumber pk OR
+            // a row's pk is null (corrupt bookkeeping must not NPE
+            // the whole scan — the payload is still readable)
+            val pk = if (pkIdx < 0 || r(pkIdx) == null) rows.length
               else r(pkIdx).asInstanceOf[Integer].intValue()
             rows += ((r(fkIdx).asInstanceOf[Integer].intValue(), pk,
               new GenericInternalRow(vs)))

@@ -78,10 +78,48 @@ object JetMdbWrite {
         s"jetmdb: column ${f.name}: Jet4 has no 64-bit integer — " +
           "cast BIGINT to INT or DOUBLE, or write an ACE file with " +
           ".option(\"version\", \"ace\") (Large Number)")
+      // ACE COMPLEX write (r13): an array<struct<...>> column becomes
+      // an attachment/multi-valued field — the main table stores a
+      // u32 complex-value key, the elements land in a hidden flat
+      // side table linked through MSysComplexColumns (the exact
+      // layout the r13 reader resolves). ACE files only: the complex
+      // machinery postdates Jet4.
+      case at: ArrayType if at.elementType.isInstanceOf[StructType] =>
+        if (ace) T_COMPLEX
+        else throw new IllegalArgumentException(
+          s"jetmdb: column ${f.name}: array<struct> is an ACE " +
+            "complex (attachment/multi-valued) column — write an " +
+            ".accdb with .option(\"version\", \"ace\"); Jet4 has no " +
+            "rendering")
       case other => throw new IllegalArgumentException(
         s"jetmdb: column ${f.name}: $other has no Jet rendering " +
-          "(array/struct need the parquet sink)")
+          "(array/struct need the parquet sink; array<struct> of " +
+          "scalars writes as an ACE complex column)")
     }
+
+  /** Hidden flat side table behind an ACE COMPLEX column: name,
+    * schema and codes — `pk` (AutoNumber bookkeeping, preserves
+    * element order on read), `fk` (the type-0x12 complex-value key),
+    * then the element struct's fields as the payload. Mirrors what
+    * [[graft.sources.jetmdb.JetMdbFormat.complexPayloadCols]]
+    * reconstructs on read. */
+  def complexFlatSpec(table: String, f: StructField, ace: Boolean)
+      : (String, StructType, Array[Int]) = {
+    val elem = f.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    require(!elem.fieldNames.exists(n => n == "pk" || n == "fk"),
+      s"jetmdb: complex column ${f.name}: element fields named " +
+        "pk/fk collide with the flat table's bookkeeping columns")
+    val codes = Array(T_LONG, T_COMPLEX) ++
+      elem.fields.map(jetCode(_, Set.empty, ace))
+    require(!codes.drop(2).contains(T_COMPLEX),
+      s"jetmdb: complex column ${f.name}: nested complex elements " +
+        "have no Jet rendering — flatten the inner array first")
+    val flatSchema = StructType(
+      StructField("pk", IntegerType) +: StructField("fk", IntegerType)
+        +: elem.fields.toSeq)
+    (s"${table}_${f.name}_flat", flatSchema, codes)
+  }
 
   private def isVarCode(c: Int): Boolean =
     c == T_TEXT || c == T_MEMO || c == T_OLE
@@ -138,6 +176,7 @@ object JetMdbWrite {
     case T_DOUBLE => 8
     case T_DATETIME => 8
     case T_BIGINT => 8 // ACE Large Number (r12)
+    case T_COMPLEX => 4 // ACE complex-value key (r13)
     case T_NUMERIC => 17
     case _ => 0
   }
@@ -186,6 +225,9 @@ object JetMdbWrite {
           code match {
             case T_INT => b.putShort(off, row.getShort(i))
             case T_LONG => b.putInt(off, row.getInt(i))
+            // the writer substitutes the assigned u32 key for the
+            // array value before encoding (r13)
+            case T_COMPLEX => b.putInt(off, row.getInt(i))
             case T_BIGINT => b.putLong(off, row.getLong(i))
             case T_MONEY => b.putLong(off,
               row.getDecimal(i, 19, 4).toJavaBigDecimal
@@ -676,6 +718,14 @@ private[jetmdb] final case class JetMdbBatchWrite(
       writePage: Array[Byte] => Unit): Unit = {
     import org.apache.spark.sql.catalyst.{InternalRow => IRow}
     import org.apache.spark.unsafe.types.UTF8String
+    // complex columns write fresh files only (r13): appending would
+    // have to fold flat tables into an existing MSysComplexColumns
+    // and re-home its data page — honest rejection over a half-built
+    // catalog
+    require(!codes.contains(JetMdbFormat.T_COMPLEX),
+      "jetmdb: append with an ACE complex (array<struct>) column is " +
+        "unsupported — write the table to a fresh .accdb " +
+        "(mode(\"overwrite\"))")
     val st = fs.getFileStatus(new Path(path))
     require(st.getLen % PageSize == 0,
       s"jetmdb append: $path is not page-aligned (${st.getLen} bytes)")
@@ -831,26 +881,89 @@ private[jetmdb] final case class JetMdbBatchWrite(
         math.min(numRows, Int.MaxValue.toLong).toInt, system = false,
         indexes, autoNumbers, headPage = 4)
       val relTdefPage = 4 + userTdef.length
+      // relationships data pages materialize up front (catalog-sized)
+      // so every later TDEF page number is known before the catalog
+      // page is written
+      val relDataPages =
+        if (relationships.isEmpty) Nil
+        else JetMdbPagePacker.pack(relRowBytes().iterator, relTdefPage)
+          .toSeq
+      // ACE COMPLEX columns (r13): one hidden flat table per complex
+      // column (TDEF chain + data pages owned by its head), then the
+      // MSysComplexColumns catalog table linking (main TDEF page 4,
+      // column ordinal) → flat head — exactly what the reader's
+      // resolveComplex walk expects
+      val complexCols = codes.indices.filter(
+        codes(_) == JetMdbFormat.T_COMPLEX)
+      var cursor = relTdefPage +
+        (if (relationships.isEmpty) 0 else 1 + relDataPages.size)
+      val flats = complexCols.map { ci =>
+        val (fname, fschema, fcodes) =
+          JetMdbWrite.complexFlatSpec(table, schema(ci), ace)
+        val nFlat = parts.map(
+          _.complex.get(ci).map(_._2).getOrElse(0L)).sum
+        val pages = JetMdbWrite.tdefPages(fschema, fcodes,
+          math.min(nFlat, Int.MaxValue.toLong).toInt, system = true,
+          Nil, Set("pk"), headPage = cursor)
+        val head = cursor
+        cursor += pages.length
+        (ci, fname, pages, head)
+      }
+      val ccTdefPage = cursor
+      val ccSchema = StructType(Seq(
+        StructField("ConceptualTableID", IntegerType),
+        StructField("ColumnID", IntegerType),
+        StructField("FlatTableID", IntegerType),
+        StructField("ComplexTypeObjectID", IntegerType)))
+      val ccCodes = Array(T_LONG, T_LONG, T_LONG, T_LONG)
+      val ccDataPages =
+        if (flats.isEmpty) Nil
+        else JetMdbPagePacker.pack(flats.map { case (ci, _, _, head) =>
+          JetMdbWrite.encodeRow(IRow(4, ci, head, 0), ccSchema, ccCodes)
+        }.iterator, ccTdefPage).toSeq
       val catRows = (Seq(
         IRow(2, 3.toShort, UTF8String.fromString("MSysObjects")),
         IRow(4, 1.toShort, UTF8String.fromString(table))) ++
         (if (relationships.nonEmpty)
           Seq(IRow(relTdefPage, 3.toShort,
             UTF8String.fromString("MSysRelationships")))
+        else Nil) ++
+        flats.map { case (_, fname, _, head) =>
+          IRow(head, 3.toShort, UTF8String.fromString(fname))
+        } ++
+        (if (flats.nonEmpty)
+          Seq(IRow(ccTdefPage, 3.toShort,
+            UTF8String.fromString("MSysComplexColumns")))
         else Nil))
         .map(JetMdbWrite.encodeRow(_, sysSchema, sysCodes))
       val catPages = JetMdbPagePacker.pack(catRows.iterator, 2).toSeq
       require(catPages.size == 1, "jetmdb: catalog must fit one page")
       catPages.foreach(writePage)
       // user TDEF chain, then — if declared — the MSysRelationships
-      // TDEF + data, then the user data pages (owner = 4, the chain
+      // TDEF + data, then the complex flat TDEFs + MSysComplexColumns
+      // + flat data, then the user data pages (owner = 4, the chain
       // HEAD). Owners make page order irrelevant to the extent walk.
       userTdef.foreach(writePage)
       if (relationships.nonEmpty) {
         writePage(JetMdbWrite.tdefPage(relSchema, relCodes,
           relationships.size, system = true))
-        JetMdbPagePacker.pack(relRowBytes().iterator, relTdefPage)
-          .foreach(writePage)
+        relDataPages.foreach(writePage)
+      }
+      flats.foreach { case (_, _, pages, _) => pages.foreach(writePage) }
+      if (flats.nonEmpty) {
+        writePage(JetMdbWrite.tdefPage(ccSchema, ccCodes, flats.size,
+          system = true))
+        ccDataPages.foreach(writePage)
+      }
+      flats.foreach { case (ci, _, _, head) =>
+        val flatBlobs = parts.iterator.flatMap { m =>
+          m.complex.get(ci) match {
+            case Some((fname, n)) if n > 0 =>
+              JetMdbBlobIO.readBlobs(fs, new Path(staging, fname))
+            case _ => Iterator.empty
+          }
+        }
+        JetMdbPagePacker.pack(flatBlobs, head).foreach(writePage)
       }
       val blobIter = parts.iterator.flatMap { m =>
         JetMdbBlobIO.readBlobs(fs, new Path(staging, m.file))
@@ -925,7 +1038,12 @@ private[jetmdb] object JetMdbBlobIO {
   }
 }
 
-private[jetmdb] final case class JetMdbCommit(file: String, rows: Long)
+/** Per-task staging manifest. `complex` maps a complex column's
+  * ordinal in the main schema to its flat-row staging file and
+  * element count (r13 — empty for schemas without complex columns). */
+private[jetmdb] final case class JetMdbCommit(
+    file: String, rows: Long,
+    complex: Map[Int, (String, Long)] = Map.empty)
   extends WriterCommitMessage
 
 private[jetmdb] final case class JetMdbWriterFactory(
@@ -962,27 +1080,128 @@ private[jetmdb] final class JetMdbDataWriter(
   private val codes =
     if (jet3) schema.fields.map(Jet3Write.jetCode3)
     else schema.fields.map(JetMdbWrite.jetCode(_, memoCols, ace))
+
+  // ACE COMPLEX columns (r13): each complex column stages its flat
+  // rows in a sibling blob file; the main row is encoded with the
+  // assigned u32 key substituted for the array value. Keys are
+  // partitionId-scoped ((partitionId << 20) | counter) so parallel
+  // tasks never collide without coordination; the bounds below are
+  // generous against the format's own 2 GB cap.
+  private val complexIdx: Array[Int] =
+    codes.indices.filter(codes(_) == JetMdbFormat.T_COMPLEX).toArray
+  private val elemTypes: Map[Int, StructType] = complexIdx.map { ci =>
+    ci -> schema(ci).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+  }.toMap
+  private val flatState
+      : Map[Int, (String, org.apache.hadoop.fs.FSDataOutputStream,
+        StructType, Array[Int])] =
+    complexIdx.map { ci =>
+      val (_, fschema, fcodes) =
+        JetMdbWrite.complexFlatSpec("", schema(ci), ace)
+      val fname = f"rows-$partitionId%05d-$taskId.c$ci.bin"
+      val fout = fs.create(
+        new Path(new Path(parent, stagingName), fname), true)
+      ci -> ((fname, fout, fschema, fcodes))
+    }.toMap
+  private val flatCounts =
+    scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+  private var keyCounter = 0
+  if (complexIdx.nonEmpty)
+    require(partitionId < (1 << 11),
+      "jetmdb: complex write caps at 2048 partitions (key space) — " +
+        "coalesce the interchange-scale DataFrame")
+
+  private def writeBlob(
+      o: org.apache.hadoop.fs.FSDataOutputStream,
+      bytes: Array[Byte]): Unit = {
+    o.write((bytes.length >> 8) & 0xFF)
+    o.write(bytes.length & 0xFF)
+    o.write(bytes)
+  }
+
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     val bytes =
       if (jet3) Jet3Write.encodeRow3(row, schema, codes)
-      else JetMdbWrite.encodeRow(row, schema, codes)
-    out.write((bytes.length >> 8) & 0xFF)
-    out.write(bytes.length & 0xFF)
-    out.write(bytes)
+      else if (complexIdx.isEmpty)
+        JetMdbWrite.encodeRow(row, schema, codes)
+      else {
+        require(keyCounter < (1 << 20),
+          "jetmdb: complex write caps at 2^20 rows per partition " +
+            "(key space)")
+        val key = (partitionId << 20) | keyCounter
+        keyCounter += 1
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          vals(i) =
+            if (!complexIdx.contains(i))
+              (if (row.isNullAt(i)) null
+               else row.get(i, schema(i).dataType))
+            else if (row.isNullAt(i)) null
+            else {
+              // stage one flat row per array element; pk = the
+              // element counter (read-side order within a key)
+              val (_, fout, fschema, fcodes) = flatState(i)
+              val elem = elemTypes(i)
+              val arr = row.getArray(i)
+              var k = 0
+              while (k < arr.numElements()) {
+                val st = arr.getStruct(k, elem.length)
+                val fvals = new Array[Any](fschema.length)
+                fvals(0) = (flatCounts(i) & 0x7FFFFFFFL).toInt // pk
+                fvals(1) = key // fk
+                var j = 0
+                while (j < elem.length) {
+                  fvals(2 + j) =
+                    if (st == null || st.isNullAt(j)) null
+                    else st.get(j, elem(j).dataType)
+                  j += 1
+                }
+                writeBlob(fout, JetMdbWrite.encodeRow(
+                  new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(fvals), fschema, fcodes))
+                flatCounts(i) += 1
+                k += 1
+              }
+              key: java.lang.Integer
+            }
+          i += 1
+        }
+        JetMdbWrite.encodeRow(
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals), schema, codes)
+      }
+    writeBlob(out, bytes)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (rows > 0) JetMdbCommit(fileName, rows)
-    else { fs.delete(part, false); JetMdbCommit(null, 0) }
+    flatState.values.foreach(_._2.close())
+    if (rows > 0)
+      JetMdbCommit(fileName, rows,
+        flatState.map { case (ci, (fname, _, _, _)) =>
+          ci -> ((fname, flatCounts(ci)))
+        })
+    else {
+      fs.delete(part, false)
+      flatState.values.foreach { case (fname, _, _, _) =>
+        fs.delete(new Path(new Path(parent, stagingName), fname), false)
+      }
+      JetMdbCommit(null, 0)
+    }
   }
 
   override def abort(): Unit = {
     out.close()
+    flatState.values.foreach(_._2.close())
     fs.delete(part, false)
+    flatState.values.foreach { case (fname, _, _, _) =>
+      fs.delete(new Path(new Path(parent, stagingName), fname), false)
+    }
   }
 
   override def close(): Unit = ()

@@ -210,6 +210,50 @@ class AccdbSourceSpec extends AnyFunSuite {
       .map(_._1) == Seq("tagged"))
   }
 
+  test("ACE complex WRITE (r13): array<struct> round-trips through " +
+    "the production writer and reader — element order, empty arrays, " +
+    "null keys, binary payload; Jet4 and append reject") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("cw.accdb")
+    val df = Seq[(Int, Seq[(String, Array[Byte])])](
+      (1, Seq(("a.png", Array[Byte](1, 2, 3)),
+        ("b.bin", Array[Byte](9)))),
+      (2, Seq.empty),
+      (3, null)).toDF("id", "att")
+      .select(col("id"),
+        expr("transform(att, x -> named_struct(" +
+          "'FileName', x._1, 'FileData', x._2))").as("att"))
+    df.write.format("jetmdb").option("table", "docs")
+      .option("version", "ace").mode("overwrite").save(path)
+    val back = spark.read.format("jetmdb").option("table", "docs")
+      .load(path).orderBy(col("id")).collect()
+    val a1 = back(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a1.map(_.getString(0)) == Seq("a.png", "b.bin"))
+    assert(a1(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1).getSeq[Any](1).isEmpty) // empty array survives
+    assert(back(2).isNullAt(1)) // null array survives
+    // flat table is hidden from the user listing
+    assert(graft.sources.jetmdb.JetMdbSource.listTables(path)
+      .map(_._1) == Seq("docs"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // Jet4 target rejects with the ace escape route
+    val e1 = intercept[Exception] {
+      df.write.format("jetmdb").option("table", "docs")
+        .mode("overwrite").save(tmpDb("cw.mdb"))
+    }
+    assert(msgs(e1).exists(_.contains("ace")), msgs(e1).mkString("|"))
+    // append with a complex column rejects
+    val e2 = intercept[Exception] {
+      df.withColumnRenamed("att", "att2")
+        .write.format("jetmdb").option("table", "docs2")
+        .option("version", "ace").mode("append").save(path)
+    }
+    assert(msgs(e2).exists(_.contains("fresh")), msgs(e2).mkString("|"))
+  }
+
   test("ACE complex column without an MSysComplexColumns row still " +
     "rejects loudly; header magic and version must agree") {
     val path = tmpDb("noreg.accdb")
