@@ -54,7 +54,8 @@ object JetMdbWrite {
     * single-page LVAL indirection produced by real Jet writers). */
   def jetCode(
       f: StructField, memoCols: Set[String] = Set.empty,
-      ace: Boolean = false): Int =
+      ace: Boolean = false,
+      datextCols: Set[String] = Set.empty): Int =
     f.dataType match {
       case BooleanType => T_BOOL
       case ShortType => T_INT
@@ -66,7 +67,11 @@ object JetMdbWrite {
       case d: DecimalType => throw new IllegalArgumentException(
         s"jetmdb: column ${f.name}: DECIMAL(${d.precision},${d.scale}) " +
           "exceeds Jet NUMERIC's 28-digit precision")
-      case TimestampType | TimestampNTZType => T_DATETIME
+      case TimestampType | TimestampNTZType =>
+        // datextColumns routes named timestamp columns to ACE
+        // Date/Time Extended (r13): 100 ns field, year 1-9999 — the
+        // classic OLE double loses sub-ms precision far from 1899
+        if (datextCols.contains(f.name)) T_DATEXT else T_DATETIME
       case StringType =>
         if (memoCols.contains(f.name)) T_MEMO else T_TEXT
       case BinaryType => T_OLE
@@ -177,6 +182,7 @@ object JetMdbWrite {
     case T_DATETIME => 8
     case T_BIGINT => 8 // ACE Large Number (r12)
     case T_COMPLEX => 4 // ACE complex-value key (r13)
+    case T_DATEXT => JetMdbFormat.ExtDateLen // 42-byte ASCII (r13)
     case T_NUMERIC => 17
     case _ => 0
   }
@@ -253,6 +259,18 @@ object JetMdbWrite {
             case T_DOUBLE => b.putDouble(off, row.getDouble(i))
             case T_DATETIME =>
               b.putDouble(off, microsToOleDate(row.getLong(i)))
+            case T_DATEXT =>
+              // the read profile's inverse (JetMdbFormat
+              // .extDateToMicros): 9-digit days since 0001-01-01,
+              // ':', 5-digit seconds-in-day, ':', 7 digits of 100 ns
+              // units, 19 zero bytes of undecoded tail
+              val micros = row.getLong(i)
+              val epochDay = Math.floorDiv(micros, 86400000000L)
+              val rem = Math.floorMod(micros, 86400000000L)
+              val s42 = f"${epochDay + 719162L}%09d:" +
+                f"${rem / 1000000L}%05d:${(rem % 1000000L) * 10L}%07d"
+              val ab = s42.getBytes(StandardCharsets.US_ASCII)
+              System.arraycopy(ab, 0, r, off, ab.length)
           }
         }
         off += fixedLen(code)
@@ -529,6 +547,21 @@ private[jetmdb] final class JetMdbWriteBuilder(
         .getOrElse(Set.empty[String])
       memoCols.foreach(c => require(schema.fieldNames.contains(c),
         s"jetmdb: memoColumns names unknown column '$c'"))
+      // datextColumns (r13): named TIMESTAMP columns write as ACE
+      // Date/Time Extended (0x14) instead of the classic OLE double
+      val datextCols = Option(info.options.get("datextcolumns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      datextCols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"jetmdb: datextColumns names unknown column '$c'")
+        require(ace,
+          "jetmdb: datextColumns — Date/Time Extended is an ACE " +
+            "(2019) type; write .option(\"version\", \"ace\")")
+        val dt = schema(c).dataType
+        require(dt == TimestampType || dt == TimestampNTZType,
+          s"jetmdb: datextColumns column '$c' is not a timestamp")
+      }
       // plan-time validation (per version — Jet3 has no MEMO/OLE/
       // NUMERIC and its reader skips index sections, so the metadata
       // options reject rather than write what cannot round-trip)
@@ -544,7 +577,8 @@ private[jetmdb] final class JetMdbWriteBuilder(
               "verified); write Jet4 for metadata-bearing exports")
         }
         schema.fields.foreach(Jet3Write.jetCode3)
-      } else schema.fields.foreach(JetMdbWrite.jetCode(_, memoCols, ace))
+      } else schema.fields.foreach(
+        JetMdbWrite.jetCode(_, memoCols, ace, datextCols))
       val table = info.options.getOrDefault("table", null)
       require(table != null,
         "jetmdb: .option(\"table\", <name>) is required to write")
@@ -579,7 +613,8 @@ private[jetmdb] final class JetMdbWriteBuilder(
         require(schema(c).dataType == IntegerType,
           s"jetmdb: autonumber column '$c' must be LONG (IntegerType)")
       }
-      JetMdbBatchWrite(path, table, schema, memoCols, indexes, rels,
+      JetMdbBatchWrite(path, table, schema, memoCols, datextCols,
+        indexes, rels,
         autoNums, overwrite, jet3, ace,
         new SerializableConfiguration(SparkSession.active
           .sparkContext.hadoopConfiguration))
@@ -592,6 +627,7 @@ private[jetmdb] final case class JetMdbBatchWrite(
     table: String,
     schema: StructType,
     memoCols: Set[String],
+    datextCols: Set[String],
     indexes: Seq[JetMdbFormat.JetIndex],
     relationships: Seq[(String, String, String, String, Int, Int, Int)],
     autoNumbers: Set[String],
@@ -604,8 +640,8 @@ private[jetmdb] final case class JetMdbBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    JetMdbWriterFactory(path, stagingName, schema, memoCols, jet3,
-      ace, conf)
+    JetMdbWriterFactory(path, stagingName, schema, memoCols,
+      datextCols, jet3, ace, conf)
 
   private val relSchema = StructType(Seq(
     StructField("ccolumn", IntegerType),
@@ -644,7 +680,8 @@ private[jetmdb] final case class JetMdbBatchWrite(
     val staging = new Path(parent, stagingName)
     val codes =
       if (jet3) schema.fields.map(Jet3Write.jetCode3)
-      else schema.fields.map(JetMdbWrite.jetCode(_, memoCols, ace))
+      else schema.fields.map(
+        JetMdbWrite.jetCode(_, memoCols, ace, datextCols))
     val parts = messages.collect {
       case m: JetMdbCommit if m.file != null => m
     }
@@ -1051,14 +1088,15 @@ private[jetmdb] final case class JetMdbWriterFactory(
     stagingName: String,
     schema: StructType,
     memoCols: Set[String],
+    datextCols: Set[String],
     jet3: Boolean,
     ace: Boolean,
     conf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JetMdbDataWriter(path, stagingName, schema, memoCols, jet3,
-      ace, conf.value, partitionId, taskId)
+    new JetMdbDataWriter(path, stagingName, schema, memoCols,
+      datextCols, jet3, ace, conf.value, partitionId, taskId)
 }
 
 private[jetmdb] final class JetMdbDataWriter(
@@ -1066,6 +1104,7 @@ private[jetmdb] final class JetMdbDataWriter(
     stagingName: String,
     schema: StructType,
     memoCols: Set[String],
+    datextCols: Set[String],
     jet3: Boolean,
     ace: Boolean,
     hconf: Configuration,
@@ -1079,7 +1118,8 @@ private[jetmdb] final class JetMdbDataWriter(
   private val out = fs.create(part, true)
   private val codes =
     if (jet3) schema.fields.map(Jet3Write.jetCode3)
-    else schema.fields.map(JetMdbWrite.jetCode(_, memoCols, ace))
+    else schema.fields.map(
+      JetMdbWrite.jetCode(_, memoCols, ace, datextCols))
 
   // ACE COMPLEX columns (r13): each complex column stages its flat
   // rows in a sibling blob file; the main row is encoded with the

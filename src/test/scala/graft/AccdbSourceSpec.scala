@@ -254,6 +254,57 @@ class AccdbSourceSpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("fresh")), msgs(e2).mkString("|"))
   }
 
+  test("ACE Date/Time Extended WRITE (r13): datextColumns routes a " +
+    "timestamp through the 42-byte profile, micros-exact both sides " +
+    "of 1970; non-ACE targets and non-timestamp columns reject") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("dx.accdb")
+    // proleptic-Gregorian inputs via to_timestamp — a java.sql
+    // .Timestamp detours through the HYBRID Julian calendar and
+    // shifts year-1000 dates by 5 days before Spark ever sees them
+    val src = Seq(
+      (1, "2001-02-03 04:05:06.123456"),
+      (2, "1000-01-01 00:00:00.000987")).toDF("id", "s")
+      .select(col("id"), to_timestamp(col("s")).as("dt"))
+    val want = src.orderBy(col("id"))
+      .select(expr("unix_micros(dt)")).collect()
+      .map(_.getLong(0)).toSeq
+    src.write.format("jetmdb").option("table", "t")
+      .option("version", "ace").option("datextColumns", "dt")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("jetmdb").option("table", "t")
+      .load(path).orderBy(col("id"))
+    assert(back.schema("dt").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val micros = back.select(expr("unix_micros(dt)")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(micros == want)
+    assert(want(1) ==
+      java.time.Instant.parse("1000-01-01T00:00:00Z")
+        .toEpochMilli * 1000 + 987) // proleptic, micros intact
+    val t1 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2001-02-03T04:05:06.123456Z"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception] {
+      Seq((1, t1)).toDF("id", "dt")
+        .write.format("jetmdb").option("table", "t")
+        .option("datextColumns", "dt")
+        .mode("overwrite").save(tmpDb("dx.mdb")) // not ACE
+    }
+    assert(msgs(e1).exists(_.contains("ace")), msgs(e1).mkString("|"))
+    val e2 = intercept[Exception] {
+      Seq((1, t1)).toDF("id", "dt")
+        .write.format("jetmdb").option("table", "t")
+        .option("version", "ace").option("datextColumns", "id")
+        .mode("overwrite").save(tmpDb("dx2.accdb"))
+    }
+    assert(msgs(e2).exists(_.contains("timestamp")),
+      msgs(e2).mkString("|"))
+  }
+
   test("ACE complex column without an MSysComplexColumns row still " +
     "rejects loudly; header magic and version must agree") {
     val path = tmpDb("noreg.accdb")
