@@ -303,6 +303,19 @@ class AccdbSourceSpec extends AnyFunSuite {
     }
     assert(msgs(e2).exists(_.contains("timestamp")),
       msgs(e2).mkString("|"))
+    // ON-DISK byte pin, hand-computed (not derived from any of the
+    // three implementations — reader, writer, fixture — so a shared
+    // profile drift cannot pass silently): 2001-02-03 04:05:06.123456
+    // = day 730518 since 0001-01-01 (epochDay 11356 + 719162),
+    // second 14706 of the day, 1234560 hundred-ns units.
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pin = "000730518:14706:1234560"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val found = (0 until bytes.length - pin.length).exists { off =>
+      pin.indices.forall(k => bytes(off + k) == pin(k))
+    }
+    assert(found, "42-byte DATEXT field does not carry the " +
+      "hand-computed 9:5:7 ASCII digits")
   }
 
   test("ACE complex column without an MSysComplexColumns row still " +
