@@ -631,6 +631,18 @@ class JetSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       translate("SELECT DatePart(\"ww\", d, 1, 4) FROM t")
     }
+    // r13 ADVICE pin: the ww emissions splice each date argument
+    // exactly ONCE — the r12 inline formula evaluated it twice, so a
+    // non-deterministic Now() near New Year midnight could read two
+    // different instants and mis-number the week
+    def count(haystack: String, needle: String): Int =
+      haystack.sliding(needle.length).count(_ == needle)
+    val once = translate("SELECT DatePart(\"ww\", Now()) FROM t")
+    assert(count(once, "current_timestamp") == 1, once)
+    val diff = translate(
+      "SELECT DateDiff(\"ww\", Now(), [d2], 3) FROM t")
+    assert(count(diff, "current_timestamp") == 1 &&
+      count(diff, "d2") == 1, diff)
   }
 
   test("DateAdd clamps month ends like Access; DateDiff counts " +
