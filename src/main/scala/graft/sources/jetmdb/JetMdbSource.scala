@@ -250,7 +250,8 @@ object JetMdbSource {
     * layer is resolved here into the flat table's value-column
     * schema via the MSysComplexColumns catalog (r13). */
   def tableDefFull(path: String, table: String)
-      : (JetTableDef, StructType, Int, Boolean, Map[String, Int]) = {
+      : (JetTableDef, Seq[(String, JetTypes.JetType)], StructType, Int,
+        Boolean, Map[String, Int]) = {
     val (cat, count, jet3) = catalogOf(path)
     val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
       .getOrElse(throw new IllegalArgumentException(
@@ -304,14 +305,14 @@ object JetMdbSource {
       val schema = StructType(types.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
       })
-      (tdef, schema, count, jet3, flatPages)
+      (tdef, types, schema, count, jet3, flatPages)
     } finally in.close()
   }
 
   /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?). */
   def tableDefV(path: String, table: String)
       : (JetTableDef, StructType, Int, Boolean) = {
-    val (tdef, schema, count, jet3, _) = tableDefFull(path, table)
+    val (tdef, _, schema, count, jet3, _) = tableDefFull(path, table)
     (tdef, schema, count, jet3)
   }
 
@@ -534,7 +535,7 @@ private[jetmdb] final case class JetMdbScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (tdef, _, pageCount, jet3, complexFlat) =
+    val (tdef, _, _, pageCount, jet3, complexFlat) =
       JetMdbSource.tableDefFull(path, table)
     // partition 0 starts at page 1 (page 0 is the header)
     (1 until pageCount by PagesPerSplit).map { start =>

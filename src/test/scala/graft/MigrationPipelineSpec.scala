@@ -57,6 +57,71 @@ class MigrationPipelineSpec extends AnyFunSuite {
       Seq("customer_id", "is_active", "credit_limit", "full_name"))
   }
 
+  test("ACE complex column migrates RELATIONALLY (r13): " +
+    "expandComplex derives a child table keyed by the parent PK, " +
+    "Derby end-to-end; parquet sinks keep the native array") {
+    val dir = Files.createTempDirectory("graft_cx_mig")
+    val accdb = dir.resolve("app.accdb").toString
+    import graft.JetMdbFixture.{Col, IndexDef, Table => FixTable}
+    JetMdbFixture.write(accdb, Seq(
+      FixTable("Docs",
+        Seq(Col("DocID", 0x04, auto = true), Col("Title", 0x0A),
+          Col("Files", 0x12)),
+        Seq(
+          Seq(Integer.valueOf(1), "alpha", Integer.valueOf(100)),
+          Seq(Integer.valueOf(2), "beta", Integer.valueOf(200))),
+        indexes = Seq(
+          IndexDef("PK", Seq("DocID"), unique = true, primary = true)),
+        complexCols = Map("Files" -> "Docs_Files_flat")),
+      FixTable("Docs_Files_flat",
+        Seq(Col("pk", 0x04, auto = true), Col("fk", 0x12),
+          Col("FileName", 0x0A)),
+        Seq(
+          Seq(Integer.valueOf(2), Integer.valueOf(100), "b.bin"),
+          Seq(Integer.valueOf(1), Integer.valueOf(100), "a.png"),
+          Seq(Integer.valueOf(3), Integer.valueOf(200), "c.txt")),
+        system = true)), aceVersion = 0x02)
+    val specs = MigrationPipeline.specsFromJetMdb(accdb)
+    assert(specs.map(_.name) == Seq("Docs")) // flat table is hidden
+    val (parent, children) = MigrationPipeline.expandComplex(specs.head)
+    assert(parent.jetSchema.map(_._1) == Seq("DocID", "Title"))
+    assert(children.map(_.name) == Seq("Docs_Files"))
+    assert(children.head.jetSchema.map(_._1) ==
+      Seq("DocID", "ord", "FileName"))
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = MigrationPipeline.migrate(
+      spark, parent +: children, MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map("Docs" -> 2L, "Docs_Files" -> 3L))
+    val docs = graft.sources.JdbcConnector.read(
+      spark, url, "docs", props = props)
+    val files = graft.sources.JdbcConnector.read(
+      spark, url, "docs_files", props = props)
+    // element order survives as ord (flat pk order, here inverted
+    // on purpose in the fixture's insertion order)
+    val got = files.join(docs, "docid")
+      .select("title", "ord", "filename")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("alpha", 0, "a.png"), ("alpha", 1, "b.bin"),
+      ("beta", 0, "c.txt")))
+    // a spec WITHOUT a PK refuses the expansion, loudly
+    val noPk = specs.head.copy(indexes = Nil)
+    val e = intercept[UnsupportedOperationException] {
+      MigrationPipeline.expandComplex(noPk)
+    }
+    assert(e.getMessage.contains("primary key"))
+    // and the array rendering stays available for parquet sinks
+    val pq = dir.resolve("pq").toString
+    val cnts = MigrationPipeline.migrate(spark, specs,
+      MigrationPipeline.ParquetSink(pq))
+    assert(cnts == Map("Docs" -> 2L))
+    val arr = spark.read.parquet(s"$pq/docs.parquet")
+    assert(arr.schema("files").dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
   test("translated Jet ACTION queries execute on the migration " +
     "target (Derby): UPDATE, INSERT…SELECT, DELETE *") {
     val dbDir = Files.createTempDirectory("graft_derby_act").resolve("db")
