@@ -252,6 +252,23 @@ class AccdbSourceSpec extends AnyFunSuite {
         .option("version", "ace").mode("append").save(path)
     }
     assert(msgs(e2).exists(_.contains("fresh")), msgs(e2).mkString("|"))
+    // documented inline-only payload scope: an element whose payload
+    // exceeds the page budget fails LOUDLY at write (the reader
+    // additionally understands LVAL forms real Access writers emit;
+    // this writer does not produce them)
+    val big = Seq[(Int, Seq[(String, Array[Byte])])](
+      (1, Seq(("huge.bin", Array.fill[Byte](5000)(1)))))
+      .toDF("id", "att")
+      .select(col("id"),
+        expr("transform(att, x -> named_struct(" +
+          "'FileName', x._1, 'FileData', x._2))").as("att"))
+    val e3 = intercept[Exception] {
+      big.write.format("jetmdb").option("table", "docs3")
+        .option("version", "ace").mode("overwrite")
+        .save(tmpDb("big.accdb"))
+    }
+    assert(msgs(e3).exists(_.contains("page capacity")),
+      msgs(e3).mkString("|"))
   }
 
   test("ACE Date/Time Extended WRITE (r13): datextColumns routes a " +
