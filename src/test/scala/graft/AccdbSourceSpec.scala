@@ -271,6 +271,43 @@ class AccdbSourceSpec extends AnyFunSuite {
       msgs(e3).mkString("|"))
   }
 
+  test("ACE write with indexes + relationships + a complex column in " +
+    "ONE file: every catalog page number lands where the readers " +
+    "expect (the freshPages cursor arithmetic)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("mix.accdb")
+    Seq[(Int, String, Seq[(String, String)])](
+      (1, "a", Seq(("x", "t1"), ("y", "t2"))),
+      (2, "b", Seq(("z", "t3"))))
+      .toDF("pid", "nm", "tags")
+      .select(col("pid"), col("nm"),
+        expr("transform(tags, x -> named_struct(" +
+          "'Value', x._1, 'Kind', x._2))").as("tags"))
+      .write.format("jetmdb").option("table", "Parents")
+      .option("version", "ace")
+      .option("indexes", "PrimaryKey:pid:p;ByName:nm:u")
+      .option("relationships", "SelfRef:pid>Parents.pid:0")
+      .mode("overwrite").save(path)
+    // table data + complex values resolve
+    val back = spark.read.format("jetmdb").option("table", "Parents")
+      .load(path).orderBy(col("pid")).collect()
+    assert(back(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getString(0)) == Seq("x", "y"))
+    assert(back(1).getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getString(1)) == Seq("t3"))
+    // index section survives next to the complex machinery
+    import graft.sources.jetmdb.JetMdbSource
+    val idx = JetMdbSource.indexes(path, "Parents")
+    assert(idx.exists(i => i.primary && i.columns == Seq("pid")))
+    assert(idx.exists(i => i.unique && i.columns == Seq("nm")))
+    // relationships table landed under its own TDEF
+    assert(JetMdbSource.relationships(path).map(_.name) ==
+      Seq("SelfRef"))
+    // and the hidden tables stay out of the user listing
+    assert(JetMdbSource.listTables(path).map(_._1) == Seq("Parents"))
+  }
+
   test("ACE Date/Time Extended WRITE (r13): datextColumns routes a " +
     "timestamp through the 42-byte profile, micros-exact both sides " +
     "of 1970; non-ACE targets and non-timestamp columns reject") {
