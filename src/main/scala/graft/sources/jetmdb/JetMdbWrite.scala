@@ -96,9 +96,19 @@ object JetMdbWrite {
             "complex (attachment/multi-valued) column — write an " +
             ".accdb with .option(\"version\", \"ace\"); Jet4 has no " +
             "rendering")
+      // a SIMPLE multi-valued field (array<scalar>) is the same ACE
+      // complex machinery with a one-column payload — the writer
+      // takes the struct form only, so the element name is explicit
+      // (Access calls it "Value"); point at the one-liner instead of
+      // a generic rejection
+      case at: ArrayType => throw new IllegalArgumentException(
+        s"jetmdb: column ${f.name}: array<${at.elementType.simpleString}> " +
+          "— wrap elements as structs to write an ACE multi-valued " +
+          "column: transform(" + f.name + ", x -> named_struct(" +
+          "'Value', x)) with .option(\"version\", \"ace\")")
       case other => throw new IllegalArgumentException(
         s"jetmdb: column ${f.name}: $other has no Jet rendering " +
-          "(array/struct need the parquet sink; array<struct> of " +
+          "(map/struct need the parquet sink; array<struct> of " +
           "scalars writes as an ACE complex column)")
     }
 
