@@ -80,11 +80,19 @@ import org.apache.spark.sql.SparkSession
   *     `DatePart(i, d[, fdow[, fwoy]])` → year/quarter/month/day/
   *     dayofyear/dayofweek/hour/minute/second by interval code; "w"
   *     renumbers under any literal firstdayofweek (pmod shift), "ww"
-  *     emits the registered `jet_weeknum` expression (r13 — every
-  *     documented firstdayofweek 0-7 / firstweekofyear 0-3 anchor,
-  *     VB's within-year late-December numbering per KB 200299, date
-  *     argument spliced exactly ONCE so Now() can't straddle a week
-  *     boundary between two copies); non-LITERAL anchor arguments
+  *     at the DEFAULT anchors (Sunday / week-with-Jan-1) emits stock
+  *     Spark SQL runnable on any plain session (r14 — the r13 switch
+  *     to jet_weeknum everywhere silently broke previously-working
+  *     translations on sessions without GraftExtensions; the stock
+  *     form is value-identical to jet_weeknum(d,1,1) by construction
+  *     — pinned densely in JetSqlSpec — and splicing the date twice
+  *     is safe because the translator's output domain has no per-row
+  *     non-deterministic function: Now()/Date() become Spark's
+  *     query-constant current_timestamp/current_date); any OTHER
+  *     documented firstdayofweek 0-7 / firstweekofyear 0-3 anchor
+  *     emits the registered `jet_weeknum` expression (r13 — VB's
+  *     within-year late-December numbering per KB 200299, date
+  *     argument spliced exactly ONCE); non-LITERAL anchor arguments
   *     still reject (a data-driven renumbering has no static SQL);
   *     `DateAdd(i, n, d)` →
   *     `timestampadd(UNIT, n, d)` (month-end clamping matches Access:
@@ -93,11 +101,14 @@ import org.apache.spark.sql.SparkSession
   *     boundary counts: yyyy/q/m as year/quarter/month-index
   *     differences, d/y as `datediff`, w as whole-7-day periods
   *     (truncated toward zero, Access's Fix), ww as fdow week-start
-  *     boundaries crossed via `jet_weekstart` (fwoy is accepted and
-  *     ignored, as VB does — week-of-YEAR rules never affect a week
-  *     boundary COUNT), h/n/s as truncated-clock differences; the
-  *     "ww"/non-default-"w" emissions need GraftExtensions registered
-  *     on the executing session (other emissions are stock Spark SQL);
+  *     boundaries crossed — stock `date_sub(d, dayofweek(d)-1)`
+  *     anchoring under the default Sunday fdow (r14, plain-session
+  *     safe), `jet_weekstart` under any other anchor (fwoy is
+  *     accepted and ignored, as VB does — week-of-YEAR rules never
+  *     affect a week boundary COUNT), h/n/s as truncated-clock
+  *     differences; only the NON-DEFAULT-anchor "ww"/"w" emissions
+  *     need GraftExtensions registered on the executing session
+  *     (every default-anchor emission is stock Spark SQL);
   *   - `PARAMETERS [name] Type, …;` headers: declarations are parsed
   *     and every use of a declared parameter is replaced by a literal
   *     rendered from the caller's binding map per the DECLARED type
@@ -1482,14 +1493,35 @@ object JetSql {
         val w = if (args.length >= 4)
           weekAnchorArg(args(3), "DATEPART firstweekofyear", 3) else 1
         val code = intervalCode(args(0), "DatePart")
-        if (code == "ww") {
-          // jet_weeknum (functions/JetWeek.scala) carries the full
-          // anchor semantics — including VB's within-year numbering
-          // for late December (KB 200299) and previous-year carry for
-          // early January under fwoy 2/3 — and splices the date
-          // argument exactly once (r13 ADVICE: the r12 inline formula
-          // evaluated it twice, so Now() near New Year midnight could
-          // mis-number the week).
+        if (code == "ww" && f == 1 && w == 1) {
+          // DEFAULT anchors (vbSunday + vbFirstJan1): stock Spark SQL
+          // so the translation runs on a plain session without
+          // GraftExtensions (r14 — the r13 all-jet_weeknum emission
+          // regressed exactly these callers). Week 1 is the Sun..Sat
+          // week containing Jan 1, so ww = floor((doy + dowOfJan1
+          // - 2) / 7) + 1 — algebraically identical to
+          // jet_weeknum(d, 1, 1) (no previous-year carry exists
+          // under fwoy 1; JetSqlSpec pins the equality over a dense
+          // 1998–2035 range). The double splice of the date operand
+          // is safe in this translator's OUTPUT domain: no emitted
+          // function is per-row non-deterministic (Now()/Date() map
+          // to Spark's query-constant current_timestamp/
+          // current_date), so both copies always see the same value.
+          val d = em(args(1))
+          put("(CAST(FLOOR((dayofyear(" + d + ") + dayofweek(" +
+            "date_trunc('YEAR', CAST(" + d + " AS DATE))) - 2) / 7) " +
+            "AS INT) + 1)")
+          lastWord = "ww"
+          i = close + 1
+        } else if (code == "ww") {
+          // Non-default anchors: jet_weeknum (functions/JetWeek.scala)
+          // carries the full anchor semantics — VB's within-year
+          // numbering for late December (KB 200299) and previous-year
+          // carry for early January under fwoy 2/3 — and splices the
+          // date argument exactly once (r13 ADVICE: an inline formula
+          // with a carry branch would evaluate it up to three times).
+          // Requires GraftExtensions on the executing session — the
+          // default-anchor branch above never does.
           put("jet_weeknum(CAST(" + em(args(1)) + s" AS DATE), $f, $w)")
           lastWord = "jet_weeknum"
           i = close + 1
@@ -1544,9 +1576,18 @@ object JetSql {
           // "w": whole 7-day periods, truncated toward zero (Fix).
           case "w" => s"CAST(datediff($b, $a) / 7 AS BIGINT)"
           // "ww": fdow week-start boundaries crossed. Anchor both
-          // ends to their week's start (jet_weekstart — one splice
-          // per side, any documented firstdayofweek), then the day
-          // gap is an exact multiple of 7.
+          // ends to their week's start, then the day gap is an exact
+          // multiple of 7. Default Sunday anchor emits stock Spark
+          // SQL (plain-session safe, r14 — jet_weekstart(d, 1) IS
+          // d - (dayofweek(d) - 1) by definition; the double splice
+          // per side is safe because the translator's output domain
+          // has no per-row non-deterministic function); any other
+          // documented anchor emits jet_weekstart (one splice per
+          // side, needs GraftExtensions).
+          case "ww" if fdow == 1 =>
+            s"CAST(datediff(date_sub(CAST($b AS DATE), dayofweek($b) " +
+              s"- 1), date_sub(CAST($a AS DATE), dayofweek($a) - 1)) " +
+              "/ 7 AS BIGINT)"
           case "ww" =>
             s"CAST(datediff(jet_weekstart(CAST($b AS DATE), $fdow), " +
               s"jet_weekstart(CAST($a AS DATE), $fdow)) / 7 AS BIGINT)"

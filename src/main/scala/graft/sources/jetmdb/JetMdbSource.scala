@@ -172,8 +172,9 @@ object JetMdbSource {
     * index, and without the memo a file split into 512 page-range
     * tasks would rebuild it 512×. Memory is bounded by the format
     * itself — one `.mdb`/`.accdb` caps at 2 GB, so at 100 TB the unit
-    * of scale is many files, each with its own bounded index, and
-    * the cache clears wholesale past 16 entries. */
+    * of scale is many files, each with its own bounded index; at
+    * capacity (16 entries) ONE other entry is evicted per miss, and
+    * builds are single-flight via computeIfAbsent (r14). */
   private val complexIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, Long, Int),
@@ -188,6 +189,35 @@ object JetMdbSource {
     val key = (path, st.getLen, st.getModificationTime, flatPage)
     val hit = complexIndexCache.get(key)
     if (hit != null) return hit
+    // At capacity, evict ONE other entry (oldest-by-iteration) — a
+    // wholesale clear() dropped hot indexes for unrelated files every
+    // time a 17th file appeared (r14 ADVICE). Done BEFORE the
+    // computeIfAbsent below: CHM forbids mutating other mappings
+    // inside a mapping function.
+    if (complexIndexCache.size >= 16) {
+      val ks = complexIndexCache.keys()
+      var removed = false
+      while (!removed && ks.hasMoreElements) {
+        val k2 = ks.nextElement()
+        if (k2 != key) { complexIndexCache.remove(k2); removed = true }
+      }
+    }
+    // Single-flight: concurrent partition readers of one file that
+    // miss together build the index ONCE under the key's bin lock
+    // instead of each running the whole-file flat-table scan (r14
+    // ADVICE — the old get/put raced N builders).
+    complexIndexCache.computeIfAbsent(key,
+      _ => buildComplexIndex(path, h, flatPage, pageCount))
+  }
+
+  /** The whole-file flat-table scan behind [[complexIndexOf]]'s
+    * cache — reads every data row of the flat side table at
+    * `flatPage` and groups payload rows by fk. Runs at most once per
+    * (file, mtime, flatPage) per executor. */
+  private def buildComplexIndex(
+      path: String, h: org.apache.hadoop.fs.FileSystem,
+      flatPage: Int, pageCount: Int)
+      : Map[Int, org.apache.spark.sql.catalyst.util.GenericArrayData] = {
     val in = h.open(new Path(path))
     try {
       val flatT = parseTdefChained(flatPage, readPage(in, _, PageSize))
@@ -209,7 +239,7 @@ object JetMdbSource {
         lvalPage
       }
       val rows = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Int, InternalRow)]
+        .empty[(Int, Long, InternalRow)]
       var pn = 1
       while (pn < pageCount) {
         val page = readPage(in, pn, PageSize)
@@ -222,24 +252,29 @@ object JetMdbSource {
               vs(i) = toCatalystValue(r(payloadIdx(i)), payloadT(i))
               i += 1
             }
-            // file order when the flat table has no AutoNumber pk OR
-            // a row's pk is null (corrupt bookkeeping must not NPE
-            // the whole scan — the payload is still readable)
-            val pk = if (pkIdx < 0 || r(pkIdx) == null) rows.length
-              else r(pkIdx).asInstanceOf[Integer].intValue()
+            // Sort key: file order for the WHOLE table when it has
+            // no AutoNumber pk; the pk otherwise. A null pk in a
+            // table that HAS one (corrupt bookkeeping — must not NPE
+            // the scan, the payload is still readable) sorts AFTER
+            // every real pk in its fk group, stable by file order:
+            // keying it at the global scan position would interleave
+            // it arbitrarily with real pks of the same group (r14
+            // ADVICE). Real pks are u32-ranged, so 1L<<32 + pos is
+            // strictly above all of them.
+            val pk: Long =
+              if (pkIdx < 0) rows.length.toLong
+              else if (r(pkIdx) == null) (1L << 32) + rows.length
+              else r(pkIdx).asInstanceOf[Integer].longValue()
             rows += ((r(fkIdx).asInstanceOf[Integer].intValue(), pk,
               new GenericInternalRow(vs)))
           }
         }
         pn += 1
       }
-      val built = rows.groupBy(_._1).map { case (fk, grp) =>
+      rows.groupBy(_._1).map { case (fk, grp) =>
         fk -> new org.apache.spark.sql.catalyst.util.GenericArrayData(
           grp.sortBy(_._2).map(_._3).toArray[Any])
       }
-      if (complexIndexCache.size > 16) complexIndexCache.clear()
-      complexIndexCache.put(key, built)
-      built
     } finally in.close()
   }
 

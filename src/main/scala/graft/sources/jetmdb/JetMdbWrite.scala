@@ -1192,21 +1192,42 @@ private[jetmdb] final class JetMdbDataWriter(
                else row.get(i, schema(i).dataType))
             else if (row.isNullAt(i)) null
             else {
-              // stage one flat row per array element; pk = the
-              // element counter (read-side order within a key)
+              // stage one flat row per array element; pk (declared
+              // AutoNumber) comes from the SAME partition-scoped key
+              // space as fk — (partitionId << 20) | counter — so a
+              // multi-partition write never emits duplicate pk values
+              // in one flat table (r14 ADVICE: a bare per-task
+              // counter restarted at 0 every task, which our reader
+              // tolerated but violates the AutoNumber uniqueness real
+              // Access assumes). Read-side element order within a key
+              // is preserved: one fk group is written by one task, so
+              // its pks share a partition prefix and sort by counter.
               val (_, fout, fschema, fcodes) = flatState(i)
               val elem = elemTypes(i)
               val arr = row.getArray(i)
               var k = 0
               while (k < arr.numElements()) {
                 val st = arr.getStruct(k, elem.length)
+                if (st == null) throw new IllegalArgumentException(
+                  s"jetmdb: column ${schema(i).name}: NULL array " +
+                    "element — an ACE complex (multi-valued/" +
+                    "attachment) table stores one flat row per " +
+                    "element and has no rendering for a null one " +
+                    "(the read schema is containsNull=false, so it " +
+                    "could never round-trip); filter(col, x -> x IS " +
+                    "NOT NULL) before writing")
+                require(flatCounts(i) < (1 << 20),
+                  "jetmdb: complex write caps at 2^20 elements per " +
+                    s"partition per column (${schema(i).name}) — " +
+                    "AutoNumber pk key space")
                 val fvals = new Array[Any](fschema.length)
-                fvals(0) = (flatCounts(i) & 0x7FFFFFFFL).toInt // pk
+                fvals(0) = // pk
+                  (partitionId << 20) | flatCounts(i).toInt
                 fvals(1) = key // fk
                 var j = 0
                 while (j < elem.length) {
                   fvals(2 + j) =
-                    if (st == null || st.isNullAt(j)) null
+                    if (st.isNullAt(j)) null
                     else st.get(j, elem(j).dataType)
                   j += 1
                 }

@@ -631,18 +631,67 @@ class JetSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       translate("SELECT DatePart(\"ww\", d, 1, 4) FROM t")
     }
-    // r13 ADVICE pin: the ww emissions splice each date argument
-    // exactly ONCE — the r12 inline formula evaluated it twice, so a
-    // non-deterministic Now() near New Year midnight could read two
-    // different instants and mis-number the week
+    // r13 ADVICE pin, r14-scoped: the NON-DEFAULT-anchor ww emissions
+    // (jet_weeknum/jet_weekstart) splice each date argument exactly
+    // ONCE. Default anchors emit stock Spark SQL (r14 ADVICE — the
+    // all-jet_weeknum emission broke plain sessions), where the
+    // double splice is safe: the translator's output domain has no
+    // per-row non-deterministic function (Now() → Spark's
+    // query-constant current_timestamp).
     def count(haystack: String, needle: String): Int =
       haystack.sliding(needle.length).count(_ == needle)
-    val once = translate("SELECT DatePart(\"ww\", Now()) FROM t")
+    val once = translate("SELECT DatePart(\"ww\", Now(), 2, 2) FROM t")
     assert(count(once, "current_timestamp") == 1, once)
     val diff = translate(
       "SELECT DateDiff(\"ww\", Now(), [d2], 3) FROM t")
     assert(count(diff, "current_timestamp") == 1 &&
       count(diff, "d2") == 1, diff)
+  }
+
+  test("ww DEFAULT anchors emit stock Spark SQL (r14): no jet_* " +
+    "function in the translation, and the stock formula equals " +
+    "jet_weeknum(d,1,1)/jet_weekstart(d,1) densely over 1998-2035") {
+    // plain-session safety is a property of the emitted STRING: no
+    // registered-function name may appear for default anchors
+    // (explicit defaults included), while non-default anchors keep
+    // the jet_* emission
+    for (q <- Seq(
+      "SELECT DatePart(\"ww\", d) FROM t",
+      "SELECT DatePart(\"ww\", d, 1) FROM t",
+      "SELECT DatePart(\"ww\", d, 1, 1) FROM t",
+      "SELECT DatePart(\"ww\", d, 0, 0) FROM t", // vbUseSystem = defaults
+      "SELECT DateDiff(\"ww\", a, b) FROM t",
+      "SELECT DateDiff(\"ww\", a, b, 1) FROM t",
+      "SELECT DateDiff(\"ww\", a, b, 1, 3) FROM t")) // fwoy ignored
+      assert(!translate(q).contains("jet_"), translate(q))
+    assert(translate("SELECT DatePart(\"ww\", d, 2) FROM t")
+      .contains("jet_weeknum"))
+    assert(translate("SELECT DateDiff(\"ww\", a, b, 2) FROM t")
+      .contains("jet_weekstart"))
+    // value identity, densely: the stock default-anchor formula must
+    // agree with jet_weeknum(d, 1, 1) on EVERY day of 1998-01-01 ..
+    // 2035-12-31 (covers leap years, Jan-1-on-each-weekday, and the
+    // KB 200299 late-December numbering)
+    val spark = TestSpark.session
+    GraftExtensions.register(spark)
+    val stockWw = translate("SELECT DatePart(\"ww\", d) AS w FROM t")
+      .stripPrefix("SELECT ").stripSuffix(" FROM t")
+      .stripSuffix(" AS w")
+    val bad = spark.sql(
+      "SELECT d, " + stockWw + " AS stock, " +
+        "jet_weeknum(d, 1, 1) AS reg FROM (SELECT " +
+        "explode(sequence(DATE '1998-01-01', DATE '2035-12-31')) " +
+        "AS d) WHERE " + stockWw + " != jet_weeknum(d, 1, 1)")
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString(", "))
+    // same for the DateDiff anchoring: date_sub(d, dayofweek(d)-1)
+    // IS jet_weekstart(d, 1) on every day of the range
+    val badWs = spark.sql(
+      "SELECT d FROM (SELECT explode(sequence(DATE '1998-01-01', " +
+        "DATE '2035-12-31')) AS d) " +
+        "WHERE date_sub(d, dayofweek(d) - 1) != jet_weekstart(d, 1)")
+      .collect()
+    assert(badWs.isEmpty, badWs.take(5).mkString(", "))
   }
 
   test("DateAdd clamps month ends like Access; DateDiff counts " +
