@@ -1039,6 +1039,81 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** NAMED Format()s and multi-section masks over real data (r14 —
+    * the Access-designer defaults that were the most common remaining
+    * saved-query rejection): Currency's en-US accounting rendering
+    * ($ + grouping + parens negatives, rebuilt in DuckDB from
+    * fmt-grouping over the cent-scaled BIGINT), a 2-section
+    * pos;neg mask on a signed expression, Standard/Fixed, Percent on
+    * a dyadic-exact ratio and Scientific on a tie-free operand (the
+    * 4th significant digit is pinned to 3, so Java's shortest-repr
+    * HALF_UP and DuckDB's exact-binary %E rounding cannot disagree —
+    * see the double-rounding ledger note), a 3-section literal-zero
+    * mask on a {-1,0,1} domain, Yes/No, and the named date formats
+    * (Long/Medium/General Date) recomputed with DuckDB's own
+    * strftime name tables. */
+  val qJetSqlFormatNamed: QDef = QDef(
+    "q_jetsql_format_named",
+    """SELECT o_orderkey,
+      |  '$' || format('{:,}', CAST(round(o_totalprice * 100, 0)
+      |      AS BIGINT) // 100) || '.' ||
+      |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      % 100 AS VARCHAR), 2, '0') AS cur,
+      |  CASE WHEN o_totalprice - 150000 < 0
+      |    THEN '($' || format('{:,}',
+      |        CAST(round(abs(o_totalprice - 150000) * 100, 0)
+      |          AS BIGINT) // 100) || '.' ||
+      |      lpad(CAST(CAST(round(abs(o_totalprice - 150000) * 100, 0)
+      |        AS BIGINT) % 100 AS VARCHAR), 2, '0') || ')'
+      |    ELSE '$' || format('{:,}',
+      |        CAST(round((o_totalprice - 150000) * 100, 0)
+      |          AS BIGINT) // 100) || '.' ||
+      |      lpad(CAST(CAST(round((o_totalprice - 150000) * 100, 0)
+      |        AS BIGINT) % 100 AS VARCHAR), 2, '0')
+      |    END AS acct,
+      |  format('{:,}', CAST(round(o_totalprice * 100, 0)
+      |      AS BIGINT) // 100) || '.' ||
+      |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      % 100 AS VARCHAR), 2, '0') AS std,
+      |  printf('%.2f', o_totalprice) AS fx,
+      |  printf('%.2f', (o_orderkey % 5) / 4 * 100) || '%' AS pct,
+      |  printf('%.2E', (o_orderkey % 97) + 0.33) AS sci,
+      |  CASE o_orderkey % 3 WHEN 0 THEN '(1.00)'
+      |    WHEN 1 THEN '0' ELSE '1.00' END AS tri,
+      |  CASE WHEN o_totalprice > 150000 THEN 'Yes' ELSE 'No'
+      |    END AS big,
+      |  strftime(o_orderdate, '%A, %B %-d, %Y') AS ld,
+      |  strftime(o_orderdate, '%d-%b-%y') AS md,
+      |  strftime(o_orderdate, '%-m/%-d/%Y') AS gd
+      |FROM orders
+      |WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [o_orderkey],",
+      "  Format([o_totalprice], \"Currency\") AS cur,",
+      "  Format([o_totalprice] - 150000, " +
+        "\"$#,##0.00;($#,##0.00)\") AS acct,",
+      "  Format([o_totalprice], \"Standard\") AS std,",
+      "  Format([o_totalprice], \"Fixed\") AS fx,",
+      "  Format(([o_orderkey] Mod 5) / 4, \"Percent\") AS pct,",
+      "  Format(([o_orderkey] Mod 97) + 0.33, \"Scientific\") AS sci,",
+      "  Format(([o_orderkey] Mod 3) - 1, \"0.00;(0.00);0\") AS tri,",
+      "  Format(IIF([o_totalprice] > 150000, 1, 0), \"Yes/No\")" +
+        " AS big,",
+      "  Format([o_orderdate], \"Long Date\") AS ld,",
+      "  Format([o_orderdate], \"Medium Date\") AS md,",
+      "  Format([o_orderdate], \"General Date\") AS gd",
+      "FROM orders",
+      "WHERE [o_orderkey] Mod 13 = 0",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("o_orderkey"), col("cur"), col("acct"), col("std"),
+        col("fx"), col("pct"), col("sci"), col("tri"), col("big"),
+        col("ld"), col("md"), col("gd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The translator scalar edges executed over real data, each
     * recomputed independently in the DuckDB oracle:
     * DatePart("ww") under the default Sunday/Jan-1 numbering (DuckDB
@@ -1210,6 +1285,7 @@ object EtlQueries {
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
     qJetSqlParams,
     qJetSqlDateFuncs, qJetSqlScalarEdges, qJetSqlViews, qJetSqlFormat,
+    qJetSqlFormatNamed,
     qJetSqlDomainAgg,
     qJetTopPercent, qJetTopTies, qJetDistinctrow)
 }

@@ -421,8 +421,11 @@ object JetSql {
     * multi-section masks. */
   private val numericMask = "^(#,##)?0(\\.(0+))?$".r
 
-  private def numericFormatSql(expr: String, mask: String): String =
-    mask match {
+  /** The CORE digit mask of one section — `0`, `0.0…`, `#,##0`,
+    * `#,##0.0…` — rendered through ONE %f pass. */
+  private def coreNumericSql(expr: String, core: String,
+      whole: String): String =
+    core match {
       case numericMask(group, _, decs) =>
         val d = if (decs == null) 0 else decs.length
         // ONE rounding path for both mask families: java Formatter's
@@ -448,11 +451,187 @@ object JetSql {
           s"regexp_replace($plain, " + look
         }
       case _ =>
-        fail(s"FORMAT numeric mask \"$mask\" (deterministic subset: " +
-          "\"0\", \"0.0…\", \"#,##0\", \"#,##0.0…\" — bare-# integer " +
-          "parts render empty zeros, # decimals trim, zero-pad " +
-          "widths clash with the sign)")
+        fail(s"FORMAT numeric mask \"$whole\" (deterministic subset: " +
+          "\"0\", \"0.0…\", \"#,##0\", \"#,##0.0…\" cores with " +
+          "\"$()+- %\" literal affixes and 1-4 ;-sections — bare-# " +
+          "integer parts render empty zeros, # decimals trim, " +
+          "zero-pad widths clash with the sign)")
     }
+
+  /** Literal affix characters a section may carry around its digit
+    * core. Positional, rendered verbatim (VB literals are positional:
+    * `Format(-5, "$0.00")` is "$-5.00"); each `%` ALSO scales the
+    * operand by 100 (VB's percent-placeholder rule). Quoted/escaped
+    * arbitrary literals stay out — they are report chrome with
+    * locale-sensitive conventions. */
+  private val sectionLiterals = "$()+- %"
+
+  /** ONE numeric section (r14): `[affix]core[affix]` — e.g.
+    * `$#,##0.00`, `(0.00)`, `0.0%`, `-0`. The operand is spliced as
+    * given (sign handling is the CALLER's job for multi-section
+    * masks: VB renders the negative section on the absolute value).
+    */
+  private def sectionSql(expr: String, sec: String,
+      whole: String): String = {
+    val first = sec.indexWhere(c => c == '0' || c == '#')
+    if (first < 0)
+      fail(s"FORMAT section \"$sec\" of \"$whole\" has no digit " +
+        "placeholder (only the zero/null sections may be literal)")
+    val last = sec.lastIndexWhere(c => c == '0' || c == '#')
+    val prefix = sec.substring(0, first)
+    val core = sec.substring(first, last + 1)
+    val suffix = sec.substring(last + 1)
+    if (!(prefix + suffix).forall(sectionLiterals.contains(_)))
+      fail(s"FORMAT section \"$sec\" of \"$whole\": literal affix " +
+        s"characters outside \"$sectionLiterals\" (quoted/escaped " +
+        "literal runs are out of the deterministic subset)")
+    val pct = (prefix + suffix).count(_ == '%')
+    val scaled =
+      if (pct == 0) expr
+      else s"(($expr) * ${BigInt(100).pow(pct)})"
+    val rendered = coreNumericSql(scaled, core, whole)
+    val body =
+      if (prefix.isEmpty && suffix.isEmpty) rendered
+      else {
+        val parts =
+          (if (prefix.nonEmpty) Seq(s"'$prefix'") else Nil) ++
+            Seq(rendered) ++
+            (if (suffix.nonEmpty) Seq(s"'$suffix'") else Nil)
+        parts.mkString("concat(", ", ", ")")
+      }
+    // NULL must propagate EXPLICITLY (r14): Java's Formatter renders
+    // a null %f argument as the STRING "null", which the precision
+    // then truncates — format_string('%.2f', NULL) is "nu". Access
+    // renders Format(Null, mask) as a blank; SQL NULL is our
+    // equivalent, never a mangled literal.
+    s"(CASE WHEN ($expr) IS NOT NULL THEN $body END)"
+  }
+
+  /** `pos;neg;zero;null` multi-section numeric masks (r14 — the
+    * Access report staple `"$#,##0.00;($#,##0.00)"`). VB's
+    * dispatch rules, implemented as a CASE over the SIGN:
+    *   - 2 sections: first for >= 0, second for < 0;
+    *   - 3-4 sections: pos / neg / zero (/ null);
+    *   - the NEGATIVE section renders the ABSOLUTE value (its sign
+    *     comes only from mask literals — that's the whole point of
+    *     accounting parentheses);
+    *   - an EMPTY section falls back to the positive section's
+    *     format applied to the SIGNED value (VB: "the missing
+    *     section is printed using the format of the positive
+    *     value");
+    *   - the zero/null sections may be PURE LITERAL text from the
+    *     affix charset (`"0.00;-0.00;-"`); the null section must be
+    *     (Null has no digits to render); without a 4th section NULL
+    *     propagates as SQL NULL — Access renders a blank either way.
+    */
+  private def sectionedNumericSql(expr: String, mask: String): String = {
+    val secs = mask.split(";", -1).toSeq
+    if (secs.length > 4)
+      fail(s"FORMAT mask \"$mask\" has ${secs.length} sections " +
+        "(VB defines at most pos;neg;zero;null)")
+    def pureLiteral(s: String): Boolean =
+      s.nonEmpty && s.forall(sectionLiterals.contains(_))
+    val posR = sectionSql(expr, secs.head, mask)
+    val negR = secs(1) match {
+      case "" => posR // VB: positive's format, signed value
+      case s if pureLiteral(s) => s"'$s'"
+      case s => sectionSql(s"abs($expr)", s, mask)
+    }
+    if (secs.length == 2)
+      // first section covers positives AND zeros; the ELSE arm also
+      // catches NULL, where every renderer null-propagates
+      s"(CASE WHEN ($expr) < 0 THEN $negR ELSE $posR END)"
+    else {
+      val zeroR = secs(2) match {
+        case "" => posR // value IS 0 in this branch
+        case s if pureLiteral(s) => s"'$s'"
+        case s => sectionSql(expr, s, mask)
+      }
+      val nullR = secs.lift(3) match {
+        case None | Some("") => None
+        case Some(s) if pureLiteral(s) => Some(s"'$s'")
+        case Some(s) => fail(s"FORMAT null section \"$s\" of " +
+          s"\"$mask\" must be literal text (Null has no digits to " +
+          "render)")
+      }
+      s"(CASE WHEN ($expr) > 0 THEN $posR " +
+        s"WHEN ($expr) < 0 THEN $negR " +
+        s"WHEN ($expr) = 0 THEN $zeroR" +
+        nullR.fold("")(n => s" ELSE $n") + " END)"
+    }
+  }
+
+  /** Single- or multi-section numeric Format masks. */
+  private def numericFormatSql(expr: String, mask: String): String =
+    if (mask.contains(';')) sectionedNumericSql(expr, mask)
+    else sectionSql(expr, mask, mask)
+
+  /** VB's NAMED Format()s (r14 — the Access-designer default;
+    * previously the most common saved-query rejection). Pinned to
+    * the en-US rendering the whole translator assumes (US date
+    * order, Locale.US month/day names, `$`/parens accounting
+    * negatives), per the documented named-format table:
+    * Currency/Fixed/Standard/Percent/Scientific, Yes/No-True/False-
+    * On/Off, and the six named date/time formats. "General Number"
+    * stays OUT: it renders the double's own shortest decimal form,
+    * and Spark's CAST-to-STRING thresholds (scientific at 1e7)
+    * diverge from VB's 15-digit rendering — a silently different
+    * report string is worse than the loud rejection. "General Date"
+    * is conditional exactly as VB documents: date-only at midnight,
+    * time-only on Jet's zero day (1899-12-30), both otherwise. */
+  private def namedFormatSql(expr: String, name: String)
+      : Option[String] = Some(name.toLowerCase match {
+    case "currency" =>
+      // the en-US accounting rendering IS a two-section mask
+      sectionedNumericSql(expr, "$#,##0.00;($#,##0.00)")
+    case "fixed" => sectionSql(expr, "0.00", "Fixed")
+    case "standard" => sectionSql(expr, "#,##0.00", "Standard")
+    // ×100 + "%", two decimals, no grouping (the documented table
+    // says "percent sign appended; two digits right of the decimal"
+    // and names no thousand separator)
+    case "percent" => sectionSql(expr, "0.00%", "Percent")
+    // "standard scientific notation": VB's 0.00E+00 shape — Java's
+    // %.2E matches digit-for-digit (two mantissa decimals, signed
+    // two-digit exponent, HALF_UP on the shortest decimal repr)
+    case "scientific" =>
+      // same null guard as sectionSql: %.2E of NULL is the mangled
+      // string "nu", not NULL
+      s"(CASE WHEN ($expr) IS NOT NULL THEN " +
+        s"format_string('%.2E', CAST($expr AS DOUBLE)) END)"
+    case "yes/no" =>
+      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'No' " +
+        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'Yes' " +
+        "END)"
+    case "true/false" =>
+      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'False' " +
+        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'True' " +
+        "END)"
+    case "on/off" =>
+      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'Off' " +
+        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'On' " +
+        "END)"
+    case "short date" => s"date_format($expr, 'M/d/yyyy')"
+    case "long date" => s"date_format($expr, 'EEEE, MMMM d, yyyy')"
+    case "medium date" => s"date_format($expr, 'dd-MMM-yy')"
+    case "short time" => s"date_format($expr, 'HH:mm')"
+    case "long time" => s"date_format($expr, 'h:mm:ss a')"
+    case "medium time" => s"date_format($expr, 'hh:mm a')"
+    case "general date" =>
+      // VB: midnight renders date-only; a time on Jet's day zero
+      // (CDate(0) = 1899-12-30, how Access stores pure times)
+      // renders time-only; otherwise both. NULL falls off the CASE.
+      s"(CASE WHEN date_format($expr, 'HH:mm:ss') = '00:00:00' " +
+        s"THEN date_format($expr, 'M/d/yyyy') " +
+        s"WHEN to_date($expr) = DATE '1899-12-30' " +
+        s"THEN date_format($expr, 'h:mm:ss a') " +
+        s"ELSE date_format($expr, 'M/d/yyyy h:mm:ss a') END)"
+    case "general number" =>
+      fail("FORMAT \"General Number\" (renders the double's own " +
+        "shortest decimal form; Spark's CAST-to-STRING switches to " +
+        "scientific at 1e7 where VB holds out to 15 digits — use " +
+        "CStr semantics via an explicit mask instead)")
+    case _ => return None
+  })
 
   // Jet interval codes (DatePart/DateAdd/DateDiff first argument).
   private val partFns = Map(
@@ -1712,9 +1891,10 @@ object JetSql {
         lastWord = "end"
         i = close + 1
       } else if (isWord(t, "format") && callAt(i).isDefined) {
-        // Deterministic DATE-pattern and NUMERIC-mask subsets (r12 —
-        // numeric was a blanket rejection); everything else (1-arg
-        // general Format, named months, multi-section masks) rejects.
+        // NAMED formats (r14), then the deterministic DATE-pattern
+        // and NUMERIC-mask subsets (numeric now takes 1-4 ;-sections
+        // with $()+- % literal affixes); 1-arg general Format and
+        // "General Number" still reject.
         val (_, close, args) = callAt(i).get
         if (args.length != 2)
           fail(s"${args.length}-argument FORMAT (only the 2-argument " +
@@ -1723,13 +1903,19 @@ object JetSql {
         if (ps.length != 1 || ps.head.kind != "string")
           fail("FORMAT with a non-literal pattern")
         val mask = ps.head.text
-        if (mask.exists(c => c == '0' || c == '#')) {
-          put(numericFormatSql(em(args(0)), mask))
-          lastWord = "format"
-        } else {
-          put("date_format(" + em(args(0)) + ", '" +
-            formatPattern(mask) + "')")
-          lastWord = "date_format"
+        namedFormatSql(em(args(0)), mask) match {
+          case Some(sql) =>
+            put(sql)
+            lastWord = "format"
+          case None =>
+            if (mask.exists(c => c == '0' || c == '#')) {
+              put(numericFormatSql(em(args(0)), mask))
+              lastWord = "format"
+            } else {
+              put("date_format(" + em(args(0)) + ", '" +
+                formatPattern(mask) + "')")
+              lastWord = "date_format"
+            }
         }
         i = close + 1
       } else if (isWord(t, "ccur") && callAt(i).isDefined) {

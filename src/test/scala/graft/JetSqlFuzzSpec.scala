@@ -1030,7 +1030,7 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       "SELECT Format(0.5, \"#.##\")",   // trailing-zero trimming
       "SELECT Format(0, \"#\")",        // empty-zero quirk
       "SELECT Format(3, \"000\")",      // zero-pad width vs sign
-      "SELECT Format(0.5, \"0%\")",     // percent scaling
+      "SELECT Format(0.5, \"#%\")",     // bare-# core still quirky
       "SELECT InStr(1, \"a\", \"A\", 2)", // database compare
       "SELECT InStr(1, \"a\", \"A\", -1)")) { // option compare
       val e = intercept[IllegalArgumentException] { translate(bad) }
@@ -1123,6 +1123,226 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       "SELECT Format(#1/5/2020#, \"h:nn am/pm\")", // lowercase render
       "SELECT Format(#1/5/2020#, \"A/P\")",        // single-letter
       "SELECT Format(#1/5/2020#, \"mmmmm\")")) {   // 5-run
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.nonEmpty)
+    }
+  }
+
+  test("300 random NAMED formats and multi-section masks (lane 14, " +
+    "r14): Currency/Fixed/Standard/Percent/Scientific, named date/" +
+    "time formats, and pos;neg;zero;null sections match an " +
+    "independent renderer") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(140814L)
+    // independent numeric reference (lane 12's model): BigDecimal of
+    // the SHORTEST decimal repr, HALF_UP, manual comma grouping.
+    // One addition over lane 12 (whose generator kept |x| >= 1): a
+    // NEGATIVE value whose digits round to zero keeps its sign —
+    // "%.0f" of -0.3 is "-0", the documented one-%f-pass model
+    // (java.text.DecimalFormat agrees), and the sign is what routes
+    // it to a multi-section mask's NEGATIVE section.
+    def refNum(x: Double, d: Int, group: Boolean): String = {
+      val s0 = java.math.BigDecimal.valueOf(x)
+        .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
+      val s = if (x < 0 && !s0.startsWith("-")) "-" + s0 else s0
+      if (!group) s
+      else {
+        val neg = s.startsWith("-")
+        val body = if (neg) s.substring(1) else s
+        val dot = body.indexOf('.')
+        val ip = if (dot < 0) body else body.substring(0, dot)
+        val fp = if (dot < 0) "" else body.substring(dot)
+        val grouped = ip.reverse.grouped(3).mkString(",").reverse
+        (if (neg) "-" else "") + grouped + fp
+      }
+    }
+    // independent Scientific reference: 3 significant digits HALF_UP
+    // on the shortest repr, VB's 0.00E+00 shape — shares nothing
+    // with Java Formatter's %E path
+    def refSci(x: Double): String =
+      if (x == 0.0) "0.00E+00"
+      else {
+        val bd = java.math.BigDecimal.valueOf(math.abs(x)).round(
+          new java.math.MathContext(3, java.math.RoundingMode.HALF_UP))
+        val exp = bd.precision - bd.scale - 1
+        val mant = bd.movePointLeft(exp)
+          .setScale(2, java.math.RoundingMode.UNNECESSARY)
+        (if (x < 0) "-" else "") + mant.toPlainString +
+          "E" + (if (exp < 0) "-" else "+") + f"${math.abs(exp)}%02d"
+      }
+    def randX(): Double = {
+      val mag = r.nextInt(4) match {
+        case 0 => r.nextDouble() // < 1
+        case 1 => r.nextInt(1000) + r.nextDouble()
+        case 2 => r.nextInt(2000000) + r.nextDouble()
+        case _ => (r.nextInt(9) + 1) * math.pow(10.0, -r.nextInt(4) - 1)
+      }
+      (if (r.nextBoolean()) 1 else -1) * mag
+    }
+    def jetNum(x: Double): String = {
+      // Jet has no unary-minus literal ambiguity worry via (0 - x)
+      val s = java.math.BigDecimal.valueOf(math.abs(x)).toPlainString
+      if (x < 0) s"(0 - $s)" else s
+    }
+    val moFull = Vector("January", "February", "March", "April",
+      "May", "June", "July", "August", "September", "October",
+      "November", "December")
+    val moAbbr = moFull.map(_.take(3))
+    val dayFull = Vector("Sunday", "Monday", "Tuesday", "Wednesday",
+      "Thursday", "Friday", "Saturday")
+    def randT(): java.time.LocalDateTime = java.time.LocalDateTime.of(
+      1950 + r.nextInt(86), 1 + r.nextInt(12), 1 + r.nextInt(28),
+      r.nextInt(24), r.nextInt(60), r.nextInt(60))
+    def jetLit(t: java.time.LocalDateTime): String =
+      s"#${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear} " +
+        s"${t.getHour}:${t.getMinute}:${t.getSecond}#"
+    def p2(v: Int): String = f"$v%02d"
+    def h12(h: Int): Int = (h + 11) % 12 + 1
+    def ampm(h: Int): String = if (h < 12) "AM" else "PM"
+    // named date/time references from INTEGER fields + name tables
+    def refNamedDate(name: String, t: java.time.LocalDateTime)
+        : String = name match {
+      case "Short Date" =>
+        s"${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear}"
+      case "Long Date" =>
+        s"${dayFull(t.getDayOfWeek.getValue % 7)}, " +
+          s"${moFull(t.getMonthValue - 1)} ${t.getDayOfMonth}, " +
+          s"${t.getYear}"
+      case "Medium Date" =>
+        s"${p2(t.getDayOfMonth)}-${moAbbr(t.getMonthValue - 1)}-" +
+          p2(t.getYear % 100)
+      case "Short Time" => s"${p2(t.getHour)}:${p2(t.getMinute)}"
+      case "Long Time" =>
+        s"${h12(t.getHour)}:${p2(t.getMinute)}:${p2(t.getSecond)} " +
+          ampm(t.getHour)
+      case "Medium Time" =>
+        s"${p2(h12(t.getHour))}:${p2(t.getMinute)} " + ampm(t.getHour)
+      case "General Date" =>
+        val date = s"${t.getMonthValue}/${t.getDayOfMonth}/${t.getYear}"
+        val time = s"${h12(t.getHour)}:${p2(t.getMinute)}:" +
+          s"${p2(t.getSecond)} " + ampm(t.getHour)
+        if (t.getHour == 0 && t.getMinute == 0 && t.getSecond == 0)
+          date
+        else date + " " + time
+    }
+    val dateNames = Vector("Short Date", "Long Date", "Medium Date",
+      "Short Time", "Long Time", "Medium Time", "General Date")
+    // section reference implementing VB's documented dispatch,
+    // independently of the emitted CASE
+    def refSection(x: Double, sec: String): String = {
+      val first = sec.indexWhere(c => c == '0' || c == '#')
+      val last = sec.lastIndexWhere(c => c == '0' || c == '#')
+      val core = sec.substring(first, last + 1)
+      val pre = sec.substring(0, first)
+      val suf = sec.substring(last + 1)
+      val pct = (pre + suf).count(_ == '%')
+      val d = if (core.contains('.')) core.length - core.indexOf('.') - 1
+        else 0
+      pre + refNum(x * math.pow(100.0, pct), d,
+        core.startsWith("#,##")) + suf
+    }
+    def refSectioned(x: Double, mask: String): String = {
+      val secs = mask.split(";", -1).toSeq
+      def pure(s: String) =
+        s.nonEmpty && s.forall("$()+- %".contains(_))
+      if (secs.length == 2) {
+        if (x < 0) {
+          if (secs(1).isEmpty) refSection(x, secs(0))
+          else if (pure(secs(1))) secs(1)
+          else refSection(math.abs(x), secs(1))
+        } else refSection(x, secs(0))
+      } else {
+        if (x > 0) refSection(x, secs(0))
+        else if (x < 0) {
+          if (secs(1).isEmpty) refSection(x, secs(0))
+          else if (pure(secs(1))) secs(1)
+          else refSection(math.abs(x), secs(1))
+        } else {
+          if (secs(2).isEmpty) refSection(x, secs(0))
+          else if (pure(secs(2))) secs(2)
+          else refSection(x, secs(2))
+        }
+      }
+    }
+    def lit(s: String): String = "\"" + s + "\""
+    val built = Vector.fill(300) {
+      r.nextInt(4) match {
+        case 0 => // named numeric
+          val x = randX()
+          r.nextInt(5) match {
+            case 0 =>
+              (s"Format(${jetNum(x)}, ${lit("Currency")})",
+                if (x < 0) "($" + refNum(-x, 2, group = true) + ")"
+                else "$" + refNum(x, 2, group = true))
+            case 1 =>
+              (s"Format(${jetNum(x)}, ${lit("Fixed")})",
+                refNum(x, 2, group = false))
+            case 2 =>
+              (s"Format(${jetNum(x)}, ${lit("Standard")})",
+                refNum(x, 2, group = true))
+            case 3 =>
+              (s"Format(${jetNum(x)}, ${lit("Percent")})",
+                refNum(x * 100.0, 2, group = false) + "%")
+            case _ =>
+              (s"Format(${jetNum(x)}, ${lit("Scientific")})",
+                refSci(x))
+          }
+        case 1 => // Yes/No family + named dates
+          if (r.nextBoolean()) {
+            val v = r.nextInt(5) - 2
+            val vLit = if (v < 0) s"(0 - ${-v})" else v.toString
+            val (n0, yes, no) = Vector(
+              ("Yes/No", "Yes", "No"),
+              ("True/False", "True", "False"),
+              ("On/Off", "On", "Off"))(r.nextInt(3))
+            (s"Format($vLit, ${lit(n0)})", if (v == 0) no else yes)
+          } else {
+            val t = randT()
+            val name = dateNames(r.nextInt(dateNames.length))
+            (s"Format(${jetLit(t)}, ${lit(name)})",
+              refNamedDate(name, t))
+          }
+        case 2 => // multi-section masks
+          val x = randX()
+          val d = r.nextInt(3)
+          val core = (if (r.nextBoolean()) "#,##0" else "0") +
+            (if (d == 0) "" else "." + "0" * d)
+          val mask = r.nextInt(4) match {
+            case 0 => s"$$$core;($$$core)" // accounting
+            case 1 => s"$core;-$core;0"
+            case 2 => s"$core;" // empty neg -> pos, signed
+            case _ => s"$core;($core);-;- " // literal zero + null
+          }
+          (s"Format(${jetNum(x)}, ${lit(mask)})",
+            refSectioned(x, mask))
+        case _ => // single-section affixes incl. % scaling
+          val x = randX()
+          val d = r.nextInt(3)
+          val core = (if (r.nextBoolean()) "#,##0" else "0") +
+            (if (d == 0) "" else "." + "0" * d)
+          val (pre, suf) = Vector(
+            ("$", ""), ("", "%"), ("$", " "), ("", ""), ("- ", ""))(
+            r.nextInt(5))
+          val mask = pre + core + suf
+          (s"Format(${jetNum(x)}, ${lit(mask)})",
+            refSection(x, mask))
+      }
+    }
+    built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val row = spark.sql(translate("SELECT " +
+        batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      batch.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+    // the still-out corners stay loud rejections
+    for (bad <- Seq(
+      "SELECT Format(1.5, \"General Number\")",
+      "SELECT Format(1.5, \"0.00;x\")",    // affix outside charset
+      "SELECT Format(1.5, \"0;0;0;0;0\")", // five sections
+      "SELECT Format(1.5, \"@;@\")")) {    // text masks
       val e = intercept[IllegalArgumentException] { translate(bad) }
       assert(e.getMessage.nonEmpty)
     }

@@ -803,12 +803,20 @@ class JetSqlSpec extends AnyFunSuite {
     assert(r.getString(0) == "2020-03-07 09:05")
     // numeric masks translate since r12 (deterministic subset):
     // ONE %f rendering; grouping is a regex over that same string
-    // (format_number would HALF_EVEN exact ties — r12 review)
+    // (format_number would HALF_EVEN exact ties — r12 review). r14
+    // adds the explicit NULL guard: Java's Formatter renders a null
+    // %f argument as the STRING "null" truncated by the precision
+    // ("nu"), so NULL must short-circuit before format_string.
     assert(translate("SELECT Format(n, \"0.00\") FROM t") ==
-      "SELECT format_string('%.2f', CAST(n AS DOUBLE)) FROM t")
+      "SELECT (CASE WHEN (n) IS NOT NULL THEN " +
+        "format_string('%.2f', CAST(n AS DOUBLE)) END) FROM t")
     assert(translate("SELECT Format(n, \"#,##0.0\") FROM t")
       .contains("regexp_replace(format_string('%.1f', " +
         "CAST(n AS DOUBLE))"))
+    val nullRender = spark.sql(translate(
+      "SELECT Format(IIF(1 = 0, 1, Null), \"0.00\") AS a, " +
+        "Format(IIF(1 = 0, 1, Null), \"#,##0\") AS b")).collect()(0)
+    assert(nullRender.isNullAt(0) && nullRender.isNullAt(1))
     // exact binary ties round half AWAY FROM ZERO in BOTH families
     val spark2 = TestSpark.session
     val tie = spark2.sql(translate(
@@ -845,6 +853,117 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT Format(n, \"#.##\")",     // trimming mask: quirky corner
       "SELECT Format(n, \"00\")",       // zero-pad width vs sign
       "SELECT Format(d, p)"))           // non-literal pattern
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("Format NAMED formats (r14): Currency/Fixed/Standard/Percent/" +
+    "Scientific, Yes/No family, and the six named date/time formats " +
+    "render the documented en-US shapes; General Number stays loud") {
+    val spark = TestSpark.session
+    val num = spark.sql(translate(
+      "SELECT Format(1234.567, \"Currency\") AS cur, " +
+        "Format((0 - 1234.567), \"Currency\") AS curneg, " +
+        "Format(0, \"Currency\") AS curz, " +
+        "Format(1234.567, \"Fixed\") AS fx, " +
+        "Format(1234.567, \"Standard\") AS std, " +
+        "Format(0.125, \"Percent\") AS pct, " +
+        "Format(1234.5678, \"Scientific\") AS sci, " +
+        "Format((0 - 0.00123), \"scientific\") AS scineg, " +
+        "Format(0, \"SCIENTIFIC\") AS sciz")).collect()(0)
+    assert(num.getString(0) == "$1,234.57")
+    assert(num.getString(1) == "($1,234.57)") // accounting negative
+    assert(num.getString(2) == "$0.00")
+    assert(num.getString(3) == "1234.57")
+    assert(num.getString(4) == "1,234.57")
+    assert(num.getString(5) == "12.50%") // x100, two decimals
+    assert(num.getString(6) == "1.23E+03")
+    assert(num.getString(7) == "-1.23E-03") // case-insensitive name
+    assert(num.getString(8) == "0.00E+00")
+    val bool = spark.sql(translate(
+      "SELECT Format(3, \"Yes/No\") AS y, Format(0, \"Yes/No\") AS n, " +
+        "Format((0 - 1), \"True/False\") AS t, " +
+        "Format(0, \"On/Off\") AS off")).collect()(0)
+    assert(bool.getString(0) == "Yes" && bool.getString(1) == "No")
+    assert(bool.getString(2) == "True" && bool.getString(3) == "Off")
+    val dt = spark.sql(translate(
+      "SELECT Format(#1/5/2020#, \"Long Date\") AS ld, " +
+        "Format(#1/5/2020#, \"Medium Date\") AS md, " +
+        "Format(#1/5/2020#, \"Short Date\") AS sd, " +
+        "Format(#1/5/2020 16:05:06#, \"Long Time\") AS lt, " +
+        "Format(#1/5/2020 16:05:06#, \"Medium Time\") AS mt, " +
+        "Format(#1/5/2020 16:05:06#, \"Short Time\") AS st"))
+      .collect()(0)
+    assert(dt.getString(0) == "Sunday, January 5, 2020")
+    assert(dt.getString(1) == "05-Jan-20")
+    assert(dt.getString(2) == "1/5/2020")
+    assert(dt.getString(3) == "4:05:06 PM")
+    assert(dt.getString(4) == "04:05 PM")
+    assert(dt.getString(5) == "16:05")
+    // General Date is CONDITIONAL: date-only at midnight, time-only
+    // on Jet's zero day (how Access stores pure times), both else
+    val gd = spark.sql(translate(
+      "SELECT Format(#1/5/2020#, \"General Date\") AS d0, " +
+        "Format(#1/5/2020 16:05:06#, \"General Date\") AS dt0, " +
+        "Format(#12/30/1899 14:30:00#, \"General Date\") AS t0"))
+      .collect()(0)
+    assert(gd.getString(0) == "1/5/2020")
+    assert(gd.getString(1) == "1/5/2020 4:05:06 PM")
+    assert(gd.getString(2) == "2:30:00 PM")
+    // NULL propagates through every named family (no bare affixes)
+    val nu = spark.sql(translate(
+      "SELECT Format(IIF(1 = 0, 1, Null), \"Currency\") AS a, " +
+        "Format(IIF(1 = 0, 1, Null), \"Yes/No\") AS b")).collect()(0)
+    assert(nu.isNullAt(0) && nu.isNullAt(1))
+    val e = intercept[IllegalArgumentException] {
+      translate("SELECT Format(n, \"General Number\") FROM t")
+    }
+    assert(e.getMessage.contains("General Number"))
+  }
+
+  test("Format multi-section masks (r14): pos;neg;zero;null via CASE " +
+    "over the sign; literal affixes $()+- % position verbatim and % " +
+    "scales by 100; quirky sections stay loud") {
+    val spark = TestSpark.session
+    // the Access report staple: accounting parens, neg renders ABS
+    val acc = spark.sql(translate(
+      "SELECT Format(1234.5, \"$#,##0.00;($#,##0.00)\") AS p, " +
+        "Format((0 - 1234.5), \"$#,##0.00;($#,##0.00)\") AS n, " +
+        "Format(0, \"$#,##0.00;($#,##0.00)\") AS z")).collect()(0)
+    assert(acc.getString(0) == "$1,234.50")
+    assert(acc.getString(1) == "($1,234.50)")
+    assert(acc.getString(2) == "$0.00") // 2 sections: first covers 0
+    // 3 and 4 sections; literal zero/null sections; empty neg section
+    // falls back to the positive format on the SIGNED value
+    val s34 = spark.sql(translate(
+      "SELECT Format((0 - 5), \"0.00;-0.00\") AS a, " +
+        "Format(0, \"0.00;(0.00);0\") AS b, " +
+        "Format((0 - 5), \"0.00;\") AS c, " +
+        "Format(IIF(1 = 0, 1, Null), \"0.00;(0.00);0;-\") AS d, " +
+        "Format((0 - 7.25), \"0.00;(0.00);0;-\") AS e")).collect()(0)
+    assert(s34.getString(0) == "-5.00")
+    assert(s34.getString(1) == "0")
+    assert(s34.getString(2) == "-5.00") // empty neg -> pos, signed
+    assert(s34.getString(3) == "-")     // null section literal
+    assert(s34.getString(4) == "(7.25)")
+    // single-section affixes: positional literals, % scaling
+    val aff = spark.sql(translate(
+      "SELECT Format((0 - 5), \"$0.00\") AS a, " +
+        "Format(0.5, \"0%\") AS b, Format(0.125, \"0.00%\") AS c, " +
+        "Format(12.3456, \"#,##0.0%\") AS d")).collect()(0)
+    assert(aff.getString(0) == "$-5.00") // VB literals are positional
+    assert(aff.getString(1) == "50%")
+    assert(aff.getString(2) == "12.50%")
+    assert(aff.getString(3) == "1,234.6%")
+    // rounding model unchanged through sections: exact binary tie
+    // rounds half away from zero on the rendered abs value
+    val tie = spark.sql(translate(
+      "SELECT Format((0 - 2.5), \"0;(0)\") AS t")).collect()(0)
+    assert(tie.getString(0) == "(3)")
+    for (bad <- Seq(
+      "SELECT Format(n, \"0.00;x0.00\") FROM t", // affix outside set
+      "SELECT Format(n, \"0.00;0.00;0;0\") FROM t", // digit null sect
+      "SELECT Format(n, \"0;0;0;0;0\") FROM t",  // five sections
+      "SELECT Format(n, \";0.00\") FROM t"))     // literal-less pos
       intercept[IllegalArgumentException] { translate(bad) }
   }
 
