@@ -295,6 +295,40 @@ object EtlQueries {
       .orderBy(col("doc_id"), col("k"))
   }
 
+  /** The SIMPLE multi-valued field round trip (r14): an
+    * `array<string>` column writes straight through the ACE complex
+    * machinery — the writer auto-wraps it as the single "Value"
+    * payload column Access itself creates, and the reader unwraps
+    * the same shape back to `array<scalar>`, so the round trip is
+    * identity with NO manual named_struct step (the r13 writer's
+    * rejection recipe). Element order (the flat table's AutoNumber
+    * pk) is pinned by posexplode against the oracle's unnest
+    * index. */
+  val qScanAccdbMvf: QDef = QDef(
+    "q_scan_accdb_mvf",
+    """SELECT CAST(doc_id AS INT) AS doc_id, CAST(ks.k AS INT) AS k,
+      |  substr(text, 1 + ks.k * 30, 30) AS tag
+      |FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |ORDER BY doc_id, k""".stripMargin) { (s, d) =>
+    val file = graft.sources.SessionCache
+      .getOrElseUpdate(s, ("ingest", d, "accdb_mvf")) {
+        val out = s"/tmp/graft_ingest_${d.hashCode.toHexString}_mvf.accdb"
+        documents(s, d).select(
+          col("doc_id").cast("int").as("doc_id"),
+          array(
+            substring(col("text"), 1, 30),
+            substring(col("text"), 31, 30)).as("tags"))
+          .write.mode("overwrite").format("jetmdb")
+          .option("table", "documents").option("version", "ace")
+          .save(out)
+        out
+      }
+    s.read.format("jetmdb").option("table", "documents").load(file)
+      .select(col("doc_id"),
+        posexplode(col("tags")).as(Seq("k", "tag")))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   /** Jet3 (Access 97) twin (r12): the same documents round-trip
     * through the Jet3 writer/reader — 2048-byte pages, CP1252 text,
     * u8 row offsets — putting the Access-97 binary path under the
@@ -1277,7 +1311,7 @@ object EtlQueries {
   val defs: Seq[QDef] = Seq(
     qSchemaIntrospect, qEtlNormalize, qCastDecimal, qScanCsv, qScanJson,
     qScanOrc, qScanXml, qScanJetCsv, qScanJetMdb, qScanAccdb,
-    qScanAccdbComplex, qScanJet3,
+    qScanAccdbComplex, qScanAccdbMvf, qScanJet3,
     qTryFuncs,
     qSnapshotDiff,
     qProfileTable,

@@ -77,6 +77,13 @@ object JetTypes {
     case OleObject => BinaryType // -> multimodal column (§2.9)
     case ReplicationId => StringType // canonical 36-char GUID
     case BigNumber => LongType
+    // a single payload column literally named "Value" IS Access's
+    // simple multi-valued field (the designer UI creates exactly this
+    // flat shape) — render it as array<scalar> so a write of
+    // array<scalar> round-trips to itself (r14); attachments and
+    // hand-built multi-column payloads keep the array<struct> shape
+    case ComplexValues(Seq(("Value", pt))) =>
+      ArrayType(toSpark(pt), containsNull = false)
     case ComplexValues(payload) => ArrayType(StructType(payload.map {
       case (n, pt) => StructField(n, toSpark(pt), nullable = true)
     }), containsNull = false)

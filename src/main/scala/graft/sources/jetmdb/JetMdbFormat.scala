@@ -14,7 +14,9 @@ import graft.sources.JetTypes._
   * Scope (documented, honest): Jet4 (4096-byte pages, version byte
   * 0x01) AND — since r12 — ACE `.accdb` (magic "Standard ACE DB",
   * version 0x02–0x05), which publicly shares the Jet4 page geometry
-  * and is read by this same parser; unencrypted databases,
+  * and is read by this same parser; plaintext databases plus — r14 —
+  * the file-keyed RC4 page scramble (JetCrypt; password-DERIVED ACE
+  * keys stay out of scope),
   * single-page AND chained multi-page TDEFs (r12 — wide tables up to
   * Access's own 255-column cap), inline column types (BOOL/BYTE/INT/LONG/MONEY/
   * SINGLE/DOUBLE/DATETIME/TEXT/GUID, plus the ACE 2016 BIGINT "Large
@@ -185,21 +187,24 @@ object JetMdbFormat {
     extends IllegalArgumentException(msg)
 
   /** Catalog-walk wrapper SHARED by the Jet4/ACE and Jet3 paths (r12
-    * review de-duplicated the two copies): a password-protected/
-    * encrypted database has a VALID page-0 header but RC4-obfuscated
-    * pages from page 1 on, so the page-2 catalog TDEF's type byte
-    * reads as noise — name the likely cause instead of the bare type
-    * diagnostic. Decryption is documented out of scope (the page-0
-    * key field is itself scrambled by a constant this offline
-    * environment cannot verify). */
+    * review de-duplicated the two copies): an encrypted database has
+    * a VALID page-0 header but RC4-obfuscated pages from page 1 on,
+    * so the page-2 catalog TDEF's type byte reads as noise — name
+    * the likely cause instead of the bare type diagnostic. Since r14
+    * this failure triggers [[graft.sources.jetmdb.JetCrypt]]'s
+    * automatic retry under the public file-keyed RC4 page-scramble
+    * profile (JetMdbSource.catalogOf), so this hint surfaces only
+    * when that also failed — i.e. PASSWORD-derived keys (ACE
+    * RC4/AES, a documented descope) or genuine corruption. */
   private[jetmdb] def withEncryptedHint[A](parse: => A): A =
     try parse
     catch {
       case e: NotATdefException =>
         throw new IllegalArgumentException(e.getMessage +
           " — if this database is password-protected/encrypted, " +
-          "its pages are RC4-obfuscated and out of this reader's " +
-          "scope: remove the password in Access first", e)
+          "its pages are RC4-obfuscated; the file-keyed scramble " +
+          "is retried automatically, password-derived keys need " +
+          "the password removed in Access first", e)
     }
 
   /** ASCII "LVAL" in a data page's owner field marks a long-value

@@ -105,38 +105,77 @@ object JetMdbSource {
     * paths (this repo's own writer stages to a fresh name and
     * renames, which updates mtime). */
   private val catalogCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), (Seq[CatalogEntry], Boolean)]()
+    (String, Long, Long), (Seq[CatalogEntry], Boolean, Int)]()
 
-  /** (catalog, pageCount, jet3?) — version sniffed from the header's
-    * format byte, page size and layout dispatched accordingly. */
+  /** Crypt-aware stream for page reads: plain when `dbKey` is 0, the
+    * RC4 per-page decryptor otherwise (r14). */
+  private def openDb(path: String, jet3: Boolean,
+      dbKey: Int): org.apache.hadoop.fs.FSDataInputStream =
+    JetCrypt.open(fs(path), path, dbKey,
+      if (jet3) Jet3Format.PageSize else PageSize)
+
+  /** (catalog, pageCount, jet3?, dbKey) — version sniffed from the
+    * header's format byte, page size and layout dispatched
+    * accordingly. dbKey (r14) is 0 for a plaintext database and the
+    * nonzero RC4 page-scramble key otherwise; the walk ALWAYS tries
+    * plaintext first, so a wrong key derivation can never garble a
+    * database the r13 reader could read. */
   private def catalogOf(path: String)
-      : (Seq[CatalogEntry], Int, Boolean) = {
+      : (Seq[CatalogEntry], Int, Boolean, Int) = {
     require(path != null, "jetmdb: a path must be supplied")
     val h = fs(path)
     val st = h.getFileStatus(new Path(path))
     val key = (path, st.getLen, st.getModificationTime)
     val hit = catalogCache.get(key)
     if (hit != null) {
-      val (cat, jet3) = hit
+      val (cat, jet3, dbKey) = hit
       val ps = if (jet3) Jet3Format.PageSize else PageSize
-      (cat, (st.getLen / ps).toInt, jet3)
+      (cat, (st.getLen / ps).toInt, jet3, dbKey)
     } else {
-      val in = h.open(new Path(path))
-      try {
-        // the header fits the smaller (Jet3) page; sniff before
-        // choosing the page size
-        val head = readPage(in, 0, Jet3Format.PageSize)
-        checkHeader(head)
-        val jet3 = Jet3Format.isJet3(head)
-        val ps = if (jet3) Jet3Format.PageSize else PageSize
-        val count = (st.getLen / ps).toInt
-        val cat =
+      // the header fits the smaller (Jet3) page, and page 0 is never
+      // page-encrypted; sniff before choosing the page size
+      val (head, jet3, ps) = {
+        val in = h.open(new Path(path))
+        try {
+          val head = readPage(in, 0, Jet3Format.PageSize)
+          checkHeader(head)
+          val jet3 = Jet3Format.isJet3(head)
+          (head, jet3, if (jet3) Jet3Format.PageSize else PageSize)
+        } finally in.close()
+      }
+      val count = (st.getLen / ps).toInt
+      def walk(dbKey: Int): Seq[CatalogEntry] = {
+        val in = JetCrypt.open(h, path, dbKey, ps)
+        try {
           if (jet3) Jet3Format.readCatalog(count, readPage(in, _, ps))
           else readCatalog(count, readPage(in, _, ps))
-        if (catalogCache.size > 256) catalogCache.clear()
-        catalogCache.put(key, (cat, jet3))
-        (cat, count, jet3)
-      } finally in.close()
+        } finally in.close()
+      }
+      val (cat, dbKey) =
+        try (walk(0), 0)
+        catch {
+          case plainErr: Exception =>
+            // encrypted-database fallback (r14): the public RC4
+            // page-scramble profile, keyed from the header itself.
+            // Attempted ONLY after the plaintext walk failed.
+            val cand = JetCrypt.candidateKey(head, jet3)
+            if (cand == 0) throw plainErr
+            try (walk(cand), cand)
+            catch {
+              case _: Exception =>
+                throw new UnsupportedOperationException(
+                  "jetmdb: catalog walk failed in the clear AND " +
+                    "under the public RC4 page-scramble profile " +
+                    f"(header key 0x$cand%08x) — if this database " +
+                    "is PASSWORD-protected (ACE RC4/AES keyed from " +
+                    "user secrets), that derivation is a documented " +
+                    "descope; original failure: " +
+                    plainErr.getMessage, plainErr)
+            }
+        }
+      if (catalogCache.size > 256) catalogCache.clear()
+      catalogCache.put(key, (cat, jet3, dbKey))
+      (cat, count, jet3, dbKey)
     }
   }
 
@@ -182,7 +221,7 @@ object JetMdbSource {
 
   private[jetmdb] def complexIndexOf(
       path: String, hconf: org.apache.hadoop.conf.Configuration,
-      flatPage: Int, pageCount: Int)
+      flatPage: Int, pageCount: Int, dbKey: Int = 0)
       : Map[Int, org.apache.spark.sql.catalyst.util.GenericArrayData] = {
     val h = new Path(path).getFileSystem(hconf)
     val st = h.getFileStatus(new Path(path))
@@ -207,7 +246,7 @@ object JetMdbSource {
     // instead of each running the whole-file flat-table scan (r14
     // ADVICE — the old get/put raced N builders).
     complexIndexCache.computeIfAbsent(key,
-      _ => buildComplexIndex(path, h, flatPage, pageCount))
+      _ => buildComplexIndex(path, h, flatPage, pageCount, dbKey))
   }
 
   /** The whole-file flat-table scan behind [[complexIndexOf]]'s
@@ -216,9 +255,9 @@ object JetMdbSource {
     * (file, mtime, flatPage) per executor. */
   private def buildComplexIndex(
       path: String, h: org.apache.hadoop.fs.FileSystem,
-      flatPage: Int, pageCount: Int)
+      flatPage: Int, pageCount: Int, dbKey: Int)
       : Map[Int, org.apache.spark.sql.catalyst.util.GenericArrayData] = {
-    val in = h.open(new Path(path))
+    val in = JetCrypt.open(h, path, dbKey, PageSize)
     try {
       val flatT = parseTdefChained(flatPage, readPage(in, _, PageSize))
       val payload = complexPayloadCols(flatT)
@@ -226,6 +265,10 @@ object JetMdbSource {
         flatT.columns.indexWhere(_.name == pc.name)).toArray
       val payloadT = payload.map(pc =>
         toJetType(pc.typeCode, pc.length, pc.prec, pc.scale)).toArray
+      // single-"Value" payload = simple multi-valued field → the
+      // schema side renders array<scalar> (JetTypes r14), so the
+      // index stores bare values, not one-field rows
+      val unwrap = payload.length == 1 && payload.head.name == "Value"
       val fkIdx = flatT.columns.indexWhere(_.typeCode == T_COMPLEX)
       val pkIdx = flatT.columns.indexWhere(_.autoNumber)
       require(fkIdx >= 0, s"jetmdb: flat table at page $flatPage " +
@@ -239,7 +282,7 @@ object JetMdbSource {
         lvalPage
       }
       val rows = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Long, InternalRow)]
+        .empty[(Int, Long, Any)]
       var pn = 1
       while (pn < pageCount) {
         val page = readPage(in, pn, PageSize)
@@ -266,7 +309,7 @@ object JetMdbSource {
               else if (r(pkIdx) == null) (1L << 32) + rows.length
               else r(pkIdx).asInstanceOf[Integer].longValue()
             rows += ((r(fkIdx).asInstanceOf[Integer].intValue(), pk,
-              new GenericInternalRow(vs)))
+              if (unwrap) vs(0) else new GenericInternalRow(vs)))
           }
         }
         pn += 1
@@ -286,14 +329,13 @@ object JetMdbSource {
     * schema via the MSysComplexColumns catalog (r13). */
   def tableDefFull(path: String, table: String)
       : (JetTableDef, Seq[(String, JetTypes.JetType)], StructType, Int,
-        Boolean, Map[String, Int]) = {
-    val (cat, count, jet3) = catalogOf(path)
+        Boolean, Map[String, Int], Int) = {
+    val (cat, count, jet3, dbKey) = catalogOf(path)
     val entry = cat.find(e => e.name.equalsIgnoreCase(table) && !e.isSystem)
       .getOrElse(throw new IllegalArgumentException(
         s"jetmdb: no user table '$table' in $path " +
           s"(have: ${cat.filter(!_.isSystem).map(_.name).mkString(", ")})"))
-    val h = fs(path)
-    val in = h.open(new Path(path))
+    val in = openDb(path, jet3, dbKey)
     val ps = if (jet3) Jet3Format.PageSize else PageSize
     try {
       // chained (r12): wide tables spill their TDEF across pages
@@ -311,7 +353,7 @@ object JetMdbSource {
           // Jet4 page geometry — fail before reading garbage
           require(!jet3, s"jetmdb: COMPLEX column type 0x12 in a " +
             s"Jet3 (Access 97) file — corrupt TDEF for '$table'")
-          val links = complexCatalogOf(path, cat, count)
+          val links = complexCatalogOf(path, cat, count, dbKey)
           val fp = scala.collection.mutable.LinkedHashMap[String, Int]()
           val resolved = tdef.columns.map { c =>
             if (c.typeCode != T_COMPLEX)
@@ -340,14 +382,14 @@ object JetMdbSource {
       val schema = StructType(types.map { case (n, t) =>
         StructField(n, JetTypes.toSpark(t), nullable = true)
       })
-      (tdef, types, schema, count, jet3, flatPages)
+      (tdef, types, schema, count, jet3, flatPages, dbKey)
     } finally in.close()
   }
 
   /** Resolve `table` → (tdef, Spark schema, pageCount, jet3?). */
   def tableDefV(path: String, table: String)
       : (JetTableDef, StructType, Int, Boolean) = {
-    val (tdef, _, schema, count, jet3, _) = tableDefFull(path, table)
+    val (tdef, _, schema, count, jet3, _, _) = tableDefFull(path, table)
     (tdef, schema, count, jet3)
   }
 
@@ -364,7 +406,7 @@ object JetMdbSource {
       (String, Long, Long), Map[(Int, Int), Int]]()
 
   private def complexCatalogOf(
-      path: String, cat: Seq[CatalogEntry], count: Int)
+      path: String, cat: Seq[CatalogEntry], count: Int, dbKey: Int)
       : Map[(Int, Int), Int] = {
     val h = fs(path)
     val st = h.getFileStatus(new Path(path))
@@ -377,7 +419,7 @@ object JetMdbSource {
           "MSysComplexColumns catalog table — the flat side tables " +
           "cannot be located; flatten the field in Access or export " +
           "to CSV (jetcsv)"))
-    val in = h.open(new Path(path))
+    val in = openDb(path, jet3 = false, dbKey)
     try {
       val sysT = parseTdefChained(sysE.tdefPage, readPage(in, _, PageSize))
       def idxOf(n: String): Int = {
@@ -444,15 +486,14 @@ object JetMdbSource {
     * (a database with no relationships). Driver-side: the table holds
     * one row per FK column pair — catalog-sized, never data-sized. */
   def relationships(path: String): Seq[JetRelationshipRow] = {
-    val (cat, count, jet3) = catalogOf(path)
+    val (cat, count, jet3, dbKey) = catalogOf(path)
     // Jet3 text columns decode fine through Jet3Format, but this
     // repo's writer emits relationships only into Jet4 files; the
     // dispatch below keeps the read honest for both
     cat.find(e => e.name.equalsIgnoreCase("MSysRelationships")) match {
       case None => Nil
       case Some(entry) =>
-        val h = fs(path)
-        val in = h.open(new Path(path))
+        val in = openDb(path, jet3, dbKey)
         val ps = if (jet3) Jet3Format.PageSize else PageSize
         try {
           val tdef =
@@ -570,13 +611,14 @@ private[jetmdb] final case class JetMdbScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (tdef, _, _, pageCount, jet3, complexFlat) =
+    val (tdef, _, _, pageCount, jet3, complexFlat, dbKey) =
       JetMdbSource.tableDefFull(path, table)
     // partition 0 starts at page 1 (page 0 is the header)
     (1 until pageCount by PagesPerSplit).map { start =>
       JetMdbInputPartition(
         start, math.min(start + PagesPerSplit, pageCount),
-        tdef.tdefPage, jet3, pageCount, complexFlat): InputPartition
+        tdef.tdefPage, jet3, pageCount, complexFlat,
+        dbKey): InputPartition
     }.toArray
   }
 
@@ -593,7 +635,10 @@ private[jetmdb] final case class JetMdbInputPartition(
     // flat side table's rows live anywhere in the file, not inside
     // this partition's page range, so the index build needs both
     pageCount: Int,
-    complexFlat: Map[String, Int]) extends InputPartition
+    complexFlat: Map[String, Int],
+    // RC4 page-scramble key (r14); 0 = plaintext. Carried in the
+    // partition so executors never re-derive it from the header
+    dbKey: Int) extends InputPartition
 
 private[jetmdb] final case class JetMdbReaderFactory(
     path: String,
@@ -618,11 +663,11 @@ private[jetmdb] final class JetMdbPartitionReader(
     hconf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val in = new Path(path)
-    .getFileSystem(hconf).open(new Path(path))
-
   private val pageSize =
     if (part.jet3) Jet3Format.PageSize else PageSize
+
+  private val in = JetCrypt.open(
+    new Path(path).getFileSystem(hconf), path, part.dbKey, pageSize)
 
   // TDEF re-read on the executor (one page) — keeps the partition
   // descriptor serializable-trivial, mirroring jetcsv's sidecar.
@@ -656,7 +701,8 @@ private[jetmdb] final class JetMdbPartitionReader(
         val name = required.fieldNames(ci)
         if (idx(ci) >= 0 && part.complexFlat.contains(name))
           cm(ci) = JetMdbSource.complexIndexOf(
-            path, hconf, part.complexFlat(name), part.pageCount)
+            path, hconf, part.complexFlat(name), part.pageCount,
+            part.dbKey)
         ci += 1
       }
       (t, idx, typ, w, cm)

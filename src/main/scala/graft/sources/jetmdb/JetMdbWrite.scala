@@ -97,15 +97,24 @@ object JetMdbWrite {
             ".accdb with .option(\"version\", \"ace\"); Jet4 has no " +
             "rendering")
       // a SIMPLE multi-valued field (array<scalar>) is the same ACE
-      // complex machinery with a one-column payload — the writer
-      // takes the struct form only, so the element name is explicit
-      // (Access calls it "Value"); point at the one-liner instead of
-      // a generic rejection
+      // complex machinery with a one-column payload the writer wraps
+      // AUTOMATICALLY as the single "Value" column Access itself
+      // uses (r14 — the r13 writer instructed users to named_struct
+      // it by hand); the reader unwraps single-Value payloads back
+      // to array<scalar>, so the round trip is identity
+      case at: ArrayType if !at.elementType.isInstanceOf[ArrayType] &&
+          !at.elementType.isInstanceOf[MapType] =>
+        if (ace) T_COMPLEX
+        else throw new IllegalArgumentException(
+          s"jetmdb: column ${f.name}: " +
+            s"array<${at.elementType.simpleString}> is an ACE " +
+            "multi-valued column — write an .accdb with " +
+            ".option(\"version\", \"ace\"); Jet4 has no rendering")
       case at: ArrayType => throw new IllegalArgumentException(
-        s"jetmdb: column ${f.name}: array<${at.elementType.simpleString}> " +
-          "— wrap elements as structs to write an ACE multi-valued " +
-          "column: transform(" + f.name + ", x -> named_struct(" +
-          "'Value', x)) with .option(\"version\", \"ace\")")
+        s"jetmdb: column ${f.name}: " +
+          s"array<${at.elementType.simpleString}> has no Jet " +
+          "rendering (complex payloads are flat scalar columns — " +
+          "nested arrays/maps need the parquet sink)")
       case other => throw new IllegalArgumentException(
         s"jetmdb: column ${f.name}: $other has no Jet rendering " +
           "(map/struct need the parquet sink; array<struct> of " +
@@ -120,8 +129,15 @@ object JetMdbWrite {
     * reconstructs on read. */
   def complexFlatSpec(table: String, f: StructField, ace: Boolean)
       : (String, StructType, Array[Int]) = {
-    val elem = f.dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[StructType]
+    val elem = f.dataType.asInstanceOf[ArrayType].elementType match {
+      case st: StructType => st
+      // array<scalar> (r14): Access's simple multi-valued field IS a
+      // one-column complex table whose payload column is literally
+      // named "Value" — wrap automatically; the reader unwraps the
+      // same shape back to array<scalar>
+      case scalar => StructType(Seq(
+        StructField("Value", scalar, nullable = true)))
+    }
     require(!elem.fieldNames.exists(n => n == "pk" || n == "fk"),
       s"jetmdb: complex column ${f.name}: element fields named " +
         "pk/fk collide with the flat table's bookkeeping columns")
@@ -1139,9 +1155,18 @@ private[jetmdb] final class JetMdbDataWriter(
   // generous against the format's own 2 GB cap.
   private val complexIdx: Array[Int] =
     codes.indices.filter(codes(_) == JetMdbFormat.T_COMPLEX).toArray
+  // array<scalar> columns auto-wrap as the single "Value" payload
+  // (r14); their elements are read with the SCALAR accessor below
+  private val scalarElem: Set[Int] = complexIdx.filter { ci =>
+    !schema(ci).dataType.asInstanceOf[ArrayType]
+      .elementType.isInstanceOf[StructType]
+  }.toSet
   private val elemTypes: Map[Int, StructType] = complexIdx.map { ci =>
-    ci -> schema(ci).dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[StructType]
+    ci -> (schema(ci).dataType.asInstanceOf[ArrayType].elementType match {
+      case st: StructType => st
+      case scalar => StructType(Seq(
+        StructField("Value", scalar, nullable = true)))
+    })
   }.toMap
   private val flatState
       : Map[Int, (String, org.apache.hadoop.fs.FSDataOutputStream,
@@ -1207,8 +1232,7 @@ private[jetmdb] final class JetMdbDataWriter(
               val arr = row.getArray(i)
               var k = 0
               while (k < arr.numElements()) {
-                val st = arr.getStruct(k, elem.length)
-                if (st == null) throw new IllegalArgumentException(
+                if (arr.isNullAt(k)) throw new IllegalArgumentException(
                   s"jetmdb: column ${schema(i).name}: NULL array " +
                     "element — an ACE complex (multi-valued/" +
                     "attachment) table stores one flat row per " +
@@ -1224,12 +1248,17 @@ private[jetmdb] final class JetMdbDataWriter(
                 fvals(0) = // pk
                   (partitionId << 20) | flatCounts(i).toInt
                 fvals(1) = key // fk
-                var j = 0
-                while (j < elem.length) {
-                  fvals(2 + j) =
-                    if (st.isNullAt(j)) null
-                    else st.get(j, elem(j).dataType)
-                  j += 1
+                if (scalarElem.contains(i))
+                  fvals(2) = arr.get(k, elem(0).dataType) // "Value"
+                else {
+                  val st = arr.getStruct(k, elem.length)
+                  var j = 0
+                  while (j < elem.length) {
+                    fvals(2 + j) =
+                      if (st.isNullAt(j)) null
+                      else st.get(j, elem(j).dataType)
+                    j += 1
+                  }
                 }
                 writeBlob(fout, JetMdbWrite.encodeRow(
                   new org.apache.spark.sql.catalyst.expressions

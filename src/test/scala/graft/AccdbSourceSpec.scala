@@ -195,11 +195,15 @@ class AccdbSourceSpec extends AnyFunSuite {
       .load(path)
     assert(df.schema("dt").dataType ==
       org.apache.spark.sql.types.TimestampType)
+    // r14: a single payload column named "Value" IS Access's simple
+    // multi-valued field — the reader unwraps it to array<scalar>
+    // (r13 rendered array<struct<Value:string>>)
+    assert(df.schema("tags").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
     val rows = df.orderBy(col("id")).collect()
-    assert(rows(0).getSeq[org.apache.spark.sql.Row](1)
-      .map(_.getString(0)) == Seq("red", "blue"))
-    assert(rows(1).getSeq[org.apache.spark.sql.Row](1)
-      .map(_.getString(0)) == Seq("green"))
+    assert(rows(0).getSeq[String](1) == Seq("red", "blue"))
+    assert(rows(1).getSeq[String](1) == Seq("green"))
     // micros-exact timestamps, including pre-1970 / year-1000
     val micros = df.orderBy(col("id"))
       .select(expr("unix_micros(dt)"))
@@ -208,6 +212,49 @@ class AccdbSourceSpec extends AnyFunSuite {
     // the flat tables stay hidden from the user-table listing
     assert(graft.sources.jetmdb.JetMdbSource.listTables(path)
       .map(_._1) == Seq("tagged"))
+  }
+
+  test("ACE multi-valued WRITE (r14): array<int> and array<string> " +
+    "round-trip identically through the auto-wrapped single-Value " +
+    "complex machinery; an explicit named_struct('Value', x) write " +
+    "reads back as the same array<scalar>") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("mvw.accdb")
+    val df = Seq(
+      (1, Seq(10, 20, 30), Seq("a", "b")),
+      (2, Seq.empty[Int], Seq("only")),
+      (3, null.asInstanceOf[Seq[Int]], null.asInstanceOf[Seq[String]]))
+      .toDF("id", "nums", "tags")
+    df.write.format("jetmdb").option("table", "mv")
+      .option("version", "ace").mode("overwrite").save(path)
+    val back = spark.read.format("jetmdb").option("table", "mv")
+      .load(path)
+    import org.apache.spark.sql.types._
+    assert(back.schema("nums").dataType ==
+      ArrayType(IntegerType, containsNull = false))
+    assert(back.schema("tags").dataType ==
+      ArrayType(StringType, containsNull = false))
+    val rows = back.orderBy(col("id")).collect()
+    assert(rows(0).getSeq[Int](1) == Seq(10, 20, 30))
+    assert(rows(0).getSeq[String](2) == Seq("a", "b"))
+    assert(rows(1).getSeq[Int](1).isEmpty)
+    assert(rows(1).getSeq[String](2) == Seq("only"))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // the r13 manual recipe still works and converges to the SAME
+    // on-disk shape — reading back yields array<scalar>, not the
+    // wrapped struct
+    val path2 = tmpDb("mvw2.accdb")
+    Seq((1, Seq(7, 8))).toDF("id", "nums")
+      .select(col("id"), expr(
+        "transform(nums, x -> named_struct('Value', x))").as("nums"))
+      .write.format("jetmdb").option("table", "mv")
+      .option("version", "ace").mode("overwrite").save(path2)
+    val back2 = spark.read.format("jetmdb").option("table", "mv")
+      .load(path2)
+    assert(back2.schema("nums").dataType ==
+      ArrayType(IntegerType, containsNull = false))
+    assert(back2.collect()(0).getSeq[Int](1) == Seq(7, 8))
   }
 
   test("ACE complex WRITE (r13): array<struct> round-trips through " +

@@ -40,26 +40,26 @@ class ComplexAdviceSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val path = tmpDb("mp.accdb")
+    // raw array<string>: the r14 writer auto-wraps it as the single
+    // "Value" payload and the reader unwraps it back — no manual
+    // named_struct step
     val df = (1 to 12).map(i =>
       (i, Seq(s"$i-first", s"$i-second", s"$i-third")))
       .toDF("id", "tags")
       .repartition(4, col("id"))
-      .select(col("id"), expr(
-        "transform(tags, x -> named_struct('Value', x))").as("tags"))
     df.write.format("jetmdb").option("table", "docs")
       .option("version", "ace").mode("overwrite").save(path)
     // behavioral round trip: every id keeps its elements in order
     val back = spark.read.format("jetmdb").option("table", "docs")
       .load(path).collect()
-      .map(r => r.getInt(0) ->
-        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)))
+      .map(r => r.getInt(0) -> r.getSeq[String](1))
       .toMap
     assert(back.size == 12)
     for (i <- 1 to 12)
       assert(back(i) == Seq(s"$i-first", s"$i-second", s"$i-third"))
     // raw flat-table audit: decode every flat row and check the pk
     // column directly (this is what an EXTERNAL reader sees)
-    val (_, _, _, pageCount, _, cmap) =
+    val (_, _, _, pageCount, _, cmap, _) =
       JetMdbSource.tableDefFull(path, "docs")
     val flatPage = cmap("tags")
     val h = new Path(path).getFileSystem(new Configuration())
@@ -109,9 +109,6 @@ class ComplexAdviceSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val df = Seq((1, Seq("a", null, "c"))).toDF("id", "tags")
-      .select(col("id"), expr(
-        "transform(tags, x -> if(x is null, null, " +
-          "named_struct('Value', x)))").as("tags"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)

@@ -571,4 +571,60 @@ object JetMdbFixture {
     pages.foreach(out.write)
     Files.write(Paths.get(path), out.toByteArray)
   }
+
+  /** As [[write]], then ENCRYPT the file in place under the public
+    * Jet RC4 page-scramble profile (r14) — an INDEPENDENT test-side
+    * encoder, sharing no code with the production JetCrypt decryptor:
+    * the 4-byte key lands at header offset 0x3e (XORed with the
+    * fixed C7 DA 39 6B header keystream for Jet4/ACE, clear for
+    * Jet3-style callers), and every page except page 0 is RC4'd with
+    * key XOR pageNumber little-endian. */
+  def writeEncrypted(path: String, tables: Seq[Table],
+      aceVersion: Int, dbKey: Int): Unit = {
+    require(dbKey != 0, "fixture: a zero key means not encrypted")
+    write(path, tables, aceVersion)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // independent RC4 (stream-cipher textbook form, built as a
+    // keystream ITERATOR rather than the in-place XOR loop the
+    // production decoder uses)
+    def keystream(key: Array[Byte]): Iterator[Int] = {
+      val s = (0 until 256).toArray
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+        val t = s(i); s(i) = s(j); s(j) = t
+      }
+      var i2 = 0
+      var j2 = 0
+      Iterator.continually {
+        i2 = (i2 + 1) & 0xFF
+        j2 = (j2 + s(i2)) & 0xFF
+        val t = s(i2); s(i2) = s(j2); s(j2) = t
+        s((s(i2) + s(j2)) & 0xFF)
+      }
+    }
+    def le(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // header field: plaintext key XOR the fixed Jet4 header keystream
+    // (region starts at 0x18, so 0x3e sits at keystream offset 0x26)
+    val mask = keystream(Array(0xC7.toByte, 0xDA.toByte, 0x39.toByte,
+      0x6B.toByte)).take(126).toArray
+    val keyBytes = le(dbKey)
+    for (k <- 0 until 4)
+      bytes(0x3e + k) =
+        (keyBytes(k) ^ mask(0x3e - 0x18 + k)).toByte
+    // pages 1..N
+    val pageCount = bytes.length / PageSize
+    for (pn <- 1 until pageCount) {
+      val ks = keystream(le(dbKey ^ pn))
+      var o = pn * PageSize
+      val end = o + PageSize
+      while (o < end) {
+        bytes(o) = (bytes(o) ^ ks.next()).toByte
+        o += 1
+      }
+    }
+    Files.write(Paths.get(path), bytes)
+  }
 }

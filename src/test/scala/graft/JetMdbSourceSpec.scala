@@ -416,12 +416,21 @@ class JetMdbSourceSpec extends AnyFunSuite {
     if (enc(2 * 4096) == 0x02) enc(2 * 4096) = 0x7f // force non-TDEF
     val fe = dir.resolve("enc.mdb")
     Files.write(fe, enc)
-    val e3 = intercept[IllegalArgumentException] {
+    // r14: a noise-paged Jet4 file carries a nonzero candidate key
+    // (zero header bytes XOR the fixed mask), so the reader RETRIES
+    // under the RC4 profile and then raises the composite diagnostic
+    // naming both failures (the r12/r13 hint is its cause)
+    val e3 = intercept[UnsupportedOperationException] {
       JetMdbSource.listTables(fe.toString)
     }
-    assert(e3.getMessage.contains("password-protected"), e3.getMessage)
+    assert(e3.getMessage.contains("RC4 page-scramble"), e3.getMessage)
+    assert(e3.getMessage.contains("original failure"), e3.getMessage)
+    assert(e3.getCause.getMessage.contains("password-protected"),
+      e3.getCause.getMessage)
     // same hint on the Jet3 catalog walk (r12 review: the Jet3 copy
-    // had no test)
+    // had no test). Jet3 stores the key UNmasked, so this all-zero
+    // header derives key 0 → no retry → the plain hint surfaces
+    // directly, exactly as in r13
     val enc3 = new Array[Byte](2048 * 3)
     enc3(0) = 0x00; enc3(1) = 0x01
     System.arraycopy(
