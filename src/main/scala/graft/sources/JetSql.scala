@@ -617,13 +617,16 @@ object JetSql {
     case "long time" => s"date_format($expr, 'h:mm:ss a')"
     case "medium time" => s"date_format($expr, 'hh:mm a')"
     case "general date" =>
-      // VB: midnight renders date-only; a time on Jet's day zero
-      // (CDate(0) = 1899-12-30, how Access stores pure times)
-      // renders time-only; otherwise both. NULL falls off the CASE.
-      s"(CASE WHEN date_format($expr, 'HH:mm:ss') = '00:00:00' " +
-        s"THEN date_format($expr, 'M/d/yyyy') " +
-        s"WHEN to_date($expr) = DATE '1899-12-30' " +
+      // VB: a time on Jet's day zero (CDate(0) = 1899-12-30, how
+      // Access stores pure times) renders time-only; midnight on any
+      // OTHER day renders date-only; otherwise both. The day-zero
+      // branch comes FIRST (r14 review): CDate(0) itself — day zero
+      // at midnight — is "12:00:00 AM" in VB (CStr(CDate(0))), not
+      // "12/30/1899". NULL falls off the CASE.
+      s"(CASE WHEN to_date($expr) = DATE '1899-12-30' " +
         s"THEN date_format($expr, 'h:mm:ss a') " +
+        s"WHEN date_format($expr, 'HH:mm:ss') = '00:00:00' " +
+        s"THEN date_format($expr, 'M/d/yyyy') " +
         s"ELSE date_format($expr, 'M/d/yyyy h:mm:ss a') END)"
     case "general number" =>
       fail("FORMAT \"General Number\" (renders the double's own " +

@@ -81,9 +81,16 @@ object JetTypes {
     // simple multi-valued field (the designer UI creates exactly this
     // flat shape) — render it as array<scalar> so a write of
     // array<scalar> round-trips to itself (r14); attachments and
-    // hand-built multi-column payloads keep the array<struct> shape
+    // hand-built multi-column payloads keep the array<struct> shape.
+    // containsNull = TRUE: the flat table's Value column is nullable
+    // (a file written by another tool can legally store a null
+    // element), and declaring false over data that can violate it
+    // would let codegen elide null checks and read garbage — the
+    // r14 review wave caught exactly that. Our own writer still
+    // REJECTS null elements loudly, it just doesn't promise other
+    // writers did.
     case ComplexValues(Seq(("Value", pt))) =>
-      ArrayType(toSpark(pt), containsNull = false)
+      ArrayType(toSpark(pt), containsNull = true)
     case ComplexValues(payload) => ArrayType(StructType(payload.map {
       case (n, pt) => StructField(n, toSpark(pt), nullable = true)
     }), containsNull = false)

@@ -154,7 +154,12 @@ object JetMdbSource {
       val (cat, dbKey) =
         try (walk(0), 0)
         catch {
-          case plainErr: Exception =>
+          // PARSE failures only (noise pages throw the NotATdef/
+          // bounds family, all RuntimeExceptions) — a checked
+          // IOException is a storage problem and must surface as
+          // itself, not re-labeled as encryption after a pointless
+          // full re-walk (r14 review)
+          case plainErr: RuntimeException =>
             // encrypted-database fallback (r14): the public RC4
             // page-scramble profile, keyed from the header itself.
             // Attempted ONLY after the plaintext walk failed.
@@ -162,7 +167,7 @@ object JetMdbSource {
             if (cand == 0) throw plainErr
             try (walk(cand), cand)
             catch {
-              case _: Exception =>
+              case _: RuntimeException =>
                 throw new UnsupportedOperationException(
                   "jetmdb: catalog walk failed in the clear AND " +
                     "under the public RC4 page-scramble profile " +

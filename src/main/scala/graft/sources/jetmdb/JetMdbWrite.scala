@@ -818,7 +818,23 @@ private[jetmdb] final case class JetMdbBatchWrite(
     require(ace || u8(pages(0), 0x14) == 0x01,
       "jetmdb append: target is not a Jet4 file — append to a Jet3 " +
         "database with .option(\"version\", \"jet3\")")
-    val sysTdef = parseTdefChained(2, pages(_))
+    // an RC4-scrambled target (r14: readable since JetCrypt) must
+    // reject HERE: this path copies and splices pages in the clear,
+    // so appending would interleave plaintext pages into a scrambled
+    // file — corrupt for every other reader. Named rejection, not
+    // the misleading noise-parse diagnostic (r14 review: the read
+    // path's "retried automatically" hint is false for appends).
+    val sysTdef =
+      try parseTdefChained(2, pages(_))
+      catch {
+        case e: RuntimeException
+            if JetCrypt.candidateKey(pages(0), jet3 = false) != 0 =>
+          throw new UnsupportedOperationException(
+            "jetmdb append: the target file is RC4-page-scrambled " +
+              "(encrypted) — appending would interleave plaintext " +
+              "pages; read it and overwrite to a fresh file instead",
+            e)
+      }
     require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
       ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
       "jetmdb append: page-2 catalog TDEF is not the (Id, Type, Name) " +
@@ -1240,10 +1256,20 @@ private[jetmdb] final class JetMdbDataWriter(
                     "(the read schema is containsNull=false, so it " +
                     "could never round-trip); filter(col, x -> x IS " +
                     "NOT NULL) before writing")
+                // documented bound, not an oversight (r14 review):
+                // AutoNumber pk is a signed int32 shared as
+                // (partitionId[11 bits] << 20) | counter[20 bits],
+                // so one partition holds at most ~1M elements per
+                // complex column. The escape route is MORE
+                // partitions, not fewer: repartition so each holds
+                // under 2^20 elements (r13 "passed" beyond this only
+                // by emitting duplicate pks).
                 require(flatCounts(i) < (1 << 20),
-                  "jetmdb: complex write caps at 2^20 elements per " +
-                    s"partition per column (${schema(i).name}) — " +
-                    "AutoNumber pk key space")
+                  "jetmdb: complex write caps at 2^20 flat elements " +
+                    s"per partition per column (${schema(i).name}) — " +
+                    "AutoNumber pk key space; repartition the " +
+                    "DataFrame into more (up to 2048) partitions so " +
+                    "each holds fewer elements")
                 val fvals = new Array[Any](fschema.length)
                 fvals(0) = // pk
                   (partitionId << 20) | flatCounts(i).toInt

@@ -198,9 +198,11 @@ class AccdbSourceSpec extends AnyFunSuite {
     // r14: a single payload column named "Value" IS Access's simple
     // multi-valued field — the reader unwraps it to array<scalar>
     // (r13 rendered array<struct<Value:string>>)
+    // containsNull=true (r14 review): the flat Value column is
+    // nullable, so the unwrapped element slot must be too
     assert(df.schema("tags").dataType ==
       org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false))
+        org.apache.spark.sql.types.StringType, containsNull = true))
     val rows = df.orderBy(col("id")).collect()
     assert(rows(0).getSeq[String](1) == Seq("red", "blue"))
     assert(rows(1).getSeq[String](1) == Seq("green"))
@@ -232,9 +234,9 @@ class AccdbSourceSpec extends AnyFunSuite {
       .load(path)
     import org.apache.spark.sql.types._
     assert(back.schema("nums").dataType ==
-      ArrayType(IntegerType, containsNull = false))
+      ArrayType(IntegerType, containsNull = true))
     assert(back.schema("tags").dataType ==
-      ArrayType(StringType, containsNull = false))
+      ArrayType(StringType, containsNull = true))
     val rows = back.orderBy(col("id")).collect()
     assert(rows(0).getSeq[Int](1) == Seq(10, 20, 30))
     assert(rows(0).getSeq[String](2) == Seq("a", "b"))
@@ -253,7 +255,7 @@ class AccdbSourceSpec extends AnyFunSuite {
     val back2 = spark.read.format("jetmdb").option("table", "mv")
       .load(path2)
     assert(back2.schema("nums").dataType ==
-      ArrayType(IntegerType, containsNull = false))
+      ArrayType(IntegerType, containsNull = true))
     assert(back2.collect()(0).getSeq[Int](1) == Seq(7, 8))
   }
 

@@ -121,6 +121,33 @@ class ComplexAdviceSpec extends AnyFunSuite {
       msgs(e).mkString(" | "))
   }
 
+  test("read: a NULL Value element written by another tool survives " +
+    "as a null array element (containsNull=true — r14 review: " +
+    "declaring false would let codegen read garbage)") {
+    val path = tmpDb("nullval.accdb")
+    JetMdbFixture.write(path, Seq(
+      Table("docs",
+        Seq(Col("id", 0x04), Col("tags", 0x12)),
+        Seq(Seq(Integer.valueOf(1), Integer.valueOf(100))),
+        complexCols = Map("tags" -> "docs_tags_flat")),
+      Table("docs_tags_flat",
+        Seq(Col("pk", 0x04, auto = true), Col("fk", 0x12),
+          Col("Value", 0x0A)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(100), "a"),
+          Seq(Integer.valueOf(2), Integer.valueOf(100), null),
+          Seq(Integer.valueOf(3), Integer.valueOf(100), "c")),
+        system = true)),
+      aceVersion = 0x02)
+    val df = TestSpark.session.read.format("jetmdb")
+      .option("table", "docs").load(path)
+    assert(df.schema("tags").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true))
+    val arr = df.collect()(0).getSeq[String](1)
+    assert(arr == Seq("a", null, "c"))
+  }
+
   test("read: a null pk in a pk-bearing flat table sorts AFTER the " +
     "real pks of its group, stable by file order (r14 — was keyed " +
     "at global scan position, interleaving arbitrarily)") {

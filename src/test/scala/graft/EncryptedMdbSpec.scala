@@ -135,6 +135,28 @@ class EncryptedMdbSpec extends AnyFunSuite {
       Seq((7, "legacy"), (8, "data")))
   }
 
+  test("append to an encrypted file rejects with a NAMED error, " +
+    "never interleaves plaintext pages (r14 review)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = tmpDb("app.mdb")
+    JetMdbFixture.writeEncrypted(path, tables, aceVersion = 0,
+      dbKey = 0x0BADCAFE)
+    val before = Files.readAllBytes(Paths.get(path))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Seq((9, "x")).toDF("k", "v").write.format("jetmdb")
+        .option("table", "t2").mode("append").save(path)
+    }
+    assert(msgs(e).exists(_.contains("RC4-page-scrambled")),
+      msgs(e).mkString(" | "))
+    // and the file is untouched
+    assert(java.util.Arrays.equals(
+      before, Files.readAllBytes(Paths.get(path))))
+  }
+
   test("a file that is neither plaintext nor file-key decryptable " +
     "fails with a diagnostic naming BOTH failures (password descope)") {
     val path = tmpDb("bad.mdb")

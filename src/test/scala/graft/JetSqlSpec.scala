@@ -904,11 +904,15 @@ class JetSqlSpec extends AnyFunSuite {
     val gd = spark.sql(translate(
       "SELECT Format(#1/5/2020#, \"General Date\") AS d0, " +
         "Format(#1/5/2020 16:05:06#, \"General Date\") AS dt0, " +
-        "Format(#12/30/1899 14:30:00#, \"General Date\") AS t0"))
-      .collect()(0)
+        "Format(#12/30/1899 14:30:00#, \"General Date\") AS t0, " +
+        "Format(#12/30/1899#, \"General Date\") AS zero")).collect()(0)
     assert(gd.getString(0) == "1/5/2020")
     assert(gd.getString(1) == "1/5/2020 4:05:06 PM")
     assert(gd.getString(2) == "2:30:00 PM")
+    // CDate(0) — day zero at MIDNIGHT — is a pure time in VB
+    // (CStr(CDate(0)) = "12:00:00 AM"); the day-zero branch wins
+    // over the midnight branch (r14 review)
+    assert(gd.getString(3) == "12:00:00 AM")
     // NULL propagates through every named family (no bare affixes)
     val nu = spark.sql(translate(
       "SELECT Format(IIF(1 = 0, 1, Null), \"Currency\") AS a, " +

@@ -122,6 +122,45 @@ class MigrationPipelineSpec extends AnyFunSuite {
       .isInstanceOf[org.apache.spark.sql.types.ArrayType])
   }
 
+  test("simple MULTI-VALUED column (single-Value payload) migrates " +
+    "relationally too (r14 review: the array<scalar> unwrap broke " +
+    "expandComplex's struct field access)") {
+    val dir = Files.createTempDirectory("graft_mvf_mig")
+    val accdb = dir.resolve("mvf.accdb").toString
+    import graft.JetMdbFixture.{Col, IndexDef, Table => FixTable}
+    JetMdbFixture.write(accdb, Seq(
+      FixTable("Items",
+        Seq(Col("ItemID", 0x04, auto = true), Col("Tags", 0x12)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(100)),
+          Seq(Integer.valueOf(2), Integer.valueOf(200))),
+        indexes = Seq(
+          IndexDef("PK", Seq("ItemID"), unique = true, primary = true)),
+        complexCols = Map("Tags" -> "Items_Tags_flat")),
+      FixTable("Items_Tags_flat",
+        Seq(Col("pk", 0x04, auto = true), Col("fk", 0x12),
+          Col("Value", 0x0A)),
+        Seq(
+          Seq(Integer.valueOf(1), Integer.valueOf(100), "red"),
+          Seq(Integer.valueOf(2), Integer.valueOf(100), "blue"),
+          Seq(Integer.valueOf(3), Integer.valueOf(200), "green")),
+        system = true)), aceVersion = 0x02)
+    val specs = MigrationPipeline.specsFromJetMdb(accdb)
+    val (parent, children) = MigrationPipeline.expandComplex(specs.head)
+    assert(children.head.jetSchema.map(_._1) ==
+      Seq("ItemID", "ord", "Value"))
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val counts = MigrationPipeline.migrate(
+      spark, parent +: children, MigrationPipeline.JdbcSink(url), props)
+    assert(counts == Map("Items" -> 2L, "Items_Tags" -> 3L))
+    val tags = graft.sources.JdbcConnector.read(
+      spark, url, "items_tags", props = props)
+    assert(tags.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet ==
+      Set((1, 0, "red"), (1, 1, "blue"), (2, 0, "green")))
+  }
+
   test("translated Jet ACTION queries execute on the migration " +
     "target (Derby): UPDATE, INSERT…SELECT, DELETE *") {
     val dbDir = Files.createTempDirectory("graft_derby_act").resolve("db")
