@@ -566,6 +566,29 @@ object JetSql {
     if (mask.contains(';')) sectionedNumericSql(expr, mask)
     else sectionSql(expr, mask, mask)
 
+  /** VB's boolean-word named formats: zero → the falsy word, any
+    * other number → the truthy word, NULL → NULL (one emission for
+    * all three word pairs — r14 review wave 2 deduplicated the
+    * copies). */
+  private def boolWordsSql(expr: String, truthy: String,
+      falsy: String): String =
+    s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN '$falsy' " +
+      s"WHEN CAST($expr AS DOUBLE) IS NOT NULL THEN '$truthy' END)"
+
+  /** True when an EMITTED operand contains one of Spark's per-row
+    * non-deterministic builtins. The translator itself never emits
+    * these (Now()/Date() map to the query-constant
+    * current_timestamp/current_date), but UNKNOWN function calls
+    * pass through verbatim (r14 review wave 2) — `rand()` typed
+    * straight into a saved query would reach a spliced operand. The
+    * double-splicing stock "ww" emissions step aside for such
+    * operands and use the single-splice jet_* expressions instead. */
+  private def perRowNondet(sql: String): Boolean = {
+    val l = sql.toLowerCase
+    Seq("rand(", "randn(", "random(", "uuid(", "shuffle(",
+      "monotonically_increasing_id").exists(l.contains)
+  }
+
   /** VB's NAMED Format()s (r14 — the Access-designer default;
     * previously the most common saved-query rejection). Pinned to
     * the en-US rendering the whole translator assumes (US date
@@ -598,18 +621,9 @@ object JetSql {
       // string "nu", not NULL
       s"(CASE WHEN ($expr) IS NOT NULL THEN " +
         s"format_string('%.2E', CAST($expr AS DOUBLE)) END)"
-    case "yes/no" =>
-      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'No' " +
-        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'Yes' " +
-        "END)"
-    case "true/false" =>
-      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'False' " +
-        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'True' " +
-        "END)"
-    case "on/off" =>
-      s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN 'Off' " +
-        "WHEN CAST(" + expr + " AS DOUBLE) IS NOT NULL THEN 'On' " +
-        "END)"
+    case "yes/no" => boolWordsSql(expr, "Yes", "No")
+    case "true/false" => boolWordsSql(expr, "True", "False")
+    case "on/off" => boolWordsSql(expr, "On", "Off")
     case "short date" => s"date_format($expr, 'M/d/yyyy')"
     case "long date" => s"date_format($expr, 'EEEE, MMMM d, yyyy')"
     case "medium date" => s"date_format($expr, 'dd-MMM-yy')"
@@ -1675,7 +1689,8 @@ object JetSql {
         val w = if (args.length >= 4)
           weekAnchorArg(args(3), "DATEPART firstweekofyear", 3) else 1
         val code = intervalCode(args(0), "DatePart")
-        if (code == "ww" && f == 1 && w == 1) {
+        if (code == "ww" && f == 1 && w == 1 &&
+            !perRowNondet(em(args(1)))) {
           // DEFAULT anchors (vbSunday + vbFirstJan1): stock Spark SQL
           // so the translation runs on a plain session without
           // GraftExtensions (r14 — the r13 all-jet_weeknum emission
@@ -1766,7 +1781,8 @@ object JetSql {
           // has no per-row non-deterministic function); any other
           // documented anchor emits jet_weekstart (one splice per
           // side, needs GraftExtensions).
-          case "ww" if fdow == 1 =>
+          case "ww" if fdow == 1 && !perRowNondet(a) &&
+              !perRowNondet(b) =>
             s"CAST(datediff(date_sub(CAST($b AS DATE), dayofweek($b) " +
               s"- 1), date_sub(CAST($a AS DATE), dayofweek($a) - 1)) " +
               "/ 7 AS BIGINT)"

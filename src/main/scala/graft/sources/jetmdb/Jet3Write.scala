@@ -324,7 +324,21 @@ object Jet3Write {
     require(Jet3Format.isJet3(pages(0)),
       "jetmdb/jet3 append: target file is not a Jet3 database " +
         "(Jet4 targets append with the default version)")
-    val sysTdef = Jet3Format.parseTdefChained(2, pages(_))
+    // encrypted-target rejection, mirroring the Jet4 path (r14
+    // review wave 2): Jet3 stores the RC4 key UNmasked at 0x3e, and
+    // appending plaintext pages into a scrambled file corrupts it
+    // for every other reader
+    val sysTdef =
+      try Jet3Format.parseTdefChained(2, pages(_))
+      catch {
+        case e: RuntimeException
+            if JetCrypt.candidateKey(pages(0), jet3 = true) != 0 =>
+          throw new UnsupportedOperationException(
+            "jetmdb/jet3 append: the target file is " +
+              "RC4-page-scrambled (encrypted) — appending would " +
+              "interleave plaintext pages; read it and overwrite to " +
+              "a fresh file instead", e)
+      }
     require(sysTdef.columns.map(c => (c.name, c.typeCode)) == Seq(
       ("Id", T_LONG), ("Type", T_INT), ("Name", T_TEXT)),
       "jetmdb/jet3 append: page-2 catalog TDEF is not the " +

@@ -151,15 +151,20 @@ object JetMdbSource {
           else readCatalog(count, readPage(in, _, ps))
         } finally in.close()
       }
+      // Failures that noise pages can PRODUCE: the NotATdef/bounds
+      // family (RuntimeExceptions) plus EOFException — a garbage
+      // chained-TDEF 'next' pointer read from ciphertext can pass
+      // the type check (~1/256 keys) and seek past EOF (r14 review
+      // wave 2). Other checked IOExceptions are storage problems and
+      // surface as themselves, not re-labeled as encryption.
+      def noiseFailure(t: Throwable): Boolean = t match {
+        case _: RuntimeException | _: java.io.EOFException => true
+        case _ => false
+      }
       val (cat, dbKey) =
         try (walk(0), 0)
         catch {
-          // PARSE failures only (noise pages throw the NotATdef/
-          // bounds family, all RuntimeExceptions) — a checked
-          // IOException is a storage problem and must surface as
-          // itself, not re-labeled as encryption after a pointless
-          // full re-walk (r14 review)
-          case plainErr: RuntimeException =>
+          case plainErr: Exception if noiseFailure(plainErr) =>
             // encrypted-database fallback (r14): the public RC4
             // page-scramble profile, keyed from the header itself.
             // Attempted ONLY after the plaintext walk failed.
@@ -167,7 +172,7 @@ object JetMdbSource {
             if (cand == 0) throw plainErr
             try (walk(cand), cand)
             catch {
-              case _: RuntimeException =>
+              case e: Exception if noiseFailure(e) =>
                 throw new UnsupportedOperationException(
                   "jetmdb: catalog walk failed in the clear AND " +
                     "under the public RC4 page-scramble profile " +

@@ -1248,14 +1248,23 @@ private[jetmdb] final class JetMdbDataWriter(
               val arr = row.getArray(i)
               var k = 0
               while (k < arr.numElements()) {
-                if (arr.isNullAt(k)) throw new IllegalArgumentException(
-                  s"jetmdb: column ${schema(i).name}: NULL array " +
-                    "element — an ACE complex (multi-valued/" +
-                    "attachment) table stores one flat row per " +
-                    "element and has no rendering for a null one " +
-                    "(the read schema is containsNull=false, so it " +
-                    "could never round-trip); filter(col, x -> x IS " +
-                    "NOT NULL) before writing")
+                // a null STRUCT element is ambiguous (all-null-struct
+                // vs no-element, and the array<struct> read schema is
+                // containsNull=false) — reject loudly. A null SCALAR
+                // element is NOT: it is a flat row whose single Value
+                // column is null, reads back as a null element under
+                // the containsNull=true unwrap (r14 review wave 2 —
+                // the r14.0 rejection cited a schema this round
+                // changed), so it writes through below.
+                if (arr.isNullAt(k) && !scalarElem.contains(i))
+                  throw new IllegalArgumentException(
+                    s"jetmdb: column ${schema(i).name}: NULL array " +
+                      "element — an ACE complex (attachment) table " +
+                      "stores one flat row per element, and a null " +
+                      "struct has no rendering distinct from a " +
+                      "struct of nulls (the array<struct> read " +
+                      "schema is containsNull=false); filter(col, " +
+                      "x -> x IS NOT NULL) before writing")
                 // documented bound, not an oversight (r14 review):
                 // AutoNumber pk is a signed int32 shared as
                 // (partitionId[11 bits] << 20) | counter[20 bits],
@@ -1275,7 +1284,9 @@ private[jetmdb] final class JetMdbDataWriter(
                   (partitionId << 20) | flatCounts(i).toInt
                 fvals(1) = key // fk
                 if (scalarElem.contains(i))
-                  fvals(2) = arr.get(k, elem(0).dataType) // "Value"
+                  fvals(2) = // "Value"; null element = null Value row
+                    if (arr.isNullAt(k)) null
+                    else arr.get(k, elem(0).dataType)
                 else {
                   val st = arr.getStruct(k, elem.length)
                   var j = 0

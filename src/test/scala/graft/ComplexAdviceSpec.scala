@@ -104,18 +104,31 @@ class ComplexAdviceSpec extends AnyFunSuite {
     } finally in.close()
   }
 
-  test("NULL array element rejects loudly at write (r14 — was a " +
-    "silent all-null-struct mutation that could never round-trip)") {
+  test("NULL elements: a null SCALAR element round-trips as a null " +
+    "Value flat row (r14 wave 2); a null STRUCT element still " +
+    "rejects loudly (was a silent all-null-struct mutation)") {
     val spark2 = spark
     import spark2.implicits._
+    // scalar: writes through and reads back under containsNull=true
+    val path = tmpDb("nullel.accdb")
+    Seq((1, Seq("a", null, "c"))).toDF("id", "tags")
+      .write.format("jetmdb").option("table", "docs")
+      .option("version", "ace").mode("overwrite").save(path)
+    val back = spark.read.format("jetmdb").option("table", "docs")
+      .load(path).collect()(0)
+    assert(back.getSeq[String](1) == Seq("a", null, "c"))
+    // struct (attachment shape): ambiguous, loud
     val df = Seq((1, Seq("a", null, "c"))).toDF("id", "tags")
+      .select(col("id"), expr(
+        "transform(tags, x -> if(x is null, null, " +
+          "named_struct('FileName', x, 'FileType', x)))").as("tags"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val e = intercept[Exception] {
-      df.write.format("jetmdb").option("table", "docs")
+      df.write.format("jetmdb").option("table", "docs2")
         .option("version", "ace").mode("overwrite")
-        .save(tmpDb("nullel.accdb"))
+        .save(tmpDb("nullel2.accdb"))
     }
     assert(msgs(e).exists(_.contains("NULL array element")),
       msgs(e).mkString(" | "))

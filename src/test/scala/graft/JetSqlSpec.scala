@@ -969,6 +969,39 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT Format(n, \"0;0;0;0;0\") FROM t",  // five sections
       "SELECT Format(n, \";0.00\") FROM t"))     // literal-less pos
       intercept[IllegalArgumentException] { translate(bad) }
+    // NaN dispatch is CONSISTENT across section counts (r14 review
+    // wave 2 asked): Spark comparisons order NaN above every number,
+    // so NaN > 0 is TRUE and NaN always takes the POSITIVE section —
+    // rendering the string "NaN" with that section's affixes, same
+    // as the 1- and 2-section forms. Pinned so a future dispatch
+    // rewrite can't silently route NaN to the zero/null arms.
+    val nan = spark.sql(translate(
+      "SELECT Format(CDbl(\"NaN\"), \"0.00\") AS a, " +
+        "Format(CDbl(\"NaN\"), \"$0.00;($0.00)\") AS b, " +
+        "Format(CDbl(\"NaN\"), \"0.00;(0.00);0;-\") AS c")).collect()(0)
+    assert(nan.getString(0) == "NaN")
+    assert(nan.getString(1) == "$NaN")
+    assert(nan.getString(2) == "NaN")
+  }
+
+  test("stock ww emissions step aside for per-row non-deterministic " +
+    "operands (r14 wave 2): an unknown passthrough like rand() would " +
+    "be spliced twice, so those fall back to single-splice jet_*") {
+    def count(haystack: String, needle: String): Int =
+      haystack.sliding(needle.length).count(_ == needle)
+    // default anchors + deterministic operand: stock, no jet_*
+    assert(!translate("SELECT DatePart(\"ww\", [d]) FROM t")
+      .contains("jet_"))
+    // default anchors + rand() reaching the operand through the
+    // unknown-function passthrough: jet_weeknum, spliced ONCE
+    val nd = translate(
+      "SELECT DatePart(\"ww\", DateAdd(\"d\", rand() * 30, [d])) FROM t")
+    assert(nd.contains("jet_weeknum"), nd)
+    assert(count(nd, "rand()") == 1, nd)
+    val ndd = translate(
+      "SELECT DateDiff(\"ww\", [a], DateAdd(\"d\", rand(), [b])) FROM t")
+    assert(ndd.contains("jet_weekstart"), ndd)
+    assert(count(ndd, "rand()") == 1, ndd)
   }
 
   test("Access designer FROM shapes — nested-paren INNER/LEFT JOIN " +
