@@ -566,6 +566,32 @@ object JetSql {
     if (mask.contains(';')) sectionedNumericSql(expr, mask)
     else sectionSql(expr, mask, mask)
 
+  /** VB's TEXT masks (r14) — the deterministic subset:
+    *   - `>` / `<` (alone, or as a whole-mask run): force upper/
+    *     lowercase — the single most common Access text mask (code
+    *     normalization in saved queries);
+    *   - a pure `@` run of n: right-align into n slots — VB pads
+    *     SHORT strings with leading spaces and shows LONG strings
+    *     whole (so `lpad` alone would be wrong: it truncates);
+    *   - a pure `&` run: the string as-is.
+    * Mixed literal/placeholder masks (`"@@@-@@"`) fill right-to-left
+    * through interleaved literals and `!` flips the fill direction —
+    * genuinely positional machinery left out; they reject with the
+    * date-pattern diagnostic naming the character. */
+  private def textFormatSql(expr: String, mask: String)
+      : Option[String] = {
+    val body = mask
+    if (body.isEmpty) None
+    else if (body.forall(_ == '>')) Some(s"upper($expr)")
+    else if (body.forall(_ == '<')) Some(s"lower($expr)")
+    else if (body.forall(_ == '@')) {
+      val n = body.length
+      Some(s"(CASE WHEN length($expr) >= $n THEN CAST($expr AS " +
+        s"STRING) ELSE lpad($expr, $n, ' ') END)")
+    } else if (body.forall(_ == '&')) Some(s"CAST($expr AS STRING)")
+    else None
+  }
+
   /** VB's boolean-word named formats: zero → the falsy word, any
     * other number → the truthy word, NULL → NULL (one emission for
     * all three word pairs — r14 review wave 2 deduplicated the
@@ -1922,7 +1948,8 @@ object JetSql {
         if (ps.length != 1 || ps.head.kind != "string")
           fail("FORMAT with a non-literal pattern")
         val mask = ps.head.text
-        namedFormatSql(em(args(0)), mask) match {
+        namedFormatSql(em(args(0)), mask)
+          .orElse(textFormatSql(em(args(0)), mask)) match {
           case Some(sql) =>
             put(sql)
             lastWord = "format"

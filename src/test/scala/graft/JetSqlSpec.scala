@@ -984,6 +984,31 @@ class JetSqlSpec extends AnyFunSuite {
     assert(nan.getString(2) == "NaN")
   }
 
+  test("Format TEXT masks (r14): > and < case-fold, a pure @ run " +
+    "right-aligns without truncating, & passes through; positional " +
+    "mixed masks stay loud") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Format(\"aBc7\", \">\") AS up, " +
+        "Format(\"aBc7\", \"<\") AS lo, " +
+        "Format(\"Ab\", \">>>>\") AS upr, " +
+        "Format(\"ab\", \"@@@@\") AS pad, " +
+        "Format(\"abcdef\", \"@@@@\") AS over, " +
+        "Format(\"ab\", \"&&\") AS amp")).collect()(0)
+    assert(r.getString(0) == "ABC7")
+    assert(r.getString(1) == "abc7")
+    assert(r.getString(2) == "AB")
+    assert(r.getString(3) == "  ab") // right-aligned, space-padded
+    assert(r.getString(4) == "abcdef") // @ never truncates (vs lpad)
+    assert(r.getString(5) == "ab")
+    // positional mixed masks (right-to-left fill machinery) reject
+    for (bad <- Seq(
+      "SELECT Format(s, \"@@@-@@\") FROM t",
+      "SELECT Format(s, \"!@@\") FROM t",
+      "SELECT Format(s, \">@\") FROM t"))
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
   test("stock ww emissions step aside for per-row non-deterministic " +
     "operands (r14 wave 2): an unknown passthrough like rand() would " +
     "be spliced twice, so those fall back to single-splice jet_*") {
