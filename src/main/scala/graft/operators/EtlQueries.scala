@@ -1118,7 +1118,8 @@ object EtlQueries {
       |    END AS big,
       |  strftime(o_orderdate, '%A, %B %-d, %Y') AS ld,
       |  strftime(o_orderdate, '%d-%b-%y') AS md,
-      |  strftime(o_orderdate, '%-m/%-d/%Y') AS gd
+      |  strftime(o_orderdate, '%-m/%-d/%Y') AS gd,
+      |  printf('%.2f', o_totalprice) || ' USD' AS usd
       |FROM orders
       |WHERE o_orderkey % 13 = 0
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -1137,14 +1138,16 @@ object EtlQueries {
         " AS big,",
       "  Format([o_orderdate], \"Long Date\") AS ld,",
       "  Format([o_orderdate], \"Medium Date\") AS md,",
-      "  Format([o_orderdate], \"General Date\") AS gd",
+      "  Format([o_orderdate], \"General Date\") AS gd,",
+      // quoted literal affix (r14.1) under the same hash gate
+      "  Format([o_totalprice], \"0.00\"\" USD\"\"\") AS usd",
       "FROM orders",
       "WHERE [o_orderkey] Mod 13 = 0",
       "ORDER BY [o_orderkey]").mkString(" ")
     s.sql(graft.sources.JetSql.translate(saved))
       .select(col("o_orderkey"), col("cur"), col("acct"), col("std"),
         col("fx"), col("pct"), col("sci"), col("tri"), col("big"),
-        col("ld"), col("md"), col("gd"))
+        col("ld"), col("md"), col("gd"), col("usd"))
       .orderBy(col("o_orderkey"))
   }
 

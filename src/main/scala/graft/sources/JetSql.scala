@@ -458,34 +458,104 @@ object JetSql {
           "zero-pad widths clash with the sign)")
     }
 
-  /** Literal affix characters a section may carry around its digit
-    * core. Positional, rendered verbatim (VB literals are positional:
-    * `Format(-5, "$0.00")` is "$-5.00"); each `%` ALSO scales the
-    * operand by 100 (VB's percent-placeholder rule). Quoted/escaped
-    * arbitrary literals stay out — they are report chrome with
-    * locale-sensitive conventions. */
+  /** BARE literal affix characters a section may carry around its
+    * digit core without quoting. Positional, rendered verbatim (VB
+    * literals are positional: `Format(-5, "$0.00")` is "$-5.00");
+    * each bare `%` ALSO scales the operand by 100 (VB's
+    * percent-placeholder rule). Anything else must arrive QUOTED
+    * (`0.00" kg"`) or backslash-escaped (`\u`), the VB mask-literal
+    * forms (r14.1 — previously a documented descope). */
   private val sectionLiterals = "$()+- %"
 
+  /** One section parsed into (prefix literal TEXT, digit core,
+    * suffix literal TEXT, bare-% count). Quoted runs and `\x`
+    * escapes contribute literal text (a quoted "%" displays without
+    * scaling — only BARE % scales); the digit core is one contiguous
+    * `[0#,.]` run; a second digit run after literal text is the
+    * positional fill machinery and stays out. Literal content
+    * excludes `'` and `\` — the emission crosses THREE SQL dialects
+    * (Spark, Derby, PostgreSQL via translateForJdbc) whose string
+    * escape rules disagree on exactly those two characters. */
+  private def parseSectionAffixes(sec: String, whole: String)
+      : (String, String, String, Int) = {
+    val pre = new StringBuilder
+    val core = new StringBuilder
+    val suf = new StringBuilder
+    var pct = 0
+    var phase = 0 // 0 = before core, 1 = in core, 2 = after core
+    def lit: StringBuilder = if (phase == 0) pre else suf
+    def addLit(c: Char): Unit = {
+      if (c == '\'' || c == '\\')
+        fail(s"FORMAT section \"$sec\" of \"$whole\": literal '" +
+          c + "' is out (Spark/Derby/PostgreSQL string escaping " +
+          "disagrees on it)")
+      lit += c
+    }
+    var i = 0
+    while (i < sec.length) {
+      val c = sec.charAt(i)
+      if (c == '0' || c == '#') {
+        if (phase == 2)
+          fail(s"FORMAT section \"$sec\" of \"$whole\": a second " +
+            "digit run after literal text (right-to-left positional " +
+            "fill is out of the deterministic subset)")
+        phase = 1
+        core += c
+        i += 1
+      } else if (phase == 1 && (c == ',' || c == '.')) {
+        // inside the core only while digits continue — a ',' or '.'
+        // followed by more digits extends the core; otherwise it
+        // ends the core and the char re-parses as a (rejected-bare)
+        // literal
+        if (i + 1 < sec.length &&
+            (sec.charAt(i + 1) == '0' || sec.charAt(i + 1) == '#')) {
+          core += c
+          i += 1
+        } else phase = 2
+      } else if (c == '"') {
+        val j = sec.indexOf('"', i + 1)
+        if (j < 0)
+          fail(s"FORMAT section \"$sec\" of \"$whole\": unterminated " +
+            "quoted literal")
+        if (phase == 1) phase = 2
+        sec.substring(i + 1, j).foreach(addLit)
+        i = j + 1
+      } else if (c == '\\') {
+        if (i + 1 >= sec.length)
+          fail(s"FORMAT section \"$sec\" of \"$whole\": dangling " +
+            "backslash escape")
+        if (phase == 1) phase = 2
+        addLit(sec.charAt(i + 1))
+        i += 2
+      } else if (sectionLiterals.contains(c)) {
+        if (phase == 1) phase = 2
+        if (c == '%') pct += 1
+        lit += c
+        i += 1
+      } else
+        fail(s"FORMAT section \"$sec\" of \"$whole\": literal affix " +
+          s"character '$c' outside \"$sectionLiterals\" — quote it " +
+          "(\"...\") or escape it (\\" + c + ") to display verbatim")
+    }
+    (pre.toString, core.toString, suf.toString, pct)
+  }
+
+  /** Literal text → a SQL string literal. Content already excludes
+    * `'` and `\` (parseSectionAffixes), so plain quoting is
+    * dialect-safe. */
+  private def sqlTextLit(s: String): String = s"'$s'"
+
   /** ONE numeric section (r14): `[affix]core[affix]` — e.g.
-    * `$#,##0.00`, `(0.00)`, `0.0%`, `-0`. The operand is spliced as
-    * given (sign handling is the CALLER's job for multi-section
-    * masks: VB renders the negative section on the absolute value).
-    */
+    * `$#,##0.00`, `(0.00)`, `0.0%`, `-0`, `0.00" kg"`. The operand
+    * is spliced as given (sign handling is the CALLER's job for
+    * multi-section masks: VB renders the negative section on the
+    * absolute value). */
   private def sectionSql(expr: String, sec: String,
       whole: String): String = {
-    val first = sec.indexWhere(c => c == '0' || c == '#')
-    if (first < 0)
+    val (prefix, core, suffix, pct) = parseSectionAffixes(sec, whole)
+    if (core.isEmpty)
       fail(s"FORMAT section \"$sec\" of \"$whole\" has no digit " +
         "placeholder (only the zero/null sections may be literal)")
-    val last = sec.lastIndexWhere(c => c == '0' || c == '#')
-    val prefix = sec.substring(0, first)
-    val core = sec.substring(first, last + 1)
-    val suffix = sec.substring(last + 1)
-    if (!(prefix + suffix).forall(sectionLiterals.contains(_)))
-      fail(s"FORMAT section \"$sec\" of \"$whole\": literal affix " +
-        s"characters outside \"$sectionLiterals\" (quoted/escaped " +
-        "literal runs are out of the deterministic subset)")
-    val pct = (prefix + suffix).count(_ == '%')
     val scaled =
       if (pct == 0) expr
       else s"(($expr) * ${BigInt(100).pow(pct)})"
@@ -494,9 +564,9 @@ object JetSql {
       if (prefix.isEmpty && suffix.isEmpty) rendered
       else {
         val parts =
-          (if (prefix.nonEmpty) Seq(s"'$prefix'") else Nil) ++
+          (if (prefix.nonEmpty) Seq(sqlTextLit(prefix)) else Nil) ++
             Seq(rendered) ++
-            (if (suffix.nonEmpty) Seq(s"'$suffix'") else Nil)
+            (if (suffix.nonEmpty) Seq(sqlTextLit(suffix)) else Nil)
         parts.mkString("concat(", ", ", ")")
       }
     // NULL must propagate EXPLICITLY (r14): Java's Formatter renders
@@ -505,6 +575,44 @@ object JetSql {
     // renders Format(Null, mask) as a blank; SQL NULL is our
     // equivalent, never a mangled literal.
     s"(CASE WHEN ($expr) IS NOT NULL THEN $body END)"
+  }
+
+  /** Characters of `mask` OUTSIDE quoted runs and backslash escapes
+    * — mask-STRUCTURE dispatch (does it have a digit core? sections?)
+    * must not be fooled by literal text containing `;`/`0`/`#`. */
+  private def bareMaskChars(mask: String): Seq[Char] = {
+    val out = Seq.newBuilder[Char]
+    var i = 0
+    while (i < mask.length) {
+      val c = mask.charAt(i)
+      if (c == '"') {
+        val j = mask.indexOf('"', i + 1)
+        i = if (j < 0) mask.length else j + 1
+      } else if (c == '\\') i += 2
+      else { out += c; i += 1 }
+    }
+    out.result()
+  }
+
+  /** `;`-split OUTSIDE quoted runs and escapes. */
+  private def splitSections(mask: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < mask.length) {
+      val c = mask.charAt(i)
+      if (c == '"') {
+        val j = mask.indexOf('"', i + 1)
+        if (j < 0) { cur ++= mask.substring(i); i = mask.length }
+        else { cur ++= mask.substring(i, j + 1); i = j + 1 }
+      } else if (c == '\\' && i + 1 < mask.length) {
+        cur += c; cur += mask.charAt(i + 1); i += 2
+      } else if (c == ';') {
+        out += cur.toString; cur.clear(); i += 1
+      } else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.result()
   }
 
   /** `pos;neg;zero;null` multi-section numeric masks (r14 — the
@@ -525,17 +633,24 @@ object JetSql {
     *     propagates as SQL NULL — Access renders a blank either way.
     */
   private def sectionedNumericSql(expr: String, mask: String): String = {
-    val secs = mask.split(";", -1).toSeq
+    val secs = splitSections(mask)
     if (secs.length > 4)
       fail(s"FORMAT mask \"$mask\" has ${secs.length} sections " +
         "(VB defines at most pos;neg;zero;null)")
-    def pureLiteral(s: String): Boolean =
-      s.nonEmpty && s.forall(sectionLiterals.contains(_))
+    // a DIGIT-FREE section is pure literal chrome ("-", "\"none\"");
+    // parseSectionAffixes validates its charset/quoting and yields
+    // the rendered text
+    def literalOnly(s: String): Option[String] = {
+      val (pre, core, suf, _) = parseSectionAffixes(s, mask)
+      if (core.isEmpty && (pre + suf).nonEmpty)
+        Some(sqlTextLit(pre + suf))
+      else None
+    }
     val posR = sectionSql(expr, secs.head, mask)
     val negR = secs(1) match {
       case "" => posR // VB: positive's format, signed value
-      case s if pureLiteral(s) => s"'$s'"
-      case s => sectionSql(s"abs($expr)", s, mask)
+      case s => literalOnly(s).getOrElse(
+        sectionSql(s"abs($expr)", s, mask))
     }
     if (secs.length == 2)
       // first section covers positives AND zeros; the ELSE arm also
@@ -544,15 +659,13 @@ object JetSql {
     else {
       val zeroR = secs(2) match {
         case "" => posR // value IS 0 in this branch
-        case s if pureLiteral(s) => s"'$s'"
-        case s => sectionSql(expr, s, mask)
+        case s => literalOnly(s).getOrElse(sectionSql(expr, s, mask))
       }
       val nullR = secs.lift(3) match {
         case None | Some("") => None
-        case Some(s) if pureLiteral(s) => Some(s"'$s'")
-        case Some(s) => fail(s"FORMAT null section \"$s\" of " +
-          s"\"$mask\" must be literal text (Null has no digits to " +
-          "render)")
+        case Some(s) => literalOnly(s).orElse(
+          fail(s"FORMAT null section \"$s\" of \"$mask\" must be " +
+            "literal text (Null has no digits to render)"))
       }
       s"(CASE WHEN ($expr) > 0 THEN $posR " +
         s"WHEN ($expr) < 0 THEN $negR " +
@@ -561,9 +674,12 @@ object JetSql {
     }
   }
 
-  /** Single- or multi-section numeric Format masks. */
+  /** Single- or multi-section numeric Format masks. Section/digit
+    * STRUCTURE is judged on bare (unquoted, unescaped) characters —
+    * a quoted ";" or "0" is literal text, not structure. */
   private def numericFormatSql(expr: String, mask: String): String =
-    if (mask.contains(';')) sectionedNumericSql(expr, mask)
+    if (bareMaskChars(mask).contains(';'))
+      sectionedNumericSql(expr, mask)
     else sectionSql(expr, mask, mask)
 
   /** VB's TEXT masks (r14) — the deterministic subset:
@@ -1954,7 +2070,10 @@ object JetSql {
             put(sql)
             lastWord = "format"
           case None =>
-            if (mask.exists(c => c == '0' || c == '#')) {
+            // structure dispatch on BARE chars: a quoted "0" in a
+            // date mask's literal text must not route to numeric
+            if (bareMaskChars(mask)
+                .exists(c => c == '0' || c == '#')) {
               put(numericFormatSql(em(args(0)), mask))
               lastWord = "format"
             } else {

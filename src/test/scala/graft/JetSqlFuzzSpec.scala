@@ -1265,8 +1265,28 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       }
     }
     def lit(s: String): String = "\"" + s + "\""
+    // quoted-affix pools (r14.1): the GENERATOR carries the literal
+    // text, so the expectation needs no mask parsing at all — the
+    // most independent reference possible. ';' inside a quoted run
+    // also exercises the quote-aware section splitter.
+    val quotedPre = Vector("", "\"p re \"", "\"$\"", "\"x;y \"")
+    val quotedSuf = Vector("\" kg\"", "\"%\"", "\" a;b\"", "\"!\"")
     val built = Vector.fill(300) {
-      r.nextInt(4) match {
+      r.nextInt(5) match {
+        case 4 => // quoted literal affixes around a plain core
+          val x = randX()
+          val d = r.nextInt(3)
+          val group = r.nextBoolean()
+          val core = (if (group) "#,##0" else "0") +
+            (if (d == 0) "" else "." + "0" * d)
+          val pre = quotedPre(r.nextInt(quotedPre.length))
+          val suf = quotedSuf(r.nextInt(quotedSuf.length))
+          val mask = pre + core + suf
+          // Jet string literal: internal quotes double
+          val jetMask = "\"" + mask.replace("\"", "\"\"") + "\""
+          def unq(s: String) = s.stripPrefix("\"").stripSuffix("\"")
+          (s"Format(${jetNum(x)}, $jetMask)",
+            unq(pre) + refNum(x, d, group) + unq(suf))
         case 0 => // named numeric
           val x = randX()
           r.nextInt(5) match {

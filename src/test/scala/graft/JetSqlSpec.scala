@@ -984,6 +984,42 @@ class JetSqlSpec extends AnyFunSuite {
     assert(nan.getString(2) == "NaN")
   }
 
+  test("Format quoted/escaped literal affixes (r14.1): \"...\" runs " +
+    "and \\x escapes render verbatim around the digit core; quoted " +
+    "; 0 # % are literal text, not structure; ' and \\ content " +
+    "reject (three-dialect escape hazard)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Format(12.5, \"0.00\"\" kg\"\"\") AS kg, " +
+        "Format(1234.5, \"\"\"$\"\"#,##0.00\") AS cur, " +
+        "Format(0.5, \"0.00\"\"%\"\"\") AS litpct, " +
+        "Format(7, \"0\"\" items; more\"\"\") AS semi, " +
+        "Format(3, \"0\\!\") AS bang, " +
+        "Format((0 - 9.5), \"$0.00;(\"\"minus \"\"$0.00)\") AS neg"))
+      .collect()(0)
+    assert(r.getString(0) == "12.50 kg")
+    assert(r.getString(1) == "$1,234.50")
+    // QUOTED "%" is literal text — no x100 scaling
+    assert(r.getString(2) == "0.50%")
+    // quoted ";" is not a section split
+    assert(r.getString(3) == "7 items; more")
+    assert(r.getString(4) == "3!")
+    assert(r.getString(5) == "(minus $9.50)")
+    // a quoted "0" inside a DATE mask's literal is not a numeric
+    // dispatch trigger
+    val d = spark.sql(translate(
+      "SELECT Format(#1/5/2020#, \"yyyy\") AS y")).collect()(0)
+    assert(d.getString(0) == "2020")
+    for (bad <- Seq(
+      "SELECT Format(n, \"0.00'\") FROM t",       // bare quote char
+      "SELECT Format(n, \"0.00\"\"a'b\"\"\") FROM t", // quoted '
+      "SELECT Format(n, \"0.00\\\\\") FROM t",   // escaped backslash
+      "SELECT Format(n, \"\"\"unterminated\") FROM t",
+      "SELECT Format(n, \"0\"\"x\"\"0\") FROM t", // second digit run
+      "SELECT Format(n, \"0.00x\") FROM t"))      // bare non-affix
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
   test("Format TEXT masks (r14): > and < case-fold, a pure @ run " +
     "right-aligns without truncating, & passes through; positional " +
     "mixed masks stay loud") {
