@@ -473,9 +473,10 @@ object JetSql {
     * scaling — only BARE % scales); the digit core is one contiguous
     * `[0#,.]` run; a second digit run after literal text is the
     * positional fill machinery and stays out. Literal content
-    * excludes `'` and `\` — the emission crosses THREE SQL dialects
-    * (Spark, Derby, PostgreSQL via translateForJdbc) whose string
-    * escape rules disagree on exactly those two characters. */
+    * excludes `'` and `\` — FORMAT itself rejects on JDBC targets
+    * (the handler, r14), but keeping the literal charset
+    * dialect-neutral means the emission never depends on any one
+    * parser's string escape rules. */
   private def parseSectionAffixes(sec: String, whole: String)
       : (String, String, String, Int) = {
     val pre = new StringBuilder
@@ -696,7 +697,28 @@ object JetSql {
     * date-pattern diagnostic naming the character. */
   private def textFormatSql(expr: String, mask: String)
       : Option[String] = {
-    val body = mask
+    // 2-section STRING mask (r14 wave 3): `textmask;null-literal` —
+    // VB applies the second section to Null AND zero-length strings
+    // ("@;\"(none)\"" is the designer idiom for blank cells). Only
+    // when the first section IS a recognized text mask — numeric
+    // sectioned masks (bare digits) fall through to the numeric
+    // path untouched.
+    val secs = splitSections(mask)
+    if (secs.length == 2 && secs(0).nonEmpty) {
+      textSingleSql(expr, secs(0)).map { first =>
+        val (pre, core, suf, _) = parseSectionAffixes(secs(1), mask)
+        if (core.nonEmpty)
+          fail(s"FORMAT text mask \"$mask\": the second (null/" +
+            "empty) section must be literal text, found digits")
+        s"(CASE WHEN ($expr) IS NULL OR CAST($expr AS STRING) = '' " +
+          s"THEN ${sqlTextLit(pre + suf)} ELSE $first END)"
+      }
+    } else if (secs.length == 1) textSingleSql(expr, mask)
+    else None
+  }
+
+  private def textSingleSql(expr: String, body: String)
+      : Option[String] = {
     if (body.isEmpty) None
     else if (body.forall(_ == '>')) Some(s"upper($expr)")
     else if (body.forall(_ == '<')) Some(s"lower($expr)")
@@ -2055,7 +2077,17 @@ object JetSql {
         // NAMED formats (r14), then the deterministic DATE-pattern
         // and NUMERIC-mask subsets (numeric now takes 1-4 ;-sections
         // with $()+- % literal affixes); 1-arg general Format and
-        // "General Number" still reject.
+        // "General Number" still reject. JDBC targets reject at
+        // TRANSLATE time (r14 review wave 3): every emission here is
+        // Spark SQL (format_string/date_format/concat) that Derby
+        // cannot run and PostgreSQL only partially — an execution-
+        // time "function not recognized" on the target would point
+        // at the wrong layer.
+        if (jdbc)
+          fail("FORMAT on a JDBC target (the emission is Spark SQL " +
+            "— format_string/date_format; port the query through " +
+            "the engine, or use the target dialect's to_char in " +
+            "native SQL)")
         val (_, close, args) = callAt(i).get
         if (args.length != 2)
           fail(s"${args.length}-argument FORMAT (only the 2-argument " +
@@ -2064,6 +2096,13 @@ object JetSql {
         if (ps.length != 1 || ps.head.kind != "string")
           fail("FORMAT with a non-literal pattern")
         val mask = ps.head.text
+        // VB renders an EMPTY mask as General Number — the same
+        // shortest-repr rendering the named form rejects; without
+        // this guard it would fall through to date_format(x, ''),
+        // which is a type error for numeric operands (r14 wave 3)
+        if (mask.isEmpty)
+          fail("FORMAT with an empty pattern (VB treats it as " +
+            "\"General Number\" — see that rejection)")
         namedFormatSql(em(args(0)), mask)
           .orElse(textFormatSql(em(args(0)), mask)) match {
           case Some(sql) =>

@@ -984,6 +984,19 @@ class JetSqlSpec extends AnyFunSuite {
     assert(nan.getString(2) == "NaN")
   }
 
+  test("FORMAT on a JDBC target rejects at TRANSLATE time (r14 wave " +
+    "3): the emission is Spark SQL Derby can't run — failing at the " +
+    "target would blame the wrong layer") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "UPDATE t SET lbl = Format([amt], \"Currency\")")
+    }
+    assert(e.getMessage.contains("JDBC target"), e.getMessage)
+    // the Spark-targeted translation of the same shape still works
+    assert(translate("SELECT Format([amt], \"Currency\") FROM t")
+      .contains("format_string"))
+  }
+
   test("Format quoted/escaped literal affixes (r14.1): \"...\" runs " +
     "and \\x escapes render verbatim around the digit core; quoted " +
     "; 0 # % are literal text, not structure; ' and \\ content " +
@@ -1016,7 +1029,8 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT Format(n, \"0.00\\\\\") FROM t",   // escaped backslash
       "SELECT Format(n, \"\"\"unterminated\") FROM t",
       "SELECT Format(n, \"0\"\"x\"\"0\") FROM t", // second digit run
-      "SELECT Format(n, \"0.00x\") FROM t"))      // bare non-affix
+      "SELECT Format(n, \"0.00x\") FROM t",       // bare non-affix
+      "SELECT Format(n, \"\") FROM t"))           // empty = GeneralNum
       intercept[IllegalArgumentException] { translate(bad) }
   }
 
@@ -1037,6 +1051,17 @@ class JetSqlSpec extends AnyFunSuite {
     assert(r.getString(3) == "  ab") // right-aligned, space-padded
     assert(r.getString(4) == "abcdef") // @ never truncates (vs lpad)
     assert(r.getString(5) == "ab")
+    // 2-section string mask: second section covers Null AND the
+    // zero-length string (the designer "(none)" idiom, r14 wave 3)
+    val s2 = spark.sql(translate(
+      "SELECT Format(\"hi\", \"&;\"\"(none)\"\"\") AS a, " +
+        "Format(\"\", \"&;\"\"(none)\"\"\") AS b, " +
+        "Format(IIF(1 = 0, \"x\", Null), \"&;\"\"(none)\"\"\") AS c, " +
+        "Format(\"ab\", \">;\"\"-\"\"\") AS d")).collect()(0)
+    assert(s2.getString(0) == "hi")
+    assert(s2.getString(1) == "(none)")
+    assert(s2.getString(2) == "(none)")
+    assert(s2.getString(3) == "AB")
     // positional mixed masks (right-to-left fill machinery) reject
     for (bad <- Seq(
       "SELECT Format(s, \"@@@-@@\") FROM t",
