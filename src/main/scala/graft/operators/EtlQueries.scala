@@ -1221,6 +1221,83 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The r14 VBA function pack over real data, each recomputed
+    * independently in DuckDB: Round → banker's (roundbankers) on
+    * DYADIC-exact operands only — halves and quarters are exact in
+    * both engines, so Spark's shortest-repr HALF_EVEN and DuckDB's
+    * exact-binary rounding cannot disagree (the double-rounding
+    * ledger discipline); Hex vs upper(to_hex); Val's digit-strip
+    * parse vs direct string building; Chr through the guarded char()
+    * path vs chr; Asc vs ascii on ASCII clerks; String(n, "*") vs
+    * repeat; DateSerial's day-0/month-rollover forms vs last_day and
+    * next-year make_date; TimeSerial vs interval arithmetic off
+    * Jet's zero day; MonthName/WeekdayName (full + abbreviated,
+    * composed with Weekday's Sunday=1) vs DuckDB's own strftime name
+    * tables; Atn vs atan at the 4-decimal trig discipline. */
+  val qJetSqlVbaFuncs: QDef = QDef(
+    "q_jetsql_vbafuncs",
+    """SELECT o_orderkey,
+      |  roundbankers((o_orderkey % 16) / 2, 0) AS rb,
+      |  roundbankers((o_orderkey % 32) / 4, 1) AS rb2,
+      |  upper(to_hex(o_orderkey)) AS hx,
+      |  CAST(CAST(o_orderkey AS VARCHAR) || '2' AS DOUBLE) AS vl,
+      |  chr(65 + CAST(o_orderkey % 26 AS INT)) AS ch,
+      |  ascii(substr(o_orderpriority, CAST(o_orderkey % 5 AS INT) + 1,
+      |    1)) AS ascv,
+      |  repeat('*', CAST(o_orderkey % 5 AS INT) + 1) AS rep,
+      |  last_day(o_orderdate) AS eom,
+      |  make_date(CAST(year(o_orderdate) AS INT) + 1, 2, 2) AS ds2,
+      |  strftime(TIMESTAMP '1899-12-30 00:00:00'
+      |    + INTERVAL (o_orderkey % 30) HOUR
+      |    - INTERVAL 15 MINUTE + INTERVAL 30 SECOND,
+      |    '%Y-%m-%d %H:%M:%S') AS ts,
+      |  strftime(o_orderdate, '%B') AS mn,
+      |  strftime(o_orderdate, '%b') AS mna,
+      |  strftime(o_orderdate, '%A') AS wdn,
+      |  strftime(o_orderdate, '%a') AS wdna,
+      |  ROUND(ATAN((o_orderkey % 7) / 2), 4) AS at
+      |FROM orders
+      |WHERE o_orderkey % 19 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("orders")
+    val saved = Seq(
+      "SELECT [o_orderkey],",
+      "  Round(([o_orderkey] Mod 16) / 2) AS rb,",
+      "  Round(([o_orderkey] Mod 32) / 4, 1) AS rb2,",
+      "  Hex([o_orderkey]) AS hx,",
+      "  Val(CStr([o_orderkey]) & \" 2 x8\") AS vl,",
+      "  Chr(65 + ([o_orderkey] Mod 26)) AS ch,",
+      "  Asc(Mid([o_orderpriority], ([o_orderkey] Mod 5) + 1, 1))" +
+        " AS ascv,",
+      "  String(([o_orderkey] Mod 5) + 1, \"*\") AS rep,",
+      "  DateSerial(Year([o_orderdate]), Month([o_orderdate]) + 1, 0)" +
+        " AS eom,",
+      "  DateSerial(Year([o_orderdate]), 14, 2) AS ds2,",
+      "  TimeSerial([o_orderkey] Mod 30, -15, 30) AS ts,",
+      "  MonthName(Month([o_orderdate])) AS mn,",
+      "  MonthName(Month([o_orderdate]), True) AS mna,",
+      "  WeekdayName(Weekday([o_orderdate])) AS wdn,",
+      "  WeekdayName(Weekday([o_orderdate]), True) AS wdna,",
+      "  Atn(([o_orderkey] Mod 7) / 2) AS at",
+      "FROM orders",
+      "WHERE [o_orderkey] Mod 19 = 0",
+      "ORDER BY [o_orderkey]").mkString(" ")
+    s.sql(graft.sources.JetSql.translate(saved))
+      .select(col("o_orderkey"),
+        col("rb").cast("double").as("rb"),
+        col("rb2").cast("double").as("rb2"),
+        col("hx"), col("vl"),
+        col("ch"),
+        col("ascv").cast("int").as("ascv"),
+        col("rep"), col("eom"), col("ds2"),
+        // tz-free rendering: Spark timestamps are UTC-aware, the
+        // DuckDB literal is naive — compare the clock face itself
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("mn"), col("mna"), col("wdn"), col("wdna"),
+        round(col("at"), 4).as("at"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Access `SELECT TOP n PERCENT ... ORDER BY` semantics — the Jet
     * idiom `TOP 10 PERCENT` every reference user has in saved queries:
     * the first ⌈n%·rows⌉ rows by the sort, AND every row TIED with the
@@ -1322,7 +1399,7 @@ object EtlQueries {
     qJetSqlSaved, qJetSqlSaved2, qJetSqlSaved3, qJetSqlCrosstab,
     qJetSqlParams,
     qJetSqlDateFuncs, qJetSqlScalarEdges, qJetSqlViews, qJetSqlFormat,
-    qJetSqlFormatNamed,
+    qJetSqlFormatNamed, qJetSqlVbaFuncs,
     qJetSqlDomainAgg,
     qJetTopPercent, qJetTopTies, qJetDistinctrow)
 }

@@ -285,8 +285,16 @@ object JetSql {
 
   private val renames = Map(
     "ucase" -> "upper", "lcase" -> "lower", "len" -> "length",
-    "mid" -> "substr", "instr" -> "instr", "chr" -> "char",
+    "mid" -> "substr", "instr" -> "instr",
     "sgn" -> "sign", "sqr" -> "sqrt", "strreverse" -> "reverse")
+  // (chr left this map in r14 wave 5: the bare rename to char() was
+  // silently wrong for codes 128-159, where CP1252 — Jet's text
+  // codepage — has printable punctuation and Unicode has C1
+  // controls; it now translates through the codepage, see emit.)
+
+  /** Jet's text codepage, for Chr()/String() char codes (the same
+    * charset the Jet3 page codec reads names and text through). */
+  private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
   // CDbl/CStr are pure casts; CLng/CInt are NOT plain casts —
   // Access rounds HALF TO EVEN (banker's) where CAST(double AS
   // BIGINT) truncates in Spark, so they translate through BROUND
@@ -300,7 +308,7 @@ object JetSql {
   // the explicit _samp/_pop names can't drift.
   private val callRenames = Map(
     "int" -> "FLOOR", "stdev" -> "stddev_samp", "stdevp" -> "stddev_pop",
-    "var" -> "var_samp", "varp" -> "var_pop")
+    "var" -> "var_samp", "varp" -> "var_pop", "atn" -> "atan")
   // DLookup stays rejected: it returns SOME matching row's value with
   // no defined order — porting it silently would freeze one engine's
   // arbitrary pick into the result. The aggregate D-functions are
@@ -738,6 +746,28 @@ object JetSql {
       falsy: String): String =
     s"(CASE WHEN CAST($expr AS DOUBLE) = 0 THEN '$falsy' " +
       s"WHEN CAST($expr AS DOUBLE) IS NOT NULL THEN '$truthy' END)"
+
+  /** MonthName/WeekdayName's abbreviate flag: literal True/False (or
+    * VBA's numeric truthiness — 0 falsy, anything else truthy). The
+    * rendering pattern is fixed at translate time, so a non-literal
+    * flag rejects. */
+  private def monthDayNamePattern(arg: Option[Seq[Tok]],
+      abbrev: String, full: String): String = arg match {
+    case None => full
+    case Some(ts) => ts.filter(_.kind != "ws") match {
+      case Seq(tk) if tk.kind == "word" &&
+          tk.text.equalsIgnoreCase("true") => abbrev
+      case Seq(tk) if tk.kind == "word" &&
+          tk.text.equalsIgnoreCase("false") => full
+      case Seq(tk) if tk.kind == "number" =>
+        if (BigDecimal(tk.text) == 0) full else abbrev
+      case Seq(s, tk) if s.text == "-" && tk.kind == "number" =>
+        if (BigDecimal(tk.text) == 0) full else abbrev
+      case _ => fail("MonthName/WeekdayName with a non-literal " +
+        "abbreviate flag (the rendering pattern is fixed at " +
+        "translate time)")
+    }
+  }
 
   /** True when an EMITTED operand contains one of Spark's per-row
     * non-deterministic builtins. The translator itself never emits
@@ -2103,8 +2133,19 @@ object JetSql {
         if (mask.isEmpty)
           fail("FORMAT with an empty pattern (VB treats it as " +
             "\"General Number\" — see that rejection)")
-        namedFormatSql(em(args(0)), mask)
-          .orElse(textFormatSql(em(args(0)), mask)) match {
+        val fmtOp = em(args(0))
+        // Every numeric/text/boolean emission below splices the
+        // operand into SEVERAL branches (sign dispatch, null guard,
+        // abs() re-render — up to six copies); a per-row
+        // non-deterministic operand would be re-drawn per splice and
+        // dispatch inconsistently (r14 wave 4 — same guard the ww
+        // emissions already apply).
+        if (perRowNondet(fmtOp))
+          fail("FORMAT over a per-row non-deterministic operand " +
+            "(the emission splices the operand into sign/null " +
+            "dispatch branches that would each re-evaluate it)")
+        namedFormatSql(fmtOp, mask)
+          .orElse(textFormatSql(fmtOp, mask)) match {
           case Some(sql) =>
             put(sql)
             lastWord = "format"
@@ -2113,10 +2154,10 @@ object JetSql {
             // date mask's literal text must not route to numeric
             if (bareMaskChars(mask)
                 .exists(c => c == '0' || c == '#')) {
-              put(numericFormatSql(em(args(0)), mask))
+              put(numericFormatSql(fmtOp, mask))
               lastWord = "format"
             } else {
-              put("date_format(" + em(args(0)) + ", '" +
+              put("date_format(" + fmtOp + ", '" +
                 formatPattern(mask) + "')")
               lastWord = "date_format"
             }
@@ -2136,6 +2177,268 @@ object JetSql {
         put("CAST(" + em(toks.slice(open + 1, close)) + " AS BIGINT)")
         lastWord = "cast"
         i = close + 1
+      } else if (isWord(t, "round") && callAt(i).isDefined) {
+        // VBA/Jet Round is BANKER'S (half to even); letting it pass
+        // through to Spark's HALF-UP round() silently diverged on
+        // every tie — Access Round(2.5) = 2, Spark round(2.5) = 3 —
+        // the exact trap the CLng/CInt BROUND translation closed.
+        // JDBC targets reject: Derby has no half-even form and
+        // PostgreSQL's own round() flips semantics between numeric
+        // (half away) and float8 (half even). Differs from VBA only
+        // where VBA itself errors (negative decimal counts).
+        if (jdbc)
+          fail("Round on a JDBC target (Access rounds HALF TO " +
+            "EVEN; the target dialects' round() functions do not " +
+            "— port the query through the engine)")
+        val (_, close, args) = callAt(i).get
+        if (args.length < 1 || args.length > 2)
+          fail(s"${args.length}-argument Round (VBA defines 1-2)")
+        put("BROUND(" + args.map(em(_)).mkString(", ") + ")")
+        lastWord = "bround"
+        i = close + 1
+      } else if (isWord(t, "chr") && callAt(i).isDefined) {
+        // Chr is CP1252 (Jet's text codepage), not Unicode: codes
+        // 128-159 are CP1252's printable punctuation block (€ ‚ „ …)
+        // where Unicode has C1 control characters — the old bare
+        // rename to char() was silently wrong for exactly that band.
+        // Literal codes resolve AT TRANSLATE TIME through the real
+        // codepage (dialect-portable: the emission is a plain string
+        // literal); column operands keep char() behind a runtime
+        // guard on the divergent band.
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument Chr")
+        args(0).filter(_.kind != "ws") match {
+          case Seq(tk) if tk.kind == "number" &&
+              !tk.text.contains(".") && tk.text.toLong <= 255 =>
+            put(render(Tok("string",
+              new String(Array(tk.text.toLong.toByte), cp1252))))
+          case Seq(tk) if tk.kind == "number" =>
+            fail(s"Chr(${tk.text}) outside Jet's CP1252 byte range " +
+              "(VBA Chr accepts 0-255; ChrW is not a Jet function)")
+          case _ =>
+            if (jdbc)
+              fail("Chr with a non-literal operand on a JDBC " +
+                "target (the CP1252 guard emission is Spark SQL)")
+            val x = em(args(0))
+            if (perRowNondet(x))
+              fail("Chr over a per-row non-deterministic operand " +
+                "(the CP1252 guard splices it twice)")
+            put(s"(CASE WHEN ($x) BETWEEN 128 AND 159 THEN " +
+              "CAST(raise_error('Chr: codes 128-159 are " +
+              "CP1252-specific (Unicode C1 controls) — use a " +
+              "literal code, which translates through the " +
+              s"codepage') AS STRING) ELSE char($x) END)")
+        }
+        lastWord = "chr"
+        i = close + 1
+      } else if (isWord(t, "asc") && callAt(i).isDefined) {
+        // Asc returns the CP1252 byte of the FIRST character; Spark's
+        // ascii() returns the Unicode codepoint. Identical through
+        // 0-127, divergent above — runtime guard, loud not silent.
+        // (ORDER BY's ASC keyword is never call-form, so this
+        // dispatch cannot collide with it.)
+        if (jdbc)
+          fail("Asc on a JDBC target (the CP1252 guard emission " +
+            "is Spark SQL)")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument Asc")
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail("Asc over a per-row non-deterministic operand (the " +
+            "guard splices it twice)")
+        put(s"(CASE WHEN ascii($x) > 127 THEN CAST(raise_error(" +
+          "'Asc: non-ASCII first character — the VBA result is " +
+          "its CP1252 byte, not the Unicode codepoint') AS INT) " +
+          s"ELSE ascii($x) END)")
+        lastWord = "asc"
+        i = close + 1
+      } else if (isWord(t, "hex") && callAt(i).isDefined) {
+        // VBA Hex banker's-rounds the operand, then renders the
+        // TYPE-WIDTH two's complement for negatives (Integer "FFFF"
+        // vs Long "FFFFFFFF") — width-dependence a schema-blind
+        // translation cannot resolve, so negatives are loud at
+        // runtime; non-negatives render identically to Spark's hex()
+        // after BROUND. Differs from VBA only where VBA itself
+        // errors (operands beyond the Long range).
+        if (jdbc)
+          fail("Hex on a JDBC target (the emission is Spark SQL — " +
+            "BROUND/raise_error)")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument Hex")
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail("Hex over a per-row non-deterministic operand (the " +
+            "sign guard splices it twice)")
+        put(s"(CASE WHEN ($x) < 0 THEN CAST(raise_error('Hex of a " +
+          "negative value is type-width-dependent in VBA (Integer " +
+          "renders FFFF where Long renders FFFFFFFF) — add 4294967296 " +
+          "to the operand for the Long rendering') AS STRING) " +
+          s"ELSE hex(CAST(BROUND($x) AS BIGINT)) END)")
+        lastWord = "hex"
+        i = close + 1
+      } else if (isWord(t, "val") && callAt(i).isDefined) {
+        // VBA Val: strip ALL spaces/tabs/newlines (even interior —
+        // Val(" 1 2 3") = 123), read the longest leading numeric
+        // prefix (optional sign, digits with one '.', optional E/D
+        // exponent — D is VBA's Double-literal exponent), 0 when
+        // none; the '.' radix point is locale-independent by VBA
+        // documentation. The &H/&O radix prefixes are loud at
+        // runtime (the translation renders decimal forms only).
+        if (jdbc)
+          fail("Val on a JDBC target (the emission is Spark SQL — " +
+            "regexp_extract/raise_error)")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument Val")
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail("Val over a per-row non-deterministic operand (the " +
+            "radix guard splices it twice)")
+        val stripped =
+          s"regexp_replace(CAST(($x) AS STRING), '[ \\\\t\\\\n\\\\r]', '')"
+        val num = s"regexp_extract($stripped, " +
+          "'^[+-]?([0-9]+\\\\.?[0-9]*|\\\\.[0-9]+)([dDeE][+-]?[0-9]+)?', 0)"
+        put(s"(CASE WHEN ($x) IS NULL THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN $stripped RLIKE '^&' THEN " +
+          "CAST(raise_error('Val: &H/&O radix prefixes are out of " +
+          "the deterministic subset (this translation reads decimal " +
+          "forms only)') AS DOUBLE) ELSE coalesce(CAST(nullif(" +
+          s"regexp_replace($num, '[dD]', 'e'), '') AS DOUBLE), " +
+          "CAST(0 AS DOUBLE)) END)")
+        lastWord = "val"
+        i = close + 1
+      } else if (isWord(t, "string") && callAt(i).isDefined &&
+        callAt(i).get._3.length == 2) {
+        // VBA String(n, c): c repeated n times — a STRING c uses its
+        // FIRST character only, a NUMERIC c is a CP1252 char code.
+        // The two readings disagree (String(3, "5") = "555" but
+        // String(3, 53) = "555" too, while String(3, 5) is three
+        // ENQ controls), so only literal second arguments translate;
+        // a column ref is type-ambiguous for a schema-blind rewrite.
+        // (Call-form with exactly 2 args only — anything else falls
+        // through to the unknown-function passthrough.)
+        val (_, close, args) = callAt(i).get
+        val ch: String = args(1).filter(_.kind != "ws") match {
+          case Seq(tk) if tk.kind == "string" && tk.text.nonEmpty =>
+            tk.text.head.toString
+          case Seq(tk) if tk.kind == "number" && !tk.text.contains(".") &&
+              tk.text.toLong <= 255 =>
+            new String(Array(tk.text.toLong.toByte), cp1252)
+          case Seq(tk) if tk.kind == "number" =>
+            fail(s"String(n, ${tk.text}): char code outside Jet's " +
+              "CP1252 byte range")
+          case _ =>
+            fail("String() with a non-literal second argument (a " +
+              "string operand repeats its first character, a number " +
+              "is a char code — type-ambiguous for a schema-blind " +
+              "translation; pass a literal)")
+        }
+        if (jdbc)
+          fail("String() on a JDBC target (repeat() is not in " +
+            "every target dialect — port the query through the " +
+            "engine)")
+        put(s"repeat(${render(Tok("string", ch))}, ${em(args(0))})")
+        lastWord = "repeat"
+        i = close + 1
+      } else if (isWord(t, "dateserial") && callAt(i).isDefined) {
+        // VBA DateSerial(y, m, d) with BOTH documented quirks:
+        //   - full rollover arithmetic (month 13 → next January,
+        //     day 0 → last of prior month): Jan-1-of-y plus (m-1)
+        //     months plus (d-1) days IS that semantics exactly —
+        //     add_months never clamps because the anchor day is 1;
+        //   - the two-digit-year pivot: 0-29 → 2000s, 30-99 → 1900s
+        //     (make_date(99,…) would silently mean year 99).
+        // Out-of-range results error under ANSI exactly where VBA
+        // overflows.
+        if (jdbc)
+          fail("DateSerial on a JDBC target (the emission is Spark " +
+            "SQL — make_date/add_months)")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 3)
+          fail(s"${args.length}-argument DateSerial")
+        val (y, m, d) = (em(args(0)), em(args(1)), em(args(2)))
+        if (perRowNondet(y))
+          fail("DateSerial over a per-row non-deterministic year " +
+            "(the century pivot splices it three times)")
+        val yy = s"(CASE WHEN ($y) BETWEEN 0 AND 29 THEN ($y) + 2000 " +
+          s"WHEN ($y) BETWEEN 30 AND 99 THEN ($y) + 1900 " +
+          s"ELSE ($y) END)"
+        put(s"date_add(add_months(make_date($yy, 1, 1), ($m) - 1), " +
+          s"($d) - 1)")
+        lastWord = "dateserial"
+        i = close + 1
+      } else if (isWord(t, "timeserial") && callAt(i).isDefined) {
+        // VBA TimeSerial(h, m, s): a time-of-day value = a timestamp
+        // on Jet's zero day, with full rollover/negative arithmetic
+        // (TimeSerial(12, -15, 0) = 11:45 AM) — make_interval
+        // addition is exactly that.
+        if (jdbc)
+          fail("TimeSerial on a JDBC target (the emission is Spark " +
+            "SQL — make_interval)")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 3)
+          fail(s"${args.length}-argument TimeSerial")
+        val (h, m, s) = (em(args(0)), em(args(1)), em(args(2)))
+        put(s"(TIMESTAMP '1899-12-30 00:00:00' + " +
+          s"make_interval(0, 0, 0, 0, $h, $m, $s))")
+        lastWord = "timeserial"
+        i = close + 1
+      } else if (isWord(t, "monthname") && callAt(i).isDefined) {
+        // MonthName(m [, abbreviate]) under the translator's en-US
+        // pinning (Spark renders datetime text through Locale.US —
+        // the precedent the mmm/dddd Format masks set). The
+        // abbreviate flag must be a literal True/False; make_date
+        // errors on m outside 1-12 exactly where VBA does.
+        if (jdbc)
+          fail("MonthName on a JDBC target (the emission is Spark " +
+            "SQL — date_format/make_date)")
+        val (_, close, args) = callAt(i).get
+        if (args.length < 1 || args.length > 2)
+          fail(s"${args.length}-argument MonthName")
+        val pat = monthDayNamePattern(args.lift(1), "MMM", "MMMM")
+        put(s"date_format(make_date(2000, ${em(args(0))}, 1), '$pat')")
+        lastWord = "monthname"
+        i = close + 1
+      } else if (isWord(t, "weekdayname") && callAt(i).isDefined) {
+        // WeekdayName(n [, abbreviate]) with the default Sunday=1
+        // anchor (2000-01-02 was a Sunday); n outside 1-7 is loud at
+        // runtime where VBA errors. The 3-argument firstdayofweek
+        // form rejects — the same stance 2-arg Weekday takes.
+        if (jdbc)
+          fail("WeekdayName on a JDBC target (the emission is " +
+            "Spark SQL — date_format/raise_error)")
+        val (_, close, args) = callAt(i).get
+        if (args.length < 1 || args.length > 2)
+          fail(s"${args.length}-argument WeekdayName (the " +
+            "firstdayofweek form re-anchors the index — spell the " +
+            "day arithmetic out)")
+        val pat = monthDayNamePattern(args.lift(1), "EEE", "EEEE")
+        val n = em(args(0))
+        if (perRowNondet(n))
+          fail("WeekdayName over a per-row non-deterministic " +
+            "operand (the range guard splices it twice)")
+        put(s"(CASE WHEN ($n) BETWEEN 1 AND 7 THEN date_format(" +
+          s"date_add(DATE '2000-01-02', ($n) - 1), '$pat') " +
+          "ELSE CAST(raise_error('WeekdayName: index outside 1-7') " +
+          "AS STRING) END)")
+        lastWord = "weekdayname"
+        i = close + 1
+      } else if (isWord(t, "time") && callAt(i).isDefined &&
+        callAt(i).get._3.forall(_.forall(_.kind == "ws"))) {
+        // VBA Time() = today's clock on Jet's zero day (time-of-day
+        // values are day-zero-anchored timestamps). current_timestamp
+        // and current_date are query-constant, so the value is
+        // deterministic within a statement — like Now()/Date().
+        if (jdbc)
+          fail("Time() on a JDBC target (the emission is Spark " +
+            "SQL timestamp arithmetic; use the target's CURRENT_TIME)")
+        put("(TIMESTAMP '1899-12-30 00:00:00' + (current_timestamp() " +
+          "- CAST(current_date() AS TIMESTAMP)))")
+        lastWord = "time"
+        i = callAt(i).get._2 + 1
       } else if (t.kind == "word" &&
         callRenames.contains(t.text.toLowerCase) && callAt(i).isDefined) {
         put(callRenames(t.text.toLowerCase))

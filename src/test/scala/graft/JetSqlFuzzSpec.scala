@@ -1367,4 +1367,128 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       assert(e.getMessage.nonEmpty)
     }
   }
+
+  test("400 random VBA function calls (lane 15, r14): Val's " +
+    "strip-and-parse vs an independent character walker, Round vs " +
+    "exact-decimal HALF_EVEN, DateSerial/TimeSerial vs direct " +
+    "java.time arithmetic with the century pivot, Hex vs " +
+    "toHexString, MonthName/WeekdayName vs hardcoded name tables") {
+    val spark = TestSpark.session
+    val r = new scala.util.Random(150815L)
+    def lit(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+    // independent VB Val: a character walker over the space-stripped
+    // string (the translation is a regexp_extract — shares nothing
+    // structurally with this scanner)
+    def vbVal(s0: String): Double = {
+      val s = s0.filterNot(c =>
+        c == ' ' || c == '\t' || c == '\n' || c == '\r')
+      var i = 0; val n = s.length
+      val sb = new StringBuilder
+      if (i < n && (s(i) == '+' || s(i) == '-')) { sb += s(i); i += 1 }
+      var digits = 0
+      while (i < n && s(i).isDigit) { sb += s(i); i += 1; digits += 1 }
+      if (i < n && s(i) == '.') {
+        val fb = new StringBuilder(".")
+        var j = i + 1
+        while (j < n && s(j).isDigit) { fb += s(j); j += 1 }
+        if (digits > 0 || fb.length > 1) {
+          sb ++= fb; i = j; digits += fb.length - 1
+        }
+      }
+      if (digits == 0) return 0.0
+      if (i < n && "eEdD".contains(s(i))) {
+        var j = i + 1; var sign = ""
+        if (j < n && (s(j) == '+' || s(j) == '-')) {
+          sign = s(j).toString; j += 1
+        }
+        val eb = new StringBuilder
+        while (j < n && s(j).isDigit) { eb += s(j); j += 1 }
+        if (eb.nonEmpty) sb ++= ("e" + sign + eb)
+      }
+      sb.toString.toDouble
+    }
+    val valAlphabet = "0123456789012345 .+-eEdDxZ," // digit-heavy
+    def randValStr(): String = {
+      val s = Seq.fill(r.nextInt(10) + 1)(
+        valAlphabet(r.nextInt(valAlphabet.length))).mkString
+      if (s.startsWith("&")) "x" + s else s
+    }
+
+    val months = Vector("January", "February", "March", "April",
+      "May", "June", "July", "August", "September", "October",
+      "November", "December")
+    val days = Vector("Sunday", "Monday", "Tuesday", "Wednesday",
+      "Thursday", "Friday", "Saturday")
+    def pivot(y: Int): Int =
+      if (y >= 0 && y <= 29) y + 2000
+      else if (y >= 30 && y <= 99) y + 1900 else y
+
+    val built = Vector.fill(400) {
+      r.nextInt(6) match {
+        case 0 => // Val
+          val s = randValStr()
+          (s"Val(${lit(s)})", vbVal(s).toString)
+        case 1 => // Round on an exact decimal literal, k >= d digits
+          val d = r.nextInt(4)
+          val k = d + r.nextInt(4 - d + 1).min(4 - d)
+          val kk = math.max(d, k)
+          val ip = r.nextInt(100000).toString
+          val frac = if (kk == 0) ""
+            else "." + Seq.fill(kk)(r.nextInt(10)).mkString
+          val neg = r.nextBoolean()
+          val litNum = ip + frac
+          val jet = (if (neg) s"(0 - $litNum)" else litNum) +
+            (if (d == 0 && r.nextBoolean()) "" else s", $d")
+          val signed = new java.math.BigDecimal(
+            (if (neg) "-" else "") + litNum)
+          val want = signed
+            .setScale(d, java.math.RoundingMode.HALF_EVEN)
+            .toPlainString
+          // -0.4 rounds to "0" both ways: BigDecimal has no -0
+          (s"Round($jet)", want)
+        case 2 => // DateSerial with pivot + rollover
+          val y = if (r.nextBoolean()) r.nextInt(100)
+            else r.nextInt(1200) + 1000
+          val m = r.nextInt(40) - 12
+          val d = r.nextInt(120) - 31
+          val want = java.time.LocalDate.of(pivot(y), 1, 1)
+            .plusMonths(m - 1L).plusDays(d - 1L).toString
+          (s"DateSerial($y, $m, $d)", want)
+        case 3 => // TimeSerial rollover incl. negatives
+          val h = r.nextInt(97) - 48
+          val mi = r.nextInt(401) - 200
+          val sec = r.nextInt(401) - 200
+          val want = java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(1899, 12, 30, 0, 0, 0)
+              .plusHours(h).plusMinutes(mi).plusSeconds(sec)).toString
+          (s"TimeSerial($h, $mi, $sec)", want)
+        case 4 => // Hex of non-negative ints (ties pinned in the spec)
+          val v = r.nextInt(Int.MaxValue)
+          (s"Hex($v)",
+            java.lang.Long.toHexString(v.toLong).toUpperCase)
+        case _ => // MonthName/WeekdayName vs the hardcoded tables
+          if (r.nextBoolean()) {
+            val m = r.nextInt(12) + 1
+            val ab = r.nextBoolean()
+            (s"MonthName($m${if (ab) ", True" else ""})",
+              if (ab) months(m - 1).take(3) else months(m - 1))
+          } else {
+            val n = r.nextInt(7) + 1
+            val ab = r.nextBoolean()
+            (s"WeekdayName($n${if (ab) ", True" else ""})",
+              if (ab) days(n - 1).take(3) else days(n - 1))
+          }
+      }
+    }
+    built.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      val row = spark.sql(translate("SELECT " +
+        batch.zipWithIndex.map { case ((j, _), i) => s"$j AS c$i" }
+          .mkString(", "))).collect()(0)
+      batch.zipWithIndex.foreach { case ((j, want), i) =>
+        val got = Option(row.get(i)).map(_.toString).orNull
+        assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
+      }
+    }
+  }
 }

@@ -1062,11 +1062,180 @@ class JetSqlSpec extends AnyFunSuite {
     assert(s2.getString(1) == "(none)")
     assert(s2.getString(2) == "(none)")
     assert(s2.getString(3) == "AB")
+    // empty second section: VB renders Null/empty as the zero-length
+    // string (the trailing `;` is deliberate), NOT as SQL NULL
+    val s3 = spark.sql(translate(
+      "SELECT Format(IIF(1 = 0, \"x\", Null), \"&;\") AS a, " +
+        "Format(\"hi\", \"&;\") AS b")).collect()(0)
+    assert(s3.getString(0) == "")
+    assert(s3.getString(1) == "hi")
     // positional mixed masks (right-to-left fill machinery) reject
     for (bad <- Seq(
       "SELECT Format(s, \"@@@-@@\") FROM t",
       "SELECT Format(s, \"!@@\") FROM t",
       "SELECT Format(s, \">@\") FROM t"))
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("FORMAT rejects per-row non-deterministic operands (r14 wave " +
+    "4): the numeric/text emissions splice the operand into several " +
+    "dispatch branches that would each re-draw rand()") {
+    for (bad <- Seq(
+      "SELECT Format(rand(), \"0.00;(0.00)\") FROM t",
+      "SELECT Format(rand() * 10, \"Currency\") FROM t",
+      "SELECT Format(Uuid(), \"&;\"\"(none)\"\"\") FROM t")) {
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.contains("non-deterministic"), e.getMessage)
+    }
+    // a deterministic unknown-function passthrough still formats
+    assert(translate("SELECT Format(Exp(n), \"0.00\") FROM t")
+      .contains("format_string"))
+  }
+
+  test("Round translates to BROUND (r14 wave 5): VBA/Jet Round is " +
+    "banker's — the former passthrough to Spark's HALF_UP round() " +
+    "silently diverged on every tie") {
+    val spark = TestSpark.session
+    val sql = translate(
+      "SELECT Round(2.5) AS a, Round(3.5) AS b, Round(-2.5) AS c, " +
+        "Round(0.125, 2) AS d")
+    assert(sql.toLowerCase.contains("bround"), sql)
+    val r = spark.sql(sql).collect()(0)
+    // decimal literals keep DECIMAL through BROUND; compare as double
+    def d(i: Int): Double = r.get(i) match {
+      case b: java.math.BigDecimal => b.doubleValue
+      case x: java.lang.Double => x.doubleValue
+      case x => x.toString.toDouble
+    }
+    assert(d(0) == 2.0 && d(1) == 4.0)
+    assert(d(2) == -2.0)
+    assert(d(3) == 0.12) // 0.125 is binary-exact: half-even
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "UPDATE t SET v = Round([v], 2)")
+    }
+    intercept[IllegalArgumentException] {
+      translate("SELECT Round(x, 1, 2) FROM t") // 3-arg
+    }
+  }
+
+  test("Chr/Asc/String() go through CP1252 — Jet's text codepage " +
+    "(r14 wave 5): the old chr→char rename was silently wrong for " +
+    "codes 128-159, where CP1252 has punctuation and Unicode has C1 " +
+    "controls") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Chr(65) AS a, Chr(128) AS b, Chr(147) AS c, " +
+        "String(3, \"xy\") AS d, String(2, 53) AS e, " +
+        "String(2, 128) AS f, Asc(\"Abc\") AS g")).collect()(0)
+    assert(r.getString(0) == "A")
+    assert(r.getString(1) == "€") // CP1252 0x80 = €, NOT U+0080
+    assert(r.getString(2) == "“") // CP1252 0x93 = left curly quote
+    assert(r.getString(3) == "xxx") // first char only
+    assert(r.getString(4) == "55") // numeric c = char code
+    assert(r.getString(5) == "€€")
+    assert(r.getInt(6) == 65)
+    // non-literal Chr keeps char() behind the divergent-band guard
+    val g = translate("SELECT Chr([n]) FROM t")
+    assert(g.contains("raise_error") && g.contains("char("), g)
+    assert(spark.sql(translate("SELECT Chr(66 + 1)"))
+      .collect()(0).getString(0) == "C")
+    intercept[Exception] {
+      spark.sql(translate("SELECT Chr(100 + 30)")).collect()
+    } // 130 through the runtime guard
+    intercept[Exception] {
+      spark.sql(translate("SELECT Asc(\"€\")")).collect()
+    } // non-ASCII Asc is CP1252-divergent: loud
+    for (bad <- Seq(
+      "SELECT Chr(256) FROM t", // beyond the CP1252 byte range
+      "SELECT String(2, [c]) FROM t")) // type-ambiguous non-literal
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("Hex banker's-rounds and rejects negatives at runtime (r14 " +
+    "wave 5): VBA renders two's complement at the operand's TYPE " +
+    "width, which a schema-blind translation cannot know") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Hex(255) AS a, Hex(2.5) AS b, Hex(3.5) AS c")).collect()(0)
+    assert(r.getString(0) == "FF")
+    assert(r.getString(1) == "2") // banker's: 2.5 → 2
+    assert(r.getString(2) == "4") // banker's: 3.5 → 4
+    intercept[Exception] {
+      spark.sql(translate("SELECT Hex(1 - 2)")).collect()
+    }
+  }
+
+  test("Val implements VB's parse: strip ALL whitespace, longest " +
+    "leading numeric prefix, 0 when none, D/E exponents; &H/&O " +
+    "radix prefixes are loud at runtime (r14 wave 5)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Val(\" 1 2 3\") AS a, Val(\"12abc\") AS b, " +
+        "Val(\"abc\") AS c, Val(\"1e2x\") AS d, Val(\"1d2\") AS e, " +
+        "Val(\"-.5x\") AS f, Val(\"+\") AS g, " +
+        "Val(IIF(1 = 0, \"x\", Null)) AS h")).collect()(0)
+    assert(r.getDouble(0) == 123.0) // interior spaces stripped
+    assert(r.getDouble(1) == 12.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 100.0)
+    assert(r.getDouble(4) == 100.0) // D is VB's Double exponent
+    assert(r.getDouble(5) == -0.5)
+    assert(r.getDouble(6) == 0.0)
+    assert(r.isNullAt(7)) // Null propagates, like Format
+    intercept[Exception] {
+      spark.sql(translate("SELECT Val(\"&HFF\")")).collect()
+    }
+  }
+
+  test("DateSerial/TimeSerial/Time() — rollover arithmetic and the " +
+    "two-digit-year pivot, day-zero-anchored times (r14 wave 5)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT DateSerial(2020, 2, 30) AS a, " +
+        "DateSerial(99, 13, 1) AS b, " + // 99→1999, month 13 rolls
+        "DateSerial(10, 1, 0) AS c, " +  // 10→2010, day 0 rolls back
+        "DateSerial(1985, 11, 20) AS d, " +
+        "TimeSerial(12, -15, 0) AS e, " +
+        "TimeSerial(25, 0, 0) AS f")).collect()(0)
+    assert(r.getDate(0).toString == "2020-03-01")
+    assert(r.getDate(1).toString == "2000-01-01")
+    assert(r.getDate(2).toString == "2009-12-31")
+    assert(r.getDate(3).toString == "1985-11-20")
+    assert(r.getTimestamp(4).toString == "1899-12-30 11:45:00.0")
+    assert(r.getTimestamp(5).toString == "1899-12-31 01:00:00.0")
+    val timeSql = translate("SELECT Time() AS t")
+    assert(timeSql.contains("1899-12-30"), timeSql)
+    assert(spark.sql(timeSql).collect()(0).getTimestamp(0)
+      .toString.startsWith("1899-12-3"))
+    for (bad <- Seq(
+      "SELECT DateSerial(2020, 1) FROM t", // 2-arg
+      "SELECT TimeSerial(1, 2, 3, 4) FROM t"))
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("MonthName/WeekdayName under the en-US pinning; WeekdayName " +
+    "range-guards at runtime; the firstdayofweek form rejects (r14 " +
+    "wave 5)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT MonthName(3) AS a, MonthName(3, True) AS b, " +
+        "MonthName(12, 0) AS c, WeekdayName(1) AS d, " +
+        "WeekdayName(7) AS e, WeekdayName(2, True) AS f, " +
+        "Atn(1) AS g")).collect()(0)
+    assert(r.getString(0) == "March")
+    assert(r.getString(1) == "Mar")
+    assert(r.getString(2) == "December") // numeric falsy flag
+    assert(r.getString(3) == "Sunday") // default anchor: Sunday=1
+    assert(r.getString(4) == "Saturday")
+    assert(r.getString(5) == "Mon")
+    assert(math.abs(r.getDouble(6) - math.atan(1.0)) < 1e-12)
+    intercept[Exception] {
+      spark.sql(translate("SELECT WeekdayName(4 + 4)")).collect()
+    } // index 8: loud where VBA errors
+    for (bad <- Seq(
+      "SELECT WeekdayName(2, True, 3) FROM t", // fdow re-anchor
+      "SELECT MonthName(2, [flag]) FROM t"))   // non-literal flag
       intercept[IllegalArgumentException] { translate(bad) }
   }
 
