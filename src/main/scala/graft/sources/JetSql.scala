@@ -2163,6 +2163,94 @@ object JetSql {
             }
         }
         i = close + 1
+      } else if ((isWord(t, "formatnumber") ||
+        isWord(t, "formatcurrency") || isWord(t, "formatpercent")) &&
+        callAt(i).isDefined) {
+        // The VBA6 Format* wrappers (FormatNumber/FormatCurrency/
+        // FormatPercent) are sugar over the mask machinery under
+        // this translator's en-US pinning: 2 decimals default,
+        // digit grouping, accounting parens for negative currency
+        // (the US regional default). The TRISTATE option arguments
+        // (IncludeLeadingDigit/UseParensForNegativeNumbers/
+        // GroupDigits) reject — they exist to OVERRIDE regional
+        // settings, so a caller passing them wants something this
+        // fixed pinning can't promise; an explicit Format mask says
+        // it exactly.
+        if (jdbc)
+          fail(s"${t.text} on a JDBC target (the emission is Spark " +
+            "SQL — see FORMAT)")
+        val fname = t.text
+        val (_, close, args) = callAt(i).get
+        if (args.isEmpty || args.length > 2)
+          fail(s"$fname with the tristate option arguments " +
+            "(regional-settings overrides — spell the exact " +
+            "rendering with a Format mask instead)")
+        val d = args.lift(1) match {
+          case None => 2
+          case Some(ts) => ts.filter(_.kind != "ws") match {
+            case Seq(tk) if tk.kind == "number" &&
+                tk.text.forall(_.isDigit) =>
+              val v = tk.text.toInt
+              if (v > 15)
+                fail(s"$fname with $v decimal digits (the operand " +
+                  "renders at double precision — ~15 significant " +
+                  "digits)")
+              v
+            case Seq(s0, tk) if s0.text == "-" && tk.text == "1" =>
+              2 // -1 = use regional settings; en-US renders 2
+            case _ =>
+              fail(s"$fname with a non-literal digit count (the " +
+                "mask is fixed at translate time)")
+          }
+        }
+        val zeros = if (d == 0) "" else "." + "0" * d
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail(s"$fname over a per-row non-deterministic operand " +
+            "(the mask emission splices it into dispatch branches)")
+        put(fname.toLowerCase match {
+          case "formatnumber" => sectionSql(x, s"#,##0$zeros", fname)
+          case "formatpercent" =>
+            sectionSql(x, s"#,##0$zeros%", fname)
+          case _ =>
+            sectionedNumericSql(x, s"$$#,##0$zeros;($$#,##0$zeros)")
+        })
+        lastWord = "format"
+        i = close + 1
+      } else if (isWord(t, "formatdatetime") && callAt(i).isDefined) {
+        // FormatDateTime(d [, code]): the five vbGeneralDate..
+        // vbShortTime codes ARE the named date/time formats — one
+        // table, one rendering path. The code must be literal.
+        if (jdbc)
+          fail("FormatDateTime on a JDBC target (the emission is " +
+            "Spark SQL — see FORMAT)")
+        val (_, close, args) = callAt(i).get
+        if (args.isEmpty || args.length > 2)
+          fail(s"${args.length}-argument FormatDateTime")
+        val name = args.lift(1) match {
+          case None => "general date"
+          case Some(ts) => ts.filter(_.kind != "ws") match {
+            case Seq(tk) if tk.kind == "number" => tk.text match {
+              case "0" => "general date"
+              case "1" => "long date"
+              case "2" => "short date"
+              case "3" => "long time"
+              case "4" => "short time"
+              case other => fail("FormatDateTime named-format code " +
+                s"$other (vbGeneralDate..vbShortTime are 0-4)")
+            }
+            case _ =>
+              fail("FormatDateTime with a non-literal format code")
+          }
+        }
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail("FormatDateTime over a per-row non-deterministic " +
+            "operand (General Date splices it into the day-zero " +
+            "dispatch)")
+        put(namedFormatSql(x, name).get)
+        lastWord = "format"
+        i = close + 1
       } else if (isWord(t, "ccur") && callAt(i).isDefined) {
         // Currency: exact 4-decimal fixed point, banker's-rounded on
         // entry — CCur(1.00005) = 1.0000 (round half to even).
@@ -2213,9 +2301,12 @@ object JetSql {
               !tk.text.contains(".") && tk.text.toLong <= 255 =>
             put(render(Tok("string",
               new String(Array(tk.text.toLong.toByte), cp1252))))
-          case Seq(tk) if tk.kind == "number" =>
+          case Seq(tk) if tk.kind == "number" &&
+              !tk.text.contains(".") =>
             fail(s"Chr(${tk.text}) outside Jet's CP1252 byte range " +
               "(VBA Chr accepts 0-255; ChrW is not a Jet function)")
+          // fractional literals fall through to the guarded runtime
+          // path, which banker's-rounds like VBA's coercion
           case _ =>
             if (jdbc)
               fail("Chr with a non-literal operand on a JDBC " +
@@ -2224,11 +2315,19 @@ object JetSql {
             if (perRowNondet(x))
               fail("Chr over a per-row non-deterministic operand " +
                 "(the CP1252 guard splices it twice)")
-            put(s"(CASE WHEN ($x) BETWEEN 128 AND 159 THEN " +
-              "CAST(raise_error('Chr: codes 128-159 are " +
-              "CP1252-specific (Unicode C1 controls) — use a " +
-              "literal code, which translates through the " +
-              s"codepage') AS STRING) ELSE char($x) END)")
+            // banker's-round first (VBA coerces Chr(65.5) to 66);
+            // Spark's char() silently WRAPS mod 256 outside 0-255
+            // where VBA errors — wrap-class corruption, so the whole
+            // out-of-band range is loud at runtime, not just the
+            // CP1252-divergent 128-159 block
+            val code = s"CAST(BROUND($x) AS BIGINT)"
+            put(s"(CASE WHEN $code < 0 OR $code > 255 OR " +
+              s"($code BETWEEN 128 AND 159) THEN " +
+              "CAST(raise_error('Chr: code outside 0-127/160-255 " +
+              "(128-159 are CP1252-specific, and char() would " +
+              "silently wrap codes VBA rejects) — literal codes " +
+              "translate through the codepage') AS STRING) " +
+              s"ELSE char($code) END)")
         }
         lastWord = "chr"
         i = close + 1

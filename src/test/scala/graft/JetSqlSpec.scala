@@ -1140,9 +1140,19 @@ class JetSqlSpec extends AnyFunSuite {
     assert(g.contains("raise_error") && g.contains("char("), g)
     assert(spark.sql(translate("SELECT Chr(66 + 1)"))
       .collect()(0).getString(0) == "C")
+    // VBA coerces with banker's: Chr(65.5) = Chr(66), Chr(64.5) = '@'
+    val bk = spark.sql(translate(
+      "SELECT Chr(65.5) AS a, Chr(64.5) AS b")).collect()(0)
+    assert(bk.getString(0) == "B" && bk.getString(1) == "@")
     intercept[Exception] {
       spark.sql(translate("SELECT Chr(100 + 30)")).collect()
     } // 130 through the runtime guard
+    intercept[Exception] {
+      spark.sql(translate("SELECT Chr(200 + 100)")).collect()
+    } // 300: char() would wrap mod 256 where VBA errors
+    intercept[Exception] {
+      spark.sql(translate("SELECT Chr(0 - 5)")).collect()
+    } // negative: same wrap-class corruption
     intercept[Exception] {
       spark.sql(translate("SELECT Asc(\"€\")")).collect()
     } // non-ASCII Asc is CP1252-divergent: loud
@@ -1237,6 +1247,46 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT WeekdayName(2, True, 3) FROM t", // fdow re-anchor
       "SELECT MonthName(2, [flag]) FROM t"))   // non-literal flag
       intercept[IllegalArgumentException] { translate(bad) }
+  }
+
+  test("VBA6 Format* wrappers (r14 wave 5): FormatNumber/Currency/" +
+    "Percent are sugar over the mask machinery (en-US: 2 decimals, " +
+    "grouping, accounting parens for negative currency); " +
+    "FormatDateTime's 0-4 codes are the named date/time formats; " +
+    "tristate overrides reject") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT FormatNumber(1234.567) AS a, " +
+        "FormatNumber(1234.5, 0) AS b, " +
+        "FormatCurrency(0 - 1234.5) AS c, " +
+        "FormatCurrency(12.3, 1) AS d, " +
+        "FormatPercent(0.125) AS e, " +
+        "FormatNumber(0 - 1234.567) AS f, " +
+        "FormatDateTime(#3/7/2020 14:05:09#) AS g, " +
+        "FormatDateTime(#3/7/2020#, 1) AS h, " +
+        "FormatDateTime(#3/7/2020 14:05:09#, 3) AS i, " +
+        "FormatDateTime(#3/7/2020 14:05:09#, 4) AS j")).collect()(0)
+    assert(r.getString(0) == "1,234.57")
+    assert(r.getString(1) == "1,235")
+    assert(r.getString(2) == "($1,234.50)") // US regional default
+    assert(r.getString(3) == "$12.3")
+    assert(r.getString(4) == "12.50%") // dyadic-exact x100
+    assert(r.getString(5) == "-1,234.57") // number: minus, no parens
+    assert(r.getString(6) == "3/7/2020 2:05:09 PM") // General Date
+    assert(r.getString(7) == "Saturday, March 7, 2020")
+    assert(r.getString(8) == "2:05:09 PM")
+    assert(r.getString(9) == "14:05")
+    for (bad <- Seq(
+      "SELECT FormatNumber(n, 2, -1) FROM t",  // tristate override
+      "SELECT FormatCurrency(n, [d]) FROM t",  // non-literal digits
+      "SELECT FormatNumber(n, 16) FROM t",     // past double precision
+      "SELECT FormatDateTime(d, 5) FROM t",    // unknown code
+      "SELECT FormatDateTime(d, [c]) FROM t")) // non-literal code
+      intercept[IllegalArgumentException] { translate(bad) }
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "UPDATE t SET s = FormatNumber([v])")
+    }
   }
 
   test("stock ww emissions step aside for per-row non-deterministic " +
