@@ -2409,17 +2409,21 @@ object JetSql {
           "CAST(0 AS DOUBLE)) END)")
         lastWord = "val"
         i = close + 1
-      } else if (isWord(t, "string") && callAt(i).isDefined &&
-        callAt(i).get._3.length == 2) {
+      } else if (isWord(t, "string") && callAt(i).isDefined) {
         // VBA String(n, c): c repeated n times — a STRING c uses its
         // FIRST character only, a NUMERIC c is a CP1252 char code.
         // The two readings disagree (String(3, "5") = "555" but
         // String(3, 53) = "555" too, while String(3, 5) is three
         // ENQ controls), so only literal second arguments translate;
         // a column ref is type-ambiguous for a schema-blind rewrite.
-        // (Call-form with exactly 2 args only — anything else falls
-        // through to the unknown-function passthrough.)
+        // Wrong arity is loud too: a 1-arg String(x) would otherwise
+        // fall into Spark's own string() CAST — a silent cast where
+        // VBA errors.
         val (_, close, args) = callAt(i).get
+        if (args.length != 2)
+          fail(s"${args.length}-argument String() (VBA defines " +
+            "String(n, ch); Spark's string() cast is not a Jet " +
+            "function)")
         val ch: String = args(1).filter(_.kind != "ws") match {
           case Seq(tk) if tk.kind == "string" && tk.text.nonEmpty =>
             tk.text.head.toString
@@ -2538,6 +2542,48 @@ object JetSql {
           "- CAST(current_date() AS TIMESTAMP)))")
         lastWord = "time"
         i = callAt(i).get._2 + 1
+      } else if ((isWord(t, "cdate") || isWord(t, "cvdate")) &&
+        callAt(i).isDefined) {
+        // CDate/CVDate. A literal string parses AT TRANSLATE TIME
+        // through the same m/d/yyyy path as #...# literals (a
+        // non-literal string would be a locale-dependent runtime
+        // parse — loud instead). A numeric operand is an OLE serial
+        // date — Jet's own storage model, decoded with the rule the
+        // jetmdb page codec uses: whole days from 1899-12-30, and
+        // the |fraction| is the time of day REGARDLESS of sign
+        // (CDate(-1.25) is 1899-12-29 06:00, not 18:00).
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument CDate")
+        args(0).filter(_.kind != "ws") match {
+          case Seq(tk) if tk.kind == "string" =>
+            put(try dateLiteral(tk.text) catch {
+              case _: RuntimeException =>
+                fail(s"CDate(${"\"" + tk.text + "\""}) is not a " +
+                  "m/d/yyyy or y-m-d literal this translator can " +
+                  "fix at translate time")
+            })
+          case Seq(tk) if tk.kind == "date" =>
+            put(render(tk)) // CDate(#...#) is the identity
+          case _ =>
+            if (jdbc)
+              fail("CDate over a non-literal operand on a JDBC " +
+                "target (the OLE-serial emission is Spark SQL)")
+            val x = em(args(0))
+            if (perRowNondet(x))
+              fail("CDate over a per-row non-deterministic operand " +
+                "(the day/fraction split splices it three times)")
+            // CAST .. AS BIGINT truncates toward zero — exactly the
+            // OLE day part; a string operand fails the arithmetic
+            // at analysis, loud
+            val days = s"CAST(($x) AS BIGINT)"
+            put(s"timestampadd(MICROSECOND, CAST(ROUND(abs(($x) - " +
+              s"$days) * 86400000000, 0) AS BIGINT), " +
+              s"CAST(date_add(DATE '1899-12-30', CAST($days AS INT)) " +
+              "AS TIMESTAMP))")
+        }
+        lastWord = "cdate"
+        i = close + 1
       } else if (t.kind == "word" &&
         callRenames.contains(t.text.toLowerCase) && callAt(i).isDefined) {
         put(callRenames(t.text.toLowerCase))

@@ -1425,10 +1425,26 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       else if (y >= 30 && y <= 99) y + 1900 else y
 
     val built = Vector.fill(400) {
-      r.nextInt(6) match {
+      r.nextInt(7) match {
         case 0 => // Val
           val s = randValStr()
           (s"Val(${lit(s)})", vbVal(s).toString)
+        case 6 => // CDate on OLE serials: |fraction| is time-of-day
+          // regardless of sign; 1/100-day grid keeps the literal
+          // decimal-exact so the micros arithmetic has no residue
+          val days = r.nextInt(40001) - 20000
+          val m = r.nextInt(100)
+          // 864·m seconds = m/100 day: a 2-decimal exact literal
+          val x = java.math.BigDecimal.valueOf(days).add(
+            java.math.BigDecimal.valueOf(
+              (if (days < 0) -m else m).toLong, 2))
+          val want = java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(1899, 12, 30, 0, 0, 0)
+              .plusDays(days.toLong).plusSeconds(864L * m)).toString
+          val litX = x.toPlainString
+          (if (litX.startsWith("-"))
+            s"CDate((0 - ${litX.substring(1)}))"
+          else s"CDate($litX)", want)
         case 1 => // Round on an exact decimal literal, k >= d digits
           val d = r.nextInt(4)
           val k = d + r.nextInt(4 - d + 1).min(4 - d)

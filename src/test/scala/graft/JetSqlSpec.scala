@@ -1249,6 +1249,35 @@ class JetSqlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { translate(bad) }
   }
 
+  test("CDate/CVDate (r14 wave 5): literal strings parse at " +
+    "translate time through the #literal# path; numeric operands " +
+    "decode as OLE serial dates with the |fraction|-is-time-of-day " +
+    "rule the jetmdb codec uses (CDate(-1.25) is 06:00, not 18:00)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT CDate(2.5) AS a, CDate(0 - 1.25) AS b, CDate(0) AS c, " +
+        "CDate(\"3/7/2020\") AS d, CVDate(\"2020-03-07 14:30\") AS e, " +
+        "CDate(#3/7/2020 1:00#) AS f, CDate(0.75) AS g")).collect()(0)
+    assert(r.getTimestamp(0).toString == "1900-01-01 12:00:00.0")
+    assert(r.getTimestamp(1).toString == "1899-12-29 06:00:00.0")
+    assert(r.getTimestamp(2).toString == "1899-12-30 00:00:00.0")
+    assert(r.getDate(3).toString == "2020-03-07")
+    assert(r.getTimestamp(4).toString == "2020-03-07 14:30:00.0")
+    assert(r.getTimestamp(5).toString == "2020-03-07 01:00:00.0")
+    assert(r.getTimestamp(6).toString == "1899-12-30 18:00:00.0")
+    for (bad <- Seq(
+      "SELECT CDate(\"not a date\") FROM t", // un-fixable literal
+      "SELECT CDate(a, b) FROM t"))          // arity
+      intercept[IllegalArgumentException] { translate(bad) }
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "UPDATE t SET d = CDate([n])")
+    }
+    // literal strings stay PORTABLE on JDBC targets (plain literal)
+    assert(graft.sources.JetSql.translateForJdbc(
+      "UPDATE t SET d = CDate(\"3/7/2020\")").contains("DATE '2020-03-07'"))
+  }
+
   test("VBA6 Format* wrappers (r14 wave 5): FormatNumber/Currency/" +
     "Percent are sugar over the mask machinery (en-US: 2 decimals, " +
     "grouping, accounting parens for negative currency); " +
