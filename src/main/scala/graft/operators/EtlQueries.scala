@@ -1233,7 +1233,12 @@ object EtlQueries {
     * next-year make_date; TimeSerial vs interval arithmetic off
     * Jet's zero day; MonthName/WeekdayName (full + abbreviated,
     * composed with Weekday's Sunday=1) vs DuckDB's own strftime name
-    * tables; Atn vs atan at the 4-decimal trig discipline. */
+    * tables; Atn vs atan at the 4-decimal trig discipline. The
+    * wave-5b/5c surfaces ride the same gate: FormatNumber/Currency
+    * (the established cent-scaled grouping recipe), FormatPercent on
+    * a dyadic-exact ratio, FormatDateTime code 2 vs %-m/%-d/%Y, and
+    * CDate of an OLE serial on the exact quarter-day grid (rendered
+    * as a string — tz-awareness differs across engines). */
   val qJetSqlVbaFuncs: QDef = QDef(
     "q_jetsql_vbafuncs",
     """SELECT o_orderkey,
@@ -1255,7 +1260,29 @@ object EtlQueries {
       |  strftime(o_orderdate, '%b') AS mna,
       |  strftime(o_orderdate, '%A') AS wdn,
       |  strftime(o_orderdate, '%a') AS wdna,
-      |  ROUND(ATAN((o_orderkey % 7) / 2), 4) AS at
+      |  ROUND(ATAN((o_orderkey % 7) / 2), 4) AS at,
+      |  format('{:,}', CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      // 100) || '.' ||
+      |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      % 100 AS VARCHAR), 2, '0') AS fn,
+      |  CASE WHEN o_totalprice - 150000 < 0
+      |    THEN '($' || format('{:,}',
+      |        CAST(round(abs(o_totalprice - 150000) * 100, 0)
+      |          AS BIGINT) // 100) || '.' ||
+      |      lpad(CAST(CAST(round(abs(o_totalprice - 150000) * 100, 0)
+      |        AS BIGINT) % 100 AS VARCHAR), 2, '0') || ')'
+      |    ELSE '$' || format('{:,}',
+      |        CAST(round((o_totalprice - 150000) * 100, 0)
+      |          AS BIGINT) // 100) || '.' ||
+      |      lpad(CAST(CAST(round((o_totalprice - 150000) * 100, 0)
+      |        AS BIGINT) % 100 AS VARCHAR), 2, '0')
+      |    END AS fc,
+      |  printf('%.2f', (o_orderkey % 8) / 16 * 100) || '%' AS fp,
+      |  strftime(o_orderdate, '%-m/%-d/%Y') AS fdt,
+      |  strftime(TIMESTAMP '1899-12-30 00:00:00'
+      |    + INTERVAL (o_orderkey % 2000) DAY
+      |    + INTERVAL ((o_orderkey % 4) * 21600) SECOND,
+      |    '%Y-%m-%d %H:%M:%S') AS cd
       |FROM orders
       |WHERE o_orderkey % 19 = 0
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -1278,7 +1305,13 @@ object EtlQueries {
       "  MonthName(Month([o_orderdate]), True) AS mna,",
       "  WeekdayName(Weekday([o_orderdate])) AS wdn,",
       "  WeekdayName(Weekday([o_orderdate]), True) AS wdna,",
-      "  Atn(([o_orderkey] Mod 7) / 2) AS at",
+      "  Atn(([o_orderkey] Mod 7) / 2) AS at,",
+      "  FormatNumber([o_totalprice]) AS fn,",
+      "  FormatCurrency([o_totalprice] - 150000) AS fc,",
+      "  FormatPercent(([o_orderkey] Mod 8) / 16) AS fp,",
+      "  FormatDateTime([o_orderdate], 2) AS fdt,",
+      "  CDate(([o_orderkey] Mod 2000) + ([o_orderkey] Mod 4) / 4)" +
+        " AS cd",
       "FROM orders",
       "WHERE [o_orderkey] Mod 19 = 0",
       "ORDER BY [o_orderkey]").mkString(" ")
@@ -1294,7 +1327,9 @@ object EtlQueries {
         // DuckDB literal is naive — compare the clock face itself
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         col("mn"), col("mna"), col("wdn"), col("wdna"),
-        round(col("at"), 4).as("at"))
+        round(col("at"), 4).as("at"),
+        col("fn"), col("fc"), col("fp"), col("fdt"),
+        date_format(col("cd"), "yyyy-MM-dd HH:mm:ss").as("cd"))
       .orderBy(col("o_orderkey"))
   }
 
