@@ -243,8 +243,23 @@ object JetSql {
         var j = i
         while (j < n && (sql.charAt(j).isLetterOrDigit ||
           sql.charAt(j) == '_')) j += 1
-        out += Tok("word", sql.substring(i, j))
-        i = j
+        val w = sql.substring(i, j)
+        // VBA's $-suffixed String-typed call forms (Chr$, UCase$,
+        // Format$ …) are the same functions — fold the $ away for
+        // the known set when it is call-form ($ then '('). The only
+        // semantic gap is Null handling ($-forms ERROR where bare
+        // forms propagate Null) — propagation is this translator's
+        // documented stance. Unknown words keep their $ and fail
+        // loudly downstream.
+        if (j < n && sql.charAt(j) == '$' &&
+            j + 1 < n && sql.charAt(j + 1) == '(' &&
+            dollarFns(w.toLowerCase)) {
+          out += Tok("word", w)
+          i = j + 1
+        } else {
+          out += Tok("word", w)
+          i = j
+        }
       } else if (c.isDigit) {
         var j = i
         while (j < n && (sql.charAt(j).isDigit || sql.charAt(j) == '.'))
@@ -295,6 +310,13 @@ object JetSql {
   /** Jet's text codepage, for Chr()/String() char codes (the same
     * charset the Jet3 page codec reads names and text through). */
   private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** The VBA functions whose `$`-suffixed String-typed call forms
+    * fold to the bare name in the tokenizer (`Chr$(65)` ≡ `Chr(65)`
+    * but for Null handling — see the tokenizer note). */
+  private val dollarFns = Set("chr", "str", "ucase", "lcase", "left",
+    "right", "mid", "trim", "ltrim", "rtrim", "space", "string",
+    "format", "hex", "oct", "strreverse")
   // CDbl/CStr are pure casts; CLng/CInt are NOT plain casts —
   // Access rounds HALF TO EVEN (banker's) where CAST(double AS
   // BIGINT) truncates in Spark, so they translate through BROUND

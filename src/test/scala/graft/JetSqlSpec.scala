@@ -1249,6 +1249,28 @@ class JetSqlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { translate(bad) }
   }
 
+  test("$-suffixed VBA call forms fold to the bare function (r14 " +
+    "wave 5): Chr$/UCase$/Mid$/Format$ are the String-typed " +
+    "variants of the same functions; unknown words keep their $ " +
+    "and fail loudly downstream") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT Chr$(65) AS a, UCase$(\"ab\") AS b, " +
+        "Mid$(\"abcdef\", 2, 3) AS c, Format$(1234.5, \"#,##0.00\")" +
+        " AS d, Trim$(\"  x \") AS e")).collect()(0)
+    assert(r.getString(0) == "A")
+    assert(r.getString(1) == "AB")
+    assert(r.getString(2) == "bcd")
+    assert(r.getString(3) == "1,234.50")
+    assert(r.getString(4) == "x")
+    // an unknown $-form keeps its $ — the emission is not valid
+    // Spark SQL, so it cannot silently pass through as a function
+    val kept = translate("SELECT Foo$(1) FROM t")
+    assert(kept.contains("$"), kept)
+    // $ anywhere else (not call-form) is untouched
+    assert(translate("SELECT [a$b] FROM t").nonEmpty)
+  }
+
   test("CDate/CVDate (r14 wave 5): literal strings parse at " +
     "translate time through the #literal# path; numeric operands " +
     "decode as OLE serial dates with the |fraction|-is-time-of-day " +
