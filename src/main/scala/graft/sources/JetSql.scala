@@ -2564,6 +2564,89 @@ object JetSql {
           "- CAST(current_date() AS TIMESTAMP)))")
         lastWord = "time"
         i = callAt(i).get._2 + 1
+      } else if (isWord(t, "instrrev") && callAt(i).isDefined) {
+        // InStrRev(check, match[, start[, compare]]) — the LAST
+        // occurrence, found via instr over both strings reversed.
+        // NOTE the argument order is (haystack, needle) — the
+        // OPPOSITE of 4-arg InStr. Only the search-from-end default
+        // start (-1) translates: a positional start re-anchors the
+        // scan. compare 0 = binary, 1 = lowered text (the same
+        // length-preserving assumption 4-arg InStr's text mode
+        // makes). Zero-length edges per VBA: empty match → Len(check),
+        // empty check → 0; NULL propagates through the arithmetic.
+        if (jdbc)
+          fail("InStrRev on a JDBC target (the emission is Spark " +
+            "SQL — reverse/instr)")
+        val (_, close, args) = callAt(i).get
+        if (args.length < 2 || args.length > 4)
+          fail(s"${args.length}-argument InStrRev")
+        args.lift(2).foreach { ts =>
+          val st = ts.filter(_.kind != "ws").map(_.text).mkString
+          if (st != "-1" && st != "(-1)" && st != "- 1")
+            fail("InStrRev with a start other than the literal -1 " +
+              "(a positional start re-anchors the reverse scan)")
+        }
+        val ci = args.lift(3) match {
+          case None => false
+          case Some(ts) => ts.filter(_.kind != "ws") match {
+            case Seq(tk) if tk.text == "0" => false
+            case Seq(tk) if tk.text == "1" => true
+            case _ => fail("InStrRev compare must be the literal 0 " +
+              "(binary) or 1 (text) — 2 means the database-order " +
+              "collation")
+          }
+        }
+        val s0 = em(args(0))
+        val m0 = em(args(1))
+        if (perRowNondet(s0) || perRowNondet(m0))
+          fail("InStrRev over a per-row non-deterministic operand " +
+            "(the emission splices each side several times)")
+        val (sS, mS) =
+          if (ci) (s"lower($s0)", s"lower($m0)") else (s0, m0)
+        val hit = s"instr(reverse($sS), reverse($mS))"
+        put(s"(CASE WHEN length($m0) = 0 THEN length($s0) " +
+          s"WHEN $hit = 0 THEN 0 " +
+          s"ELSE length($s0) - length($m0) - $hit + 2 END)")
+        lastWord = "instrrev"
+        i = close + 1
+      } else if (isWord(t, "strcomp") && callAt(i).isDefined) {
+        // StrComp(a, b[, compare]) → the -1/0/1 sign. Binary mode
+        // compares UTF-16 code units in VBA but UTF-8 bytes in
+        // Spark — identical through ASCII, divergent above (and text
+        // mode adds locale collation on top), so non-ASCII operands
+        // are loud at runtime. NULL yields Null exactly as VBA: every
+        // CASE condition goes unknown and there is no ELSE.
+        if (jdbc)
+          fail("StrComp on a JDBC target (the emission is Spark " +
+            "SQL — rlike/raise_error)")
+        val (_, close, args) = callAt(i).get
+        if (args.length < 2 || args.length > 3)
+          fail(s"${args.length}-argument StrComp")
+        val ci = args.lift(2) match {
+          case None => false
+          case Some(ts) => ts.filter(_.kind != "ws") match {
+            case Seq(tk) if tk.text == "0" => false
+            case Seq(tk) if tk.text == "1" => true
+            case _ => fail("StrComp compare must be the literal 0 " +
+              "(binary) or 1 (text)")
+          }
+        }
+        val a0 = em(args(0))
+        val b0 = em(args(1))
+        if (perRowNondet(a0) || perRowNondet(b0))
+          fail("StrComp over a per-row non-deterministic operand " +
+            "(the sign dispatch splices each side several times)")
+        val (aS, bS) =
+          if (ci) (s"lower($a0)", s"lower($b0)") else (a0, b0)
+        put(s"(CASE WHEN ($a0) RLIKE '[^\\\\x00-\\\\x7F]' OR " +
+          s"($b0) RLIKE '[^\\\\x00-\\\\x7F]' THEN " +
+          "CAST(raise_error('StrComp: non-ASCII operand — VBA " +
+          "compares UTF-16 code units (plus locale collation in " +
+          "text mode) where Spark compares UTF-8 bytes') AS INT) " +
+          s"WHEN $aS < $bS THEN -1 WHEN $aS > $bS THEN 1 " +
+          s"WHEN $aS = $bS THEN 0 END)")
+        lastWord = "strcomp"
+        i = close + 1
       } else if ((isWord(t, "cdate") || isWord(t, "cvdate")) &&
         callAt(i).isDefined) {
         // CDate/CVDate. A literal string parses AT TRANSLATE TIME

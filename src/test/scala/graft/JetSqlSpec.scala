@@ -1271,6 +1271,44 @@ class JetSqlSpec extends AnyFunSuite {
     assert(translate("SELECT [a$b] FROM t").nonEmpty)
   }
 
+  test("InStrRev finds the LAST occurrence via reversed instr; " +
+    "StrComp is the -1/0/1 sign with non-ASCII loud (r14 wave 5); " +
+    "positional starts and collation compare modes reject") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT InStrRev(\"abcabc\", \"bc\") AS a, " +
+        "InStrRev(\"abcabc\", \"bc\", -1) AS b, " +
+        "InStrRev(\"abcabc\", \"\") AS c, " +
+        "InStrRev(\"\", \"x\") AS d, " +
+        "InStrRev(\"abcabc\", \"x\") AS e, " +
+        "InStrRev(\"aBcAbC\", \"bC\", -1, 1) AS f, " +
+        "StrComp(\"a\", \"b\") AS g, StrComp(\"b\", \"a\") AS h, " +
+        "StrComp(\"A\", \"a\") AS i, StrComp(\"A\", \"a\", 1) AS j, " +
+        "StrComp(IIF(1 = 0, \"x\", Null), \"a\") AS k")).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 6) // empty match -> Len(check)
+    assert(r.getInt(3) == 0) // empty check
+    assert(r.getInt(4) == 0) // not found
+    assert(r.getInt(5) == 5) // text mode, position in the original
+    assert(r.getInt(6) == -1 && r.getInt(7) == 1)
+    assert(r.getInt(8) == -1) // binary: 'A' < 'a'
+    assert(r.getInt(9) == 0)  // text: case-folded equal
+    assert(r.isNullAt(10))    // Null propagates, as VBA
+    intercept[Exception] {
+      spark.sql(translate("SELECT StrComp(\"é\", \"a\")")).collect()
+    } // non-ASCII: UTF-16 vs UTF-8 order — loud
+    for (bad <- Seq(
+      "SELECT InStrRev(s, m, 3) FROM t",     // positional start
+      "SELECT InStrRev(s, m, -1, 2) FROM t", // collation compare
+      "SELECT StrComp(a, b, 2) FROM t"))
+      intercept[IllegalArgumentException] { translate(bad) }
+    intercept[IllegalArgumentException] {
+      graft.sources.JetSql.translateForJdbc(
+        "UPDATE t SET n = InStrRev([s], \"x\")")
+    }
+  }
+
   test("CDate/CVDate (r14 wave 5): literal strings parse at " +
     "translate time through the #literal# path; numeric operands " +
     "decode as OLE serial dates with the |fraction|-is-time-of-day " +
