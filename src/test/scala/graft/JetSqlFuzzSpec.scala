@@ -1425,10 +1425,34 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       else if (y >= 30 && y <= 99) y + 1900 else y
 
     val built = Vector.fill(400) {
-      r.nextInt(7) match {
+      r.nextInt(8) match {
         case 0 => // Val
           val s = randValStr()
           (s"Val(${lit(s)})", vbVal(s).toString)
+        case 7 => // InStrRev / StrComp vs direct String ops
+          def randAscii(): String = Seq.fill(r.nextInt(8) + 1)(
+            "aAbBc x"(r.nextInt(7))).mkString
+          if (r.nextBoolean()) {
+            val s = randAscii()
+            val m = randAscii().take(r.nextInt(2) + 1)
+            if (r.nextBoolean())
+              (s"InStrRev(${lit(s)}, ${lit(m)})",
+                (s.lastIndexOf(m) + 1).toString)
+            else // text mode: case-insensitive, original positions
+              (s"InStrRev(${lit(s)}, ${lit(m)}, -1, 1)",
+                (s.toLowerCase.lastIndexOf(m.toLowerCase) + 1)
+                  .toString)
+          } else {
+            val a = randAscii()
+            val b = randAscii()
+            if (r.nextBoolean())
+              (s"StrComp(${lit(a)}, ${lit(b)})",
+                Integer.signum(a.compareTo(b)).toString)
+            else
+              (s"StrComp(${lit(a)}, ${lit(b)}, 1)",
+                Integer.signum(
+                  a.toLowerCase.compareTo(b.toLowerCase)).toString)
+          }
         case 6 => // CDate on OLE serials: |fraction| is time-of-day
           // regardless of sign; 1/100-day grid keeps the literal
           // decimal-exact so the micros arithmetic has no residue
