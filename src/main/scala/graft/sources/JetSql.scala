@@ -321,7 +321,8 @@ object JetSql {
   // Access rounds HALF TO EVEN (banker's) where CAST(double AS
   // BIGINT) truncates in Spark, so they translate through BROUND
   // (Spark's banker's rounding). CLng(2.5) = 2 in Access AND here.
-  private val castFns = Map("cdbl" -> "DOUBLE", "cstr" -> "STRING")
+  private val castFns = Map("cdbl" -> "DOUBLE", "cstr" -> "STRING",
+    "csng" -> "FLOAT")
   private val broundFns = Map("clng" -> "BIGINT", "cint" -> "INT")
   // Call-form-only renames (the bare word must survive: `AS INT` is a
   // cast target, not the Int() function; a column named `var` is
@@ -2646,6 +2647,74 @@ object JetSql {
           s"WHEN $aS < $bS THEN -1 WHEN $aS > $bS THEN 1 " +
           s"WHEN $aS = $bS THEN 0 END)")
         lastWord = "strcomp"
+        i = close + 1
+      } else if (isWord(t, "cbool") && callAt(i).isDefined) {
+        // CBool: zero → False, any other NUMBER → True, Null → Null
+        // (the boolean-words dispatch rule). A string operand fails
+        // the double cast at analysis/runtime — loud, where VBA
+        // would parse "True"/"False" by locale word tables.
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument CBool")
+        val x = em(args(0))
+        if (perRowNondet(x))
+          fail("CBool over a per-row non-deterministic operand " +
+            "(the zero dispatch splices it twice)")
+        put(s"(CASE WHEN CAST(($x) AS DOUBLE) = 0 THEN false " +
+          s"WHEN CAST(($x) AS DOUBLE) IS NOT NULL THEN true END)")
+        lastWord = "cbool"
+        i = close + 1
+      } else if ((isWord(t, "datevalue") || isWord(t, "timevalue")) &&
+        callAt(i).isDefined) {
+        // DateValue/TimeValue: the date (resp. day-zero-anchored
+        // time) part. LITERAL strings parse at translate time
+        // through the #literal# path; a #...# literal splits
+        // directly. Non-literal operands reject: a text column would
+        // hit Spark's ISO-only to_date where Access parses by
+        // LOCALE — a silent NULL (or silently different date) on
+        // exactly the data this function exists for.
+        val isTime = t.text.equalsIgnoreCase("timevalue")
+        val (_, close, args) = callAt(i).get
+        if (args.length != 1)
+          fail(s"${args.length}-argument ${t.text}")
+        val litSql: Option[String] =
+          args(0).filter(_.kind != "ws") match {
+            case Seq(tk) if tk.kind == "string" =>
+              // bare times ("14:30") parse as day-zero timestamps
+              val body =
+                if (isTime && !tk.text.contains("/") &&
+                    !tk.text.contains("-") && tk.text.contains(":"))
+                  "1899-12-30 " + tk.text
+                else tk.text
+              Some(try dateLiteral(body) catch {
+                case _: RuntimeException =>
+                  fail(s"${t.text}(${"\"" + tk.text + "\""}) is " +
+                    "not a m/d/yyyy, y-m-d, or h:m[:s] literal " +
+                    "this translator can fix at translate time")
+              })
+            case Seq(tk) if tk.kind == "date" =>
+              Some(dateLiteral(tk.text))
+            case _ => None
+          }
+        litSql match {
+          case Some(sql) =>
+            if (isTime)
+              // keep only the clock face, re-anchored on day zero
+              put(if (sql.startsWith("DATE"))
+                "TIMESTAMP '1899-12-30 00:00:00'"
+              else s"(TIMESTAMP '1899-12-30 00:00:00' + " +
+                s"($sql - CAST(to_date($sql) AS TIMESTAMP)))")
+            else
+              put(if (sql.startsWith("DATE")) sql
+                else s"to_date($sql)")
+          case None =>
+            fail(s"${t.text} over a non-literal operand (Access " +
+              "parses text by LOCALE where Spark's to_date is " +
+              "ISO-only — a silently different date; for date-typed " +
+              "operands use CDate arithmetic or the engine's " +
+              "to_date/date_trunc directly)")
+        }
+        lastWord = "datevalue"
         i = close + 1
       } else if ((isWord(t, "cdate") || isWord(t, "cvdate")) &&
         callAt(i).isDefined) {

@@ -1271,6 +1271,34 @@ class JetSqlSpec extends AnyFunSuite {
     assert(translate("SELECT [a$b] FROM t").nonEmpty)
   }
 
+  test("CSng/CBool/DateValue/TimeValue (r14 wave 5): float cast, " +
+    "zero-dispatch boolean, and the literal-only date/time parts " +
+    "(non-literal text would hit ISO-only to_date where Access " +
+    "parses by locale — loud instead)") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT CSng(1.5) AS a, CBool(0) AS b, CBool(0 - 3) AS c, " +
+        "CBool(IIF(1 = 0, 1, Null)) AS d, " +
+        "DateValue(\"3/7/2020 14:30\") AS e, " +
+        "DateValue(#3/7/2020#) AS f, " +
+        "TimeValue(\"14:30\") AS g, " +
+        "TimeValue(\"3/7/2020 14:30:09\") AS h, " +
+        "TimeValue(\"3/7/2020\") AS i")).collect()(0)
+    assert(r.getFloat(0) == 1.5f)
+    assert(!r.getBoolean(1) && r.getBoolean(2))
+    assert(r.isNullAt(3))
+    assert(r.getDate(4).toString == "2020-03-07")
+    assert(r.getDate(5).toString == "2020-03-07")
+    assert(r.getTimestamp(6).toString == "1899-12-30 14:30:00.0")
+    assert(r.getTimestamp(7).toString == "1899-12-30 14:30:09.0")
+    assert(r.getTimestamp(8).toString == "1899-12-30 00:00:00.0")
+    for (bad <- Seq(
+      "SELECT DateValue([txt]) FROM t",  // locale parse
+      "SELECT TimeValue(s & \"\") FROM t",
+      "SELECT DateValue(\"garbage\") FROM t"))
+      intercept[IllegalArgumentException] { translate(bad) }
+  }
+
   test("InStrRev finds the LAST occurrence via reversed instr; " +
     "StrComp is the -1/0/1 sign with non-ASCII loud (r14 wave 5); " +
     "positional starts and collation compare modes reject") {
