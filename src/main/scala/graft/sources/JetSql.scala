@@ -338,7 +338,10 @@ object JetSql {
   // well-defined and translate to scalar subqueries below.
   // (DISTINCTROW left this set in round 10: the single-table form —
   // which Access itself ignores — now translates; see emit.)
-  private val rejected = Set("dlookup")
+  // DFirst/DLast share DLookup's defect (SOME row by storage order)
+  // without even a criteria filter to narrow it — same named
+  // rejection instead of the cryptic unknown-function passthrough.
+  private val rejected = Set("dlookup", "dfirst", "dlast")
 
   /** Domain aggregate name → SQL aggregate. */
   private val domainAggs = Map(

@@ -1297,6 +1297,14 @@ class JetSqlSpec extends AnyFunSuite {
       "SELECT TimeValue(s & \"\") FROM t",
       "SELECT DateValue(\"garbage\") FROM t"))
       intercept[IllegalArgumentException] { translate(bad) }
+    // DFirst/DLast: DLookup's storage-order defect, same named
+    // rejection (not the cryptic unknown-function passthrough)
+    for (bad <- Seq("SELECT DFirst(\"x\", \"t\") FROM t",
+      "SELECT DLast(\"x\", \"t\") FROM t")) {
+      val e = intercept[IllegalArgumentException] { translate(bad) }
+      assert(e.getMessage.toLowerCase.contains("construct"),
+        e.getMessage)
+    }
   }
 
   test("InStrRev finds the LAST occurrence via reversed instr; " +
