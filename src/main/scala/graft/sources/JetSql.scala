@@ -3391,6 +3391,118 @@ object JetSql {
     done.result()
   }
 
+  /** One saved query's port assessment — see [[assessJetQueries]]. */
+  final case class JetAssessment(
+      name: String,
+      kind: String, // "select" | "crosstab" | "action"
+      parameterized: Boolean,
+      engineOk: Boolean,
+      engineSql: Option[String],
+      engineError: Option[String],
+      jdbcOk: Option[Boolean], // action queries only — they run there
+      jdbcSql: Option[String],
+      jdbcError: Option[String])
+
+  /** Type-appropriate placeholder for an unbound PARAMETERS decl —
+    * assessment judges the query BODY's translatability, not the
+    * caller's bindings. */
+  private def placeholderFor(tpe: String): Any = tpe match {
+    case "text" | "char" | "guid" => "x"
+    case "datetime" | "date" | "time" => java.time.LocalDate.of(2000, 1, 1)
+    case "long" | "integer" | "short" | "byte" => 1
+    case "double" | "single" | "ieeedouble" | "ieeesingle" => 1.0
+    case "currency" => BigDecimal(1)
+    case "bit" | "yesno" => true
+    case _ => "x"
+  }
+
+  /** Port-ASSESSMENT over a whole app's saved queries — the "can I
+    * switch engines?" report a migration starts with, produced
+    * without executing anything. Each (name, jetSql) is classified
+    * (select / crosstab / action, parameterized or not) and run
+    * through the translator that would actually port it: selects and
+    * crosstabs through the engine translation, action queries
+    * through the JDBC translation `runActionQueries` uses (they run
+    * on the migration TARGET — Spark doesn't row-mutate parquet).
+    * Unbound PARAMETERS are assessed with type-appropriate
+    * placeholders. Every rejection lands in the report verbatim —
+    * the translator's errors name their reasons and escape routes —
+    * so the output is the porting WORKLIST, never an exception.
+    *
+    * `spark` is needed only for data-DISCOVERED crosstab headings
+    * (no `IN` list — the probe reads the source tables); without it
+    * those report the requirement as their error. */
+  def assessJetQueries(queries: Seq[(String, String)],
+      spark: Option[SparkSession] = None,
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty)
+      : Seq[JetAssessment] =
+    queries.map { case (name, jetSql) =>
+      def attempt(f: => String): (Option[String], Option[String]) =
+        try { val s = f; (Some(s), None) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            (None, Some(Option(e.getMessage).getOrElse(e.toString)))
+        }
+      try {
+        val (decls, body) = stripParameters(tokenize(jetSql))
+        val bindings = decls
+          .map { case (n, tpe) => n -> placeholderFor(tpe) }.toMap
+        val toks0 =
+          stripTrailingSemi(substituteParams(body, decls, bindings))
+        def firstWord: String = toks0
+          .find(t => t.kind != "ws").map(_.text.toLowerCase)
+          .getOrElse("")
+        val kind =
+          if (isCrosstab(toks0)) "crosstab"
+          else if (Set("update", "delete", "insert")(firstWord))
+            "action"
+          else "select"
+        kind match {
+          case "action" =>
+            val (sql, err) =
+              attempt(translateForJdbc(jetSql, bindings))
+            JetAssessment(name, kind, decls.nonEmpty,
+              engineOk = false, engineSql = None,
+              engineError = Some("action queries run on the " +
+                "migration target (runActionQueries), not the " +
+                "engine"),
+              jdbcOk = Some(err.isEmpty), jdbcSql = sql,
+              jdbcError = err)
+          case "crosstab" =>
+            val (sql, err) = attempt {
+              val ct = parseCrosstab(toks0)
+              if (ct.items.isDefined) emitCrosstab(ct, None)
+              else spark match {
+                case Some(s) => translateCrosstab(s, jetSql, bindings)
+                case None => fail("crosstab headings are " +
+                  "data-DISCOVERED (no IN list) — assess with a " +
+                  "SparkSession that has the source tables " +
+                  "registered, or declare the headings with IN")
+              }
+            }
+            JetAssessment(name, kind, decls.nonEmpty,
+              engineOk = err.isEmpty, engineSql = sql,
+              engineError = err, jdbcOk = None, jdbcSql = None,
+              jdbcError = None)
+          case _ =>
+            val (sql, err) =
+              attempt(emit(toks0, uniqueKeys = uniqueKeys))
+            JetAssessment(name, kind, decls.nonEmpty,
+              engineOk = err.isEmpty, engineSql = sql,
+              engineError = err, jdbcOk = None, jdbcSql = None,
+              jdbcError = None)
+        }
+      } catch {
+        // tokenizer/PARAMETERS-header failures: still a report row
+        case scala.util.control.NonFatal(e) =>
+          JetAssessment(name, "select", parameterized = false,
+            engineOk = false, engineSql = None,
+            engineError =
+              Some(Option(e.getMessage).getOrElse(e.toString)),
+            jdbcOk = None, jdbcSql = None, jdbcError = None)
+      }
+    }
+
   /** Translate an Access crosstab whose headings are DISCOVERED from
     * the data (no `IN` list), the way Access itself renders one: a
     * bounded `SELECT DISTINCT` probe over the same FROM/WHERE finds

@@ -1271,6 +1271,62 @@ class JetSqlSpec extends AnyFunSuite {
     assert(translate("SELECT [a$b] FROM t").nonEmpty)
   }
 
+  test("assessJetQueries: the whole-app port report — classifies " +
+    "select/crosstab/action, binds PARAMETERS placeholders, routes " +
+    "actions through the JDBC translation, and records every " +
+    "rejection verbatim instead of throwing (r14)") {
+    import graft.sources.JetSql
+    val report = JetSql.assessJetQueries(Seq(
+      "PlainSelect" -> "SELECT [a], UCase([b]) FROM t WHERE [a] > 3",
+      "WithFormat" -> "SELECT Format([x], \"Currency\") FROM t",
+      "UsesDLookup" ->
+        "SELECT DLookup(\"x\", \"t\", \"k = 1\") FROM u",
+      "CrosstabIn" -> ("TRANSFORM Sum([v]) SELECT [k] FROM t " +
+        "GROUP BY [k] PIVOT [p] IN (1, 2)"),
+      "CrosstabProbe" -> ("TRANSFORM Sum([v]) SELECT [k] FROM t " +
+        "GROUP BY [k] PIVOT [p]"),
+      "Param" -> ("PARAMETERS [lo] Long; SELECT [a] FROM t " +
+        "WHERE [a] > [lo]"),
+      "UpdateJoin" -> ("UPDATE t INNER JOIN s ON t.k = s.k " +
+        "SET t.v = s.v"),
+      "UpdateCharlist" ->
+        "UPDATE t SET v = 1 WHERE nm LIKE \"[abc]*\"",
+      "Garbage" -> "SELECT \"unterminated FROM t"))
+    val byName = report.map(a => a.name -> a).toMap
+    assert(report.length == 9)
+    val plain = byName("PlainSelect")
+    assert(plain.kind == "select" && plain.engineOk &&
+      !plain.parameterized && plain.engineSql.get.contains("upper"))
+    assert(byName("WithFormat").engineOk)
+    val dl = byName("UsesDLookup")
+    assert(!dl.engineOk && dl.engineError.get.contains("DLOOKUP"))
+    assert(byName("CrosstabIn").kind == "crosstab" &&
+      byName("CrosstabIn").engineOk)
+    val probe = byName("CrosstabProbe")
+    assert(probe.kind == "crosstab" && !probe.engineOk &&
+      probe.engineError.get.contains("DISCOVERED"))
+    val par = byName("Param")
+    assert(par.parameterized && par.engineOk)
+    val uj = byName("UpdateJoin")
+    assert(uj.kind == "action" && uj.jdbcOk.contains(true) &&
+      uj.jdbcSql.get.contains("MERGE INTO") && !uj.engineOk)
+    val uc = byName("UpdateCharlist")
+    assert(uc.kind == "action" && uc.jdbcOk.contains(false) &&
+      uc.jdbcError.get.contains("JDBC"))
+    assert(!byName("Garbage").engineOk)
+    // a data-discovered crosstab DOES assess when the tables exist
+    val spark = TestSpark.session
+    locally {
+      import spark.implicits._
+      Seq((1, "p1", 10), (2, "p2", 20))
+        .toDF("k", "p", "v").createOrReplaceTempView("t")
+    }
+    val withSpark = JetSql.assessJetQueries(
+      Seq("CrosstabProbe" -> ("TRANSFORM Sum([v]) SELECT [k] FROM t " +
+        "GROUP BY [k] PIVOT [p]")), spark = Some(spark))
+    assert(withSpark.head.engineOk, withSpark.head.engineError)
+  }
+
   test("CSng/CBool/DateValue/TimeValue (r14 wave 5): float cast, " +
     "zero-dispatch boolean, and the literal-only date/time parts " +
     "(non-literal text would hit ISO-only to_date where Access " +
