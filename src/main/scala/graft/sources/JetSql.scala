@@ -1425,6 +1425,237 @@ object JetSql {
     out.result()
   }
 
+  /** The [start, end] token span of the PRIMARY ending at `end`
+    * (inclusive, `end` non-ws): a literal/ident/raw, a parenthesized
+    * group, or a call (word/ident + parens). Used by the infix
+    * rewrites to grab tight-binding operands. */
+  private def primaryStart(toks: Vector[Tok], end: Int): Int = {
+    def prevNonWs(from: Int): Int = {
+      var j = from
+      while (j >= 0 && toks(j).kind == "ws") j -= 1
+      j
+    }
+    toks(end) match {
+      case Tok("punct", ")") =>
+        var d = 0
+        var j = end
+        var open = -1
+        while (j >= 0 && open < 0) {
+          val u = toks(j)
+          if (u.kind == "punct" && u.text == ")") d += 1
+          else if (u.kind == "punct" && u.text == "(") {
+            d -= 1
+            if (d == 0) open = j
+          }
+          j -= 1
+        }
+        if (open < 0) fail("unbalanced parentheses in an operand")
+        val w = prevNonWs(open - 1)
+        if (w >= 0 && (toks(w).kind == "word" || toks(w).kind == "ident")
+            && !runBoundaryWords.contains(toks(w).text.toLowerCase))
+          w // a call: the word owns its parens
+        else open
+      case t if t.kind == "number" || t.kind == "string" ||
+          t.kind == "ident" || t.kind == "word" || t.kind == "date" ||
+          t.kind == "raw" => end
+      case t =>
+        fail(s"'${t.text}' where the exponent/integer-division " +
+          "rewrite expected a value operand")
+    }
+  }
+
+  /** The end (inclusive) of the PRIMARY starting at `start` (non-ws):
+    * mirrors [[primaryStart]] in the forward direction. */
+  private def primaryEnd(toks: Vector[Tok], start: Int): Int = {
+    def nextNonWs(from: Int): Int = {
+      var j = from
+      while (j < toks.length && toks(j).kind == "ws") j += 1
+      j
+    }
+    toks(start) match {
+      case Tok("punct", "(") => closeOf(toks, start)
+      case t if t.kind == "word" || t.kind == "ident" =>
+        val nn = nextNonWs(start + 1)
+        if (nn < toks.length && toks(nn).kind == "punct" &&
+          toks(nn).text == "(") closeOf(toks, nn)
+        else start
+      case t if t.kind == "number" || t.kind == "string" ||
+          t.kind == "date" || t.kind == "raw" => start
+      case t =>
+        fail(s"'${t.text}' where the exponent/integer-division " +
+          "rewrite expected a value operand")
+    }
+  }
+
+  /** Jet's `^` is the EXPONENT operator; Spark's `^` is bitwise
+    * XOR — the one infix collision where a passthrough silently
+    * computes a DIFFERENT function on every row. In VBA `^` binds
+    * tightest of the arithmetic operators (above unary minus:
+    * -2^2 = -4; left-associative), so both operands are PRIMARIES
+    * (the right side may carry its own unary sign: 2^-3). Each
+    * depth-0 `L ^ R` becomes power(L, R) — nested carets are
+    * handled by the paren/call emit recursion. VBA `^` computes in
+    * Double exactly as power() does; it differs only where VBA
+    * itself errors (negative base, fractional exponent → NaN here).
+    * JDBC targets reject (Derby has no POWER). */
+  private def caretRewrite(toks0: Vector[Tok], jdbc: Boolean)
+      : Vector[Tok] = {
+    def isCaret(t: Tok) = t.kind == "punct" && t.text == "^"
+    if (!toks0.exists(isCaret)) return toks0
+    var cur = toks0
+    var again = true
+    while (again) {
+      again = false
+      var depth = 0
+      var ci = -1
+      var i = 0
+      while (i < cur.length && ci < 0) {
+        val t = cur(i)
+        if (t.kind == "punct" && t.text == "(") depth += 1
+        else if (t.kind == "punct" && t.text == ")") depth -= 1
+        else if (depth == 0 && isCaret(t)) ci = i
+        i += 1
+      }
+      if (ci >= 0) {
+        if (jdbc)
+          fail("the ^ exponent operator on a JDBC target (Derby " +
+            "has no POWER function — spell the arithmetic in the " +
+            "target dialect)")
+        def prevNonWs(from: Int): Int = {
+          var j = from
+          while (j >= 0 && cur(j).kind == "ws") j -= 1
+          j
+        }
+        def nextNonWs(from: Int): Int = {
+          var j = from
+          while (j < cur.length && cur(j).kind == "ws") j += 1
+          j
+        }
+        val pe = prevNonWs(ci - 1)
+        if (pe < 0) fail("^ with a missing left operand")
+        val ls = primaryStart(cur, pe)
+        var rs = nextNonWs(ci + 1)
+        if (rs >= cur.length) fail("^ with a missing right operand")
+        var rStart = rs
+        if (cur(rs).kind == "punct" &&
+          (cur(rs).text == "-" || cur(rs).text == "+")) {
+          rs = nextNonWs(rs + 1)
+          if (rs >= cur.length) fail("^ with a missing right operand")
+        }
+        val re = primaryEnd(cur, rs)
+        val left = cur.slice(ls, pe + 1)
+        val right = cur.slice(rStart, re + 1)
+        cur = (cur.take(ls) :+ Tok("word", "power") :+
+          Tok("punct", "(")) ++ left ++ Vector(Tok("punct", ",")) ++
+          right ++ Vector(Tok("punct", ")")) ++ cur.drop(re + 1)
+        again = true
+      }
+    }
+    cur
+  }
+
+  /** Jet's `\` is INTEGER division with VBA's two-step rule: both
+    * operands round to integers FIRST (banker's — 7.5 \ 2 divides
+    * 8 by 2), then the division truncates toward zero (Spark's DIV).
+    * In VBA precedence `\` sits between multiplication and Mod, so
+    * each operand is a maximal run of primaries joined by * or /
+    * (unary minus stays OUTSIDE — value-equivalent, since both
+    * BROUND and truncating division are odd). The rewrite emits a
+    * parenthesized raw, so surrounding Mod/+/- precedence is
+    * preserved explicitly. JDBC targets reject (no banker's
+    * pre-rounding in Derby). */
+  private def intDivRewrite(toks0: Vector[Tok], jdbc: Boolean,
+      uniqueKeys: Map[String, Seq[Set[String]]]): Vector[Tok] = {
+    def isBack(t: Tok) = t.kind == "punct" && t.text == "\\"
+    if (!toks0.exists(isBack)) return toks0
+    var cur = toks0
+    var again = true
+    while (again) {
+      again = false
+      var depth = 0
+      var ci = -1
+      var i = 0
+      while (i < cur.length && ci < 0) {
+        val t = cur(i)
+        if (t.kind == "punct" && t.text == "(") depth += 1
+        else if (t.kind == "punct" && t.text == ")") depth -= 1
+        else if (depth == 0 && isBack(t)) ci = i
+        i += 1
+      }
+      if (ci >= 0) {
+        if (jdbc)
+          fail("the \\ integer-division operator on a JDBC target " +
+            "(VBA banker's-rounds the operands first — no portable " +
+            "equivalent; spell the arithmetic in the target dialect)")
+        def prevNonWs(from: Int): Int = {
+          var j = from
+          while (j >= 0 && cur(j).kind == "ws") j -= 1
+          j
+        }
+        def nextNonWs(from: Int): Int = {
+          var j = from
+          while (j < cur.length && cur(j).kind == "ws") j += 1
+          j
+        }
+        def isMulDiv(t: Tok) =
+          t.kind == "punct" && (t.text == "*" || t.text == "/")
+        def isSign(t: Tok) =
+          t.kind == "punct" && (t.text == "-" || t.text == "+")
+        // LEFT: primaries joined by * or /, each with an optional
+        // UNARY sign (a sign is unary when what precedes it is an
+        // operator/keyword/start, not a value) — `3 * -2 \ 4`
+        // divides -6, not -(2\4)
+        val pe = prevNonWs(ci - 1)
+        if (pe < 0) fail("\\ with a missing left operand")
+        var ls = primaryStart(cur, pe)
+        var more = true
+        while (more) {
+          val op = prevNonWs(ls - 1)
+          if (op >= 0 && isSign(cur(op))) {
+            val b = prevNonWs(op - 1)
+            val unary = b < 0 ||
+              (cur(b).kind == "punct" && cur(b).text != ")") ||
+              (cur(b).kind == "word" &&
+                runBoundaryWords.contains(cur(b).text.toLowerCase))
+            if (unary) ls = op else more = false
+          } else if (op >= 0 && isMulDiv(cur(op))) {
+            val p = prevNonWs(op - 1)
+            if (p < 0) fail("\\ with a malformed left operand")
+            ls = primaryStart(cur, p)
+          } else more = false
+        }
+        // RIGHT: [sign] primaries joined by * or / (tighter than \),
+        // signs allowed after each joiner too
+        var rs = nextNonWs(ci + 1)
+        if (rs >= cur.length) fail("\\ with a missing right operand")
+        val rStart = rs
+        if (isSign(cur(rs)))
+          rs = nextNonWs(rs + 1)
+        if (rs >= cur.length) fail("\\ with a missing right operand")
+        var re = primaryEnd(cur, rs)
+        more = true
+        while (more) {
+          val op = nextNonWs(re + 1)
+          if (op < cur.length && isMulDiv(cur(op))) {
+            var p = nextNonWs(op + 1)
+            if (p < cur.length && isSign(cur(p)))
+              p = nextNonWs(p + 1)
+            if (p >= cur.length)
+              fail("\\ with a malformed right operand")
+            re = primaryEnd(cur, p)
+          } else more = false
+        }
+        val left = emit(cur.slice(ls, pe + 1), jdbc, uniqueKeys)
+        val right = emit(cur.slice(rStart, re + 1), jdbc, uniqueKeys)
+        cur = (cur.take(ls) :+ Tok("raw",
+          s"(CAST(BROUND($left) AS BIGINT) DIV " +
+            s"CAST(BROUND($right) AS BIGINT))")) ++ cur.drop(re + 1)
+        again = true
+      }
+    }
+    cur
+  }
+
   /** Rewrite a token stream to ANSI text (recursive for IIF/NZ/date
     * functions). Spacing is handled at TOKEN level (a
     * pending-separator flag), so a multi-space run inside a translated
@@ -1432,7 +1663,8 @@ object JetSql {
     * would corrupt literal content. */
   private def emit(toks0: Vector[Tok], jdbc: Boolean = false,
       uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
-    val toks = ampRewrite(toks0, jdbc)
+    val toks = intDivRewrite(
+      caretRewrite(ampRewrite(toks0, jdbc), jdbc), jdbc, uniqueKeys)
     def em(ts: Vector[Tok]): String = emit(ts, jdbc, uniqueKeys)
     val sb = new StringBuilder
     var pendingSpace = false

@@ -1425,10 +1425,31 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       else if (y >= 30 && y <= 99) y + 1900 else y
 
     val built = Vector.fill(400) {
-      r.nextInt(8) match {
+      r.nextInt(9) match {
         case 0 => // Val
           val s = randValStr()
           (s"Val(${lit(s)})", vbVal(s).toString)
+        case 8 => // ^ exponent and \ integer division
+          if (r.nextBoolean()) {
+            val a = r.nextInt(19) - 9
+            val b = r.nextInt(6)
+            val aJet = if (a < 0) s"(0 - ${-a})" else a.toString
+            (s"$aJet ^ $b", math.pow(a, b).toString)
+          } else {
+            // halves are exact ties: banker's-round, then truncate
+            val k = r.nextInt(81) - 40
+            val y = (r.nextInt(9) + 1) * (if (r.nextBoolean()) 1 else -1)
+            val xLit = java.math.BigDecimal.valueOf(k.toLong, 1)
+              .multiply(java.math.BigDecimal.valueOf(5))
+              .stripTrailingZeros.toPlainString // k/2 as exact decimal
+            val xJet = if (xLit.startsWith("-"))
+              s"(0 - ${xLit.substring(1)})" else xLit
+            val yJet = if (y < 0) s"(0 - ${-y})" else y.toString
+            val bx = new java.math.BigDecimal(xLit)
+              .setScale(0, java.math.RoundingMode.HALF_EVEN)
+              .longValueExact
+            (s"$xJet \\ $yJet", (bx / y).toString)
+          }
         case 7 => // InStrRev / StrComp vs direct String ops
           def randAscii(): String = Seq.fill(r.nextInt(8) + 1)(
             "aAbBc x"(r.nextInt(7))).mkString

@@ -1271,6 +1271,45 @@ class JetSqlSpec extends AnyFunSuite {
     assert(translate("SELECT [a$b] FROM t").nonEmpty)
   }
 
+  test("Jet ^ is the EXPONENT operator (Spark's ^ is bitwise XOR — " +
+    "a silent per-row corruption before r14 wave 6) and \\ is VBA " +
+    "integer division (operands banker's-rounded, then truncate " +
+    "toward zero); precedence ^ > * / > \\ > Mod, left-associative") {
+    val spark = TestSpark.session
+    val r = spark.sql(translate(
+      "SELECT 2 ^ 10 AS a, 3 ^ 2 ^ 2 AS b, -2 ^ 2 AS c, " +
+        "2 ^ -2 AS d, 2 * 3 ^ 2 AS e, Sqr(4) ^ 3 AS f, " +
+        "(1 + 1) ^ (1 + 2) AS g")).collect()(0)
+    assert(r.getDouble(0) == 1024.0)
+    assert(r.getDouble(1) == 81.0) // left-associative: (3^2)^2
+    assert(r.getDouble(2) == -4.0) // ^ binds above unary minus
+    assert(r.getDouble(3) == 0.25) // signed exponent
+    assert(r.getDouble(4) == 18.0) // ^ above *
+    assert(r.getDouble(5) == 8.0)  // call operand
+    assert(r.getDouble(6) == 8.0)  // grouped operands
+    val d = spark.sql(translate(
+      "SELECT 7 \\ 2 AS a, 7.5 \\ 2 AS b, 0 - 7 \\ 2 AS c, " +
+        "3 * -2 \\ 4 AS d, 9 \\ 2 \\ 2 AS e, 7 - 6 \\ 4 AS f, " +
+        "5 Mod 3 \\ 2 AS g, 6 \\ 2 * 3 AS h, 2.5 \\ 1 AS i"))
+      .collect()(0)
+    assert(d.getLong(0) == 3)
+    assert(d.getLong(1) == 4)  // BROUND(7.5) = 8 first, then 8\2
+    assert(d.getLong(2) == -3) // truncation toward zero
+    assert(d.getLong(3) == -1) // left operand is 3 * -2, not -(2\4)
+    assert(d.getLong(4) == 2)  // left-associative
+    assert(d.getLong(5) == 6)  // \ binds above binary -
+    assert(d.getLong(6) == 0)  // \ binds above Mod: 5 Mod (3\2)
+    assert(d.getLong(7) == 1)  // * binds above \: 6 \ (2*3)
+    assert(d.getLong(8) == 2)  // banker's: 2.5 rounds to 2
+    assert(translate("SELECT [r] ^ 2 FROM t").contains("power"))
+    for (bad <- Seq(
+      "UPDATE t SET v = [a] ^ 2",   // Derby has no POWER
+      "UPDATE t SET v = [a] \\ 2")) // no banker's pre-round there
+      intercept[IllegalArgumentException] {
+        graft.sources.JetSql.translateForJdbc(bad)
+      }
+  }
+
   test("assessJetQueries: the whole-app port report — classifies " +
     "select/crosstab/action, binds PARAMETERS placeholders, routes " +
     "actions through the JDBC translation, and records every " +
