@@ -1435,7 +1435,7 @@ object JetSql {
       while (j >= 0 && toks(j).kind == "ws") j -= 1
       j
     }
-    toks(end) match {
+    val s0 = toks(end) match {
       case Tok("punct", ")") =>
         var d = 0
         var j = end
@@ -1462,6 +1462,26 @@ object JetSql {
         fail(s"'${t.text}' where the exponent/integer-division " +
           "rewrite expected a value operand")
     }
+    // absorb dot-QUALIFIED references leftward: `t.a` / `[T].[a]` is
+    // one primary, not a dot away from a bare `a`
+    var s = s0
+    var qualified = true
+    while (qualified) {
+      qualified = false
+      if (toks(s).kind == "word" || toks(s).kind == "ident") {
+        val dot = prevNonWs(s - 1)
+        if (dot >= 0 && toks(dot).kind == "punct" &&
+          toks(dot).text == ".") {
+          val q = prevNonWs(dot - 1)
+          if (q >= 0 && (toks(q).kind == "word" ||
+            toks(q).kind == "ident")) {
+            s = q
+            qualified = true
+          }
+        }
+      }
+    }
+    s
   }
 
   /** The end (inclusive) of the PRIMARY starting at `start` (non-ws):
@@ -1472,7 +1492,7 @@ object JetSql {
       while (j < toks.length && toks(j).kind == "ws") j += 1
       j
     }
-    toks(start) match {
+    val e0 = toks(start) match {
       case Tok("punct", "(") => closeOf(toks, start)
       case t if t.kind == "word" || t.kind == "ident" =>
         val nn = nextNonWs(start + 1)
@@ -1485,6 +1505,26 @@ object JetSql {
         fail(s"'${t.text}' where the exponent/integer-division " +
           "rewrite expected a value operand")
     }
+    // absorb dot-QUALIFIED references rightward (`t.a` is one
+    // primary) — mirrors primaryStart
+    var e = e0
+    var qualified = true
+    while (qualified) {
+      qualified = false
+      if (toks(e).kind == "word" || toks(e).kind == "ident") {
+        val dot = nextNonWs(e + 1)
+        if (dot < toks.length && toks(dot).kind == "punct" &&
+          toks(dot).text == ".") {
+          val n = nextNonWs(dot + 1)
+          if (n < toks.length && (toks(n).kind == "word" ||
+            toks(n).kind == "ident")) {
+            e = n
+            qualified = true
+          }
+        }
+      }
+    }
+    e
   }
 
   /** Jet's `^` is the EXPONENT operator; Spark's `^` is bitwise
@@ -1651,6 +1691,120 @@ object JetSql {
           s"(CAST(BROUND($left) AS BIGINT) DIV " +
             s"CAST(BROUND($right) AS BIGINT))")) ++ cur.drop(re + 1)
         again = true
+      }
+    }
+    cur
+  }
+
+  /** OPT-IN Jet DATABASE-ORDER text comparisons (`textOrder = true`
+    * on the entry points): Access's default sort order compares text
+    * CASE-INSENSITIVELY — `name = "smith"` matches "Smith", and LIKE
+    * follows suit. This translator's DEFAULT is binary comparison
+    * (pinned oracle behavior since round 1, and the standard choice
+    * when porting Access to a case-sensitive engine); with the flag,
+    * the comparisons a schema-blind rewrite can PROVE are text —
+    * those whose operand IS a string literal — rewrite
+    * case-insensitively: `=` / `<>` wrap the non-literal side in
+    * LOWER() (ANSI — portable to the JDBC targets) and lowercase the
+    * literal at translate time; `[NOT] LIKE` lowers the scrutinee and
+    * the pattern (wildcards and charlist ranges lowercase soundly —
+    * the match runs against the lowered text). The documented-subset
+    * edges stay BINARY: literals welded into larger expressions
+    * (`x = "A" & s` — the literal is not the operand), ordering
+    * comparisons (< > <= >=), GROUP BY/DISTINCT merging, and
+    * comparisons between two non-literals. SET assignments never
+    * rewrite (assignment, not comparison). ASCII-faithful; CP1252
+    * accents follow Java's lowercase, close to but not identical
+    * with Access's sort table. */
+  private def textOrderRewrite(toks0: Vector[Tok], jdbc: Boolean,
+      uniqueKeys: Map[String, Seq[Set[String]]]): Vector[Tok] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    var cur = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      def nextNW(from: Int): Int = {
+        var j = from
+        while (j < cur.length && cur(j).kind == "ws") j += 1
+        j
+      }
+      def prevNW(from: Int): Int = {
+        var j = from
+        while (j >= 0 && cur(j).kind == "ws") j -= 1
+        j
+      }
+      def isArith(t: Tok) = t.kind == "punct" && t.text.length == 1 &&
+        "+-*/\\^&".contains(t.text)
+      var inSet = false
+      var d0 = 0
+      var i = 0
+      while (i < cur.length && !changed) {
+        val t = cur(i)
+        if (t.kind == "punct" && t.text == "(") d0 += 1
+        else if (t.kind == "punct" && t.text == ")") d0 -= 1
+        else if (t.kind == "word" && d0 == 0) {
+          val w = t.text.toLowerCase
+          if (w == "set") inSet = true
+          else if (w == "where" || w == "select") inSet = false
+        }
+        val isEq = t.kind == "punct" && t.text == "="
+        val isNe = t.kind == "punct" && t.text == "<" &&
+          i + 1 < cur.length && cur(i + 1).kind == "punct" &&
+          cur(i + 1).text == ">"
+        val isLike = isWord(t, "like")
+        if ((isEq && !(inSet && d0 == 0)) || isNe || isLike) {
+          val opEnd = if (isNe) i + 1 else i
+          var pi = prevNW(i - 1)
+          if (isLike && pi >= 0 && isWord(cur(pi), "not"))
+            pi = prevNW(pi - 1)
+          val ri = nextNW(opEnd + 1)
+          if (pi >= 0 && ri < cur.length) {
+            val bounds = try {
+              Some((primaryStart(cur, pi), primaryEnd(cur, ri)))
+            } catch { case _: RuntimeException => None }
+            bounds.foreach { case (ls, re) =>
+              val lB = prevNW(ls - 1)
+              val rA = nextNW(re + 1)
+              val standalone =
+                (lB < 0 || !isArith(cur(lB))) &&
+                  (rA >= cur.length || !isArith(cur(rA)))
+              val leftLit = ls == pi && cur(pi).kind == "string"
+              val rightLit = ri == re && cur(ri).kind == "string"
+              def lowerWrap(from: Int, to: Int): Tok =
+                Tok("raw", "LOWER(" +
+                  emit(cur.slice(from, to + 1), jdbc, uniqueKeys) + ")")
+              if (isLike && rightLit && standalone &&
+                !(ls == pi && cur(pi).kind == "raw")) {
+                val newLeft =
+                  if (leftLit)
+                    Tok("raw", render(Tok("string", lc(cur(pi).text))))
+                  else lowerWrap(ls, pi)
+                // the pattern KEEPS kind "string": the LIKE emit
+                // handler still translates its wildcards
+                cur = cur.take(ls) ++ Vector(newLeft) ++
+                  cur.slice(pi + 1, ri) ++
+                  Vector(Tok("string", lc(cur(ri).text))) ++
+                  cur.drop(re + 1)
+                changed = true
+              } else if (!isLike && (leftLit || rightLit) &&
+                standalone) {
+                val newLeft =
+                  if (leftLit)
+                    Tok("raw", render(Tok("string", lc(cur(pi).text))))
+                  else lowerWrap(ls, pi)
+                val newRight =
+                  if (rightLit)
+                    Tok("raw", render(Tok("string", lc(cur(ri).text))))
+                  else lowerWrap(ri, re)
+                cur = cur.take(ls) ++ Vector(newLeft) ++
+                  cur.slice(pi + 1, ri) ++ Vector(newRight) ++
+                  cur.drop(re + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        i += 1
       }
     }
     cur
@@ -3370,9 +3524,13 @@ object JetSql {
     * [[graft.etl.MigrationPipeline.uniqueKeysFromSpecs]] derives the
     * map from an `.mdb`'s own index catalog. */
   def translate(jetSql: String, params: Map[String, Any],
-      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty,
+      textOrder: Boolean = false): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks = stripTrailingSemi(substituteParams(body, decls, params))
+    val toks0 = stripTrailingSemi(substituteParams(body, decls, params))
+    val toks =
+      if (textOrder) textOrderRewrite(toks0, jdbc = false, uniqueKeys)
+      else toks0
     if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None)
     else emit(actionQueryRewrites(toks), uniqueKeys = uniqueKeys)
   }
@@ -3405,7 +3563,8 @@ object JetSql {
     * marker this needs. */
   def translateForJdbc(jetSql: String,
       params: Map[String, Any] = Map.empty,
-      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty,
+      textOrder: Boolean = false): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
     val toks0 = actionQueryRewrites(
       stripTrailingSemi(substituteParams(body, decls, params)),
@@ -3430,9 +3589,12 @@ object JetSql {
       if (t.kind != "ws") lastMeaning = t.text.toLowerCase
       out
     }
-    if (isCrosstab(toks)) emitCrosstab(parseCrosstab(toks), None,
+    val toksF =
+      if (textOrder) textOrderRewrite(toks, jdbc = true, uniqueKeys)
+      else toks
+    if (isCrosstab(toksF)) emitCrosstab(parseCrosstab(toksF), None,
       jdbc = true)
-    else emit(toks, jdbc = true, uniqueKeys = uniqueKeys)
+    else emit(toksF, jdbc = true, uniqueKeys = uniqueKeys)
   }
 
   /** Jet ACTION-query dialect fixes. `DELETE * FROM t` (the form the
@@ -3558,12 +3720,20 @@ object JetSql {
     * path. The one entry point view registration needs. */
   def translateAny(spark: SparkSession, jetSql: String,
       params: Map[String, Any] = Map.empty,
-      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty): String = {
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty,
+      textOrder: Boolean = false): String = {
     val (decls, body) = stripParameters(tokenize(jetSql))
-    val toks = stripTrailingSemi(substituteParams(body, decls, params))
+    val toks0 = stripTrailingSemi(substituteParams(body, decls, params))
+    val toks =
+      if (textOrder) textOrderRewrite(toks0, jdbc = false, uniqueKeys)
+      else toks0
     if (isCrosstab(toks)) {
       val ct = parseCrosstab(toks)
       if (ct.items.isDefined) emitCrosstab(ct, None)
+      else if (textOrder)
+        fail("textOrder with a data-DISCOVERED crosstab (the " +
+          "heading probe would need the same rewrite inside its " +
+          "DISTINCT scan — declare the headings with IN)")
       else translateCrosstab(spark, jetSql, params)
     } else emit(toks, uniqueKeys = uniqueKeys)
   }
@@ -3587,7 +3757,8 @@ object JetSql {
   def registerSavedQueries(spark: SparkSession,
       queries: Seq[(String, String)],
       params: Map[String, Any] = Map.empty,
-      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty)
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty,
+      textOrder: Boolean = false)
       : Seq[String] = {
     var pending = queries.toVector
     val done = Vector.newBuilder[String]
@@ -3599,7 +3770,7 @@ object JetSql {
         val name = JetTypes.sanitizeName(rawName)
         try {
           spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
-            translateAny(spark, jetSql, params, uniqueKeys))
+            translateAny(spark, jetSql, params, uniqueKeys, textOrder))
           done += name
           progress = true
         } catch {

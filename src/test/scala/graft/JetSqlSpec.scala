@@ -1302,12 +1302,53 @@ class JetSqlSpec extends AnyFunSuite {
     assert(d.getLong(7) == 1)  // * binds above \: 6 \ (2*3)
     assert(d.getLong(8) == 2)  // banker's: 2.5 rounds to 2
     assert(translate("SELECT [r] ^ 2 FROM t").contains("power"))
+    // dot-QUALIFIED refs are one primary: t.a ^ 2 must not sever the
+    // qualifier (t. power(a, 2) would be broken SQL)
+    val q = translate("SELECT t.a ^ 2, u.[b] \\ 3 FROM t, u")
+    assert(q.contains("power(t") && !q.contains(". power"), q)
+    assert(q.contains("BROUND(u"), q)
     for (bad <- Seq(
       "UPDATE t SET v = [a] ^ 2",   // Derby has no POWER
       "UPDATE t SET v = [a] \\ 2")) // no banker's pre-round there
       intercept[IllegalArgumentException] {
         graft.sources.JetSql.translateForJdbc(bad)
       }
+  }
+
+  test("textOrder opt-in (r14 wave 6): Jet DATABASE-ORDER text " +
+    "comparisons — = / <> / LIKE with a string-literal side go " +
+    "case-insensitive; welded literals, SET assignments, and the " +
+    "binary default stay untouched") {
+    val spark = TestSpark.session
+    def tr(q: String) = graft.sources.JetSql.translate(
+      q, Map.empty[String, Any], Map.empty, textOrder = true)
+    val r = spark.sql(tr(
+      "SELECT IIF(\"Smith\" = \"smith\", 1, 0) AS a, " +
+        "IIF(\"Smith\" <> \"SMITH\", 1, 0) AS b, " +
+        "IIF(\"McAdam\" LIKE \"mc*\", 1, 0) AS c, " +
+        "IIF(UCase(\"x\") = \"X\", 1, 0) AS d, " +
+        "IIF(NOT \"Smith\" LIKE \"sx*\", 1, 0) AS e, " +
+        "IIF(\"AB7\" LIKE \"[a-c][A-C]#\", 1, 0) AS f")).collect()(0)
+    assert(r.getInt(0) == 1) // case-folded equality
+    assert(r.getInt(1) == 0) // <> folds too
+    assert(r.getInt(2) == 1) // LIKE folds pattern AND scrutinee
+    assert(r.getInt(3) == 1) // call side wrapped in LOWER()
+    assert(r.getInt(4) == 1) // NOT LIKE keeps its NOT
+    assert(r.getInt(5) == 1) // charlist ranges lowercase soundly
+    // the DEFAULT stays binary — pinned oracle behavior
+    val b = spark.sql(translate(
+      "SELECT IIF(\"Smith\" = \"smith\", 1, 0) AS a")).collect()(0)
+    assert(b.getInt(0) == 0)
+    // a literal welded into a larger expression stays binary
+    // (the literal is not the comparison operand)
+    val welded = tr("SELECT x = \"A\" & s FROM t")
+    assert(!welded.toLowerCase.contains("lower"), welded)
+    // SET assignments never rewrite; the WHERE side does
+    val upd = graft.sources.JetSql.translateForJdbc(
+      "UPDATE t SET nm = \"Smith\" WHERE [city] = \"paris\"",
+      textOrder = true)
+    assert(upd.contains("'Smith'"), upd)     // assignment untouched
+    assert(upd.contains("LOWER(") && upd.contains("'paris'"), upd)
   }
 
   test("assessJetQueries: the whole-app port report — classifies " +
