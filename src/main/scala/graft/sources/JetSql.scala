@@ -3837,7 +3837,8 @@ object JetSql {
     * those report the requirement as their error. */
   def assessJetQueries(queries: Seq[(String, String)],
       spark: Option[SparkSession] = None,
-      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty)
+      uniqueKeys: Map[String, Seq[Set[String]]] = Map.empty,
+      textOrder: Boolean = false)
       : Seq[JetAssessment] =
     queries.map { case (name, jetSql) =>
       def attempt(f: => String): (Option[String], Option[String]) =
@@ -3850,8 +3851,12 @@ object JetSql {
         val (decls, body) = stripParameters(tokenize(jetSql))
         val bindings = decls
           .map { case (n, tpe) => n -> placeholderFor(tpe) }.toMap
-        val toks0 =
+        val toksB =
           stripTrailingSemi(substituteParams(body, decls, bindings))
+        val toks0 =
+          if (textOrder)
+            textOrderRewrite(toksB, jdbc = false, uniqueKeys)
+          else toksB
         def firstWord: String = toks0
           .find(t => t.kind != "ws").map(_.text.toLowerCase)
           .getOrElse("")
@@ -3862,8 +3867,8 @@ object JetSql {
           else "select"
         kind match {
           case "action" =>
-            val (sql, err) =
-              attempt(translateForJdbc(jetSql, bindings))
+            val (sql, err) = attempt(
+              translateForJdbc(jetSql, bindings, uniqueKeys, textOrder))
             JetAssessment(name, kind, decls.nonEmpty,
               engineOk = false, engineSql = None,
               engineError = Some("action queries run on the " +
@@ -3876,7 +3881,11 @@ object JetSql {
               val ct = parseCrosstab(toks0)
               if (ct.items.isDefined) emitCrosstab(ct, None)
               else spark match {
-                case Some(s) => translateCrosstab(s, jetSql, bindings)
+                case Some(s) =>
+                  if (textOrder)
+                    fail("textOrder with a data-DISCOVERED crosstab " +
+                      "(declare the headings with IN)")
+                  else translateCrosstab(s, jetSql, bindings)
                 case None => fail("crosstab headings are " +
                   "data-DISCOVERED (no IN list) — assess with a " +
                   "SparkSession that has the source tables " +

@@ -1424,6 +1424,32 @@ class JetSqlFuzzSpec extends AnyFunSuite {
       if (y >= 0 && y <= 29) y + 2000
       else if (y >= 30 && y <= 99) y + 1900 else y
 
+    // textOrder lane rides the same batches through a second
+    // translate mode — collected separately below
+    val textOrderCases = Vector.newBuilder[(String, String)]
+    def randCased(): String = Seq.fill(r.nextInt(5) + 1)(
+      "aAbBcC"(r.nextInt(6))).mkString
+    for (_ <- 1 to 120) {
+      val a = randCased()
+      val b = if (r.nextBoolean()) randCased()
+        else (if (r.nextBoolean()) a.toLowerCase else a.toUpperCase)
+      r.nextInt(3) match {
+        case 0 =>
+          textOrderCases += ((s"IIF(${lit(a)} = ${lit(b)}, 1, 0)",
+            (if (a.equalsIgnoreCase(b)) 1 else 0).toString))
+        case 1 =>
+          textOrderCases += ((s"IIF(${lit(a)} <> ${lit(b)}, 1, 0)",
+            (if (a.equalsIgnoreCase(b)) 0 else 1).toString))
+        case _ => // LIKE prefix pattern
+          val plen = r.nextInt(a.length) + 1
+          val pat = a.take(plen) + "*"
+          val s0 = b
+          textOrderCases += ((s"IIF(${lit(s0)} LIKE ${lit(pat)}, 1, 0)",
+            (if (s0.toLowerCase.startsWith(
+              a.take(plen).toLowerCase)) 1 else 0).toString))
+      }
+    }
+
     val built = Vector.fill(400) {
       r.nextInt(9) match {
         case 0 => // Val
@@ -1550,6 +1576,23 @@ class JetSqlFuzzSpec extends AnyFunSuite {
         val got = Option(row.get(i)).map(_.toString).orNull
         assert(got == want, s"batch $bi col $i: got $got want $want\n  $j")
       }
+    }
+    // textOrder mode: the same literal comparisons under Jet's
+    // case-insensitive database order, vs equalsIgnoreCase /
+    // case-folded startsWith references
+    textOrderCases.result().grouped(25).zipWithIndex.foreach {
+      case (batch, bi) =>
+        val row = spark.sql(graft.sources.JetSql.translate(
+          "SELECT " + batch.zipWithIndex.map {
+            case ((j, _), i) => s"$j AS c$i"
+          }.mkString(", "),
+          Map.empty[String, Any], Map.empty, textOrder = true))
+          .collect()(0)
+        batch.zipWithIndex.foreach { case ((j, want), i) =>
+          val got = Option(row.get(i)).map(_.toString).orNull
+          assert(got == want,
+            s"textOrder batch $bi col $i: got $got want $want\n  $j")
+        }
     }
   }
 }
