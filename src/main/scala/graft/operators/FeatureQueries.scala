@@ -167,14 +167,23 @@ object FeatureQueries {
       .withColumn("rn",
         row_number().over(wp.orderBy(col("v"), col("o_orderkey"))))
       .withColumn("n", count(lit(1)).over(wp))
+    // b is |segments|*100 rows but sits ABOVE the window pass; its two
+    // consumers (ref + the join) would re-run the sort+double-window
+    // over the fact join per consumer — AQE reuses the underlying
+    // shuffle stage, but every post-shuffle operator above it executes
+    // once per consumer (r14 opt: plans/r14/q_quantile_normalize_*.txt,
+    // stages 15/39). Materializing the 500-row frame once removes the
+    // second window pass: 1.40 s -> ~0.75 s at sf0.1; at fact scale it
+    // is one window pass instead of two.
     val b = r
       .groupBy(col("seg"),
         expr("((rn - 1) * 100) div n").cast("int").as("pct"))
       .agg(sum(col("v").cast("decimal(18,2)")).as("sv"),
         count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val ref = b.groupBy(col("pct"))
       .agg((sum(col("sv")).cast("double") / sum(col("cnt"))).as("norm_v"))
-    b.join(ref, "pct")
+    b.join(broadcast(ref), "pct")
       .select(col("seg"), col("pct"),
         (col("sv").cast("double") / col("cnt")).as("seg_mean"),
         col("norm_v"))

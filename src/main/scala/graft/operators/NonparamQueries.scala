@@ -186,12 +186,21 @@ object NonparamQueries {
       |FROM c WHERE 2 * cw >= tw
       |GROUP BY flag
       |ORDER BY flag""".stripMargin) { (s, d) =>
+    // (flag, price) grain is bounded by the price domain (~55 k rows
+    // per flag at any SF), but it has THREE consumers (band offsets,
+    // per-flag totals, the banded cumsum) and each would re-run the
+    // final aggregate + its own subtree above the reused shuffle stage
+    // (r14 opt: plans/r14/q_weighted_median_*.txt — 3 scan+agg passes
+    // in the executed plan, only the exchanges reused). One eager
+    // materialization of the small grain feeds all three: 2.67 s ->
+    // ~1.1 s at sf0.1, and at 100 TB one fact pass instead of three.
     val g = lineitem(s, d)
       .groupBy(
         col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
       .withColumn("band", floor(col("price") / 2048).cast("int"))
+      .localCheckpoint()
     // exclusive per-(flag, band) offsets: the only unbounded-order
     // window runs over the tiny band table, never the price grain
     val offs = g.groupBy(col("flag"), col("band"))

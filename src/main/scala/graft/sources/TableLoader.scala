@@ -56,6 +56,19 @@ object TableLoader {
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Adaptive execution: partition coalescing + skew-join splitting.
     c.set("spark.sql.adaptive.enabled", "true")
+    // Deliberately NO engine-level initialPartitionNum override
+    // (measured, r14 optimization round 1): forcing every shuffle to
+    // start at 128 map buckets and letting AQE coalesce was 1.4-5.3x
+    // SLOWER across the top-20 bench queries at sf0.1/local[32] (AQE
+    // stage-materialization overhead dominates small shuffles), and
+    // MIXED at 10x volume (text passes 0.66-0.92x, but q_tpch_q2 3.1x,
+    // q_weighted_median 2.8x, q_dedup_substring 2.2x worse — the extra
+    // partitions defeat runtime broadcast promotion and the
+    // shuffle_hash build-side economics). Reduce-side width at cluster
+    // scale is a submit-time setting (spark.sql.shuffle.partitions /
+    // spark.sql.adaptive.coalescePartitions.initialPartitionNum per
+    // deployment); the engine keeps AQE on so whatever width the
+    // submit chooses is coalesced per-stage by actual bytes.
   }
 
   /** Load (and memoize) one table for a scale-factor directory. */

@@ -35,12 +35,21 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(outDir)
     val mode = ExplainMode.fromString("formatted")
+    // SPARK_GRAFT_PLAN_EXEC=1: drive the query's own executedPlan once
+    // before explaining, so the dump shows the FINAL adaptive plan
+    // (isFinalPlan=true) with runtime stage reuse / coalescing /
+    // broadcast promotion — the plan the bench actually pays for, not
+    // the pre-execution estimate.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     for (name <- names) {
       val q = SparkEntry.registry.find(_.name == name)
         .getOrElse(sys.error(s"unknown query: $name"))
-      val plan = q.fn(spark, sfDir).queryExecution.explainString(mode)
+      val df = q.fn(spark, sfDir)
+      if (exec) df.queryExecution.executedPlan.execute().count()
+      val plan = df.queryExecution.explainString(mode)
       Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), plan)
       println(s"[plandump] wrote ${name}_$suffix.txt")
+      graft.plans.Checkpoints.sweep(spark)
     }
     spark.stop()
   }
