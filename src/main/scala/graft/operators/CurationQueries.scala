@@ -446,7 +446,7 @@ object CurationQueries {
          |ORDER BY contamination DESC, te.doc_id
          |LIMIT 20""".stripMargin) { (s, d) =>
       val bucket =
-        (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+        (graft.functions.Md5HexSlice(col("text").cast("binary"), 1, 4)
           .cast("int") % 100).cast("int")
       val g = documents(s, d)
         .select(col("doc_id"), bucket.as("b"),

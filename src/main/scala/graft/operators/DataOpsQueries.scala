@@ -583,10 +583,10 @@ object DataOpsQueries {
     val c = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val u = (conv(
-      substring(md5(concat(col("event_type"), lit("|"),
-        col("day").cast("string")).cast("binary")), 1, 6),
-      16, 10).cast("bigint") + lit(0.5)) / lit(16777216.0)
+    val u = (graft.functions.Md5HexSlice(
+      concat(col("event_type"), lit("|"),
+        col("day").cast("string")).cast("binary"), 1, 6)
+      + lit(0.5)) / lit(16777216.0)
     val noise = when(u < 0.5, log(lit(2) * u))
       .otherwise(-log(lit(2) - lit(2) * u))
     c.select(col("event_type"), col("day"),

@@ -243,8 +243,10 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(
         graft.functions.SimHashAgg(
-          conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-            .cast("bigint"),
+          // fused digest-to-long (r14 opt): value-identical to
+          // conv(substring(md5(w), 1, 15), 16, 10) with no hex
+          // string / substring / radix-parse per token
+          graft.functions.Md5HexSlice(col("w").cast("binary"), 1, 15),
           col("cnt"))
           .as("simhash"))
 

@@ -500,9 +500,9 @@ object EtlQueries {
       |FROM orders""".stripMargin) { (s, d) =>
     orders(s, d)
       .select(
-        conv(substring(md5(concat_ws("|",
+        graft.functions.Md5HexSlice(concat_ws("|",
           col("o_orderkey").cast("string"), col("o_orderstatus"),
-          col("o_orderpriority")).cast("binary")), 1, 14), 16, 10)
+          col("o_orderpriority")).cast("binary"), 1, 14)
           .cast("decimal(38,0)").as("h"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h")).cast("string").as("checksum"))

@@ -91,7 +91,7 @@ object FeatureQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(
         col("doc_id"),
-        (conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+        (graft.functions.Md5HexSlice(col("w").cast("binary"), 1, 4)
           .cast("int") % 1024).cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("doc_id"), col("bucket"))

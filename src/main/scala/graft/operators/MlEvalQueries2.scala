@@ -236,9 +236,9 @@ object MlEvalQueries2 {
       |FROM te t JOIN qh q USING (event_type)
       |GROUP BY t.event_type, q.n_cal, q.q_hat
       |ORDER BY t.event_type""".stripMargin) { (s, d) =>
-    val bucket = conv(
-      substring(md5(col("event_id").cast("string").cast("binary")), 1, 4),
-      16, 10).cast("int") % 100
+    val bucket = graft.functions.Md5HexSlice(
+      col("event_id").cast("string").cast("binary"), 1, 4)
+      .cast("int") % 100
     val e = events(s, d)
       .select(col("event_type"), col("event_id"),
         col("value").cast("decimal(18,6)").as("v"), bucket.as("b"))

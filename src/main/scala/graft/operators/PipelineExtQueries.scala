@@ -331,9 +331,9 @@ object PipelineExtQueries {
       |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
       |        AS INT) % 10 = 0
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val bucket = conv(
-      substring(md5(col("user_id").cast("string").cast("binary")), 1, 4),
-      16, 10).cast("int") % 10
+    val bucket = graft.functions.Md5HexSlice(
+      col("user_id").cast("string").cast("binary"), 1, 4)
+      .cast("int") % 10
     events(s, d)
       .filter(bucket === 0)
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -667,9 +667,8 @@ object PipelineExtQueries {
     // md5-derived 32-bit key, negated: TopKAgg keeps the k strongest
     // (score DESC, id ASC at ties) so -hash ranks smallest-hash first;
     // 32-bit magnitudes are exact in double
-    val hk = conv(
-      substring(md5(col("event_id").cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long")
+    val hk = graft.functions.Md5HexSlice(
+      col("event_id").cast("string").cast("binary"), 1, 8)
     events(s, d)
       .groupBy(col("event_type"))
       .agg(graft.functions.TopKAgg(

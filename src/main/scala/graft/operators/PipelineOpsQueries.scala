@@ -91,7 +91,7 @@ object PipelineOpsQueries {
     val g = documents(s, d)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val bucket =
-      (conv(substring(md5(col("h").cast("binary")), 1, 4), 16, 10)
+      (graft.functions.Md5HexSlice(col("h").cast("binary"), 1, 4)
         .cast("int") % 100).cast("int")
     val withSplit = g.select(
       col("doc_id"), col("h"),

@@ -554,9 +554,10 @@ object RetrievalExtQueries {
       .select(col("anchor_id"), col("anchor_label"), col("corpus"),
         explode(sequence(lit(0), lit(4))).as("j"))
       .select(col("anchor_id"), col("anchor_label"), col("j"),
-        (conv(substring(md5(concat(col("anchor_id").cast("string"),
-          lit("_"), col("j").cast("string")).cast("binary")), 1, 6),
-          16, 10).cast("bigint") % col("corpus")).as("neg_id"))
+        (graft.functions.Md5HexSlice(
+          concat(col("anchor_id").cast("string"),
+            lit("_"), col("j").cast("string")).cast("binary"), 1, 6)
+          % col("corpus")).as("neg_id"))
       .filter(col("neg_id") =!= col("anchor_id"))
     val lbl = embeddings(s, d)
       .select(col("vec_id").as("neg_id"), col("label").as("neg_label"))

@@ -34,7 +34,7 @@ object SamplingQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val bucket =
-      (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+      (graft.functions.Md5HexSlice(col("text").cast("binary"), 1, 4)
         .cast("int") % 100).cast("int")
     documents(s, d)
       .select(
@@ -65,8 +65,8 @@ object SamplingQueries {
       |FROM k
       |ORDER BY key DESC, doc_id
       |LIMIT 50""".stripMargin) { (s, d) =>
-    val u = (conv(substring(md5(col("text").cast("binary")), 1, 8),
-      16, 10).cast("bigint") + lit(1.0)) / lit(4294967297.0)
+    val u = (graft.functions.Md5HexSlice(col("text").cast("binary"),
+      1, 8) + lit(1.0)) / lit(4294967297.0)
     documents(s, d)
       .filter(col("n_chars") > 0)
       // round BEFORE the top-k sort: the unrounded keys are tie-free
@@ -109,9 +109,8 @@ object SamplingQueries {
     val thr = stratFractions.foldLeft(lit(-1L)) { case (acc, (l, f)) =>
       when(col("lang") === l, lit((f * (1L << 60)).toLong)).otherwise(acc)
     }
-    val h = conv(
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("bigint")
+    val h = graft.functions.Md5HexSlice(
+      col("doc_id").cast("string").cast("binary"), 1, 15)
     documents(s, d)
       .select(col("doc_id"), col("lang"))
       .filter(h < thr)

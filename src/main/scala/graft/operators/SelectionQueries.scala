@@ -38,7 +38,7 @@ object SelectionQueries {
     * (q_feature_hash): DuckDB computes the identical value from
     * `('0x' || substr(md5(bg), 1, 4))::INT % B`. */
   private def bucketOf(c: Column): Column =
-    (conv(substring(md5(c.cast("binary")), 1, 4), 16, 10)
+    (graft.functions.Md5HexSlice(c.cast("binary"), 1, 4)
       .cast("int") % dsirBuckets).cast("int")
 
   /** Hashed-bigram features of every document: (doc_id, lang, bucket),
@@ -178,8 +178,8 @@ object SelectionQueries {
       |FROM g
       |ORDER BY lw_micro + g_micro DESC, doc_id
       |LIMIT 50""".stripMargin) { (s, d) =>
-    val u = (conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 8), 16, 10).cast("bigint")
+    val u = (graft.functions.Md5HexSlice(
+      col("doc_id").cast("string").cast("binary"), 1, 8)
       + lit(1.0)) / lit(4294967297.0)
     dsirDocWeights(s, d)
       .withColumn("g_micro", floor(-log(-log(u)) * lit(1e6)).cast("bigint"))
@@ -345,21 +345,33 @@ object SelectionQueries {
     // The shuffle carries |labels|·d rows, nothing corpus-sized; each
     // qx² ≤ 1e12 fits bigint, the cross-row sum accumulates as
     // DECIMAL(38) (exact, order-free).
-    val per = q
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "qx")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("qx")).as("s_i"),
-        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("ssq"),
-        count(lit(1)).as("cnt"))
-    per.groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s_i"))))
-        .as("ps"),
-        sum(col("ssq")).cast("double").as("sumq2"),
-        max(col("cnt")).as("n"))
+    // r14 opt (guide §1.2 per-task work): the per-dim exact sums used
+    // to be computed by posexploding every vector to n·d rows and
+    // hash-aggregating by (label, pos) — ~200 ns/element of hash-probe
+    // work that dominated at volume (13.4 s at the 10× probe; an A/B
+    // proved the Decimal-vs-Long accumulator width irrelevant,
+    // 13.44 → 13.12 s). VectorSumAgg keeps the identical integer sums
+    // (element-wise Long adds, order-free) in ONE tight array loop per
+    // row, shuffling 2·d longs per (partition, label) instead of
+    // |labels|·d aggregate rows of exploded input: 1.61 → 0.39 s at
+    // sf0.1, 13.4 → 1.08 s at the 10× probe. Σ‖v̂‖² needs no per-dim
+    // grain at all — the row-local Σ_d qx² (≤ d·1e12 ≈ 6.4e13, exact
+    // in Long) crosses rows as DECIMAL(38), one update per ROW. Label
+    // groups are bounded, so the typed aggregate's
+    // ObjectHashAggregate 128-group fallback (spark-plan-pitfalls) is
+    // structurally unreachable.
+    val rowq2 = aggregate(
+      transform(col("qv"), x => x * x), lit(0L), (acc, x) => acc + x)
+    q.groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg(col("qv")).as("vc"),
+        sum(rowq2.cast("decimal(38,0)")).cast("double").as("sumq2"))
+      .select(col("label"),
+        array_max(col("vc.counts")).as("n"),
+        col("vc.sums").as("sums"), col("sumq2"))
       .where(col("n") > 1)
       .select(col("label"), col("n").cast("bigint").as("n_vecs"),
         (round((aggregate(
-            transform(col("ps"), p => p.getField("s_i").cast("double")),
+            transform(col("sums"), x => x.cast("double")),
             lit(0.0), (acc, x) => acc + x * x) - col("sumq2"))
           / (col("n").cast("double") * (col("n") - 1) * lit(1e12)), 6)
           + lit(0.0)).as("mean_pair_cos"))

@@ -149,7 +149,7 @@ object SequenceQueries {
       |WHERE w <> ''
       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     val bucket: Column =
-      (conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+      (graft.functions.Md5HexSlice(col("text").cast("binary"), 1, 4)
         .cast("int") % 100).cast("int")
     val b = documents(s, d).select(col("lang"), col("text"),
       bucket.as("bucket"))

@@ -401,9 +401,9 @@ object TrainPrepQueries {
       |FROM k
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     def draw(tag: String) =
-      conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(s"-$tag")).cast("binary")), 1, 6), 16, 10)
-        .cast("bigint") % (length(col("text")) + 1)
+      graft.functions.Md5HexSlice(concat(col("doc_id").cast("string"),
+        lit(s"-$tag")).cast("binary"), 1, 6)
+        .% (length(col("text")) + 1)
     val c = documents(s, d).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"),
         length(col("text")).as("n"),
