@@ -1026,13 +1026,19 @@ object DedupQueries {
       |FROM grid g JOIN hits h ON g.a_doc = h.a_doc
       |GROUP BY g.a_doc, g.n_grid
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val dupPos = subHits(s, d)
+    // the grid-gram frame (explode + one md5 per stride position) has
+    // two consumers with DIFFERENT downstream shuffle keys (g for the
+    // index join, a_doc for the grid counts), so exchange reuse cannot
+    // collapse them and the explode+digest pass ran twice per
+    // execution (r14 opt) — materialize it once
+    val aSide = subASide(s, d).localCheckpoint()
+    val dupPos = subHitsOf(s, d, aSide)
       .where(col("a_doc") =!= col("b_doc"))
       .select(col("a_doc"), col("a_pos"))
       .dropDuplicates("a_doc", "a_pos")
       .groupBy(col("a_doc"))
       .agg(count(lit(1)).as("n_dup"))
-    val grid = subASide(s, d)
+    val grid = aSide
       .groupBy(col("a_doc"))
       .agg(count(lit(1)).as("n_grid"))
     grid.join(dupPos, "a_doc")

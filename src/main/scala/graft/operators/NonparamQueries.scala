@@ -201,23 +201,36 @@ object NonparamQueries {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
       .withColumn("band", floor(col("price") / 2048).cast("int"))
       .localCheckpoint()
-    // exclusive per-(flag, band) offsets: the only unbounded-order
-    // window runs over the tiny band table, never the price grain
-    val offs = g.groupBy(col("flag"), col("band"))
+    // TWO-LEVEL SELECTION, completed (r14 opt): the r5 shape banded
+    // the prefix sum but still ran the cumulative window over EVERY
+    // grain row. The median price can only live in the FIRST band
+    // whose inclusive cumulative weight reaches tw/2 (bands before it
+    // have 2·cum < tw for all their prices; that band's last price
+    // has 2·cum ≥ tw), so only the ~1/64 grain slice of that one band
+    // per flag needs the within-band cumsum — the same
+    // rank-to-partition pruning q_theil_sen's lowMedian does. Exact:
+    // decimal comparisons only, same cw values on the surviving rows.
+    // 2.16 s -> ~1.35 s at sf0.1; at 100 TB the window input drops
+    // from the full price grain to one band per flag.
+    val bands = g.groupBy(col("flag"), col("band"))
       .agg(sum(col("w")).as("bw"))
       .withColumn(
-        "boff",
-        coalesce(
-          sum(col("bw")).over(
-            Window.partitionBy(col("flag")).orderBy(col("band"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(java.math.BigDecimal.ZERO)))
-      .select(col("flag"), col("band"), col("boff"))
-    val tot = g.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+        "cum",
+        sum(col("bw")).over(
+          Window.partitionBy(col("flag")).orderBy(col("band"))))
+    val tot = bands.groupBy(col("flag")).agg(max(col("cum")).as("tw"))
+    // first band per flag with 2·cum ≥ tw, carrying its exclusive
+    // offset (cum − bw) and tw; min(struct) picks the lowest band
+    val target = bands.join(broadcast(tot), "flag")
+      .where(col("cum") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(struct(col("band"), col("cum"), col("bw"), col("tw")))
+        .as("t"))
+      .select(col("flag"), col("t.band").as("band"),
+        (col("t.cum") - col("t.bw")).as("boff"), col("t.tw").as("tw"))
     val inner = Window.partitionBy(col("flag"), col("band"))
       .orderBy(col("price"))
-    g.join(broadcast(offs), Seq("flag", "band"))
-      .join(broadcast(tot), "flag")
+    g.join(broadcast(target), Seq("flag", "band"))
       .withColumn("cw", col("boff") + sum(col("w")).over(inner))
       .where(col("cw") * 2 >= col("tw"))
       .groupBy(col("flag"))

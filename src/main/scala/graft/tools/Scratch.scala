@@ -3,9 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway component-timing experiments for the optimization round.
-  * Not part of any query path; deleted or emptied when the experiment
-  * concludes (findings land in OPTIMIZATION_r14.md). */
+/** Scratch harness for component-level timing experiments during the
+  * optimization rounds: time(label){...} around noop() sinks of
+  * pipeline prefixes, run via `runMain graft.tools.Scratch`. The
+  * experiment bodies are throwaway — findings land in
+  * OPTIMIZATION_rNN.md (r14 used this for the q_bootstrap_ci
+  * conv-vs-md5 split, the q_weighted_median grain-aggregate floor,
+  * the q_label_prop AQE on/off A/B, and the q_join_pit max_by
+  * alternative), and the body is reset to this stub between
+  * experiments so the committed tree never carries a stale one. */
 object Scratch {
   def time[A](label: String)(body: => A): A = {
     val t0 = System.nanoTime()
@@ -25,31 +31,8 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.TableLoader.warm(spark, sfDir)
-
-    // ---- q_bootstrap_ci component triage ----
-    val base = graft.sources.TableLoader.orders(spark, sfDir)
-      .select(col("o_orderkey").as("k"),
-        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    val chunks = base
-      .select(col("k"), col("cents"),
-        explode(sequence(lit(0), lit(12))).as("c"))
-    val withMd5 = chunks
-      .withColumn("h",
-        md5(concat(col("k").cast("string"), lit("-"),
-          col("c").cast("string")).cast("binary")))
-    val withConv = withMd5
-      .withColumn("x1",
-        conv(substring(col("h"), 1, 15), 16, 10).cast("bigint"))
-      .withColumn("x2",
-        conv(substring(col("h"), 16, 15), 16, 10).cast("bigint"))
-    for (_ <- 1 to 3) {
-      time("base scan")(noop(base))
-      time("explode 13x")(noop(chunks))
-      time("+md5")(noop(withMd5))
-      time("+conv x2")(noop(withConv))
-      time("full query")(noop(
-        graft.SparkEntry.queries("q_bootstrap_ci")(spark, sfDir)))
-    }
+    // current experiment: (none — stub)
+    time("warm tables only")(())
     spark.stop()
   }
 }
