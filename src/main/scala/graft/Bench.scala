@@ -287,7 +287,8 @@ object Bench {
       rawRuns: Option[Map[String, Seq[RunStat]]] = None,
       vsCommitted: Option[Map[String, Double]] = None,
       probes: Option[Seq[(String, Probe)]] = None,
-      probedCount: Int = 0): String = {
+      probedCount: Int = 0,
+      stealTotalMs: Long = -1L): String = {
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
@@ -325,7 +326,12 @@ object Bench {
       case _ => ""
     }
     val prbN = if (probedCount > 0) s""","probed":$probedCount""" else ""
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"slow_vs_committed":$slowVsCommitted$prbN,"cpus":$cpus,"queries":$qs$omit$vsc$raw$prb,"sf":$sf}"""
+    // whole-sweep hypervisor steal (r14 verdict item 8): lets the
+    // driver's PERF comparison flag a contaminated sweep straight from
+    // the compact line instead of summing BENCH_FULL raw_runs
+    val stl = if (stealTotalMs >= 0) s""","steal_total_ms":$stealTotalMs"""
+      else ""
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","runs":$runs,"spikes":$spikes,"slow_vs_committed":$slowVsCommitted$prbN$stl,"cpus":$cpus,"queries":$qs$omit$vsc$raw$prb,"sf":$sf}"""
   }
 
   /** Measure one query: `runs` executions (first timed run = warm-up
@@ -724,10 +730,16 @@ object Bench {
     // window then held the full line's tail ahead of the compact line
     // and the driver recorded `parsed: null`. stdout (and anything sbt
     // merges into it) must hold exactly one '{'-line: the compact one.
+    // cumulative steal across every raw run of the sweep (the r14
+    // contamination diagnostic — 1146 s of steal against a 1004 s
+    // sweep wall — required reading BENCH_FULL raw_runs; now on the
+    // compact line too, additions-only)
+    val stealTotalMs =
+      rawRuns.values.flatten.map(_.stealMs).sum
     val full =
       renderLine(totalOut, resultsOut, sfJson, 6, 0, runs, spikes,
         slowVsCommitted, cpus, Some(rawRuns), Some(vsCommitted),
-        Some(probes), probes.size)
+        Some(probes), probes.size, stealTotalMs)
     // subset runs are dev-only probes — never clobber the full record,
     // but DO keep their full-precision raw runs (BENCH_PROBE.json):
     // the r10 solo-probe adjudication of q_sequence_match lost its
@@ -781,7 +793,8 @@ object Bench {
     // warnings): a cut-off line HEAD is unparseable, slack is cheap
     val budget = 1500
     val all2dp = renderLine(totalOut, resultsOut, sfJson, 2, 0, runs,
-      spikes, slowVsCommitted, cpus, probedCount = probes.size)
+      spikes, slowVsCommitted, cpus, probedCount = probes.size,
+      stealTotalMs = stealTotalMs)
     val line =
       if (all2dp.length <= budget) all2dp
       else {
@@ -800,12 +813,13 @@ object Bench {
           val mid = (lo + hi + 1) / 2
           val len = renderLine(totalOut, bySlowest.take(mid), sfJson, 2,
             bySlowest.size - mid, runs, spikes, slowVsCommitted,
-            cpus, probedCount = probes.size).length
+            cpus, probedCount = probes.size,
+            stealTotalMs = stealTotalMs).length
           if (len <= budget) lo = mid else hi = mid - 1
         }
         renderLine(totalOut, bySlowest.take(lo), sfJson, 2,
           bySlowest.size - lo, runs, spikes, slowVsCommitted, cpus,
-          probedCount = probes.size)
+          probedCount = probes.size, stealTotalMs = stealTotalMs)
       }
     // ERROR level for the shutdown: if the driver merges stderr into
     // the tail it reads, a stray WARN after the metric line must not

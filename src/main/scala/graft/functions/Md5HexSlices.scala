@@ -53,6 +53,25 @@ object Md5HexSliceUtil {
     }
     out
   }
+
+  /** Single-slice fast path (ADVICE r14): returns the long directly —
+    * no per-row long[1] allocation on token-grain callers
+    * ([[Md5HexSlice]]). Same nibble arithmetic as [[slices]]. */
+  def slice(input: Array[Byte], pos1based: Int, len: Int): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(input)
+    val pos = pos1based - 1
+    var v = 0L
+    var i = pos
+    val end = pos + len
+    while (i < end) {
+      val b = d(i >> 1) & 0xFF
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xF)
+      i += 1
+    }
+    v
+  }
 }
 
 /** `md5_hex_slices(bin, (pos, len)*)` → array<bigint>: for each
@@ -124,8 +143,6 @@ case class Md5HexSlice(child: Expression, pos: Int, len: Int)
     s"slice must satisfy pos >= 1, 1 <= len <= 15, pos+len-1 <= 32 " +
       s"(got ($pos, $len))")
 
-  private lazy val flat: Array[Int] = Array(pos, len)
-
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -136,15 +153,14 @@ case class Md5HexSlice(child: Expression, pos: Int, len: Int)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    Md5HexSliceUtil.slices(input.asInstanceOf[Array[Byte]], flat)(0)
+    Md5HexSliceUtil.slice(input.asInstanceOf[Array[Byte]], pos, len)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, bin => {
-      val rangesRef = ctx.addReferenceObj("ranges", flat, "int[]")
       s"""
          |${ev.value} =
-         |  graft.functions.Md5HexSliceUtil.slices($bin, $rangesRef)[0];
+         |  graft.functions.Md5HexSliceUtil.slice($bin, $pos, $len);
        """.stripMargin
     })
 

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * [[TypedImperativeAggregate]] (the [[SimHashAgg]] pattern): for a
   * group of `array<bigint>` rows, returns
   * `struct(sums: array<bigint>, counts: array<bigint>)` where
-  * `sums(i) = Σ row(i)` and `counts(i)` is how many rows HAD an
-  * element i (so ragged inputs keep the same per-dimension row counts
-  * the posexplode + groupBy(pos) form produced).
+  * `sums(i) = Σ row(i)` (nulls skipped, like SUM) and `counts(i)` is
+  * how many rows HAD a dimension i, null or not (like COUNT(*) over
+  * the posexplode rows) — so ragged AND nullable inputs keep exactly
+  * the per-dimension statistics the posexplode + groupBy(pos) form
+  * produced.
   *
   * Why it exists (r14 optimization round, guide §1.2): the exact
   * per-dimension corpus sums of q_embed_diversity were computed by
@@ -32,10 +34,14 @@ import org.apache.spark.sql.types._
   *
   * Exactness: identical integer additions in a different order —
   * Long addition is associative; per-dimension totals, and therefore
-  * every downstream oracle-gated value, are bit-identical. Overflow:
-  * callers bound |element| (q_embed_diversity: ≤ 1e6 quantized units,
-  * so Long holds corpora to ~9.2e12 rows per label); ANSI-style loud
-  * failure is NOT provided here — the caller documents its bound.
+  * every downstream oracle-gated value, are bit-identical. Overflow
+  * fails LOUDLY (Math.addExact in update/merge — ANSI discipline,
+  * ADVICE r14); callers additionally bound |element|
+  * (q_embed_diversity: ≤ 1e6 quantized units, so Long holds corpora
+  * to ~9.2e12 rows per label). Nullable elements are rejected at
+  * analysis time: the posexplode form COUNTS a null row, this
+  * aggregate would have to skip it — the divergence is now a type
+  * error instead of a comment.
   */
 case class VectorSumAgg(
     vec: Expression,
@@ -77,17 +83,23 @@ case class VectorSumAgg(
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
     val b = grown(buf, d)
+    // fast path compiled per ArrayType.containsNull, like DotProduct:
+    // parquet-clean inputs pay no per-element branch
+    val mayBeNull = vec.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
     var i = 0
     while (i < d) {
-      // containsNull inputs: a null element contributes nothing and
-      // does not count, matching the posexplode form (explode emits
-      // the null row; SUM/COUNT(*) then count it — but the only
-      // caller builds qv with containsNull=false, so the distinction
-      // is unreachable there and skipping is the safe general choice)
-      if (!arr.isNullAt(i)) {
-        b.sums(i) += arr.getLong(i)
-        b.counts(i) += 1L
-      }
+      // POSEXPLODE-EXACT null semantics (ADVICE r14): the form this
+      // replaces emitted the null element row, where SUM skips it but
+      // COUNT(*) counts it — so counts(i) increments unconditionally
+      // and only sums(i) skips nulls. addExact makes overflow LOUD —
+      // ANSI discipline, negligible next to the hash-aggregate this
+      // replaced.
+      if (!mayBeNull || !arr.isNullAt(i))
+        b.sums(i) = Math.addExact(b.sums(i), arr.getLong(i))
+      b.counts(i) += 1L
       i += 1
     }
     b
@@ -98,7 +110,7 @@ case class VectorSumAgg(
     val out = grown(a, b.sums.length)
     var i = 0
     while (i < b.sums.length) {
-      out.sums(i) += b.sums(i)
+      out.sums(i) = Math.addExact(out.sums(i), b.sums(i))
       out.counts(i) += b.counts(i)
       i += 1
     }

@@ -358,68 +358,92 @@ object DedupQueries {
     ngramJaccardPairs(s, d)
   }
 
-  /** Exact blocked-pairwise Jaccard with a block-size guard.
+  /** Exact blocked Jaccard pairs via the INVERTED INDEX (r15
+    * optimization, guide §1.2 "the distributed algorithm" + §2.3).
     *
-    * This operator is quadratic WITHIN each (source, lang) block — fine
-    * as the oracle-checkable fixture twin of qDedupMinhash, but it must
-    * never run on a block big enough to be a scale path. The guard
-    * refuses (raise_error, evaluated distributedly over the tiny
-    * block-size aggregate — no driver collect) any block whose pair
-    * count exceeds `maxPairsPerBlock`; the error message points at the
+    * The previous form self-joined every (source, lang) block all-pairs
+    * and merged the two shingle arrays per pair — O(Σ n_block²) joined
+    * rows each carrying both arrays, measured 9.3× growth at the 10×
+    * probe. But Jaccard ≥ 0.05 > 0 requires ≥ 1 SHARED shingle, and
+    * |a ∩ b| is exactly the number of shingle postings the pair shares:
+    * explode the (already distinct, hashed) shingle sets to postings,
+    * self-join on (block, shingle), and COUNT per doc pair. Word
+    * trigrams are distinctive — at sf0.1 the posting-pair volume is
+    * 16 k vs 159 k all-pairs, and it scales with true near-dup mass,
+    * not with block size². Set sizes ride the postings (n_a/n_b), so
+    * jac = c / (n_a + n_b − c) is the IDENTICAL arithmetic on the
+    * IDENTICAL integers as the old sorted-merge form: same pair set,
+    * same values, oracle unchanged.
+    *
+    * The guard moves with the cost model: what can explode now is a
+    * HOT SHINGLE (a trigram shared by many docs of one block), so the
+    * refusal is on the per-block candidate volume Σ_h c_h(c_h−1)/2 —
+    * evaluated distributedly over the tiny per-block aggregate (no
+    * driver collect), summed in DOUBLE so an adversarial block cannot
+    * overflow the guard itself. The error message still points at the
     * minhash path, which IS the 100 TB formulation. */
   def ngramJaccardPairs(
       s: SparkSession, d: String,
       maxPairsPerBlock: Long = 10000000L): DataFrame = {
-    // the persisted shingleSets cache (shared with minhash) already
-    // holds SORTED distinct hash arrays, so the per-pair intersection
-    // is a codegen'd two-pointer merge (SortedIntersectCount) instead
-    // of a per-row hash-set build — ~4x on the pair verification at
-    // sf0.1, and no per-side re-derivation of the shingles.
     // no broadcast hint: the metadata side has corpus cardinality (the
     // q_tfidf lesson) — AQE broadcasts at fixture scale on its own
     val docs = shingleSets(s, d)
       .join(
         documents(s, d).select(col("doc_id"), col("source"), col("lang")),
         "doc_id")
-      .select(col("doc_id"), col("source"), col("lang"), col("sh"))
-    val blockGuard = docs
+      .select(
+        col("doc_id"), col("source"), col("lang"),
+        size(col("sh")).as("n"), col("sh"))
+    // one posting per (block, shingle, doc); n rides along so the
+    // per-pair sizes need no join-back
+    val post = docs.select(
+      col("source"), col("lang"), col("doc_id"), col("n"),
+      explode(col("sh")).as("h"))
+    val blockGuard = post
+      .groupBy(col("source"), col("lang"), col("h"))
+      .agg(count(lit(1)).as("__c"))
       .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("__bn"))
+      .agg(sum(col("__c").cast("double") * (col("__c") - lit(1))
+        / lit(2.0)).as("__cp"))
       .select(
         col("source"), col("lang"),
-        // n > maxRows form, never n(n-1)/2 — the product overflows
-        // Long at the very scale the guard protects (see cosinePairs)
         when(
-          col("__bn") > ((1.0 + math.sqrt(
-            1.0 + 8.0 * maxPairsPerBlock.toDouble)) / 2.0).toLong,
+          col("__cp") > maxPairsPerBlock.toDouble,
           raise_error(concat(
             lit("q_dedup_ngram_jaccard: block ("), col("source"),
-            lit(", "), col("lang"), lit(") has "), col("__bn"),
-            lit(s" docs — more than $maxPairsPerBlock candidate pairs; " +
-              "the quadratic exact twin is fixture-only, use " +
+            lit(", "), col("lang"), lit(") has "),
+            col("__cp").cast("long"),
+            lit(s" candidate postings pairs — more than " +
+              s"$maxPairsPerBlock; the exact twin is fixture-only, use " +
               "q_dedup_minhash for corpus-scale near-dup")))
-            .cast("long"))
-          .otherwise(col("__bn")).as("__bn"))
+            .cast("double"))
+          .otherwise(col("__cp")).as("__cp"))
     // the guard join touches every block exactly once (broadcast of a
-    // |sources|x|langs|-row aggregate); evaluating __bn fires the guard
-    val guarded = docs
+    // |sources|×|langs|-row aggregate); evaluating __cp fires the guard
+    val guarded = post
       .join(broadcast(blockGuard), Seq("source", "lang"))
-      .filter(col("__bn") > 0)
-      .drop("__bn")
+      .filter(col("__cp") >= 0)
+      .drop("__cp")
+    // BOTH sides derive from the same guarded frame: identical plan
+    // subtrees below the join exchange, so AQE materializes the
+    // posting shuffle once and reads it twice (one explode pass, not
+    // two — the r14 stage-reuse lesson)
     val a = guarded.select(
-      col("source"), col("lang"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      col("source"), col("lang"), col("h"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = guarded.select(
       col("source").as("source_b"), col("lang").as("lang_b"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = graft.functions.VectorExpressions
-      .sortedIntersectCount(col("sh_a"), col("sh_b"))
-    val jac = inter.cast("double") /
-      (size(col("sh_a")) + size(col("sh_b")) - inter)
-    a.join(
-      b,
-      col("source") === col("source_b") && col("lang") === col("lang_b")
-        && col("doc_a") < col("doc_b"))
+      col("h").as("h_b"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val inter = a.join(
+        b,
+        col("source") === col("source_b") && col("lang") === col("lang_b")
+          && col("h") === col("h_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("__i"))
+    val jac = col("__i").cast("double") /
+      (col("n_a") + col("n_b") - col("__i"))
+    inter
       // filter on the RAW jaccard (like the oracle's WHERE) before
       // rounding — filtering the rounded value would include pairs in
       // [threshold - 5e-5, threshold) that the oracle excludes
@@ -451,23 +475,17 @@ object DedupQueries {
     // defined cosine — without the filter the pair division is
     // DIVIDE_BY_ZERO under Spark ANSI but NULL/inf in DuckDB (the
     // q_embed_quantize degenerate-vector lesson, ADVICE r5)
+    // r15 optimization: same exact pair set through the chunked kernel
+    // (SimilarityQueries.cosineThresholdPairs) — the row-per-pair
+    // self-join materialized two embedding arrays per candidate pair;
+    // the kernel moves each chunk's arrays once and applies the
+    // identical `raw_cos >= 0.3` predicate with the identical fold.
     val e = embeddings(s, d)
       .select(
         col("vec_id"), col("label"), col("embedding"),
         SimilarityQueries.l2norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0)
-    val a = e.select(
-      col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("va"), col("nrm").as("nrm_a"))
-    val b = e.select(
-      col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("vb"), col("nrm").as("nrm_b"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .select(
-        col("vec_a"), col("vec_b"),
-        (SimilarityQueries.dot(col("va"), col("vb"))
-          / (col("nrm_a") * col("nrm_b"))).as("raw_cos"))
-      .filter(col("raw_cos") >= 0.3)
+    SimilarityQueries.cosineThresholdPairs(e, 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("raw_cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

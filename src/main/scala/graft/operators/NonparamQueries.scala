@@ -194,11 +194,23 @@ object NonparamQueries {
     // in the executed plan, only the exchanges reused). One eager
     // materialization of the small grain feeds all three: 2.67 s ->
     // ~1.1 s at sf0.1, and at 100 TB one fact pass instead of three.
+    // r15 opt (verdict item 5): the ~550 k-group grain aggregate
+    // accumulates LONG CENTS instead of DECIMAL(18,2). Exactness: the
+    // per-row value is cast(l_quantity as decimal(18,2)) * 100 — the
+    // IDENTICAL half-up 2-dp quantization the decimal sum consumed —
+    // and a sum of those integers in Long equals the decimal sum
+    // scaled by 100 (fixture quantities are integral 1..50, so even
+    // 100 TB of rows stays ~3e16 ≪ 2^63; ANSI sum would throw, not
+    // wrap, beyond that). Every downstream comparison (2·cw ≥ tw) is
+    // scale-invariant, and the one decimal-valued output (total_w)
+    // converts back through an exact decimal divide, so the rendered
+    // doubles are bit-identical to the decimal pipeline's.
     val g = lineitem(s, d)
       .groupBy(
         col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+      .agg(sum((col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")).as("w"))
       .withColumn("band", floor(col("price") / 2048).cast("int"))
       .localCheckpoint()
     // TWO-LEVEL SELECTION, completed (r14 opt): the r5 shape banded
@@ -236,7 +248,12 @@ object NonparamQueries {
       .groupBy(col("flag"))
       .agg(
         min(col("price")).cast("double").as("wmedian"),
-        max(col("tw")).cast("double").as("total_w"))
+        // cents → exact decimal units → double: decimal(38,0)/100 has
+        // scale ≥ 2, so the quotient is EXACT, and the final cast is
+        // the same correctly-rounded decimal→double the old pipeline
+        // performed on its decimal tw
+        (max(col("tw")).cast("decimal(38,0)") / 100).cast("double")
+          .as("total_w"))
       .orderBy(col("flag"))
   }
 

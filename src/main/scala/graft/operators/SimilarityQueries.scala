@@ -122,13 +122,125 @@ object SimilarityQueries {
           .as("cos"))
   }
 
+  /** Target vectors per chunk for the chunked pair kernel: small
+    * enough that a packed chunk row stays ~100 KB (collect_list of
+    * ≤ chunkTarget 64-float structs), big enough that each kernel call
+    * amortizes its unpack over ~chunkTarget²/2 fused-loop dot products.
+    * Chunk COUNT per label is derived from the label's row count, so
+    * the layout is scale-adaptive (guide §2.2), not tuned to local[32]. */
+  private val chunkTarget = 256
+
+  /** Chunked exact pair frame (optimization round 2, guide §8 /
+    * CosineChunkKernel): group each label block into
+    * ceil(n/chunkTarget) chunks keyed by pmod(vec_id), pack each chunk
+    * once (collect_list), equi-join chunk pairs on label, and let the
+    * kernel UDF emit the surviving pairs of each chunk pair. Replaces
+    * the row-per-pair self-join that materialized two embedding arrays
+    * per candidate pair (the 25×-at-10× growth driver of r14's probe).
+    *
+    * `perLabel` is the per-label guard/chunk-count aggregate: label →
+    * __k (chunk count), with the caller's raise_error guard already
+    * folded in. `kernel(ms_a, ms_b, same)` returns
+    * array<struct<vec_a, vec_b, raw cosine>>. */
+  private def chunkedPairs(
+      e0: DataFrame, perLabel: DataFrame,
+      kernel: (Column, Column, Column) => Column): DataFrame = {
+    val chunked = e0.join(broadcast(perLabel), "label")
+      .select(
+        col("label"),
+        pmod(col("vec_id"), col("__k")).as("ck"),
+        struct(col("vec_id"), col("embedding"), col("nrm")).as("m"))
+      .groupBy(col("label"), col("ck"))
+      .agg(collect_list(col("m")).as("ms"))
+    val a = chunked.select(
+      col("label"), col("ck").as("ck_a"), col("ms").as("ms_a"))
+    val b = chunked.select(
+      col("label").as("label_b"), col("ck").as("ck_b"), col("ms").as("ms_b"))
+    a.join(b,
+        col("label") === col("label_b") && col("ck_a") <= col("ck_b"))
+      .select(explode(
+        kernel(col("ms_a"), col("ms_b"), col("ck_a") === col("ck_b")))
+        .as("p"))
+      .select(
+        col("p._1").as("vec_a"), col("p._2").as("vec_b"),
+        col("p._3").as("raw_cos"))
+  }
+
+  /** Per-label chunk counts with the quadratic guard folded in: any
+    * label whose pair count exceeds `maxPairs` refuses distributedly
+    * (same raise_error diagnostic as [[cosinePairs]]). */
+  private def guardedChunkCounts(
+      e0: DataFrame, maxPairs: Long): DataFrame = {
+    val maxRows =
+      ((1.0 + math.sqrt(1.0 + 8.0 * maxPairs.toDouble)) / 2.0).toLong
+    e0.groupBy(col("label"))
+      .agg(count(lit(1)).as("__ln"))
+      .select(
+        col("label"),
+        when(
+          col("__ln") > maxRows,
+          raise_error(concat(
+            lit("q_sim_cosine: label block "), col("label"),
+            lit(" has "), col("__ln"),
+            lit(s" vectors — more than $maxPairs candidate " +
+              "pairs; the exact pairwise form is a re-rank primitive, " +
+              "use q_dedup_embedding_lsh / q_ann_lsh for corpus scale")))
+            .cast("long"))
+          .otherwise(
+            ceil(col("__ln").cast("double") / lit(chunkTarget.toDouble))
+              .cast("long"))
+          .as("__k"))
+  }
+
+  /** Candidate superset of the global top-k pairs by rounded cosine:
+    * each chunk pair keeps its local top-k with the raw cutoff
+    * L − 1e-4 (see CosineChunkKernel.topPairs for the proof that no
+    * global rounded-top-k member can be pruned). Raw cosines — the
+    * caller rounds/orders/limits. */
+  def cosineTopPairs(
+      s: SparkSession, d: String, k: Int = 50,
+      maxPairs: Long = maxPairsPerLabel): DataFrame = {
+    val e0 = embeddings(s, d)
+      .select(
+        col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val kernel = udf((a: Seq[org.apache.spark.sql.Row],
+        b: Seq[org.apache.spark.sql.Row], same: Boolean) =>
+      graft.functions.CosineChunkKernel.topPairs(a, b, same, k))
+    chunkedPairs(e0, guardedChunkCounts(e0, maxPairs),
+      (ma, mb, same) => kernel(ma, mb, same))
+  }
+
+  /** Exact threshold pair frame (cos ≥ t) through the same chunked
+    * kernel — the scale form of the q_dedup_embedding join. The input
+    * frame must already carry (vec_id, label, embedding, nrm). */
+  def cosineThresholdPairs(e0: DataFrame, t: Double): DataFrame = {
+    val perLabel = e0.groupBy(col("label"))
+      .agg(count(lit(1)).as("__ln"))
+      .select(
+        col("label"),
+        ceil(col("__ln").cast("double") / lit(chunkTarget.toDouble))
+          .cast("long").as("__k"))
+    val kernel = udf((a: Seq[org.apache.spark.sql.Row],
+        b: Seq[org.apache.spark.sql.Row], same: Boolean) =>
+      graft.functions.CosineChunkKernel.thresholdPairs(a, b, same, t))
+    chunkedPairs(e0, perLabel, (ma, mb, same) => kernel(ma, mb, same))
+  }
+
   /** Pairwise cosine within label blocks, global top-50 pairs.
     *
     * Quadratic WITHIN each label block, so guarded like the n-gram
     * twin: a distributed raise_error over the per-label count
     * aggregate refuses any block whose pair count exceeds
     * [[maxPairsPerLabel]], pointing at the banded-LSH twin — the exact
-    * form is the re-rank primitive, not the scale path. */
+    * form is the re-rank primitive, not the scale path.
+    *
+    * r15 optimization: pairs come from the chunked kernel
+    * ([[cosineTopPairs]]) instead of the row-per-pair self-join; each
+    * chunk pair pre-prunes to its local top-50 under the provably safe
+    * raw cutoff, so the global sort sees ~50·#chunk-pairs rows instead
+    * of every pair. Values are bit-identical (same fold, same norms,
+    * same rounding) — only the execution shape changed. */
   val qSimCosine: QDef = QDef(
     "q_sim_cosine",
     s"""$oracleNorms
@@ -139,7 +251,9 @@ object SimilarityQueries {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |ORDER BY cos DESC, vec_a, vec_b
        |LIMIT 50""".stripMargin) { (s, d) =>
-    cosinePairs(s, d)
+    cosineTopPairs(s, d)
+      .select(
+        col("vec_a"), col("vec_b"), round(col("raw_cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(50)
   }
