@@ -411,7 +411,10 @@ object GraphQueries {
       // inside host noise, so eager rounds are kept for what they
       // guarantee rather than speed: AQE plans every round's join from
       // exact materialized sizes, and peak block residency stays O(1)
-      // frontiers instead of one deep plan.
+      // frontiers instead of one deep plan. r15 re-tried the lazy form
+      // WITH an explicit per-round broadcast(labels) hint (the
+      // q_pagerank_parts shape): n=8 median 2.88 s vs 2.43 eager —
+      // refused again; the broadcast builds serialize the same chain.
       for (_ <- 1 to rounds)
         labels = graft.plans.Checkpoints.replacing(
           adj
