@@ -387,17 +387,28 @@ object PipelineExtQueries {
       log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
         (col("tf") * 2.2) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("w"))
+    // r15 opt: the per-doc arg-max is min(struct(−score, w, score))
+    // instead of a ROW_NUMBER window — the window fully sorted the
+    // term-grain table by (doc_id, score, w) only to keep row 1 per
+    // doc; the aggregate keeps one struct per doc. Exact: scores are
+    // finite and strictly positive (the log argument is > 1, tf ≥ 1),
+    // so double negation is strictly order-reversing and min over
+    // (−score, w) picks precisely the (score DESC, w ASC) first row;
+    // the third field never participates ((doc_id, w) is unique).
+    // Measured 5.00 → 3.60 s at the 10× probe, 1.02 → 0.79 at sf0.1,
+    // outputs verified row-identical at both scales. (q_argmin_supplier
+    // keeps its packed-long min — a primitive min beats a struct min
+    // where the key packs; a double+string key cannot pack.)
     tf.join(dfreq, "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .select(col("doc_id"), col("w"), score.as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("w").as("w"),
+        col("score").as("score"))).as("m"))
       .select(
-        col("doc_id"), col("w").as("top_term"),
-        round(col("score"), 4).as("bm25"))
+        col("doc_id"), col("m.w").as("top_term"),
+        round(col("m.score"), 4).as("bm25"))
       .orderBy(col("doc_id"))
   }
 
